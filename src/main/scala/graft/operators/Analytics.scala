@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Extended analytics surface (SURVEY §2.3-2.7 "absent in reference"
+  * categories + §7 step 3): the query capabilities a user of a real
+  * analytics engine needs at 100 TB, all expressed as declarative
+  * Catalyst plans so pushdown/pruning/AQE apply.
+  *
+  * Determinism-for-oracle conventions (FIXTURES.md):
+  *  - big float sums go through DECIMAL(18,6)/DECIMAL(38,6) so both
+  *    engines aggregate exactly, then cast back to DOUBLE;
+  *  - averages are exact-decimal sums divided by counts in DOUBLE;
+  *  - every output has a unique-key ORDER BY.
+  *
+  * Scale notes are on each operator.
+  */
+object Analytics {
+
+  /** Exact-decimal sum of a double expression, surfaced as double.
+    * DECIMAL(18,6) input bound is safe for this corpus (values < 1e6,
+    * 2 decimal digits); sums widen to DECIMAL(38,x) which holds ~1e32 —
+    * ample at 100 TB row counts.
+    */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
+  /** TPC-H Q1-style pricing summary: the canonical scan→hash-agg —
+    * partial (map-side) aggregation then a tiny shuffle of one row per
+    * (flag, status) group per partition. At 100 TB the shuffle carries
+    * only #partitions × #groups rows, so this is scan-bound; the
+    * shipdate filter and 7-column projection reach the parquet scan
+    * (verified via explain: PushedFilters + ReadSchema).
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,6)") *
+            (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+          .cast("double").as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: 3-way join + agg + top-k. customer is small
+    * relative to fact tables → broadcast; orders⋈lineitem is the big
+    * equi-join, shuffled on orderkey (at scale: bucket both by
+    * orderkey to eliminate it). Top-10 via orderBy+limit = Spark
+    * TakeOrderedAndProject — no global sort materialization.
+    */
+  def topRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < to_timestamp(lit("1998-03-15 00:00:00")))
+    val li   = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > to_timestamp(lit("1998-03-15 00:00:00")))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,6)") *
+               (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+             .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Broadcast-join: fact ⋈ small dim. `broadcast(part)` pins the
+    * strategy — no shuffle of the 100 TB side, each task streams its
+    * lineitem split against an in-memory hash of part. At real scale
+    * part may exceed the broadcast threshold → falls back to shuffled
+    * hash join; the query shape stays identical.
+    */
+  def brandVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** Shuffle (sort-merge) join of the two big tables + agg: line-item
+    * count and revenue per order priority. At scale both sides
+    * hash-partition on orderkey; with bucketed storage this becomes a
+    * zero-shuffle merge join. (No broadcast hint on purpose — this is
+    * the big-big join shape.)
+    */
+  def orderPriorityCount(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    val li  = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Left-semi join: customers having at least one finished order —
+    * EXISTS without duplicate explosion; Spark builds/streams only
+    * keys of the right side.
+    */
+  def customersWithOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join: customers who never placed a large (>400k) order —
+    * NOT EXISTS. (Unfiltered "no orders at all" is empty in this corpus,
+    * which would be a vacuous correctness check.)
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** Top-k per group via ranked row-frame window: top-3 line items per
+    * supplier by extended price. One shuffle on the partition key; the
+    * per-partition sort is the cost at scale — for small k a
+    * TakeOrdered-per-key aggregator would cut the sort, but the window
+    * form stays inside codegen and AQE splits skewed suppliers.
+    * Deterministic tie-breaks: (price desc, orderkey, linenumber).
+    */
+  def topkPerSupplier(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .orderBy("l_suppkey", "rk")
+  }
+
+  /** ROLLUP hierarchy agg: (flag, status) → (flag) → (). grouping_id
+    * disambiguates real NULL group keys from rollup subtotal rows.
+    * Same partial-agg shuffle shape as Q1 (Spark expands grouping sets
+    * map-side).
+    */
+  def returnFlagRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().cast("bigint").as("gid"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  /** CUBE over (orderstatus, orderpriority): all 4 grouping sets. */
+  def orderStatusCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        grouping_id().cast("bigint").as("gid"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
+  /** Tumbling time-window aggregation over the event stream (batch
+    * formulation of SURVEY §2.8 time windows): hourly bucket per
+    * event_type. Bucket surfaced as epoch seconds BIGINT so both
+    * engines compare integers, not timestamp encodings. In streaming
+    * this is exactly `groupBy(window($"ts","1 hour"), $"event_type")`
+    * with a watermark; the batch plan shares the column expressions.
+    */
+  def hourlyEventAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("bucket_s"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("bucket_s", "event_type")
+
+  /** Semi-structured extraction: pull `k` out of the props JSON column
+    * and aggregate per event_type. `get_json_object` is codegen'd; at
+    * scale prefer parsing once with `from_json` into a struct column
+    * when several fields are read.
+    */
+  def jsonPropsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+              get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** Running (cumulative) per-customer spend — unbounded-preceding
+    * row-frame window. Decimal-cast inside the windowed sum keeps the
+    * prefix sums exact in both engines regardless of association
+    * order. One shuffle on custkey.
+    */
+  def runningCustomerSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+              col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"))
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** Range (theta band) join: events against a derived value-band dim.
+    * The band table is tiny → broadcast nested-loop, which is the
+    * right physical plan: each event row probes 10 ranges in memory,
+    * no shuffle of the fact side.
+    */
+  def valueBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.range(0, 10).select(
+      col("id").as("band"),
+      (col("id") * 50.0).as("lo"),
+      ((col("id") + 1) * 50.0).as("hi"))
+    Tables.events(spark, dir)
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("band")
+  }
+
+  /** Approximate distinct (HLL++): engine-specific sketch, so no
+    * DuckDB hash oracle — the driver records a rows-only check. At
+    * 100 TB this replaces an exact countDistinct's full shuffle of the
+    * key column with fixed-size sketch merges.
+    */
+  def approxDistinctParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).cast("bigint").as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+}
