@@ -1,6 +1,6 @@
 #!/bin/bash
 # Run Verify at sf0.01 then the DuckDB oracle compare (driver t2 mimic).
-set -e
+set -e -o pipefail
 SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-/tmp/verify_out}
 rm -rf "$OUT"

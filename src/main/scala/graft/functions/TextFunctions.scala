@@ -51,14 +51,14 @@ object TextFunctions {
 
   /** 32-bit SimHash from shingle hashes: bit j of the result is set iff
     * the majority of shingle hashes have bit j set (sum of ±1 votes > 0).
+    * The bit loop is unrolled at the Scala level (shiftleft/shiftright
+    * take a literal Int shift), producing one flat codegen'd expression.
     */
   def simhash32(hashes: Column): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(31)), j => {
-        val votes = aggregate(
-          transform(hashes, h => shiftright(h, j.cast("int")).bitwiseAND(lit(1L)) * 2 - 1),
-          lit(0L), (a, v) => a + v)
-        when(votes > 0, shiftleft(lit(1L), j.cast("int"))).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, v) => acc + v)
+    (0 until 32).map { j =>
+      val votes = aggregate(
+        transform(hashes, h => shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1),
+        lit(0L), (a, v) => a + v)
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
 }

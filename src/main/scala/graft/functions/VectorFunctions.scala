@@ -38,16 +38,22 @@ object VectorFunctions {
     * is the sign of <emb, w_j>. One narrow projection per row — the
     * 100 TB path for ANN: candidates are then found with an equi-join
     * on (bucket) instead of an O(n²) cross product.
+    *
+    * `dim` must equal the embedding length; rows of any other length
+    * fail loudly (raise_error) instead of silently null-padding through
+    * zip_with into wrong bucket bits. The plane loop is unrolled at the
+    * Scala level — shiftleft needs a literal Int shift.
     */
-  def lshBucket(emb: Column, nPlanes: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(nPlanes - 1)), j => {
-        val proj = aggregate(
-          zip_with(emb, sequence(lit(0), lit(63)),
-            (x, i) => x.cast("double") * planeWeight(j, i).cast("double")),
-          lit(0.0), (acc, v) => acc + v)
-        when(proj > 0, shiftleft(lit(1L), j.cast("int"))).otherwise(lit(0L))
-      }),
-      lit(0L),
-      (acc, v) => acc + v)
+  def lshBucket(emb: Column, nPlanes: Int, dim: Int): Column = {
+    val bucket = (0 until nPlanes).map { j =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), lit(dim - 1)),
+          (x, i) => x.cast("double") * planeWeight(lit(j), i).cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    when(size(emb) === dim, bucket)
+      .otherwise(raise_error(concat(
+        lit(s"lshBucket: expected $dim-dim embedding, got "), size(emb).cast("string"))))
+  }
 }
