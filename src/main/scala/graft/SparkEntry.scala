@@ -77,7 +77,21 @@ object SparkEntry {
     "x_running_spend"      -> ((s, dir) => Analytics.runningCustomerSpend(s, dir)),
     "x_value_bands"        -> ((s, dir) => Analytics.valueBandJoin(s, dir)),
     "x_approx_distinct"    -> ((s, dir) => Analytics.approxDistinctParts(s, dir)),
-    "x_asof_join"          -> ((s, dir) => AsOfJoin.clickEnrichedWithLastView(s, dir))
+    "x_distinct_exact"     -> ((s, dir) => Analytics.distinctPartsExact(s, dir)),
+    "x_asof_join"          -> ((s, dir) => AsOfJoin.clickEnrichedWithLastView(s, dir)),
+
+    // ---- LLM-data-pipeline surface (dedup / similarity / text / multimodal) ----
+    "x_dedup_exact"        -> ((s, dir) => Dedup.exactDedup(s, dir)),
+    "x_dedup_minhash"      -> ((s, dir) => Dedup.nearDupMinhash(s, dir)),
+    "x_dedup_simhash"      -> ((s, dir) => Dedup.simhashDocs(s, dir)),
+    "x_doc_fingerprint"    -> ((s, dir) => Dedup.docFingerprint(s, dir)),
+    "x_ngram_jaccard"      -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    "x_text_stats"         -> ((s, dir) => TextAnalysis.textStats(s, dir)),
+    "x_text_quality_by_lang" -> ((s, dir) => TextAnalysis.qualityByLang(s, dir)),
+    "x_knn_brute"          -> ((s, dir) => Similarity.knnBruteForce(s, dir)),
+    "x_knn_lsh"            -> ((s, dir) => Similarity.knnLsh(s, dir)),
+    "x_emb_neardup"        -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
+    "x_multimodal_meta"    -> ((s, dir) => Multimodal.mediaMeta(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -283,6 +297,188 @@ object SparkEntry {
         |                       value AS view_value FROM events
         |                WHERE event_type = 'view') q
         |  ON t.user_id = q.user_id AND t.event_id >= q.view_event_id
-        |ORDER BY t.event_id""".stripMargin
+        |ORDER BY t.event_id""".stripMargin,
+
+    "x_distinct_exact" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "x_dedup_exact" ->
+      """SELECT keep_id, n_copies FROM (
+        |  SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |  FROM documents GROUP BY md5(text)
+        |) ORDER BY keep_id""".stripMargin,
+
+    "x_dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text)-7,1)+1),
+        |    i -> substr(text,i,8))) AS shingles
+        |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id, shingles, list_transform(shingles, s ->
+        |    list_reduce(list_transform(range(1,len(s)+1), i -> ascii(substr(s,i,1))::BIGINT),
+        |      (acc,c) -> (acc*31+c)%1000000007)) AS hashes
+        |  FROM sh
+        |), sig AS (
+        |  SELECT doc_id, shingles, list_transform(range(0,16), i ->
+        |    list_min(list_transform(hashes, x -> ((i*2+1)*x + (i*5+3)) % 1000000007))) AS sig
+        |  FROM hs
+        |), bands AS (
+        |  SELECT doc_id, b,
+        |    ((((((sig[4*b+1]::BIGINT % 1000000007)*31 + sig[4*b+2]::BIGINT) % 1000000007)*31
+        |       + sig[4*b+3]::BIGINT) % 1000000007 *31 + sig[4*b+4]::BIGINT) % 1000000007) AS bh
+        |  FROM sig, range(0,4) t(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
+        |), hd AS (
+        |  SELECT doc_id, list_distinct(hashes) AS hset FROM hs
+        |), scored AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    round(len(list_filter(ha.hset, x -> list_contains(hb.hset, x)))::DOUBLE /
+        |      (len(ha.hset)+len(hb.hset)
+        |       -len(list_filter(ha.hset, x -> list_contains(hb.hset, x)))), 6) AS jaccard
+        |  FROM pairs p JOIN hd ha ON p.doc_a = ha.doc_id JOIN hd hb ON p.doc_b = hb.doc_id
+        |)
+        |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "x_dedup_simhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text)-7,1)+1),
+        |    i -> substr(text,i,8))) AS shingles
+        |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id, list_transform(shingles, s ->
+        |    list_reduce(list_transform(range(1,len(s)+1), i -> ascii(substr(s,i,1))::BIGINT),
+        |      (acc,c) -> (acc*31+c)%1000000007)) AS hashes
+        |  FROM sh
+        |)
+        |SELECT doc_id, list_sum(list_transform(range(0,32), j ->
+        |  CASE WHEN list_sum(list_transform(hashes, h -> ((h >> j) & 1)*2 - 1)) > 0
+        |       THEN (1::BIGINT)<<j ELSE 0 END))::BIGINT AS simhash
+        |FROM hs ORDER BY doc_id""".stripMargin,
+
+    "x_doc_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_transform(range(1,len(text)+1), i -> ascii(substr(text,i,1))::BIGINT),
+        |    (acc,c) -> (acc*31+c)%1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_ngram_jaccard" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, source, string_split(text,' ') AS toks FROM documents
+        |), t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(range(1, len(toks)-1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        |  FROM tk WHERE len(toks) >= 3
+        |)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(len(list_filter(a.grams, g -> list_contains(b.grams, g)))::DOUBLE /
+        |      (len(a.grams)+len(b.grams)-len(list_filter(a.grams, g -> list_contains(b.grams, g)))), 6) AS jaccard
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.02 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "x_text_stats" ->
+      """WITH tk AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  len(toks)::BIGINT AS n_tokens,
+        |  len(text)::BIGINT AS n_chars,
+        |  round(len(list_distinct(toks))::DOUBLE/len(toks),6) AS ttr,
+        |  round(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t)))::DOUBLE/len(toks),6) AS stop_ratio,
+        |  ceil(len(text)/4.0)::BIGINT AS est_bpe_tokens,
+        |  CASE WHEN len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t)))::DOUBLE/len(toks) > 0.05
+        |       THEN 'en' ELSE 'other' END AS lang_guess,
+        |  round(least(1.0, len(toks)/50.0)*0.4
+        |      + (len(list_distinct(toks))::DOUBLE/len(toks))*0.3
+        |      + least(1.0, (len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t)))::DOUBLE/len(toks))*5.0)*0.3, 6) AS quality
+        |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "x_text_quality_by_lang" ->
+      """WITH tk AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT len(toks)::BIGINT AS n_tokens,
+        |    CASE WHEN len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t)))::DOUBLE/len(toks) > 0.05
+        |         THEN 'en' ELSE 'other' END AS lang_guess,
+        |    round(least(1.0, len(toks)/50.0)*0.4
+        |        + (len(list_distinct(toks))::DOUBLE/len(toks))*0.3
+        |        + least(1.0, (len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t)))::DOUBLE/len(toks))*5.0)*0.3, 6) AS quality
+        |  FROM tk
+        |)
+        |SELECT lang_guess, COUNT(*) AS n_docs, SUM(n_tokens)::BIGINT AS total_tokens,
+        |  CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_quality
+        |FROM s GROUP BY lang_guess ORDER BY lang_guess""".stripMargin,
+
+    "x_knn_brute" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE), (a,b)->a+b)) AS nrm
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(range(1,65),
+        |      i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*q.q_nrm), 6) AS cos
+        |  FROM e, q WHERE e.vec_id <> q.query_id
+        |)
+        |SELECT query_id, neighbor_id, rk, cos FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rk
+        |  FROM scored
+        |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "x_knn_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE), (a,b)->a+b)) AS nrm,
+        |    list_sum(list_transform(range(0,8), j ->
+        |      CASE WHEN list_reduce(list_transform(range(0,64), i ->
+        |        embedding[i+1]::DOUBLE * (((j*64+i)*1103515245 + 12345) % 65536 - 32768)::DOUBLE),
+        |        (a,b)->a+b) > 0
+        |      THEN (1::BIGINT)<<j ELSE 0 END))::BIGINT AS bucket
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+        |  FROM e WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(range(1,65),
+        |      i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*q.q_nrm), 6) AS cos
+        |  FROM e JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.query_id
+        |)
+        |SELECT query_id, neighbor_id, rk, cos FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rk
+        |  FROM scored
+        |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "x_emb_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE), (a,b)->a+b)) AS nrm,
+        |    list_sum(list_transform(range(0,8), j ->
+        |      CASE WHEN list_reduce(list_transform(range(0,64), i ->
+        |        embedding[i+1]::DOUBLE * (((j*64+i)*1103515245 + 12345) % 65536 - 32768)::DOUBLE),
+        |        (a,b)->a+b) > 0
+        |      THEN (1::BIGINT)<<j ELSE 0 END))::BIGINT AS bucket
+        |  FROM embeddings
+        |)
+        |SELECT vec_a, vec_b, cos FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_reduce(list_transform(range(1,65),
+        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (a2,b2)->a2+b2)/(a.nrm*b.nrm), 6) AS cos
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |) WHERE cos >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "x_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text))::BIGINT AS n_bytes,
+        |  lower(substr(hex(encode(text)),1,16)) AS header_hex,
+        |  round(((octet_length(encode(text))*1 + ascii(substr(text,1,1))) % 1000)/1000.0, 6) AS f0,
+        |  round(((octet_length(encode(text))*3 + ascii(substr(text,2,1))) % 1000)/1000.0, 6) AS f1,
+        |  round(((octet_length(encode(text))*5 + ascii(substr(text,3,1))) % 1000)/1000.0, 6) AS f2,
+        |  round(((octet_length(encode(text))*7 + ascii(substr(text,4,1))) % 1000)/1000.0, 6) AS f3
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

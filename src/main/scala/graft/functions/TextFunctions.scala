@@ -41,6 +41,24 @@ object TextFunctions {
       lit(0L),
       (acc, c) => (acc * 31 + c) % P)
 
+  /** polyHash specialised to strings of length <= `n` (shingles),
+    * unrolled into a chained-when Horner fold of PURE scalar
+    * expressions. The generic [[polyHash]] is a higher-order-function
+    * fold, and any HOF in an expression tree disables whole-stage
+    * codegen for the entire projection — measured 4-8× slower on the
+    * shingle hot path. Step k applies (acc*31 + ascii(c_k)) mod P only
+    * while k <= length(s), so the result equals the per-step-mod fold
+    * for every length <= n.
+    */
+  def polyHashFixed(s: Column, n: Int): Column = {
+    require(n >= 1 && n <= 64, s"polyHashFixed: unrolled width $n out of range")
+    (1 to n).foldLeft(lit(0L)) { (acc, k) =>
+      when(length(s) >= k,
+        (acc * 31 + ascii(substring(s, k, 1)).cast("long")) % P)
+        .otherwise(acc)
+    }
+  }
+
   /** MinHash signature: k values, h_i = min over shingle hashes x of
     * ((2i+1)*x + (5i+3)) mod P. Odd multipliers, all arithmetic exact
     * in int64.

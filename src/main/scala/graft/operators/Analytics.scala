@@ -252,4 +252,17 @@ object Analytics {
         approx_count_distinct(col("l_partkey")).cast("bigint").as("approx_parts"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
+
+  /** Exact-distinct twin of [[approxDistinctParts]], with a DuckDB
+    * oracle — pins down the semantics the sketch approximates. Exact
+    * distinct costs an expand + second shuffle on (group, key); the
+    * approx variant above is the 100 TB default.
+    */
+  def distinctPartsExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
 }

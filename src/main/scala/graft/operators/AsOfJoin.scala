@@ -29,28 +29,39 @@ object AsOfJoin {
     * <= the left row's (inclusive). `ord` must be unique per key for
     * fully deterministic results (use an event id / sequence number,
     * or tie-break upstream).
+    *
+    * Payload columns are packed into ONE struct and `last(struct,
+    * ignoreNulls)` is taken once, so every output row's payload fields
+    * come from the same right row — even when individual payload
+    * values are legitimately NULL. (Taking `last` per column would mix
+    * fields across right rows and skip null-valued matches.)
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, ord: String,
            payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns
+    val payloadType = StructType(payload.map(p => StructField(p, right.schema(p).dataType)))
     // Side tag: right=0 sorts before left=1 at equal ord → right rows
     // at the same ord value are visible to the left row (inclusive).
     val l = left.withColumn("__side", lit(1))
       .select(col(key) +: col(ord) +: col("__side") +:
-        (leftCols.filterNot(c => c == key || c == ord).map(col) ++
-         payload.map(p => lit(null).cast(right.schema(p).dataType).as(p))): _*)
+        (leftCols.filterNot(c => c == key || c == ord).map(col) :+
+         lit(null).cast(payloadType).as("__payload")): _*)
     val r = right.withColumn("__side", lit(0))
       .select(col(key) +: col(ord) +: col("__side") +:
-        (leftCols.filterNot(c => c == key || c == ord).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-         payload.map(col)): _*)
+        (leftCols.filterNot(c => c == key || c == ord).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+         struct(payload.map(col): _*).as("__payload")): _*)
     val w = Window.partitionBy(key).orderBy(col(ord), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val joined = l.unionByName(r)
       .select(
         (Seq(col(key), col(ord), col("__side")) ++
-         leftCols.filterNot(c => c == key || c == ord).map(col) ++
-         payload.map(p => last(col(p), ignoreNulls = true).over(w).as(s"asof_$p"))): _*)
-    joined.filter(col("__side") === 1).drop("__side").drop(payload: _*)
+         leftCols.filterNot(c => c == key || c == ord).map(col) :+
+         last(col("__payload"), ignoreNulls = true).over(w).as("__last_payload")): _*)
+    val unpacked = payload.foldLeft(joined) { (df, p) =>
+      df.withColumn(s"asof_$p", col("__last_payload").getField(p))
+    }
+    unpacked.filter(col("__side") === 1).drop("__side", "__payload", "__last_payload")
   }
 
   /** Concrete oracle-checked instance over the corpus: treat `click`

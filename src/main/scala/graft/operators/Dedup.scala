@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Deduplication operators over the `documents` table — the LLM
+  * training-data-pipeline surface (exact, MinHash/banded-LSH near-dup,
+  * SimHash, blocked n-gram Jaccard, content fingerprinting).
+  *
+  * Everything is built from Catalyst higher-order functions (no UDFs)
+  * so the whole pipeline stays inside whole-stage codegen, and every
+  * pairing step is an EQUI-join on a derived key (hash group, band
+  * hash, block key) — never an all-pairs cross product. That is the
+  * 100 TB shape: candidate generation cost is O(n · bands), and the
+  * expensive exact re-check runs only on the candidate pairs.
+  */
+object Dedup {
+
+  /** Frozen pipeline parameters (see SparkEntry oracle SQL — the DuckDB
+    * side replicates the identical integer arithmetic).
+    */
+  val ShingleN     = 8  // character n-gram size
+  val NumHashes    = 16 // MinHash signature length
+  val Bands        = 4  // LSH bands
+  val RowsPerBand  = 4  // NumHashes / Bands
+  val P: Long      = TextFunctions.P
+
+  /** (doc_id, shingles, hashes): distinct character 8-gram shingles of
+    * each document plus their polynomial hashes. Shared scan for the
+    * near-dup operators; narrow (no shuffle).
+    */
+  def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextFunctions.shingles(col("text"), ShingleN).as("shingles"),
+      TextFunctions.shingleHashes(col("text"), ShingleN).as("hashes"))
+
+  /** Exact dedup: group documents by content hash, keep the smallest
+    * doc_id of each group (deterministic survivor — `dropDuplicates`
+    * keeps an arbitrary row, which is not oracle-checkable).
+    *
+    * Grouping on md5(text) rather than the text itself means the
+    * shuffle carries 16-byte keys, not document bodies — at 100 TB
+    * that is the difference between shuffling the corpus and shuffling
+    * ~2% of it. Partial (map-side) aggregation applies as usual.
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(encode(col("text"), "UTF-8")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  /** (doc_id, h): one row per DISTINCT shingle hash of each document.
+    * Exploding to rows up front is deliberate: Spark's higher-order
+    * functions are interpreted (no codegen), so keeping the shingle
+    * set as an array and re-scanning it per minhash / per candidate
+    * pair costs ~1 µs per lambda call — 150+ s at sf0.1. Here the
+    * shingle positions explode via `sequence` (a Generate, no
+    * lambdas), the 8-char slice comes from codegen'd `substr`, and
+    * the hash is the unrolled [[TextFunctions.polyHashFixed]] — the
+    * ENTIRE path is whole-stage-codegen. The trailing dropDuplicates
+    * mirrors the oracle's list_distinct over hash values (map-side
+    * partial dedup keeps the shuffle small).
+    */
+  def shingleHashRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")) - (ShingleN - 1), lit(1)))).as("i"))
+      .select(col("doc_id"),
+        TextFunctions.polyHashFixed(
+          col("text").substr(col("i"), lit(ShingleN)), ShingleN).as("h"))
+      .dropDuplicates("doc_id", "h")
+
+  /** (doc_id, m0..m15): MinHash signature as 16 codegen'd `min`
+    * aggregates over the shingle-hash rows — one hash-aggregate with
+    * map-side partial mins, the 100 TB shape (vs. interpreted
+    * array-lambda evaluation, which this replaced).
+    */
+  def minhashSigsFrom(rows: DataFrame): DataFrame = {
+    val mins = (0 until NumHashes).map { i =>
+      min((col("h") * (2 * i + 1) + (5 * i + 3)) % P).as(s"m$i")
+    }
+    rows.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  def minhashSigs(spark: SparkSession, dir: String): DataFrame =
+    minhashSigsFrom(shingleHashRows(spark, dir))
+
+  /** (doc_id, band, bh): LSH band hashes of the MinHash signature.
+    * Band hash = Horner fold (acc*31 + sig_i) mod P over the band's
+    * rows — exactly reproducible in the oracle's integer arithmetic.
+    */
+  def minhashBandsFrom(rows: DataFrame): DataFrame = {
+    val bandRecs = (0 until Bands).map { b =>
+      val bh = (0 until RowsPerBand).foldLeft(lit(0L)) { (acc, r) =>
+        (acc * 31 + col(s"m${b * RowsPerBand + r}")) % P
+      }
+      struct(lit(b).as("band"), bh.as("bh"))
+    }
+    minhashSigsFrom(rows)
+      .select(col("doc_id"), explode(array(bandRecs: _*)).as("rec"))
+      .select(col("doc_id"), col("rec.band").as("band"), col("rec.bh").as("bh"))
+  }
+
+  def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    minhashBandsFrom(shingleHashRows(spark, dir))
+
+  /** MinHash near-dup pairs: documents sharing any LSH band bucket are
+    * candidates (equi-join on (band, band-hash) — the scalable step);
+    * candidates are then re-checked with EXACT Jaccard over the
+    * distinct shingle-hash sets and kept at >= `threshold`.
+    *
+    * Scale shape: the band join shuffles only (doc_id, band, hash)
+    * triples; intersection sizes come from equi-joining the candidate
+    * pairs back to the shingle-hash rows on (doc_id) and (doc_id, h)
+    * and counting — no arrays are carried through any shuffle, and
+    * there is no cross product anywhere.
+    */
+  def nearDupMinhash(spark: SparkSession, dir: String,
+                     threshold: Double = 0.8): DataFrame = {
+    // The deduped shingle-hash table feeds FIVE plan subtrees (two band
+    // sides, two intersection sides, sizes). persist() materializes it
+    // once — the Spark analog of writing the shingle table to storage
+    // before the pair phase, which is exactly what a 100 TB pipeline
+    // does with this intermediate.
+    val rows = shingleHashRows(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = minhashBandsFrom(rows)
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = rows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = broadcast(pairs)
+      .join(rows.as("ra"), col("doc_a") === col("ra.doc_id"))
+      .join(rows.as("rb"),
+        col("doc_b") === col("rb.doc_id") && col("ra.h") === col("rb.h"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+              (col("sza") + col("szb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-document 32-bit SimHash fingerprint (near-dup docs land on
+    * nearby hashes; equal hashes → dedup clusters). Narrow map — no
+    * shuffle at all; downstream clustering is a groupBy on the hash.
+    */
+  def simhashDocs(spark: SparkSession, dir: String): DataFrame =
+    docShingles(spark, dir)
+      .select(col("doc_id"), TextFunctions.simhash32(col("hashes")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** Per-document polynomial rolling-hash fingerprint of the full text
+    * (content identity cheaper to store/shuffle than the text).
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.polyHash(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Blocked EXACT word-3-gram Jaccard: pairs within a (lang, source)
+    * block, kept at >= `threshold`. The block key turns all-pairs into
+    * a per-block problem, and intersections come from a self-join of
+    * the exploded gram rows on (block, gram) + count — pairs sharing
+    * zero grams never materialize (they cannot pass a positive
+    * threshold anyway), and no arrays move through the shuffle.
+    *
+    * Scale notes: the join key includes the gram, so frequent grams
+    * (stopword runs) are the skew axis — at 100 TB you'd drop
+    * top-frequency grams first (they carry no similarity signal) or
+    * switch to [[nearDupMinhash]]. Pairs spanning two blocks are by
+    * design not compared.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String,
+                   threshold: Double = 0.02): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = array_distinct(
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        concat(element_at(toks, i), lit(" "),
+               element_at(toks, i + 1), lit(" "),
+               element_at(toks, i + 2))))
+    // Gram rows feed four subtrees (two join sides + two size lookups):
+    // materialize once, same rationale as in nearDupMinhash.
+    val rows = Tables.documents(spark, dir)
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"), col("lang"), col("source"), explode(grams).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = rows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = rows.as("a")
+      .join(rows.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+              (col("sza") + col("szb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: media (image/audio/video) modeled as an
+  * opaque BINARY payload column plus typed metadata, the way a 100 TB
+  * training corpus stores it (bytes in parquet, decode on demand).
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * STUB — [[stubFeatures]] derives deterministic pseudo-features from
+  * the raw bytes (header sniff + byte arithmetic), keeping every piece
+  * of Spark-side plumbing real and testable: binary schema, byte
+  * slicing, hex sniffing, fixed-width feature vectors, partition-
+  * parallel execution. A real decoder replaces ONE function
+  * ([[decodePayload]]) without touching the pipeline shape.
+  */
+object Multimodal {
+
+  /** Number of stub feature dimensions. */
+  val NFeatures = 4
+
+  /** Attach an opaque binary payload. In this corpus the bytes are the
+    * UTF-8 encoding of `text` (a deterministic stand-in for image
+    * bytes); real ingestion would read the bytes straight from
+    * parquet/blob storage.
+    */
+  def withPayload(df: DataFrame): DataFrame =
+    df.withColumn("payload", encode(col("text"), "UTF-8"))
+
+  /** REAL DECODER GOES HERE. Deliberately unimplemented: the
+    * environment ships no codecs. Callers use [[stubFeatures]], which
+    * has the same signature shape (payload bytes → fixed-width
+    * features) and is deterministic for the oracle.
+    */
+  def decodePayload(payload: Array[Byte]): Array[Float] =
+    throw new NotImplementedError(
+      "media decode stub: no codec libraries in this environment; " +
+      "use Multimodal.stubFeatures for the deterministic fake")
+
+  /** Deterministic fake "decoded features": f_i derives from the byte
+    * length and the i-th payload byte (read through the hex dump so
+    * the pipeline only touches the BINARY column, never the source
+    * string). Values land in [0, 1) like a normalized feature.
+    */
+  def stubFeature(payloadHex: Column, nBytes: Column, i: Int): Column = {
+    val byteI = conv(substring(payloadHex, 2 * i + 1, 2), 16, 10).cast("bigint")
+    round(((nBytes * (2 * i + 1) + byteI) % 1000) / lit(1000.0), 6)
+  }
+
+  /** Metadata + stub-feature extraction over the payload column:
+    * byte length, 8-byte header sniff (hex), and NFeatures stub
+    * features. All narrow projections — embarrassingly parallel, no
+    * shuffle; at scale this is the map stage before any dedup/cluster
+    * step over media features.
+    */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    val withHex = withPayload(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast("bigint").as("n_bytes"),
+        lower(hex(substring(col("payload"), 1, 8))).as("header_hex"),
+        lower(hex(col("payload"))).as("payload_hex"))
+    val feats = (0 until NFeatures).map(i =>
+      stubFeature(col("payload_hex"), col("n_bytes"), i).as(s"f$i"))
+    withHex.select(col("doc_id") +: col("n_bytes") +: col("header_hex") +: feats: _*)
+      .orderBy("doc_id")
+  }
+}

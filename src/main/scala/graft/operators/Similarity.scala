@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding ARRAY<FLOAT>`, 64-dim in this corpus).
+  *
+  * Two paths:
+  *  - [[knnBruteForce]]: exact top-k by cosine — the baseline. The
+  *    query set is broadcast, so the corpus is scanned once with NO
+  *    shuffle of the big side; per-query top-k via a rank window.
+  *  - [[knnLsh]]: sign-LSH bucketing — the 100 TB path. Bucket ids are
+  *    a narrow projection; candidates come from an EQUI-join on the
+  *    bucket (broadcast for a small query set, shuffle-on-bucket for
+  *    query sets of corpus scale), then exact cosine re-ranks. Recall
+  *    is probabilistic (vectors in other buckets are never scored) —
+  *    that is the documented ANN trade.
+  *
+  * Similarities are ranked on round(cos, 6) with vec_id tie-breaks so
+  * ordering is bit-stable across engines.
+  */
+object Similarity {
+
+  val NPlanes = 8
+  val Dim     = 64
+
+  /** Corpus with L2 norm and sign-LSH bucket precomputed in ONE
+    * codegen'd pass: posexplode the vector to (vec_id, pos, x) rows,
+    * then a hash aggregate computes the squared-norm sum and the eight
+    * hyperplane projections as plain `sum` aggregates (the plane
+    * weight is scalar arithmetic over `pos`). This replaces the
+    * interpreted zip_with/aggregate lambdas of
+    * [[VectorFunctions.lshBucket]] on the hot path — HOFs don't
+    * codegen — while computing identical values: a vector's rows never
+    * split across partitions, so the partial-agg fold order equals the
+    * lambda fold order.
+    */
+  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("pos"),
+              col("col").cast("double").as("x"))
+    val planeSums = (0 until NPlanes).map { j =>
+      sum(col("x") * VectorFunctions.planeWeight(lit(j), col("pos")).cast("double")).as(s"p$j")
+    }
+    val aggs = Seq(
+      first(col("embedding")).as("embedding"),
+      sqrt(sum(col("x") * col("x"))).as("nrm")) ++ planeSums
+    val bucketBits = (0 until NPlanes)
+      .map(j => when(col(s"p$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    exploded.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id"), col("embedding"), col("nrm"), bucketBits.as("bucket"))
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "rk", "cos")
+      .orderBy("query_id", "rk")
+  }
+
+  /** Exact top-k cosine neighbors for each query vector (vec_id <
+    * nQueries), self excluded. Broadcast-nested-loop against the tiny
+    * query set: the corpus side never shuffles.
+    */
+  def knnBruteForce(spark: SparkSession, dir: String,
+                    k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val c = corpus(spark, dir)
+    val q = c.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorFunctions.dot(col("embedding"), col("q_emb")) /
+              (col("nrm") * col("q_nrm")), 6).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** LSH-bucketed top-k: candidates are corpus vectors in the SAME
+    * sign-LSH bucket as the query (equi-join on bucket), re-ranked by
+    * exact cosine. Same output shape as brute force; neighbors outside
+    * the query's bucket are (by design) not scored.
+    */
+  def knnLsh(spark: SparkSession, dir: String,
+             k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val c = corpus(spark, dir)
+    val q = c.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+    val scored = c.join(broadcast(q),
+        col("bucket") === col("q_bucket") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorFunctions.dot(col("embedding"), col("q_emb")) /
+              (col("nrm") * col("q_nrm")), 6).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** Embedding near-duplicate pairs: same-bucket pairs with cosine >=
+    * `threshold`. The self-join is an equi-join on the bucket id —
+    * both sides hash-partition on bucket, no cross product; this is
+    * the embedding-space analog of MinHash-banded text dedup.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+                       threshold: Double = 0.35): DataFrame = {
+    val c = corpus(spark, dir)
+    c.as("a")
+      .join(c.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
+              (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-quality / token-statistics operators over `documents` — the
+  * scoring pass of an LLM training-data pipeline. Pure narrow column
+  * expressions (no shuffle until the final aggregate), all formulas
+  * frozen here and replicated exactly in the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Stopword list for the heuristic language/quality signals. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Per-document feature columns:
+    *  - n_tokens: whitespace token count
+    *  - n_chars: character length
+    *  - ttr: type-token ratio (distinct/total tokens) — repetition signal
+    *  - stop_ratio: stopword fraction — fluency/language signal
+    *  - est_bpe_tokens: ceil(chars/4), the classic BPE-size estimate
+    *  - lang_guess: n-gram-free heuristic language id (stopword-driven;
+    *    a real n-gram profile model drops in behind the same column)
+    *  - quality: weighted score in [0,1] of length, diversity, fluency
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens  = size(toks).cast("bigint")
+    val nChars   = length(col("text")).cast("bigint")
+    val ttr      = round(size(array_distinct(toks)).cast("double") / size(toks), 6)
+    val nStop    = size(filter(toks, t => t.isInCollection(Stopwords)))
+    val stopR    = round(nStop.cast("double") / size(toks), 6)
+    val estBpe   = ceil(length(col("text")) / lit(4.0)).cast("bigint")
+    val langG    = when(nStop.cast("double") / size(toks) > 0.05, lit("en"))
+                     .otherwise(lit("other"))
+    val quality  = round(
+      least(lit(1.0), size(toks) / lit(50.0)) * 0.4 +
+      (size(array_distinct(toks)).cast("double") / size(toks)) * 0.3 +
+      least(lit(1.0), (nStop.cast("double") / size(toks)) * 5.0) * 0.3, 6)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      nChars.as("n_chars"),
+      ttr.as("ttr"),
+      stopR.as("stop_ratio"),
+      estBpe.as("est_bpe_tokens"),
+      langG.as("lang_guess"),
+      quality.as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus quality rollup per labeled language: doc count, total
+    * tokens, mean quality. Mean goes through DECIMAL so both engines
+    * sum exactly (order-independent), then back to DOUBLE.
+    */
+  def qualityByLang(spark: SparkSession, dir: String): DataFrame = {
+    val stats = textStats(spark, dir)
+    stats.groupBy("lang_guess")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("total_tokens"),
+           (sum(col("quality").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+             .as("avg_quality"))
+      .orderBy("lang_guess")
+      // lang_guess (not the corpus `lang` label) keys the rollup: the
+      // synthetic corpus draws every language from one vocabulary, so
+      // the heuristic cannot and should not recover the label.
+  }
+}
