@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.RefPipeline
+import graft.streaming.{Sinks, StreamingSma}
+import graft.streaming.StreamingSma.Tick
+
+/** Stream/batch consistency (the key invariant per SURVEY §5.4) and
+  * the observer fan-out semantics.
+  */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ticks(n: Int): Seq[Tick] =
+    (1 to n).map(i => Tick(f"e$i%03d", if (i % 3 == 0) "B" else "A", i * 1.5))
+
+  test("streaming SMA equals the batch window formulation across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Tick]
+    val q = StreamingSma.withMovingAverage(ms.toDS(), n = 5)
+      .writeStream.format("memory").queryName("sma_stream")
+      .outputMode("append").start()
+    try {
+      val data = ticks(14)
+      // three uneven micro-batches — state must carry across them
+      ms.addData(data.take(4))
+      q.processAllAvailable()
+      ms.addData(data.slice(4, 9))
+      q.processAllAvailable()
+      ms.addData(data.drop(9))
+      q.processAllAvailable()
+
+      val streamed = spark.table("sma_stream")
+        .orderBy("id")
+        .select("id", "symbol", "price", "moving_average").collect()
+      val batch = RefPipeline.movingAverage(
+          data.toDF("id", "symbol", "price"), n = 5)
+        .orderBy("id")
+        .select("id", "symbol", "price", "moving_average").collect()
+      assert(streamed.length == batch.length)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s == b, s"stream row $s != batch row $b")
+      }
+      // sanity: warm-up emitted nulls, steady state emitted values
+      assert(streamed.exists(_.isNullAt(3)) && streamed.exists(!_.isNullAt(3)))
+    } finally q.stop()
+  }
+
+  test("fan-out delivers each batch to every sink; a failing sink is swallowed (K4)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Tick]
+    val seen    = scala.collection.mutable.ArrayBuffer.empty[String]
+    val alerted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sinks: Seq[Sinks.Sink] = Seq(
+      df => seen ++= df.select("id").as[String](implicitly).collect(),
+      _ => throw new RuntimeException("boom"),  // must not poison the others
+      df => alerted ++= df.filter(col("price") > 10.0)
+        .select("id").as[String](implicitly).collect()
+    )
+    val q = Sinks.attach(ms.toDS(), sinks).start()
+    try {
+      ms.addData(ticks(8))
+      q.processAllAvailable()
+      assert(seen.sorted == (1 to 8).map(i => f"e$i%03d"))
+      assert(alerted.sorted == Seq("e007", "e008"))  // prices 10.5, 12.0
+    } finally q.stop()
+  }
+
+  test("config-gated logging sink honors log_level (K2)") {
+    val logged = scala.collection.mutable.ArrayBuffer.empty[String]
+    val df = Seq(("e1", 1.0)).toDF("id", "price")
+    Sinks.logging(Sinks.Config(logLevel = "INFO"), logged += _)(df)
+    Sinks.logging(Sinks.Config(logLevel = "WARN"), logged += _)(df)
+    assert(logged.length == 1, "only the INFO-level config may deliver")
+  }
+
+  test("alert sink applies the strict threshold over moving_average (K3)") {
+    var got: Array[Row] = Array.empty
+    val df = Seq(("e1", 108.0), ("e2", 110.0)).toDF("id", "moving_average")
+    Sinks.alerts(Sinks.Config(alertThreshold = 108.0), got = _)(df)
+    assert(got.map(_.getString(0)).toSeq == Seq("e2"))
+  }
+
+  test("watermarked hourly window aggregates by event time") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val stream = ms.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingSma.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("complete").start()
+    try {
+      val h = 3600L * 1000
+      ms.addData(
+        (new Timestamp(h), "view", 1.0),
+        (new Timestamp(h + 60_000), "view", 2.0),
+        (new Timestamp(h + 120_000), "click", 4.0),
+        (new Timestamp(2 * h + 60_000), "view", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_stream")
+        .orderBy("bucket_start", "event_type")
+        .select("event_type", "n_events", "sum_value").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+        Seq(("click", 1L, 4.0), ("view", 2L, 3.0), ("view", 1L, 8.0)))
+    } finally q.stop()
+  }
+}
