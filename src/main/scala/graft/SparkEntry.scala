@@ -76,6 +76,7 @@ object SparkEntry {
     "x_json_props"         -> ((s, dir) => Analytics.jsonPropsAgg(s, dir)),
     "x_running_spend"      -> ((s, dir) => Analytics.runningCustomerSpend(s, dir)),
     "x_value_bands"        -> ((s, dir) => Analytics.valueBandJoin(s, dir)),
+    "x_value_bands_arith"  -> ((s, dir) => Analytics.valueBandArithmetic(s, dir)),
     "x_approx_distinct"    -> ((s, dir) => Analytics.approxDistinctParts(s, dir)),
     "x_distinct_exact"     -> ((s, dir) => Analytics.distinctPartsExact(s, dir)),
     "x_asof_join"          -> ((s, dir) => AsOfJoin.clickEnrichedWithLastView(s, dir)),
@@ -302,6 +303,12 @@ object SparkEntry {
     "x_distinct_exact" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "x_value_bands_arith" ->
+      """SELECT CAST(FLOOR(value/50.0) AS BIGINT) AS band, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events WHERE value >= 0.0 AND value < 500.0
+        |GROUP BY band ORDER BY band""".stripMargin,
 
     "x_dedup_exact" ->
       """SELECT keep_id, n_copies FROM (

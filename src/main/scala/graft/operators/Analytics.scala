@@ -240,6 +240,19 @@ object Analytics {
       .orderBy("band")
   }
 
+  /** Arithmetic variant of [[valueBandJoin]]: for UNIFORM bands the
+    * join is unnecessary — `floor(value/width)` computes the band in
+    * the scan projection, no join operator at all. This is the plan to
+    * prefer whenever band edges are a closed-form function; the range
+    * join above remains the general path for irregular band tables.
+    */
+  def valueBandArithmetic(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value") >= 0.0 && col("value") < 500.0)
+      .groupBy(floor(col("value") / 50.0).cast("bigint").as("band"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("band")
+
   /** Approximate distinct (HLL++): engine-specific sketch, so no
     * DuckDB hash oracle — the driver records a rows-only check. At
     * 100 TB this replaces an exact countDistinct's full shuffle of the
