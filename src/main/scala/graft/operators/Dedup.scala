@@ -167,12 +167,19 @@ object Dedup {
       .orderBy("doc_id")
 
   /** Per-document polynomial rolling-hash fingerprint of the full text
-    * (content identity cheaper to store/shuffle than the text).
+    * (content identity cheaper to store/shuffle than the text). Uses
+    * the codegen'd native expression [[graft.functions.PolyHash]] —
+    * same fold as [[TextFunctions.polyHash]] but compiled into the
+    * whole-stage-codegen loop instead of one interpreted lambda per
+    * character.
     */
-  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyHash.register(spark)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), TextFunctions.polyHash(col("text")).as("fp"))
+      .select(col("doc_id"),
+        call_function(graft.functions.PolyHash.Name, col("text")).as("fp"))
       .orderBy("doc_id")
+  }
 
   /** Blocked EXACT word-3-gram Jaccard: pairs within a (lang, source)
     * block, kept at >= `threshold`. The block key turns all-pairs into

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.operators.{Analytics, Dedup, Similarity}
+
+/** Physical-plan shape assertions — the properties the 100 TB design
+  * depends on (filter/column pushdown into the scan, broadcast of
+  * small sides, equi-joins instead of cross products). Catching a
+  * plan regression here is much cheaper than catching it in a bench.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("pricing summary pushes the shipdate filter and prunes to 7 columns") {
+    val plan = formatted(Analytics.pricingSummary(spark, sfDir))
+    assert(plan.contains("PushedFilters:") &&
+           plan.contains("LessThanOrEqual(l_shipdate"), plan)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      s"scan reads more columns than the query needs: $readSchema")
+  }
+
+  test("brand volume broadcasts the dimension side") {
+    val plan = formatted(Analytics.brandVolume(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("order priority join degrades to a shuffle join when neither side is broadcastable") {
+    // at sf0.001 orders fits under the broadcast threshold (broadcasting
+    // it is the RIGHT plan); disable broadcast to verify the shape the
+    // query takes when both sides are fact-sized
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = formatted(Analytics.orderPriorityCount(spark, sfDir))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    } finally spark.conf.set(key, old)
+  }
+
+  test("top revenue orders ends in TakeOrdered (no global sort materialization)") {
+    val plan = formatted(Analytics.topRevenueOrders(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("minhash candidate generation is an equi-join on the band hash — never a cross product") {
+    val plan = formatted(Dedup.nearDupMinhash(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("LSH knn joins on the bucket id — never a cross product") {
+    val plan = formatted(Similarity.knnLsh(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("embedding near-dup self-join is bucket-keyed — never a cross product") {
+    val plan = formatted(Similarity.embeddingNearDup(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("arithmetic banding has no join operator at all") {
+    val plan = formatted(Analytics.valueBandArithmetic(spark, sfDir))
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("exact dedup shuffles 16-byte hashes, not document bodies") {
+    val plan = formatted(Dedup.exactDedup(spark, sfDir))
+    // the md5 grouping key must be computed map-side (partial agg below
+    // the exchange), so the shuffle input carries the hash, not text
+    val sections = plan.split("\\n(?=\\(\\d+\\) )")
+    val exchange = sections.find(s => s.startsWith("(") && s.contains("Exchange") &&
+      s.contains("hashpartitioning")).getOrElse(fail(s"no shuffle exchange in:\n$plan"))
+    assert(exchange.contains("_groupingexpression"),
+      s"shuffle not keyed on the precomputed hash:\n$exchange")
+    val inputLine = exchange.linesIterator.find(_.startsWith("Input")).getOrElse("")
+    assert(!inputLine.contains("text#"), s"document text crosses the shuffle: $inputLine")
+  }
+}
