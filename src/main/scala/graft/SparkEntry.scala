@@ -79,6 +79,12 @@ object SparkEntry {
     "x_value_bands_arith"  -> ((s, dir) => Analytics.valueBandArithmetic(s, dir)),
     "x_approx_distinct"    -> ((s, dir) => Analytics.approxDistinctParts(s, dir)),
     "x_distinct_exact"     -> ((s, dir) => Analytics.distinctPartsExact(s, dir)),
+    "x_intersect"          -> ((s, dir) => Analytics.usersViewAndClick(s, dir)),
+    "x_except"             -> ((s, dir) => Analytics.usersViewNoPurchase(s, dir)),
+    "x_lead_lag"           -> ((s, dir) => Analytics.eventValueSteps(s, dir)),
+    "x_percentiles"        -> ((s, dir) => Analytics.quantityPercentiles(s, dir)),
+    "x_orders_by_month"    -> ((s, dir) => Analytics.ordersByMonth(s, dir)),
+    "x_salted_agg"         -> ((s, dir) => Analytics.saltedEventAgg(s, dir)),
     "x_asof_join"          -> ((s, dir) => AsOfJoin.clickEnrichedWithLastView(s, dir)),
 
     // ---- LLM-data-pipeline surface (dedup / similarity / text / multimodal) ----
@@ -309,6 +315,48 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events WHERE value >= 0.0 AND value < 500.0
         |GROUP BY band ORDER BY band""".stripMargin,
+
+    "x_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'click'
+        |ORDER BY user_id""".stripMargin,
+
+    "x_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "x_lead_lag" ->
+      """SELECT event_id, user_id, value,
+        |  LAG(value) OVER w AS prev_value,
+        |  LEAD(value) OVER w AS next_value,
+        |  value - LAG(value) OVER w AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "x_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "x_orders_by_month" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |  CAST(MAX(day(o_orderdate)) AS BIGINT) AS max_day
+        |FROM orders GROUP BY o_year, o_month ORDER BY o_year, o_month""".stripMargin,
+
+    "x_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "x_dedup_exact" ->
       """SELECT keep_id, n_copies FROM (

@@ -266,6 +266,89 @@ object Analytics {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** INTERSECT (set semantics, dedup both sides): users who both
+    * viewed and clicked. Planned as a left-semi join over distinct
+    * keys — one shuffle per side on the join key.
+    */
+  def usersViewAndClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_type") === "view").select("user_id")
+      .intersect(ev.filter(col("event_type") === "click").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  /** EXCEPT: users who viewed but never purchased — anti-join over
+    * distinct keys. */
+  def usersViewNoPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_type") === "view").select("user_id")
+      .except(ev.filter(col("event_type") === "purchase").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  /** lead/lag navigation window: each event with its same-user
+    * predecessor and successor values and the step delta. One shuffle
+    * on the partition key; double subtraction is exact and
+    * deterministic (no rounding needed).
+    */
+  def eventValueSteps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .withColumn("delta", col("value") - col("prev_value"))
+      .orderBy("event_id")
+  }
+
+  /** Exact percentiles (linear interpolation) of quantity per return
+    * flag. At 100 TB exact percentiles sort each group — prefer
+    * approx_percentile (t-digest sketch) there; this is the exact
+    * twin, same pairing as distinct/approx-distinct.
+    */
+  def quantityPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Calendar arithmetic: orders rolled up to (year, month) with
+    * day-of-month extremes — date_trunc/extract stay in the scan
+    * projection, so partition pruning by month composes for free on a
+    * date-partitioned table.
+    */
+  def ordersByMonth(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        year(col("o_orderdate")).cast("bigint").as("o_year"),
+        month(col("o_orderdate")).cast("bigint").as("o_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        max(dayofmonth(col("o_orderdate"))).cast("bigint").as("max_day"))
+      .orderBy("o_year", "o_month")
+
+  /** Skew-safe two-phase (salted) aggregation: phase 1 aggregates on
+    * (key, salt) so a hot key spreads over 16 reducers, phase 2 merges
+    * the partials. Results are identical to the direct aggregation
+    * (the oracle IS the direct form) — decimal partials make the
+    * two-step sum exact. This is the standard rescue when AQE skew
+    * handling isn't available (aggregation skew, not join skew).
+    */
+  def saltedEventAgg(spark: SparkSession, dir: String, buckets: Int = 16): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), pmod(xxhash64(col("event_id")), lit(buckets)).as("salt"))
+      .agg(count(lit(1)).as("pc"),
+           sum(col("value").cast("decimal(18,6)")).as("ps"))
+      .groupBy("event_type")
+      .agg(sum(col("pc")).as("n_events"),
+           sum(col("ps")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+
   /** Exact-distinct twin of [[approxDistinctParts]], with a DuckDB
     * oracle — pins down the semantics the sketch approximates. Exact
     * distinct costs an expand + second shuffle on (group, key); the

@@ -129,10 +129,7 @@ object Dedup {
     // does with this intermediate.
     val rows = shingleHashRows(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bands is tiny (Bands rows per doc) but sits on both sides of the
-    // candidate self-join — persist so the signature aggregation runs once.
     val bands = minhashBandsFrom(rows)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

@@ -46,6 +46,19 @@ object RefPipeline {
   )
   val defaultConfig: Config = Config()
 
+  object Config {
+    /** Session-conf wiring (`spark.graft.*`) — the Spark idiom for the
+      * reference's ConfigurationManager singleton (financial_engine.py:20-56):
+      * one mutable key-value plane scoped to the session, overridable
+      * per job with `--conf`.
+      */
+    def fromSession(spark: SparkSession): Config = Config(
+      movingAverageWindow =
+        spark.conf.get("spark.graft.movingAverageWindow", "5").toInt,
+      priceAlertThreshold =
+        spark.conf.get("spark.graft.priceAlertThreshold", "108.0").toDouble)
+  }
+
   /** Unified record schema (financial_engine.py:186-194): the three raw
     * feeds are modeled as three disjoint slices of `events` with
     * per-source raw column names/types, then normalized with per-source

@@ -73,6 +73,19 @@ class RefPipelineSpec extends SparkSuite {
     assert(out.count() > 0)
   }
 
+  test("config plane: spark.graft.* session conf overrides the defaults (§2.10)") {
+    val c0 = RefPipeline.Config.fromSession(spark)
+    assert(c0 == RefPipeline.Config(5, 108.0))
+    try {
+      spark.conf.set("spark.graft.movingAverageWindow", "3")
+      spark.conf.set("spark.graft.priceAlertThreshold", "50.5")
+      assert(RefPipeline.Config.fromSession(spark) == RefPipeline.Config(3, 50.5))
+    } finally {
+      spark.conf.unset("spark.graft.movingAverageWindow")
+      spark.conf.unset("spark.graft.priceAlertThreshold")
+    }
+  }
+
   test("property: windowed SMA equals a plain-Scala sliding mean (ScalaCheck)") {
     val gen = for {
       n      <- Gen.choose(1, 40)
