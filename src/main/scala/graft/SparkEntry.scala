@@ -79,6 +79,7 @@ object SparkEntry {
     "x_value_bands_arith"  -> ((s, dir) => Analytics.valueBandArithmetic(s, dir)),
     "x_approx_distinct"    -> ((s, dir) => Analytics.approxDistinctParts(s, dir)),
     "x_distinct_exact"     -> ((s, dir) => Analytics.distinctPartsExact(s, dir)),
+    "x_join_left_outer"    -> ((s, dir) => Analytics.customerOrderSummary(s, dir)),
     "x_intersect"          -> ((s, dir) => Analytics.usersViewAndClick(s, dir)),
     "x_except"             -> ((s, dir) => Analytics.usersViewNoPurchase(s, dir)),
     "x_lead_lag"           -> ((s, dir) => Analytics.eventValueSteps(s, dir)),
@@ -315,6 +316,17 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events WHERE value >= 0.0 AND value < 500.0
         |GROUP BY band ORDER BY band""".stripMargin,
+
+    "x_join_left_outer" ->
+      """SELECT c_custkey, n_name, r_name,
+        |  COUNT(o_orderkey) AS n_orders,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 0) AS DOUBLE) AS total_spend
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, n_name, r_name
+        |ORDER BY c_custkey""".stripMargin,
 
     "x_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'view'

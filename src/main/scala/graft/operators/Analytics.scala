@@ -266,6 +266,28 @@ object Analytics {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Left-outer star join: every customer (kept even with zero
+    * orders) enriched through the nation→region dimension chain —
+    * both dims broadcast — with order counts/spend from a left join.
+    * COUNT(column) counts matched rows only, so customers without
+    * orders report 0, and the decimal sum coalesces to 0.
+    */
+  def customerOrderSummary(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("n_name"), col("r_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(col("o_totalprice").cast("decimal(18,6)")), lit(0).cast("decimal(18,6)"))
+          .cast("double").as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
   /** INTERSECT (set semantics, dedup both sides): users who both
     * viewed and clicked. Planned as a left-semi join over distinct
     * keys — one shuffle per side on the join key.

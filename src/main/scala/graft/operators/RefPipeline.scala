@@ -138,6 +138,21 @@ object RefPipeline {
     df.filter(col("price").isNotNull && col("price") > 0)
       .withColumn("volume", greatest(lit(0L), coalesce(col("volume"), lit(0L))))
 
+  /** Bad-record handling: the reference silently drops invalid records
+    * (financial_engine.py:287-289, return None); at scale you route
+    * them to a dead-letter sink with a reason instead, or data loss is
+    * undiagnosable. Returns (valid, rejected). Both sides are narrow
+    * filters over one scan — Catalyst collapses the shared subtree
+    * when both are consumed in one action (e.g. foreachBatch).
+    */
+  def cleanWithDeadLetter(df: DataFrame): (DataFrame, DataFrame) = {
+    val rejected = df
+      .filter(col("price").isNull || col("price") <= 0)
+      .withColumn("reject_reason",
+        when(col("price").isNull, "null_price").otherwise("non_positive_price"))
+    (clean(df), rejected)
+  }
+
   /** A1 `MovingAverageCalculator` (financial_engine.py:293-312): per-key
     * count-based sliding mean over the last `n` prices
     * (`deque(maxlen=n)` at :298,:304-307), emitted only once the deque

@@ -86,6 +86,70 @@ class StreamingSpec extends SparkSuite {
     assert(got.map(_.getString(0)).toSeq == Seq("e2"))
   }
 
+  test("streaming dedup removes duplicate ids across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Tick]
+    val q = ms.toDS().dropDuplicates("id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(Tick("e1", "A", 1.0), Tick("e2", "A", 2.0), Tick("e1", "A", 1.0))
+      q.processAllAvailable()
+      ms.addData(Tick("e2", "A", 2.0), Tick("e3", "A", 3.0))  // e2 dup from batch 1
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("id").as[String].collect().sorted
+      assert(ids.toSeq == Seq("e1", "e2", "e3"), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
+  test("SMA state survives a query restart from checkpoint") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ckpt-").toString
+    val ms = MemoryStream[Tick]
+    val sma = StreamingSma.withMovingAverage(ms.toDS(), n = 5)
+    // memory sink can't recover from a checkpoint; foreachBatch can
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Option[Double])]
+    def writer = sma.writeStream
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[_], _: Long) =>
+        got.synchronized {
+          got ++= b.toDF().select("id", "moving_average").collect()
+            .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        }
+        ()
+      }
+    val q1 = writer.start()
+    try {
+      ms.addData((1 to 3).map(i => Tick(f"e$i", "A", i.toDouble)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(got.map(_._1).sorted.toSeq == Seq("e1", "e2", "e3"))
+    got.clear()
+    // restart against the same checkpoint: the per-key buffer of 3
+    // prices must be restored, so the 5th overall tick completes the window
+    val q2 = writer.start()
+    try {
+      ms.addData(Seq(Tick("e4", "A", 4.0), Tick("e5", "A", 5.0)))
+      q2.processAllAvailable()
+      val rows = got.sortBy(_._1).toSeq
+      assert(rows.map(_._1) == Seq("e4", "e5"), s"got $rows")
+      assert(rows(0)._2.isEmpty, "4th tick still warming up")
+      assert(rows(1)._2.contains(3.0), "5th tick: mean(1..5) from restored state")
+    } finally q2.stop()
+  }
+
+  test("dead-letter split: invalid records carry a reason, valid records flow on") {
+    val df = Seq(
+      ("e1", Option(10.0)), ("e2", Option.empty[Double]), ("e3", Option(-1.0))
+    ).toDF("id", "price").withColumn("volume", lit(1L))
+    val (valid, rejected) = RefPipeline.cleanWithDeadLetter(df)
+    assert(valid.select("id").as[String].collect().toSeq == Seq("e1"))
+    val rej = rejected.orderBy("id").select("id", "reject_reason").collect()
+    assert(rej.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("e2", "null_price"), ("e3", "non_positive_price")))
+  }
+
   test("watermarked hourly window aggregates by event time") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String, Double)]
