@@ -87,6 +87,7 @@ object SparkEntry {
     "x_orders_by_month"    -> ((s, dir) => Analytics.ordersByMonth(s, dir)),
     "x_salted_agg"         -> ((s, dir) => Analytics.saltedEventAgg(s, dir)),
     "x_asof_join"          -> ((s, dir) => AsOfJoin.clickEnrichedWithLastView(s, dir)),
+    "x_asof_forward"       -> ((s, dir) => AsOfJoin.clickEnrichedWithNextView(s, dir)),
 
     // ---- LLM-data-pipeline surface (dedup / similarity / text / multimodal) ----
     "x_dedup_exact"        -> ((s, dir) => Dedup.exactDedup(s, dir)),
@@ -307,6 +308,18 @@ object SparkEntry {
         |  ON t.user_id = q.user_id AND t.event_id >= q.view_event_id
         |ORDER BY t.event_id""".stripMargin,
 
+    "x_asof_forward" ->
+      """SELECT t.event_id, t.user_id, t.value,
+        |       q.view_value AS asof_view_value,
+        |       q.view_event_id AS asof_view_event_id
+        |FROM (SELECT event_id, user_id, value FROM events
+        |      WHERE event_type = 'click') t
+        |ASOF LEFT JOIN (SELECT event_id AS view_event_id, user_id,
+        |                       value AS view_value FROM events
+        |                WHERE event_type = 'view') q
+        |  ON t.user_id = q.user_id AND t.event_id <= q.view_event_id
+        |ORDER BY t.event_id""".stripMargin,
+
     "x_distinct_exact" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
@@ -377,17 +390,19 @@ object SparkEntry {
         |) ORDER BY keep_id""".stripMargin,
 
     "x_dedup_minhash" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text)-7,1)+1),
-        |    i -> substr(text,i,8))) AS shingles
-        |  FROM documents
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text,' ') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM tk WHERE len(toks) >= 3
         |), hs AS (
-        |  SELECT doc_id, shingles, list_transform(shingles, s ->
+        |  SELECT doc_id, list_distinct(list_transform(shingles, s ->
         |    list_reduce(list_transform(range(1,len(s)+1), i -> ascii(substr(s,i,1))::BIGINT),
-        |      (acc,c) -> (acc*31+c)%1000000007)) AS hashes
+        |      (acc,c) -> (acc*31+c)%1000000007))) AS hashes
         |  FROM sh
         |), sig AS (
-        |  SELECT doc_id, shingles, list_transform(range(0,16), i ->
+        |  SELECT doc_id, list_transform(range(0,16), i ->
         |    list_min(list_transform(hashes, x -> ((i*2+1)*x + (i*5+3)) % 1000000007))) AS sig
         |  FROM hs
         |), bands AS (
@@ -398,16 +413,14 @@ object SparkEntry {
         |), pairs AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
-        |), hd AS (
-        |  SELECT doc_id, list_distinct(hashes) AS hset FROM hs
         |), scored AS (
         |  SELECT p.doc_a, p.doc_b,
-        |    round(len(list_filter(ha.hset, x -> list_contains(hb.hset, x)))::DOUBLE /
-        |      (len(ha.hset)+len(hb.hset)
-        |       -len(list_filter(ha.hset, x -> list_contains(hb.hset, x)))), 6) AS jaccard
-        |  FROM pairs p JOIN hd ha ON p.doc_a = ha.doc_id JOIN hd hb ON p.doc_b = hb.doc_id
+        |    round(len(list_filter(ha.hashes, x -> list_contains(hb.hashes, x)))::DOUBLE /
+        |      (len(ha.hashes)+len(hb.hashes)
+        |       -len(list_filter(ha.hashes, x -> list_contains(hb.hashes, x)))), 6) AS jaccard
+        |  FROM pairs p JOIN hs ha ON p.doc_a = ha.doc_id JOIN hs hb ON p.doc_b = hb.doc_id
         |)
-        |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.8
+        |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "x_dedup_simhash" ->
@@ -437,14 +450,17 @@ object SparkEntry {
         |  SELECT doc_id, lang, source, string_split(text,' ') AS toks FROM documents
         |), t AS (
         |  SELECT doc_id, lang, source,
-        |    list_distinct(list_transform(range(1, len(toks)-1),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        |    list_distinct(list_transform(
+        |      list_distinct(list_transform(range(1, len(toks)-1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+        |      g -> list_reduce(list_transform(range(1,len(g)+1),
+        |             i -> ascii(substr(g,i,1))::BIGINT), (acc,c) -> (acc*31+c)%1000000007))) AS ghs
         |  FROM tk WHERE len(toks) >= 3
         |)
         |SELECT doc_a, doc_b, jaccard FROM (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    round(len(list_filter(a.grams, g -> list_contains(b.grams, g)))::DOUBLE /
-        |      (len(a.grams)+len(b.grams)-len(list_filter(a.grams, g -> list_contains(b.grams, g)))), 6) AS jaccard
+        |    round(len(list_filter(a.ghs, g -> list_contains(b.ghs, g)))::DOUBLE /
+        |      (len(a.ghs)+len(b.ghs)-len(list_filter(a.ghs, g -> list_contains(b.ghs, g)))), 6) AS jaccard
         |  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |) WHERE jaccard >= 0.02 ORDER BY doc_a, doc_b""".stripMargin,
 
@@ -452,6 +468,7 @@ object SparkEntry {
       """WITH tk AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)
         |SELECT doc_id,
         |  len(toks)::BIGINT AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS n_regex_tokens,
         |  len(text)::BIGINT AS n_chars,
         |  round(len(list_distinct(toks))::DOUBLE/len(toks),6) AS ttr,
         |  round(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t)))::DOUBLE/len(toks),6) AS stop_ratio,

@@ -64,6 +64,39 @@ object AsOfJoin {
     unpacked.filter(col("__side") === 1).drop("__side", "__payload", "__last_payload")
   }
 
+  /** Forward (look-ahead) variant: attach the EARLIEST `right` row
+    * with `ord` >= the left row's (inclusive) — the other direction a
+    * financial as-of join needs (next quote after a trade). Same
+    * union-sort shape; the window flips to current-row→following with
+    * `first(struct, ignoreNulls)`, and the side tag flips so a right
+    * row at the same ord sorts after the left row and stays visible.
+    */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String, ord: String,
+                  payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val leftCols = left.columns
+    val payloadType = StructType(payload.map(p => StructField(p, right.schema(p).dataType)))
+    val l = left.withColumn("__side", lit(0))
+      .select(col(key) +: col(ord) +: col("__side") +:
+        (leftCols.filterNot(c => c == key || c == ord).map(col) :+
+         lit(null).cast(payloadType).as("__payload")): _*)
+    val r = right.withColumn("__side", lit(1))
+      .select(col(key) +: col(ord) +: col("__side") +:
+        (leftCols.filterNot(c => c == key || c == ord).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+         struct(payload.map(col): _*).as("__payload")): _*)
+    val w = Window.partitionBy(key).orderBy(col(ord), col("__side"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val joined = l.unionByName(r)
+      .select(
+        (Seq(col(key), col(ord), col("__side")) ++
+         leftCols.filterNot(c => c == key || c == ord).map(col) :+
+         first(col("__payload"), ignoreNulls = true).over(w).as("__first_payload")): _*)
+    val unpacked = payload.foldLeft(joined) { (df, p) =>
+      df.withColumn(s"asof_$p", col("__first_payload").getField(p))
+    }
+    unpacked.filter(col("__side") === 0).drop("__side", "__payload", "__first_payload")
+  }
+
   /** Concrete oracle-checked instance over the corpus: treat `click`
     * events as trades and `view` events as quotes; for every click,
     * attach the value of the same user's latest preceding (by
@@ -79,6 +112,19 @@ object AsOfJoin {
               col("event_id").as("view_event_id"))
     asOf(clicks, views, key = "user_id", ord = "event_id",
          payload = Seq("view_value", "view_event_id"))
+      .orderBy("event_id")
+  }
+
+  /** Forward instance: for every click, the same user's NEXT view. */
+  def clickEnrichedWithNextView(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("value").as("view_value"),
+              col("event_id").as("view_event_id"))
+    asOfForward(clicks, views, key = "user_id", ord = "event_id",
+                payload = Seq("view_value", "view_event_id"))
       .orderBy("event_id")
   }
 }

@@ -22,7 +22,8 @@ object Dedup {
   /** Frozen pipeline parameters (see SparkEntry oracle SQL — the DuckDB
     * side replicates the identical integer arithmetic).
     */
-  val ShingleN     = 8  // character n-gram size
+  val ShingleN     = 8  // character n-gram size (SimHash path)
+  val WordShingleN = 3  // word w-shingle size (MinHash path, Broder-style)
   val NumHashes    = 16 // MinHash signature length
   val Bands        = 4  // LSH bands
   val RowsPerBand  = 4  // NumHashes / Bands
@@ -54,26 +55,45 @@ object Dedup {
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
 
-  /** (doc_id, h): one row per DISTINCT shingle hash of each document.
+  /** (doc_id, h): one row per DISTINCT word-3-shingle hash of each
+    * document — Broder-style w-shingling, the canonical MinHash unit
+    * for documents (and ~5x fewer rows than dense character 8-grams,
+    * which matters because materializing this table is the pipeline's
+    * dominant cost).
+    *
     * Exploding to rows up front is deliberate: Spark's higher-order
     * functions are interpreted (no codegen), so keeping the shingle
     * set as an array and re-scanning it per minhash / per candidate
     * pair costs ~1 µs per lambda call — 150+ s at sf0.1. Here the
-    * shingle positions explode via `sequence` (a Generate, no
-    * lambdas), the 8-char slice comes from codegen'd `substr`, and
-    * the hash is the unrolled [[TextFunctions.polyHashFixed]] — the
-    * ENTIRE path is whole-stage-codegen. The trailing dropDuplicates
-    * mirrors the oracle's list_distinct over hash values (map-side
-    * partial dedup keeps the shuffle small).
+    * shingle positions explode via `sequence` (a Generate, no hot
+    * lambdas) and the hash is the codegen'd native
+    * [[graft.functions.PolyHash]] expression.
+    *
+    * The explicit hash-repartition on doc_id BEFORE the dedup is
+    * load-bearing twice over: partitioning by doc_id satisfies the
+    * (doc_id, h) dedup's clustering AND every downstream per-doc
+    * aggregation (signatures, sizes), so the per-doc phase runs on
+    * this single shuffle; and the explicit partition count stops AQE
+    * from coalescing the small shuffle to one partition — which would
+    * serialize the cache build and every cache read (measured 10x
+    * slowdown).
     */
-  def shingleHashRows(spark: SparkSession, dir: String): DataFrame =
+  def shingleHashRows(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyHash.register(spark)
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val toks = split(col("text"), " ")
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), greatest(length(col("text")) - (ShingleN - 1), lit(1)))).as("i"))
+      .filter(size(toks) >= WordShingleN)
+      .select(col("doc_id"), toks.as("toks"),
+        explode(sequence(lit(1), size(toks) - (WordShingleN - 1))).as("i"))
       .select(col("doc_id"),
-        TextFunctions.polyHashFixed(
-          col("text").substr(col("i"), lit(ShingleN)), ShingleN).as("h"))
+        call_function(graft.functions.PolyHash.Name,
+          concat(element_at(col("toks"), col("i")), lit(" "),
+                 element_at(col("toks"), col("i") + 1), lit(" "),
+                 element_at(col("toks"), col("i") + 2))).as("h"))
+      .repartition(n, col("doc_id"))
       .dropDuplicates("doc_id", "h")
+  }
 
   /** (doc_id, m0..m15): MinHash signature as 16 codegen'd `min`
     * aggregates over the shingle-hash rows — one hash-aggregate with
@@ -121,25 +141,46 @@ object Dedup {
     * there is no cross product anywhere.
     */
   def nearDupMinhash(spark: SparkSession, dir: String,
-                     threshold: Double = 0.8): DataFrame = {
-    // The deduped shingle-hash table feeds FIVE plan subtrees (two band
-    // sides, two intersection sides, sizes). persist() materializes it
-    // once — the Spark analog of writing the shingle table to storage
-    // before the pair phase, which is exactly what a 100 TB pipeline
-    // does with this intermediate.
+                     threshold: Double = 0.7): DataFrame = {
+    // The deduped shingle-hash table feeds several plan subtrees
+    // (bands, two intersection sides, sizes). persist() materializes
+    // it once — the Spark analog of writing the shingle table to
+    // storage before the pair phase, which is exactly what a 100 TB
+    // pipeline does with this intermediate.
     val rows = shingleHashRows(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = minhashBandsFrom(rows)
-    val pairs = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Eager materialization: the broadcast subqueries below run as
+    // separate Spark jobs, and concurrent jobs do NOT coordinate on a
+    // cold cache — each would rebuild the expensive subtree. One
+    // blocking pass fills the cache before anything else launches.
+    rows.count()
+    // Candidate pairs per band bucket via ONE aggregation (a self-join
+    // on (band, bh) would compute the signature pipeline twice and add
+    // a shuffle). Buckets are tiny by design, so the in-bucket pair
+    // expansion is a cheap array transform; a pathological hot bucket
+    // would need a bucket-size cap upstream (worth it anyway: a bucket
+    // with millions of members carries no similarity signal).
+    val ids = sort_array(col("ids"))
+    val pairExpr = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))
+    val pairs = minhashBandsFrom(rows)
+      .groupBy("band", "bh").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairExpr).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
     val sizes = rows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // Candidates are a small fraction of the corpus: semi-filter the
+    // shingle rows to candidate docs (broadcast of the candidate id
+    // set) before the intersection joins, so the (doc, h) shuffles
+    // carry only candidate rows.
+    val candidateDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val crows = rows.join(broadcast(candidateDocs), Seq("doc_id"), "left_semi")
     val inter = broadcast(pairs)
-      .join(rows.as("ra"), col("doc_a") === col("ra.doc_id"))
-      .join(rows.as("rb"),
+      .join(crows.as("ra"), col("doc_a") === col("ra.doc_id"))
+      .join(crows.as("rb"),
         col("doc_b") === col("rb.doc_id") && col("ra.h") === col("rb.h"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
@@ -199,17 +240,27 @@ object Dedup {
         concat(element_at(toks, i), lit(" "),
                element_at(toks, i + 1), lit(" "),
                element_at(toks, i + 2))))
-    // Gram rows feed four subtrees (two join sides + two size lookups):
-    // materialize once, same rationale as in nearDupMinhash.
+    // Grams are hashed to int64 (the codegen'd PolyHash expression) so
+    // the self-join shuffles and compares 8-byte keys, not gram
+    // strings; the oracle applies the identical hash, so the rare
+    // hash-collision merge is consistent across engines. Rows feed
+    // three subtrees (two join sides + sizes): materialize once.
+    graft.functions.PolyHash.register(spark)
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val rows = Tables.documents(spark, dir)
       .filter(size(toks) >= 3)
       .select(col("doc_id"), col("lang"), col("source"), explode(grams).as("g"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        call_function(graft.functions.PolyHash.Name, col("g")).as("gh"))
+      .repartition(n, col("doc_id"))  // see shingleHashRows: one shuffle, AQE-coalesce-proof
+      .dropDuplicates("doc_id", "gh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rows.count()  // eager cache fill — see nearDupMinhash
     val sizes = rows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = rows.as("a")
       .join(rows.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter

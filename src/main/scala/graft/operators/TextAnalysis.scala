@@ -40,9 +40,14 @@ object TextAnalysis {
       least(lit(1.0), size(toks) / lit(50.0)) * 0.4 +
       (size(array_distinct(toks)).cast("double") / size(toks)) * 0.3 +
       least(lit(1.0), (nStop.cast("double") / size(toks)) * 5.0) * 0.3, 6)
+    // regex word tokenizer (alnum runs) — the robust counterpart to the
+    // whitespace split when text carries punctuation; same char class
+    // semantics in DuckDB's RE2 and Java regex
+    val nRegexTokens = size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast("bigint")
     Tables.documents(spark, dir).select(
       col("doc_id"),
       nTokens.as("n_tokens"),
+      nRegexTokens.as("n_regex_tokens"),
       nChars.as("n_chars"),
       ttr.as("ttr"),
       stopR.as("stop_ratio"),

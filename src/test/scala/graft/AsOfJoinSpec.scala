@@ -37,6 +37,24 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out.head.getAs[Double]("asof_v") == 7.0)
   }
 
+  test("forward variant attaches the earliest right row at or after each left row") {
+    val left = Seq(("k1", 5L, "c1"), ("k1", 1L, "c2"), ("k2", 9L, "c3"))
+      .toDF("key", "ord", "tag")
+    val right = Seq(
+      ("k1", 3L, Option(1.0), Option(100L)),
+      ("k1", 5L, Option(2.0), Option(101L)),  // same ord as c1 -> inclusive match
+      ("k2", 4L, Option(9.0), Option(102L))   // before k2's left row -> no match
+    ).toDF("key", "ord", "v", "rid")
+    val out = AsOfJoin.asOfForward(left, right, "key", "ord", Seq("v", "rid"))
+      .select("tag", "asof_v", "asof_rid").collect()
+      .map(r => r.getString(0) -> ((
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(out("c1") == (Some(2.0), Some(101L)), "inclusive: ord=5 right row matches")
+    assert(out("c2") == (Some(1.0), Some(100L)), "earliest following row, not latest")
+    assert(out("c3") == (None, None), "no following right row -> null payload")
+  }
+
   test("null payload value in the LATEST right row is kept, not skipped (torn-row regression)") {
     val left = Seq(("k", 10L, "c")).toDF("key", "ord", "tag")
     val right = Seq(
