@@ -84,8 +84,10 @@ object SparkEntry {
     "x_except"             -> ((s, dir) => Analytics.usersViewNoPurchase(s, dir)),
     "x_lead_lag"           -> ((s, dir) => Analytics.eventValueSteps(s, dir)),
     "x_percentiles"        -> ((s, dir) => Analytics.quantityPercentiles(s, dir)),
+    "x_approx_percentiles" -> ((s, dir) => Analytics.approxQuantityPercentiles(s, dir)),
     "x_orders_by_month"    -> ((s, dir) => Analytics.ordersByMonth(s, dir)),
     "x_salted_agg"         -> ((s, dir) => Analytics.saltedEventAgg(s, dir)),
+    "x_sessionize"         -> ((s, dir) => Analytics.sessionize(s, dir)),
     "x_asof_join"          -> ((s, dir) => AsOfJoin.clickEnrichedWithLastView(s, dir)),
     "x_asof_forward"       -> ((s, dir) => AsOfJoin.clickEnrichedWithNextView(s, dir)),
 
@@ -382,6 +384,24 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "x_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts)//1000000 AS ts_s, value FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN ts_s - LAG(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+        |), sessions AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  COUNT(*) AS n_events,
+        |  MIN(ts_s) AS session_start_s, MAX(ts_s) AS session_end_s,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
 
     "x_dedup_exact" ->
       """SELECT keep_id, n_copies FROM (

@@ -266,6 +266,33 @@ object Analytics {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Sessionization via gaps-and-islands: a new session starts when
+    * the same user's inter-event gap exceeds `gapSeconds`; the session
+    * index is a running sum of the new-session flags. Two stacked
+    * windows + one aggregation, all on the same user_id partitioning —
+    * ONE shuffle total. This explicit form is also what streaming
+    * `session_window` computes; here it is batch and oracle-checkable
+    * (identical island SQL in DuckDB).
+    */
+  def sessionize(spark: SparkSession, dir: String, gapSeconds: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val running = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+              unix_timestamp(col("ts")).as("ts_s"), col("value"))
+      .withColumn("new_session",
+        when(col("ts_s") - lag(col("ts_s"), 1).over(byUser) > gapSeconds, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_idx", sum(col("new_session")).over(running))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_s")).as("session_start_s"),
+        max(col("ts_s")).as("session_end_s"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
   /** Left-outer star join: every customer (kept even with zero
     * orders) enriched through the nation→region dimension chain —
     * both dims broadcast — with order counts/spend from a left join.
@@ -370,6 +397,19 @@ object Analytics {
       .agg(sum(col("pc")).as("n_events"),
            sum(col("ps")).cast("double").as("sum_value"))
       .orderBy("event_type")
+
+  /** Approximate percentiles (t-digest-style sketch) — the 100 TB
+    * default, paired with [[quantityPercentiles]] exactly like
+    * approx/exact distinct. Engine-specific sketch → rows-only check
+    * (no DuckDB oracle), by design.
+    */
+  def approxQuantityPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5)").as("p50_approx"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
 
   /** Exact-distinct twin of [[approxDistinctParts]], with a DuckDB
     * oracle — pins down the semantics the sketch approximates. Exact
