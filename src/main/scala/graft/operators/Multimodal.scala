@@ -50,6 +50,49 @@ object Multimodal {
     round(((nBytes * (2 * i + 1) + byteI) % 1000) / lit(1000.0), 6)
   }
 
+  /** Batched decode plumbing: groups payloads into fixed-size batches
+    * within each partition — the batch shape a real codec/GPU decoder
+    * consumes — and applies a pluggable batch decoder. `mapPartitions`
+    * is the right tool here (the documented last resort elsewhere):
+    * batch-at-a-time decode is genuinely imperative, and the grouping
+    * preserves partition parallelism with zero shuffle. The default
+    * decoder is [[stubBatchDecoder]] — deterministic features derived
+    * from the bytes, so the pipeline is testable without codecs; a
+    * real decoder drops in with the same `Seq[bytes] => Seq[features]`
+    * signature.
+    */
+  def decodeBatched(df: DataFrame, batchSize: Int = 32,
+                    decoder: Seq[Array[Byte]] => Seq[Array[Float]] = stubBatchDecoder)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val feats = decoder(batch.map(_._2))
+          require(feats.length == batch.length,
+            s"decoder returned ${feats.length} features for ${batch.length} payloads")
+          batch.zip(feats).map { case ((id, _), f) => (id, f) }
+        }
+      }
+      .toDF("doc_id", "features")
+  }
+
+  /** Deterministic fake batch decoder: per payload, NFeatures values
+    * derived from the byte length and leading bytes, plus the actual
+    * batch size as the last element — letting tests assert the batch
+    * shape from the output alone.
+    */
+  def stubBatchDecoder(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+    batch.map { bytes =>
+      val fs = (0 until NFeatures).map { i =>
+        val b = if (i < bytes.length) bytes(i) & 0xff else 0
+        ((bytes.length * (2 * i + 1) + b) % 1000) / 1000.0f
+      }
+      (fs :+ batch.length.toFloat).toArray
+    }
+
   /** Metadata + stub-feature extraction over the payload column:
     * byte length, 8-byte header sniff (hex), and NFeatures stub
     * features. All narrow projections — embarrassingly parallel, no

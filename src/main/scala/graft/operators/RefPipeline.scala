@@ -184,6 +184,25 @@ object RefPipeline {
   def alerts(df: DataFrame, threshold: Double): DataFrame =
     df.filter(col("moving_average") > lit(threshold))
 
+  /** Alert line formatting (financial_engine.py:100-106): the
+    * `*** ALERT ***` message as a column — `format_string` is the
+    * codegen'd analog of the reference's f-string. Timestamping is
+    * left to the sink (current_timestamp() is nondeterministic and
+    * stays out of oracle-checked outputs, SURVEY §5).
+    */
+  def alertMessages(df: DataFrame, threshold: Double): DataFrame =
+    alerts(df, threshold).withColumn("alert_message",
+      format_string("*** ALERT *** %s: moving average %.6f exceeds threshold %.2f",
+        col("symbol"), col("moving_average"), lit(threshold)))
+
+  /** Synthetic record identity (financial_engine.py:187,:234,:272 —
+    * `id = f"{source}_{uuid4()}"`): uniqueness-only ids, per source.
+    * uuid() is nondeterministic by design, so this never appears in
+    * oracle-checked outputs; the unit test asserts shape + uniqueness.
+    */
+  def withSyntheticId(df: DataFrame, sourceName: String): DataFrame =
+    df.withColumn("id", concat(lit(sourceName), lit("_"), expr("uuid()")))
+
   /** E2 end-to-end hot path (financial_engine.py:358-365):
     * normalize → clean → SMA → alert, the whole reference pipeline as
     * one declarative plan. Matches the manual filter-before-aggregate

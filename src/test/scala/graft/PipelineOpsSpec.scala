@@ -98,6 +98,23 @@ class PipelineOpsSpec extends SparkSuite {
       BigDecimal(f0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("batched decode: fixed-size batches per partition, one feature row per payload") {
+    val docs = Multimodal.withPayload(Tables.documents(spark, sfDir))
+    val out = Multimodal.decodeBatched(docs, batchSize = 32).collect()
+    assert(out.length == docs.count())
+    val batchSizes = out.map(_.getSeq[Float](1).last.toInt)
+    assert(batchSizes.forall(s => s >= 1 && s <= 32), "every batch within the size cap")
+    assert(batchSizes.count(_ == 32) > batchSizes.length / 2,
+      "most payloads decoded in full batches")
+    // deterministic features: f0 repeats the scalar stub formula
+    val row = out.minBy(_.getLong(0))
+    val text = Tables.documents(spark, sfDir).orderBy("doc_id")
+      .select("text").head().getString(0)
+    val bytes = text.getBytes("UTF-8")
+    assert(row.getSeq[Float](1).head ==
+      ((bytes.length * 1 + (bytes(0) & 0xff)) % 1000) / 1000.0f)
+  }
+
   test("decodePayload is an explicit stub (no codecs in this environment)") {
     intercept[NotImplementedError] { Multimodal.decodePayload(Array[Byte](1, 2)) }
   }

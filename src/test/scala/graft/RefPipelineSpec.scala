@@ -73,6 +73,21 @@ class RefPipelineSpec extends SparkSuite {
     assert(out.count() > 0)
   }
 
+  test("alert messages carry the formatted *** ALERT *** line (:100-106)") {
+    val df = Seq(("e1", "AAPL", 120.5)).toDF("id", "symbol", "moving_average")
+    val msg = RefPipeline.alertMessages(df, 108.0)
+      .select("alert_message").as[String].head()
+    assert(msg == "*** ALERT *** AAPL: moving average 120.500000 exceeds threshold 108.00")
+  }
+
+  test("synthetic ids are source-prefixed and unique (:187)") {
+    val df = (1 to 100).map(i => Tuple1(i.toDouble)).toDF("price")
+    val ids = RefPipeline.withSyntheticId(df, "WebSocketMock")
+      .select("id").as[String].collect()
+    assert(ids.forall(_.startsWith("WebSocketMock_")))
+    assert(ids.distinct.length == ids.length, "uuid ids must be unique")
+  }
+
   test("config plane: spark.graft.* session conf overrides the defaults (§2.10)") {
     val c0 = RefPipeline.Config.fromSession(spark)
     assert(c0 == RefPipeline.Config(5, 108.0))

@@ -86,6 +86,39 @@ class StreamingSpec extends SparkSuite {
     assert(got.map(_.getString(0)).toSeq == Seq("e2"))
   }
 
+  test("transformWithState SMA (API v2) equals the batch window formulation") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Tick]
+    val q = graft.streaming.StreamingSmaV2.withMovingAverage(ms.toDS(), n = 5)
+      .writeStream.format("memory").queryName("sma_v2")
+      .outputMode("append").start()
+    try {
+      val data = ticks(12)
+      ms.addData(data.take(7))
+      q.processAllAvailable()
+      ms.addData(data.drop(7))
+      q.processAllAvailable()
+      val streamed = spark.table("sma_v2").orderBy("id")
+        .select("id", "symbol", "price", "moving_average").collect()
+      val batch = RefPipeline.movingAverage(
+          data.toDF("id", "symbol", "price"), n = 5)
+        .orderBy("id")
+        .select("id", "symbol", "price", "moving_average").collect()
+      assert(streamed.length == batch.length)
+      streamed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
+    } finally {
+      q.stop()
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming dedup removes duplicate ids across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Tick]
