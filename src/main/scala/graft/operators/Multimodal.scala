@@ -50,6 +50,22 @@ object Multimodal {
     round(((nBytes * (2 * i + 1) + byteI) % 1000) / lit(1000.0), 6)
   }
 
+  /** Frame sampling over the raw payload: treat the byte stream as
+    * fixed-size frames and keep every `stride`-th one — real binary
+    * slicing (`substring` on the BINARY column via a position
+    * Generate), which is the video-frame-sampling pipeline shape; only
+    * the codec behind each frame stays stubbed. Output: one row per
+    * sampled frame with its index and bytes. Narrow — no shuffle.
+    */
+  def sampleFrames(df: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
+    df.select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0),
+          greatest(floor((octet_length(col("payload")) - 1) / frameBytes).cast("int"),
+                   lit(0)))).as("frame_idx"))
+      .filter(col("frame_idx") % stride === 0)
+      .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)").as("frame"))
+
   /** Batched decode plumbing: groups payloads into fixed-size batches
     * within each partition — the batch shape a real codec/GPU decoder
     * consumes — and applies a pluggable batch decoder. `mapPartitions`

@@ -115,6 +115,20 @@ class PipelineOpsSpec extends SparkSuite {
       ((bytes.length * 1 + (bytes(0) & 0xff)) % 1000) / 1000.0f)
   }
 
+  test("frame sampling slices the binary payload into strided fixed-size frames") {
+    val docs = Multimodal.withPayload(Tables.documents(spark, sfDir))
+    val doc = docs.orderBy("doc_id").select("doc_id", "text").head()
+    val (id, text) = (doc.getLong(0), doc.getString(1))
+    val frames = Multimodal.sampleFrames(docs, frameBytes = 64, stride = 4)
+      .filter(col("doc_id") === id).orderBy("frame_idx").collect()
+    val bytes = text.getBytes("UTF-8")
+    val nFrames = (bytes.length + 63) / 64
+    assert(frames.map(_.getLong(1)).toSeq ==
+      (0 until nFrames by 4).map(_.toLong), "every 4th frame index")
+    val f0 = frames.head.getAs[Array[Byte]]("frame")
+    assert(f0.toSeq == bytes.take(64).toSeq, "frame 0 is the first 64 payload bytes")
+  }
+
   test("decodePayload is an explicit stub (no codecs in this environment)") {
     intercept[NotImplementedError] { Multimodal.decodePayload(Array[Byte](1, 2)) }
   }
