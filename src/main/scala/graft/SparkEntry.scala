@@ -101,6 +101,7 @@ object SparkEntry {
     "x_text_quality_by_lang" -> ((s, dir) => TextAnalysis.qualityByLang(s, dir)),
     "x_knn_brute"          -> ((s, dir) => Similarity.knnBruteForce(s, dir)),
     "x_knn_lsh"            -> ((s, dir) => Similarity.knnLsh(s, dir)),
+    "x_knn_ivf"            -> ((s, dir) => Similarity.knnIvf(s, dir)),
     "x_emb_neardup"        -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
     "x_multimodal_meta"    -> ((s, dir) => Multimodal.mediaMeta(s, dir))
   )
@@ -551,6 +552,39 @@ object SparkEntry {
         |    round(list_reduce(list_transform(range(1,65),
         |      i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*q.q_nrm), 6) AS cos
         |  FROM e JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.query_id
+        |)
+        |SELECT query_id, neighbor_id, rk, cos FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rk
+        |  FROM scored
+        |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "x_knn_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE), (a,b)->a+b)) AS nrm
+        |  FROM embeddings
+        |), cents AS (
+        |  SELECT vec_id AS centroid_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < 16
+        |), ranked AS (
+        |  SELECT e.vec_id, e.embedding, e.nrm, c.centroid_id,
+        |    round(list_reduce(list_transform(range(1,65),
+        |      i -> e.embedding[i]::DOUBLE * c.c_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*c.c_nrm), 6) AS c_sim
+        |  FROM e, cents c
+        |), cells AS (
+        |  SELECT vec_id, embedding, nrm, centroid_id AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rk
+        |    FROM ranked
+        |  ) WHERE rk = 1
+        |), qcells AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, centroid_id AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rk
+        |    FROM ranked WHERE vec_id < 10
+        |  ) WHERE rk <= 2
+        |), scored AS (
+        |  SELECT DISTINCT q.query_id, c2.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(range(1,65),
+        |      i -> c2.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (a,b)->a+b)/(c2.nrm*q.q_nrm), 6) AS cos
+        |  FROM cells c2 JOIN qcells q ON c2.cell = q.cell AND c2.vec_id <> q.query_id
         |)
         |SELECT query_id, neighbor_id, rk, cos FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rk

@@ -104,6 +104,49 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** IVF (inverted-file) ANN: the second scale path beside sign-LSH.
+    * Coarse quantization assigns every vector to its nearest centroid
+    * cell (rank-1 by cosine, centroid-id tie-break); a query probes
+    * its `nProbe` nearest cells and exact cosine re-ranks only those
+    * members. Centroids here are the first `nCells` corpus vectors —
+    * deterministic (k-means would converge data-dependently and break
+    * the oracle); swapping in trained centroids changes recall, not
+    * the pipeline shape. Cell assignment is a broadcast join against
+    * nCells rows + a rank window; candidate generation is an
+    * equi-join on cell id — no cross product against the corpus.
+    */
+  def knnIvf(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
+             nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val c = corpus(spark, dir)
+    val cents = c.filter(col("vec_id") < nCells).select(
+      col("vec_id").as("centroid_id"), col("embedding").as("c_emb"),
+      col("nrm").as("c_nrm"))
+    val simToCent = round(VectorFunctions.dot(col("embedding"), col("c_emb")) /
+                          (col("nrm") * col("c_nrm")), 6)
+    val ranked = c.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"),
+              simToCent.as("c_sim"))
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("c_sim").desc, col("centroid_id"))
+    val cells = ranked
+      .withColumn("cell_rank", row_number().over(byVec))
+      .filter(col("cell_rank") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id").as("cell"))
+    val queryCells = ranked
+      .filter(col("vec_id") < nQueries)
+      .withColumn("cell_rank", row_number().over(byVec))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+              col("nrm").as("q_nrm"), col("centroid_id").as("cell"))
+    val scored = cells.join(broadcast(queryCells),
+        cells("cell") === queryCells("cell") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorFunctions.dot(col("embedding"), col("q_emb")) /
+              (col("nrm") * col("q_nrm")), 6).as("cos"))
+      .distinct()  // a neighbor can sit in several probed cells
+    rankTopK(scored, k)
+  }
+
   /** Embedding near-duplicate pairs: same-bucket pairs with cosine >=
     * `threshold`. The self-join is an equi-join on the bucket id —
     * both sides hash-partition on bucket, no cross product; this is

@@ -67,6 +67,18 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("knnIvf returns a subset of brute-force candidates with identical scores") {
+    val brute = Similarity.knnBruteForce(spark, sfDir, k = 1000, nQueries = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.knnIvf(spark, sfDir, k = 5, nQueries = 3).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key), s"$key not in exhaustive set")
+      assert(brute(key) == r.getDouble(3), s"score mismatch at $key")
+    }
+  }
+
   test("textStats: spot-check one document against a plain-Scala computation") {
     val doc = Tables.documents(spark, sfDir)
       .orderBy("doc_id").select("doc_id", "text").head()
