@@ -67,6 +67,20 @@ class PlanSpec extends SparkSuite {
            !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("sessionize runs both windows and the aggregation on ONE shuffle") {
+    val plan = formatted(Analytics.sessionize(spark, sfDir))
+    // one hashpartitioning exchange shared by lag-window, running-sum
+    // window, and the aggregation; the only other exchange is the
+    // rangepartitioning of the oracle-determinism orderBy
+    val hashShuffles = plan.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashShuffles == 1, s"expected exactly one hash exchange, got $hashShuffles:\n$plan")
+  }
+
+  test("IVF knn never cross-products against the corpus (only the tiny centroid broadcast)") {
+    val plan = formatted(Similarity.knnIvf(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("arithmetic banding has no join operator at all") {
     val plan = formatted(Analytics.valueBandArithmetic(spark, sfDir))
     assert(!plan.contains("Join"), plan)
