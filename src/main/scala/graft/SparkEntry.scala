@@ -88,6 +88,8 @@ object SparkEntry {
     "x_orders_by_month"    -> ((s, dir) => Analytics.ordersByMonth(s, dir)),
     "x_salted_agg"         -> ((s, dir) => Analytics.saltedEventAgg(s, dir)),
     "x_sessionize"         -> ((s, dir) => Analytics.sessionize(s, dir)),
+    "x_window_funcs"       -> ((s, dir) => Analytics.orderRankStats(s, dir)),
+    "x_string_funcs"       -> ((s, dir) => Analytics.customerNameFormats(s, dir)),
     "x_asof_join"          -> ((s, dir) => AsOfJoin.clickEnrichedWithLastView(s, dir)),
     "x_asof_forward"       -> ((s, dir) => AsOfJoin.clickEnrichedWithNextView(s, dir)),
 
@@ -385,6 +387,29 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "x_window_funcs" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cume,
+        |  FIRST_VALUE(o_orderkey) OVER wf AS cheapest_order,
+        |  LAST_VALUE(o_orderkey) OVER wf AS priciest_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "x_string_funcs" ->
+      """SELECT c_custkey,
+        |  UPPER(c_name) AS name_upper,
+        |  SUBSTRING(c_name, 1, 8) AS name_prefix,
+        |  CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+        |  REPLACE(c_name, 'Customer', 'Acct') AS name_repl,
+        |  LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+        |  CONCAT_WS('|', c_mktsegment, c_name) AS seg_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "x_sessionize" ->
       """WITH e AS (

@@ -266,6 +266,40 @@ object Analytics {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Ranking/distribution window functions beyond row_number: quartile
+    * (ntile), percent_rank, cume_dist, and frame first/last over each
+    * customer's order history — one shuffle on the partition key, all
+    * functions share the frame.
+    */
+  def orderRankStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("cheapest_order", first(col("o_orderkey")).over(frame))
+      .withColumn("priciest_order", last(col("o_orderkey")).over(frame))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** String-function surface over the customer dimension: case, slice,
+    * pad, replace, length — all codegen'd scalar projections, no
+    * shuffle beyond the output ordering.
+    */
+  def customerNameFormats(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        length(col("c_name")).cast("bigint").as("name_len"),
+        regexp_replace(col("c_name"), "Customer", "Acct").as("name_repl"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"))
+      .orderBy("c_custkey")
+
   /** Sessionization via gaps-and-islands: a new session starts when
     * the same user's inter-event gap exceeds `gapSeconds`; the session
     * index is a running sum of the new-session flags. Two stacked
