@@ -90,6 +90,9 @@ object SparkEntry {
     "x_sessionize"         -> ((s, dir) => Analytics.sessionize(s, dir)),
     "x_window_funcs"       -> ((s, dir) => Analytics.orderRankStats(s, dir)),
     "x_string_funcs"       -> ((s, dir) => Analytics.customerNameFormats(s, dir)),
+    "x_pivot"              -> ((s, dir) => Analytics.orderStatusPivot(s, dir)),
+    "x_cond_agg"           -> ((s, dir) => Analytics.conditionalEventAgg(s, dir)),
+    "x_array_funcs"        -> ((s, dir) => Similarity.embeddingArrayStats(s, dir)),
     "x_asof_join"          -> ((s, dir) => AsOfJoin.clickEnrichedWithLastView(s, dir)),
     "x_asof_forward"       -> ((s, dir) => AsOfJoin.clickEnrichedWithNextView(s, dir)),
 
@@ -410,6 +413,30 @@ object SparkEntry {
         |  LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
         |  CONCAT_WS('|', c_mktsegment, c_name) AS seg_name
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "x_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "x_cond_agg" ->
+      """SELECT event_type,
+        |  COUNT(*) FILTER (WHERE value > 250.0) AS n_high,
+        |  COUNT(*) FILTER (WHERE value <= 250.0) AS n_low,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE value > 250.0) AS DOUBLE) AS sum_high,
+        |  COUNT(*) AS n_total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "x_array_funcs" ->
+      """SELECT vec_id,
+        |  ROUND(list_max(embedding)::DOUBLE, 6) AS max_val,
+        |  ROUND(list_min(embedding)::DOUBLE, 6) AS min_val,
+        |  list_position(embedding, list_max(embedding))::BIGINT AS argmax_1based,
+        |  len(embedding)::BIGINT AS dim,
+        |  ROUND(embedding[1]::DOUBLE, 6) AS first_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "x_sessionize" ->
       """WITH e AS (

@@ -266,6 +266,34 @@ object Analytics {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Pivot (columns from values): order counts per priority, one
+    * column per order status. Spark plans this as a single hash
+    * aggregate with one pivot expression per (value, agg) pair — the
+    * values list is explicit, as it must be at scale (value discovery
+    * is an extra full pass).
+    */
+  def orderStatusPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
+  /** Conditional aggregation (FILTER-clause semantics): per event
+    * type, counts and sums restricted by predicates inside one
+    * aggregate pass — no self-joins, no second scan.
+    */
+  def conditionalEventAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(when(col("value") > 250.0, 1)).as("n_high"),
+        count(when(col("value") <= 250.0, 1)).as("n_low"),
+        dsum(when(col("value") > 250.0, col("value"))).as("sum_high"),
+        count(lit(1)).as("n_total"))
+      .orderBy("event_type")
+
   /** Ranking/distribution window functions beyond row_number: quartile
     * (ntile), percent_rank, cume_dist, and frame first/last over each
     * customer's order history — one shuffle on the partition key, all

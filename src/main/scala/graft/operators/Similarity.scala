@@ -147,6 +147,21 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Array-function surface over the embedding vectors: max/min
+    * element, slice, and the index of the max — all built-in array
+    * functions (narrow, codegen where non-HOF).
+    */
+  def embeddingArrayStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        round(array_max(col("embedding")).cast("double"), 6).as("max_val"),
+        round(array_min(col("embedding")).cast("double"), 6).as("min_val"),
+        array_position(col("embedding"), array_max(col("embedding"))).as("argmax_1based"),
+        size(col("embedding")).cast("bigint").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"))
+      .orderBy("vec_id")
+
   /** Embedding near-duplicate pairs: same-bucket pairs with cosine >=
     * `threshold`. The self-join is an equi-join on the bucket id —
     * both sides hash-partition on bucket, no cross product; this is
