@@ -91,6 +91,8 @@ object SparkEntry {
     "x_window_funcs"       -> ((s, dir) => Analytics.orderRankStats(s, dir)),
     "x_string_funcs"       -> ((s, dir) => Analytics.customerNameFormats(s, dir)),
     "x_pivot"              -> ((s, dir) => Analytics.orderStatusPivot(s, dir)),
+    "x_scalar_subquery"    -> ((s, dir) => Analytics.aboveAverageOrders(s, dir)),
+    "x_union_distinct"     -> ((s, dir) => Analytics.activeUsers(s, dir)),
     "x_cond_agg"           -> ((s, dir) => Analytics.conditionalEventAgg(s, dir)),
     "x_array_funcs"        -> ((s, dir) => Similarity.embeddingArrayStats(s, dir)),
     "x_asof_join"          -> ((s, dir) => AsOfJoin.clickEnrichedWithLastView(s, dir)),
@@ -420,6 +422,20 @@ object SparkEntry {
         |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
         |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "x_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,6)) *
+        |      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) >
+        |      (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,6)))
+        |       FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "x_union_distinct" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |UNION
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
 
     "x_cond_agg" ->
       """SELECT event_type,

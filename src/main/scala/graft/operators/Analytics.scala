@@ -266,6 +266,33 @@ object Analytics {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Correlated scalar subquery through the SQL layer: orders strictly
+    * above their customer's average order price. Catalyst rewrites the
+    * correlated aggregates into joins (SURVEY §4: subquery handling is
+    * built-in). The comparison cross-multiplies exact decimals
+    * (price·count > sum) instead of comparing against a floating
+    * average, so borderline rows are engine-independent.
+    */
+  def aboveAverageOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,6)) *
+        |      (SELECT COUNT(*) FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey) >
+        |      (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,6)))
+        |       FROM orders_v o3 WHERE o3.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** UNION with set semantics (dedup across both sides). */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_type") === "view").select("user_id")
+      .union(ev.filter(col("event_type") === "purchase").select("user_id"))
+      .distinct()
+      .orderBy("user_id")
+  }
+
   /** Pivot (columns from values): order counts per priority, one
     * column per order status. Spark plans this as a single hash
     * aggregate with one pivot expression per (value, agg) pair — the
