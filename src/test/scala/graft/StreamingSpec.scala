@@ -119,6 +119,23 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("stream-static join enriches ticks against a dimension table") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Tick]
+    val sectors = Seq(("A", "tech"), ("B", "energy")).toDF("symbol", "sector")
+    val q = ms.toDF().join(sectors, Seq("symbol"), "left")
+      .writeStream.format("memory").queryName("enriched_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(Tick("e1", "A", 1.0), Tick("e2", "B", 2.0), Tick("e3", "C", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched_stream").orderBy("id")
+        .select("id", "sector").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+      assert(rows == Seq(("e1", Some("tech")), ("e2", Some("energy")), ("e3", None)))
+    } finally q.stop()
+  }
+
   test("streaming dedup removes duplicate ids across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Tick]
