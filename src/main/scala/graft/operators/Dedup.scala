@@ -30,8 +30,10 @@ object Dedup {
   val P: Long      = TextFunctions.P
 
   /** (doc_id, shingles, hashes): distinct character 8-gram shingles of
-    * each document plus their polynomial hashes. Shared scan for the
-    * near-dup operators; narrow (no shuffle).
+    * each document plus their polynomial hashes — the SimHash input
+    * (character grams suit bitwise fingerprints; the MinHash path uses
+    * word shingles via [[shingleHashRows]]). Narrow, no shuffle; array
+    * form is fine here because SimHash folds each document once.
     */
   def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
