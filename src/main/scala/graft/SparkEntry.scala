@@ -95,6 +95,8 @@ object SparkEntry {
     "x_union_distinct"     -> ((s, dir) => Analytics.activeUsers(s, dir)),
     "x_cond_agg"           -> ((s, dir) => Analytics.conditionalEventAgg(s, dir)),
     "x_array_funcs"        -> ((s, dir) => Similarity.embeddingArrayStats(s, dir)),
+    "x_explode"            -> ((s, dir) => Similarity.embeddingLeadingDims(s, dir)),
+    "x_json_map"           -> ((s, dir) => Analytics.jsonMapAgg(s, dir)),
     "x_asof_join"          -> ((s, dir) => AsOfJoin.clickEnrichedWithLastView(s, dir)),
     "x_asof_forward"       -> ((s, dir) => AsOfJoin.clickEnrichedWithNextView(s, dir)),
 
@@ -443,6 +445,17 @@ object SparkEntry {
         |  COUNT(*) FILTER (WHERE value <= 250.0) AS n_low,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE value > 250.0) AS DOUBLE) AS sum_high,
         |  COUNT(*) AS n_total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "x_explode" ->
+      """SELECT vec_id, (i-1)::BIGINT AS pos, ROUND(embedding[i]::DOUBLE, 6) AS val
+        |FROM embeddings, range(1, 4) t(i)
+        |ORDER BY vec_id, pos""".stripMargin,
+
+    "x_json_map" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  MAX(len(json_keys(props)))::BIGINT AS max_keys,
+        |  SUM(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "x_array_funcs" ->

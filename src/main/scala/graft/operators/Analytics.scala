@@ -190,6 +190,27 @@ object Analytics {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("bucket_s", "event_type")
 
+  /** MapType path for semi-structured data: parse props ONCE with
+    * from_json into map<string,bigint> then read fields from the map —
+    * the right shape when several fields are consumed (get_json_object
+    * re-parses the string per field; see [[jsonPropsAgg]] for that
+    * variant).
+    */
+  def jsonMapAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType)).as("m"))
+      .select(col("event_type"),
+        size(map_keys(col("m"))).cast("bigint").as("n_keys"),
+        element_at(col("m"), "k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           max(col("n_keys")).as("max_keys"),
+           sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
   /** Semi-structured extraction: pull `k` out of the props JSON column
     * and aggregate per event_type. `get_json_object` is codegen'd; at
     * scale prefer parsing once with `from_json` into a struct column

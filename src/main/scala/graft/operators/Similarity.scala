@@ -147,6 +147,18 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Generator (UDTF-analog) surface: posexplode flattens each vector
+    * to (vec_id, pos, val) rows — the lateral-view shape; kept to the
+    * leading positions so the output is bounded.
+    */
+  def embeddingLeadingDims(spark: SparkSession, dir: String, nDims: Int = 3): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .filter(col("pos") < nDims)
+      .select(col("vec_id"), col("pos").cast("bigint").as("pos"),
+              round(col("col").cast("double"), 6).as("val"))
+      .orderBy("vec_id", "pos")
+
   /** Array-function surface over the embedding vectors: max/min
     * element, slice, and the index of the max — all built-in array
     * functions (narrow, codegen where non-HOF).
