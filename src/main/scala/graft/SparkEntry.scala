@@ -94,6 +94,7 @@ object SparkEntry {
     "x_scalar_subquery"    -> ((s, dir) => Analytics.aboveAverageOrders(s, dir)),
     "x_union_distinct"     -> ((s, dir) => Analytics.activeUsers(s, dir)),
     "x_cond_agg"           -> ((s, dir) => Analytics.conditionalEventAgg(s, dir)),
+    "x_stats_corr"         -> ((s, dir) => Analytics.priceQuantityStats(s, dir)),
     "x_array_funcs"        -> ((s, dir) => Similarity.embeddingArrayStats(s, dir)),
     "x_explode"            -> ((s, dir) => Similarity.embeddingLeadingDims(s, dir)),
     "x_json_map"           -> ((s, dir) => Analytics.jsonMapAgg(s, dir)),
@@ -438,6 +439,14 @@ object SparkEntry {
         |UNION
         |SELECT user_id FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id""".stripMargin,
+
+    "x_stats_corr" ->
+      """SELECT l_returnflag,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+        |  ROUND(stddev_samp(l_quantity), 6) AS stddev_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "x_cond_agg" ->
       """SELECT event_type,

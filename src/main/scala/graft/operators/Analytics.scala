@@ -287,6 +287,22 @@ object Analytics {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Statistical aggregates: Pearson correlation, sample covariance,
+    * and sample stddev of quantity vs extended price per return flag —
+    * one hash-aggregate pass (Spark's imperative central-moment
+    * aggregates), rounded to absorb engine-level summation-order
+    * noise in the moment updates.
+    */
+  def priceQuantityStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+        round(stddev_samp(col("l_quantity")), 6).as("stddev_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   /** Correlated scalar subquery through the SQL layer: orders strictly
     * above their customer's average order price. Catalyst rewrites the
     * correlated aggregates into joins (SURVEY §4: subquery handling is
