@@ -2,15 +2,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Headline bench: time every SparkEntry query at SPARK_GRAFT_SF_DIR,
-  * print ONE JSON line. Failures are NOT masked: a failed query is
-  * reported with time -1, listed in "failures", and poisons the
-  * headline metric (one hour added per failure) so a broken query can
-  * never make the bench look faster.
+  * print ONE JSON line. Each query runs `SPARK_GRAFT_BENCH_RUNS` times
+  * (default 3) and reports its per-query MEDIAN — single-shot numbers
+  * on a co-tenant box swing 5x (r2 observed 47-270 s for the same
+  * binary), and the median is the stable center the baseline compare
+  * needs. The session cache is cleared between runs so every run pays
+  * full cost (no warm-cache flattery) and per-query persisted
+  * intermediates can't accumulate across the ~55-query session.
+  *
+  * Failures are NOT masked: a failed query is reported with time -1,
+  * listed in "failures", and poisons the headline metric (one hour
+  * added per failure) so a broken query can never make the bench look
+  * faster.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,21 +27,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+      val times = (1 to nRuns).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          false
+          -1.0
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+      val ok = times.forall(_ >= 0)
+      val median = if (ok) times.sorted.apply(times.size / 2) else -1.0
+      (name, median, ok)
     }
     val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
     val failures = results.filterNot(_._3).map(_._1)
     val total = results.filter(_._3).map(_._2).sum + 3600.0 * failures.size
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$nRuns,"failures":$failJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -559,20 +559,34 @@ object SparkEntry {
     "x_ngram_jaccard" ->
       """WITH tk AS (
         |  SELECT doc_id, lang, source, string_split(text,' ') AS toks FROM documents
-        |), t AS (
+        |), h AS (
         |  SELECT doc_id, lang, source,
         |    list_distinct(list_transform(
-        |      list_distinct(list_transform(range(1, len(toks)-1),
-        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+        |      list_transform(range(1, len(toks)-1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
         |      g -> list_reduce(list_transform(range(1,len(g)+1),
         |             i -> ascii(substr(g,i,1))::BIGINT), (acc,c) -> (acc*31+c)%1000000007))) AS ghs
         |  FROM tk WHERE len(toks) >= 3
+        |), r AS (
+        |  SELECT doc_id, lang, source, unnest(ghs) AS gh FROM h
+        |), kept AS (
+        |  SELECT r.* FROM r JOIN (
+        |    SELECT lang, source, gh FROM r GROUP BY lang, source, gh HAVING COUNT(*) <= 64
+        |  ) k USING (lang, source, gh)
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+        |), ins AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |  FROM kept a JOIN kept b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.gh = b.gh
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b
         |)
         |SELECT doc_a, doc_b, jaccard FROM (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    round(len(list_filter(a.ghs, g -> list_contains(b.ghs, g)))::DOUBLE /
-        |      (len(a.ghs)+len(b.ghs)-len(list_filter(a.ghs, g -> list_contains(b.ghs, g)))), 6) AS jaccard
-        |  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  SELECT i.doc_a, i.doc_b,
+        |    round(i.n_common::DOUBLE / (sa.sz + sb.sz - i.n_common), 6) AS jaccard
+        |  FROM ins i JOIN sizes sa ON i.doc_a = sa.doc_id
+        |             JOIN sizes sb ON i.doc_b = sb.doc_id
         |) WHERE jaccard >= 0.02 ORDER BY doc_a, doc_b""".stripMargin,
 
     "x_text_stats" ->

@@ -1,0 +1,24 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: time named SparkEntry queries (args) at
+  * SPARK_GRAFT_SF_DIR on local[32] — the per-query feedback loop for
+  * plan tuning between full Bench runs. Cache is cleared per query so
+  * each pays its own cost.
+  */
+object TimeQueries {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for (name <- args) {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      println(f"$name: ${(System.nanoTime()-t0)/1e9}%.2f s, $n rows")
+    }
+    spark.stop()
+  }
+}

@@ -28,6 +28,7 @@ object Dedup {
   val Bands        = 4  // LSH bands
   val RowsPerBand  = 4  // NumHashes / Bands
   val P: Long      = TextFunctions.P
+  val GramDFCap    = 64 // n-gram Jaccard: drop grams seen in > this many docs of a block
 
   /** (doc_id, shingles, hashes): distinct character 8-gram shingles of
     * each document plus their polynomial hashes — the SimHash input
@@ -71,8 +72,13 @@ object Dedup {
     * lambdas) and the hash is the codegen'd native
     * [[graft.functions.PolyHash]] expression.
     *
-    * The explicit hash-repartition on doc_id BEFORE the dedup is
-    * load-bearing twice over: partitioning by doc_id satisfies the
+    * The explicit hash-repartition on doc_id BEFORE the explode is
+    * load-bearing three times over: it moves 5 k document rows per
+    * shuffle instead of 260 k gram rows AND parallelizes the
+    * explode+hash projection across all cores (a 100 TB corpus scans
+    * many splits, but a small parquet file is ONE split — the whole
+    * gram materialization ran single-threaded before this, measured
+    * ~5 s of the r2 bench); partitioning by doc_id then satisfies the
     * (doc_id, h) dedup's clustering AND every downstream per-doc
     * aggregation (signatures, sizes), so the per-doc phase runs on
     * this single shuffle; and the explicit partition count stops AQE
@@ -86,6 +92,7 @@ object Dedup {
     val toks = split(col("text"), " ")
     Tables.documents(spark, dir)
       .filter(size(toks) >= WordShingleN)
+      .repartition(n, col("doc_id"))
       .select(col("doc_id"), toks.as("toks"),
         explode(sequence(lit(1), size(toks) - (WordShingleN - 1))).as("i"))
       .select(col("doc_id"),
@@ -93,7 +100,6 @@ object Dedup {
           concat(element_at(col("toks"), col("i")), lit(" "),
                  element_at(col("toks"), col("i") + 1), lit(" "),
                  element_at(col("toks"), col("i") + 2))).as("h"))
-      .repartition(n, col("doc_id"))
       .dropDuplicates("doc_id", "h")
   }
 
@@ -166,12 +172,20 @@ object Dedup {
     val pairExpr = flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, size(ids)),
         y => struct(x.as("doc_a"), y.as("doc_b")))))
+    // `pairs` feeds TWO consumers (the broadcast into the intersection
+    // join AND candidateDocs) — without its own persist the whole
+    // bands→buckets→pairs pipeline above re-executes per consumer
+    // (the r2 bench measured the query at 2x its single-pass cost).
+    // The pair set is tiny (bounded by bucket collisions), so this is
+    // a few KB of cache for one whole pipeline execution saved.
     val pairs = minhashBandsFrom(rows)
       .groupBy("band", "bh").agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(pairExpr).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // eager fill — concurrent consumer jobs don't coordinate on a cold cache
     val sizes = rows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // Candidates are a small fraction of the corpus: semi-filter the
     // shingle rows to candidate docs (broadcast of the candidate id
@@ -228,39 +242,61 @@ object Dedup {
     * zero grams never materialize (they cannot pass a positive
     * threshold anyway), and no arrays move through the shuffle.
     *
-    * Scale notes: the join key includes the gram, so frequent grams
-    * (stopword runs) are the skew axis — at 100 TB you'd drop
-    * top-frequency grams first (they carry no similarity signal) or
-    * switch to [[nearDupMinhash]]. Pairs spanning two blocks are by
-    * design not compared.
+    * Gram construction mirrors [[shingleHashRows]]: tokens are
+    * materialized ONCE per document row, gram positions explode via
+    * `sequence` (a Generate), and each gram is assembled and hashed by
+    * codegen'd expressions. Building grams inside a higher-order
+    * `transform` lambda instead re-evaluates the `split` per
+    * `element_at` call — measured as 12 s of this query's 14 s at
+    * sf0.1 before the rewrite. Per-doc gram dedup happens on the
+    * 8-byte hash (`dropDuplicates(doc_id, gh)`), which subsumes the
+    * old `array_distinct` on gram strings (the oracle dedups hashed
+    * values the same way).
+    *
+    * Scale guard: the join key includes the gram, so frequent grams
+    * (stopword runs, boilerplate) are the skew axis — the self-join
+    * fan-out is Σ df(g)² over per-block gram document frequency.
+    * Grams with df > [[GramDFCap]] are dropped from BOTH the
+    * intersection and the size denominators (they carry no similarity
+    * signal at any useful threshold), which bounds the fan-out at
+    * GramDFCap · |rows| — linear in corpus size. The hot-gram set is
+    * Zipf-tiny, so it broadcasts into a left-anti join and the cached
+    * gram rows never reshuffle for the filter; at a scale where even
+    * the hot set outgrows a broadcast, swap the anti-join for a
+    * shuffle join — the semantics and the oracle stay identical.
+    * Pairs spanning two blocks are by design not compared.
     */
   def ngramJaccard(spark: SparkSession, dir: String,
                    threshold: Double = 0.02): DataFrame = {
-    val toks = split(col("text"), " ")
-    val grams = array_distinct(
-      transform(sequence(lit(1), size(toks) - 2), i =>
-        concat(element_at(toks, i), lit(" "),
-               element_at(toks, i + 1), lit(" "),
-               element_at(toks, i + 2))))
     // Grams are hashed to int64 (the codegen'd PolyHash expression) so
     // the self-join shuffles and compares 8-byte keys, not gram
     // strings; the oracle applies the identical hash, so the rare
     // hash-collision merge is consistent across engines. Rows feed
-    // three subtrees (two join sides + sizes): materialize once.
+    // four subtrees (DF guard, two join sides, sizes): materialize once.
     graft.functions.PolyHash.register(spark)
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val toks = split(col("text"), " ")
     val rows = Tables.documents(spark, dir)
       .filter(size(toks) >= 3)
-      .select(col("doc_id"), col("lang"), col("source"), explode(grams).as("g"))
+      .repartition(n, col("doc_id"))  // see shingleHashRows: pre-explode, one shuffle, AQE-coalesce-proof
+      .select(col("doc_id"), col("lang"), col("source"), toks.as("toks"),
+        explode(sequence(lit(1), size(toks) - 2)).as("i"))
       .select(col("doc_id"), col("lang"), col("source"),
-        call_function(graft.functions.PolyHash.Name, col("g")).as("gh"))
-      .repartition(n, col("doc_id"))  // see shingleHashRows: one shuffle, AQE-coalesce-proof
+        call_function(graft.functions.PolyHash.Name,
+          concat(element_at(col("toks"), col("i")), lit(" "),
+                 element_at(col("toks"), col("i") + 1), lit(" "),
+                 element_at(col("toks"), col("i") + 2))).as("gh"))
       .dropDuplicates("doc_id", "gh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rows.count()  // eager cache fill — see nearDupMinhash
-    val sizes = rows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = rows.as("a")
-      .join(rows.as("b"),
+    val hotGrams = rows.groupBy("lang", "source", "gh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > GramDFCap)
+      .select("lang", "source", "gh")
+    val kept = rows.join(broadcast(hotGrams), Seq("lang", "source", "gh"), "left_anti")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = kept.as("a")
+      .join(kept.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -41,12 +41,15 @@ object Multimodal {
       "use Multimodal.stubFeatures for the deterministic fake")
 
   /** Deterministic fake "decoded features": f_i derives from the byte
-    * length and the i-th payload byte (read through the hex dump so
-    * the pipeline only touches the BINARY column, never the source
-    * string). Values land in [0, 1) like a normalized feature.
+    * length and the i-th payload byte (sliced from the BINARY column —
+    * the pipeline never touches the source string). Only the ONE byte
+    * each feature needs is sliced and hex-decoded; hex-dumping the
+    * whole payload per row would materialize a 2x-payload string to
+    * read 4 bytes (the r2 plan did, at ~5 s per bench run). Values
+    * land in [0, 1) like a normalized feature.
     */
-  def stubFeature(payloadHex: Column, nBytes: Column, i: Int): Column = {
-    val byteI = conv(substring(payloadHex, 2 * i + 1, 2), 16, 10).cast("bigint")
+  def stubFeature(payload: Column, nBytes: Column, i: Int): Column = {
+    val byteI = conv(hex(substring(payload, i + 1, 1)), 16, 10).cast("bigint")
     round(((nBytes * (2 * i + 1) + byteI) % 1000) / lit(1000.0), 6)
   }
 
@@ -116,14 +119,14 @@ object Multimodal {
     * step over media features.
     */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
-    val withHex = withPayload(Tables.documents(spark, dir))
+    val base = withPayload(Tables.documents(spark, dir))
       .select(col("doc_id"),
         octet_length(col("payload")).cast("bigint").as("n_bytes"),
         lower(hex(substring(col("payload"), 1, 8))).as("header_hex"),
-        lower(hex(col("payload"))).as("payload_hex"))
+        col("payload"))
     val feats = (0 until NFeatures).map(i =>
-      stubFeature(col("payload_hex"), col("n_bytes"), i).as(s"f$i"))
-    withHex.select(col("doc_id") +: col("n_bytes") +: col("header_hex") +: feats: _*)
+      stubFeature(col("payload"), col("n_bytes"), i).as(s"f$i"))
+    base.select(col("doc_id") +: col("n_bytes") +: col("header_hex") +: feats: _*)
       .orderBy("doc_id")
   }
 }

@@ -41,7 +41,15 @@ object Similarity {
     * lambda fold order.
     */
   private def corpus(spark: SparkSession, dir: String): DataFrame = {
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // Repartition BEFORE the posexplode: a small parquet file is one
+    // split, so the 64x row fan-out and plane arithmetic would run in
+    // a single task (at 100 TB the scan has many splits and this
+    // exchange moves vectors, not exploded rows, either way). It also
+    // satisfies the groupBy(vec_id) clustering, so the aggregate adds
+    // no second shuffle.
     val exploded = Tables.embeddings(spark, dir)
+      .repartition(n, col("vec_id"))
       .select(col("vec_id"), col("embedding"), posexplode(col("embedding")))
       .select(col("vec_id"), col("embedding"), col("pos"),
               col("col").cast("double").as("x"))
@@ -54,8 +62,20 @@ object Similarity {
     val bucketBits = (0 until NPlanes)
       .map(j => when(col(s"p$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    exploded.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+    val c = exploded.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
       .select(col("vec_id"), col("embedding"), col("nrm"), bucketBits.as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The (vec_id, embedding, nrm, bucket) projection feeds several
+    // subtrees in every consumer (both self-join sides of near-dup,
+    // corpus + query sides of each knn) — persist materializes the
+    // posexplode + hash-aggregate ONCE per query instead of once per
+    // subtree (r2 measured x_emb_neardup at 2x its single-pass cost).
+    // Eager count: concurrent consumer jobs don't coordinate on a
+    // cold cache. Cache entries are plan-keyed, so repeated corpus()
+    // calls in one session reuse the same entry; the bench/verify
+    // harness clears the session cache between queries.
+    c.count()
+    c
   }
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
