@@ -699,18 +699,24 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE), (a,b)->a+b)) AS nrm,
-        |    list_sum(list_transform(range(0,8), j ->
-        |      CASE WHEN list_reduce(list_transform(range(0,64), i ->
-        |        embedding[i+1]::DOUBLE * (((j*64+i)*1103515245 + 12345) % 65536 - 32768)::DOUBLE),
-        |        (a,b)->a+b) > 0
-        |      THEN (1::BIGINT)<<j ELSE 0 END))::BIGINT AS bucket
+        |    list_transform(range(0,2), b ->
+        |      list_sum(list_transform(range(0,12), j ->
+        |        CASE WHEN list_reduce(list_transform(range(0,64), i ->
+        |          embedding[i+1]::DOUBLE * ((((b*12+j)*64+i)*1103515245 + 12345) % 65536 - 32768)::DOUBLE),
+        |          (a2,b2)->a2+b2) > 0
+        |        THEN (1::BIGINT)<<j ELSE 0 END))::BIGINT) AS bands
         |  FROM embeddings
+        |), br AS (
+        |  SELECT vec_id, b AS band, bands[b+1] AS bh FROM e, range(0,2) t(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+        |  FROM br a JOIN br c ON a.band = c.band AND a.bh = c.bh AND a.vec_id < c.vec_id
         |)
         |SELECT vec_a, vec_b, cos FROM (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  SELECT p.vec_a, p.vec_b,
         |    round(list_reduce(list_transform(range(1,65),
-        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (a2,b2)->a2+b2)/(a.nrm*b.nrm), 6) AS cos
-        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |      i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE), (a2,b2)->a2+b2)/(ea.nrm*eb.nrm), 6) AS cos
+        |  FROM pairs p JOIN e ea ON p.vec_a = ea.vec_id JOIN e eb ON p.vec_b = eb.vec_id
         |) WHERE cos >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
 
     "x_multimodal_meta" ->

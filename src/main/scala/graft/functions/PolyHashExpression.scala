@@ -64,7 +64,7 @@ object PolyHash {
 
   private def info = new ExpressionInfo(classOf[PolyHash].getName, Name)
 
-  private def builder(args: Seq[Expression]): Expression = {
+  private[functions] def builder(args: Seq[Expression]): Expression = {
     require(args.length == 1, s"$Name takes exactly one argument")
     PolyHash(args.head)
   }
@@ -87,5 +87,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier(PolyHash.Name),
       new ExpressionInfo(classOf[PolyHash].getName, PolyHash.Name),
-      (args: Seq[Expression]) => PolyHash(args.head)))
+      // Same arity-checked builder as the programmatic path — an
+      // unchecked `args.head` would silently hash only the first
+      // argument of a miswritten graft_polyhash(a, b) SQL call.
+      PolyHash.builder))
 }

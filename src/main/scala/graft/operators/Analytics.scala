@@ -199,12 +199,18 @@ object Analytics {
   def jsonMapAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"),
+        // map<string,string> + per-field try_cast, NOT map<string,long>:
+        // with a typed value a single non-integer prop value nulls the
+        // ENTIRE map (losing n_keys too), silently diverging from the
+        // oracle's len(json_keys(props)) if the corpus schema ever
+        // widens. String values keep key counting independent of value
+        // types; the cast mirrors the get_json_object path.
         from_json(col("props"), org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType,
-          org.apache.spark.sql.types.LongType)).as("m"))
+          org.apache.spark.sql.types.StringType)).as("m"))
       .select(col("event_type"),
         size(map_keys(col("m"))).cast("bigint").as("n_keys"),
-        element_at(col("m"), "k").as("k"))
+        element_at(col("m"), "k").try_cast("bigint").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
            max(col("n_keys")).as("max_keys"),
@@ -400,12 +406,23 @@ object Analytics {
     * `session_window` computes; here it is batch and oracle-checkable
     * (identical island SQL in DuckDB).
     */
-  def sessionize(spark: SparkSession, dir: String, gapSeconds: Long = 1800): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String, gapSeconds: Long = 1800): DataFrame =
+    sessionizeEvents(
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"),
+                unix_timestamp(col("ts")).as("ts_s"), col("value")),
+      gapSeconds)
+      .orderBy("user_id", "session_idx")
+
+  /** Gaps-and-islands core over (event_id, user_id, ts_s, value) rows —
+    * shared by the oracle query above and the stream==batch assertion
+    * for the streaming `session_window` twin
+    * ([[graft.streaming.StreamingSma.sessionCounts]]).
+    */
+  def sessionizeEvents(events: DataFrame, gapSeconds: Long): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
     val running = byUser.rowsBetween(Window.unboundedPreceding, 0)
-    Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"),
-              unix_timestamp(col("ts")).as("ts_s"), col("value"))
+    events
       .withColumn("new_session",
         when(col("ts_s") - lag(col("ts_s"), 1).over(byUser) > gapSeconds, 1L)
           .otherwise(lit(0L)))
@@ -416,7 +433,6 @@ object Analytics {
         min(col("ts_s")).as("session_start_s"),
         max(col("ts_s")).as("session_end_s"),
         dsum(col("value")).as("sum_value"))
-      .orderBy("user_id", "session_idx")
   }
 
   /** Left-outer star join: every customer (kept even with zero

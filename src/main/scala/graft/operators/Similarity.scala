@@ -28,6 +28,16 @@ object Similarity {
 
   val NPlanes = 8
   val Dim     = 64
+  // Near-dup banding: 2 independent bands x 12 planes each. One
+  // 8-plane code caps the space at 256 buckets — bucket occupancy then
+  // grows linearly with the corpus and per-bucket pair counts grow
+  // quadratically. 12-plane bands give 4096 buckets per band (and the
+  // band count, not the bucket width, buys recall: a pair collides if
+  // EITHER band agrees). Global plane index p = band*PlanesPerBand + j
+  // feeds the same planeWeight LCG, so the oracle mirrors the exact
+  // integer arithmetic.
+  val NDBands       = 2
+  val PlanesPerBand = 12
 
   /** Corpus with L2 norm and sign-LSH bucket precomputed in ONE
     * codegen'd pass: posexplode the vector to (vec_id, pos, x) rows,
@@ -194,20 +204,66 @@ object Similarity {
         round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"))
       .orderBy("vec_id")
 
-  /** Embedding near-duplicate pairs: same-bucket pairs with cosine >=
-    * `threshold`. The self-join is an equi-join on the bucket id —
-    * both sides hash-partition on bucket, no cross product; this is
-    * the embedding-space analog of MinHash-banded text dedup.
+  /** Corpus with L2 norm and [[NDBands]] banded sign-LSH codes, same
+    * one-pass posexplode + hash-aggregate shape as [[corpus]] (see its
+    * scaladoc for why this beats the interpreted HOF path and why the
+    * repartition precedes the explode).
+    */
+  private def corpusBanded(spark: SparkSession, dir: String): DataFrame = {
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val exploded = Tables.embeddings(spark, dir)
+      .repartition(n, col("vec_id"))
+      .select(col("vec_id"), col("embedding"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("pos"),
+              col("col").cast("double").as("x"))
+    val planeSums = (0 until NDBands * PlanesPerBand).map { p =>
+      sum(col("x") * VectorFunctions.planeWeight(lit(p), col("pos")).cast("double")).as(s"p$p")
+    }
+    val aggs = Seq(
+      first(col("embedding")).as("embedding"),
+      sqrt(sum(col("x") * col("x"))).as("nrm")) ++ planeSums
+    val bandCols = (0 until NDBands).map { b =>
+      (0 until PlanesPerBand)
+        .map(j => when(col(s"p${b * PlanesPerBand + j}") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"band$b")
+    }
+    val c = exploded.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id") +: col("embedding") +: col("nrm") +: bandCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    c.count() // eager — see corpus()
+    c
+  }
+
+  /** Embedding near-duplicate pairs: candidates are pairs agreeing on
+    * ANY of the [[NDBands]] banded LSH codes (equi-join on
+    * (band, code) over the exploded band rows — both sides
+    * hash-partition on the band key, no cross product), then exact
+    * cosine re-checks every candidate. This is the embedding-space
+    * analog of MinHash-banded text dedup, and the banding keeps bucket
+    * occupancy sub-linear in corpus size where a single short code
+    * would degenerate toward per-bucket all-pairs.
     */
   def embeddingNearDup(spark: SparkSession, dir: String,
                        threshold: Double = 0.35): DataFrame = {
-    val c = corpus(spark, dir)
-    c.as("a")
-      .join(c.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
-              (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+    val c = corpusBanded(spark, dir)
+    val bandRecs = array((0 until NDBands).map(b =>
+      struct(lit(b).as("band"), col(s"band$b").as("bh"))): _*)
+    val br = c.select(col("vec_id"), explode(bandRecs).as("rec"))
+      .select(col("vec_id"), col("rec.band").as("band"), col("rec.bh").as("bh"))
+    val pairs = br.as("a")
+      .join(br.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct() // a pair can collide in both bands — score it once
+    pairs
+      .join(c.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a")), "vec_a")
+      .join(c.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(VectorFunctions.dot(col("emb_a"), col("emb_b")) /
+              (col("nrm_a") * col("nrm_b")), 6).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy("vec_a", "vec_b")
   }

@@ -94,7 +94,10 @@ object Sources {
 
   def normalizeRate(raw: DataFrame): DataFrame =
     raw.select(
-      concat(lit("ws_"), col("value")).as("id"),
+      // Zero-padded id: downstream micro-batch ordering sorts ids
+      // lexicographically (StreamingSma), so "ws_10" must not sort
+      // before "ws_2" — 12 digits outlast any realistic sequence.
+      format_string("ws_%012d", col("value")).as("id"),
       concat(lit("sym"), pmod(col("value"), lit(4))).as("symbol"),
       (lit(1450.0) + pmod(col("value") * 37L, lit(100)).cast("double")).as("price"),
       (lit(5000L) + pmod(col("value") * 101L, lit(15000))).as("volume"),

@@ -34,27 +34,55 @@ object Sinks {
     if (cfg.logLevel == "INFO") log(s"[graft] batch with ${df.count()} events")
 
   /** K3 AlertGenerator — strict `>` threshold predicate (:100-106)
-    * feeding a downstream handler. */
-  def alerts(cfg: Config, handler: Array[Row] => Unit): Sink = df =>
-    handler(df.filter(col("moving_average") > cfg.alertThreshold).collect())
+    * feeding a downstream handler. Alerts are a filtered trickle by
+    * design, but the collect is still driver-side: `maxAlerts` bounds
+    * it so a mis-set threshold can never OOM the driver (the overflow
+    * count is the signal to move the handler into a distributed
+    * writer).
+    */
+  def alerts(cfg: Config, handler: Array[Row] => Unit,
+             maxAlerts: Int = 10000): Sink = df =>
+    handler(df.filter(col("moving_average") > cfg.alertThreshold)
+      .limit(maxAlerts).collect())
 
   /** K4 Subject.notify — deliver one cached batch to every sink,
-    * swallowing per-sink failures (:79-83). */
+    * swallowing per-sink failures (:79-83). NonFatal only: the
+    * reference swallows `Exception`, not errors — a fatal JVM
+    * condition (OOM, thread interrupt) must propagate and fail the
+    * query rather than be reported as a delivered batch. */
   def fanOut(sinks: Seq[Sink])(batch: DataFrame, batchId: Long): Unit = {
     batch.persist()
     try sinks.foreach { s =>
       try s(batch)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         // reference behavior: log and continue (financial_engine.py:82-83)
         System.err.println(s"[graft] sink failed on batch $batchId: ${e.getMessage}")
       }
     } finally batch.unpersist()
   }
 
+  /** Observer attach/detach registry (financial_engine.py:68-74): the
+    * reference mutates its observer list while the engine runs; here
+    * each micro-batch reads the CURRENT sink set, so `detach` takes
+    * effect from the next batch without restarting the query.
+    */
+  final class SinkRegistry {
+    @volatile private var sinks: Vector[Sink] = Vector.empty
+    def attach(s: Sink): this.type = synchronized { sinks = sinks :+ s; this }
+    def detach(s: Sink): this.type =
+      synchronized { sinks = sinks.filterNot(_ eq s); this }
+    def current: Seq[Sink] = sinks
+  }
+
   /** Wire a stream through the fan-out; caller starts/stops the query. */
   def attach(stream: Dataset_, sinks: Seq[Sink]): DataStreamWriter[Row] =
     stream.toDF().writeStream.outputMode("append")
       .foreachBatch((b: DataFrame, id: Long) => fanOut(sinks)(b, id))
+
+  /** Registry variant: sink membership is re-read per batch. */
+  def attach(stream: Dataset_, registry: SinkRegistry): DataStreamWriter[Row] =
+    stream.toDF().writeStream.outputMode("append")
+      .foreachBatch((b: DataFrame, id: Long) => fanOut(registry.current)(b, id))
 
   private type Dataset_ = org.apache.spark.sql.Dataset[_]
 }

@@ -25,6 +25,11 @@ object StreamingSma {
     * `id` is the arrival sequence — ordering within a micro-batch is
     * restored by sorting on it, mirroring the deterministic batch
     * formulation (Window.orderBy(id)).
+    *
+    * CONTRACT: ids must sort lexicographically in arrival order —
+    * fixed-width / zero-padded (what `Sources.normalizeRate` emits).
+    * An unpadded numeric suffix ("ws_10" < "ws_2") would silently
+    * reorder SMA windows once a batch crosses a digit-length boundary.
     */
   final case class Tick(id: String, symbol: String, price: Double)
 
@@ -74,4 +79,25 @@ object StreamingSma {
            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("window.start").as("bucket_start"), col("event_type"),
               col("n_events"), col("sum_value"))
+
+  /** Streaming twin of the batch gaps-and-islands `Analytics.sessionize`:
+    * `session_window(ts, gap)` merges a user's events into one session
+    * while each arrives within `gap` of the previous, with the
+    * watermark closing (and bounding the state of) sessions once event
+    * time passes end + lateness. Boundaries match the batch form
+    * except when an inter-event gap equals `gap` exactly: session
+    * windows are right-open ([first, last + gap)), so they split at
+    * >= gap where the batch form splits at > gap. StreamingSpec
+    * asserts stream == batch on a replayed sequence.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("user_id"), col("n_events"), col("sum_value"))
 }

@@ -200,6 +200,91 @@ class StreamingSpec extends SparkSuite {
       Seq(("e2", "null_price"), ("e3", "non_positive_price")))
   }
 
+  test("streaming session_window matches batch gaps-and-islands sessionization") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val stream = ms.toDF().toDF("ts", "user_id", "value")
+    val q = StreamingSma.sessionCounts(stream, gap = "30 minutes")
+      .writeStream.format("memory").queryName("session_stream")
+      .outputMode("complete").start()
+    try {
+      val m = 60_000L
+      val data = Seq(
+        (new Timestamp(0L), "A", 1.0),
+        (new Timestamp(10 * m), "A", 2.0),
+        (new Timestamp(50 * m), "A", 4.0),  // 40 min gap > 30 -> new session
+        (new Timestamp(65 * m), "A", 8.0),  // 15 min gap -> same session
+        (new Timestamp(5 * m), "B", 16.0))
+      ms.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("session_stream")
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("start_s"),
+          unix_timestamp(col("session_end")).as("end_s"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "start_s").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      val batch = graft.operators.Analytics.sessionizeEvents(
+          data.zipWithIndex.map { case ((ts, u, v), i) =>
+            (f"e$i%03d", u, ts.getTime / 1000, v)
+          }.toDF("event_id", "user_id", "ts_s", "value"),
+          gapSeconds = 1800)
+        .select("user_id", "session_start_s", "session_end_s", "n_events", "sum_value")
+        .orderBy("user_id", "session_start_s").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2) + 1800, // end = last + gap
+                   r.getLong(3), r.getDouble(4)))
+      assert(streamed.toSeq == batch.toSeq,
+        s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
+      assert(streamed.length == 3, "A split into two sessions, B one")
+    } finally q.stop()
+  }
+
+  test("observer detach removes a sink between micro-batches (K4 detach)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Tick]
+    val a = scala.collection.mutable.ArrayBuffer.empty[String]
+    val b = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sinkA: Sinks.Sink = df => a ++= df.select("id").as[String](implicitly).collect()
+    val sinkB: Sinks.Sink = df => b ++= df.select("id").as[String](implicitly).collect()
+    val reg = new Sinks.SinkRegistry
+    reg.attach(sinkA).attach(sinkB)
+    val q = Sinks.attach(ms.toDS(), reg).start()
+    try {
+      ms.addData(Tick("e1", "A", 1.0))
+      q.processAllAvailable()
+      reg.detach(sinkB)
+      ms.addData(Tick("e2", "A", 2.0))
+      q.processAllAvailable()
+      assert(a.sorted.toSeq == Seq("e1", "e2"), "attached sink sees every batch")
+      assert(b.toSeq == Seq("e1"), "detached sink stops at the next batch")
+    } finally q.stop()
+  }
+
+  test("engine lifecycle honors a ProcessingTime trigger and checkpoint (E1-E3)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingEngine
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ckpt-").toString
+    val ms = MemoryStream[Tick]
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cfg = StreamingEngine.EngineConfig(
+      triggerInterval = Some("50 milliseconds"),  // financial_engine.py:35 cadence analog
+      checkpointDir = Some(ckpt),
+      sinks = Sinks.Config(logLevel = "WARN"))    // mute the logging sink
+    val q = StreamingEngine.start(ms.toDS(), cfg,
+      extraSinks = Seq(df => got.synchronized {
+        got ++= df.select("id").as[String](implicitly).collect()
+      }))
+    try {
+      ms.addData(ticks(6))
+      q.processAllAvailable()
+      assert(got.sorted.toSeq == (1 to 6).map(i => f"e$i%03d"),
+        "all ticks flow through the triggered query")
+      assert(new java.io.File(s"$ckpt/offsets").list().nonEmpty,
+        "checkpoint records committed offsets")
+    } finally q.stop()
+  }
+
   test("watermarked hourly window aggregates by event time") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String, Double)]
