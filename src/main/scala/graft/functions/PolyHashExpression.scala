@@ -83,12 +83,17 @@ object PolyHash {
   * programmatic [[PolyHash.register]] covers an already-built session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    // Arity-checked builders shared with the programmatic register
+    // path — an unchecked `args.head` would silently hash only the
+    // first argument of a miswritten graft_polyhash(a, b) SQL call.
     ext.injectFunction((
       FunctionIdentifier(PolyHash.Name),
       new ExpressionInfo(classOf[PolyHash].getName, PolyHash.Name),
-      // Same arity-checked builder as the programmatic path — an
-      // unchecked `args.head` would silently hash only the first
-      // argument of a miswritten graft_polyhash(a, b) SQL call.
       PolyHash.builder))
+    ext.injectFunction((
+      FunctionIdentifier(DotProduct.Name),
+      DotProduct.info,
+      DotProduct.builder))
+  }
 }

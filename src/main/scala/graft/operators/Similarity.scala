@@ -26,6 +26,15 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  /** Cosine numerator on the scoring hot path: the native codegen'd
+    * [[graft.functions.DotProduct]] expression (same float→double
+    * widening and sequential accumulation as the HOF
+    * [[VectorFunctions.dot]], which remains for contexts without a
+    * registered session — equality is property-tested).
+    */
+  private def dotN(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    call_function(graft.functions.DotProduct.Name, a, b)
+
   val NPlanes = 8
   val Dim     = 64
   // Near-dup banding: 2 independent bands x 12 planes each. One
@@ -104,13 +113,14 @@ object Similarity {
     */
   def knnBruteForce(spark: SparkSession, dir: String,
                     k: Int = 5, nQueries: Int = 10): DataFrame = {
+    graft.functions.DotProduct.register(spark)
     val c = corpus(spark, dir)
     val q = c.filter(col("vec_id") < nQueries).select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(VectorFunctions.dot(col("embedding"), col("q_emb")) /
+        round(dotN(col("embedding"), col("q_emb")) /
               (col("nrm") * col("q_nrm")), 6).as("cos"))
     rankTopK(scored, k)
   }
@@ -122,6 +132,7 @@ object Similarity {
     */
   def knnLsh(spark: SparkSession, dir: String,
              k: Int = 5, nQueries: Int = 10): DataFrame = {
+    graft.functions.DotProduct.register(spark)
     val c = corpus(spark, dir)
     val q = c.filter(col("vec_id") < nQueries).select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -129,7 +140,7 @@ object Similarity {
     val scored = c.join(broadcast(q),
         col("bucket") === col("q_bucket") && col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(VectorFunctions.dot(col("embedding"), col("q_emb")) /
+        round(dotN(col("embedding"), col("q_emb")) /
               (col("nrm") * col("q_nrm")), 6).as("cos"))
     rankTopK(scored, k)
   }
@@ -147,11 +158,12 @@ object Similarity {
     */
   def knnIvf(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    graft.functions.DotProduct.register(spark)
     val c = corpus(spark, dir)
     val cents = c.filter(col("vec_id") < nCells).select(
       col("vec_id").as("centroid_id"), col("embedding").as("c_emb"),
       col("nrm").as("c_nrm"))
-    val simToCent = round(VectorFunctions.dot(col("embedding"), col("c_emb")) /
+    val simToCent = round(dotN(col("embedding"), col("c_emb")) /
                           (col("nrm") * col("c_nrm")), 6)
     val ranked = c.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"),
@@ -171,7 +183,7 @@ object Similarity {
     val scored = cells.join(broadcast(queryCells),
         cells("cell") === queryCells("cell") && col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(VectorFunctions.dot(col("embedding"), col("q_emb")) /
+        round(dotN(col("embedding"), col("q_emb")) /
               (col("nrm") * col("q_nrm")), 6).as("cos"))
       .distinct()  // a neighbor can sit in several probed cells
     rankTopK(scored, k)
@@ -245,6 +257,7 @@ object Similarity {
     */
   def embeddingNearDup(spark: SparkSession, dir: String,
                        threshold: Double = 0.35): DataFrame = {
+    graft.functions.DotProduct.register(spark)
     val c = corpusBanded(spark, dir)
     val bandRecs = array((0 until NDBands).map(b =>
       struct(lit(b).as("band"), col(s"band$b").as("bh"))): _*)
@@ -262,7 +275,7 @@ object Similarity {
       .join(c.select(col("vec_id").as("vec_b"),
         col("embedding").as("emb_b"), col("nrm").as("nrm_b")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        round(VectorFunctions.dot(col("emb_a"), col("emb_b")) /
+        round(dotN(col("emb_a"), col("emb_b")) /
               (col("nrm_a") * col("nrm_b")), 6).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy("vec_a", "vec_b")

@@ -285,6 +285,53 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch join on the same frames") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamJoins
+    val msV = MemoryStream[(Long, String, Timestamp, Double)]
+    val msC = MemoryStream[(Long, String, Timestamp, Double)]
+    val vCols = Seq("user_id", "view_id", "view_ts", "view_value")
+    val cCols = Seq("user_id", "click_id", "click_ts", "click_value")
+    val joined = StreamJoins.clickViewAttribution(
+      msV.toDF().toDF(vCols: _*), msC.toDF().toDF(cCols: _*))
+    val q = joined.writeStream.format("memory").queryName("attrib_stream")
+      .outputMode("append").start()
+    try {
+      val m = 60_000L
+      // base offset keeps every event time strictly above the initial
+      // watermark (epoch 0) — a row AT the initial watermark is dropped
+      // as late before it can join
+      val t0 = 60 * m
+      val views = Seq(
+        (1L, "v1", new Timestamp(t0), 1.0),
+        (1L, "v2", new Timestamp(t0 + 40 * m), 2.0),
+        (2L, "v3", new Timestamp(t0 + 5 * m), 3.0))
+      val clicks = Seq(
+        (1L, "c1", new Timestamp(t0 + 10 * m), 10.0),  // matches v1 (10m <= 30m)
+        (1L, "c2", new Timestamp(t0 + 55 * m), 20.0),  // matches v2 only (55m-0 > 30m)
+        (2L, "c3", new Timestamp(t0 + 50 * m), 30.0),  // no view within 30m
+        (3L, "c4", new Timestamp(t0 + 1 * m), 40.0))   // user never viewed
+      msV.addData(views: _*)
+      msC.addData(clicks: _*)
+      q.processAllAvailable()
+      // advance both watermarks so buffered state can be evicted and
+      // any already-possible matches are final
+      msV.addData((9L, "vx", new Timestamp(10_000 * m), 0.0))
+      msC.addData((9L, "cx", new Timestamp(10_000 * m), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("attrib_stream")
+        .filter(col("user_id") < 9)
+        .select("click_id", "view_id").orderBy("click_id", "view_id")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val batch = StreamJoins.clickViewAttribution(
+          views.toDF(vCols: _*), clicks.toDF(cCols: _*))
+        .select("click_id", "view_id").orderBy("click_id", "view_id")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(batch == Seq(("c1", "v1"), ("c2", "v2")))
+    } finally q.stop()
+  }
+
   test("watermarked hourly window aggregates by event time") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String, Double)]
