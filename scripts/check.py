@@ -22,6 +22,10 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 names = sorted(d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d)))
 fails = 0
+# a query that crashed in Verify writes no output dir — surface it
+# instead of silently shrinking the denominator
+for missing in sorted(set(oracle) - set(names)):
+    print(f"FAIL {missing}: no spark output dir (Verify crashed?)"); fails += 1
 for name in names:
     files = glob.glob(f"{out}/{name}/*.parquet")
     if not files:

@@ -101,7 +101,16 @@ object SparkEntry {
     "x_asof_join"          -> ((s, dir) => AsOfJoin.clickEnrichedWithLastView(s, dir)),
     "x_asof_forward"       -> ((s, dir) => AsOfJoin.clickEnrichedWithNextView(s, dir)),
 
+    "x_range_frame"        -> ((s, dir) => Analytics.slidingHourValue(s, dir)),
+    "x_minmax_by"          -> ((s, dir) => Analytics.orderExtremesByStatus(s, dir)),
+    "x_grouping_sets"      -> ((s, dir) => Analytics.lineStatusGroupingSets(s, dir)),
+    "x_regex_extract"      -> ((s, dir) => Analytics.propsRegexAgg(s, dir)),
+
     // ---- LLM-data-pipeline surface (dedup / similarity / text / multimodal) ----
+    "x_stratified_sample"  -> ((s, dir) => CorpusOps.stratifiedSample(s, dir)),
+    "x_quality_filter"     -> ((s, dir) => CorpusOps.qualityFilter(s, dir)),
+    "x_decontaminate"      -> ((s, dir) => CorpusOps.decontaminate(s, dir)),
+    "x_centroids"          -> ((s, dir) => Similarity.labelCentroids(s, dir)),
     "x_dedup_exact"        -> ((s, dir) => Dedup.exactDedup(s, dir)),
     "x_dedup_minhash"      -> ((s, dir) => Dedup.nearDupMinhash(s, dir)),
     "x_dedup_simhash"      -> ((s, dir) => Dedup.simhashDocs(s, dir)),
@@ -493,6 +502,96 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    "x_range_frame" ->
+      """SELECT event_id, user_id, ts_s, value,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM (SELECT event_id, user_id, epoch_us(ts)//1000000 AS ts_s, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "x_minmax_by" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    lpad(CAST(round(o_totalprice*100)::BIGINT AS VARCHAR), 18, '0') || '-' ||
+        |    lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS k
+        |  FROM orders)
+        |SELECT o_orderstatus, arg_max(o_orderkey, k) AS priciest_order,
+        |  arg_min(o_orderkey, k) AS cheapest_order,
+        |  max(o_totalprice) AS max_price, min(o_totalprice) AS min_price,
+        |  COUNT(*) AS n_orders
+        |FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "x_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "x_regex_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS n_matched,
+        |  SUM(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))::BIGINT AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "x_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE list_reduce(list_transform(range(1, len(CAST(doc_id AS VARCHAR))+1),
+        |        i -> ascii(substr(CAST(doc_id AS VARCHAR),i,1))::BIGINT),
+        |        (acc,c)->(acc*31+c)%1000000007) % 100
+        |      < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "x_quality_filter" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, source, text, string_split(text,' ') AS toks FROM documents
+        |), f AS (
+        |  SELECT lang, source,
+        |    CASE WHEN len(toks) BETWEEN 20 AND 1000
+        |          AND (len(text) - (len(toks)-1))::DOUBLE/len(toks) BETWEEN 2.0 AND 12.0
+        |          AND len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t)))::DOUBLE/len(toks) >= 0.03
+        |          AND len(list_distinct(toks))::DOUBLE/len(toks) >= 0.2
+        |    THEN 1 ELSE 0 END AS keep FROM tk)
+        |SELECT lang, source, COUNT(*) AS n_docs, SUM(keep)::BIGINT AS n_kept,
+        |  round(SUM(keep)::DOUBLE/COUNT(*), 6) AS keep_rate
+        |FROM f GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "x_decontaminate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text,' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    list_transform(range(1, len(toks)-2),
+        |      i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]),
+        |    s -> list_reduce(list_transform(range(1,len(s)+1),
+        |           i2 -> ascii(substr(s,i2,1))::BIGINT),
+        |           (acc,c)->(acc*31+c)%1000000007)))) AS gh
+        |  FROM tk WHERE len(toks) >= 4
+        |), bench AS (
+        |  SELECT DISTINCT gh FROM g WHERE doc_id < 20
+        |), corp AS (
+        |  SELECT * FROM g WHERE doc_id >= 20
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_grams FROM corp GROUP BY doc_id
+        |), hits AS (
+        |  SELECT c.doc_id, COUNT(*) AS n_shared
+        |  FROM corp c JOIN bench b USING (gh) GROUP BY c.doc_id
+        |)
+        |SELECT s.doc_id, s.n_grams, h.n_shared,
+        |  round(h.n_shared::DOUBLE/s.n_grams, 6) AS contamination
+        |FROM sizes s JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "x_centroids" ->
+      """SELECT label::BIGINT AS label, (i-1)::BIGINT AS pos, COUNT(*) AS n_vecs,
+        |  round(SUM(round(embedding[i]::DOUBLE * 1000000)::BIGINT)::DOUBLE
+        |        / (COUNT(*) * 1000000.0), 6) AS mean_val
+        |FROM embeddings, range(1, 9) t(i)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     "x_dedup_exact" ->
       """SELECT keep_id, n_copies FROM (

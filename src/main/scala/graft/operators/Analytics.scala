@@ -406,6 +406,78 @@ object Analytics {
     * `session_window` computes; here it is batch and oracle-checkable
     * (identical island SQL in DuckDB).
     */
+  /** Event-time RANGE-frame sliding aggregate: per user, the count and
+    * exact-decimal sum of values in the trailing hour of EVENT TIME
+    * (not row count — ties and uneven spacing are handled by the frame
+    * semantics, which makes the result order-independent and
+    * oracle-exact). One shuffle on user_id; the batch analog of the
+    * streaming sliding window.
+    */
+  def slidingHourValue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(-3600, 0)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+              unix_timestamp(col("ts")).as("ts_s"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+      .orderBy("event_id")
+  }
+
+  /** min_by / max_by surface: cheapest and priciest order per status.
+    * Determinism under price ties comes from a composite fixed-width
+    * string key (zero-padded cents + orderkey) — both engines compare
+    * it lexicographically == numerically, so the arg-extreme is unique
+    * without a window sort. Single hash-agg pass, no join, no window —
+    * the cheap form of "row that attains the extreme" at 100 TB.
+    */
+  def orderExtremesByStatus(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("bigint")
+    val key = concat(lpad(cents.cast("string"), 18, "0"), lit("-"),
+                     lpad(col("o_orderkey").cast("string"), 12, "0"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"), key.as("k"))
+      .groupBy("o_orderstatus")
+      .agg(max_by(col("o_orderkey"), col("k")).as("priciest_order"),
+           min_by(col("o_orderkey"), col("k")).as("cheapest_order"),
+           max(col("o_totalprice")).as("max_price"),
+           min(col("o_totalprice")).as("min_price"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Explicit GROUPING SETS (the general form behind rollup/cube):
+    * per-flag totals, per-status totals, and the grand total in ONE
+    * pass — Catalyst expands the sets map-side (an Expand node), so
+    * the input scans once regardless of how many sets are requested.
+    */
+  def lineStatusGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** Regex extraction surface: pull the numeric `k` out of the raw
+    * props JSON with a capture group (the untyped fallback when
+    * payloads aren't clean enough for from_json); non-matches become
+    * NULL via empty-string try_cast in both engines.
+    */
+  def propsRegexAgg(spark: SparkSession, dir: String): DataFrame = {
+    val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).try_cast("bigint")
+    Tables.events(spark, dir)
+      .select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           count(col("k")).as("n_matched"),
+           sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+  }
+
   def sessionize(spark: SparkSession, dir: String, gapSeconds: Long = 1800): DataFrame =
     sessionizeEvents(
       Tables.events(spark, dir)

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators over `documents` — the selection half of
+  * an LLM training-data pipeline (the scoring half is
+  * [[TextAnalysis]], the dedup half [[Dedup]]): deterministic
+  * stratified sampling, rule-based quality filtering, and benchmark
+  * decontamination. All narrow column expressions plus bounded
+  * aggregations; formulas are frozen here and replicated exactly in
+  * the DuckDB oracle.
+  */
+object CorpusOps {
+
+  /** Word n-gram size for decontamination (real pipelines use 8-13;
+    * 4 fits this corpus's short synthetic docs while keeping the
+    * pipeline shape identical).
+    */
+  val DecontamGramN = 4
+
+  /** Deterministic hash-based stratified sampling: keep a document iff
+    * polyhash(doc_id) mod 100 falls under its stratum's rate —
+    * downsample the dominant language, keep rare strata dense (the
+    * standard rebalancing move for training mixes). Hash-gating (vs
+    * `sample()`) is reproducible across engines, runs, and partition
+    * layouts, and is a pure narrow filter: at 100 TB it composes with
+    * column pruning into the scan and never shuffles.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyHash.register(spark)
+    val bucket = pmod(
+      call_function(graft.functions.PolyHash.Name, col("doc_id").cast("string")),
+      lit(100))
+    val rate = when(col("lang") === "en", lit(10)).otherwise(lit(50))
+    Tables.documents(spark, dir)
+      .filter(bucket < rate)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style rule filter rollup: per (lang, source) stratum, how
+    * many documents survive the length / mean-word-length / stopword /
+    * type-token-ratio rules. One narrow projection + one tiny
+    * aggregate — the shape of a 100 TB quality-gate pass (the kept
+    * set itself is the same filter applied row-wise).
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isInCollection(TextAnalysis.Stopwords)))
+    // single-space-joined corpus: chars minus separators over tokens
+    val meanLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val keep = (nTok.between(20, 1000) &&
+      meanLen >= 2.0 && meanLen <= 12.0 &&
+      nStop.cast("double") / nTok >= 0.03 &&
+      ttr >= 0.2).cast("bigint")
+    Tables.documents(spark, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(keep).as("n_kept"),
+           round(sum(keep).cast("double") / count(lit(1)), 6).as("keep_rate"))
+      .orderBy("lang", "source")
+  }
+
+  /** Benchmark decontamination: corpus documents sharing any word
+    * [[DecontamGramN]]-gram with the benchmark set (here: doc_id <
+    * `benchDocs`, the stand-in for a held-out eval set) are flagged
+    * with their shared-gram count and contamination ratio.
+    *
+    * Scale shape: benchmark sets are small by nature, so the DISTINCT
+    * benchmark gram hashes broadcast into a left-semi join — the
+    * corpus side never shuffles for the probe (only the tiny per-doc
+    * count aggregates afterwards), exactly how a 100 TB corpus is
+    * decontaminated against a fixed eval suite. Gram construction
+    * mirrors [[Dedup.shingleHashRows]] (tokens materialized once,
+    * positions explode, codegen'd concat + PolyHash, dedup on the
+    * 8-byte hash).
+    */
+  def decontaminate(spark: SparkSession, dir: String,
+                    benchDocs: Int = 20): DataFrame = {
+    graft.functions.PolyHash.register(spark)
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val toks = split(col("text"), " ")
+    def gramRows(df: DataFrame): DataFrame = df
+      .filter(size(toks) >= DecontamGramN)
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"), toks.as("toks"),
+        explode(sequence(lit(1), size(toks) - (DecontamGramN - 1))).as("i"))
+      .select(col("doc_id"),
+        call_function(graft.functions.PolyHash.Name,
+          concat(element_at(col("toks"), col("i")), lit(" "),
+                 element_at(col("toks"), col("i") + 1), lit(" "),
+                 element_at(col("toks"), col("i") + 2), lit(" "),
+                 element_at(col("toks"), col("i") + 3))).as("gh"))
+      .dropDuplicates("doc_id", "gh")
+    val docs = Tables.documents(spark, dir)
+    // corpus gram rows feed two consumers (sizes + the probe join)
+    val corpus = gramRows(docs.filter(col("doc_id") >= benchDocs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpus.count() // eager — see Dedup.nearDupMinhash
+    val bench = gramRows(docs.filter(col("doc_id") < benchDocs))
+      .select("gh").distinct()
+    val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = corpus.join(broadcast(bench), Seq("gh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    sizes.join(hits, Seq("doc_id"))
+      .withColumn("contamination",
+        round(col("n_shared").cast("double") / col("n_grams"), 6))
+      .select("doc_id", "n_grams", "n_shared", "contamination")
+      .orderBy("doc_id")
+  }
+}

@@ -189,6 +189,30 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Per-label centroid of the leading `nDims` embedding dimensions —
+    * the class-prototype computation behind IVF training / cluster
+    * audits. Float values quantize to exact integer micro-units
+    * (round(x * 1e6)) BEFORE summing, so the aggregate is
+    * order-independent and bit-identical across engines — the same
+    * exactness trick as the decimal-cast money sums, adapted to
+    * floats. One posexplode + one hash aggregate; at 100 TB the
+    * partial aggregation reduces each partition to labels x dims rows
+    * before the shuffle.
+    */
+  def labelCentroids(spark: SparkSession, dir: String, nDims: Int = 8): DataFrame = {
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Tables.embeddings(spark, dir)
+      .repartition(n, col("vec_id")) // parallelize the explode — see corpus()
+      .select(col("label").cast("bigint").as("label"), posexplode(col("embedding")))
+      .filter(col("pos") < nDims)
+      .select(col("label"), col("pos").cast("bigint").as("pos"),
+        round(col("col").cast("double") * 1e6).cast("bigint").as("micro"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("micro")).cast("double") / (count(lit(1)) * 1e6), 6).as("mean_val"))
+      .orderBy("label", "pos")
+  }
+
   /** Generator (UDTF-analog) surface: posexplode flattens each vector
     * to (vec_id, pos, val) rows — the lateral-view shape; kept to the
     * leading positions so the output is bounded.
