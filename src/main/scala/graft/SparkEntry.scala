@@ -110,6 +110,7 @@ object SparkEntry {
     "x_stratified_sample"  -> ((s, dir) => CorpusOps.stratifiedSample(s, dir)),
     "x_quality_filter"     -> ((s, dir) => CorpusOps.qualityFilter(s, dir)),
     "x_decontaminate"      -> ((s, dir) => CorpusOps.decontaminate(s, dir)),
+    "x_tfidf_top_terms"    -> ((s, dir) => CorpusOps.tfidfTopTerms(s, dir)),
     "x_centroids"          -> ((s, dir) => Similarity.labelCentroids(s, dir)),
     "x_dedup_exact"        -> ((s, dir) => Dedup.exactDedup(s, dir)),
     "x_dedup_minhash"      -> ((s, dir) => Dedup.nearDupMinhash(s, dir)),
@@ -585,6 +586,26 @@ object SparkEntry {
         |SELECT s.doc_id, s.n_grams, h.n_shared,
         |  round(h.n_shared::DOUBLE/s.n_grams, 6) AS contamination
         |FROM sizes s JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "x_tfidf_top_terms" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents
+        |), tf AS (
+        |  SELECT lang, tok, COUNT(*) AS tf FROM r GROUP BY lang, tok
+        |), dft AS (
+        |  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM r GROUP BY tok
+        |), nd AS (
+        |  SELECT COUNT(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT lang, tok, tf, df,
+        |    round(tf * ln((n_docs + 1.0)/(df + 1.0)), 6) AS score
+        |  FROM tf JOIN dft USING (tok), nd
+        |)
+        |SELECT lang, rk, tok, tf, df, score FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY score DESC, tok)::BIGINT AS rk
+        |  FROM scored
+        |) WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
 
     "x_centroids" ->
       """SELECT label::BIGINT AS label, (i-1)::BIGINT AS pos, COUNT(*) AS n_vecs,

@@ -66,6 +66,38 @@ object CorpusOps {
       .orderBy("lang", "source")
   }
 
+  /** Smoothed TF-IDF top-k terms per language label: tf counts every
+    * occurrence within the language, df counts distinct documents
+    * corpus-wide, idf = ln((N+1)/(df+1)). The corpus size attaches as
+    * a broadcast one-row cross join (never a driver-side collect), and
+    * the rounded score + token tie-break keep the per-language rank
+    * stable across engines. Scale shape: token rows shuffle once for
+    * tf, once (deduped) for df; the top-k is a bounded window per
+    * language.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val rows = Tables.documents(spark, dir)
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rows.count() // eager — feeds tf and df below
+    val tf = rows.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
+    val dft = rows.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dft, "tok").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+    val w = Window.partitionBy("lang").orderBy(col("score").desc, col("tok"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select("lang", "rk", "tok", "tf", "df", "score")
+      .orderBy("lang", "rk")
+  }
+
   /** Benchmark decontamination: corpus documents sharing any word
     * [[DecontamGramN]]-gram with the benchmark set (here: doc_id <
     * `benchDocs`, the stand-in for a held-out eval set) are flagged
@@ -97,12 +129,15 @@ object CorpusOps {
                  element_at(col("toks"), col("i") + 2), lit(" "),
                  element_at(col("toks"), col("i") + 3))).as("gh"))
       .dropDuplicates("doc_id", "gh")
-    val docs = Tables.documents(spark, dir)
-    // corpus gram rows feed two consumers (sizes + the probe join)
-    val corpus = gramRows(docs.filter(col("doc_id") >= benchDocs))
+    // ONE gram materialization over all documents, split afterwards —
+    // building the bench and corpus gram tables separately would run
+    // the explode+hash pipeline twice. The rows feed three consumers
+    // (bench grams, sizes, the probe join): persist once.
+    val rows = gramRows(Tables.documents(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    corpus.count() // eager — see Dedup.nearDupMinhash
-    val bench = gramRows(docs.filter(col("doc_id") < benchDocs))
+    rows.count() // eager — see Dedup.nearDupMinhash
+    val corpus = rows.filter(col("doc_id") >= benchDocs)
+    val bench = rows.filter(col("doc_id") < benchDocs)
       .select("gh").distinct()
     val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val hits = corpus.join(broadcast(bench), Seq("gh"), "left_semi")

@@ -25,17 +25,22 @@ object StreamJoins {
     */
   def clickViewAttribution(views: DataFrame, clicks: DataFrame,
                            maxDelay: String = "30 minutes",
-                           lateness: String = "1 hour"): DataFrame = {
+                           lateness: String = "1 hour",
+                           joinType: String = "inner"): DataFrame = {
     val v = views
       .select(col("user_id"), col("view_id"), col("view_ts"), col("view_value"))
       .withWatermark("view_ts", lateness).as("v")
     val c = clicks
       .select(col("user_id"), col("click_id"), col("click_ts"), col("click_value"))
       .withWatermark("click_ts", lateness).as("c")
+    // joinType "left_outer" emits unmatched clicks (view columns null)
+    // once the watermark proves no matching view can still arrive —
+    // outer results are inherently watermark-delayed in streaming.
     c.join(v,
         expr(s"""v.user_id = c.user_id AND
                 |click_ts >= view_ts AND
-                |click_ts <= view_ts + interval $maxDelay""".stripMargin))
+                |click_ts <= view_ts + interval $maxDelay""".stripMargin),
+        joinType)
       .select(col("c.user_id").as("user_id"),
         col("click_id"), col("click_ts"), col("click_value"),
         col("view_id"), col("view_ts"), col("view_value"))

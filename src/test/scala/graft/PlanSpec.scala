@@ -86,6 +86,19 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("decontamination probes via a broadcast semi-join — the corpus never shuffles for it") {
+    val plan = formatted(graft.operators.CorpusOps.decontaminate(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("stratified sample prunes the scan to the selected columns (no text read)") {
+    val plan = formatted(graft.operators.CorpusOps.stratifiedSample(spark, sfDir))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("text"),
+      s"sampling filter reads the document body it never needs: $readSchema")
+  }
+
   test("exact dedup shuffles 16-byte hashes, not document bodies") {
     val plan = formatted(Dedup.exactDedup(spark, sfDir))
     // the md5 grouping key must be computed map-side (partial agg below

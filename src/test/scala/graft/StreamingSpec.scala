@@ -332,6 +332,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched clicks after the watermark closes them") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamJoins
+    val msV = MemoryStream[(Long, String, Timestamp, Double)]
+    val msC = MemoryStream[(Long, String, Timestamp, Double)]
+    val vCols = Seq("user_id", "view_id", "view_ts", "view_value")
+    val cCols = Seq("user_id", "click_id", "click_ts", "click_value")
+    val joined = StreamJoins.clickViewAttribution(
+      msV.toDF().toDF(vCols: _*), msC.toDF().toDF(cCols: _*), joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    try {
+      val m = 60_000L
+      val t0 = 60 * m
+      msV.addData((1L, "v1", new Timestamp(t0), 1.0))
+      msC.addData(
+        (1L, "c1", new Timestamp(t0 + 10 * m), 10.0),  // matches v1
+        (2L, "c2", new Timestamp(t0 + 10 * m), 20.0))  // user never viewed
+      q.processAllAvailable()
+      // push the watermark far past c2's eligibility window so the
+      // engine can prove no matching view will arrive and emit the null row
+      msV.addData((9L, "vx", new Timestamp(10_000 * m), 0.0))
+      msC.addData((9L, "cx", new Timestamp(10_000 * m), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("attrib_outer")
+        .filter(col("user_id") < 9)
+        .select("click_id", "view_id").orderBy("click_id")
+        .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+      assert(streamed == Seq(("c1", Some("v1")), ("c2", None)),
+        s"got $streamed")
+    } finally q.stop()
+  }
+
   test("watermarked hourly window aggregates by event time") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String, Double)]
