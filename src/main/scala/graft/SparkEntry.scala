@@ -102,6 +102,7 @@ object SparkEntry {
     "x_asof_forward"       -> ((s, dir) => AsOfJoin.clickEnrichedWithNextView(s, dir)),
 
     "x_range_frame"        -> ((s, dir) => Analytics.slidingHourValue(s, dir)),
+    "x_latest_snapshot"    -> ((s, dir) => Analytics.latestSnapshot(s, dir)),
     "x_minmax_by"          -> ((s, dir) => Analytics.orderExtremesByStatus(s, dir)),
     "x_grouping_sets"      -> ((s, dir) => Analytics.lineStatusGroupingSets(s, dir)),
     "x_regex_extract"      -> ((s, dir) => Analytics.propsRegexAgg(s, dir)),
@@ -512,6 +513,14 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "x_latest_snapshot" ->
+      """SELECT event_id, user_id, event_type, ts_s, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts_s DESC, event_id DESC) AS rk
+        |  FROM (SELECT event_id, user_id, event_type,
+        |        epoch_us(ts)//1000000 AS ts_s, value FROM events)
+        |) WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin,
 
     "x_minmax_by" ->
       """WITH o AS (

@@ -406,6 +406,24 @@ object Analytics {
     * `session_window` computes; here it is batch and oracle-checkable
     * (identical island SQL in DuckDB).
     */
+  /** CDC-style latest-row snapshot: the newest event per
+    * (user_id, event_type), ties broken by event_id — the batch form
+    * of compacting a changelog to current state. Window rank-1 keeps
+    * the full row; at extreme group cardinality the same semantics can
+    * run as a single hash-agg via max_by with a composite key (see
+    * [[orderExtremesByStatus]]) instead of sorting each partition.
+    */
+  def latestSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_s").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_timestamp(col("ts")).as("ts_s"), col("value"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+      .orderBy("user_id", "event_type")
+  }
+
   /** Event-time RANGE-frame sliding aggregate: per user, the count and
     * exact-decimal sum of values in the trailing hour of EVENT TIME
     * (not row count — ties and uneven spacing are handled by the frame
