@@ -157,11 +157,14 @@ object Dedup {
     // pipeline does with this intermediate.
     val rows = shingleHashRows(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Eager materialization: the broadcast subqueries below run as
-    // separate Spark jobs, and concurrent jobs do NOT coordinate on a
-    // cold cache — each would rebuild the expensive subtree. One
-    // blocking pass fills the cache before anything else launches.
-    rows.count()
+    // No separate eager count for `rows`: the pairs.count() below is
+    // the FIRST action, runs as one sequential job, and fills the rows
+    // cache as a side effect of computing the band pipeline — every
+    // later consumer (sizes, both intersection sides) reads it warm.
+    // `pairs` itself still needs its eager count: its two consumers
+    // (the broadcast into the intersection join and candidateDocs'
+    // broadcast) are built as concurrent broadcast jobs, and
+    // concurrent jobs do NOT coordinate on a cold cache.
     // Candidate pairs per band bucket via ONE aggregation (a self-join
     // on (band, bh) would compute the signature pipeline twice and add
     // a shuffle). Buckets are tiny by design, so the in-bucket pair
@@ -185,7 +188,7 @@ object Dedup {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pairs.count() // eager fill — concurrent consumer jobs don't coordinate on a cold cache
+    pairs.count()
     val sizes = rows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // Candidates are a small fraction of the corpus: semi-filter the
     // shingle rows to candidate docs (broadcast of the candidate id
