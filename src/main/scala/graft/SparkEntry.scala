@@ -70,6 +70,7 @@ object SparkEntry {
     "x_join_semi"          -> ((s, dir) => Analytics.customersWithOrders(s, dir)),
     "x_join_anti"          -> ((s, dir) => Analytics.customersWithoutOrders(s, dir)),
     "x_topk_per_supplier"  -> ((s, dir) => Analytics.topkPerSupplier(s, dir)),
+    "x_topk_agg"           -> ((s, dir) => Analytics.topkPerSupplierAgg(s, dir)),
     "x_rollup"             -> ((s, dir) => Analytics.returnFlagRollup(s, dir)),
     "x_cube"               -> ((s, dir) => Analytics.orderStatusCube(s, dir)),
     "x_hourly_events"      -> ((s, dir) => Analytics.hourlyEventAgg(s, dir)),
@@ -264,6 +265,16 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
 
     "x_topk_per_supplier" ->
+      """SELECT * FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+        |  FROM lineitem
+        |) WHERE rk <= 3 ORDER BY l_suppkey, rk""".stripMargin,
+
+    // same oracle as x_topk_per_supplier — two physical strategies,
+    // one logical result, both verified and benched
+    "x_topk_agg" ->
       """SELECT * FROM (
         |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
         |    ROW_NUMBER() OVER (PARTITION BY l_suppkey

@@ -406,6 +406,32 @@ object Analytics {
     * `session_window` computes; here it is batch and oracle-checkable
     * (identical island SQL in DuckDB).
     */
+  /** Top-k per supplier via the typed bounded [[graft.functions.TopKAggregator]]
+    * instead of the window rank: a single-pass hash aggregate holding
+    * O(k) candidates per group with map-side partial merge, where the
+    * window form sorts every row of each key. Same rows as
+    * `topkPerSupplier` (same DuckDB oracle) — wired as its own bench
+    * query so the two strategies are measured side by side.
+    */
+  def topkPerSupplierAgg(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TopKAggregator
+    val agg = TopKAggregator.topKByPrice(k).toColumn
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("suppkey"), col("l_orderkey").as("orderkey"),
+              col("l_linenumber").as("linenumber"), col("l_extendedprice").as("price"))
+      .as[TopKAggregator.Item]
+      .groupByKey(_.suppkey)
+      .agg(agg.name("topk"))
+      .flatMap { case (supp, items) =>
+        items.zipWithIndex.map { case (it, i) =>
+          (supp, it.orderkey, it.linenumber, it.price, (i + 1).toLong)
+        }
+      }
+      .toDF("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rk")
+      .orderBy("l_suppkey", "rk")
+  }
+
   /** CDC-style latest-row snapshot: the newest event per
     * (user_id, event_type), ties broken by event_id — the batch form
     * of compacting a changelog to current state. Window rank-1 keeps
