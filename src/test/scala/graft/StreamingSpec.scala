@@ -152,6 +152,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming content dedup drops same-fingerprint docs across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // LLM-pipeline crossover: dedup a document stream on a CONTENT
+    // fingerprint (the batch docFingerprint/simhash column), not the id —
+    // re-crawled duplicates carry fresh ids but identical text
+    val ms = MemoryStream[(String, String)]
+    val fp = graft.functions.TextFunctions.polyHash(col("text"))
+    val q = ms.toDF().toDF("doc_id", "text")
+      .withColumn("fp", fp)
+      .dropDuplicates("fp")
+      .writeStream.format("memory").queryName("content_dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData(("d1", "alpha beta"), ("d2", "gamma"), ("d3", "alpha beta"))
+      q.processAllAvailable()
+      ms.addData(("d4", "gamma"), ("d5", "delta"))  // d4 dups d2 across batches
+      q.processAllAvailable()
+      val kept = spark.table("content_dedup").select("doc_id").as[String].collect().sorted
+      assert(kept.toSeq == Seq("d1", "d2", "d5"), s"got ${kept.toSeq}")
+    } finally q.stop()
+  }
+
+  test("parquet file sink delivers each row exactly once under checkpointing") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "fsink-").toString
+    val ms = MemoryStream[Tick]
+    val q = ms.toDS().writeStream.format("parquet")
+      .option("path", s"$base/data")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      ms.addData(ticks(3))
+      q.processAllAvailable()
+      ms.addData(ticks(5).drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val readBack = spark.read.parquet(s"$base/data")
+      .select("id").as[String].collect().sorted
+    assert(readBack.toSeq == (1 to 5).map(i => f"e$i%03d"),
+      s"file sink must contain each tick exactly once, got ${readBack.toSeq}")
+  }
+
   test("SMA state survives a query restart from checkpoint") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ckpt = java.nio.file.Files
