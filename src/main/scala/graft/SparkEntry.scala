@@ -104,6 +104,8 @@ object SparkEntry {
 
     "x_range_frame"        -> ((s, dir) => Analytics.slidingHourValue(s, dir)),
     "x_latest_snapshot"    -> ((s, dir) => Analytics.latestSnapshot(s, dir)),
+    "x_unpivot"            -> ((s, dir) => Analytics.returnFlagUnpivot(s, dir)),
+    "x_share_of_total"     -> ((s, dir) => Analytics.orderShareOfCustomer(s, dir)),
     "x_minmax_by"          -> ((s, dir) => Analytics.orderExtremesByStatus(s, dir)),
     "x_grouping_sets"      -> ((s, dir) => Analytics.lineStatusGroupingSets(s, dir)),
     "x_regex_extract"      -> ((s, dir) => Analytics.propsRegexAgg(s, dir)),
@@ -524,6 +526,31 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "x_unpivot" ->
+      """WITH base AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_rows
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM base
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price', sum_price FROM base
+        |  UNION ALL
+        |  SELECT l_returnflag, 'n_rows', n_rows FROM base
+        |) ORDER BY l_returnflag, metric""".stripMargin,
+
+    "x_share_of_total" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS cust_total,
+        |  round(CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE) /
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE), 6) AS share
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "x_latest_snapshot" ->
       """SELECT event_id, user_id, event_type, ts_s, value FROM (

@@ -432,6 +432,40 @@ object Analytics {
       .orderBy("l_suppkey", "rk")
   }
 
+  /** Unpivot (melt): the wide per-flag aggregate row turns into one
+    * (flag, metric, value) row per measure — the inverse of pivot,
+    * used to normalize wide exports back to long form. Spark's
+    * `unpivot` expands map-side (an Expand, no shuffle beyond the
+    * aggregate's own); the oracle mirrors with a literal UNION ALL.
+    */
+  def returnFlagUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+           dsum(col("l_extendedprice")).as("sum_price"),
+           count(lit(1)).cast("double").as("n_rows"))
+      .unpivot(Array(col("l_returnflag")),
+               Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+               "metric", "value")
+      .orderBy("l_returnflag", "metric")
+
+  /** Ratio-to-report window: each order's share of its customer's
+    * total spend — an aggregate window (no frame) layered on the same
+    * partitioning as the cumulative variant, ONE shuffle. Exact
+    * decimal totals keep the denominator engine-identical; the ratio
+    * rounds at 6.
+    */
+  def orderShareOfCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("cust_total",
+        sum(col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double"))
+      .withColumn("share",
+        round(col("o_totalprice").cast("decimal(18,6)").cast("double") / col("cust_total"), 6))
+      .orderBy("o_orderkey")
+  }
+
   /** CDC-style latest-row snapshot: the newest event per
     * (user_id, event_type), ties broken by event_id — the batch form
     * of compacting a changelog to current state. Window rank-1 keeps
