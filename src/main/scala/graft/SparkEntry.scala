@@ -127,6 +127,8 @@ object SparkEntry {
     "x_knn_lsh"            -> ((s, dir) => Similarity.knnLsh(s, dir)),
     "x_knn_ivf"            -> ((s, dir) => Similarity.knnIvf(s, dir)),
     "x_emb_neardup"        -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
+    "x_simhash_clusters"   -> ((s, dir) => Dedup.simhashClusters(s, dir)),
+    "x_knn_recall"         -> ((s, dir) => Similarity.knnLshRecall(s, dir)),
     "x_multimodal_meta"    -> ((s, dir) => Multimodal.mediaMeta(s, dir))
   )
 
@@ -716,6 +718,69 @@ object SparkEntry {
         |  CASE WHEN list_sum(list_transform(hashes, h -> ((h >> j) & 1)*2 - 1)) > 0
         |       THEN (1::BIGINT)<<j ELSE 0 END))::BIGINT AS simhash
         |FROM hs ORDER BY doc_id""".stripMargin,
+
+    "x_simhash_clusters" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text)-7,1)+1),
+        |    i -> substr(text,i,8))) AS shingles
+        |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id, list_transform(shingles, s ->
+        |    list_reduce(list_transform(range(1,len(s)+1), i -> ascii(substr(s,i,1))::BIGINT),
+        |      (acc,c) -> (acc*31+c)%1000000007)) AS hashes
+        |  FROM sh
+        |), sims AS (
+        |  SELECT doc_id, list_sum(list_transform(range(0,32), j ->
+        |    CASE WHEN list_sum(list_transform(hashes, h -> ((h >> j) & 1)*2 - 1)) > 0
+        |         THEN (1::BIGINT)<<j ELSE 0 END))::BIGINT AS simhash
+        |  FROM hs
+        |)
+        |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
+        |       MAX(doc_id) AS last_doc
+        |FROM sims GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash""".stripMargin,
+
+    "x_knn_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE), (a,b)->a+b)) AS nrm,
+        |    list_sum(list_transform(range(0,8), j ->
+        |      CASE WHEN list_reduce(list_transform(range(0,64), i ->
+        |        embedding[i+1]::DOUBLE * (((j*64+i)*1103515245 + 12345) % 65536 - 32768)::DOUBLE),
+        |        (a,b)->a+b) > 0
+        |      THEN (1::BIGINT)<<j ELSE 0 END))::BIGINT AS bucket
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+        |  FROM e WHERE vec_id < 10
+        |), scored_b AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(range(1,65),
+        |      i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*q.q_nrm), 6) AS cos
+        |  FROM e, q WHERE e.vec_id <> q.query_id
+        |), top_b AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        |    FROM scored_b
+        |  ) WHERE rk <= 5
+        |), scored_l AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(range(1,65),
+        |      i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*q.q_nrm), 6) AS cos
+        |  FROM e JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.query_id
+        |), top_l AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        |    FROM scored_l
+        |  ) WHERE rk <= 5
+        |), hits AS (
+        |  SELECT b.query_id, COUNT(*) AS n_hits
+        |  FROM top_b b JOIN top_l l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+        |  GROUP BY b.query_id
+        |)
+        |SELECT qq.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |  round(COALESCE(h.n_hits, 0)::DOUBLE/5, 6) AS recall
+        |FROM (SELECT DISTINCT query_id FROM top_b) qq LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id""".stripMargin,
 
     "x_doc_fingerprint" ->
       """SELECT doc_id,

@@ -223,6 +223,22 @@ object Dedup {
       .select(col("doc_id"), TextFunctions.simhash32(col("hashes")).as("simhash"))
       .orderBy("doc_id")
 
+  /** SimHash collision clusters: fingerprints shared by more than one
+    * document, with the cluster span — the grouping consumer of
+    * [[simhashDocs]] (a 100 TB dedup pass groups by fingerprint and
+    * keeps one survivor per cluster; this surfaces the clusters).
+    * GroupBy on an 8-byte hash — the same cheap-shuffle property as
+    * [[exactDedup]].
+    */
+  def simhashClusters(spark: SparkSession, dir: String): DataFrame =
+    simhashDocs(spark, dir)
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("simhash")
+
   /** Per-document polynomial rolling-hash fingerprint of the full text
     * (content identity cheaper to store/shuffle than the text). Uses
     * the codegen'd native expression [[graft.functions.PolyHash]] —

@@ -189,6 +189,30 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** ANN quality audit: per-query recall of the sign-LSH path against
+    * the brute-force ground truth (|lsh top-k ∩ exact top-k| / k).
+    * This is the measurement that justifies — or vetoes — shipping the
+    * approximate path at scale; both inputs share the persisted corpus
+    * so the expensive projection computes once.
+    */
+  def knnLshRecall(spark: SparkSession, dir: String,
+                   k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val brute = knnBruteForce(spark, dir, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val lsh = knnLsh(spark, dir, k, nQueries)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    val hits = brute
+      .join(lsh, col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+        "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    brute.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Per-label centroid of the leading `nDims` embedding dimensions —
     * the class-prototype computation behind IVF training / cluster
     * audits. Float values quantize to exact integer micro-units
