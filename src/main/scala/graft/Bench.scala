@@ -30,7 +30,17 @@ object Bench {
       val times = (1 to nRuns).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        // noop sink, NOT count(): count() lets Catalyst prune every
+        // unused projection, so a narrow query's expensive columns
+        // (simhash votes, text stats) were never computed — r2's
+        // x_dedup_simhash "0.3 s" was really ~12 s of work. The noop
+        // data source forces full evaluation of every output column
+        // with zero write cost — the honest per-query number, and the
+        // same work Verify's parquet dump pays.
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           -1.0
