@@ -115,6 +115,7 @@ object SparkEntry {
     "x_quality_filter"     -> ((s, dir) => CorpusOps.qualityFilter(s, dir)),
     "x_decontaminate"      -> ((s, dir) => CorpusOps.decontaminate(s, dir)),
     "x_tfidf_top_terms"    -> ((s, dir) => CorpusOps.tfidfTopTerms(s, dir)),
+    "x_curation_pipeline"  -> ((s, dir) => CorpusOps.curationPipeline(s, dir)),
     "x_centroids"          -> ((s, dir) => Similarity.labelCentroids(s, dir)),
     "x_dedup_exact"        -> ((s, dir) => Dedup.exactDedup(s, dir)),
     "x_dedup_minhash"      -> ((s, dir) => Dedup.nearDupMinhash(s, dir)),
@@ -655,6 +656,22 @@ object SparkEntry {
         |    ORDER BY score DESC, tok)::BIGINT AS rk
         |  FROM scored
         |) WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+
+    "x_curation_pipeline" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, source, text, string_split(text,' ') AS toks FROM documents
+        |), kept AS (
+        |  SELECT doc_id, lang, source, text FROM tk
+        |  WHERE len(toks) BETWEEN 20 AND 1000
+        |    AND (len(text) - (len(toks)-1))::DOUBLE/len(toks) BETWEEN 2.0 AND 12.0
+        |    AND len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t)))::DOUBLE/len(toks) >= 0.03
+        |    AND len(list_distinct(toks))::DOUBLE/len(toks) >= 0.2
+        |), deduped AS (
+        |  SELECT lang, source, MIN(doc_id) AS keep_id
+        |  FROM kept GROUP BY lang, source, md5(text)
+        |)
+        |SELECT lang, source, COUNT(*) AS n_unique_docs, MIN(keep_id) AS first_keep
+        |FROM deduped GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "x_centroids" ->
       """SELECT label::BIGINT AS label, (i-1)::BIGINT AS pos, COUNT(*) AS n_vecs,

@@ -66,6 +66,32 @@ object CorpusOps {
       .orderBy("lang", "source")
   }
 
+  /** End-to-end curation pass — the composed pipeline a training-data
+    * run executes: quality gate (the [[qualityFilter]] rules, applied
+    * row-wise) → exact dedup (content-hash, smallest doc_id survives,
+    * as [[Dedup.exactDedup]]) → per-(lang, source) yield rollup. One
+    * narrow filter + one 16-byte-key dedup shuffle + one tiny agg; at
+    * 100 TB every stage streams — nothing is collected or widened.
+    */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isInCollection(TextAnalysis.Stopwords)))
+    val meanLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val keep = nTok.between(20, 1000) &&
+      meanLen >= 2.0 && meanLen <= 12.0 &&
+      nStop.cast("double") / nTok >= 0.03 &&
+      ttr >= 0.2
+    Tables.documents(spark, dir)
+      .filter(keep)
+      .groupBy(col("lang"), col("source"), md5(encode(col("text"), "UTF-8")).as("ch"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_unique_docs"), min(col("keep_id")).as("first_keep"))
+      .orderBy("lang", "source")
+  }
+
   /** Smoothed TF-IDF top-k terms per language label: tf counts every
     * occurrence within the language, df counts distinct documents
     * corpus-wide, idf = ln((N+1)/(df+1)). The corpus size attaches as

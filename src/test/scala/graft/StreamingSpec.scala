@@ -195,6 +195,31 @@ class StreamingSpec extends SparkSuite {
       s"file sink must contain each tick exactly once, got ${readBack.toSeq}")
   }
 
+  test("file source honors maxFilesPerTrigger (per-source rate limiting, S5 cadence)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "rate-").toString
+    // three single-row files = three scheduling units for the throttle
+    (1 to 3).foreach { i =>
+      Seq((f"e$i%03d", "A", i * 1.0)).toDF("id", "symbol", "price")
+        .coalesce(1).write.parquet(s"$base/in/f$i")
+    }
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val stream = spark.readStream
+      .schema("id STRING, symbol STRING, price DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in/*")
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches.synchronized { batches += b.count().toInt }; ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.sum == 3, s"all rows delivered, got $batches")
+    assert(batches.count(_ > 0) >= 3,
+      s"throttle must spread 3 files over >= 3 micro-batches, got $batches")
+  }
+
   test("SMA state survives a query restart from checkpoint") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ckpt = java.nio.file.Files
