@@ -24,8 +24,10 @@ names = sorted(d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d))
 fails = 0
 # a query that crashed in Verify writes no output dir — surface it
 # instead of silently shrinking the denominator
-for missing in sorted(set(oracle) - set(names)):
-    print(f"FAIL {missing}: no spark output dir (Verify crashed?)"); fails += 1
+missing = sorted(set(oracle) - set(names))
+for m in missing:
+    print(f"FAIL {m}: no spark output dir (Verify crashed?)"); fails += 1
+total = len(names) + len(missing)
 for name in names:
     files = glob.glob(f"{out}/{name}/*.parquet")
     if not files:
@@ -52,5 +54,5 @@ for name in names:
         print(f"OK   {name}: {len(got)} rows")
     except AssertionError as ae:
         print(f"FAIL {name}: value mismatch\n{str(ae)[:500]}"); fails += 1
-print(f"\n{len(names)-fails}/{len(names)} pass")
+print(f"\n{total-fails}/{total} pass")
 sys.exit(1 if fails else 0)

@@ -27,24 +27,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val times = (1 to nRuns).map { _ =>
+      // noop sink, NOT count(): count() lets Catalyst prune every
+      // unused projection, so a narrow query's expensive columns
+      // (simhash votes, text stats) were never computed — r2's
+      // x_dedup_simhash "0.3 s" was really ~12 s of work. The noop
+      // data source forces full evaluation of every output column
+      // with zero write cost — the honest per-query number, and the
+      // same work Verify's parquet dump pays.
+      //
+      // The run loop stops at the first failure (kept in `times` so it
+      // still poisons the result): one failure already costs -1/+1h,
+      // and a slow failure (broadcast timeout, OOM) must not be paid
+      // nRuns times.
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var i = 0
+      while (i < nRuns && !times.lastOption.exists(_ < 0)) {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        // noop sink, NOT count(): count() lets Catalyst prune every
-        // unused projection, so a narrow query's expensive columns
-        // (simhash votes, text stats) were never computed — r2's
-        // x_dedup_simhash "0.3 s" was really ~12 s of work. The noop
-        // data source forces full evaluation of every output column
-        // with zero write cost — the honest per-query number, and the
-        // same work Verify's parquet dump pays.
-        try {
+        times += (try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9
-        }
-        catch { case e: Throwable =>
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           -1.0
-        }
+        })
+        i += 1
       }
       val ok = times.forall(_ >= 0)
       val median = if (ok) times.sorted.apply(times.size / 2) else -1.0

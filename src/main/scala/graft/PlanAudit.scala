@@ -24,7 +24,9 @@ object PlanAudit {
         val sorts = plan.linesIterator.count(l => l.trim.matches("\\(\\d+\\) Sort(| \\[codegen.*)"))
         println(f"$name%-24s hash=$hash range=$range sort=$sorts bnl=$bnl cart=$cart")
         spark.catalog.clearCache()
-      } catch { case e: Throwable => println(s"$name AUDIT-FAIL ${e.getMessage.take(80)}") }
+      } catch { case e: Throwable =>
+        println(s"$name AUDIT-FAIL ${String.valueOf(e.getMessage).take(80)}")
+      }
     }
     spark.stop()
   }

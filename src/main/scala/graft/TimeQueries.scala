@@ -15,9 +15,13 @@ object TimeQueries {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (name <- args) {
       spark.catalog.clearCache()
+      val df = SparkEntry.queries(name)(spark, dir)
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, dir).count()
-      println(f"$name: ${(System.nanoTime()-t0)/1e9}%.2f s, $n rows")
+      // noop sink, same as Bench: count() would let Catalyst prune the
+      // very projections being tuned
+      df.write.mode("overwrite").format("noop").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"$name: $secs%.2f s, ${df.count()} rows")
     }
     spark.stop()
   }

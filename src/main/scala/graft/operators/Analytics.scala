@@ -398,14 +398,6 @@ object Analytics {
         concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"))
       .orderBy("c_custkey")
 
-  /** Sessionization via gaps-and-islands: a new session starts when
-    * the same user's inter-event gap exceeds `gapSeconds`; the session
-    * index is a running sum of the new-session flags. Two stacked
-    * windows + one aggregation, all on the same user_id partitioning —
-    * ONE shuffle total. This explicit form is also what streaming
-    * `session_window` computes; here it is batch and oracle-checkable
-    * (identical island SQL in DuckDB).
-    */
   /** Top-k per supplier via the typed bounded [[graft.functions.TopKAggregator]]
     * instead of the window rank: a single-pass hash aggregate holding
     * O(k) candidates per group with map-side partial merge, where the
@@ -556,6 +548,14 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Sessionization via gaps-and-islands: a new session starts when
+    * the same user's inter-event gap exceeds `gapSeconds`; the session
+    * index is a running sum of the new-session flags. Two stacked
+    * windows + one aggregation, all on the same user_id partitioning —
+    * ONE shuffle total. This explicit form is also what streaming
+    * `session_window` computes; here it is batch and oracle-checkable
+    * (identical island SQL in DuckDB).
+    */
   def sessionize(spark: SparkSession, dir: String, gapSeconds: Long = 1800): DataFrame =
     sessionizeEvents(
       Tables.events(spark, dir)

@@ -41,23 +41,32 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
-  /** Gopher-style rule filter rollup: per (lang, source) stratum, how
-    * many documents survive the length / mean-word-length / stopword /
-    * type-token-ratio rules. One narrow projection + one tiny
-    * aggregate — the shape of a 100 TB quality-gate pass (the kept
-    * set itself is the same filter applied row-wise).
+  /** The Gopher-style quality gate over a `text` column: token-count
+    * bounds, mean word length (single-space-joined corpus: chars minus
+    * separators over tokens), stopword ratio, type-token ratio. ONE
+    * definition shared by [[qualityFilter]] and [[curationPipeline]] —
+    * the thresholds are mirrored in both oracles, so a tweak here must
+    * change both SQL strings too.
     */
-  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+  def qualityKeep: org.apache.spark.sql.Column = {
     val toks = split(col("text"), " ")
     val nTok = size(toks)
     val nStop = size(filter(toks, t => t.isInCollection(TextAnalysis.Stopwords)))
-    // single-space-joined corpus: chars minus separators over tokens
     val meanLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok
     val ttr = size(array_distinct(toks)).cast("double") / nTok
-    val keep = (nTok.between(20, 1000) &&
+    nTok.between(20, 1000) &&
       meanLen >= 2.0 && meanLen <= 12.0 &&
       nStop.cast("double") / nTok >= 0.03 &&
-      ttr >= 0.2).cast("bigint")
+      ttr >= 0.2
+  }
+
+  /** Gopher-style rule filter rollup: per (lang, source) stratum, how
+    * many documents survive [[qualityKeep]]. One narrow projection +
+    * one tiny aggregate — the shape of a 100 TB quality-gate pass (the
+    * kept set itself is the same filter applied row-wise).
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val keep = qualityKeep.cast("bigint")
     Tables.documents(spark, dir)
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
@@ -67,30 +76,20 @@ object CorpusOps {
   }
 
   /** End-to-end curation pass — the composed pipeline a training-data
-    * run executes: quality gate (the [[qualityFilter]] rules, applied
-    * row-wise) → exact dedup (content-hash, smallest doc_id survives,
-    * as [[Dedup.exactDedup]]) → per-(lang, source) yield rollup. One
+    * run executes: quality gate ([[qualityKeep]], applied row-wise) →
+    * exact dedup (content-hash, smallest doc_id survives, as
+    * [[Dedup.exactDedup]]) → per-(lang, source) yield rollup. One
     * narrow filter + one 16-byte-key dedup shuffle + one tiny agg; at
     * 100 TB every stage streams — nothing is collected or widened.
     */
-  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val nTok = size(toks)
-    val nStop = size(filter(toks, t => t.isInCollection(TextAnalysis.Stopwords)))
-    val meanLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok
-    val ttr = size(array_distinct(toks)).cast("double") / nTok
-    val keep = nTok.between(20, 1000) &&
-      meanLen >= 2.0 && meanLen <= 12.0 &&
-      nStop.cast("double") / nTok >= 0.03 &&
-      ttr >= 0.2
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .filter(keep)
+      .filter(qualityKeep)
       .groupBy(col("lang"), col("source"), md5(encode(col("text"), "UTF-8")).as("ch"))
       .agg(min(col("doc_id")).as("keep_id"))
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_unique_docs"), min(col("keep_id")).as("first_keep"))
       .orderBy("lang", "source")
-  }
 
   /** Smoothed TF-IDF top-k terms per language label: tf counts every
     * occurrence within the language, df counts distinct documents

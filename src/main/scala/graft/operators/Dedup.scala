@@ -31,10 +31,13 @@ object Dedup {
   val GramDFCap    = 64 // n-gram Jaccard: drop grams seen in > this many docs of a block
 
   /** (doc_id, shingles, hashes): distinct character 8-gram shingles of
-    * each document plus their polynomial hashes — the SimHash input
-    * (character grams suit bitwise fingerprints; the MinHash path uses
-    * word shingles via [[shingleHashRows]]). Narrow, no shuffle; array
-    * form is fine here because SimHash folds each document once.
+    * each document plus their polynomial hashes — the HOF REFERENCE
+    * formulation of the SimHash input (character grams suit bitwise
+    * fingerprints; the MinHash path uses word shingles via
+    * [[shingleHashRows]]). The production path is
+    * [[simhashShingleRows]]/[[simhashDocs]] (exploded + codegen;
+    * interpreted HOF lambdas cost ~12 s at sf0.1); this form stays as
+    * the executable spec — TextFunctionsSpec pins the two equal.
     */
   def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(

@@ -9,6 +9,19 @@ import graft.functions.TextFunctions.P
 class TextFunctionsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("production exploded-codegen simhash equals the HOF reference formulation") {
+    // The HOF path (docShingles -> simhash32) is the executable
+    // REFERENCE implementation; the shipped Dedup.simhashDocs is the
+    // codegen'd rewrite. This pins them equal so neither can drift.
+    val production = graft.operators.Dedup.simhashDocs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val reference = graft.operators.Dedup.docShingles(spark, sfDir)
+      .select(col("doc_id"), TextFunctions.simhash32(col("hashes")).as("simhash"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(production.nonEmpty && production == reference)
+  }
+
   private def scalaPolyHash(s: String): Long =
     s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % P)
 

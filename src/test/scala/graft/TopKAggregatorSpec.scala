@@ -10,20 +10,10 @@ class TopKAggregatorSpec extends SparkSuite {
   import spark.implicits._
 
   test("bounded top-k aggregator equals the window-rank formulation") {
-    val agg = TopKAggregator.topKByPrice(3).toColumn
-    val fromAggregator = Tables.lineitem(spark, sfDir)
-      .select(col("l_suppkey").as("suppkey"), col("l_orderkey").as("orderkey"),
-              col("l_linenumber").as("linenumber"), col("l_extendedprice").as("price"))
-      .as[Item]
-      .groupByKey(_.suppkey)
-      .agg(agg.name("topk"))
-      .flatMap { case (supp, items) =>
-        items.zipWithIndex.map { case (it, i) =>
-          (supp, it.orderkey, it.linenumber, it.price, (i + 1).toLong)
-        }
-      }
-      .toDF("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rk")
-      .orderBy("l_suppkey", "rk")
+    // exercises the SHIPPED pipeline (the x_topk_agg query), not a
+    // private re-implementation that could drift from it
+    val fromAggregator = Analytics.topkPerSupplierAgg(spark, sfDir, k = 3)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rk")
       .collect()
 
     val fromWindow = Analytics.topkPerSupplier(spark, sfDir, k = 3)
