@@ -129,6 +129,7 @@ object SparkEntry {
     "x_knn_ivf"            -> ((s, dir) => Similarity.knnIvf(s, dir)),
     "x_emb_neardup"        -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
     "x_simhash_clusters"   -> ((s, dir) => Dedup.simhashClusters(s, dir)),
+    "x_fuzzy_dedup"        -> ((s, dir) => Dedup.fuzzyNameDedup(s, dir)),
     "x_knn_recall"         -> ((s, dir) => Similarity.knnLshRecall(s, dir)),
     "x_multimodal_meta"    -> ((s, dir) => Multimodal.mediaMeta(s, dir))
   )
@@ -755,6 +756,15 @@ object SparkEntry {
         |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
         |       MAX(doc_id) AS last_doc
         |FROM sims GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash""".stripMargin,
+
+    "x_fuzzy_dedup" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, substr(c_name, 10, 7) AS blk FROM customer
+        |)
+        |SELECT a.blk, COUNT(*) AS n_fuzzy_pairs, MIN(a.c_custkey) AS first_custkey
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        | AND levenshtein(a.c_name, b.c_name) <= 1
+        |GROUP BY a.blk ORDER BY a.blk""".stripMargin,
 
     "x_knn_recall" ->
       """WITH e AS (

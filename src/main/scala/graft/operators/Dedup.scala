@@ -279,6 +279,31 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy("simhash")
 
+  /** Blocked edit-distance (fuzzy) near-dup: record pairs within a
+    * block whose names are <= `maxDist` edits apart, rolled up per
+    * block — the entity-resolution member of the dedup family (exact
+    * hash / MinHash / SimHash / n-gram Jaccard cover content identity;
+    * this covers typo-level identity). The block key turns the O(n²)
+    * all-pairs Levenshtein into a per-block problem, same as every
+    * other pairing step here: an EQUI-join on a derived key, never a
+    * cross product. Block choice trades recall for cost exactly like
+    * LSH bands; pairs spanning blocks are by design not compared.
+    */
+  def fuzzyNameDedup(spark: SparkSession, dir: String,
+                     maxDist: Int = 1): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"),
+              substring(col("c_name"), 10, 7).as("blk"))
+    c.as("a").join(c.as("b"),
+        col("a.blk") === col("b.blk") &&
+        col("a.c_custkey") < col("b.c_custkey") &&
+        levenshtein(col("a.c_name"), col("b.c_name")) <= maxDist)
+      .groupBy(col("a.blk").as("blk"))
+      .agg(count(lit(1)).as("n_fuzzy_pairs"),
+           min(col("a.c_custkey")).as("first_custkey"))
+      .orderBy("blk")
+  }
+
   /** Per-document polynomial rolling-hash fingerprint of the full text
     * (content identity cheaper to store/shuffle than the text). Uses
     * the codegen'd native expression [[graft.functions.PolyHash]] —

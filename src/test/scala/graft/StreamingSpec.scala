@@ -152,6 +152,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups in-window and evicts state after it") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Timestamp)]
+    val m = 60_000L
+    val stream = ms.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = stream.writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append").start()
+    try {
+      val t0 = 60 * m
+      ms.addData(("e1", new Timestamp(t0)), ("e1", new Timestamp(t0 + m)))
+      q.processAllAvailable()
+      // advance the watermark far past e1's window -> its state evicts
+      ms.addData(("adv", new Timestamp(t0 + 100 * m)))
+      q.processAllAvailable()
+      // a re-arrival AFTER eviction is a new occurrence by design —
+      // that re-admission is exactly what bounds the state
+      ms.addData(("e1", new Timestamp(t0 + 200 * m)))
+      q.processAllAvailable()
+      val counts = spark.table("wm_dedup").groupBy("id").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(counts("e1") == 2, s"in-window dup dropped, post-eviction re-admitted: $counts")
+      assert(counts("adv") == 1)
+    } finally q.stop()
+  }
+
   test("streaming content dedup drops same-fingerprint docs across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // LLM-pipeline crossover: dedup a document stream on a CONTENT
