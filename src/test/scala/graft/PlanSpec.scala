@@ -99,6 +99,18 @@ class PlanSpec extends SparkSuite {
       s"sampling filter reads the document body it never needs: $readSchema")
   }
 
+  test("AQE coalesces the small shuffle at runtime (adaptive re-plan active)") {
+    // run an aggregation whose 4 configured shuffle partitions are
+    // overkill for 5 groups — after execution, the adaptive plan must
+    // show an AQEShuffleRead (coalesced) over the exchange, proving
+    // runtime re-planning is ON for every query in this suite
+    val df = Analytics.orderPriorityCount(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("AdaptiveSparkPlan isFinalPlan=true"), plan.take(2000))
+    assert(plan.contains("AQEShuffleRead"), s"no runtime shuffle coalesce:\n${plan.take(2000)}")
+  }
+
   test("exact dedup shuffles 16-byte hashes, not document bodies") {
     val plan = formatted(Dedup.exactDedup(spark, sfDir))
     // the md5 grouping key must be computed map-side (partial agg below
