@@ -109,6 +109,8 @@ object SparkEntry {
     "x_minmax_by"          -> ((s, dir) => Analytics.orderExtremesByStatus(s, dir)),
     "x_grouping_sets"      -> ((s, dir) => Analytics.lineStatusGroupingSets(s, dir)),
     "x_regex_extract"      -> ((s, dir) => Analytics.propsRegexAgg(s, dir)),
+    "x_date_arith"         -> ((s, dir) => Analytics.shipLatencyByPriority(s, dir)),
+    "x_bool_agg"           -> ((s, dir) => Analytics.eventBoolAgg(s, dir)),
 
     // ---- LLM-data-pipeline surface (dedup / similarity / text / multimodal) ----
     "x_stratified_sample"  -> ((s, dir) => CorpusOps.stratifiedSample(s, dir)),
@@ -589,6 +591,22 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  COUNT(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS n_matched,
         |  SUM(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))::BIGINT AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "x_date_arith" ->
+      """SELECT o_orderpriority,
+        |  SUM(date_diff('day', o_orderdate, l_shipdate))::DOUBLE / COUNT(*) AS avg_days,
+        |  MIN(date_diff('day', o_orderdate, l_shipdate))::BIGINT AS min_days,
+        |  MAX(date_diff('day', o_orderdate, l_shipdate))::BIGINT AS max_days,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "x_bool_agg" ->
+      """SELECT event_type,
+        |  bool_or(value > 495.0) AS any_extreme,
+        |  bool_and(value >= 0.0) AS all_nonneg,
+        |  COUNT(*) FILTER (WHERE value > 250.0) AS n_high
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "x_stratified_sample" ->

@@ -398,6 +398,37 @@ object Analytics {
         concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"))
       .orderBy("c_custkey")
 
+  /** Date interval arithmetic: order-to-ship latency in days per
+    * priority class (datediff over the big-big join, integer-exact
+    * averages). The date functions run post-join in the codegen'd
+    * projection; the join itself is the same sort-merge shape as
+    * [[orderPriorityCount]].
+    */
+  def shipLatencyByPriority(spark: SparkSession, dir: String): DataFrame = {
+    val dd = datediff(col("l_shipdate"), col("o_orderdate"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        (sum(dd.cast("bigint")).cast("double") / count(lit(1))).as("avg_days"),
+        min(dd).cast("bigint").as("min_days"),
+        max(dd).cast("bigint").as("max_days"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Boolean aggregate surface: bool_or / bool_and / count_if per
+    * group — one hash-agg pass, no self-join (the set-membership
+    * questions that otherwise tempt an EXISTS per predicate).
+    */
+  def eventBoolAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(expr("bool_or(value > 495.0)").as("any_extreme"),
+           expr("bool_and(value >= 0.0)").as("all_nonneg"),
+           expr("count_if(value > 250.0)").as("n_high"))
+      .orderBy("event_type")
+
   /** Top-k per supplier via the typed bounded [[graft.functions.TopKAggregator]]
     * instead of the window rank: a single-pass hash aggregate holding
     * O(k) candidates per group with map-side partial merge, where the
