@@ -133,7 +133,8 @@ object SparkEntry {
     "x_simhash_clusters"   -> ((s, dir) => Dedup.simhashClusters(s, dir)),
     "x_fuzzy_dedup"        -> ((s, dir) => Dedup.fuzzyNameDedup(s, dir)),
     "x_knn_recall"         -> ((s, dir) => Similarity.knnLshRecall(s, dir)),
-    "x_multimodal_meta"    -> ((s, dir) => Multimodal.mediaMeta(s, dir))
+    "x_multimodal_meta"    -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
+    "x_frame_sample"       -> ((s, dir) => Multimodal.frameSample(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -995,6 +996,19 @@ object SparkEntry {
         |      i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE), (a2,b2)->a2+b2)/(ea.nrm*eb.nrm), 6) AS cos
         |  FROM pairs p JOIN e ea ON p.vec_a = ea.vec_id JOIN e eb ON p.vec_b = eb.vec_id
         |) WHERE cos >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "x_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS nb
+        |  FROM documents WHERE doc_id < 50
+        |), f AS (
+        |  SELECT doc_id, unnest(range(0, greatest((nb-1)//64,0)+1)) AS frame_idx, text
+        |  FROM d
+        |)
+        |SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+        |  octet_length(encode(substr(text, (frame_idx*64+1)::INT, 64)))::BIGINT AS n_frame_bytes,
+        |  lower(substr(hex(encode(substr(text, (frame_idx*64+1)::INT, 4))),1,8)) AS head_hex
+        |FROM f WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
 
     "x_multimodal_meta" ->
       """SELECT doc_id,

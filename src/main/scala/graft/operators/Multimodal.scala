@@ -112,6 +112,20 @@ object Multimodal {
       (fs :+ batch.length.toFloat).toArray
     }
 
+  /** Oracle-checkable projection of [[sampleFrames]]: per sampled
+    * frame, its byte length and a 4-byte header sniff — the metadata a
+    * video pipeline records per extracted frame before the (stubbed)
+    * codec runs. Bounded to the leading documents so the output stays
+    * small at any scale factor.
+    */
+  def frameSample(spark: SparkSession, dir: String, maxDocs: Int = 50): DataFrame =
+    sampleFrames(withPayload(
+        Tables.documents(spark, dir).filter(col("doc_id") < maxDocs)))
+      .select(col("doc_id"), col("frame_idx"),
+        octet_length(col("frame")).cast("bigint").as("n_frame_bytes"),
+        lower(hex(substring(col("frame"), 1, 4))).as("head_hex"))
+      .orderBy("doc_id", "frame_idx")
+
   /** Metadata + stub-feature extraction over the payload column:
     * byte length, 8-byte header sniff (hex), and NFeatures stub
     * features. All narrow projections — embarrassingly parallel, no
