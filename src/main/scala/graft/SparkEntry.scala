@@ -133,6 +133,7 @@ object SparkEntry {
     "x_simhash_clusters"   -> ((s, dir) => Dedup.simhashClusters(s, dir)),
     "x_fuzzy_dedup"        -> ((s, dir) => Dedup.fuzzyNameDedup(s, dir)),
     "x_knn_recall"         -> ((s, dir) => Similarity.knnLshRecall(s, dir)),
+    "x_ivf_recall"         -> ((s, dir) => Similarity.knnIvfRecall(s, dir)),
     "x_multimodal_meta"    -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "x_frame_sample"       -> ((s, dir) => Multimodal.frameSample(s, dir))
   )
@@ -775,6 +776,60 @@ object SparkEntry {
         |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
         |       MAX(doc_id) AS last_doc
         |FROM sims GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash""".stripMargin,
+
+    "x_ivf_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE), (a,b)->a+b)) AS nrm
+        |  FROM embeddings
+        |), cents AS (
+        |  SELECT vec_id AS centroid_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < 16
+        |), ranked AS (
+        |  SELECT e.vec_id, e.embedding, e.nrm, c.centroid_id,
+        |    round(list_reduce(list_transform(range(1,65),
+        |      i -> e.embedding[i]::DOUBLE * c.c_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*c.c_nrm), 6) AS c_sim
+        |  FROM e, cents c
+        |), cells AS (
+        |  SELECT vec_id, embedding, nrm, centroid_id AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rk
+        |    FROM ranked
+        |  ) WHERE rk = 1
+        |), qcells AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, centroid_id AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rk
+        |    FROM ranked WHERE vec_id < 10
+        |  ) WHERE rk <= 2
+        |), scored_i AS (
+        |  SELECT DISTINCT q.query_id, c2.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(range(1,65),
+        |      i -> c2.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (a,b)->a+b)/(c2.nrm*q.q_nrm), 6) AS cos
+        |  FROM cells c2 JOIN qcells q ON c2.cell = q.cell AND c2.vec_id <> q.query_id
+        |), top_i AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        |    FROM scored_i
+        |  ) WHERE rk <= 5
+        |), q2 AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 10
+        |), scored_b AS (
+        |  SELECT q2.query_id, e.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(range(1,65),
+        |      i -> e.embedding[i]::DOUBLE * q2.q_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*q2.q_nrm), 6) AS cos
+        |  FROM e, q2 WHERE e.vec_id <> q2.query_id
+        |), top_b AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        |    FROM scored_b
+        |  ) WHERE rk <= 5
+        |), hits AS (
+        |  SELECT b.query_id, COUNT(*) AS n_hits
+        |  FROM top_b b JOIN top_i l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+        |  GROUP BY b.query_id
+        |)
+        |SELECT qq.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |  round(COALESCE(h.n_hits, 0)::DOUBLE/5, 6) AS recall
+        |FROM (SELECT DISTINCT query_id FROM top_b) qq LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id""".stripMargin,
 
     "x_fuzzy_dedup" ->
       """WITH c AS (

@@ -213,6 +213,29 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** IVF twin of [[knnLshRecall]]: per-query recall of the
+    * coarse-quantized path against brute force — together the two
+    * audits let an operator choose between the ANN families on
+    * measured recall, not vibes.
+    */
+  def knnIvfRecall(spark: SparkSession, dir: String,
+                   k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val brute = knnBruteForce(spark, dir, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = knnIvf(spark, dir, k, nQueries)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    val hits = brute
+      .join(ivf, col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+        "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    brute.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Per-label centroid of the leading `nDims` embedding dimensions —
     * the class-prototype computation behind IVF training / cluster
     * audits. Float values quantize to exact integer micro-units

@@ -99,6 +99,21 @@ class PlanSpec extends SparkSuite {
       s"sampling filter reads the document body it never needs: $readSchema")
   }
 
+  test("custom expressions participate in Catalyst constant folding") {
+    // PolyHash/DotProduct are plain Expressions, so foldable literal
+    // inputs must be collapsed by the optimizer to a Literal — the
+    // query never evaluates the hash at runtime. This is the payoff of
+    // extending Catalyst natively instead of via opaque UDFs (which
+    // never fold).
+    graft.functions.PolyHash.register(spark)
+    val optimized = spark.sql(s"SELECT ${graft.functions.PolyHash.Name}('abc') AS h")
+      .queryExecution.optimizedPlan.toString()
+    assert(!optimized.contains("graft_polyhash"),
+      s"literal hash call must fold away:\n$optimized")
+    assert(optimized.contains(graft.functions.PolyHash.hash("abc").toString),
+      s"folded literal value expected in plan:\n$optimized")
+  }
+
   test("AQE coalesces the small shuffle at runtime (adaptive re-plan active)") {
     // run an aggregation whose 4 configured shuffle partitions are
     // overkill for 5 groups — after execution, the adaptive plan must
