@@ -334,6 +334,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("session_window in append mode emits a session only after the watermark closes it") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val stream = ms.toDF().toDF("ts", "user_id", "value")
+    val q = StreamingSma.sessionCounts(stream, gap = "30 minutes", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("session_append")
+      .outputMode("append").start()
+    try {
+      val m = 60_000L
+      val t0 = 60 * m
+      ms.addData((new Timestamp(t0), "A", 1.0), (new Timestamp(t0 + 5 * m), "A", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("session_append").count() == 0,
+        "open session must not emit in append mode")
+      // event time far past session end + gap + lateness -> session closes
+      ms.addData((new Timestamp(t0 + 300 * m), "B", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("session_append")
+        .select("user_id", "n_events", "sum_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows == Seq(("A", 2L, 3.0)), s"closed session emitted exactly once: $rows")
+    } finally q.stop()
+  }
+
   test("observer detach removes a sink between micro-batches (K4 detach)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Tick]
