@@ -279,6 +279,52 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy("simhash")
 
+  /** Duplicate CLUSTERS from the near-dup pair graph: connected
+    * components via distributed min-label propagation over the
+    * [[nearDupMinhash]] edges — the step that turns pairwise matches
+    * into dedup groups (keep one survivor per component). Each
+    * iteration is one shuffle join + aggregate; components of diameter
+    * d converge in <= d rounds, and near-dup clusters are tiny by
+    * construction, so the loop is short. The driver-side loop only
+    * checks CONVERGENCE (a count of changed labels per round — a
+    * scalar, not data); all label math runs distributed, the standard
+    * iterative-graph shape on the pair graph, which is orders of
+    * magnitude smaller than the corpus at any scale.
+    */
+  def dupComponents(spark: SparkSession, dir: String,
+                    threshold: Double = 0.7, maxIters: Int = 15): DataFrame = {
+    val pairs = nearDupMinhash(spark, dir, threshold)
+      .select("doc_a", "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
+    var labels = nodes.withColumn("lbl", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val incoming = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+        .select(col("doc_b").as("doc_id"), col("lbl"))
+      val next = labels.union(incoming)
+        .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iters += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    labels
+      .groupBy(col("lbl").as("component_root"))
+      .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
+      .orderBy("component_root")
+  }
+
   /** Blocked edit-distance (fuzzy) near-dup: record pairs within a
     * block whose names are <= `maxDist` edits apart, rolled up per
     * block — the entity-resolution member of the dedup family (exact
