@@ -15,8 +15,11 @@ object TimeQueries {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (name <- args) {
       spark.catalog.clearCache()
-      val df = SparkEntry.queries(name)(spark, dir)
+      // timer covers query CONSTRUCTION too: operators with eager
+      // internal actions (persist fills, iterative loops) do real work
+      // before a DataFrame is returned
       val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, dir)
       // noop sink, same as Bench: count() would let Catalyst prune the
       // very projections being tuned
       df.write.mode("overwrite").format("noop").save()

@@ -293,14 +293,29 @@ object Dedup {
     */
   def dupComponents(spark: SparkSession, dir: String,
                     threshold: Double = 0.7, maxIters: Int = 15): DataFrame = {
+    // The pair graph is orders of magnitude smaller than the corpus
+    // (near-dup pairs, not documents) — run the iteration on a handful
+    // of partitions so each round's stage overhead matches the data,
+    // not the session's shuffle-partition default (32 partitions per
+    // round cost ~10x the actual label math here). A 100 TB corpus
+    // still yields a pair graph this loop handles; size `graphParts`
+    // to that graph, not the corpus.
+    val graphParts = 4
     val pairs = nearDupMinhash(spark, dir, threshold)
       .select("doc_a", "doc_b")
+      .repartition(graphParts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
     var labels = nodes.withColumn("lbl", col("doc_id"))
+      .repartition(graphParts, col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Convergence via the label-sum invariant: labels only ever
+    // DECREASE (min-propagation), so the sum strictly drops until the
+    // fixpoint — comparing two scalar aggregates per round is cheaper
+    // than a changed-rows join, and just as exact.
+    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -308,14 +323,14 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
         .select(col("doc_b").as("doc_id"), col("lbl"))
       val next = labels.union(incoming)
+        .repartition(graphParts, col("doc_id")) // keep every loop exchange graph-sized
         .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      val nextSum = next.agg(sum(col("lbl"))).head().getLong(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iters += 1
     }
     require(converged, s"label propagation did not converge in $maxIters rounds")
