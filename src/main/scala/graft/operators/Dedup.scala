@@ -292,7 +292,14 @@ object Dedup {
     * magnitude smaller than the corpus at any scale.
     */
   def dupComponents(spark: SparkSession, dir: String,
-                    threshold: Double = 0.7, maxIters: Int = 15): DataFrame = {
+                    threshold: Double = 0.7, maxIters: Int = 15): DataFrame =
+    componentsFromPairs(nearDupMinhash(spark, dir, threshold), maxIters)
+
+  /** Connected components of an undirected (doc_a, doc_b) pair graph —
+    * the loop behind [[dupComponents]], exposed so deep chains
+    * (diameter > the corpus's) are unit-testable directly.
+    */
+  def componentsFromPairs(pairs0: DataFrame, maxIters: Int = 15): DataFrame = {
     // The pair graph is orders of magnitude smaller than the corpus
     // (near-dup pairs, not documents) — run the iteration on a handful
     // of partitions so each round's stage overhead matches the data,
@@ -301,7 +308,7 @@ object Dedup {
     // still yields a pair graph this loop handles; size `graphParts`
     // to that graph, not the corpus.
     val graphParts = 4
-    val pairs = nearDupMinhash(spark, dir, threshold)
+    val pairs = pairs0
       .select("doc_a", "doc_b")
       .repartition(graphParts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
