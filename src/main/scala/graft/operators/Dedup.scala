@@ -321,8 +321,12 @@ object Dedup {
     // Convergence via the label-sum invariant: labels only ever
     // DECREASE (min-propagation), so the sum strictly drops until the
     // fixpoint — comparing two scalar aggregates per round is cheaper
-    // than a changed-rows join, and just as exact.
-    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    // than a changed-rows join, and just as exact. DECIMAL(38,0) sum:
+    // overflow-proof at any node-count x id-range, so a wrap can never
+    // fake a fixpoint. No initial sum action: every component has an
+    // edge, so round 1 always changes some label — the first
+    // comparison that can signal convergence is round 2's.
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -333,10 +337,11 @@ object Dedup {
         .repartition(graphParts, col("doc_id")) // keep every loop exchange graph-sized
         .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nextSum = next.agg(sum(col("lbl"))).head().getLong(0)
+      val nextSum = next.agg(sum(col("lbl").cast("decimal(38,0)")))
+        .head().getDecimal(0)
       labels.unpersist()
       labels = next
-      converged = nextSum == prevSum
+      converged = prevSum != null && nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iters += 1
     }
