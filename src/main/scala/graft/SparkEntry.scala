@@ -133,6 +133,7 @@ object SparkEntry {
     "x_simhash_clusters"   -> ((s, dir) => Dedup.simhashClusters(s, dir)),
     "x_fuzzy_dedup"        -> ((s, dir) => Dedup.fuzzyNameDedup(s, dir)),
     "x_dup_components"     -> ((s, dir) => Dedup.dupComponents(s, dir)),
+    "x_dedup_survivors"    -> ((s, dir) => Dedup.dedupSurvivors(s, dir)),
     "x_knn_recall"         -> ((s, dir) => Similarity.knnLshRecall(s, dir)),
     "x_ivf_recall"         -> ((s, dir) => Similarity.knnIvfRecall(s, dir)),
     "x_knn_lsh_banded"     -> ((s, dir) => Similarity.knnLshBanded(s, dir)),
@@ -791,6 +792,62 @@ object SparkEntry {
         |SELECT component_root, COUNT(*) AS n_members, MAX(doc) AS max_member FROM (
         |  SELECT doc, MIN(r) AS component_root FROM reach GROUP BY doc
         |) GROUP BY component_root ORDER BY component_root""".stripMargin,
+
+    "x_dedup_survivors" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, string_split(text,' ') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM tk WHERE len(toks) >= 3
+        |), hs AS (
+        |  SELECT doc_id, list_distinct(list_transform(shingles, s ->
+        |    list_reduce(list_transform(range(1,len(s)+1), i -> ascii(substr(s,i,1))::BIGINT),
+        |      (acc,c) -> (acc*31+c)%1000000007))) AS hashes
+        |  FROM sh
+        |), sig AS (
+        |  SELECT doc_id, list_transform(range(0,16), i ->
+        |    list_min(list_transform(hashes, x -> ((i*2+1)*x + (i*5+3)) % 1000000007))) AS sig
+        |  FROM hs
+        |), bands AS (
+        |  SELECT doc_id, b,
+        |    ((((((sig[4*b+1]::BIGINT % 1000000007)*31 + sig[4*b+2]::BIGINT) % 1000000007)*31
+        |       + sig[4*b+3]::BIGINT) % 1000000007 *31 + sig[4*b+4]::BIGINT) % 1000000007) AS bh
+        |  FROM sig, range(0,4) t(b)
+        |), cpairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
+        |), scored AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    round(len(list_filter(ha.hashes, x -> list_contains(hb.hashes, x)))::DOUBLE /
+        |      (len(ha.hashes)+len(hb.hashes)
+        |       -len(list_filter(ha.hashes, x -> list_contains(hb.hashes, x)))), 6) AS jaccard
+        |  FROM cpairs p JOIN hs ha ON p.doc_a = ha.doc_id JOIN hs hb ON p.doc_b = hb.doc_id
+        |), dup AS (
+        |  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.7
+        |), edges AS (
+        |  SELECT doc_a, doc_b FROM dup UNION ALL SELECT doc_b, doc_a FROM dup
+        |), nodes AS (
+        |  SELECT DISTINCT doc_a AS doc_id FROM edges
+        |), reach AS (
+        |  SELECT doc_id AS doc, doc_id AS r FROM nodes
+        |  UNION
+        |  SELECT e.doc_b AS doc, reach.r FROM reach JOIN edges e ON e.doc_a = reach.doc
+        |), lbl AS (
+        |  SELECT doc, MIN(r) AS root FROM reach GROUP BY doc
+        |), nonroots AS (
+        |  SELECT doc AS doc_id FROM lbl WHERE doc <> root
+        |), keep AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        |), surv AS (
+        |  SELECT d.doc_id, d.lang FROM documents d
+        |  JOIN keep k ON d.doc_id = k.doc_id
+        |  LEFT JOIN nonroots nr ON d.doc_id = nr.doc_id
+        |  WHERE nr.doc_id IS NULL
+        |)
+        |SELECT d.lang, COUNT(*) AS n_docs, COUNT(s.doc_id) AS n_survivors
+        |FROM documents d LEFT JOIN surv s ON d.doc_id = s.doc_id
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "x_dedup_simhash" ->
       """WITH sh AS (

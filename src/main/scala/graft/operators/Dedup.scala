@@ -296,10 +296,20 @@ object Dedup {
     componentsFromPairs(nearDupMinhash(spark, dir, threshold), maxIters)
 
   /** Connected components of an undirected (doc_a, doc_b) pair graph —
-    * the loop behind [[dupComponents]], exposed so deep chains
+    * the rollup of [[labelPropagation]], exposed so deep chains
     * (diameter > the corpus's) are unit-testable directly.
     */
-  def componentsFromPairs(pairs0: DataFrame, maxIters: Int = 15): DataFrame = {
+  def componentsFromPairs(pairs0: DataFrame, maxIters: Int = 15): DataFrame =
+    labelPropagation(pairs0, maxIters)
+      .groupBy(col("lbl").as("component_root"))
+      .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
+      .orderBy("component_root")
+
+  /** (doc_id, lbl): per-node component label (lbl = smallest doc_id
+    * reachable) via distributed min-label propagation — the primitive
+    * behind [[componentsFromPairs]] and [[dedupSurvivors]].
+    */
+  def labelPropagation(pairs0: DataFrame, maxIters: Int = 15): DataFrame = {
     // The pair graph is orders of magnitude smaller than the corpus
     // (near-dup pairs, not documents) — run the iteration on a handful
     // of partitions so each round's stage overhead matches the data,
@@ -347,9 +357,34 @@ object Dedup {
     }
     require(converged, s"label propagation did not converge in $maxIters rounds")
     labels
-      .groupBy(col("lbl").as("component_root"))
-      .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
-      .orderBy("component_root")
+  }
+
+  /** The dedup end product: per-language survivor counts after BOTH
+    * dedup passes — exact (content-hash, smallest doc_id survives) AND
+    * near-dup clustering (only each MinHash component's root survives).
+    * Semi/anti joins against the (small) keep/non-root sets; the
+    * corpus itself streams through once.
+    */
+  def dedupSurvivors(spark: SparkSession, dir: String,
+                     threshold: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+      col("text"))
+    val keep = docs
+      .groupBy(md5(encode(col("text"), "UTF-8")).as("ch"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val nonRoots = labelPropagation(nearDupMinhash(spark, dir, threshold))
+      .filter(col("doc_id") =!= col("lbl"))
+      .select("doc_id")
+    val surv = docs.select("doc_id", "lang")
+      .join(keep, Seq("doc_id"), "left_semi")
+      .join(broadcast(nonRoots), Seq("doc_id"), "left_anti")
+    docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .join(surv.groupBy("lang").agg(count(lit(1)).as("n_survivors")),
+        Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_survivors"), lit(0L)).as("n_survivors"))
+      .orderBy("lang")
   }
 
   /** Blocked edit-distance (fuzzy) near-dup: record pairs within a
