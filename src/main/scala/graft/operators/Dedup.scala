@@ -349,11 +349,12 @@ object Dedup {
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
-      // TWO hops per materialized round: the convergence check (an
-      // eager action) is the loop's fixed cost, so halving the number
-      // of checks halves the action count — the lineage of two fused
-      // hops still runs as one job against the cached previous labels.
-      val next = hop(hop(labels))
+      // ONE materialized hop per round. Fusing two hops into one job
+      // was measured 3x SLOWER: the inner hop's un-persisted subtree
+      // feeds two consumers in the outer hop (the join side and the
+      // union side), so the fused lineage evaluates it twice — lesson
+      // recorded so it isn't retried.
+      val next = hop(labels)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nextSum = next.agg(sum(col("lbl").cast("decimal(38,0)")))
         .head().getDecimal(0)
