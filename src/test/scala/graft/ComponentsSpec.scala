@@ -32,4 +32,17 @@ class ComponentsSpec extends SparkSuite {
     val comps = run(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
     assert(comps == Map(1L -> (3L, 3L)), s"got $comps")
   }
+
+  test("survivor counts are bounded and consistent per language") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Dedup.dedupSurvivors(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet == totals.keySet, "every language present")
+    rows.foreach { case (lang, nDocs, nSurv) =>
+      assert(nDocs == totals(lang), s"$lang total matches the corpus")
+      assert(nSurv >= 1 && nSurv <= nDocs, s"$lang survivors in (0, total]")
+    }
+  }
 }
