@@ -57,12 +57,21 @@ object Bench {
       val median = if (ok) times.sorted.apply(times.size / 2) else -1.0
       (name, median, ok)
     }
+    println(renderJson(results, nRuns, sfDir))
+    spark.stop()
+  }
+
+  /** The ONE line the driver parses — kept as a pure function so the
+    * contract (shape, failure poisoning, -1 markers) is unit-tested;
+    * a formatting regression here would zero a whole round's bench.
+    */
+  def renderJson(results: Seq[(String, Double, Boolean)],
+                 nRuns: Int, sfDir: String): String = {
     val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
     val failures = results.filterNot(_._3).map(_._1)
     val total = results.filter(_._3).map(_._2).sum + 3600.0 * failures.size
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$nRuns,"failures":$failJson,"sf":"$sfDir"}""")
-    spark.stop()
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$nRuns,"failures":$failJson,"sf":"$sfDir"}"""
   }
 }
