@@ -111,6 +111,7 @@ object SparkEntry {
     "x_regex_extract"      -> ((s, dir) => Analytics.propsRegexAgg(s, dir)),
     "x_date_arith"         -> ((s, dir) => Analytics.shipLatencyByPriority(s, dir)),
     "x_bool_agg"           -> ((s, dir) => Analytics.eventBoolAgg(s, dir)),
+    "x_schema_drift"       -> ((s, dir) => Analytics.schemaDriftUnion(s, dir)),
 
     // ---- LLM-data-pipeline surface (dedup / similarity / text / multimodal) ----
     "x_stratified_sample"  -> ((s, dir) => CorpusOps.stratifiedSample(s, dir)),
@@ -614,6 +615,14 @@ object SparkEntry {
         |  bool_and(value >= 0.0) AS all_nonneg,
         |  COUNT(*) FILTER (WHERE value > 250.0) AS n_high
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "x_schema_drift" ->
+      """SELECT * FROM (
+        |  SELECT event_id, user_id, value FROM events WHERE event_type = 'view'
+        |  UNION ALL BY NAME
+        |  SELECT event_id, user_id, CAST(props->>'$.k' AS BIGINT) AS k
+        |  FROM events WHERE event_type = 'purchase'
+        |) ORDER BY event_id""".stripMargin,
 
     "x_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents

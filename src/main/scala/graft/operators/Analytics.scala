@@ -398,6 +398,25 @@ object Analytics {
         concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"))
       .orderBy("c_custkey")
 
+  /** Schema-drift union: two event projections with DIFFERENT columns
+    * merged by NAME with missing columns null-filled
+    * (`unionByName(allowMissingColumns)`) — the ingestion reality of a
+    * 100 TB corpus whose schema evolved across partitions/days. Zero
+    * shuffle: the union concatenates partitions; nulls are projected,
+    * not stored.
+    */
+  def schemaDriftUnion(spark: SparkSession, dir: String): DataFrame = {
+    val views = Tables.events(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+    views.unionByName(purchases, allowMissingColumns = true)
+      .orderBy("event_id")
+  }
+
   /** Date interval arithmetic: order-to-ship latency in days per
     * priority class (datediff over the big-big join, integer-exact
     * averages). The date functions run post-join in the codegen'd
