@@ -99,6 +99,14 @@ class PlanSpec extends SparkSuite {
       s"sampling filter reads the document body it never needs: $readSchema")
   }
 
+  test("schema-drift union concatenates partitions with zero shuffle") {
+    val plan = formatted(Analytics.schemaDriftUnion(spark, sfDir))
+    val hashShuffles = plan.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashShuffles == 0,
+      s"union must not shuffle (only the final orderBy range-partitions):\n$plan")
+    assert(plan.contains("Union"), plan)
+  }
+
   test("custom expressions participate in Catalyst constant folding") {
     // PolyHash/DotProduct are plain Expressions, so foldable literal
     // inputs must be collapsed by the optimizer to a Literal — the
