@@ -29,6 +29,7 @@ object Dedup {
   val RowsPerBand  = 4  // NumHashes / Bands
   val P: Long      = TextFunctions.P
   val GramDFCap    = 64 // n-gram Jaccard: drop grams seen in > this many docs of a block
+  val BandBucketCap = 256 // MinHash LSH: drop band buckets larger than this (see bucketPairs)
 
   /** (doc_id, shingles, hashes): distinct character 8-gram shingles of
     * each document plus their polynomial hashes — the HOF REFERENCE
@@ -154,44 +155,47 @@ object Dedup {
   def nearDupMinhash(spark: SparkSession, dir: String,
                      threshold: Double = 0.7): DataFrame = {
     // The deduped shingle-hash table feeds several plan subtrees
-    // (bands, two intersection sides, sizes). persist() materializes
-    // it once — the Spark analog of writing the shingle table to
-    // storage before the pair phase, which is exactly what a 100 TB
-    // pipeline does with this intermediate.
-    val rows = shingleHashRows(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // No separate eager count for `rows`: the pairs.count() below is
-    // the FIRST action, runs as one sequential job, and fills the rows
-    // cache as a side effect of computing the band pipeline — every
-    // later consumer (sizes, both intersection sides) reads it warm.
-    // `pairs` itself still needs its eager count: its two consumers
-    // (the broadcast into the intersection join and candidateDocs'
-    // broadcast) are built as concurrent broadcast jobs, and
-    // concurrent jobs do NOT coordinate on a cold cache.
-    // Candidate pairs per band bucket via ONE aggregation (a self-join
-    // on (band, bh) would compute the signature pipeline twice and add
-    // a shuffle). Buckets are tiny by design, so the in-bucket pair
-    // expansion is a cheap array transform; a pathological hot bucket
-    // would need a bucket-size cap upstream (worth it anyway: a bucket
-    // with millions of members carries no similarity signal).
-    val ids = sort_array(col("ids"))
-    val pairExpr = flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + 2, size(ids)),
-        y => struct(x.as("doc_a"), y.as("doc_b")))))
+    // (bands, two intersection sides, sizes). localCheckpoint (eager)
+    // materializes it once AND truncates the logical plan — the Spark
+    // analog of writing the shingle table to storage before the pair
+    // phase, which is exactly what a 100 TB pipeline does with this
+    // intermediate (there it would be a reliable checkpoint / parquet
+    // write, which also survives executor loss; locally the blocks
+    // suffice). Truncation matters as much as materialization: the
+    // final Jaccard plan references this subtree three times, and with
+    // a plain persist every action re-analyzed the full
+    // scan→explode→hash logical plan per reference — driver-side
+    // Catalyst seconds, not executor work.
+    val rows = shingleHashRows(spark, dir).localCheckpoint()
     // `pairs` feeds TWO consumers (the broadcast into the intersection
     // join AND candidateDocs) — without its own persist the whole
     // bands→buckets→pairs pipeline above re-executes per consumer
     // (the r2 bench measured the query at 2x its single-pass cost).
     // The pair set is tiny (bounded by bucket collisions), so this is
     // a few KB of cache for one whole pipeline execution saved.
-    val pairs = minhashBandsFrom(rows)
+    // The buckets persist exists only to make the over-cap diagnostic
+    // count free: its count() is the FIRST action, runs the band
+    // pipeline once sequentially (filling the rows cache as a side
+    // effect), and the pair expansion + drop count then both read the
+    // tiny cached bucket set.
+    val buckets = minhashBandsFrom(rows)
       .groupBy("band", "bh").agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(pairExpr).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pairs.count()
+    val nDroppedBuckets = buckets.filter(size(col("ids")) > BandBucketCap).count()
+    if (nDroppedBuckets > 0)
+      System.err.println(
+        s"[graft] nearDupMinhash: dropped $nDroppedBuckets band bucket(s) " +
+        s"larger than $BandBucketCap members (no similarity signal, pure fan-out)")
+    // localCheckpoint, not persist+count: same eager materialization,
+    // but it also TRUNCATES the logical plan to the materialized
+    // blocks. The pair set feeds four downstream subtrees, and with a
+    // persist each of their actions re-ANALYZES the whole
+    // shingle→band→bucket logical plan (caching swaps in the
+    // InMemoryRelation only at physical planning) — measured as
+    // seconds of driver-side Catalyst time, not executor work.
+    val pairs = bucketPairs(buckets).localCheckpoint()
+    buckets.unpersist()
     val sizes = rows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // Candidates are a small fraction of the corpus: semi-filter the
     // shingle rows to candidate docs (broadcast of the candidate id
@@ -215,6 +219,29 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** In-bucket candidate-pair expansion over aggregated LSH band
+    * buckets `(band, bh, ids)`, with a bucket-size cap: buckets larger
+    * than `bucketCap` are dropped entirely. A bucket's pair fan-out is
+    * quadratic in its size, and at 100 TB a boilerplate-heavy corpus
+    * WILL produce pathological hot buckets (every page sharing a
+    * banner collides in some band) — a bucket with millions of members
+    * carries no similarity signal, only O(m²) joins. Mirrors
+    * [[GramDFCap]] on the n-gram path. The cap sits far above any
+    * honest near-dup cluster (and above this corpus's max bucket, so
+    * the oracle needs no cap arithmetic).
+    */
+  def bucketPairs(buckets: DataFrame, bucketCap: Int = BandBucketCap): DataFrame = {
+    val ids = sort_array(col("ids"))
+    val pairExpr = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))
+    buckets
+      .filter(size(col("ids")) <= bucketCap)
+      .select(explode(pairExpr).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
   }
 
   /** (doc_id, h): polynomial hash of each DISTINCT character
@@ -305,29 +332,61 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
       .orderBy("component_root")
 
+  /** Loop partition count for [[labelPropagation]], derived from the
+    * (already materialized) pair count: each round shuffles O(edges)
+    * label rows, so size partitions to THAT graph — 32 session-default
+    * partitions per round cost ~10x the actual label math on a
+    * 255-pair graph, and one partition would serialize a billion-edge
+    * graph. ~500k pairs per partition keeps a round's task well under
+    * executor memory at any scale; capped so a pathological pair
+    * explosion surfaces as slow rounds, not a 100k-task storm.
+    */
+  def graphPartsFor(nPairs: Long): Int =
+    math.max(1L, math.min(200L, (nPairs + 499999L) / 500000L)).toInt
+
   /** (doc_id, lbl): per-node component label (lbl = smallest doc_id
     * reachable) via distributed min-label propagation — the primitive
     * behind [[componentsFromPairs]] and [[dedupSurvivors]].
     */
   def labelPropagation(pairs0: DataFrame, maxIters: Int = 15): DataFrame = {
-    // The pair graph is orders of magnitude smaller than the corpus
-    // (near-dup pairs, not documents) — run the iteration on a handful
-    // of partitions so each round's stage overhead matches the data,
-    // not the session's shuffle-partition default (32 partitions per
-    // round cost ~10x the actual label math here). A 100 TB corpus
-    // still yields a pair graph this loop handles; size `graphParts`
-    // to that graph, not the corpus.
-    val graphParts = 4
-    val pairs = pairs0
-      .select("doc_a", "doc_b")
-      .repartition(graphParts)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager): materializes the whole upstream pair
+    // pipeline in ONE sequential job AND truncates the logical plan to
+    // the materialized blocks. Both halves are load-bearing for an
+    // iterative consumer: a plain persist (a) leaves the full
+    // shingle→band→Jaccard logical plan in every round's lineage —
+    // with the loop's union-join shape the plan DOUBLES per round, and
+    // driver-side Catalyst analysis (not executor work) was measured
+    // at 2-3 s per round; and (b) leaves round 1's three cold-cache
+    // consumers (join side, union side, node seed) racing to
+    // materialize it concurrently, re-running the Jaccard phase up to
+    // 3x. The count that follows is a cheap job over the checkpointed
+    // blocks; it sizes the loop's partitioning ([[graphPartsFor]]) and
+    // short-circuits the empty graph — min-propagation over zero edges
+    // never changes the label sum, so the in-loop convergence test
+    // (which compares two consecutive rounds' sums) could never fire
+    // and the loop burned maxIters rounds then threw.
+    val sc = pairs0.sparkSession.sparkContext
+    val idsBefore = sc.getPersistentRDDs.keySet.toSet
+    val raw = pairs0.select("doc_a", "doc_b").localCheckpoint()
+    val nPairs = raw.count()
+    if (nPairs == 0) {
+      // limit(0) collapses to an empty relation (OptimizeLimitZero) —
+      // schema preserved, upstream never executes.
+      return pairs0.select(col("doc_a").as("doc_id"), col("doc_a").as("lbl"))
+        .limit(0)
+    }
+    val graphParts = graphPartsFor(nPairs)
+    // coalesce, not repartition: narrow re-read of the checkpointed blocks.
+    val pairs = raw.coalesce(graphParts)
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
+    // Eager checkpoint: round 0 reads the seed labels twice (join side
+    // + union side) — materialized blocks make that two blocked scans,
+    // not a race to compute.
     var labels = nodes.withColumn("lbl", col("doc_id"))
       .repartition(graphParts, col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // Convergence via the label-sum invariant: labels only ever
     // DECREASE (min-propagation), so the sum strictly drops until the
     // fixpoint — comparing two scalar aggregates per round is cheaper
@@ -345,26 +404,46 @@ object Dedup {
         .repartition(graphParts, col("doc_id")) // keep every loop exchange graph-sized
         .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
     }
+    // Per-round block cleanup: localCheckpoint registers its blocks as
+    // a persistent RDD with no Dataset-level unpersist handle, so each
+    // round diffs the context's persistent-RDD set and frees the
+    // previous round's generation — labels are O(nodes) per round, and
+    // letting maxIters generations accumulate would hold maxIters
+    // copies of the label table in block storage on a big pair graph.
+    var known = sc.getPersistentRDDs.keySet.toSet
+    var prevCkIds: Set[Int] = Set.empty
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
-      // ONE materialized hop per round. Fusing two hops into one job
-      // was measured 3x SLOWER: the inner hop's un-persisted subtree
-      // feeds two consumers in the outer hop (the join side and the
-      // union side), so the fused lineage evaluates it twice — lesson
-      // recorded so it isn't retried.
-      val next = hop(labels)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // ONE materialized hop per round (the lazy checkpoint's blocks
+      // are written by the sum action's job). Fusing two hops into one
+      // job was measured 3x SLOWER: the inner hop's un-materialized
+      // subtree feeds two consumers in the outer hop (the join side
+      // and the union side), so the fused lineage evaluates it twice —
+      // lesson recorded so it isn't retried.
+      val next = hop(labels).localCheckpoint(false)
       val nextSum = next.agg(sum(col("lbl").cast("decimal(38,0)")))
         .head().getDecimal(0)
-      labels.unpersist()
+      val ids = sc.getPersistentRDDs.keySet.toSet
+      val added = ids -- known
+      known = ids
+      prevCkIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      prevCkIds = added
       labels = next
-      converged = prevSum != null && nextSum.compareTo(prevSum) == 0
+      converged = prevSum != null && nextSum != null &&
+        nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iters += 1
     }
     require(converged, s"label propagation did not converge in $maxIters rounds")
+    // The returned labels (the last round's blocks, `prevCkIds`) are
+    // fully materialized — the pair/seed/intermediate blocks this
+    // function checkpointed are no longer reachable from any consumer;
+    // free everything this function added except the result.
+    sc.getPersistentRDDs
+      .filter { case (id, _) => !idsBefore.contains(id) && !prevCkIds.contains(id) }
+      .values.foreach(_.unpersist(false))
     labels
   }
 

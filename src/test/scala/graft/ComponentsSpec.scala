@@ -33,6 +33,45 @@ class ComponentsSpec extends SparkSuite {
     assert(comps == Map(1L -> (3L, 3L)), s"got $comps")
   }
 
+  test("an empty pair graph short-circuits to an empty result (no iteration)") {
+    // Regression (r3 ADVICE): with zero edges the per-round label sum
+    // was NULL every round, the sum-comparison convergence test never
+    // fired, and the loop burned maxIters rounds then threw.
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.labelPropagation(empty).collect().isEmpty)
+    assert(Dedup.componentsFromPairs(empty).collect().isEmpty)
+    // Threshold high enough that nearDupMinhash yields zero pairs —
+    // the composite must return all-survivor counts, not throw.
+    val surv = Dedup.dedupSurvivors(spark, sfDir, threshold = 1.01).collect()
+    assert(surv.nonEmpty)
+    surv.foreach(r => assert(r.getLong(1) >= r.getLong(2) && r.getLong(2) > 0))
+  }
+
+  test("graphParts scales with the pair graph, not the session default") {
+    assert(Dedup.graphPartsFor(1L) == 1)
+    assert(Dedup.graphPartsFor(255L) == 1)
+    assert(Dedup.graphPartsFor(500000L) == 1)
+    assert(Dedup.graphPartsFor(500001L) == 2)
+    assert(Dedup.graphPartsFor(10000000L) == 20)
+    assert(Dedup.graphPartsFor(Long.MaxValue / 2) == 200, "capped")
+  }
+
+  test("hot band buckets are dropped from candidate generation") {
+    // One honest 3-doc bucket and one pathological bucket above the
+    // cap: pairs must come only from the honest bucket.
+    val hot = (1L to 10L).map(i => (i, 0, 999L))
+    val ok  = Seq((100L, 1, 7L), (101L, 1, 7L), (102L, 1, 7L))
+    val bands = (hot ++ ok).toDF("doc_id", "band", "bh")
+    val buckets = bands.groupBy("band", "bh")
+      .agg(org.apache.spark.sql.functions.collect_list($"doc_id").as("ids"))
+    val pairs = Dedup.bucketPairs(buckets, bucketCap = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 101L), (100L, 102L), (101L, 102L)), s"got $pairs")
+    // at-or-under-cap buckets are kept (boundary: cap == bucket size)
+    val atCap = Dedup.bucketPairs(buckets, bucketCap = 10).count()
+    assert(atCap == 45 + 3, "cap is inclusive")
+  }
+
   test("survivor counts are bounded and consistent per language") {
     val docs = graft.Tables.documents(spark, sfDir)
     val totals = docs.groupBy("lang").count().collect()
