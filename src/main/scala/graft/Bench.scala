@@ -42,7 +42,7 @@ object Bench {
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var i = 0
       while (i < nRuns && !times.lastOption.exists(_ < 0)) {
-        spark.catalog.clearCache()
+        Caches.releaseAll(spark) // cached Datasets AND checkpoint blocks
         val t0 = System.nanoTime()
         times += (try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The session-cache contract for this library, in one place.
+  *
+  * Operators with multi-consumer intermediates (dedup shingle rows,
+  * LSH pair sets, the similarity corpus projections, token/gram
+  * tables) materialize them via `persist` or `localCheckpoint` and
+  * deliberately do NOT release them before returning: the returned
+  * DataFrame still reads those blocks, and releasing them would
+  * re-execute the whole pipeline on the caller's first action
+  * (checkpointed frames would fail outright — their lineage is
+  * truncated). Iterative operators ([[operators.Dedup.labelPropagation]])
+  * free their own per-round generations and exit holding only the
+  * result's blocks.
+  *
+  * So the contract is: blocks live until the CALLER is done with the
+  * query's results, and the caller signals that by calling
+  * [[releaseAll]] (as Verify does per query and Bench per run). A
+  * long-lived shared session that never releases will accumulate one
+  * query's worth of intermediates per distinct query plan.
+  */
+object Caches {
+
+  /** Release every block this library (or anything else) left in the
+    * session: cached Datasets via the catalog, plus directly persisted
+    * RDDs — which covers `localCheckpoint` block sets, invisible to
+    * `clearCache()` because they bypass the Dataset cache manager.
+    */
+  def releaseAll(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
+  /** True when nothing is persisted at either layer — the post-release
+    * invariant (asserted in CacheDisciplineSpec).
+    */
+  def isEmpty(spark: SparkSession): Boolean =
+    spark.sparkContext.getPersistentRDDs.isEmpty
+}

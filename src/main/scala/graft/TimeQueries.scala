@@ -14,7 +14,7 @@ object TimeQueries {
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (name <- args) {
-      spark.catalog.clearCache()
+      Caches.releaseAll(spark)
       // timer covers query CONSTRUCTION too: operators with eager
       // internal actions (persist fills, iterative loops) do real work
       // before a DataFrame is returned

@@ -22,9 +22,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Per-query persisted intermediates (dedup shingle rows,
-      // similarity corpus) must not accumulate across the ~55-query
-      // session — drop them once the query's write has consumed them.
-      spark.catalog.clearCache()
+      // similarity corpus, localCheckpoint block sets) must not
+      // accumulate across the ~80-query session — drop them once the
+      // query's write has consumed them (the Caches contract).
+      Caches.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -106,8 +106,7 @@ object CorpusOps {
     val rows = Tables.documents(spark, dir)
       .repartition(n, col("doc_id"))
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rows.count() // eager — feeds tf and df below
+      .localCheckpoint() // eager materialization + plan truncation — feeds tf and df below
     val tf = rows.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
     val dft = rows.select("doc_id", "tok").distinct()
       .groupBy("tok").agg(count(lit(1)).as("df"))
@@ -157,10 +156,9 @@ object CorpusOps {
     // ONE gram materialization over all documents, split afterwards —
     // building the bench and corpus gram tables separately would run
     // the explode+hash pipeline twice. The rows feed three consumers
-    // (bench grams, sizes, the probe join): persist once.
-    val rows = gramRows(Tables.documents(spark, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rows.count() // eager — see Dedup.nearDupMinhash
+    // (bench grams, sizes, the probe join): materialize once, with
+    // plan truncation (see Dedup.nearDupMinhash).
+    val rows = gramRows(Tables.documents(spark, dir)).localCheckpoint()
     val corpus = rows.filter(col("doc_id") >= benchDocs)
     val bench = rows.filter(col("doc_id") < benchDocs)
       .select("gh").distinct()

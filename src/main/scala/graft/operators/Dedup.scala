@@ -567,8 +567,9 @@ object Dedup {
                  element_at(col("toks"), col("i") + 1), lit(" "),
                  element_at(col("toks"), col("i") + 2))).as("gh"))
       .dropDuplicates("doc_id", "gh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rows.count()  // eager cache fill — see nearDupMinhash
+      // eager materialization + plan truncation (four consumers: DF
+      // guard, two join sides, sizes) — see nearDupMinhash
+      .localCheckpoint()
     val hotGrams = rows.groupBy("lang", "source", "gh")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > GramDFCap)

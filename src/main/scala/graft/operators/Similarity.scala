@@ -81,20 +81,19 @@ object Similarity {
     val bucketBits = (0 until NPlanes)
       .map(j => when(col(s"p$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val c = exploded.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("vec_id"), col("embedding"), col("nrm"), bucketBits.as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The (vec_id, embedding, nrm, bucket) projection feeds several
     // subtrees in every consumer (both self-join sides of near-dup,
-    // corpus + query sides of each knn) — persist materializes the
-    // posexplode + hash-aggregate ONCE per query instead of once per
-    // subtree (r2 measured x_emb_neardup at 2x its single-pass cost).
-    // Eager count: concurrent consumer jobs don't coordinate on a
-    // cold cache. Cache entries are plan-keyed, so repeated corpus()
-    // calls in one session reuse the same entry; the bench/verify
-    // harness clears the session cache between queries.
-    c.count()
-    c
+    // corpus + query sides of each knn) — localCheckpoint (eager)
+    // materializes the posexplode + hash-aggregate ONCE per query
+    // instead of once per subtree (r2 measured x_emb_neardup at 2x
+    // its single-pass cost) and, unlike persist, also truncates the
+    // logical plan, so consumers that reference the corpus 2-4 times
+    // don't re-analyze the 64-aggregate pipeline per reference
+    // (driver-side Catalyst time, measured in seconds on the dedup
+    // family). Blocks are released by [[graft.Caches.releaseAll]].
+    exploded.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id"), col("embedding"), col("nrm"), bucketBits.as("bucket"))
+      .localCheckpoint()
   }
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
@@ -114,7 +113,15 @@ object Similarity {
   def knnBruteForce(spark: SparkSession, dir: String,
                     k: Int = 5, nQueries: Int = 10): DataFrame = {
     graft.functions.DotProduct.register(spark)
-    val c = corpus(spark, dir)
+    knnBruteFrom(corpus(spark, dir), k, nQueries)
+  }
+
+  /** Brute-force core over an already-materialized corpus — needs only
+    * (vec_id, embedding, nrm), so it runs off either corpus flavor;
+    * the recall audits pass the SAME checkpointed corpus to both the
+    * exact and approximate paths (one materialization per audit).
+    */
+  private def knnBruteFrom(c: DataFrame, k: Int, nQueries: Int): DataFrame = {
     val q = c.filter(col("vec_id") < nQueries).select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm"))
@@ -133,7 +140,10 @@ object Similarity {
   def knnLsh(spark: SparkSession, dir: String,
              k: Int = 5, nQueries: Int = 10): DataFrame = {
     graft.functions.DotProduct.register(spark)
-    val c = corpus(spark, dir)
+    knnLshFrom(corpus(spark, dir), k, nQueries)
+  }
+
+  private def knnLshFrom(c: DataFrame, k: Int, nQueries: Int): DataFrame = {
     val q = c.filter(col("vec_id") < nQueries).select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
@@ -159,7 +169,11 @@ object Similarity {
   def knnIvf(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
     graft.functions.DotProduct.register(spark)
-    val c = corpus(spark, dir)
+    knnIvfFrom(corpus(spark, dir), k, nQueries, nCells, nProbe)
+  }
+
+  private def knnIvfFrom(c: DataFrame, k: Int, nQueries: Int,
+                         nCells: Int, nProbe: Int): DataFrame = {
     val cents = c.filter(col("vec_id") < nCells).select(
       col("vec_id").as("centroid_id"), col("embedding").as("c_emb"),
       col("nrm").as("c_nrm"))
@@ -192,8 +206,9 @@ object Similarity {
   /** Per-query recall of an approximate top-k against the brute-force
     * ground truth (|approx ∩ exact| / k) — the measurement that
     * justifies, vetoes, or tunes an ANN path at scale. Shared by the
-    * LSH / banded-LSH / IVF audits; all inputs share the persisted
-    * corpus so the expensive projection computes once.
+    * LSH / banded-LSH / IVF audits; each audit threads ONE
+    * checkpointed corpus through both its paths so the expensive
+    * projection computes once.
     */
   private def recallVsBrute(brute: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     val a = approx.select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
@@ -211,15 +226,20 @@ object Similarity {
 
   /** Sign-LSH (single 8-plane bucket) recall audit. */
   def knnLshRecall(spark: SparkSession, dir: String,
-                   k: Int = 5, nQueries: Int = 10): DataFrame =
-    recallVsBrute(knnBruteForce(spark, dir, k, nQueries),
-                  knnLsh(spark, dir, k, nQueries), k)
+                   k: Int = 5, nQueries: Int = 10): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val c = corpus(spark, dir)
+    recallVsBrute(knnBruteFrom(c, k, nQueries), knnLshFrom(c, k, nQueries), k)
+  }
 
   /** IVF (coarse-quantized) recall audit. */
   def knnIvfRecall(spark: SparkSession, dir: String,
-                   k: Int = 5, nQueries: Int = 10): DataFrame =
-    recallVsBrute(knnBruteForce(spark, dir, k, nQueries),
-                  knnIvf(spark, dir, k, nQueries), k)
+                   k: Int = 5, nQueries: Int = 10): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val c = corpus(spark, dir)
+    recallVsBrute(knnBruteFrom(c, k, nQueries),
+                  knnIvfFrom(c, k, nQueries, nCells = 16, nProbe = 2), k)
+  }
 
   /** Banded-LSH top-k: candidates are corpus vectors sharing ANY of
     * the [[NDBands]] banded codes with the query (the near-dup banding
@@ -238,7 +258,10 @@ object Similarity {
   def knnLshBanded(spark: SparkSession, dir: String,
                    k: Int = 5, nQueries: Int = 10): DataFrame = {
     graft.functions.DotProduct.register(spark)
-    val c = corpusBanded(spark, dir)
+    knnLshBandedFrom(corpusBanded(spark, dir), k, nQueries)
+  }
+
+  private def knnLshBandedFrom(c: DataFrame, k: Int, nQueries: Int): DataFrame = {
     val bandRecs = array((0 until NDBands).map(b =>
       struct(lit(b).as("band"), col(s"band$b").as("bh"))): _*)
     val br = c.select(col("vec_id"), explode(bandRecs).as("rec"))
@@ -265,9 +288,13 @@ object Similarity {
     * the single-bucket audit opened.
     */
   def knnLshBandedRecall(spark: SparkSession, dir: String,
-                         k: Int = 5, nQueries: Int = 10): DataFrame =
-    recallVsBrute(knnBruteForce(spark, dir, k, nQueries),
-                  knnLshBanded(spark, dir, k, nQueries), k)
+                         k: Int = 5, nQueries: Int = 10): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    // brute force needs only (vec_id, embedding, nrm) — run it off the
+    // banded corpus so the audit materializes ONE projection, not two
+    val c = corpusBanded(spark, dir)
+    recallVsBrute(knnBruteFrom(c, k, nQueries), knnLshBandedFrom(c, k, nQueries), k)
+  }
 
   /** Per-label centroid of the leading `nDims` embedding dimensions —
     * the class-prototype computation behind IVF training / cluster
@@ -343,11 +370,9 @@ object Similarity {
         .map(j => when(col(s"p${b * PlanesPerBand + j}") > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _).as(s"band$b")
     }
-    val c = exploded.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+    exploded.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
       .select(col("vec_id") +: col("embedding") +: col("nrm") +: bandCols: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    c.count() // eager — see corpus()
-    c
+      .localCheckpoint() // eager materialization + plan truncation — see corpus()
   }
 
   /** Embedding near-duplicate pairs: candidates are pairs agreeing on

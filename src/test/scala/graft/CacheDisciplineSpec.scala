@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.{CorpusOps, Dedup, Similarity}
+
+/** The Caches contract (r2/r3 ADVICE): operators may leave
+  * materialized intermediates for the session, but a Verify-style
+  * pass (consume the result, then Caches.releaseAll) must leave ZERO
+  * persistent entries — covering both Dataset caches and the
+  * localCheckpoint block sets that clearCache() alone cannot see.
+  */
+class CacheDisciplineSpec extends SparkSuite {
+
+  private def consume(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  test("a Verify-style pass over every persisting operator releases all blocks") {
+    // construction is deferred: released checkpoint blocks cannot be
+    // recomputed, so each op must build AFTER the previous release
+    val persistingOps = Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      "nearDupMinhash"  -> (() => Dedup.nearDupMinhash(spark, sfDir)),
+      "dupComponents"   -> (() => Dedup.dupComponents(spark, sfDir)),
+      "dedupSurvivors"  -> (() => Dedup.dedupSurvivors(spark, sfDir)),
+      "ngramJaccard"    -> (() => Dedup.ngramJaccard(spark, sfDir)),
+      "decontaminate"   -> (() => CorpusOps.decontaminate(spark, sfDir)),
+      "tfidfTopTerms"   -> (() => CorpusOps.tfidfTopTerms(spark, sfDir)),
+      "knnLshRecall"    -> (() => Similarity.knnLshRecall(spark, sfDir)),
+      "embeddingNearDup" -> (() => Similarity.embeddingNearDup(spark, sfDir)))
+    persistingOps.foreach { case (name, mk) =>
+      withClue(s"$name: ") {
+        consume(mk())
+        Caches.releaseAll(spark)
+        assert(Caches.isEmpty(spark),
+          s"persistent RDDs left after release: " +
+          spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", "))
+      }
+    }
+  }
+
+  test("labelPropagation frees its loop generations before returning") {
+    // After construction (which runs the iterative loop eagerly), only
+    // the RESULT's blocks may remain — not one generation per round,
+    // and not the pair/seed checkpoints.
+    Caches.releaseAll(spark)
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.labelPropagation(pairs)
+    val live = spark.sparkContext.getPersistentRDDs.size
+    assert(live <= 2, s"expected only the result's blocks, found $live persistent RDDs")
+    assert(labels.count() == 6)
+    Caches.releaseAll(spark)
+    assert(Caches.isEmpty(spark))
+  }
+}
