@@ -54,11 +54,20 @@ object Bench {
         i += 1
       }
       val ok = times.forall(_ >= 0)
-      val median = if (ok) times.sorted.apply(times.size / 2) else -1.0
-      (name, median, ok)
+      (name, if (ok) median(times.toSeq) else -1.0, ok)
     }
     println(renderJson(results, nRuns, sfDir))
     spark.stop()
+  }
+
+  /** True median: mean of the two middle samples for even run counts
+    * (upper-middle alone biased the headline pessimistically — with
+    * runs=2 the SLOWER sample was reported as "the median").
+    */
+  def median(times: Seq[Double]): Double = {
+    val s = times.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
   /** The ONE line the driver parses — kept as a pure function so the

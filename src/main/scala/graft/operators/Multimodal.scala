@@ -117,6 +117,14 @@ object Multimodal {
     * video pipeline records per extracted frame before the (stubbed)
     * codec runs. Bounded to the leading documents so the output stays
     * small at any scale factor.
+    *
+    * ASCII-corpus contract (same caveat as PolyHash): frames slice the
+    * BINARY payload by bytes, while the DuckDB oracle slices the text
+    * by characters before encoding — identical only while one
+    * character is one byte. The synthetic corpus is ASCII by
+    * construction; for multi-byte text the oracle would have to slice
+    * the encoded bytes instead (the Spark side is the semantics a real
+    * media pipeline wants — byte offsets into an opaque payload).
     */
   def frameSample(spark: SparkSession, dir: String, maxDocs: Int = 50): DataFrame =
     sampleFrames(withPayload(

@@ -36,14 +36,26 @@ object Sinks {
   /** K3 AlertGenerator — strict `>` threshold predicate (:100-106)
     * feeding a downstream handler. Alerts are a filtered trickle by
     * design, but the collect is still driver-side: `maxAlerts` bounds
-    * it so a mis-set threshold can never OOM the driver (the overflow
-    * count is the signal to move the handler into a distributed
-    * writer).
+    * it so a mis-set threshold can never OOM the driver. The cap is
+    * deterministic (ordered by id before the limit — an unordered
+    * limit keeps an arbitrary subset) and overflow is REPORTED via
+    * `onOverflow` — hitting the cap is the signal to move the handler
+    * into a distributed writer, so it must never pass silently.
     */
   def alerts(cfg: Config, handler: Array[Row] => Unit,
-             maxAlerts: Int = 10000): Sink = df =>
-    handler(df.filter(col("moving_average") > cfg.alertThreshold)
-      .limit(maxAlerts).collect())
+             maxAlerts: Int = 10000,
+             onOverflow: Int => Unit = cap => System.err.println(
+               s"[graft] alert sink overflow: batch exceeded $cap alerts; " +
+               "excess dropped — route alerts to a distributed sink")): Sink = df => {
+    // fetch cap+1: one extra row is the cheapest exact overflow test
+    val hits = df.filter(col("moving_average") > cfg.alertThreshold)
+      .orderBy("id")
+      .limit(maxAlerts + 1).collect()
+    if (hits.length > maxAlerts) {
+      onOverflow(maxAlerts)
+      handler(hits.take(maxAlerts))
+    } else handler(hits)
+  }
 
   /** K4 Subject.notify — deliver one cached batch to every sink,
     * swallowing per-sink failures (:79-83). NonFatal only: the

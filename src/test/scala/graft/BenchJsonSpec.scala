@@ -23,6 +23,14 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(node.get("failures").size() == 0)
   }
 
+  test("median averages the two middle samples for even run counts") {
+    // upper-middle alone reported the SLOWER of two runs as "median"
+    assert(Bench.median(Seq(1.0, 3.0)) == 2.0)
+    assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
+    assert(Bench.median(Seq(5.0, 1.0, 3.0)) == 3.0)
+    assert(Bench.median(Seq(7.5)) == 7.5)
+  }
+
   test("a failed query reports -1 and poisons the total by an hour") {
     val line = Bench.renderJson(
       Seq(("ok", 2.0, true), ("bad", -1.0, false)), 3, "sf")

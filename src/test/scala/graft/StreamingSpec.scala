@@ -86,6 +86,22 @@ class StreamingSpec extends SparkSuite {
     assert(got.map(_.getString(0)).toSeq == Seq("e2"))
   }
 
+  test("alert sink reports overflow and keeps a deterministic id-ordered prefix") {
+    var got: Array[Row] = Array.empty
+    var overflowedAt = -1
+    val df = Seq("e3", "e1", "e4", "e2").map((_, 120.0)).toDF("id", "moving_average")
+    Sinks.alerts(Sinks.Config(alertThreshold = 108.0), got = _,
+      maxAlerts = 2, onOverflow = overflowedAt = _)(df)
+    assert(overflowedAt == 2, "hitting the cap must be signalled, not silent")
+    assert(got.map(_.getString(0)).toSeq == Seq("e1", "e2"),
+      "the kept subset is the id-ordered prefix, not an arbitrary limit")
+    // under the cap: no overflow signal
+    overflowedAt = -1
+    Sinks.alerts(Sinks.Config(alertThreshold = 108.0), got = _,
+      maxAlerts = 4, onOverflow = overflowedAt = _)(df)
+    assert(overflowedAt == -1 && got.length == 4)
+  }
+
   test("transformWithState SMA (API v2) equals the batch window formulation") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
