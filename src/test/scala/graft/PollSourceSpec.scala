@@ -1,0 +1,114 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RefPipeline
+import graft.sources.{PollSource, Sources}
+import graft.streaming.StreamingSma
+
+/** The incremental poll source (financial_engine.py:124-209, :367-377):
+  * per-interval round-robin polling, None-on-error record drop, and
+  * 2x-interval error backoff — driven end-to-end with a manual clock
+  * and an injected failing fetcher.
+  */
+class PollSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def pollStream(sourceId: String, symbols: String, intervalMs: Long) =
+    spark.readStream.format("graft.sources.PollSourceProvider")
+      .option("sourceId", sourceId)
+      .option("symbols", symbols)
+      .option("intervalMs", intervalMs.toString)
+      .load()
+
+  test("polls round-robin per interval; a failed fetch drops the record and backs off 2x") {
+    val clock = new AtomicLong(0L)
+    PollSource.registerClock("t-backoff", () => clock.get())
+    // attempt 1 fails (the API-limit/HTTP-error path, :150-152,:196-202)
+    PollSource.registerFetcher("t-backoff", (sym, attempt) =>
+      if (attempt == 1) None else PollSource.mockQuote(sym, attempt))
+
+    val q = pollStream("t-backoff", "AAA,BBB", intervalMs = 100)
+      .writeStream.format("memory").queryName("poll_backoff").start()
+    def rows(): Seq[(String, String)] =
+      try {
+        q.processAllAvailable()
+        spark.table("poll_backoff").select("id", "symbol").as[(String, String)]
+          .collect().toSeq.sorted
+      } finally ()
+
+    // t=0: first poll fires immediately (:371) — attempt 0, symbol AAA
+    assert(rows().map(_._2) == Seq("AAA"))
+    // t=100: attempt 1 (BBB) FAILS -> nothing emitted
+    clock.set(100)
+    assert(rows().size == 1, "failed fetch must drop the record")
+    // t=200: backoff means next attempt is due at 100 + 2*100 = 300
+    clock.set(200)
+    assert(rows().size == 1, "during backoff no poll may fire")
+    clock.set(299)
+    assert(rows().size == 1)
+    // t=300: attempt 2 fires — round-robin CONTINUES at AAA (the
+    // failed symbol is skipped, not retried: :159-160 advances per call)
+    clock.set(300)
+    val r3 = rows()
+    assert(r3.map(_._2) == Seq("AAA", "AAA") && r3.map(_._1) ==
+      Seq("av_000000000000", "av_000000000002"),
+      s"attempt 1 must be a hole in the id sequence, got $r3")
+    // t=400: normal cadence restored after the successful poll
+    clock.set(400)
+    assert(rows().map(_._2) == Seq("AAA", "AAA", "BBB"))
+    q.stop()
+  }
+
+  test("poll -> normalize -> clean -> SMA -> alerts end-to-end with an injected failure") {
+    val n = 3
+    val threshold = 1005.0 // first warm window's SMA (~1001.7) stays under it
+    val clock = new AtomicLong(0L)
+    PollSource.registerClock("t-e2e", () => clock.get())
+    // Rising prices 995, 1000, 1005, ... cross the alert threshold as
+    // the SMA warms up; attempt 2 fails (and must NOT contribute a
+    // price to any window); attempt 5 is malformed JSON (extraction
+    // yields null -> cleaner drops it, the dead-letter path).
+    PollSource.registerFetcher("t-e2e", (_, attempt) =>
+      if (attempt == 2) None
+      else if (attempt == 5) Some("""{"no price here": true}""")
+      else Some(s"""{"05. price": "${995 + 5 * attempt}", "06. volume": "10"}"""))
+
+    val ticks = RefPipeline.clean(
+        Sources.normalizeJsonQuotes(pollStream("t-e2e", "IBM", intervalMs = 10)))
+      .select(col("id"), col("symbol"), col("price"))
+      .as[StreamingSma.Tick]
+    val sma = StreamingSma.withMovingAverage(ticks, n)
+    val q = sma.writeStream.format("memory").queryName("poll_e2e")
+      .outputMode("append").start()
+
+    // 9 attempts: due times 0,10,20,(fail->+20),40,50,(malformed)60,70,80,90
+    for (t <- 0L to 90L by 10L) { clock.set(t); q.processAllAvailable() }
+    val out = spark.table("poll_e2e")
+      .as[StreamingSma.SmaOut].collect().sortBy(_.id)
+    q.stop()
+
+    // successes: attempts 0,1,3,4,6,7,8 (2 failed, 5 malformed-dropped)
+    assert(out.map(_.price).toSeq ==
+      Seq(0, 1, 3, 4, 6, 7, 8).map(a => 995.0 + 5 * a),
+      "failed and malformed polls must contribute nothing")
+    // warm-up gate: first n-1 ticks emit no SMA
+    assert(out.take(n - 1).forall(_.moving_average.isEmpty))
+    val withSma = out.drop(n - 1)
+    assert(withSma.forall(_.moving_average.nonEmpty))
+    // windows slide over DELIVERED prices only: third window is
+    // (1000, 1010, 1015) — a 1005 from the failed attempt would shift it
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val smaVals = withSma.map(_.moving_average.get).toSeq
+    assert(smaVals.head == round6((995.0 + 1000.0 + 1010.0) / 3))
+    assert(smaVals(1) == round6((1000.0 + 1010.0 + 1015.0) / 3))
+    // alerts (strict >) fire exactly where the SMA crosses the threshold
+    val alerts = withSma.filter(_.moving_average.get > threshold)
+    assert(alerts.nonEmpty && alerts.forall(_.moving_average.get > threshold))
+    assert(withSma.map(_.moving_average.get).exists(_ <= threshold),
+      "test must cover both sides of the threshold")
+  }
+}
