@@ -18,12 +18,14 @@ object StreamingSmaV2 {
   /** State wrapper (needs a product encoder for the state store). */
   final case class PriceBuffer(values: List[Double])
 
-  class SmaProcessor(n: Int) extends StatefulProcessor[String, Tick, SmaOut] {
+  class SmaProcessor(n: Int, ttl: Option[java.time.Duration] = None)
+      extends StatefulProcessor[String, Tick, SmaOut] {
     @transient private var buffer: ValueState[PriceBuffer] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       buffer = getHandle.getValueState[PriceBuffer](
-        "prices", Encoders.product[PriceBuffer], TTLConfig.NONE)
+        "prices", Encoders.product[PriceBuffer],
+        ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
 
     override def handleInputRows(key: String, inputRows: Iterator[Tick],
                                  timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SmaOut] = {
@@ -44,11 +46,23 @@ object StreamingSmaV2 {
   /** Requires the RocksDB state store provider
     * (`spark.sql.streaming.stateStore.providerClass`); see
     * StreamingSpec for the session wiring.
+    *
+    * `ttl` bounds per-key state lifetime (SURVEY §2.8: the reference's
+    * keyed state is unbounded in key cardinality and never expires,
+    * financial_engine.py:298 — at scale that is a leak, since a symbol
+    * that stops ticking holds its window forever). With a TTL, an idle
+    * key's buffer is dropped after `ttl` of processing time and the
+    * warm-up gate restarts from zero when the key reappears — the same
+    * semantics as a fresh key, which is exactly what the reference
+    * does after a restart. TTL requires processing-time mode; without
+    * one the processor runs in TimeMode.None as before.
     */
-  def withMovingAverage(ticks: Dataset[Tick], n: Int): Dataset[SmaOut] = {
+  def withMovingAverage(ticks: Dataset[Tick], n: Int,
+                        ttl: Option[java.time.Duration] = None): Dataset[SmaOut] = {
     import ticks.sparkSession.implicits._
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     ticks
       .groupByKey(_.symbol)
-      .transformWithState(new SmaProcessor(n), TimeMode.None(), OutputMode.Append())
+      .transformWithState(new SmaProcessor(n, ttl), timeMode, OutputMode.Append())
   }
 }

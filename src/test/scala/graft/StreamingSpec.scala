@@ -102,6 +102,55 @@ class StreamingSpec extends SparkSuite {
     assert(overflowedAt == -1 && got.length == 4)
   }
 
+  test("transformWithState SMA state expires after the TTL and the warm-up gate restarts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Tick]
+    // TimeMode.ProcessingTime (required by TTL) keeps the engine
+    // triggering batches, so processAllAvailable never settles — poll
+    // the sink until the expected ids land instead.
+    val q = graft.streaming.StreamingSmaV2.withMovingAverage(
+        ms.toDS(), n = 3, ttl = Some(java.time.Duration.ofMillis(300)))
+      .writeStream.format("memory").queryName("sma_ttl")
+      .outputMode("append").start()
+    def smaOf(ids: String*): Seq[Option[Double]] = {
+      val deadline = System.currentTimeMillis() + 30000
+      var rows = Array.empty[org.apache.spark.sql.Row]
+      while (ids.exists(id => !rows.exists(_.getString(0) == id)) &&
+             System.currentTimeMillis() < deadline) {
+        Thread.sleep(50)
+        rows = spark.table("sma_ttl").collect()
+      }
+      ids.map(id => rows.find(_.getString(0) == id).map(r =>
+        Option(r.get(3)).map(_.asInstanceOf[Double]))
+        .getOrElse(fail(s"tick $id never reached the sink")))
+    }
+    try {
+      // warm the key in ONE batch: 3 prices -> third tick emits an SMA
+      // (single-batch phases keep the TTL clock out of the assertions:
+      // within a batch all rows see the same state generation)
+      ms.addData(Tick("t1", "A", 10.0), Tick("t2", "A", 20.0), Tick("t3", "A", 30.0))
+      assert(smaOf("t1", "t2", "t3") == Seq(None, None, Some(20.0)))
+      // idle past the TTL: the key's buffer must be dropped, so the
+      // reappearing key restarts the warm-up gate from zero. An
+      // UN-expired buffer [10,20,30] would emit Some(33.33)/Some(46.67)
+      // for t5/t6 — the fresh-key path emits None/None.
+      Thread.sleep(1500)
+      ms.addData(Tick("t5", "A", 50.0), Tick("t6", "A", 60.0), Tick("t7", "A", 70.0))
+      assert(smaOf("t5", "t6", "t7") == Seq(None, None, Some(60.0)),
+        "expired state must not seed the new window; warm-up completes at 3 new prices")
+    } finally {
+      q.stop()
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState SMA (API v2) equals the batch window formulation") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
