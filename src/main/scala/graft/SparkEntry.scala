@@ -230,12 +230,12 @@ object SparkEntry {
 
     "x_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
-        |           (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |           (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
@@ -243,8 +243,8 @@ object SparkEntry {
 
     "x_top_revenue_orders" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
-        |           (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |           (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
         |  AND l_orderkey = o_orderkey
@@ -255,14 +255,14 @@ object SparkEntry {
 
     "x_brand_volume" ->
       """SELECT p_brand,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "x_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
@@ -300,7 +300,7 @@ object SparkEntry {
     "x_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
@@ -308,7 +308,7 @@ object SparkEntry {
     "x_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_price,
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
@@ -316,7 +316,7 @@ object SparkEntry {
     "x_hourly_events" ->
       """SELECT epoch_us(date_trunc('hour', ts))//1000000 AS bucket_s, event_type,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY bucket_s, event_type
         |ORDER BY bucket_s, event_type""".stripMargin,
@@ -331,15 +331,15 @@ object SparkEntry {
     "x_running_spend" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
         |  o_totalprice,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
         |    PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
-        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+        |    ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_spend
         |FROM orders
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
 
     "x_value_bands" ->
       """SELECT band, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events JOIN (
         |  SELECT range AS band, range*50.0 AS lo, (range+1)*50.0 AS hi
         |  FROM range(0,10)
@@ -376,14 +376,14 @@ object SparkEntry {
 
     "x_value_bands_arith" ->
       """SELECT CAST(FLOOR(value/50.0) AS BIGINT) AS band, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events WHERE value >= 0.0 AND value < 500.0
         |GROUP BY band ORDER BY band""".stripMargin,
 
     "x_join_left_outer" ->
       """SELECT c_custkey, n_name, r_name,
         |  COUNT(o_orderkey) AS n_orders,
-        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 0) AS DOUBLE) AS total_spend
+        |  CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 0) AS VARCHAR) AS DOUBLE) AS total_spend
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -424,13 +424,13 @@ object SparkEntry {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
         |  COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_price,
         |  CAST(MAX(day(o_orderdate)) AS BIGINT) AS max_day
         |FROM orders GROUP BY o_year, o_month ORDER BY o_year, o_month""".stripMargin,
 
     "x_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "x_window_funcs" ->
@@ -489,7 +489,7 @@ object SparkEntry {
       """SELECT event_type,
         |  COUNT(*) FILTER (WHERE value > 250.0) AS n_high,
         |  COUNT(*) FILTER (WHERE value <= 250.0) AS n_low,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE value > 250.0) AS DOUBLE) AS sum_high,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE value > 250.0) AS VARCHAR) AS DOUBLE) AS sum_high,
         |  COUNT(*) AS n_total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -527,14 +527,14 @@ object SparkEntry {
         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
         |  COUNT(*) AS n_events,
         |  MIN(ts_s) AS session_start_s, MAX(ts_s) AS session_end_s,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
 
     "x_range_frame" ->
       """SELECT event_id, user_id, ts_s, value,
         |  COUNT(*) OVER w AS n_1h,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE) AS sum_1h
         |FROM (SELECT event_id, user_id, epoch_us(ts)//1000000 AS ts_s, value FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
@@ -543,8 +543,8 @@ object SparkEntry {
     "x_unpivot" ->
       """WITH base AS (
         |  SELECT l_returnflag,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_price,
         |    CAST(COUNT(*) AS DOUBLE) AS n_rows
         |  FROM lineitem GROUP BY l_returnflag
         |)
@@ -558,9 +558,9 @@ object SparkEntry {
 
     "x_share_of_total" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS cust_total,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE) AS cust_total,
         |  round(CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE) /
-        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE), 6) AS share
+        |        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE), 6) AS share
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
@@ -589,7 +589,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
         |  COUNT(*) AS n_rows,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
@@ -1146,7 +1146,7 @@ object SparkEntry {
         |  FROM tk
         |)
         |SELECT lang_guess, COUNT(*) AS n_docs, SUM(n_tokens)::BIGINT AS total_tokens,
-        |  CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_quality
+        |  CAST(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS avg_quality
         |FROM s GROUP BY lang_guess ORDER BY lang_guess""".stripMargin,
 
     "x_knn_brute" ->
