@@ -120,6 +120,7 @@ object SparkEntry {
     "x_tfidf_top_terms"    -> ((s, dir) => CorpusOps.tfidfTopTerms(s, dir)),
     "x_curation_pipeline"  -> ((s, dir) => CorpusOps.curationPipeline(s, dir)),
     "x_centroids"          -> ((s, dir) => Similarity.labelCentroids(s, dir)),
+    "x_kmeans"             -> ((s, dir) => Similarity.kmeansCentroids(s, dir)),
     "x_dedup_exact"        -> ((s, dir) => Dedup.exactDedup(s, dir)),
     "x_dedup_minhash"      -> ((s, dir) => Dedup.nearDupMinhash(s, dir)),
     "x_dedup_simhash"      -> ((s, dir) => Dedup.simhashDocs(s, dir)),
@@ -713,6 +714,34 @@ object SparkEntry {
         |        / (COUNT(*) * 1000000.0), 6) AS mean_val
         |FROM embeddings, range(1, 9) t(i)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    // Lloyd k-means, 2 unrolled rounds, k=8, 64 dims. Exact mirror of
+    // kmeansCentroids: integer micro-unit coordinates, BIGINT squared
+    // distances (order-independent sums), (d2, cid)-ordered rank-1
+    // assignment, round(sum/count) integer centroid updates.
+    "x_kmeans" ->
+      """WITH vq AS (
+        |  SELECT vec_id, (i-1)::BIGINT AS pos,
+        |         round(embedding[i]::DOUBLE * 1000000)::BIGINT AS vq
+        |  FROM embeddings, range(1, 65) t(i)),
+        |c0 AS (SELECT vec_id::BIGINT AS cid, pos, vq AS cq FROM vq WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        |  FROM (SELECT v.vec_id, c.cid, SUM((v.vq-c.cq)*(v.vq-c.cq)) AS d2
+        |        FROM vq v JOIN c0 c USING (pos) GROUP BY 1, 2)) WHERE rk = 1),
+        |c1 AS (SELECT a1.cid, vq.pos, round(SUM(vq.vq)::DOUBLE / COUNT(*))::BIGINT AS cq
+        |       FROM a1 JOIN vq USING (vec_id) GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        |  FROM (SELECT v.vec_id, c.cid, SUM((v.vq-c.cq)*(v.vq-c.cq)) AS d2
+        |        FROM vq v JOIN c1 c USING (pos) GROUP BY 1, 2)) WHERE rk = 1),
+        |c2 AS (SELECT a2.cid, vq.pos, round(SUM(vq.vq)::DOUBLE / COUNT(*))::BIGINT AS cq
+        |       FROM a2 JOIN vq USING (vec_id) GROUP BY 1, 2),
+        |cnt AS (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY cid)
+        |SELECT c2.cid AS centroid_id, c2.pos, cnt.n_members,
+        |  round(c2.cq::DOUBLE / 1000000.0, 6) AS mean_val
+        |FROM c2 JOIN cnt USING (cid)
+        |ORDER BY centroid_id, pos""".stripMargin,
 
     "x_dedup_exact" ->
       """SELECT keep_id, n_copies FROM (

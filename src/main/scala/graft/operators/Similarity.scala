@@ -320,6 +320,65 @@ object Similarity {
       .orderBy("label", "pos")
   }
 
+  /** Distributed k-means (Lloyd) over the embeddings — the trainer the
+    * IVF path's scaladoc promises ("swapping in trained centroids
+    * changes recall, not the pipeline shape"). `iters` assign/update
+    * rounds from a deterministic init (the first `k` vectors); output
+    * is the final centroids exploded to (centroid_id, pos, n_members,
+    * mean_val) rows.
+    *
+    * Exactness across engines: coordinates quantize to integer
+    * micro-units up front (round(x*1e6), the [[labelCentroids]]
+    * trick), so squared distances are BIGINT sums — order-independent
+    * and bit-identical in any engine — and centroid updates are
+    * integer-sum/count divisions whose operands stay below 2^53
+    * (correctly rounded, hence identical, doubles). Ties in the
+    * nearest-centroid rank break on centroid id. A centroid that loses
+    * every member simply drops out — the same groupBy semantics on
+    * both sides.
+    *
+    * Scale shape: the vector side explodes ONCE and is checkpointed
+    * (reused by every round); centroids are k x dim rows — broadcast
+    * into the distance join at any corpus size; assignment is one
+    * hash-aggregate (map-side partials) + a rank-1 window per vector;
+    * each round's output is checkpointed so round r+1 plans against
+    * materialized blocks, not r rounds of lineage (the
+    * [[graft.operators.Dedup.labelPropagation]] lesson).
+    */
+  def kmeansCentroids(spark: SparkSession, dir: String,
+                      k: Int = 8, iters: Int = 2): DataFrame = {
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val vq = Tables.embeddings(spark, dir)
+      .repartition(n, col("vec_id")) // parallelize the explode — see corpus()
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("bigint").as("pos"),
+        round(col("col").cast("double") * 1e6).cast("bigint").as("vq"))
+      .localCheckpoint()
+    var cents = vq.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("bigint").as("cid"), col("pos"), col("vq").as("cq"))
+    var assignment: DataFrame = null
+    val byVec = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+    for (_ <- 1 to iters) {
+      val d2 = vq.join(broadcast(cents), Seq("pos"))
+        .groupBy("vec_id", "cid")
+        .agg(sum((col("vq") - col("cq")) * (col("vq") - col("cq"))).as("d2"))
+      assignment = d2
+        .withColumn("rk", row_number().over(byVec))
+        .filter(col("rk") === 1)
+        .select("vec_id", "cid")
+        .localCheckpoint()
+      cents = assignment.join(vq, Seq("vec_id"))
+        .groupBy("cid", "pos")
+        .agg(round(sum(col("vq")).cast("double") / count(lit(1))).cast("bigint").as("cq"))
+        .localCheckpoint()
+    }
+    val counts = assignment.groupBy("cid").agg(count(lit(1)).as("n_members"))
+    cents.join(counts, Seq("cid"))
+      .select(col("cid").as("centroid_id"), col("pos"), col("n_members"),
+        round(col("cq").cast("double") / 1e6, 6).as("mean_val"))
+      .orderBy("centroid_id", "pos")
+  }
+
   /** Generator (UDTF-analog) surface: posexplode flattens each vector
     * to (vec_id, pos, val) rows — the lateral-view shape; kept to the
     * leading positions so the output is bounded.

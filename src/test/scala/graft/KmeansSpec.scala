@@ -1,0 +1,31 @@
+package graft
+
+import graft.operators.Similarity
+
+/** Lloyd k-means invariants on the test corpus (the oracle pins exact
+  * values; this pins the structural contract).
+  */
+class KmeansSpec extends SparkSuite {
+
+  test("kmeans emits k x dim centroid rows with a full partition of the corpus") {
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    val rows = Similarity.kmeansCentroids(spark, sfDir, k = 8, iters = 2).collect()
+    val byCid = rows.groupBy(_.getLong(0))
+    assert(byCid.keys.forall(c => c >= 0 && c < 8))
+    byCid.values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (0L until 64L), "one row per dim")
+      assert(rs.map(_.getLong(2)).distinct.length == 1, "consistent member count")
+    }
+    // every vector is assigned to exactly one surviving centroid
+    val members = byCid.values.map(_.head.getLong(2)).sum
+    assert(members == nVecs, s"assignment must partition the corpus: $members != $nVecs")
+  }
+
+  test("a second Lloyd round changes the assignment-relevant centroids (it really iterates)") {
+    val one = Similarity.kmeansCentroids(spark, sfDir, k = 8, iters = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val two = Similarity.kmeansCentroids(spark, sfDir, k = 8, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(one != two, "round 2 must move at least one centroid coordinate")
+  }
+}
