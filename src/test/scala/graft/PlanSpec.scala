@@ -24,6 +24,27 @@ class PlanSpec extends SparkSuite {
       s"scan reads more columns than the query needs: $readSchema")
   }
 
+  test("topk aggregator reduces map-side BEFORE the shuffle (the skew rescue)") {
+    // A window partition must be colocated — AQE cannot split a hot
+    // supplier. The aggregator form's partial buffers run on every
+    // input partition before the exchange, so a skewed key's work
+    // splits map-side: the plan must show a partial ObjectHashAggregate
+    // (or SortAggregate) BELOW the exchange, and the window form must
+    // show its full-key sort above one.
+    val agg = formatted(Analytics.topkPerSupplierAgg(spark, sfDir))
+    assert(agg.contains("[partial_topkbyprice"), s"no partial aggregate in:\n$agg")
+    // partial runs below the exchange: in the numbered tree the
+    // aggregate node feeding the Exchange carries the partial function
+    val tree = agg.linesIterator.takeWhile(l => !l.trim.startsWith("(1)")).toSeq
+    val exchangeDepth = tree.filter(_.contains("Exchange (")).map(_.indexOf("+-")).min
+    val aggDepths = tree.filter(_.contains("ObjectHashAggregate (")).map(_.indexOf("+-"))
+    assert(aggDepths.exists(_ > exchangeDepth),
+      s"no aggregate below the exchange in:\n${tree.mkString("\n")}")
+    assert(!agg.contains("Window ("), "the aggregator form must not sort per key")
+    val win = formatted(Analytics.topkPerSupplier(spark, sfDir))
+    assert(win.contains("Window"), win)
+  }
+
   test("brand volume broadcasts the dimension side") {
     val plan = formatted(Analytics.brandVolume(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), plan)
