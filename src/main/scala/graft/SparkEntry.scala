@@ -121,6 +121,8 @@ object SparkEntry {
     "x_curation_pipeline"  -> ((s, dir) => CorpusOps.curationPipeline(s, dir)),
     "x_centroids"          -> ((s, dir) => Similarity.labelCentroids(s, dir)),
     "x_kmeans"             -> ((s, dir) => Similarity.kmeansCentroids(s, dir)),
+    "x_knn_ivf_trained"    -> ((s, dir) => Similarity.knnIvfTrained(s, dir)),
+    "x_ivf_trained_recall" -> ((s, dir) => Similarity.knnIvfTrainedRecall(s, dir)),
     "x_dedup_exact"        -> ((s, dir) => Dedup.exactDedup(s, dir)),
     "x_dedup_minhash"      -> ((s, dir) => Dedup.nearDupMinhash(s, dir)),
     "x_dedup_simhash"      -> ((s, dir) => Dedup.simhashDocs(s, dir)),
@@ -143,6 +145,63 @@ object SparkEntry {
     "x_multimodal_meta"    -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "x_frame_sample"       -> ((s, dir) => Multimodal.frameSample(s, dir))
   )
+
+  /** Shared CTE prefix: 2 unrolled Lloyd k-means rounds (k=8, 64 dims,
+    * integer micro-unit coordinates) ending in `c2` (final centroids)
+    * and `a2` (final assignment) — used by x_kmeans and the
+    * trained-IVF queries so the trainer definition cannot drift
+    * between oracles.
+    */
+  private val kmeansCtes: String =
+    """vq AS (
+      |  SELECT vec_id, (i-1)::BIGINT AS pos,
+      |         round(embedding[i]::DOUBLE * 1000000)::BIGINT AS vq
+      |  FROM embeddings, range(1, 65) t(i)),
+      |c0 AS (SELECT vec_id::BIGINT AS cid, pos, vq AS cq FROM vq WHERE vec_id < 8),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+      |  FROM (SELECT v.vec_id, c.cid, SUM((v.vq-c.cq)*(v.vq-c.cq)) AS d2
+      |        FROM vq v JOIN c0 c USING (pos) GROUP BY 1, 2)) WHERE rk = 1),
+      |c1 AS (SELECT a1.cid, vq.pos, round(SUM(vq.vq)::DOUBLE / COUNT(*))::BIGINT AS cq
+      |       FROM a1 JOIN vq USING (vec_id) GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, cid FROM (
+      |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+      |  FROM (SELECT v.vec_id, c.cid, SUM((v.vq-c.cq)*(v.vq-c.cq)) AS d2
+      |        FROM vq v JOIN c1 c USING (pos) GROUP BY 1, 2)) WHERE rk = 1),
+      |c2 AS (SELECT a2.cid, vq.pos, round(SUM(vq.vq)::DOUBLE / COUNT(*))::BIGINT AS cq
+      |       FROM a2 JOIN vq USING (vec_id) GROUP BY 1, 2)""".stripMargin
+
+  /** Trained-IVF CTE suffix: trained centroids as DOUBLE lists, corpus
+    * with norms, nearest-cell assignment, 2-probe query cells, and the
+    * candidate scoring — ends in `scored (query_id, neighbor_id, cos)`.
+    */
+  private val trainedIvfCtes: String =
+    """tc AS (
+      |  SELECT cid AS centroid_id, list(round(cq::DOUBLE/1000000.0, 6) ORDER BY pos) AS c_emb
+      |  FROM c2 GROUP BY cid),
+      |tcn AS (SELECT centroid_id, c_emb,
+      |  sqrt(list_reduce(list_transform(c_emb, x -> x*x), (a,b)->a+b)) AS c_nrm FROM tc),
+      |e AS (SELECT vec_id, embedding,
+      |  sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE), (a,b)->a+b)) AS nrm
+      |  FROM embeddings),
+      |ranked AS (
+      |  SELECT e.vec_id, e.embedding, e.nrm, c.centroid_id,
+      |    round(list_reduce(list_transform(range(1,65),
+      |      i -> e.embedding[i]::DOUBLE * c.c_emb[i]), (a,b)->a+b)/(e.nrm*c.c_nrm), 6) AS c_sim
+      |  FROM e, tcn c),
+      |cells AS (
+      |  SELECT vec_id, embedding, nrm, centroid_id AS cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rk
+      |    FROM ranked) WHERE rk = 1),
+      |qcells AS (
+      |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, centroid_id AS cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rk
+      |    FROM ranked WHERE vec_id < 10) WHERE rk <= 2),
+      |scored AS (
+      |  SELECT DISTINCT q.query_id, cv.vec_id AS neighbor_id,
+      |    round(list_reduce(list_transform(range(1,65),
+      |      i -> cv.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (a,b)->a+b)/(cv.nrm*q.q_nrm), 6) AS cos
+      |  FROM cells cv JOIN qcells q ON cv.cell = q.cell AND cv.vec_id <> q.query_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ref_normalize_union" ->
@@ -720,28 +779,47 @@ object SparkEntry {
     // distances (order-independent sums), (d2, cid)-ordered rank-1
     // assignment, round(sum/count) integer centroid updates.
     "x_kmeans" ->
-      """WITH vq AS (
-        |  SELECT vec_id, (i-1)::BIGINT AS pos,
-        |         round(embedding[i]::DOUBLE * 1000000)::BIGINT AS vq
-        |  FROM embeddings, range(1, 65) t(i)),
-        |c0 AS (SELECT vec_id::BIGINT AS cid, pos, vq AS cq FROM vq WHERE vec_id < 8),
-        |a1 AS (SELECT vec_id, cid FROM (
-        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
-        |  FROM (SELECT v.vec_id, c.cid, SUM((v.vq-c.cq)*(v.vq-c.cq)) AS d2
-        |        FROM vq v JOIN c0 c USING (pos) GROUP BY 1, 2)) WHERE rk = 1),
-        |c1 AS (SELECT a1.cid, vq.pos, round(SUM(vq.vq)::DOUBLE / COUNT(*))::BIGINT AS cq
-        |       FROM a1 JOIN vq USING (vec_id) GROUP BY 1, 2),
-        |a2 AS (SELECT vec_id, cid FROM (
-        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
-        |  FROM (SELECT v.vec_id, c.cid, SUM((v.vq-c.cq)*(v.vq-c.cq)) AS d2
-        |        FROM vq v JOIN c1 c USING (pos) GROUP BY 1, 2)) WHERE rk = 1),
-        |c2 AS (SELECT a2.cid, vq.pos, round(SUM(vq.vq)::DOUBLE / COUNT(*))::BIGINT AS cq
-        |       FROM a2 JOIN vq USING (vec_id) GROUP BY 1, 2),
+      s"""WITH $kmeansCtes,
         |cnt AS (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY cid)
         |SELECT c2.cid AS centroid_id, c2.pos, cnt.n_members,
         |  round(c2.cq::DOUBLE / 1000000.0, 6) AS mean_val
         |FROM c2 JOIN cnt USING (cid)
         |ORDER BY centroid_id, pos""".stripMargin,
+
+    "x_knn_ivf_trained" ->
+      s"""WITH $kmeansCtes,
+        |$trainedIvfCtes
+        |SELECT query_id, neighbor_id, rk, cos FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rk
+        |  FROM scored) WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
+
+    "x_ivf_trained_recall" ->
+      s"""WITH $kmeansCtes,
+        |$trainedIvfCtes,
+        |scored_b AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(range(1,65),
+        |      i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*q.q_nrm), 6) AS cos
+        |  FROM e, (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+        |           FROM e WHERE vec_id < 10) q
+        |  WHERE e.vec_id <> q.query_id),
+        |top_b AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        |    FROM scored_b) WHERE rk <= 5),
+        |top_t AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        |    FROM scored) WHERE rk <= 5),
+        |hits AS (
+        |  SELECT b.query_id, COUNT(*) AS n_hits
+        |  FROM top_b b JOIN top_t t ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+        |  GROUP BY b.query_id)
+        |SELECT qq.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |  round(COALESCE(h.n_hits, 0)::DOUBLE/5, 6) AS recall
+        |FROM (SELECT DISTINCT query_id FROM top_b) qq LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id""".stripMargin,
 
     "x_dedup_exact" ->
       """SELECT keep_id, n_copies FROM (

@@ -7,26 +7,37 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression for the float-array dot product in
-  * double precision — the hot scalar of every similarity query
-  * (knn scoring, near-dup recheck). The higher-order-function
-  * formulation ([[VectorFunctions.dot]]: zip_with + aggregate) is
-  * interpreted — one lambda invocation per element per pair; this
-  * compiles to a tight fused loop inside whole-stage codegen.
+/** Native Catalyst expression for the float/double-array dot product
+  * in double precision — the hot scalar of every similarity query
+  * (knn scoring, near-dup recheck, centroid assignment). The
+  * higher-order-function formulation ([[VectorFunctions.dot]]:
+  * zip_with + aggregate) is interpreted — one lambda invocation per
+  * element per pair; this compiles to a tight fused loop inside
+  * whole-stage codegen.
   *
-  * Semantics match the HOF form exactly: elements are widened
-  * float→double (exact) before multiplying, accumulation is
+  * Each side may be ARRAY<FLOAT> or ARRAY<DOUBLE> (trained k-means
+  * centroids are exact-decimal doubles scored against float corpus
+  * vectors). Semantics match the HOF form exactly: float elements are
+  * widened float→double (exact) before multiplying, accumulation is
   * sequential left-to-right, a null element or length mismatch yields
   * NULL (zip_with pads the shorter side with nulls, which nulls the
   * HOF sum the same way).
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
-    case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two ARRAY<FLOAT> arguments, got ${l.sql} and ${r.sql}")
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
   }
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (l, r) if elemOk(l) && elemOk(r) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT> or ARRAY<DOUBLE> arguments, got ${l.sql} and ${r.sql}")
+  }
+
+  private def isFloat(t: DataType): Boolean =
+    t.asInstanceOf[ArrayType].elementType == FloatType
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
@@ -34,6 +45,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left.dataType), isFloat(right.dataType))
     val n = x.numElements()
     if (n != y.numElements()) null
     else {
@@ -41,7 +53,9 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       var i = 0
       while (i < n) {
         if (x.isNullAt(i) || y.isNullAt(i)) return null
-        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        acc += xv * yv
         i += 1
       }
       acc
@@ -53,6 +67,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      def get(arr: String, float: Boolean) =
+        if (float) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -61,7 +77,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    $acc += ${get(a, isFloat(left.dataType))} * ${get(b, isFloat(right.dataType))};
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}

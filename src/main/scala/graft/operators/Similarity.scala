@@ -173,10 +173,17 @@ object Similarity {
   }
 
   private def knnIvfFrom(c: DataFrame, k: Int, nQueries: Int,
-                         nCells: Int, nProbe: Int): DataFrame = {
-    val cents = c.filter(col("vec_id") < nCells).select(
+                         nCells: Int, nProbe: Int): DataFrame =
+    ivfFrom(c, c.filter(col("vec_id") < nCells).select(
       col("vec_id").as("centroid_id"), col("embedding").as("c_emb"),
-      col("nrm").as("c_nrm"))
+      col("nrm").as("c_nrm")), k, nQueries, nProbe)
+
+  /** IVF core over an explicit centroid table (centroid_id, c_emb,
+    * c_nrm) — shared by the deterministic first-nCells variant and the
+    * k-means-trained variant.
+    */
+  private def ivfFrom(c: DataFrame, cents: DataFrame, k: Int, nQueries: Int,
+                      nProbe: Int): DataFrame = {
     val simToCent = round(dotN(col("embedding"), col("c_emb")) /
                           (col("nrm") * col("c_nrm")), 6)
     val ranked = c.crossJoin(broadcast(cents))
@@ -201,6 +208,49 @@ object Similarity {
               (col("nrm") * col("q_nrm")), 6).as("cos"))
       .distinct()  // a neighbor can sit in several probed cells
     rankTopK(scored, k)
+  }
+
+  /** Trained centroid table for the IVF path: [[kmeansCentroids]]
+    * output rebuilt as (centroid_id, c_emb ARRAY<DOUBLE>, c_nrm).
+    * Coordinates are the trainer's exact 6-decimal means, so both
+    * engines reconstruct bit-identical centroid vectors; the struct
+    * sort on (pos, mean_val) makes the array order deterministic
+    * under collect_list's arbitrary arrival order.
+    */
+  private def trainedCents(spark: SparkSession, dir: String,
+                           kCents: Int, iters: Int): DataFrame = {
+    val cEmb = transform(
+      array_sort(collect_list(struct(col("pos"), col("mean_val")))),
+      x => x.getField("mean_val"))
+    kmeansCentroids(spark, dir, kCents, iters)
+      .groupBy(col("centroid_id"))
+      .agg(cEmb.as("c_emb"))
+      .withColumn("c_nrm", sqrt(dotN(col("c_emb"), col("c_emb"))))
+  }
+
+  /** IVF ANN with TRAINED coarse centroids — the deploy step of the
+    * [[kmeansCentroids]] trainer, completing the ANN story: the
+    * pipeline shape is identical to [[knnIvf]] (cell equi-join,
+    * broadcast centroids), only the centroid table changes, exactly
+    * as the knnIvf scaladoc promises. The recall audit
+    * ([[knnIvfTrainedRecall]]) measures what training buys.
+    */
+  def knnIvfTrained(spark: SparkSession, dir: String, k: Int = 5,
+                    nQueries: Int = 10, kCents: Int = 8, iters: Int = 2,
+                    nProbe: Int = 2): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    ivfFrom(corpus(spark, dir), trainedCents(spark, dir, kCents, iters),
+      k, nQueries, nProbe)
+  }
+
+  /** Trained-IVF recall audit against brute-force ground truth. */
+  def knnIvfTrainedRecall(spark: SparkSession, dir: String,
+                          k: Int = 5, nQueries: Int = 10): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val c = corpus(spark, dir)
+    recallVsBrute(knnBruteFrom(c, k, nQueries),
+      ivfFrom(c, trainedCents(spark, dir, kCents = 8, iters = 2), k, nQueries,
+        nProbe = 2), k)
   }
 
   /** Per-query recall of an approximate top-k against the brute-force
