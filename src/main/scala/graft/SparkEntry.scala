@@ -119,6 +119,8 @@ object SparkEntry {
     "x_decontaminate"      -> ((s, dir) => CorpusOps.decontaminate(s, dir)),
     "x_tfidf_top_terms"    -> ((s, dir) => CorpusOps.tfidfTopTerms(s, dir)),
     "x_curation_pipeline"  -> ((s, dir) => CorpusOps.curationPipeline(s, dir)),
+    "x_doc_chunks"         -> ((s, dir) => CorpusOps.docChunks(s, dir)),
+    "x_doc_packing"        -> ((s, dir) => CorpusOps.docPacking(s, dir)),
     "x_centroids"          -> ((s, dir) => Similarity.labelCentroids(s, dir)),
     "x_kmeans"             -> ((s, dir) => Similarity.kmeansCentroids(s, dir)),
     "x_knn_ivf_trained"    -> ((s, dir) => Similarity.knnIvfTrained(s, dir)),
@@ -1185,6 +1187,39 @@ object SparkEntry {
         |  round(COALESCE(h.n_hits, 0)::DOUBLE/5, 6) AS recall
         |FROM (SELECT DISTINCT query_id FROM top_b) qq LEFT JOIN hits h USING (query_id)
         |ORDER BY query_id""".stripMargin,
+
+    // chunking: 64-token windows every 48 tokens (overlap 16); the
+    // chunk fingerprint is the same rolling hash as x_doc_fingerprint
+    "x_doc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' '))::BIGINT AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, n_tok,
+        |    unnest(range(0, GREATEST(CAST(ceil((n_tok - 64)::DOUBLE / 48) AS BIGINT), 0) + 1))::BIGINT AS chunk_idx
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, chunk_idx,
+        |    LEAST(64, n_tok - chunk_idx*48) AS n_chunk_tokens,
+        |    array_to_string(list_slice(toks, (chunk_idx*48+1)::BIGINT, (chunk_idx*48+64)::BIGINT), ' ') AS chunk
+        |  FROM c)
+        |SELECT doc_id, chunk_idx, n_chunk_tokens,
+        |  list_reduce(list_transform(range(1, len(chunk)+1), i -> ascii(substr(chunk, i, 1))::BIGINT),
+        |    (acc, ch) -> (acc*31+ch)%1000000007) AS chunk_fp
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "x_doc_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+        |c AS (
+        |  SELECT lang, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        |  FROM d)
+        |SELECT lang, (cum - n_tok) // 256 AS seq_id, COUNT(*) AS n_docs,
+        |  SUM(n_tok)::BIGINT AS n_tokens_started,
+        |  SUM(CASE WHEN (cum - 1) // 256 <> (cum - n_tok) // 256 THEN 1 ELSE 0 END)::BIGINT AS n_straddlers
+        |FROM c GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin,
 
     "x_doc_fingerprint" ->
       """SELECT doc_id,

@@ -122,6 +122,77 @@ object CorpusOps {
       .orderBy("lang", "rk")
   }
 
+  /** Fixed-size token-window chunking with overlap — the step that
+    * turns variable-length documents into training-window pieces
+    * (chunk of [[ChunkTokens]] tokens every [[ChunkStride]], so
+    * consecutive chunks overlap by chunk-stride tokens; the final
+    * chunk may be short; every doc yields at least one chunk). Output
+    * is (doc_id, chunk_idx, n_chunk_tokens, chunk_fp) — the
+    * fingerprint stands in for the chunk payload so chunk-level dedup
+    * composes directly ([[Dedup.exactDedup]] on chunk_fp).
+    *
+    * Scale shape: tokens materialize once per doc, chunk indices
+    * explode via `sequence` (a Generate), the slice/join/hash are
+    * codegen'd column expressions — a pure narrow map, no shuffle; at
+    * 100 TB this runs at scan speed alongside the quality gate.
+    */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyHash.register(spark)
+    val toks = split(col("text"), " ")
+    val nChunks = greatest(
+      ceil((size(toks) - ChunkTokens).cast("double") / ChunkStride).cast("bigint"),
+      lit(0L)) + 1L
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"),
+        size(toks).cast("bigint").as("n_tok"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(ChunkTokens.toLong),
+          col("n_tok") - col("chunk_idx") * ChunkStride).as("n_chunk_tokens"),
+        call_function(graft.functions.PolyHash.Name,
+          concat_ws(" ", slice(col("toks"),
+            (col("chunk_idx") * ChunkStride + 1).cast("int"),
+            lit(ChunkTokens)))).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Greedy sequence packing audit: documents concatenate in doc_id
+    * order into one token stream per language, cut into training
+    * sequences of [[SeqLen]] tokens; a document belongs to the
+    * sequence its first token lands in. Per (lang, seq) rollup:
+    * how many docs start there, how many tokens they contribute, and
+    * how many straddle the sequence boundary — the packing-efficiency
+    * numbers a concat-and-chunk data prep reports.
+    *
+    * [[SeqLen]] is a power of two so the offset-to-sequence division
+    * is exact in any engine. Scale shape: one cumulative-sum window
+    * per language stream + a tiny rollup; at 100 TB the per-language
+    * ordering would be range-partitioned (the window is per-stream,
+    * never global).
+    */
+  val SeqLen = 256
+
+  def docPacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tok) div $SeqLen"))
+      .withColumn("straddles",
+        (expr(s"(cum - 1) div $SeqLen") =!= col("seq_id")).cast("bigint"))
+      .groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("n_tokens_started"),
+           sum(col("straddles")).as("n_straddlers"))
+      .orderBy("lang", "seq_id")
+  }
+
   /** Benchmark decontamination: corpus documents sharing any word
     * [[DecontamGramN]]-gram with the benchmark set (here: doc_id <
     * `benchDocs`, the stand-in for a held-out eval set) are flagged

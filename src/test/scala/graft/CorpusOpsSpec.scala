@@ -55,4 +55,48 @@ class CorpusOpsSpec extends SparkSuite {
         s"$lang scores not descending: ${scores.toSeq}")
     }
   }
+
+  test("chunking covers every document with overlapping fixed-stride windows") {
+    val tokCounts = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val chunks = CorpusOps.docChunks(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(chunks.map(_._1).toSet == tokCounts.keySet, "every doc chunks")
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = tokCounts(doc)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until cs.length),
+        s"doc $doc chunk indices not contiguous")
+      // all chunks full-width except possibly the last; the last covers
+      // exactly the tail past the final stride
+      assert(sorted.init.forall(_._3 == CorpusOps.ChunkTokens.toLong))
+      val last = sorted.last
+      assert(last._3 == n - last._2 * CorpusOps.ChunkStride && last._3 >= 1 &&
+        last._3 <= CorpusOps.ChunkTokens, s"doc $doc last chunk ${last._3}")
+      // windows must cover the whole token range (stride < width -> overlap)
+      assert(last._2 * CorpusOps.ChunkStride + last._3 == n, s"doc $doc tail uncovered")
+    }
+  }
+
+  test("packing partitions each language stream and conserves tokens") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("lang", "size(split(text, ' ')) AS n").collect()
+      .map(r => r.getString(0) -> r.getInt(1).toLong)
+    val packs = CorpusOps.docPacking(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byLang = packs.groupBy(_._1)
+    assert(byLang.keySet == docs.map(_._1).toSet)
+    byLang.foreach { case (lang, rs) =>
+      val expectDocs = docs.count(_._1 == lang)
+      val expectToks = docs.filter(_._1 == lang).map(_._2).sum
+      assert(rs.map(_._3).sum == expectDocs, s"$lang doc count conserved")
+      assert(rs.map(_._4).sum == expectToks, s"$lang token count conserved")
+      rs.foreach { case (_, seqId, nDocs, _, straddlers) =>
+        assert(seqId >= 0 && straddlers >= 0 && straddlers <= nDocs)
+      }
+      // the last sequence id matches the total stream length
+      assert(rs.map(_._2).max <= expectToks / CorpusOps.SeqLen)
+    }
+  }
 }
