@@ -130,6 +130,7 @@ private[sources] class PollMicroBatchStream(
     symbols: Seq[String], intervalMs: Long, sourceId: String)
     extends MicroBatchStream {
   require(symbols.nonEmpty, "poll source needs at least one symbol")
+  require(intervalMs > 0, "poll source needs a positive intervalMs")
   private val fetcher = PollSource.fetcherFor(sourceId)
   private val clock = PollSource.clockFor(sourceId)
 
@@ -140,7 +141,29 @@ private[sources] class PollMicroBatchStream(
   private val buffer = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
 
   override def initialOffset(): Offset = PollOffset(0L)
-  override def deserializeOffset(json: String): Offset = PollOffset(json.toLong)
+
+  /** Restart fast-forward: whenever the engine reveals a checkpointed
+    * offset (deserializing the offset log, committing a recovered
+    * batch, planning), the attempt counter jumps to it so the resumed
+    * stream continues the id sequence ABOVE everything already
+    * committed — the polls that would have happened while the query
+    * was down are simply never attempted (at-most-once across
+    * restarts, like the reference: a REST endpoint cannot be replayed
+    * at old offsets). Wired into every engine entry point because the
+    * first `latestOffset` call can precede offset-log deserialization:
+    * without the jump the fresh counter would report an offset BELOW
+    * the restored one and the engine would wait forever; a spurious
+    * pre-jump poll is harmless — its buffered attempt falls below the
+    * restored start and is filtered at planning.
+    */
+  private def fastForward(n: Long): Unit = synchronized {
+    if (n > attempts) attempts = n
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    fastForward(json.toLong)
+    PollOffset(json.toLong)
+  }
 
   /** One fetch per due interval since the last trigger. A failed fetch
     * buffers nothing and schedules the next attempt at 2x the interval
@@ -167,6 +190,7 @@ private[sources] class PollMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     synchronized {
       val (s, e) = (start.asInstanceOf[PollOffset].n, end.asInstanceOf[PollOffset].n)
+      fastForward(e)
       // ONE partition: a batch holds at most a handful of polled rows.
       Array(PollPartition(buffer.filter(r => r._1 >= s && r._1 < e).toArray))
     }
@@ -175,6 +199,7 @@ private[sources] class PollMicroBatchStream(
 
   override def commit(end: Offset): Unit = synchronized {
     val n = end.asInstanceOf[PollOffset].n
+    fastForward(n)
     buffer.filterInPlace(_._1 >= n)
   }
 

@@ -62,6 +62,61 @@ class PollSourceSpec extends SparkSuite {
     q.stop()
   }
 
+  test("checkpoint restart continues the id sequence; downtime polls are lost (at-most-once)") {
+    val clock = new AtomicLong(0L)
+    PollSource.registerClock("t-restart", () => clock.get())
+    PollSource.registerFetcher("t-restart", (sym, a) => PollSource.mockQuote(sym, a))
+    val ckpt = java.nio.file.Files.createTempDirectory("poll_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("poll_out").toString
+    // file sink: supports checkpoint recovery (the memory sink does not)
+    // and makes the no-duplicates claim checkable across both runs
+    def start() = pollStream("t-restart", "AAA", intervalMs = 100)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    def ids(): Seq[String] =
+      try spark.read.parquet(out).select("id").collect().map(_.getString(0)).toSeq.sorted
+      catch { case _: org.apache.spark.sql.AnalysisException => Nil } // sink not yet written
+    // processAllAvailable can race the clock bump (the engine may mark
+    // no-new-data just before it) — poll the sink with a deadline
+    def awaitRows(n: Int): Seq[String] = {
+      val deadline = System.currentTimeMillis() + 30000
+      var cur = ids()
+      while (cur.length < n && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); cur = ids()
+      }
+      cur
+    }
+
+    val q1 = start()
+    // wait for attempt 0 BEFORE advancing the clock: the first poll
+    // fires at whatever logical time the query observes at startup,
+    // and advancing early would push attempt 1's due time out too
+    assert(awaitRows(1).take(1) == Seq("av_000000000000"))
+    clock.set(clock.get() + 100) // attempt 1 comes due
+    assert(awaitRows(2) == Seq("av_000000000000", "av_000000000001"))
+    q1.stop()
+    // "downtime": the clock moves three intervals with the query down
+    clock.set(clock.get() + 300)
+    val q2 = start()
+    // the resumed poll loop schedules its next attempt one interval
+    // after whatever it observes at startup — keep advancing the clock
+    // until the post-restart poll lands
+    var advanced = 0
+    while (ids().length < 3 && advanced < 20) {
+      Thread.sleep(200)
+      clock.set(clock.get() + 100)
+      advanced += 1
+    }
+    val all = awaitRows(3)
+    q2.stop()
+    assert(all.length >= 3, s"restarted query must poll again: $all")
+    assert(all.distinct == all, s"restart must not duplicate attempts: $all")
+    assert(all.take(2) == Seq("av_000000000000", "av_000000000001"))
+    val resumed = all.drop(2)
+    assert(resumed.nonEmpty && resumed.forall(_ >= "av_000000000002"),
+      s"restart must continue the id sequence above the committed offset: $all")
+  }
+
   test("poll -> normalize -> clean -> SMA -> alerts end-to-end with an injected failure") {
     val n = 3
     val threshold = 1005.0 // first warm window's SMA (~1001.7) stays under it
