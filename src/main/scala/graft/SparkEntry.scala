@@ -132,6 +132,7 @@ object SparkEntry {
     "x_ngram_jaccard"      -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "x_text_stats"         -> ((s, dir) => TextAnalysis.textStats(s, dir)),
     "x_text_quality_by_lang" -> ((s, dir) => TextAnalysis.qualityByLang(s, dir)),
+    "x_repetition"         -> ((s, dir) => TextAnalysis.repetitionStats(s, dir)),
     "x_knn_brute"          -> ((s, dir) => Similarity.knnBruteForce(s, dir)),
     "x_knn_lsh"            -> ((s, dir) => Similarity.knnLsh(s, dir)),
     "x_knn_ivf"            -> ((s, dir) => Similarity.knnIvf(s, dir)),
@@ -1187,6 +1188,26 @@ object SparkEntry {
         |  round(COALESCE(h.n_hits, 0)::DOUBLE/5, 6) AS recall
         |FROM (SELECT DISTINCT query_id FROM top_b) qq LEFT JOIN hits h USING (query_id)
         |ORDER BY query_id""".stripMargin,
+
+    "x_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |  FROM d),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(range(1, len(gram)+1), i -> ascii(substr(gram, i, 1))::BIGINT),
+        |      (acc, c) -> (acc*31+c)%1000000007) AS gh
+        |  FROM g),
+        |c AS (SELECT doc_id, gh, COUNT(*) AS c FROM h GROUP BY doc_id, gh)
+        |SELECT doc_id, SUM(c)::BIGINT AS n_grams, COUNT(*) AS n_distinct,
+        |  round(MAX(c)::DOUBLE / SUM(c), 6) AS top_gram_share,
+        |  round(COUNT(*)::DOUBLE / SUM(c), 6) AS distinct_ratio
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // chunking: 64-token windows every 48 tokens (overlap 16); the
     // chunk fingerprint is the same rolling hash as x_doc_fingerprint

@@ -423,7 +423,9 @@ object Similarity {
         .localCheckpoint()
     }
     val counts = assignment.groupBy("cid").agg(count(lit(1)).as("n_members"))
-    cents.join(counts, Seq("cid"))
+    // explicit broadcast: checkpointed frames carry no size statistics,
+    // so Catalyst would sort-merge this k-row join
+    cents.join(broadcast(counts), Seq("cid"))
       .select(col("cid").as("centroid_id"), col("pos"), col("n_members"),
         round(col("cq").cast("double") / 1e6, 6).as("mean_val"))
       .orderBy("centroid_id", "pos")

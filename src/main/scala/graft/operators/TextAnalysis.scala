@@ -73,4 +73,42 @@ object TextAnalysis {
       // synthetic corpus draws every language from one vocabulary, so
       // the heuristic cannot and should not recover the label.
   }
+
+  /** Gopher-style repetition metrics per document: the share of all
+    * word-2-gram occurrences taken by the single most frequent 2-gram,
+    * and the distinct-to-total 2-gram ratio — the standard signals for
+    * boilerplate/looping text that token-level TTR misses (the corpus
+    * has no line structure, so the line-dup variants of these metrics
+    * would be degenerate here; the 2-gram forms are the meaningful
+    * ones). Documents need >= 2 tokens to have a 2-gram.
+    *
+    * Scale shape: gram occurrences keep ALL repeats (unlike the dedup
+    * shingle paths) but shuffle as 8-byte PolyHash keys, pre-explode
+    * repartition parallelizes the fan-out, and both aggregations
+    * cluster on doc_id — one shuffle feeds the (doc, gram) counts and
+    * the per-doc rollup is map-side-partial on the same partitioning.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyHash.register(spark)
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val tk = toks
+    val grams = Tables.documents(spark, dir)
+      .filter(size(tk) >= 2)
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"), tk.as("toks"),
+        explode(sequence(lit(1), size(tk) - 1)).as("i"))
+      .select(col("doc_id"),
+        call_function(graft.functions.PolyHash.Name,
+          concat(element_at(col("toks"), col("i")), lit(" "),
+                 element_at(col("toks"), col("i") + 1))).as("gh"))
+    grams.groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_grams"),
+           count(lit(1)).as("n_distinct"),
+           max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        round(col("top_count").cast("double") / col("n_grams"), 6).as("top_gram_share"),
+        round(col("n_distinct").cast("double") / col("n_grams"), 6).as("distinct_ratio"))
+      .orderBy("doc_id")
+  }
 }

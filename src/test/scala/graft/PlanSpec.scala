@@ -45,6 +45,19 @@ class PlanSpec extends SparkSuite {
     assert(win.contains("Window"), win)
   }
 
+  test("chunking is a pure narrow map — its only exchange is the output sort") {
+    val plan = formatted(graft.operators.CorpusOps.docChunks(spark, sfDir))
+    assert(!plan.contains("Join"), plan)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange ("))
+    assert(exchanges <= 1, s"chunking must not shuffle before the output sort:\n$plan")
+  }
+
+  test("kmeans joins the corpus against BROADCAST centroids — never a cross product") {
+    val plan = formatted(graft.operators.Similarity.kmeansCentroids(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("brand volume broadcasts the dimension side") {
     val plan = formatted(Analytics.brandVolume(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), plan)
