@@ -38,4 +38,30 @@ object Caches {
     */
   def isEmpty(spark: SparkSession): Boolean =
     spark.sparkContext.getPersistentRDDs.isEmpty
+
+  /** localCheckpoint + the persistent-RDD ids it registered, via a
+    * TIGHT diff window around the single checkpoint call (works for
+    * lazy checkpoints too: the RDD registers as persistent at the
+    * call, blocks arrive at first materialization). Iterative
+    * operators use the ids to free superseded generations instead of
+    * diffing the whole context registry, which would misattribute —
+    * and destroy — blocks a CONCURRENT query registered meanwhile
+    * (checkpointed blocks cannot recompute). The residual race is the
+    * single call's instant; the library's session contract (above)
+    * assumes one graft query materializes at a time.
+    */
+  private[graft] def trackedCheckpoint(df: org.apache.spark.sql.DataFrame,
+                                       eager: Boolean = true):
+      (org.apache.spark.sql.DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val ck = df.localCheckpoint(eager)
+    (ck, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+
+  /** Free exactly the given persistent-RDD ids (no-op for ids already
+    * gone). */
+  private[graft] def release(spark: SparkSession, ids: Set[Int]): Unit =
+    ids.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 }

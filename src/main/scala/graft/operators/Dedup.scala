@@ -365,11 +365,12 @@ object Dedup {
     // never changes the label sum, so the in-loop convergence test
     // (which compares two consecutive rounds' sums) could never fire
     // and the loop burned maxIters rounds then threw.
-    val sc = pairs0.sparkSession.sparkContext
-    val idsBefore = sc.getPersistentRDDs.keySet.toSet
-    val raw = pairs0.select("doc_a", "doc_b").localCheckpoint()
+    val spark = pairs0.sparkSession
+    val (raw, rawIds) = graft.Caches.trackedCheckpoint(
+      pairs0.select("doc_a", "doc_b"))
     val nPairs = raw.count()
     if (nPairs == 0) {
+      graft.Caches.release(spark, rawIds) // nothing downstream reads the pair blocks
       // limit(0) collapses to an empty relation (OptimizeLimitZero) —
       // schema preserved, upstream never executes.
       return pairs0.select(col("doc_a").as("doc_id"), col("doc_a").as("lbl"))
@@ -384,9 +385,9 @@ object Dedup {
     // Eager checkpoint: round 0 reads the seed labels twice (join side
     // + union side) — materialized blocks make that two blocked scans,
     // not a race to compute.
-    var labels = nodes.withColumn("lbl", col("doc_id"))
-      .repartition(graphParts, col("doc_id"))
-      .localCheckpoint()
+    var (labels, labelsIds) = graft.Caches.trackedCheckpoint(
+      nodes.withColumn("lbl", col("doc_id"))
+        .repartition(graphParts, col("doc_id")))
     // Convergence via the label-sum invariant: labels only ever
     // DECREASE (min-propagation), so the sum strictly drops until the
     // fixpoint — comparing two scalar aggregates per round is cheaper
@@ -406,12 +407,13 @@ object Dedup {
     }
     // Per-round block cleanup: localCheckpoint registers its blocks as
     // a persistent RDD with no Dataset-level unpersist handle, so each
-    // round diffs the context's persistent-RDD set and frees the
-    // previous round's generation — labels are O(nodes) per round, and
-    // letting maxIters generations accumulate would hold maxIters
-    // copies of the label table in block storage on a big pair graph.
-    var known = sc.getPersistentRDDs.keySet.toSet
-    var prevCkIds: Set[Int] = Set.empty
+    // checkpoint call is tracked (Caches.trackedCheckpoint — a TIGHT
+    // per-call diff, never a sweep of the context registry, which
+    // would misattribute and destroy a concurrent query's blocks) and
+    // the superseded generation is freed once the next one
+    // materializes — labels are O(nodes) per round, and letting
+    // maxIters generations accumulate would hold maxIters copies of
+    // the label table in block storage on a big pair graph.
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var iters = 0
@@ -422,28 +424,22 @@ object Dedup {
       // subtree feeds two consumers in the outer hop (the join side
       // and the union side), so the fused lineage evaluates it twice —
       // lesson recorded so it isn't retried.
-      val next = hop(labels).localCheckpoint(false)
+      val (next, nextIds) = graft.Caches.trackedCheckpoint(hop(labels), eager = false)
       val nextSum = next.agg(sum(col("lbl").cast("decimal(38,0)")))
         .head().getDecimal(0)
-      val ids = sc.getPersistentRDDs.keySet.toSet
-      val added = ids -- known
-      known = ids
-      prevCkIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      prevCkIds = added
+      graft.Caches.release(spark, labelsIds)
       labels = next
+      labelsIds = nextIds
       converged = prevSum != null && nextSum != null &&
         nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iters += 1
     }
     require(converged, s"label propagation did not converge in $maxIters rounds")
-    // The returned labels (the last round's blocks, `prevCkIds`) are
-    // fully materialized — the pair/seed/intermediate blocks this
-    // function checkpointed are no longer reachable from any consumer;
-    // free everything this function added except the result.
-    sc.getPersistentRDDs
-      .filter { case (id, _) => !idsBefore.contains(id) && !prevCkIds.contains(id) }
-      .values.foreach(_.unpersist(false))
+    // The returned labels (the final generation, `labelsIds`) are fully
+    // materialized — the pair blocks backing the loop's edges are no
+    // longer reachable from any consumer.
+    graft.Caches.release(spark, rawIds)
     labels
   }
 

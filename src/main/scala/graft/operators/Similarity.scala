@@ -397,31 +397,43 @@ object Similarity {
     */
   def kmeansCentroids(spark: SparkSession, dir: String,
                       k: Int = 8, iters: Int = 2): DataFrame = {
+    require(k >= 1, "kmeans needs at least one centroid")
+    require(iters >= 1, "kmeans needs at least one assign/update round")
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val vq = Tables.embeddings(spark, dir)
-      .repartition(n, col("vec_id")) // parallelize the explode — see corpus()
-      .select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), col("pos").cast("bigint").as("pos"),
-        round(col("col").cast("double") * 1e6).cast("bigint").as("vq"))
-      .localCheckpoint()
+    val (vq, vqIds) = graft.Caches.trackedCheckpoint(
+      Tables.embeddings(spark, dir)
+        .repartition(n, col("vec_id")) // parallelize the explode — see corpus()
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("bigint").as("pos"),
+          round(col("col").cast("double") * 1e6).cast("bigint").as("vq")))
     var cents = vq.filter(col("vec_id") < k)
       .select(col("vec_id").cast("bigint").as("cid"), col("pos"), col("vq").as("cq"))
     var assignment: DataFrame = null
+    // superseded generations are freed once the next one materializes —
+    // the labelPropagation discipline (an O(corpus) assignment per
+    // round must not accumulate iters copies in block storage)
+    var prevGenIds: Set[Int] = Set.empty
     val byVec = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
     for (_ <- 1 to iters) {
       val d2 = vq.join(broadcast(cents), Seq("pos"))
         .groupBy("vec_id", "cid")
         .agg(sum((col("vq") - col("cq")) * (col("vq") - col("cq"))).as("d2"))
-      assignment = d2
-        .withColumn("rk", row_number().over(byVec))
-        .filter(col("rk") === 1)
-        .select("vec_id", "cid")
-        .localCheckpoint()
-      cents = assignment.join(vq, Seq("vec_id"))
-        .groupBy("cid", "pos")
-        .agg(round(sum(col("vq")).cast("double") / count(lit(1))).cast("bigint").as("cq"))
-        .localCheckpoint()
+      val (asg, asgIds) = graft.Caches.trackedCheckpoint(
+        d2.withColumn("rk", row_number().over(byVec))
+          .filter(col("rk") === 1)
+          .select("vec_id", "cid"))
+      val (cts, ctsIds) = graft.Caches.trackedCheckpoint(
+        asg.join(vq, Seq("vec_id"))
+          .groupBy("cid", "pos")
+          .agg(round(sum(col("vq")).cast("double") / count(lit(1))).cast("bigint").as("cq")))
+      graft.Caches.release(spark, prevGenIds)
+      prevGenIds = asgIds ++ ctsIds
+      assignment = asg
+      cents = cts
     }
+    // the exploded corpus is not referenced by the returned plan (only
+    // the final assignment + centroid blocks are)
+    graft.Caches.release(spark, vqIds)
     val counts = assignment.groupBy("cid").agg(count(lit(1)).as("n_members"))
     // explicit broadcast: checkpointed frames carry no size statistics,
     // so Catalyst would sort-merge this k-row join

@@ -22,8 +22,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * `_data_fetch_loop`) — the one reference behavior the earlier rounds
   * modeled with static files:
   *
-  *  - one poll per elapsed `intervalMs`, round-robin over the symbol
-  *    list (:159-160);
+  *  - at most one poll per elapsed `intervalMs`, round-robin over the
+  *    symbol list (:159-160). Missed intervals COLLAPSE rather than
+  *    queue: a current-quote endpoint has no backlog to fetch, so when
+  *    triggers run sparser than the poll interval the next trigger
+  *    polls once and re-anchors the cadence (a burst of back-to-back
+  *    polls would hammer the API quota without producing distinct
+  *    quotes — the reference's sleep loop has the same property: it
+  *    never fires catch-up polls);
   *  - a failed fetch (fetcher throws or returns None) emits NOTHING —
   *    the record is dropped, exactly the adapter returning None on a
   *    missing key / API-limit note / HTTP error (:150-152, :171-176,
@@ -165,9 +171,14 @@ private[sources] class PollMicroBatchStream(
     PollOffset(json.toLong)
   }
 
-  /** One fetch per due interval since the last trigger. A failed fetch
+  /** At most one fetch per trigger once the interval has elapsed —
+    * missed intervals collapse (see class doc; `nextPollAt` re-anchors
+    * to the observed clock, deliberately NOT `nextPollAt + interval`,
+    * which would fire a catch-up burst after a stall). A failed fetch
     * buffers nothing and schedules the next attempt at 2x the interval
     * (financial_engine.py:375-377); a success resets to 1x (:373).
+    * The loop form only re-fires when the fetch itself outlasts the
+    * interval (a real clock advances during the fetch).
     */
   override def latestOffset(): Offset = synchronized {
     var now = clock()

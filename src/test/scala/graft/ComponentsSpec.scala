@@ -37,9 +37,12 @@ class ComponentsSpec extends SparkSuite {
     // Regression (r3 ADVICE): with zero edges the per-round label sum
     // was NULL every round, the sum-comparison convergence test never
     // fired, and the loop burned maxIters rounds then threw.
+    Caches.releaseAll(spark)
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.labelPropagation(empty).collect().isEmpty)
     assert(Dedup.componentsFromPairs(empty).collect().isEmpty)
+    assert(Caches.isEmpty(spark),
+      "the empty-graph short-circuit must release its pair checkpoint")
     // Threshold high enough that nearDupMinhash yields zero pairs —
     // the composite must return all-survivor counts, not throw.
     val surv = Dedup.dedupSurvivors(spark, sfDir, threshold = 1.01).collect()

@@ -21,6 +21,25 @@ class KmeansSpec extends SparkSuite {
     assert(members == nVecs, s"assignment must partition the corpus: $members != $nVecs")
   }
 
+  test("kmeans rejects degenerate parameters instead of NPE-ing") {
+    intercept[IllegalArgumentException](
+      Similarity.kmeansCentroids(spark, sfDir, k = 8, iters = 0))
+    intercept[IllegalArgumentException](
+      Similarity.kmeansCentroids(spark, sfDir, k = 0, iters = 2))
+  }
+
+  test("kmeans frees its per-round generations; only the result's blocks remain") {
+    Caches.releaseAll(spark)
+    val rows = Similarity.kmeansCentroids(spark, sfDir, k = 8, iters = 3)
+    // <= 2 checkpoint sets may remain (final assignment + final cents),
+    // not one generation per round plus the exploded corpus
+    val live = spark.sparkContext.getPersistentRDDs.size
+    assert(live <= 2, s"expected only the final generation's blocks, found $live")
+    assert(rows.count() == 512)
+    Caches.releaseAll(spark)
+    assert(Caches.isEmpty(spark))
+  }
+
   test("a second Lloyd round changes the assignment-relevant centroids (it really iterates)") {
     val one = Similarity.kmeansCentroids(spark, sfDir, k = 8, iters = 1).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap

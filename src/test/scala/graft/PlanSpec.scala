@@ -34,11 +34,19 @@ class PlanSpec extends SparkSuite {
     val agg = formatted(Analytics.topkPerSupplierAgg(spark, sfDir))
     assert(agg.contains("[partial_topkbyprice"), s"no partial aggregate in:\n$agg")
     // partial runs below the exchange: in the numbered tree the
-    // aggregate node feeding the Exchange carries the partial function
+    // aggregate node feeding the Exchange carries the partial function.
+    // Depth = indent of the connector ("+-" or ":-"); guard both
+    // lookups so a plan-shape change fails loudly, not vacuously.
+    def depths(tree: Seq[String], token: String): Seq[Int] =
+      tree.filter(_.contains(token))
+        .map(l => math.max(l.indexOf("+-"), l.indexOf(":-")))
+        .filter(_ >= 0)
     val tree = agg.linesIterator.takeWhile(l => !l.trim.startsWith("(1)")).toSeq
-    val exchangeDepth = tree.filter(_.contains("Exchange (")).map(_.indexOf("+-")).min
-    val aggDepths = tree.filter(_.contains("ObjectHashAggregate (")).map(_.indexOf("+-"))
-    assert(aggDepths.exists(_ > exchangeDepth),
+    val exchangeDepths = depths(tree, "Exchange (")
+    val aggDepths = depths(tree, "ObjectHashAggregate (")
+    assert(exchangeDepths.nonEmpty && aggDepths.nonEmpty,
+      s"plan tree missing Exchange/ObjectHashAggregate nodes:\n${tree.mkString("\n")}")
+    assert(aggDepths.exists(_ > exchangeDepths.min),
       s"no aggregate below the exchange in:\n${tree.mkString("\n")}")
     assert(!agg.contains("Window ("), "the aggregator form must not sort per key")
     val win = formatted(Analytics.topkPerSupplier(spark, sfDir))
