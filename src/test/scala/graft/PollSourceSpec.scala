@@ -117,6 +117,30 @@ class PollSourceSpec extends SparkSuite {
       s"restart must continue the id sequence above the committed offset: $all")
   }
 
+  test("two poll streams multiplex into ONE streaming query (S5 on real streams)") {
+    val clock = new AtomicLong(0L)
+    for (id <- Seq("t-mux-a", "t-mux-b")) {
+      PollSource.registerClock(id, () => clock.get())
+      PollSource.registerFetcher(id, (sym, a) => PollSource.mockQuote(sym, a))
+    }
+    val merged = Sources.multiplex(
+      Sources.normalizeJsonQuotes(pollStream("t-mux-a", "AAA", intervalMs = 100)),
+      Sources.normalizeJsonQuotes(pollStream("t-mux-b", "BBB", intervalMs = 100)))
+    val q = merged.writeStream.format("memory").queryName("poll_mux")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      def srcs() = spark.table("poll_mux").select("symbol", "source", "price")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      while (srcs().map(_._1).distinct.length < 2 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val rows = srcs()
+      assert(rows.map(_._1).distinct.sorted.toSeq == Seq("AAA", "BBB"),
+        s"one query must carry both sources: ${rows.toSeq}")
+      assert(rows.forall(_._2 == "AlphaVantage"), "normalization applied per source")
+    } finally q.stop()
+  }
+
   test("poll -> normalize -> clean -> SMA -> alerts end-to-end with an injected failure") {
     val n = 3
     val threshold = 1005.0 // first warm window's SMA (~1001.7) stays under it
