@@ -138,6 +138,7 @@ object SparkEntry {
     "x_knn_ivf"            -> ((s, dir) => Similarity.knnIvf(s, dir)),
     "x_emb_neardup"        -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
     "x_simhash_clusters"   -> ((s, dir) => Dedup.simhashClusters(s, dir)),
+    "x_simhash_neardup"    -> ((s, dir) => Dedup.simhashNearDup(s, dir)),
     "x_fuzzy_dedup"        -> ((s, dir) => Dedup.fuzzyNameDedup(s, dir)),
     "x_dup_components"     -> ((s, dir) => Dedup.dupComponents(s, dir)),
     "x_dedup_survivors"    -> ((s, dir) => Dedup.dedupSurvivors(s, dir)),
@@ -983,6 +984,37 @@ object SparkEntry {
         |  CASE WHEN list_sum(list_transform(hashes, h -> ((h >> j) & 1)*2 - 1)) > 0
         |       THEN (1::BIGINT)<<j ELSE 0 END))::BIGINT AS simhash
         |FROM hs ORDER BY doc_id""".stripMargin,
+
+    // pigeonhole banding: 4 disjoint 8-bit bands of the 32-bit
+    // fingerprint; <= 3 flipped bits leave at least one band intact
+    "x_simhash_neardup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text)-7,1)+1),
+        |    i -> substr(text,i,8))) AS shingles
+        |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id, list_transform(shingles, s ->
+        |    list_reduce(list_transform(range(1,len(s)+1), i -> ascii(substr(s,i,1))::BIGINT),
+        |      (acc,c) -> (acc*31+c)%1000000007)) AS hashes
+        |  FROM sh
+        |), sim AS (
+        |  SELECT doc_id, list_sum(list_transform(range(0,32), j ->
+        |    CASE WHEN list_sum(list_transform(hashes, h -> ((h >> j) & 1)*2 - 1)) > 0
+        |         THEN (1::BIGINT)<<j ELSE 0 END))::BIGINT AS simhash
+        |  FROM hs
+        |), bk AS (
+        |  SELECT doc_id, simhash, band, (simhash >> (band*8)) & 255 AS bk
+        |  FROM sim, unnest([0,1,2,3]) t(band)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+        |)
+        |SELECT c.doc_a, c.doc_b, bit_count(xor(sa.simhash, sb.simhash))::BIGINT AS hamming
+        |FROM cand c
+        |JOIN sim sa ON sa.doc_id = c.doc_a
+        |JOIN sim sb ON sb.doc_id = c.doc_b
+        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "x_simhash_clusters" ->
       """WITH sh AS (

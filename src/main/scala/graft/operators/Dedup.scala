@@ -306,6 +306,54 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy("simhash")
 
+  /** SimHash NEAR-dup pairs at Hamming distance <= `maxHamming` — the
+    * fingerprint-distance search that [[simhashClusters]]' exact
+    * equality misses (near-identical docs differ in a few bits). The
+    * pigeonhole banding makes it an equi-join: the 32-bit fingerprint
+    * splits into 4 disjoint 8-bit bands, and <= 3 flipped bits can
+    * corrupt at most 3 of them, so every qualifying pair agrees
+    * EXACTLY on at least one (band, byte) key. Candidates come from
+    * a self-join on that key (the standard simhash index shape — at
+    * 100 TB each band is a sorted posting list); the cheap
+    * bit_count(XOR) verify then drops the false positives. Exact
+    * duplicates (distance 0) are included by construction.
+    *
+    * Width caveat: fingerprint width sets the INCIDENTAL-collision
+    * floor — with 32 bits, unrelated docs land within Hamming 3 at a
+    * birthday-quadratic rate as the corpus grows (visible already at
+    * sf0.1: ~34k fingerprint pairs vs 255 MinHash text pairs), which
+    * is why production simhash dedup uses 64-bit prints. The pipeline
+    * shape here is width-agnostic (bands widen with the print); the
+    * 32-bit votes keep the oracle's integer arithmetic in BIGINT
+    * range.
+    */
+  def simhashNearDup(spark: SparkSession, dir: String,
+                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4 x 8-bit bands guarantee recall only up to Hamming distance 3")
+    // the fingerprint table feeds four subtrees (two band-join sides,
+    // two verify lookups) — materialize once, plan-truncated
+    val (docs, _) = graft.Caches.trackedCheckpoint(simhashDocs(spark, dir))
+    val bands = docs
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("doc_id"), col("band"),
+        expr("(simhash >> (band * 8)) & 255").as("bk"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(sa ^ sb) as bigint)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Duplicate CLUSTERS from the near-dup pair graph: connected
     * components via distributed min-label propagation over the
     * [[nearDupMinhash]] edges — the step that turns pairwise matches

@@ -75,6 +75,22 @@ class ComponentsSpec extends SparkSuite {
     assert(atCap == 45 + 3, "cap is inclusive")
   }
 
+  test("simhash near-dup banding has PERFECT recall at Hamming <= 3 (pigeonhole)") {
+    val found = Dedup.simhashNearDup(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(found.forall(_._2 <= 3), "verify stage must drop far pairs")
+    // brute-force ground truth over the fingerprints: 4 disjoint 8-bit
+    // bands guarantee every <= 3-bit pair shares at least one band
+    val sims = Dedup.simhashDocs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (a, sa) <- sims; (b, sb) <- sims
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(found.map(_._1).toSet == truth,
+      s"banding recall must be exact: found ${found.length}, truth ${truth.size}")
+  }
+
   test("survivor counts are bounded and consistent per language") {
     val docs = graft.Tables.documents(spark, sfDir)
     val totals = docs.groupBy("lang").count().collect()
