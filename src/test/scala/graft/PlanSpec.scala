@@ -66,6 +66,11 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("simhash near-dup candidates come from a band equi-join — never a cross product") {
+    val plan = formatted(graft.operators.Dedup.simhashNearDup(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("brand volume broadcasts the dimension side") {
     val plan = formatted(Analytics.brandVolume(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), plan)
