@@ -128,6 +128,7 @@ object SparkEntry {
     "x_dedup_exact"        -> ((s, dir) => Dedup.exactDedup(s, dir)),
     "x_dedup_minhash"      -> ((s, dir) => Dedup.nearDupMinhash(s, dir)),
     "x_dedup_simhash"      -> ((s, dir) => Dedup.simhashDocs(s, dir)),
+    "x_dedup_simhash64"    -> ((s, dir) => Dedup.simhashDocs64(s, dir)),
     "x_doc_fingerprint"    -> ((s, dir) => Dedup.docFingerprint(s, dir)),
     "x_ngram_jaccard"      -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "x_text_stats"         -> ((s, dir) => TextAnalysis.textStats(s, dir)),
@@ -985,8 +986,33 @@ object SparkEntry {
         |       THEN (1::BIGINT)<<j ELSE 0 END))::BIGINT AS simhash
         |FROM hs ORDER BY doc_id""".stripMargin,
 
-    // pigeonhole banding: 4 disjoint 8-bit bands of the 32-bit
-    // fingerprint; <= 3 flipped bits leave at least one band intact
+    // 64-bit print as two 32-bit vote words (same Fibonacci-mix
+    // arithmetic as Dedup.simhashDocs64 — h*Mix < 2^62, BIGINT-exact)
+    "x_dedup_simhash64" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text)-7,1)+1),
+        |    i -> substr(text,i,8))) AS shingles
+        |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id, list_transform(shingles, s ->
+        |    list_reduce(list_transform(range(1,len(s)+1), i -> ascii(substr(s,i,1))::BIGINT),
+        |      (acc,c) -> (acc*31+c)%1000000007)) AS hashes
+        |  FROM sh
+        |)
+        |SELECT doc_id,
+        |  list_sum(list_transform(range(0,32), j ->
+        |    CASE WHEN list_sum(list_transform(hashes, h ->
+        |      ((((h*2654435761) >> 15) & 4294967295) >> j & 1)*2 - 1)) > 0
+        |         THEN (1::BIGINT)<<j ELSE 0 END))::BIGINT AS sim_lo,
+        |  list_sum(list_transform(range(0,32), j ->
+        |    CASE WHEN list_sum(list_transform(hashes, h ->
+        |      ((((h*2246822519) >> 15) & 4294967295) >> j & 1)*2 - 1)) > 0
+        |         THEN (1::BIGINT)<<j ELSE 0 END))::BIGINT AS sim_hi
+        |FROM hs ORDER BY doc_id""".stripMargin,
+
+    // pigeonhole banding: 4 disjoint 16-bit bands of the 64-bit
+    // two-word fingerprint; <= 3 flipped bits leave at least one band
+    // intact. Hamming distance = popcount over both words.
     "x_simhash_neardup" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text)-7,1)+1),
@@ -998,22 +1024,30 @@ object SparkEntry {
         |      (acc,c) -> (acc*31+c)%1000000007)) AS hashes
         |  FROM sh
         |), sim AS (
-        |  SELECT doc_id, list_sum(list_transform(range(0,32), j ->
-        |    CASE WHEN list_sum(list_transform(hashes, h -> ((h >> j) & 1)*2 - 1)) > 0
-        |         THEN (1::BIGINT)<<j ELSE 0 END))::BIGINT AS simhash
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(0,32), j ->
+        |      CASE WHEN list_sum(list_transform(hashes, h ->
+        |        ((((h*2654435761) >> 15) & 4294967295) >> j & 1)*2 - 1)) > 0
+        |           THEN (1::BIGINT)<<j ELSE 0 END))::BIGINT AS sim_lo,
+        |    list_sum(list_transform(range(0,32), j ->
+        |      CASE WHEN list_sum(list_transform(hashes, h ->
+        |        ((((h*2246822519) >> 15) & 4294967295) >> j & 1)*2 - 1)) > 0
+        |           THEN (1::BIGINT)<<j ELSE 0 END))::BIGINT AS sim_hi
         |  FROM hs
         |), bk AS (
-        |  SELECT doc_id, simhash, band, (simhash >> (band*8)) & 255 AS bk
+        |  SELECT doc_id, sim_lo, sim_hi, band,
+        |    ((CASE WHEN band < 2 THEN sim_lo ELSE sim_hi END) >> ((band % 2)*16)) & 65535 AS bk
         |  FROM sim, unnest([0,1,2,3]) t(band)
         |), cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
         |)
-        |SELECT c.doc_a, c.doc_b, bit_count(xor(sa.simhash, sb.simhash))::BIGINT AS hamming
+        |SELECT c.doc_a, c.doc_b,
+        |  (bit_count(xor(sa.sim_lo, sb.sim_lo)) + bit_count(xor(sa.sim_hi, sb.sim_hi)))::BIGINT AS hamming
         |FROM cand c
         |JOIN sim sa ON sa.doc_id = c.doc_a
         |JOIN sim sb ON sb.doc_id = c.doc_b
-        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+        |WHERE bit_count(xor(sa.sim_lo, sb.sim_lo)) + bit_count(xor(sa.sim_hi, sb.sim_hi)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "x_simhash_clusters" ->

@@ -306,39 +306,80 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy("simhash")
 
+  /** Odd 32-bit multipliers (Knuth's 2^32/phi and xxHash's PRIME32_2)
+    * used to derive two independent well-mixed 32-bit words from each
+    * shingle hash for the 64-bit SimHash. The shingle hash h is
+    * < [[P]] < 2^30, so h * Mix* < 2^62 — exact in BIGINT on every
+    * engine (no wrap, no overflow); the `>> 15` then selects the
+    * well-mixed middle bits (Fibonacci hashing), because the low bits
+    * of h * odd-constant are just a permutation of h's low bits.
+    */
+  val MixA = 2654435761L
+  val MixB = 2246822519L
+
+  /** Per-document 64-bit SimHash fingerprint as TWO 32-bit words
+    * `(sim_lo, sim_hi)` — the production print width
+    * ([[simhashNearDup]] explains why 32 bits is a scale-killer).
+    * Each word's 32 bit votes run over an independent 32-bit mix of
+    * the shingle hash ([[MixA]]/[[MixB]]); all 64 vote sums are
+    * codegen'd conditional sums in ONE hash aggregate, the same
+    * single-shuffle shape as [[simhashDocs]]. Two BIGINT words rather
+    * than one 64-bit value keeps every engine's integer arithmetic in
+    * non-negative BIGINT range (a sign bit at position 63 would make
+    * the print's ordering and shift semantics engine-dependent).
+    */
+  def simhashDocs64(spark: SparkSession, dir: String): DataFrame = {
+    val rows = simhashShingleRows(spark, dir).select(col("doc_id"),
+      shiftright(col("h") * lit(MixA), 15).bitwiseAND(lit(0xFFFFFFFFL)).as("g1"),
+      shiftright(col("h") * lit(MixB), 15).bitwiseAND(lit(0xFFFFFFFFL)).as("g2"))
+    val votes =
+      (0 until 32).map { j =>
+        sum(shiftright(col("g1"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"a$j")
+      } ++ (0 until 32).map { j =>
+        sum(shiftright(col("g2"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j")
+      }
+    def word(prefix: String) = (0 until 32)
+      .map(j => when(col(s"$prefix$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    rows.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), word("a").as("sim_lo"), word("b").as("sim_hi"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash NEAR-dup pairs at Hamming distance <= `maxHamming` — the
     * fingerprint-distance search that [[simhashClusters]]' exact
     * equality misses (near-identical docs differ in a few bits). The
-    * pigeonhole banding makes it an equi-join: the 32-bit fingerprint
-    * splits into 4 disjoint 8-bit bands, and <= 3 flipped bits can
-    * corrupt at most 3 of them, so every qualifying pair agrees
-    * EXACTLY on at least one (band, byte) key. Candidates come from
-    * a self-join on that key (the standard simhash index shape — at
-    * 100 TB each band is a sorted posting list); the cheap
-    * bit_count(XOR) verify then drops the false positives. Exact
-    * duplicates (distance 0) are included by construction.
+    * pigeonhole banding makes it an equi-join: the 64-bit fingerprint
+    * ([[simhashDocs64]]: two 32-bit words) splits into 4 disjoint
+    * 16-bit bands, and <= 3 flipped bits can corrupt at most 3 of
+    * them, so every qualifying pair agrees EXACTLY on at least one
+    * (band, word16) key. Candidates come from a self-join on that key
+    * (the standard simhash index shape — at 100 TB each band is a
+    * sorted posting list); the cheap bit_count(XOR) verify then drops
+    * the false positives. Exact duplicates (distance 0) are included
+    * by construction.
     *
-    * Width caveat: fingerprint width sets the INCIDENTAL-collision
-    * floor — with 32 bits, unrelated docs land within Hamming 3 at a
-    * birthday-quadratic rate as the corpus grows (visible already at
-    * sf0.1: ~34k fingerprint pairs vs 255 MinHash text pairs), which
-    * is why production simhash dedup uses 64-bit prints. The pipeline
-    * shape here is width-agnostic (bands widen with the print); the
-    * 32-bit votes keep the oracle's integer arithmetic in BIGINT
-    * range.
+    * Width matters: fingerprint width sets the INCIDENTAL-collision
+    * floor — the r4 32-bit print put unrelated docs within Hamming 3
+    * at a birthday-quadratic rate (~34k candidate pairs at sf0.1 vs
+    * 255 true MinHash near-dups), growing quadratically with the
+    * corpus. At 64 bits the incidental floor is negligible at any
+    * realistic corpus size (choose(64,3)/2^64 per pair), and the
+    * 16-bit bands also shrink the candidate join 256x vs 8-bit bands.
     */
   def simhashNearDup(spark: SparkSession, dir: String,
                      maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
-      "4 x 8-bit bands guarantee recall only up to Hamming distance 3")
+      "4 x 16-bit bands guarantee recall only up to Hamming distance 3")
     // the fingerprint table feeds four subtrees (two band-join sides,
     // two verify lookups) — materialize once, plan-truncated
-    val (docs, _) = graft.Caches.trackedCheckpoint(simhashDocs(spark, dir))
+    val (docs, _) = graft.Caches.trackedCheckpoint(simhashDocs64(spark, dir))
     val bands = docs
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .select(col("doc_id"), col("band"),
-        expr("(simhash >> (band * 8)) & 255").as("bk"))
+        expr("((CASE WHEN band < 2 THEN sim_lo ELSE sim_hi END)" +
+             " >> ((band % 2) * 16)) & 65535").as("bk"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
@@ -346,10 +387,13 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")
+      .join(docs.select(col("doc_id").as("doc_a"),
+        col("sim_lo").as("la"), col("sim_hi").as("ha")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"),
+        col("sim_lo").as("lb"), col("sim_hi").as("hb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        expr("cast(bit_count(sa ^ sb) as bigint)").as("hamming"))
+        expr("cast(bit_count(la ^ lb) + bit_count(ha ^ hb) as bigint)")
+          .as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
   }

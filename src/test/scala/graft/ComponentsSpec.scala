@@ -79,16 +79,28 @@ class ComponentsSpec extends SparkSuite {
     val found = Dedup.simhashNearDup(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
     assert(found.forall(_._2 <= 3), "verify stage must drop far pairs")
-    // brute-force ground truth over the fingerprints: 4 disjoint 8-bit
-    // bands guarantee every <= 3-bit pair shares at least one band
-    val sims = Dedup.simhashDocs(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force ground truth over the 64-bit two-word fingerprints:
+    // 4 disjoint 16-bit bands guarantee every <= 3-bit pair shares at
+    // least one band
+    val sims = Dedup.simhashDocs64(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
     val truth = (for {
-      (a, sa) <- sims; (b, sb) <- sims
-      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+      (a, (la, ha)) <- sims; (b, (lb, hb)) <- sims
+      if a < b &&
+        java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb) <= 3
     } yield (a, b)).toSet
     assert(found.map(_._1).toSet == truth,
       s"banding recall must be exact: found ${found.length}, truth ${truth.size}")
+  }
+
+  test("64-bit simhash words stay in non-negative 32-bit range") {
+    val sims = Dedup.simhashDocs64(spark, sfDir).collect()
+    assert(sims.nonEmpty)
+    sims.foreach { r =>
+      val (lo, hi) = (r.getLong(1), r.getLong(2))
+      assert(lo >= 0L && lo <= 0xFFFFFFFFL, s"sim_lo out of range: $lo")
+      assert(hi >= 0L && hi <= 0xFFFFFFFFL, s"sim_hi out of range: $hi")
+    }
   }
 
   test("survivor counts are bounded and consistent per language") {
