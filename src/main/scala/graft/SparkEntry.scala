@@ -143,6 +143,8 @@ object SparkEntry {
     "x_fuzzy_dedup"        -> ((s, dir) => Dedup.fuzzyNameDedup(s, dir)),
     "x_dup_components"     -> ((s, dir) => Dedup.dupComponents(s, dir)),
     "x_dedup_survivors"    -> ((s, dir) => Dedup.dedupSurvivors(s, dir)),
+    "x_dedup_unified"      -> ((s, dir) => Dedup.dedupUnified(s, dir)),
+    "x_unified_survivors"  -> ((s, dir) => Dedup.dedupSurvivorsUnified(s, dir)),
     "x_knn_recall"         -> ((s, dir) => Similarity.knnLshRecall(s, dir)),
     "x_ivf_recall"         -> ((s, dir) => Similarity.knnIvfRecall(s, dir)),
     "x_knn_lsh_banded"     -> ((s, dir) => Similarity.knnLshBanded(s, dir)),
@@ -207,6 +209,115 @@ object SparkEntry {
       |    round(list_reduce(list_transform(range(1,65),
       |      i -> cv.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (a,b)->a+b)/(cv.nrm*q.q_nrm), 6) AS cos
       |  FROM cells cv JOIN qcells q ON cv.cell = q.cell AND cv.vec_id <> q.query_id)""".stripMargin
+
+  /** Unified near-dup pair-graph CTE block ending in `dup (doc_a,
+    * doc_b)`: the UNION of the MinHash-Jaccard (>= 0.7), 64-bit
+    * SimHash (Hamming <= 3), and blocked n-gram Jaccard (>= 0.02)
+    * pair sets — shared by x_dedup_unified and x_unified_survivors so
+    * the three families' definitions cannot drift from their
+    * standalone oracles (x_dedup_minhash / x_simhash_neardup /
+    * x_ngram_jaccard, which use the identical arithmetic).
+    */
+  private val unifiedDupCtes: String =
+    """tk AS (
+      |  SELECT doc_id, string_split(text,' ') AS toks FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      |  FROM tk WHERE len(toks) >= 3
+      |), hs AS (
+      |  SELECT doc_id, list_distinct(list_transform(shingles, s ->
+      |    list_reduce(list_transform(range(1,len(s)+1), i -> ascii(substr(s,i,1))::BIGINT),
+      |      (acc,c) -> (acc*31+c)%1000000007))) AS hashes
+      |  FROM sh
+      |), sig AS (
+      |  SELECT doc_id, list_transform(range(0,16), i ->
+      |    list_min(list_transform(hashes, x -> ((i*2+1)*x + (i*5+3)) % 1000000007))) AS sig
+      |  FROM hs
+      |), bands AS (
+      |  SELECT doc_id, b,
+      |    ((((((sig[4*b+1]::BIGINT % 1000000007)*31 + sig[4*b+2]::BIGINT) % 1000000007)*31
+      |       + sig[4*b+3]::BIGINT) % 1000000007 *31 + sig[4*b+4]::BIGINT) % 1000000007) AS bh
+      |  FROM sig, range(0,4) t(b)
+      |), cpairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      |  FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
+      |), scored AS (
+      |  SELECT p.doc_a, p.doc_b,
+      |    round(len(list_filter(ha.hashes, x -> list_contains(hb.hashes, x)))::DOUBLE /
+      |      (len(ha.hashes)+len(hb.hashes)
+      |       -len(list_filter(ha.hashes, x -> list_contains(hb.hashes, x)))), 6) AS jaccard
+      |  FROM cpairs p JOIN hs ha ON p.doc_a = ha.doc_id JOIN hs hb ON p.doc_b = hb.doc_id
+      |), mdup AS (
+      |  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.7
+      |), s_sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text)-7,1)+1),
+      |    i -> substr(text,i,8))) AS shingles
+      |  FROM documents
+      |), s_hs AS (
+      |  SELECT doc_id, list_transform(shingles, s ->
+      |    list_reduce(list_transform(range(1,len(s)+1), i -> ascii(substr(s,i,1))::BIGINT),
+      |      (acc,c) -> (acc*31+c)%1000000007)) AS hashes
+      |  FROM s_sh
+      |), sim AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(range(0,32), j ->
+      |      CASE WHEN list_sum(list_transform(hashes, h ->
+      |        ((((h*2654435761) >> 15) & 4294967295) >> j & 1)*2 - 1)) > 0
+      |           THEN (1::BIGINT)<<j ELSE 0 END))::BIGINT AS sim_lo,
+      |    list_sum(list_transform(range(0,32), j ->
+      |      CASE WHEN list_sum(list_transform(hashes, h ->
+      |        ((((h*2246822519) >> 15) & 4294967295) >> j & 1)*2 - 1)) > 0
+      |           THEN (1::BIGINT)<<j ELSE 0 END))::BIGINT AS sim_hi
+      |  FROM s_hs
+      |), s_bk AS (
+      |  SELECT doc_id, sim_lo, sim_hi, band,
+      |    ((CASE WHEN band < 2 THEN sim_lo ELSE sim_hi END) >> ((band % 2)*16)) & 65535 AS bk
+      |  FROM sim, unnest([0,1,2,3]) t(band)
+      |), s_cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM s_bk a JOIN s_bk b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+      |), sdup AS (
+      |  SELECT c.doc_a, c.doc_b FROM s_cand c
+      |  JOIN sim sa ON sa.doc_id = c.doc_a
+      |  JOIN sim sb ON sb.doc_id = c.doc_b
+      |  WHERE bit_count(xor(sa.sim_lo, sb.sim_lo)) + bit_count(xor(sa.sim_hi, sb.sim_hi)) <= 3
+      |), n_tk AS (
+      |  SELECT doc_id, lang, source, string_split(text,' ') AS toks FROM documents
+      |), n_h AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(
+      |      list_transform(range(1, len(toks)-1),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+      |      g -> list_reduce(list_transform(range(1,len(g)+1),
+      |             i -> ascii(substr(g,i,1))::BIGINT), (acc,c) -> (acc*31+c)%1000000007))) AS ghs
+      |  FROM n_tk WHERE len(toks) >= 3
+      |), n_r AS (
+      |  SELECT doc_id, lang, source, unnest(ghs) AS gh FROM n_h
+      |), n_kept AS (
+      |  SELECT n_r.* FROM n_r JOIN (
+      |    SELECT lang, source, gh FROM n_r GROUP BY lang, source, gh HAVING COUNT(*) <= 64
+      |  ) k USING (lang, source, gh)
+      |), n_sizes AS (
+      |  SELECT doc_id, COUNT(*) AS sz FROM n_kept GROUP BY doc_id
+      |), n_ins AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM n_kept a JOIN n_kept b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.gh = b.gh
+      |   AND a.doc_id < b.doc_id
+      |  GROUP BY doc_a, doc_b
+      |), ndup AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT i.doc_a, i.doc_b,
+      |      round(i.n_common::DOUBLE / (sa.sz + sb.sz - i.n_common), 6) AS jaccard
+      |    FROM n_ins i JOIN n_sizes sa ON i.doc_a = sa.doc_id
+      |                 JOIN n_sizes sb ON i.doc_b = sb.doc_id
+      |  ) WHERE jaccard >= 0.02
+      |), dup AS (
+      |  SELECT doc_a, doc_b FROM mdup
+      |  UNION SELECT doc_a, doc_b FROM sdup
+      |  UNION SELECT doc_a, doc_b FROM ndup
+      |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ref_normalize_union" ->
@@ -947,6 +1058,49 @@ object SparkEntry {
         |), dup AS (
         |  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.7
         |), edges AS (
+        |  SELECT doc_a, doc_b FROM dup UNION ALL SELECT doc_b, doc_a FROM dup
+        |), nodes AS (
+        |  SELECT DISTINCT doc_a AS doc_id FROM edges
+        |), reach AS (
+        |  SELECT doc_id AS doc, doc_id AS r FROM nodes
+        |  UNION
+        |  SELECT e.doc_b AS doc, reach.r FROM reach JOIN edges e ON e.doc_a = reach.doc
+        |), lbl AS (
+        |  SELECT doc, MIN(r) AS root FROM reach GROUP BY doc
+        |), nonroots AS (
+        |  SELECT doc AS doc_id FROM lbl WHERE doc <> root
+        |), keep AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        |), surv AS (
+        |  SELECT d.doc_id, d.lang FROM documents d
+        |  JOIN keep k ON d.doc_id = k.doc_id
+        |  LEFT JOIN nonroots nr ON d.doc_id = nr.doc_id
+        |  WHERE nr.doc_id IS NULL
+        |)
+        |SELECT d.lang, COUNT(*) AS n_docs, COUNT(s.doc_id) AS n_survivors
+        |FROM documents d LEFT JOIN surv s ON d.doc_id = s.doc_id
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // components over the UNION of all three near-dup families — same
+    // WITH RECURSIVE reachability as x_dup_components, over `dup`
+    "x_dedup_unified" ->
+      s"""WITH RECURSIVE $unifiedDupCtes,
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM dup UNION ALL SELECT doc_b, doc_a FROM dup
+        |), nodes AS (
+        |  SELECT DISTINCT doc_a AS doc_id FROM edges
+        |), reach AS (
+        |  SELECT doc_id AS doc, doc_id AS r FROM nodes
+        |  UNION
+        |  SELECT e.doc_b AS doc, reach.r FROM reach JOIN edges e ON e.doc_a = reach.doc
+        |)
+        |SELECT component_root, COUNT(*) AS n_members, MAX(doc) AS max_member FROM (
+        |  SELECT doc, MIN(r) AS component_root FROM reach GROUP BY doc
+        |) GROUP BY component_root ORDER BY component_root""".stripMargin,
+
+    "x_unified_survivors" ->
+      s"""WITH RECURSIVE $unifiedDupCtes,
+        |edges AS (
         |  SELECT doc_a, doc_b FROM dup UNION ALL SELECT doc_b, doc_a FROM dup
         |), nodes AS (
         |  SELECT DISTINCT doc_a AS doc_id FROM edges

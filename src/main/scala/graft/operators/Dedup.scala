@@ -535,21 +535,67 @@ object Dedup {
     labels
   }
 
+  /** The UNIFIED near-dup pair graph: MinHash-Jaccard, 64-bit SimHash
+    * (Hamming <= [[simhashNearDup]]'s bound), and blocked n-gram
+    * Jaccard edges unioned into one edge set — the composition a real
+    * curation run executes, because each family catches pairs the
+    * others miss (MinHash sees token-set overlap, SimHash sees
+    * bit-level content drift, n-gram Jaccard sees within-block exact
+    * phrase reuse). Each family is already an equi-join pipeline with
+    * its own skew caps; the union is a cheap distinct over three tiny
+    * pair sets, so the composition adds no new scale axis.
+    */
+  def unifiedPairs(spark: SparkSession, dir: String,
+                   minhashThreshold: Double = 0.7,
+                   maxHamming: Int = 3,
+                   ngramThreshold: Double = 0.02): DataFrame =
+    nearDupMinhash(spark, dir, minhashThreshold).select("doc_a", "doc_b")
+      .union(simhashNearDup(spark, dir, maxHamming).select("doc_a", "doc_b"))
+      .union(ngramJaccard(spark, dir, ngramThreshold).select("doc_a", "doc_b"))
+      .distinct()
+
+  /** Duplicate clusters over the [[unifiedPairs]] union graph — the
+    * all-families generalization of [[dupComponents]]. One label
+    * propagation over the merged edges; a doc connected to a cluster
+    * by ANY family joins it, so unified components can merge clusters
+    * the per-family passes keep separate.
+    */
+  def dedupUnified(spark: SparkSession, dir: String): DataFrame =
+    componentsFromPairs(unifiedPairs(spark, dir))
+
+  /** Per-language survivor counts with the exact-dedup pass AND the
+    * unified (all-families) near-dup pass applied — [[dedupSurvivors]]
+    * with the union graph's non-roots removed instead of MinHash-only.
+    * Survivor count is <= the per-family variant by construction
+    * (more edges can only merge more docs into clusters).
+    */
+  def dedupSurvivorsUnified(spark: SparkSession, dir: String): DataFrame =
+    survivorsByLang(spark, dir, unifiedPairs(spark, dir))
+
   /** The dedup end product: per-language survivor counts after BOTH
     * dedup passes — exact (content-hash, smallest doc_id survives) AND
     * near-dup clustering (only each MinHash component's root survives).
-    * Semi/anti joins against the (small) keep/non-root sets; the
-    * corpus itself streams through once.
     */
   def dedupSurvivors(spark: SparkSession, dir: String,
-                     threshold: Double = 0.7): DataFrame = {
+                     threshold: Double = 0.7): DataFrame =
+    survivorsByLang(spark, dir, nearDupMinhash(spark, dir, threshold))
+
+  /** Per-language survivor rollup shared by [[dedupSurvivors]] (MinHash
+    * pair graph) and [[dedupSurvivorsUnified]] (all-families union
+    * graph): exact dedup keeps the smallest doc_id per content hash,
+    * near-dup clustering keeps only each component's root. Semi/anti
+    * joins against the (small) keep/non-root sets; the corpus itself
+    * streams through once.
+    */
+  private def survivorsByLang(spark: SparkSession, dir: String,
+                              pairs: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
       col("text"))
     val keep = docs
       .groupBy(md5(encode(col("text"), "UTF-8")).as("ch"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val nonRoots = labelPropagation(nearDupMinhash(spark, dir, threshold))
+    val nonRoots = labelPropagation(pairs)
       .filter(col("doc_id") =!= col("lbl"))
       .select("doc_id")
     val surv = docs.select("doc_id", "lang")

@@ -103,6 +103,28 @@ class ComponentsSpec extends SparkSuite {
     }
   }
 
+  test("unified graph subsumes each family and can only shrink survivors") {
+    val unified = Dedup.unifiedPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val minhash = Dedup.nearDupMinhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simhash = Dedup.simhashNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(minhash.subsetOf(unified), "every MinHash pair is a unified edge")
+    assert(simhash.subsetOf(unified), "every SimHash pair is a unified edge")
+    // more edges can only merge more docs into clusters, so the
+    // unified pass keeps at most as many survivors per language
+    val perFamily = Dedup.dedupSurvivors(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val uni = Dedup.dedupSurvivorsUnified(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(uni.map(_._1).toSet == perFamily.keySet)
+    uni.foreach { case (lang, nDocs, nSurv) =>
+      assert(nSurv <= perFamily(lang), s"$lang unified survivors must not exceed MinHash-only")
+      assert(nSurv >= 1 && nSurv <= nDocs)
+    }
+  }
+
   test("survivor counts are bounded and consistent per language") {
     val docs = graft.Tables.documents(spark, sfDir)
     val totals = docs.groupBy("lang").count().collect()
