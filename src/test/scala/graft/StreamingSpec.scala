@@ -266,6 +266,46 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("incremental dedup survivor store equals the batch exactDedup pass (stream==batch)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "dedup-").toString
+    val store = s"$base/survivors"
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(graft.streaming.StreamingDedup.survivorSink(store))
+      .start()
+    // the real corpus, streamed in doc_id order over three uneven
+    // micro-batches (in-order arrival makes first-arrival == min-doc_id,
+    // so the store must equal the batch operator exactly)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    try {
+      Seq(docs.take(100), docs.slice(100, 150), docs.drop(150)).foreach { chunk =>
+        ms.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = graft.streaming.StreamingDedup.survivors(spark, store)
+      .select("keep_id").as[Long].collect().sorted.toSeq
+    val want = graft.operators.Dedup.exactDedup(spark, sfDir)
+      .select("keep_id").as[Long].collect().sorted.toSeq
+    assert(got == want, s"stream==batch: ${got.length} vs ${want.length} survivors")
+    // state is bounded by distinctness: one store row per content hash
+    val nHashes = graft.streaming.StreamingDedup.readStore(spark, store)
+      .select("content_hash").distinct().count()
+    assert(got.length.toLong == nHashes, "exactly one survivor per distinct hash")
+    // replayed micro-batch (failure before checkpoint commit) must be
+    // idempotent: re-running the LAST batch cannot grow the store
+    graft.streaming.StreamingDedup.survivorSink(store)(
+      docs.drop(150).toDF("doc_id", "text"), 2L)
+    val afterReplay = graft.streaming.StreamingDedup.survivors(spark, store)
+      .select("keep_id").as[Long].collect().sorted.toSeq
+    assert(afterReplay == got, "batch replay must not duplicate survivors")
+  }
+
   test("parquet file sink delivers each row exactly once under checkpointing") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files
