@@ -88,6 +88,7 @@ object SparkEntry {
     "x_approx_percentiles" -> ((s, dir) => Analytics.approxQuantityPercentiles(s, dir)),
     "x_orders_by_month"    -> ((s, dir) => Analytics.ordersByMonth(s, dir)),
     "x_salted_agg"         -> ((s, dir) => Analytics.saltedEventAgg(s, dir)),
+    "x_skew_join"          -> ((s, dir) => Analytics.skewedJoinAgg(s, dir)),
     "x_sessionize"         -> ((s, dir) => Analytics.sessionize(s, dir)),
     "x_window_funcs"       -> ((s, dir) => Analytics.orderRankStats(s, dir)),
     "x_string_funcs"       -> ((s, dir) => Analytics.customerNameFormats(s, dir)),
@@ -608,6 +609,19 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // 9:1 hot-key join — results identical with or without AQE's
+    // runtime skew split (PlanSpec asserts the split fires)
+    "x_skew_join" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN id % 10 <> 0 THEN 7 ELSE id % 2000 END AS k, id % 97 AS v
+        |  FROM range(0, 200000) t(id)
+        |), dim AS (
+        |  SELECT id AS k, id % 13 AS w FROM range(0, 2000) t(id)
+        |)
+        |SELECT d.w, COUNT(*) AS n_rows, SUM(f.v)::BIGINT AS sum_v
+        |FROM fact f JOIN dim d USING (k)
+        |GROUP BY d.w ORDER BY d.w""".stripMargin,
 
     "x_window_funcs" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

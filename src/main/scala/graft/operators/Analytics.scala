@@ -746,6 +746,40 @@ object Analytics {
            sum(col("ps")).cast("double").as("sum_value"))
       .orderBy("event_type")
 
+  /** Join-side skew rescue: a fact table whose join key is 90% ONE hot
+    * value (the realistic 100 TB failure axis — a null-ish default,
+    * one viral entity) joined to a uniform dim too large to broadcast
+    * in the demo conf. The QUERY is declarative and conf-independent —
+    * the rescue is AQE's OptimizeSkewedJoin splitting the hot
+    * post-shuffle partition at runtime (PlanSpec asserts the split
+    * under skew-sensitive thresholds; results are identical either
+    * way, which is exactly the point: no salting rewrite, no manual
+    * key surgery — the complement of [[saltedEventAgg]], which covers
+    * AGGREGATION skew where AQE has no rescue).
+    *
+    * The rollup key (`w`) deliberately differs from the join key
+    * (`k`): a downstream agg ON the join key could consume the join's
+    * partitioning, and AQE reverts a skew split that would introduce
+    * an extra shuffle — aggregating on a non-join key keeps the agg
+    * exchange in both plans, the shape where the rescue fires.
+    * Synthetic `range` inputs rather than the parquet tables: the
+    * demo needs a deterministic, oracle-expressible 9:1 hot key at a
+    * size the testdata corpus doesn't exhibit.
+    */
+  def skewedJoinAgg(spark: SparkSession, dir: String,
+                    nFact: Long = 200000L, nDim: Long = 2000L): DataFrame = {
+    val fact = spark.range(nFact).select(
+      when(pmod(col("id"), lit(10L)) =!= 0, lit(7L))
+        .otherwise(pmod(col("id"), lit(nDim))).as("k"),
+      pmod(col("id"), lit(97L)).as("v"))
+    val dim = spark.range(nDim).select(col("id").as("k"),
+      pmod(col("id"), lit(13L)).as("w"))
+    fact.join(dim, Seq("k"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .orderBy("w")
+  }
+
   /** Approximate percentiles (t-digest-style sketch) — the 100 TB
     * default, paired with [[quantityPercentiles]] exactly like
     * approx/exact distinct. Engine-specific sketch → rows-only check

@@ -181,6 +181,28 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("AQEShuffleRead"), s"no runtime shuffle coalesce:\n${plan.take(2000)}")
   }
 
+  test("AQE splits the skewed join partition at runtime (OptimizeSkewedJoin)") {
+    // thresholds scaled to the test corpus: the 9:1 hot partition
+    // (~180k fact rows on one key) must exceed both the absolute
+    // threshold and 5x the median partition, and the advisory size
+    // forces a multi-way split — the same rescue fires at 100 TB with
+    // the default 256 MB threshold
+    val tuned = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB")
+    val saved = tuned.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = Analytics.skewedJoinAgg(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("AdaptiveSparkPlan isFinalPlan=true"), plan.take(2000))
+      assert(plan.toLowerCase.contains("skew"),
+        s"runtime plan must show the skew-split join/read:\n${plan.take(4000)}")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("exact dedup shuffles 16-byte hashes, not document bodies") {
     val plan = formatted(Dedup.exactDedup(spark, sfDir))
     // the md5 grouping key must be computed map-side (partial agg below
