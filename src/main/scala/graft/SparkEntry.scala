@@ -151,6 +151,7 @@ object SparkEntry {
     "x_knn_lsh_banded"     -> ((s, dir) => Similarity.knnLshBanded(s, dir)),
     "x_banded_recall"      -> ((s, dir) => Similarity.knnLshBandedRecall(s, dir)),
     "x_multimodal_meta"    -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
+    "x_media_knn"          -> ((s, dir) => Similarity.mediaIvfKnn(s, dir)),
     "x_frame_sample"       -> ((s, dir) => Multimodal.frameSample(s, dir))
   )
 
@@ -1666,6 +1667,50 @@ object SparkEntry {
         |  round(((octet_length(encode(text))*3 + ascii(substr(text,2,1))) % 1000)/1000.0, 6) AS f1,
         |  round(((octet_length(encode(text))*5 + ascii(substr(text,3,1))) % 1000)/1000.0, 6) AS f2,
         |  round(((octet_length(encode(text))*7 + ascii(substr(text,4,1))) % 1000)/1000.0, 6) AS f3
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // media decode → ANN composition: stub-decoded 4-dim features as
+    // the IVF corpus. /1024 keeps every feature a dyadic rational
+    // (exact in FLOAT and DOUBLE), so cosine arithmetic is
+    // bit-identical across engines; pipeline mirrors x_knn_ivf.
+    "x_media_knn" ->
+      """WITH f AS (
+        |  SELECT doc_id AS vec_id,
+        |    [ ((octet_length(encode(text))*1 + ascii(substr(text,1,1))) % 1000)/1024.0,
+        |      ((octet_length(encode(text))*3 + ascii(substr(text,2,1))) % 1000)/1024.0,
+        |      ((octet_length(encode(text))*5 + ascii(substr(text,3,1))) % 1000)/1024.0,
+        |      ((octet_length(encode(text))*7 + ascii(substr(text,4,1))) % 1000)/1024.0 ] AS emb
+        |  FROM documents
+        |), e AS (
+        |  SELECT vec_id, emb,
+        |    sqrt(list_reduce(list_transform(emb, x -> x*x), (a,b)->a+b)) AS nrm
+        |  FROM f
+        |), cents AS (
+        |  SELECT vec_id AS centroid_id, emb AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < 8
+        |), ranked AS (
+        |  SELECT e.vec_id, e.emb, e.nrm, c.centroid_id,
+        |    round(list_reduce(list_transform(range(1,5),
+        |      i -> e.emb[i] * c.c_emb[i]), (a,b)->a+b)/(e.nrm*c.c_nrm), 6) AS c_sim
+        |  FROM e, cents c
+        |), cells AS (
+        |  SELECT vec_id, emb, nrm, centroid_id AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rk
+        |    FROM ranked
+        |  ) WHERE rk = 1
+        |), qcells AS (
+        |  SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, centroid_id AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rk
+        |    FROM ranked WHERE vec_id < 10
+        |  ) WHERE rk <= 2
+        |), scored AS (
+        |  SELECT DISTINCT q.query_id, c2.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(range(1,5),
+        |      i -> c2.emb[i] * q.q_emb[i]), (a,b)->a+b)/(c2.nrm*q.q_nrm), 6) AS cos
+        |  FROM cells c2 JOIN qcells q ON c2.cell = q.cell AND c2.vec_id <> q.query_id
+        |)
+        |SELECT query_id, neighbor_id, rk, cos FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rk
+        |  FROM scored
+        |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
   )
 }

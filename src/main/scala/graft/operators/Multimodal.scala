@@ -112,6 +112,24 @@ object Multimodal {
       (fs :+ batch.length.toFloat).toArray
     }
 
+  /** Deterministic per-payload decoder for ORACLE-CHECKED compositions
+    * downstream of [[decodeBatched]] (e.g. the media→ANN pipeline in
+    * [[Similarity.mediaIvfKnn]]). Differs from [[stubBatchDecoder]] in
+    * two deliberate ways: no batch-size element (output must depend
+    * only on the payload bytes, never the partition layout), and a
+    * power-of-two denominator so every feature value is a dyadic
+    * rational exactly representable in FLOAT — all downstream double
+    * arithmetic (norms, dot products, cosine) is then bit-identical
+    * between Spark and any double-precision oracle engine.
+    */
+  def exactBatchDecoder(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+    batch.map { bytes =>
+      Array.tabulate(NFeatures) { i =>
+        val b = if (i < bytes.length) bytes(i) & 0xff else 0
+        ((bytes.length * (2 * i + 1) + b) % 1000) / 1024.0f
+      }
+    }
+
   /** Oracle-checkable projection of [[sampleFrames]]: per sampled
     * frame, its byte length and a 4-byte header sniff — the metadata a
     * video pipeline records per extracted frame before the (stubbed)

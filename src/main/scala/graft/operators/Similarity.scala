@@ -243,6 +243,35 @@ object Similarity {
       k, nQueries, nProbe)
   }
 
+  /** Multimodal → ANN composition, end to end: opaque binary payloads
+    * run through the batched decode plumbing
+    * ([[Multimodal.decodeBatched]] with the deterministic
+    * [[Multimodal.exactBatchDecoder]]), and the decoded feature
+    * vectors become the ANN corpus for the SAME IVF cell-equi-join
+    * pipeline as [[knnIvf]] — the image-embedding-search shape (decode
+    * → embed → index → query) a multimodal training pipeline runs,
+    * with only the codec behind the decoder stubbed. The decoded
+    * corpus is checkpointed once and feeds the centroid, cell, and
+    * query subtrees; candidate generation stays an equi-join on cell
+    * id (plan-asserted — the only cross join is against the <= nCells
+    * broadcast centroid table).
+    */
+  def mediaIvfKnn(spark: SparkSession, dir: String, k: Int = 5,
+                  nQueries: Int = 10, nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val decoded = Multimodal.decodeBatched(
+      Multimodal.withPayload(Tables.documents(spark, dir)),
+      decoder = Multimodal.exactBatchDecoder)
+    val c = decoded.select(col("doc_id").as("vec_id"),
+        col("features").as("embedding"))
+      .withColumn("nrm", sqrt(dotN(col("embedding"), col("embedding"))))
+      .localCheckpoint()
+    val cents = c.filter(col("vec_id") < nCells).select(
+      col("vec_id").as("centroid_id"), col("embedding").as("c_emb"),
+      col("nrm").as("c_nrm"))
+    ivfFrom(c, cents, k, nQueries, nProbe)
+  }
+
   /** Trained-IVF recall audit against brute-force ground truth. */
   def knnIvfTrainedRecall(spark: SparkSession, dir: String,
                           k: Int = 5, nQueries: Int = 10): DataFrame = {

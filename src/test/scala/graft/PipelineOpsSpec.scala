@@ -126,6 +126,21 @@ class PipelineOpsSpec extends SparkSuite {
       ((bytes.length * 1 + (bytes(0) & 0xff)) % 1000) / 1000.0f)
   }
 
+  test("exact decoder output is independent of partition layout and batch size") {
+    val docs = Multimodal.withPayload(Tables.documents(spark, sfDir))
+    def run(parts: Int, batchSize: Int): Map[Long, Seq[Float]] =
+      Multimodal.decodeBatched(docs.repartition(parts), batchSize,
+          Multimodal.exactBatchDecoder)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val a = run(1, 32)
+    val b = run(7, 5)
+    assert(a == b, "oracle-checked compositions need layout-independent features")
+    // every feature is a dyadic rational k/1024 — exact in FLOAT
+    a.values.flatten.foreach { f =>
+      assert(f * 1024.0f == (f * 1024.0f).round.toFloat, s"non-dyadic feature $f")
+    }
+  }
+
   test("frame sampling slices the binary payload into strided fixed-size frames") {
     val docs = Multimodal.withPayload(Tables.documents(spark, sfDir))
     val doc = docs.orderBy("doc_id").select("doc_id", "text").head()

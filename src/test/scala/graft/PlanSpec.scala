@@ -66,6 +66,15 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("media->ANN composition keeps the IVF cell equi-join (broadcast centroids only)") {
+    val plan = formatted(graft.operators.Similarity.mediaIvfKnn(spark, sfDir))
+    // candidate generation must be the hash equi-join on cell id; the
+    // only nested-loop join allowed is the broadcast against the
+    // <= nCells centroid table
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("simhash near-dup candidates come from a band equi-join — never a cross product") {
     val plan = formatted(graft.operators.Dedup.simhashNearDup(spark, sfDir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
