@@ -121,6 +121,7 @@ object SparkEntry {
     "x_tfidf_top_terms"    -> ((s, dir) => CorpusOps.tfidfTopTerms(s, dir)),
     "x_curation_pipeline"  -> ((s, dir) => CorpusOps.curationPipeline(s, dir)),
     "x_doc_chunks"         -> ((s, dir) => CorpusOps.docChunks(s, dir)),
+    "x_chunk_dedup"        -> ((s, dir) => CorpusOps.chunkDedup(s, dir)),
     "x_doc_packing"        -> ((s, dir) => CorpusOps.docPacking(s, dir)),
     "x_centroids"          -> ((s, dir) => Similarity.labelCentroids(s, dir)),
     "x_kmeans"             -> ((s, dir) => Similarity.kmeansCentroids(s, dir)),
@@ -1464,6 +1465,36 @@ object SparkEntry {
         |  list_reduce(list_transform(range(1, len(chunk)+1), i -> ascii(substr(chunk, i, 1))::BIGINT),
         |    (acc, ch) -> (acc*31+ch)%1000000007) AS chunk_fp
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // chunk-level dedup over the same chunk table: first bearer of a
+    // fingerprint (smallest doc_id, chunk_idx) is original, the rest
+    // are dups; per-doc duplicate-chunk ratio
+    "x_chunk_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' '))::BIGINT AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, n_tok,
+        |    unnest(range(0, GREATEST(CAST(ceil((n_tok - 64)::DOUBLE / 48) AS BIGINT), 0) + 1))::BIGINT AS chunk_idx
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, chunk_idx,
+        |    array_to_string(list_slice(toks, (chunk_idx*48+1)::BIGINT, (chunk_idx*48+64)::BIGINT), ' ') AS chunk
+        |  FROM c),
+        |fp AS (
+        |  SELECT doc_id, chunk_idx,
+        |    list_reduce(list_transform(range(1, len(chunk)+1), i -> ascii(substr(chunk, i, 1))::BIGINT),
+        |      (acc, ch) -> (acc*31+ch)%1000000007) AS chunk_fp
+        |  FROM s),
+        |rk AS (
+        |  SELECT doc_id, chunk_idx,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY chunk_fp ORDER BY doc_id, chunk_idx) > 1
+        |         THEN 1 ELSE 0 END AS is_dup
+        |  FROM fp)
+        |SELECT doc_id, COUNT(*) AS n_chunks, SUM(is_dup)::BIGINT AS n_dup_chunks,
+        |  round(SUM(is_dup)::DOUBLE / COUNT(*), 6) AS dup_ratio
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "x_doc_packing" ->
       """WITH d AS (

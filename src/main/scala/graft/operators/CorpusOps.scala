@@ -139,7 +139,14 @@ object CorpusOps {
   val ChunkTokens = 64
   val ChunkStride = 48
 
-  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    chunkRows(spark, dir).orderBy("doc_id", "chunk_idx")
+
+  /** The chunk table without the output sort — the composition seam
+    * for chunk-level consumers ([[chunkDedup]]) whose own shuffles
+    * would make a pre-sort wasted work.
+    */
+  private def chunkRows(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.PolyHash.register(spark)
     val toks = split(col("text"), " ")
     val nChunks = greatest(
@@ -156,7 +163,34 @@ object CorpusOps {
           concat_ws(" ", slice(col("toks"),
             (col("chunk_idx") * ChunkStride + 1).cast("int"),
             lit(ChunkTokens)))).as("chunk_fp"))
-      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Chunk-level exact dedup — the loop [[docChunks]]' `chunk_fp` was
+    * built to close: a chunk occurrence is a DUPLICATE unless it is
+    * the first (smallest (doc_id, chunk_idx)) bearer of its
+    * fingerprint, and the per-document duplicate-chunk ratio is the
+    * fine-grained reuse signal document-level dedup misses (a doc
+    * that copies half its paragraphs from elsewhere passes every
+    * whole-doc pass but lights up here).
+    *
+    * Scale shape: first-occurrence detection is a rank window
+    * partitioned by the 8-byte fingerprint — one shuffle carrying
+    * (doc_id, chunk_idx, fp) triples, never chunk text; the per-doc
+    * rollup is a second hash aggregate. Both keys are high-cardinality
+    * and skew-free by construction (fp is a hash; docs have bounded
+    * chunk counts).
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_idx")
+    chunkRows(spark, dir)
+      .withColumn("is_dup", (row_number().over(w) > 1).cast("bigint"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(col("is_dup")).as("n_dup_chunks"),
+           round(sum(col("is_dup")).cast("double") / count(lit(1)), 6)
+             .as("dup_ratio"))
+      .orderBy("doc_id")
   }
 
   /** Greedy sequence packing audit: documents concatenate in doc_id

@@ -79,6 +79,19 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("chunk dedup conserves counts: total dups == total chunks - distinct fps") {
+    val chunks = CorpusOps.docChunks(spark, sfDir)
+      .select("chunk_fp").collect().map(_.getLong(0))
+    val rows = CorpusOps.chunkDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._2).sum == chunks.length, "every chunk accounted for")
+    assert(rows.map(_._3).sum == chunks.length - chunks.distinct.length,
+      "one original per distinct fingerprint, the rest dups")
+    rows.foreach { case (doc, n, dups, ratio) =>
+      assert(dups <= n && math.abs(ratio - dups.toDouble / n) < 1e-9, s"doc $doc")
+    }
+  }
+
   test("packing partitions each language stream and conserves tokens") {
     val docs = graft.Tables.documents(spark, sfDir)
       .selectExpr("lang", "size(split(text, ' ')) AS n").collect()
