@@ -127,6 +127,7 @@ object SparkEntry {
     "x_kmeans"             -> ((s, dir) => Similarity.kmeansCentroids(s, dir)),
     "x_knn_ivf_trained"    -> ((s, dir) => Similarity.knnIvfTrained(s, dir)),
     "x_ivf_trained_recall" -> ((s, dir) => Similarity.knnIvfTrainedRecall(s, dir)),
+    "x_ivf_probe_sweep"    -> ((s, dir) => Similarity.knnIvfProbeSweep(s, dir)),
     "x_dedup_exact"        -> ((s, dir) => Dedup.exactDedup(s, dir)),
     "x_dedup_minhash"      -> ((s, dir) => Dedup.nearDupMinhash(s, dir)),
     "x_dedup_simhash"      -> ((s, dir) => Dedup.simhashDocs(s, dir)),
@@ -181,11 +182,12 @@ object SparkEntry {
       |c2 AS (SELECT a2.cid, vq.pos, round(SUM(vq.vq)::DOUBLE / COUNT(*))::BIGINT AS cq
       |       FROM a2 JOIN vq USING (vec_id) GROUP BY 1, 2)""".stripMargin
 
-  /** Trained-IVF CTE suffix: trained centroids as DOUBLE lists, corpus
-    * with norms, nearest-cell assignment, 2-probe query cells, and the
-    * candidate scoring — ends in `scored (query_id, neighbor_id, cos)`.
+  /** Trained-IVF CTE base: trained centroids as DOUBLE lists, corpus
+    * with norms, centroid ranking, and first-cell assignment — ends in
+    * `cells` / `ranked`. Shared by the fixed-2-probe suffix below and
+    * the probe-sweep oracle (which varies only the probe filter).
     */
-  private val trainedIvfCtes: String =
+  private val trainedIvfBaseCtes: String =
     """tc AS (
       |  SELECT cid AS centroid_id, list(round(cq::DOUBLE/1000000.0, 6) ORDER BY pos) AS c_emb
       |  FROM c2 GROUP BY cid),
@@ -202,8 +204,14 @@ object SparkEntry {
       |cells AS (
       |  SELECT vec_id, embedding, nrm, centroid_id AS cell FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rk
-      |    FROM ranked) WHERE rk = 1),
-      |qcells AS (
+      |    FROM ranked) WHERE rk = 1)""".stripMargin
+
+  /** Trained-IVF CTE suffix at nProbe=2 — ends in
+    * `scored (query_id, neighbor_id, cos)`.
+    */
+  private val trainedIvfCtes: String =
+    trainedIvfBaseCtes + ",\n" +
+    """qcells AS (
       |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, centroid_id AS cell FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rk
       |    FROM ranked WHERE vec_id < 10) WHERE rk <= 2),
@@ -925,6 +933,50 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rk
         |  FROM scored) WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+
+    // recall-vs-nProbe curve over the SAME trained cells: probe levels
+    // share one centroid ranking (qcand keeps rk <= max probe) and one
+    // brute-force truth — only the probe filter varies
+    "x_ivf_probe_sweep" ->
+      s"""WITH $kmeansCtes,
+        |$trainedIvfBaseCtes,
+        |qcand AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, centroid_id AS cell, rk FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rk
+        |    FROM ranked WHERE vec_id < 10) WHERE rk <= 8),
+        |probes AS (SELECT unnest([2,4,8])::BIGINT AS n_probe),
+        |scored_p AS (
+        |  SELECT DISTINCT p.n_probe, q.query_id, cv.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(range(1,65),
+        |      i -> cv.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (a,b)->a+b)/(cv.nrm*q.q_nrm), 6) AS cos
+        |  FROM probes p
+        |  JOIN qcand q ON q.rk <= p.n_probe
+        |  JOIN cells cv ON cv.cell = q.cell AND cv.vec_id <> q.query_id),
+        |top_t AS (
+        |  SELECT n_probe, query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY n_probe, query_id ORDER BY cos DESC, neighbor_id) AS rk
+        |    FROM scored_p) WHERE rk <= 5),
+        |sweep_b AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(range(1,65),
+        |      i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*q.q_nrm), 6) AS cos
+        |  FROM e, (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+        |           FROM e WHERE vec_id < 10) q
+        |  WHERE e.vec_id <> q.query_id),
+        |top_b AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        |    FROM sweep_b) WHERE rk <= 5),
+        |hits AS (
+        |  SELECT t.n_probe, b.query_id, COUNT(*) AS n_hits
+        |  FROM top_b b JOIN top_t t ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+        |  GROUP BY t.n_probe, b.query_id)
+        |SELECT pq.n_probe, pq.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |  round(COALESCE(h.n_hits, 0)::DOUBLE/5, 6) AS recall
+        |FROM (SELECT p.n_probe, qq.query_id
+        |      FROM probes p, (SELECT DISTINCT query_id FROM top_b) qq) pq
+        |LEFT JOIN hits h ON h.n_probe = pq.n_probe AND h.query_id = pq.query_id
+        |ORDER BY pq.n_probe, pq.query_id""".stripMargin,
 
     "x_ivf_trained_recall" ->
       s"""WITH $kmeansCtes,
