@@ -25,7 +25,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver captures a bounded window of output,
+    // and ~90 queries x 3 runs of per-query WARN noise pushed the
+    // closing JSON line past it (BENCH_r04's line was cut mid-map) —
+    // the bench line must be nearly the only thing this main prints
+    spark.sparkContext.setLogLevel("ERROR")
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       // noop sink, NOT count(): count() lets Catalyst prune every
       // unused projection, so a narrow query's expensive columns
@@ -56,7 +60,12 @@ object Bench {
       val ok = times.forall(_ >= 0)
       (name, if (ok) median(times.toSeq) else -1.0, ok)
     }
-    println(renderJson(results, nRuns, sfDir))
+    val line = renderJson(results, nRuns, sfDir)
+    // stdout AND stderr, before the shutdown logs: whichever stream
+    // the driver's bounded capture window keeps, a complete copy of
+    // the line sits as close to the run's end as possible
+    println(line)
+    System.err.println(line)
     spark.stop()
   }
 
@@ -74,12 +83,18 @@ object Bench {
     * contract (shape, failure poisoning, -1 markers) is unit-tested;
     * a formatting regression here would zero a whole round's bench.
     */
+  /** Millisecond precision: full double digits tripled the line's
+    * length for noise below timer jitter, and line length is budget
+    * against the driver's bounded output capture.
+    */
+  private def ms(v: Double): Double = math.rint(v * 1000) / 1000
+
   def renderJson(results: Seq[(String, Double, Boolean)],
                  nRuns: Int, sfDir: String): String = {
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
+    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) ms(v) else -1.0) }
       .mkString("{", ",", "}")
     val failures = results.filterNot(_._3).map(_._1)
-    val total = results.filter(_._3).map(_._2).sum + 3600.0 * failures.size
+    val total = ms(results.filter(_._3).map(_._2).sum + 3600.0 * failures.size)
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$nRuns,"failures":$failJson,"sf":"$sfDir"}"""
   }

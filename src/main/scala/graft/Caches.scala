@@ -34,10 +34,15 @@ object Caches {
   }
 
   /** True when nothing is persisted at either layer — the post-release
-    * invariant (asserted in CacheDisciplineSpec).
+    * invariant (asserted in CacheDisciplineSpec). Checks BOTH layers
+    * explicitly: a catalog cache entry whose RDD has not yet
+    * registered (cached but never materialized) has no persistent-RDD
+    * footprint, so the RDD registry alone could report "empty" while
+    * the Dataset cache still holds a plan.
     */
   def isEmpty(spark: SparkSession): Boolean =
-    spark.sparkContext.getPersistentRDDs.isEmpty
+    spark.sparkContext.getPersistentRDDs.isEmpty &&
+      spark.sharedState.cacheManager.isEmpty
 
   /** localCheckpoint + the persistent-RDD ids it registered, via a
     * TIGHT diff window around the single checkpoint call (works for

@@ -174,10 +174,10 @@ object Dedup {
     // The pair set is tiny (bounded by bucket collisions), so this is
     // a few KB of cache for one whole pipeline execution saved.
     // The buckets persist exists only to make the over-cap diagnostic
-    // count free: its count() is the FIRST action, runs the band
-    // pipeline once sequentially (filling the rows cache as a side
-    // effect), and the pair expansion + drop count then both read the
-    // tiny cached bucket set.
+    // count free: its count() is the FIRST action and materializes
+    // only the bucket aggregation over the already-checkpointed rows
+    // blocks; the pair expansion + drop count then both read the tiny
+    // cached bucket set.
     val buckets = minhashBandsFrom(rows)
       .groupBy("band", "bh").agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)

@@ -202,8 +202,19 @@ private[sources] class PollMicroBatchStream(
     synchronized {
       val (s, e) = (start.asInstanceOf[PollOffset].n, end.asInstanceOf[PollOffset].n)
       fastForward(e)
+      val rows = buffer.filter(r => r._1 >= s && r._1 < e).toArray
+      // A WAL-recovered batch (planned before a crash, committed after
+      // restart) replans from an empty buffer and commits zero rows —
+      // the intended at-most-once semantics (a REST endpoint cannot be
+      // re-polled at old offsets), but the departure from DSv2's
+      // replayability contract must be OBSERVABLE, not silent.
+      if (e > s && rows.isEmpty)
+        System.err.println(
+          s"[graft] PollSource: batch [$s,$e) replanned with no buffered rows " +
+          "(restart recovery) — polled data in that range is dropped, " +
+          "at-most-once across restarts")
       // ONE partition: a batch holds at most a handful of polled rows.
-      Array(PollPartition(buffer.filter(r => r._1 >= s && r._1 < e).toArray))
+      Array(PollPartition(rows))
     }
 
   override def createReaderFactory(): PartitionReaderFactory = new PollReaderFactory

@@ -75,6 +75,26 @@ class ComponentsSpec extends SparkSuite {
     assert(atCap == 45 + 3, "cap is inclusive")
   }
 
+  test("every SF's max band bucket stays under BandBucketCap (oracle models no cap)") {
+    // The DuckDB oracle does not model the hot-bucket cap, so
+    // correctness at a scale factor silently relies on no bucket ever
+    // crossing it — this makes SF growth fail HERE, loudly, instead of
+    // as an unexplained hash mismatch in verify.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      val maxBucket = Dedup.minhashBands(spark, dir)
+        .groupBy("band", "bh")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .agg(org.apache.spark.sql.functions.max($"n")).head().getLong(0)
+      assert(maxBucket <= Dedup.BandBucketCap,
+        s"$sf max band bucket $maxBucket exceeds cap ${Dedup.BandBucketCap}: " +
+        "the cap would drop pairs the oracle keeps — model it in the oracle " +
+        "or raise the cap")
+      Caches.releaseAll(spark)
+    }
+  }
+
   test("simhash near-dup banding has PERFECT recall at Hamming <= 3 (pigeonhole)") {
     val found = Dedup.simhashNearDup(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
