@@ -30,7 +30,12 @@ object Bench {
     // closing JSON line past it (BENCH_r04's line was cut mid-map) —
     // the bench line must be nearly the only thing this main prints
     spark.sparkContext.setLogLevel("ERROR")
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // optional comma-separated subset (local iteration aid; the driver
+    // never sets it, so the committed bench always covers every query)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // noop sink, NOT count(): count() lets Catalyst prune every
       // unused projection, so a narrow query's expensive columns
       // (simhash votes, text stats) were never computed — r2's

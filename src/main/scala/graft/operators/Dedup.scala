@@ -153,7 +153,7 @@ object Dedup {
     * there is no cross product anywhere.
     */
   def nearDupMinhash(spark: SparkSession, dir: String,
-                     threshold: Double = 0.7): DataFrame = {
+                     threshold: Double = 0.7): DataFrame =
     // The deduped shingle-hash table feeds several plan subtrees
     // (bands, two intersection sides, sizes). localCheckpoint (eager)
     // materializes it once AND truncates the logical plan — the Spark
@@ -166,7 +166,14 @@ object Dedup {
     // a plain persist every action re-analyzed the full
     // scan→explode→hash logical plan per reference — driver-side
     // Catalyst seconds, not executor work.
-    val rows = shingleHashRows(spark, dir).localCheckpoint()
+    nearDupMinhashRows(shingleHashRows(spark, dir).localCheckpoint(), threshold)
+
+  /** MinHash pair pipeline over an ALREADY-MATERIALIZED (doc_id, h)
+    * shingle-hash table — the seam [[unifiedPairs]] uses to feed the
+    * MinHash and n-gram families from ONE corpus tokenize/hash pass
+    * (their shingle unit is the same word 3-gram).
+    */
+  def nearDupMinhashRows(rows: DataFrame, threshold: Double): DataFrame = {
     // `pairs` feeds TWO consumers (the broadcast into the intersection
     // join AND candidateDocs) — without its own persist the whole
     // bands→buckets→pairs pipeline above re-executes per consumer
@@ -544,15 +551,26 @@ object Dedup {
     * phrase reuse). Each family is already an equi-join pipeline with
     * its own skew caps; the union is a cheap distinct over three tiny
     * pair sets, so the composition adds no new scale axis.
+    *
+    * One-scan composition: MinHash and n-gram Jaccard share the SAME
+    * shingle unit (word 3-grams, identically hashed and deduped —
+    * [[wordGramRows]]), so the corpus is tokenized/exploded/hashed
+    * ONCE and both families read the one checkpointed gram table —
+    * at 100 TB that is a whole corpus scan saved vs running the
+    * standalone queries back to back. SimHash votes on character
+    * 8-grams (a different unit by design) and keeps its own pass.
     */
   def unifiedPairs(spark: SparkSession, dir: String,
                    minhashThreshold: Double = 0.7,
                    maxHamming: Int = 3,
-                   ngramThreshold: Double = 0.02): DataFrame =
-    nearDupMinhash(spark, dir, minhashThreshold).select("doc_a", "doc_b")
+                   ngramThreshold: Double = 0.02): DataFrame = {
+    val grams = wordGramRows(spark, dir).localCheckpoint()
+    val minhashRows = grams.select(col("doc_id"), col("gh").as("h"))
+    nearDupMinhashRows(minhashRows, minhashThreshold).select("doc_a", "doc_b")
       .union(simhashNearDup(spark, dir, maxHamming).select("doc_a", "doc_b"))
-      .union(ngramJaccard(spark, dir, ngramThreshold).select("doc_a", "doc_b"))
+      .union(ngramJaccardRows(grams, ngramThreshold).select("doc_a", "doc_b"))
       .distinct()
+  }
 
   /** Duplicate clusters over the [[unifiedPairs]] union graph — the
     * all-families generalization of [[dupComponents]]. One label
@@ -681,16 +699,26 @@ object Dedup {
     * Pairs spanning two blocks are by design not compared.
     */
   def ngramJaccard(spark: SparkSession, dir: String,
-                   threshold: Double = 0.02): DataFrame = {
-    // Grams are hashed to int64 (the codegen'd PolyHash expression) so
-    // the self-join shuffles and compares 8-byte keys, not gram
-    // strings; the oracle applies the identical hash, so the rare
-    // hash-collision merge is consistent across engines. Rows feed
-    // four subtrees (DF guard, two join sides, sizes): materialize once.
+                   threshold: Double = 0.02): DataFrame =
+    // eager materialization + plan truncation (four consumers: DF
+    // guard, two join sides, sizes) — see nearDupMinhash
+    ngramJaccardRows(wordGramRows(spark, dir).localCheckpoint(), threshold)
+
+  /** The deduped word-3-gram hash table `(doc_id, lang, source, gh)` —
+    * grams are hashed to int64 (the codegen'd PolyHash expression) so
+    * downstream self-joins shuffle and compare 8-byte keys, not gram
+    * strings; the oracle applies the identical hash, so the rare
+    * hash-collision merge is consistent across engines. The gram unit
+    * and hash are IDENTICAL to [[shingleHashRows]]' (word 3-shingles,
+    * PolyHash, per-doc hash dedup) — only the carried (lang, source)
+    * block columns differ — which is what lets [[unifiedPairs]] feed
+    * both the MinHash and n-gram families from one pass.
+    */
+  def wordGramRows(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.PolyHash.register(spark)
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val toks = split(col("text"), " ")
-    val rows = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .filter(size(toks) >= 3)
       .repartition(n, col("doc_id"))  // see shingleHashRows: pre-explode, one shuffle, AQE-coalesce-proof
       .select(col("doc_id"), col("lang"), col("source"), toks.as("toks"),
@@ -701,9 +729,12 @@ object Dedup {
                  element_at(col("toks"), col("i") + 1), lit(" "),
                  element_at(col("toks"), col("i") + 2))).as("gh"))
       .dropDuplicates("doc_id", "gh")
-      // eager materialization + plan truncation (four consumers: DF
-      // guard, two join sides, sizes) — see nearDupMinhash
-      .localCheckpoint()
+  }
+
+  /** Blocked n-gram Jaccard over an ALREADY-MATERIALIZED
+    * [[wordGramRows]] table — see [[ngramJaccard]] for semantics.
+    */
+  def ngramJaccardRows(rows: DataFrame, threshold: Double): DataFrame = {
     val hotGrams = rows.groupBy("lang", "source", "gh")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > GramDFCap)
