@@ -142,6 +142,7 @@ object SparkEntry {
     "x_knn_ivf"            -> ((s, dir) => Similarity.knnIvf(s, dir)),
     "x_emb_neardup"        -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
     "x_simhash_clusters"   -> ((s, dir) => Dedup.simhashClusters(s, dir)),
+    "x_simhash_clusters64" -> ((s, dir) => Dedup.simhashClusters64(s, dir)),
     "x_simhash_neardup"    -> ((s, dir) => Dedup.simhashNearDup(s, dir)),
     "x_fuzzy_dedup"        -> ((s, dir) => Dedup.fuzzyNameDedup(s, dir)),
     "x_dup_components"     -> ((s, dir) => Dedup.dupComponents(s, dir)),
@@ -1291,6 +1292,33 @@ object SparkEntry {
         |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
         |       MAX(doc_id) AS last_doc
         |FROM sims GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash""".stripMargin,
+
+    "x_simhash_clusters64" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text)-7,1)+1),
+        |    i -> substr(text,i,8))) AS shingles
+        |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id, list_transform(shingles, s ->
+        |    list_reduce(list_transform(range(1,len(s)+1), i -> ascii(substr(s,i,1))::BIGINT),
+        |      (acc,c) -> (acc*31+c)%1000000007)) AS hashes
+        |  FROM sh
+        |), sims AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(0,32), j ->
+        |      CASE WHEN list_sum(list_transform(hashes, h ->
+        |        ((((h*2654435761) >> 15) & 4294967295) >> j & 1)*2 - 1)) > 0
+        |           THEN (1::BIGINT)<<j ELSE 0 END))::BIGINT AS sim_lo,
+        |    list_sum(list_transform(range(0,32), j ->
+        |      CASE WHEN list_sum(list_transform(hashes, h ->
+        |        ((((h*2246822519) >> 15) & 4294967295) >> j & 1)*2 - 1)) > 0
+        |           THEN (1::BIGINT)<<j ELSE 0 END))::BIGINT AS sim_hi
+        |  FROM hs
+        |)
+        |SELECT sim_lo, sim_hi, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
+        |       MAX(doc_id) AS last_doc
+        |FROM sims GROUP BY sim_lo, sim_hi HAVING COUNT(*) > 1
+        |ORDER BY sim_lo, sim_hi""".stripMargin,
 
     "x_ivf_recall" ->
       """WITH e AS (

@@ -353,6 +353,22 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SimHash collision clusters on the 64-BIT print — the
+    * production-width variant of [[simhashClusters]]: at 32 bits a
+    * corpus-scale groupBy collects incidental birthday collisions into
+    * fake clusters; at 64 bits fingerprint equality means
+    * near-identical content at any realistic corpus size. Same
+    * cheap-shuffle shape (16-byte key).
+    */
+  def simhashClusters64(spark: SparkSession, dir: String): DataFrame =
+    simhashDocs64(spark, dir)
+      .groupBy("sim_lo", "sim_hi")
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("sim_lo", "sim_hi")
+
   /** SimHash NEAR-dup pairs at Hamming distance <= `maxHamming` — the
     * fingerprint-distance search that [[simhashClusters]]' exact
     * equality misses (near-identical docs differ in a few bits). The
