@@ -263,10 +263,19 @@ object Dedup {
     * the bench forced full column evaluation. Documents shorter than
     * the shingle width contribute their whole text as one shingle.
     */
-  def simhashShingleRows(spark: SparkSession, dir: String): DataFrame = {
+  def simhashShingleRows(spark: SparkSession, dir: String): DataFrame =
+    simhashShingleRowsFrom(Tables.documents(spark, dir))
+
+  /** Character-shingle hash rows over ANY `(doc_id, text, ...)` frame —
+    * the seam that lets streaming micro-batches fingerprint with the
+    * exact batch arithmetic (shingle votes are doc-local, so a
+    * batch-local computation yields identical prints).
+    */
+  def simhashShingleRowsFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     graft.functions.PolyHash.register(spark)
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    Tables.documents(spark, dir)
+    docs
       .repartition(n, col("doc_id"))
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1),
@@ -335,8 +344,14 @@ object Dedup {
     * non-negative BIGINT range (a sign bit at position 63 would make
     * the print's ordering and shift semantics engine-dependent).
     */
-  def simhashDocs64(spark: SparkSession, dir: String): DataFrame = {
-    val rows = simhashShingleRows(spark, dir).select(col("doc_id"),
+  def simhashDocs64(spark: SparkSession, dir: String): DataFrame =
+    simhashDocs64From(Tables.documents(spark, dir))
+
+  /** 64-bit fingerprints over ANY `(doc_id, text, ...)` frame — see
+    * [[simhashShingleRowsFrom]] for why batch-local == corpus-batch.
+    */
+  def simhashDocs64From(docs: DataFrame): DataFrame = {
+    val rows = simhashShingleRowsFrom(docs).select(col("doc_id"),
       shiftright(col("h") * lit(MixA), 15).bitwiseAND(lit(0xFFFFFFFFL)).as("g1"),
       shiftright(col("h") * lit(MixB), 15).bitwiseAND(lit(0xFFFFFFFFL)).as("g2"))
     val votes =

@@ -306,6 +306,47 @@ class StreamingSpec extends SparkSuite {
     assert(afterReplay == got, "batch replay must not duplicate survivors")
   }
 
+  test("incremental near-dup index finds exactly the batch simhash pairs (stream==batch)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "neardup-").toString
+    val (index, pairs) = (s"$base/index", s"$base/pairs")
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(graft.streaming.StreamingNearDup.pairSink(index, pairs))
+      .start()
+    // OUT-OF-ORDER batch split: later-id docs arrive first, so cross
+    // pairs exercise both directions of the index probe
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (high, low) = docs.partition(_._1 >= 250)
+    try {
+      Seq(high.take(150), low, high.drop(150)).foreach { chunk =>
+        ms.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = graft.streaming.StreamingNearDup.readPairs(spark, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.operators.Dedup.simhashNearDup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"stream==batch: ${got.size} streamed pairs vs ${want.size} batch pairs")
+    assert(want.nonEmpty, "corpus must actually contain near-dup pairs")
+    // index is bounded: one print per doc
+    assert(graft.streaming.StreamingNearDup.readIndex(spark, index).count() ==
+      docs.length)
+    // replayed micro-batch must be idempotent (overwrites its own
+    // partitions instead of appending)
+    graft.streaming.StreamingNearDup.pairSink(index, pairs)(
+      high.drop(150).toDF("doc_id", "text"), 2L)
+    val afterReplay = graft.streaming.StreamingNearDup.readPairs(spark, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(afterReplay == got, "batch replay must not change the pair set")
+  }
+
   test("parquet file sink delivers each row exactly once under checkpointing") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files
