@@ -212,6 +212,19 @@ class PlanSpec extends SparkSuite {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("chunk dedup shuffles fingerprints — neither text nor token arrays cross") {
+    val plan = formatted(graft.operators.CorpusOps.chunkDedup(spark, sfDir))
+    val exchanges = plan.split("\\n(?=\\(\\d+\\) )")
+      .filter(s => s.startsWith("(") && s.contains("Exchange") &&
+        s.contains("hashpartitioning"))
+    assert(exchanges.nonEmpty, s"expected shuffles in:\n$plan")
+    exchanges.foreach { e =>
+      val inputLine = e.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!inputLine.contains("text#") && !inputLine.contains("toks#"),
+        s"document payload crosses a chunk-dedup shuffle: $inputLine")
+    }
+  }
+
   test("exact dedup shuffles 16-byte hashes, not document bodies") {
     val plan = formatted(Dedup.exactDedup(spark, sfDir))
     // the md5 grouping key must be computed map-side (partial agg below
