@@ -113,6 +113,50 @@ class ComponentsSpec extends SparkSuite {
       s"banding recall must be exact: found ${found.length}, truth ${truth.size}")
   }
 
+  test("pigeonhole property: any <=3-bit corruption shares a band key (random prints)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def bandKeys(lo: Long, hi: Long): Seq[Long] =
+      Seq(lo & 0xFFFF, (lo >> 16) & 0xFFFF, hi & 0xFFFF, (hi >> 16) & 0xFFFF)
+    val genWord = Gen.choose(0L, 0xFFFFFFFFL)
+    val genFlips = Gen.choose(0, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 63)).map(_.distinct))
+    val prop = Prop.forAll(genWord, genWord, genFlips) { (lo, hi, flips) =>
+      val (lo2, hi2) = flips.foldLeft((lo, hi)) { case ((l, h), b) =>
+        if (b < 32) (l ^ (1L << b), h) else (l, h ^ (1L << (b - 32)))
+      }
+      val shared = bandKeys(lo, hi).zip(bandKeys(lo2, hi2)).exists(p => p._1 == p._2)
+      val hamming = java.lang.Long.bitCount(lo ^ lo2) + java.lang.Long.bitCount(hi ^ hi2)
+      shared && hamming <= 3 // <= 3 distinct flips corrupt <= 3 of 4 bands
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("64-bit print arithmetic matches a pure-Scala reference on real docs") {
+    // independent of both Spark expression evaluation and the DuckDB
+    // oracle: recompute the two vote words from first principles
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").orderBy("doc_id").limit(5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val got = Dedup.simhashDocs64(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    docs.foreach { case (id, text) =>
+      val shingles =
+        if (text.length < Dedup.ShingleN) Seq(text)
+        else (0 to text.length - Dedup.ShingleN).map(i =>
+          text.substring(i, i + Dedup.ShingleN)).distinct
+      val hs = shingles.map(s =>
+        s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % Dedup.P))
+      def word(mult: Long): Long = (0 until 32).map { j =>
+        val votes = hs.map(h => (((h * mult) >> 15) & 0xFFFFFFFFL) >> j & 1L)
+          .map(b => b * 2 - 1).sum
+        if (votes > 0) 1L << j else 0L
+      }.sum
+      assert(got(id) == (word(Dedup.MixA), word(Dedup.MixB)),
+        s"doc $id print mismatch")
+    }
+  }
+
   test("64-bit simhash words stay in non-negative 32-bit range") {
     val sims = Dedup.simhashDocs64(spark, sfDir).collect()
     assert(sims.nonEmpty)
