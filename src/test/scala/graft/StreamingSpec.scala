@@ -347,6 +347,48 @@ class StreamingSpec extends SparkSuite {
     assert(afterReplay == got, "batch replay must not change the pair set")
   }
 
+  test("composed streaming curation equals the batch pipeline (quality -> dedup -> near-dup)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "curate-").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(graft.streaming.StreamingCuration.curateSink(
+        s"$base/surv", s"$base/index", s"$base/pairs"))
+      .start()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    try {
+      Seq(docs.take(200), docs.drop(200)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // batch equivalents over the SAME quality gate
+    val passed = graft.Tables.documents(spark, sfDir)
+      .filter(graft.operators.CorpusOps.qualityKeep)
+    assert(passed.count() < docs.length, "gate must actually reject docs")
+    val wantSurv = passed
+      .groupBy(md5(encode(col("text"), "UTF-8"))).agg(min("doc_id").as("k"))
+      .select("k").as[Long].collect().sorted.toSeq
+    val gotSurv = graft.streaming.StreamingDedup.survivors(spark, s"$base/surv")
+      .select("keep_id").as[Long].collect().sorted.toSeq
+    assert(gotSurv == wantSurv, "quality-gated survivor store == batch filter+dedup")
+    // near-dup pairs among quality-passed docs: brute-force truth over
+    // the batch fingerprints
+    val prints = graft.operators.Dedup.simhashDocs64From(passed).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    val wantPairs = (for {
+      (a, (la, ha)) <- prints; (b, (lb, hb)) <- prints
+      if a < b &&
+        java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val gotPairs = graft.streaming.StreamingNearDup.readPairs(spark, s"$base/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs == wantPairs, "streamed near-dup pairs == brute truth over gated docs")
+  }
+
   test("parquet file sink delivers each row exactly once under checkpointing") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files
