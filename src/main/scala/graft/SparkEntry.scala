@@ -150,6 +150,7 @@ object SparkEntry {
     "x_dedup_unified"      -> ((s, dir) => Dedup.dedupUnified(s, dir)),
     "x_unified_survivors"  -> ((s, dir) => Dedup.dedupSurvivorsUnified(s, dir)),
     "x_knn_recall"         -> ((s, dir) => Similarity.knnLshRecall(s, dir)),
+    "x_quantized_recall"   -> ((s, dir) => Similarity.knnQuantizedRecall(s, dir)),
     "x_ivf_recall"         -> ((s, dir) => Similarity.knnIvfRecall(s, dir)),
     "x_knn_lsh_banded"     -> ((s, dir) => Similarity.knnLshBanded(s, dir)),
     "x_banded_recall"      -> ((s, dir) => Similarity.knnLshBandedRecall(s, dir)),
@@ -934,6 +935,55 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rk
         |  FROM scored) WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+
+    // int8-quantized scoring vs float brute truth; quantized values
+    // are exact small integers in DOUBLE, so both engines rank
+    // identically (round-half-away-from-zero matches Spark HALF_UP)
+    "x_quantized_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE), (a,b)->a+b)) AS nrm
+        |  FROM embeddings
+        |), qs AS (
+        |  SELECT vec_id, list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS sc
+        |  FROM embeddings
+        |), qv AS (
+        |  SELECT q.vec_id, list_transform(e2.embedding, x -> round(x::DOUBLE/q.sc*127)) AS qemb
+        |  FROM embeddings e2 JOIN qs q ON e2.vec_id = q.vec_id
+        |), qn AS (
+        |  SELECT vec_id, qemb,
+        |    sqrt(list_reduce(list_transform(qemb, x -> x*x), (a,b)->a+b)) AS qnrm
+        |  FROM qv
+        |), scored_q AS (
+        |  SELECT qq.query_id, cv.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(range(1,65),
+        |      i -> cv.qemb[i] * qq.q_emb[i]), (a,b)->a+b)/(cv.qnrm*qq.q_nrm), 6) AS cos
+        |  FROM qn cv, (SELECT vec_id AS query_id, qemb AS q_emb, qnrm AS q_nrm
+        |               FROM qn WHERE vec_id < 10) qq
+        |  WHERE cv.vec_id <> qq.query_id
+        |), top_q AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        |    FROM scored_q) WHERE rk <= 5
+        |), scored_b AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(range(1,65),
+        |      i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*q.q_nrm), 6) AS cos
+        |  FROM e, (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+        |           FROM e WHERE vec_id < 10) q
+        |  WHERE e.vec_id <> q.query_id
+        |), top_b AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        |    FROM scored_b) WHERE rk <= 5
+        |), hits AS (
+        |  SELECT b.query_id, COUNT(*) AS n_hits
+        |  FROM top_b b JOIN top_q t ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+        |  GROUP BY b.query_id)
+        |SELECT qq2.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |  round(COALESCE(h.n_hits, 0)::DOUBLE/5, 6) AS recall
+        |FROM (SELECT DISTINCT query_id FROM top_b) qq2 LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id""".stripMargin,
 
     // recall-vs-nProbe curve over the SAME trained cells: probe levels
     // share one centroid ranking (qcand keeps rk <= max probe) and one
