@@ -113,9 +113,14 @@ object SparkEntry {
     "x_date_arith"         -> ((s, dir) => Analytics.shipLatencyByPriority(s, dir)),
     "x_bool_agg"           -> ((s, dir) => Analytics.eventBoolAgg(s, dir)),
     "x_schema_drift"       -> ((s, dir) => Analytics.schemaDriftUnion(s, dir)),
+    "x_join_full_outer"    -> ((s, dir) => Analytics.userFunnelReconciliation(s, dir)),
+    "x_winsorize"          -> ((s, dir) => Analytics.winsorizedQuantity(s, dir)),
+    "x_runtime_filter"     -> ((s, dir) => Analytics.runtimeFilteredRevenue(s, dir)),
 
     // ---- LLM-data-pipeline surface (dedup / similarity / text / multimodal) ----
     "x_stratified_sample"  -> ((s, dir) => CorpusOps.stratifiedSample(s, dir)),
+    "x_domain_cap"         -> ((s, dir) => CorpusOps.domainCap(s, dir)),
+    "x_training_order"     -> ((s, dir) => CorpusOps.trainingOrder(s, dir)),
     "x_quality_filter"     -> ((s, dir) => CorpusOps.qualityFilter(s, dir)),
     "x_decontaminate"      -> ((s, dir) => CorpusOps.decontaminate(s, dir)),
     "x_tfidf_top_terms"    -> ((s, dir) => CorpusOps.tfidfTopTerms(s, dir)),
@@ -125,6 +130,7 @@ object SparkEntry {
     "x_doc_packing"        -> ((s, dir) => CorpusOps.docPacking(s, dir)),
     "x_centroids"          -> ((s, dir) => Similarity.labelCentroids(s, dir)),
     "x_kmeans"             -> ((s, dir) => Similarity.kmeansCentroids(s, dir)),
+    "x_cluster_quality"    -> ((s, dir) => Similarity.kmeansInertia(s, dir)),
     "x_knn_ivf_trained"    -> ((s, dir) => Similarity.knnIvfTrained(s, dir)),
     "x_ivf_trained_recall" -> ((s, dir) => Similarity.knnIvfTrainedRecall(s, dir)),
     "x_ivf_probe_sweep"    -> ((s, dir) => Similarity.knnIvfProbeSweep(s, dir)),
@@ -137,6 +143,8 @@ object SparkEntry {
     "x_text_stats"         -> ((s, dir) => TextAnalysis.textStats(s, dir)),
     "x_text_quality_by_lang" -> ((s, dir) => TextAnalysis.qualityByLang(s, dir)),
     "x_repetition"         -> ((s, dir) => TextAnalysis.repetitionStats(s, dir)),
+    "x_heavy_hitters"      -> ((s, dir) => TextAnalysis.heavyHitterTokens(s, dir)),
+    "x_lang_confusion"     -> ((s, dir) => TextAnalysis.langConfusion(s, dir)),
     "x_knn_brute"          -> ((s, dir) => Similarity.knnBruteForce(s, dir)),
     "x_knn_lsh"            -> ((s, dir) => Similarity.knnLsh(s, dir)),
     "x_knn_ivf"            -> ((s, dir) => Similarity.knnIvf(s, dir)),
@@ -468,6 +476,20 @@ object SparkEntry {
         |                    AND o.o_totalprice > 400000.0)
         |ORDER BY c_custkey""".stripMargin,
 
+    "x_join_full_outer" ->
+      """WITH v AS (SELECT user_id, COUNT(*) AS n_views FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (SELECT user_id, COUNT(*) AS n_purchases FROM events
+        |      WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+        |  COALESCE(v.n_views, 0) AS n_views,
+        |  COALESCE(p.n_purchases, 0) AS n_purchases,
+        |  CASE WHEN v.user_id IS NOT NULL AND p.user_id IS NOT NULL THEN 'converted'
+        |       WHEN v.user_id IS NOT NULL THEN 'browsed_only'
+        |       ELSE 'purchased_direct' END AS funnel_state
+        |FROM v FULL OUTER JOIN p ON v.user_id = p.user_id
+        |ORDER BY user_id""".stripMargin,
+
     "x_topk_per_supplier" ->
       """SELECT * FROM (
         |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
@@ -608,6 +630,32 @@ object SparkEntry {
         |  ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "x_runtime_filter" ->
+      """SELECT p_size, COUNT(*) AS n_items,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |       (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS VARCHAR)
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#7' AND p_size <= 5
+        |GROUP BY p_size ORDER BY p_size""".stripMargin,
+
+    "x_winsorize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    ROUND(quantile_cont(l_quantity, 0.05), 6) AS p05,
+        |    ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, COUNT(*) AS n_rows,
+        |  MIN(b.p05) AS p05, MIN(b.p95) AS p95,
+        |  SUM(CASE WHEN l.l_quantity < b.p05 THEN 1 ELSE 0 END)::BIGINT AS n_lo_clamped,
+        |  SUM(CASE WHEN l.l_quantity > b.p95 THEN 1 ELSE 0 END)::BIGINT AS n_hi_clamped,
+        |  ROUND(CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |        / COUNT(*), 6) AS avg_raw,
+        |  ROUND(CAST(CAST(SUM(CAST(LEAST(GREATEST(l.l_quantity, b.p05), b.p95)
+        |        AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_winsorized
+        |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
 
     "x_orders_by_month" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -834,6 +882,31 @@ object SparkEntry {
         |      < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
         |ORDER BY doc_id""".stripMargin,
 
+    "x_domain_cap" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_transform(range(1, len(CAST(doc_id AS VARCHAR))+1),
+        |      i -> ascii(substr(CAST(doc_id AS VARCHAR), i, 1))::BIGINT),
+        |      (acc, c) -> (acc*31+c)%1000000007) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+        |  FROM h)
+        |SELECT source, rk, doc_id FROM r WHERE rk <= 20
+        |ORDER BY source, rk""".stripMargin,
+
+    "x_training_order" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(range(1, len(CAST(doc_id AS VARCHAR))+1),
+        |      i -> ascii(substr(CAST(doc_id AS VARCHAR), i, 1))::BIGINT),
+        |      (acc, c) -> (acc*31+c)%1000000007) AS h
+        |  FROM documents)
+        |SELECT doc_id, h % 8 AS shard,
+        |  ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
+
     "x_quality_filter" ->
       """WITH tk AS (
         |  SELECT doc_id, lang, source, text, string_split(text,' ') AS toks FROM documents
@@ -927,6 +1000,19 @@ object SparkEntry {
         |  round(c2.cq::DOUBLE / 1000000.0, 6) AS mean_val
         |FROM c2 JOIN cnt USING (cid)
         |ORDER BY centroid_id, pos""".stripMargin,
+
+    // inertia of the final assignment vs the UPDATED centroids; the
+    // HUGEINT cluster sum bridges through VARCHAR (SURVEY §4b lesson 9)
+    "x_cluster_quality" ->
+      s"""WITH $kmeansCtes,
+        |d AS (
+        |  SELECT a2.vec_id, a2.cid, SUM((v.vq - c.cq)*(v.vq - c.cq)) AS d2
+        |  FROM a2 JOIN vq v USING (vec_id) JOIN c2 c ON c.cid = a2.cid AND c.pos = v.pos
+        |  GROUP BY a2.vec_id, a2.cid)
+        |SELECT cid AS centroid_id, COUNT(*) AS n_members,
+        |  CAST(CAST(SUM(d2) AS VARCHAR) AS DOUBLE) AS inertia,
+        |  round(CAST(CAST(SUM(d2) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS mean_d2
+        |FROM d GROUP BY cid ORDER BY centroid_id""".stripMargin,
 
     "x_knn_ivf_trained" ->
       s"""WITH $kmeansCtes,
@@ -1574,6 +1660,32 @@ object SparkEntry {
         |  round(MAX(c)::DOUBLE / SUM(c), 6) AS top_gram_share,
         |  round(COUNT(*)::DOUBLE / SUM(c), 6) AS distinct_ratio
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x_heavy_hitters" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (
+        |  SELECT tok, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+        |  FROM tk GROUP BY tok),
+        |t AS (SELECT SUM(n_occ) AS total_occ FROM c)
+        |SELECT rk, tok, n_occ, n_docs,
+        |  round(n_occ::DOUBLE / total_occ, 6) AS share
+        |FROM (SELECT ROW_NUMBER() OVER (ORDER BY n_occ DESC, tok) AS rk,
+        |             tok, n_occ, n_docs FROM c), t
+        |WHERE rk <= 20 ORDER BY rk""".stripMargin,
+
+    "x_lang_confusion" ->
+      """WITH g AS (
+        |  SELECT lang,
+        |    CASE WHEN len(list_filter(string_split(text, ' '),
+        |           t -> list_contains(['the','a','of','and','to','in'], t)))::DOUBLE
+        |           / len(string_split(text, ' ')) > 0.05
+        |      THEN 'en' ELSE 'other' END AS lang_guess
+        |  FROM documents),
+        |c AS (SELECT lang, lang_guess, COUNT(*) AS n_docs FROM g GROUP BY 1, 2)
+        |SELECT lang, lang_guess, n_docs,
+        |  round(n_docs::DOUBLE / SUM(n_docs) OVER (PARTITION BY lang), 6) AS lang_share
+        |FROM c ORDER BY lang, lang_guess""".stripMargin,
 
     // chunking: 64-token windows every 48 tokens (overlap 16); the
     // chunk fingerprint is the same rolling hash as x_doc_fingerprint

@@ -805,4 +805,95 @@ object Analytics {
         countDistinct(col("l_partkey")).as("n_parts"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
+
+  /** Selective-dimension fact join — the shape Spark's runtime BLOOM
+    * FILTER injection (InjectRuntimeFilter) exists for: a 0.7%-
+    * selective predicate on the dimension side, a fact side that
+    * shuffles for the join. When the dim is too large to broadcast
+    * (the 100 TB case — both sides shuffle), the optimizer builds a
+    * bloom filter from the filtered dim keys and applies
+    * `might_contain(l_partkey)` on the fact side BEFORE its shuffle,
+    * so ~99% of fact rows drop pre-exchange instead of after the
+    * join — the runtime analog of the static partition pruning the
+    * other join queries rely on. PlanSpec asserts the injection under
+    * forced-shuffle-join, scale-adjusted thresholds; at this demo
+    * scale the dim broadcasts and the filter is unnecessary, which is
+    * itself the correct plan.
+    */
+  def runtimeFilteredRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir)
+              .filter(col("p_brand") === "Brand#7" && col("p_size") <= 5),
+            col("l_partkey") === col("p_partkey"))
+      .groupBy("p_size")
+      .agg(count(lit(1)).as("n_items"),
+           sum(col("l_extendedprice").cast("decimal(18,6)") *
+               (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+             .cast("double").as("revenue"))
+      .orderBy("p_size")
+
+  /** Winsorization — percentile-clamp outlier treatment, the robust-
+    * statistics cousin of the quality gate: per group, values below
+    * p05 / above p95 are pulled to the bound, and the rollup reports
+    * how many rows were clamped on each side plus the raw vs
+    * winsorized means. Two-pass by nature: an exact-percentile pass
+    * over each group, then the bounds re-attach by broadcast for the
+    * clamp pass — at 100 TB pass one switches to approx_percentile
+    * (the sketch twin, same pairing as x_percentiles /
+    * x_approx_percentiles) and pass two is unchanged.
+    *
+    * Bounds round to 6 decimals BEFORE the clamp so both engines
+    * compare against the identical double; clamped values go through
+    * DECIMAL for the order-independent exact mean.
+    */
+  def winsorizedQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_quantity, 0.05)"), 6).as("p05"),
+           round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"))
+    val wq = least(greatest(col("l_quantity"), col("p05")), col("p95"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(bounds), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+           min(col("p05")).as("p05"),
+           min(col("p95")).as("p95"),
+           sum((col("l_quantity") < col("p05")).cast("bigint")).as("n_lo_clamped"),
+           sum((col("l_quantity") > col("p95")).cast("bigint")).as("n_hi_clamped"),
+           round(dsum(col("l_quantity")) / count(lit(1)), 6).as("avg_raw"),
+           round(dsum(wq) / count(lit(1)), 6).as("avg_winsorized"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Full-outer reconciliation: per-user view counts vs purchase
+    * counts merged so users present on either side survive, with a
+    * funnel classification. The missing join type in the §2.4 surface
+    * (inner/semi/anti/left-outer are covered elsewhere) and the shape
+    * of every two-system reconciliation report.
+    *
+    * Scale shape: both inputs reduce to one row per user BEFORE the
+    * join, and the join key equals both aggregation keys — the
+    * aggregates' hash partitioning is reused, so the full-outer
+    * sort-merge adds NO third exchange (plan-asserted). Full-outer
+    * cannot broadcast by definition (either side may contribute
+    * unmatched rows), which is why partitioning reuse is the lever
+    * that matters at 100 TB.
+    */
+  def userFunnelReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def perUser(eventType: String, as: String): DataFrame = ev
+      .filter(col("event_type") === eventType)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as(as))
+    perUser("view", "n_views")
+      .join(perUser("purchase", "n_purchases"), Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        when(col("n_views").isNotNull && col("n_purchases").isNotNull, lit("converted"))
+          .when(col("n_views").isNotNull, lit("browsed_only"))
+          .otherwise(lit("purchased_direct")).as("funnel_state"))
+      .orderBy("user_id")
+  }
 }

@@ -41,6 +41,60 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source quota cap — the anti-domination move web-scale
+    * curation applies per DOMAIN (no single site may contribute more
+    * than N documents): rank each source's documents by a
+    * deterministic hash of their id and keep the first `cap`. Ranking
+    * by hash (not doc_id) makes the kept set a uniform per-source
+    * sample, reproducible across runs and partition layouts — the
+    * same property [[stratifiedSample]] gets from hash gating.
+    *
+    * Scale shape: one shuffle on the source key feeds a rank window.
+    * A mega-domain is the skew axis; the rescue is a two-phase cap —
+    * hash-gate to ~cap×fudge first (a narrow filter, as in
+    * [[stratifiedSample]]) so the per-domain sort ranks a bounded
+    * candidate set, then rank exactly. The corpus here never needs
+    * phase one, so the single-window form IS the exact semantics the
+    * two-phase version must preserve.
+    */
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.PolyHash.register(spark)
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        call_function(graft.functions.PolyHash.Name,
+          col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= cap)
+      .select("source", "rk", "doc_id")
+      .orderBy("source", "rk")
+  }
+
+  /** Deterministic training-order assignment — the "global shuffle"
+    * that precedes training-data serialization: every document gets a
+    * (shard, position) address by hash order. Hash-partitioning into
+    * shards + an independent within-shard sort IS the scalable global
+    * shuffle: no total order is ever materialized (a global sort would
+    * funnel 100 TB through one range partitioner), yet the resulting
+    * order is reproducible bit-for-bit from the seed-free content ids
+    * alone, so a re-run (or a resumed run) serializes the identical
+    * epoch order.
+    */
+  def trainingOrder(spark: SparkSession, dir: String, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.PolyHash.register(spark)
+    val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        call_function(graft.functions.PolyHash.Name,
+          col("doc_id").cast("string")).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
   /** The Gopher-style quality gate over a `text` column: token-count
     * bounds, mean word length (single-space-joined corpus: chars minus
     * separators over tokens), stopword ratio, type-token ratio. ONE

@@ -111,4 +111,60 @@ object TextAnalysis {
         round(col("n_distinct").cast("double") / col("n_grams"), 6).as("distinct_ratio"))
       .orderBy("doc_id")
   }
+
+  /** Corpus-wide exact heavy hitters: the top-k tokens by total
+    * occurrences, with document frequency and share of all token
+    * occurrences — the vocabulary-domination report a corpus audit
+    * starts with (a token carrying >1% of the stream usually means
+    * boilerplate). The exact twin of a count-min/approx-top-k sketch,
+    * which is what replaces the per-token aggregate at 100 TB when
+    * the vocabulary itself stops fitting a shuffle.
+    *
+    * Scale shape: token rows aggregate once on the token (map-side
+    * partials absorb the heavy hitters by definition — the hottest
+    * tokens are exactly the ones partial aggregation compresses
+    * best); the corpus total derives from the tiny per-token table,
+    * NOT a second corpus scan, and attaches as a broadcast one-row
+    * cross join; the top-k is TakeOrdered over vocabulary-sized
+    * input, never a global sort.
+    */
+  def heavyHitterTokens(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val counts = Tables.documents(spark, dir)
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .localCheckpoint() // two consumers: the total and the top-k
+    val total = counts.agg(sum(col("n_occ")).as("total_occ"))
+    val topk = counts.orderBy(col("n_occ").desc, col("tok")).limit(k)
+    topk.crossJoin(broadcast(total))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("n_occ").desc, col("tok"))).cast("bigint"))
+      .select(col("rk"), col("tok"), col("n_occ"), col("n_docs"),
+        round(col("n_occ").cast("double") / col("total_occ"), 6).as("share"))
+      .orderBy("rk")
+  }
+
+  /** Label-vs-heuristic language confusion matrix: per (labeled lang,
+    * guessed lang) doc counts and the within-label share — the
+    * classifier-quality audit for the language-ID heuristic, the same
+    * measure-the-model move as the ANN recall audits. One narrow
+    * projection + one tiny aggregate + a frameless window over the
+    * handful of output cells.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nStop = size(filter(toks, t => t.isInCollection(Stopwords)))
+    val langG = when(nStop.cast("double") / size(toks) > 0.05, lit("en"))
+      .otherwise(lit("other"))
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), langG.as("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("lang_share",
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy("lang")), 6))
+      .orderBy("lang", "lang_guess")
+  }
 }

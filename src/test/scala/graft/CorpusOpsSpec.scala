@@ -24,6 +24,46 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got.nonEmpty && got.size < all.length, "sample is proper and non-empty")
   }
 
+  test("domain cap keeps at most `cap` docs per source, the hash-smallest ones") {
+    val cap = 3
+    val rows = CorpusOps.domainCap(spark, sfDir, cap = cap).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySource = rows.groupBy(_._1)
+    val all = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length <= cap, s"$src over cap")
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq, s"$src ranks dense")
+      // kept set == the cap hash-smallest (hash, doc_id) of that source
+      val expect = all.filter(_._2 == src)
+        .map { case (id, _) => (PolyHash.hash(id.toString), id) }
+        .sorted.take(cap).map(_._2).toSet
+      assert(rs.map(_._3).toSet == expect, s"$src kept the wrong docs")
+    }
+    // every source with documents appears
+    assert(bySource.keySet == all.map(_._2).toSet)
+  }
+
+  test("training order is a bijection onto dense (shard, pos) addresses in hash order") {
+    val shards = 4
+    val rows = CorpusOps.trainingOrder(spark, sfDir, shards = shards).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs, "every doc gets exactly one address")
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(shard >= 0 && shard < shards)
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq, s"shard $shard dense")
+      // position order within the shard follows (hash, doc_id) order
+      val inHashOrder = rs.sortBy(_._3)
+        .map { case (id, _, _) => (PolyHash.hash(id.toString), id) }
+      assert(inHashOrder.toSeq == inHashOrder.sorted.toSeq, s"shard $shard not hash-ordered")
+      rs.foreach { case (id, s, _) =>
+        assert(PolyHash.hash(id.toString) % shards == s, s"doc $id in wrong shard")
+      }
+    }
+  }
+
   test("quality filter keeps a bounded fraction per stratum") {
     val rows = CorpusOps.qualityFilter(spark, sfDir).collect()
     assert(rows.nonEmpty)

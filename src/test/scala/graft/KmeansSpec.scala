@@ -47,4 +47,26 @@ class KmeansSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
     assert(one != two, "round 2 must move at least one centroid coordinate")
   }
+
+  test("inertia audit: members partition the corpus, totals improve with more rounds") {
+    def stats(iters: Int): (Long, Double) = {
+      val rows = Similarity.kmeansInertia(spark, sfDir, k = 8, iters = iters).collect()
+      rows.foreach { r =>
+        val (n, inertia, meanD2) =
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))
+        assert(n > 0 && inertia >= 0.0)
+        assert(math.abs(meanD2 - BigDecimal(inertia / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      }
+      (rows.map(_.getLong(1)).sum, rows.map(_.getDouble(2)).sum)
+    }
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    val (members1, total1) = stats(1)
+    val (members2, total2) = stats(2)
+    assert(members1 == nVecs && members2 == nVecs, "every vector is assigned once")
+    // Lloyd monotonicity: each assign+update round cannot increase the
+    // objective (up to the integer micro-unit rounding of updates)
+    assert(total2 <= total1 * 1.001,
+      s"round-2 inertia $total2 should not exceed round-1 $total1")
+  }
 }

@@ -158,4 +158,31 @@ class PipelineOpsSpec extends SparkSuite {
   test("decodePayload is an explicit stub (no codecs in this environment)") {
     intercept[NotImplementedError] { Multimodal.decodePayload(Array[Byte](1, 2)) }
   }
+
+  test("heavyHitterTokens: counts descend with rank, share is occ over ALL tokens") {
+    val rows = TextAnalysis.heavyHitterTokens(spark, sfDir, k = 10)
+      .orderBy("rk").collect()
+    assert(rows.length == 10)
+    val occs = rows.map(_.getAs[Long]("n_occ")).toSeq
+    assert(occs == occs.sortBy(-_), "n_occ must not increase with rank")
+    // share denominator is the FULL corpus token count, not the top-k sum
+    val totalTokens = Tables.documents(spark, sfDir)
+      .agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+    rows.foreach { r =>
+      val want = BigDecimal(r.getAs[Long]("n_occ").toDouble / totalTokens)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("share") == want, s"share mismatch at rk=${r.getAs[Long]("rk")}")
+      assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_occ"))
+    }
+  }
+
+  test("langConfusion: cells partition the corpus and shares sum to 1 per label") {
+    val out = TextAnalysis.langConfusion(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs, "cells must partition the corpus")
+    out.groupBy(_.getString(0)).foreach { case (lang, cells) =>
+      val s = cells.map(_.getAs[Double]("lang_share")).sum
+      assert(math.abs(s - 1.0) < 1e-5, s"$lang shares sum to $s")
+    }
+  }
 }

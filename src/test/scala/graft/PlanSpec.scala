@@ -212,6 +212,33 @@ class PlanSpec extends SparkSuite {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("runtime bloom filter prunes the fact scan when the dim cannot broadcast") {
+    // scale-adjusted thresholds: broadcast off forces the shuffle join
+    // (the 100 TB shape where both sides exceed the broadcast limit),
+    // and the application-side floor drops to 0 so the demo fact table
+    // qualifies — with the default 10 GB floor the same injection
+    // happens untouched at cluster scale
+    val tuned = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = tuned.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+      val plan = formatted(Analytics.runtimeFilteredRevenue(spark, sfDir))
+      // the injected filter renders as might_contain(Subquery ...) on
+      // the fact side's pre-shuffle Filter node
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected on the fact side:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"demo preconditions broken — join must be the shuffle form:\n$plan")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    // with default confs the dim broadcasts and no filter is needed —
+    // injection must NOT fire (it would be pure overhead)
+    val default = formatted(Analytics.runtimeFilteredRevenue(spark, sfDir))
+    assert(default.contains("BroadcastHashJoin") &&
+           !default.contains("might_contain"), default)
+  }
+
   test("chunk dedup shuffles fingerprints — neither text nor token arrays cross") {
     val plan = formatted(graft.operators.CorpusOps.chunkDedup(spark, sfDir))
     val exchanges = plan.split("\\n(?=\\(\\d+\\) )")
@@ -223,6 +250,21 @@ class PlanSpec extends SparkSuite {
       assert(!inputLine.contains("text#") && !inputLine.contains("toks#"),
         s"document payload crosses a chunk-dedup shuffle: $inputLine")
     }
+  }
+
+  test("full-outer reconciliation reuses the aggregates' partitioning — no third hash exchange") {
+    val plan = formatted(Analytics.userFunnelReconciliation(spark, sfDir))
+    // full-outer cannot broadcast; it must be the sort-merge form
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"), plan)
+    // both sides aggregate on user_id and the join key is user_id, so
+    // the only hash exchanges are the two feeding the aggregates — the
+    // join itself must not re-shuffle (the final orderBy adds one
+    // rangepartitioning exchange, which is allowed)
+    val hashExchanges = plan.split("\\n(?=\\(\\d+\\) )")
+      .count(s => s.startsWith("(") && s.contains("Exchange") &&
+        s.contains("hashpartitioning"))
+    assert(hashExchanges == 2,
+      s"expected exactly 2 hash exchanges (one per aggregate), got $hashExchanges:\n$plan")
   }
 
   test("exact dedup shuffles 16-byte hashes, not document bodies") {
