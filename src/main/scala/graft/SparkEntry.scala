@@ -116,6 +116,12 @@ object SparkEntry {
     "x_join_full_outer"    -> ((s, dir) => Analytics.userFunnelReconciliation(s, dir)),
     "x_winsorize"          -> ((s, dir) => Analytics.winsorizedQuantity(s, dir)),
     "x_runtime_filter"     -> ((s, dir) => Analytics.runtimeFilteredRevenue(s, dir)),
+    "x_scd2"               -> ((s, dir) => Analytics.scd2UserValue(s, dir)),
+    "x_histogram"          -> ((s, dir) => Analytics.valueHistogram(s, dir)),
+    "x_gap_fill"           -> ((s, dir) => Analytics.hourlyGapFill(s, dir)),
+    "x_not_in"             -> ((s, dir) => Analytics.customersNoBigOrders(s, dir)),
+    "x_except_all"         -> ((s, dir) => Analytics.purchaseSurplus(s, dir)),
+    "x_intersect_all"      -> ((s, dir) => Analytics.purchaseViewOverlap(s, dir)),
 
     // ---- LLM-data-pipeline surface (dedup / similarity / text / multimodal) ----
     "x_stratified_sample"  -> ((s, dir) => CorpusOps.stratifiedSample(s, dir)),
@@ -164,7 +170,8 @@ object SparkEntry {
     "x_banded_recall"      -> ((s, dir) => Similarity.knnLshBandedRecall(s, dir)),
     "x_multimodal_meta"    -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "x_media_knn"          -> ((s, dir) => Similarity.mediaIvfKnn(s, dir)),
-    "x_frame_sample"       -> ((s, dir) => Multimodal.frameSample(s, dir))
+    "x_frame_sample"       -> ((s, dir) => Multimodal.frameSample(s, dir)),
+    "x_frame_dedup"        -> ((s, dir) => Multimodal.frameDedup(s, dir))
   )
 
   /** Shared CTE prefix: 2 unrolled Lloyd k-means rounds (k=8, 64 dims,
@@ -639,6 +646,59 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand = 'Brand#7' AND p_size <= 5
         |GROUP BY p_size ORDER BY p_size""".stripMargin,
+
+    "x_histogram" ->
+      """SELECT event_type,
+        |  CAST(round(value * 100) AS BIGINT) // 2000 AS bin,
+        |  (CAST(round(value * 100) AS BIGINT) // 2000) * 20.0 AS bin_lo,
+        |  COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+
+    "x_gap_fill" ->
+      """WITH span AS (
+        |  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        |  FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM span),
+        |c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT DISTINCT event_type FROM events)
+        |SELECT t.event_type, spine.hour,
+        |  COALESCE(c.n_events, 0) AS n_events
+        |FROM t CROSS JOIN spine
+        |LEFT JOIN c ON c.event_type = t.event_type AND c.hour = spine.hour
+        |ORDER BY t.event_type, spine.hour""".stripMargin,
+
+    "x_not_in" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "x_scd2" ->
+      """SELECT user_id,
+        |  ROW_NUMBER() OVER w AS version, event_id, ts AS valid_from,
+        |  LEAD(ts) OVER w AS valid_to,
+        |  (LEAD(ts) OVER w IS NULL) AS is_current, value
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+
+    "x_except_all" ->
+      """SELECT user_id, COUNT(*) AS n_surplus FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'view')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "x_intersect_all" ->
+      """SELECT user_id, COUNT(*) AS n_common FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  INTERSECT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'view')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "x_winsorize" ->
       """WITH b AS (
@@ -1931,6 +1991,28 @@ object SparkEntry {
         |  octet_length(encode(substr(text, (frame_idx*64+1)::INT, 64)))::BIGINT AS n_frame_bytes,
         |  lower(substr(hex(encode(substr(text, (frame_idx*64+1)::INT, 4))),1,8)) AS head_hex
         |FROM f WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // frame-level dedup: md5 over the UTF-8 frame bytes; DuckDB's
+    // md5(VARCHAR) hashes the same bytes the Spark BINARY substring
+    // carries (the corpus is ASCII — the documented payload contract)
+    "x_frame_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+        |), f AS (
+        |  SELECT doc_id, unnest(range(0, greatest((nb-1)//64,0)+1)) AS frame_idx, text
+        |  FROM d
+        |), s AS (
+        |  SELECT doc_id, frame_idx,
+        |    md5(substr(text, (frame_idx*64+1)::INT, 64)) AS fp
+        |  FROM f WHERE frame_idx % 4 = 0
+        |), r AS (
+        |  SELECT doc_id, fp,
+        |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, frame_idx) AS rk
+        |  FROM s)
+        |SELECT doc_id, COUNT(*) AS n_frames,
+        |  SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_frames,
+        |  round(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS dup_ratio
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "x_multimodal_meta" ->
       """SELECT doc_id,

@@ -806,6 +806,119 @@ object Analytics {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Fixed-width value histogram per event type — the distribution
+    * profile a monitoring/data-quality pass computes. Bins are
+    * integer arithmetic on exact cents (`round(value*100) div 2000` =
+    * 20.00-wide buckets), so bucket boundaries are engine-independent
+    * — a `floor(value/20)` on doubles would flip boundary cents by
+    * one ulp. One hash aggregate; bin count is bounded by the value
+    * range, so the output stays tiny at any corpus size.
+    */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT) div 2000").as("bin"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("bin_lo", (col("bin") * 20.0))
+      .select("event_type", "bin", "bin_lo", "n_events")
+      .orderBy("event_type", "bin")
+
+  /** Calendar gap-filling (time-series densification): hourly event
+    * counts per type INCLUDING empty hours — the spine join every
+    * dashboard/forecasting feed needs, and a correctness trap when
+    * absent (a missing hour reads as "no data" instead of zero). The
+    * hour spine generates from the observed min/max (a sequence
+    * explode over one row), cross-joins the distinct type list, and
+    * left-joins the pre-aggregated counts: the fact table reduces
+    * BEFORE any join, so the spine join handles #types × #hours rows
+    * regardless of corpus size.
+    */
+  def hourlyGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val hours = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+           date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+    val counts = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    ev.select("event_type").distinct()
+      .crossJoin(hours)
+      .join(counts, Seq("event_type", "hour"), "left_outer")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("event_type", "hour")
+  }
+
+  /** NOT IN with a nullable subquery — the null-aware anti join.
+    * `NOT IN` is three-valued: one NULL in the subquery empties the
+    * result, so the planner cannot use a plain anti join unless it
+    * can PROVE the subquery column non-null; here it cannot (parquet
+    * nullability), and Catalyst plans the null-aware single-column
+    * variant as a broadcast hash join with `isNullAware=true` instead
+    * of the quadratic BroadcastNestedLoop it falls back to otherwise.
+    * Semantically: customers whose key never appears among high-value
+    * order custkeys.
+    */
+  def customersNoBigOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c_custkey, c_name FROM customer_v
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders_v WHERE o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Type-2 slowly-changing-dimension build — the WRITE side of the
+    * CDC pair whose read side is [[latestSnapshot]]: fold a change
+    * stream into versioned validity intervals (valid_from/valid_to,
+    * half-open; the open interval is the current row). One lead()
+    * window per key — a single shuffle on the dimension key; at
+    * 100 TB the incremental variant merges only the changed keys'
+    * tail rows, but the interval semantics are exactly these.
+    */
+  def scd2UserValue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("version", row_number().over(w).cast("bigint"))
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("user_id", "version", "event_id", "valid_from", "valid_to",
+              "is_current", "value")
+      .orderBy("user_id", "version")
+  }
+
+  /** Bag-semantics set difference (EXCEPT ALL): each purchase
+    * occurrence cancels against one view occurrence per user; the
+    * surviving multiplicity is max(0, purchases - views). Completes
+    * the §2.6 set-operation family (the DISTINCT forms are
+    * x_except / x_intersect). Spark plans except-all as a count-diff
+    * aggregate + row replication — one shuffle, no join explosion.
+    */
+  def purchaseSurplus(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def ids(t: String) = ev.filter(col("event_type") === t).select("user_id")
+    ids("purchase").exceptAll(ids("view"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_surplus"))
+      .orderBy("user_id")
+  }
+
+  /** Bag-semantics intersection (INTERSECT ALL): per user, the
+    * multiplicity both event multisets share — min(purchases, views).
+    * The twin of [[purchaseSurplus]].
+    */
+  def purchaseViewOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def ids(t: String) = ev.filter(col("event_type") === t).select("user_id")
+    ids("purchase").intersectAll(ids("view"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_common"))
+      .orderBy("user_id")
+  }
+
   /** Selective-dimension fact join — the shape Spark's runtime BLOOM
     * FILTER injection (InjectRuntimeFilter) exists for: a 0.7%-
     * selective predicate on the dimension side, a fact side that

@@ -69,6 +69,33 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
         expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)").as("frame"))
 
+  /** Frame-level exact dedup — the multimodal twin of
+    * [[CorpusOps.chunkDedup]]: sampled binary frames fingerprint by
+    * md5, a frame occurrence is a duplicate unless it is the first
+    * (smallest (doc_id, frame_idx)) bearer, and the per-document
+    * duplicate-frame ratio flags media that re-uses footage the
+    * whole-payload hash misses (intros, watermarks, stock b-roll).
+    *
+    * Scale shape: the rank window shuffles (doc_id, frame_idx, 16-byte
+    * md5) triples — never frame bytes (plan-asserted alongside the
+    * chunk variant); sampling bounds the fan-out to one row per
+    * `stride` frames.
+    */
+  def frameDedup(spark: SparkSession, dir: String,
+                 frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("fp").orderBy("doc_id", "frame_idx")
+    sampleFrames(withPayload(Tables.documents(spark, dir)), frameBytes, stride)
+      .select(col("doc_id"), col("frame_idx"), md5(col("frame")).as("fp"))
+      .withColumn("is_dup", (row_number().over(w) > 1).cast("bigint"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+           sum(col("is_dup")).as("n_dup_frames"),
+           round(sum(col("is_dup")).cast("double") / count(lit(1)), 6)
+             .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Batched decode plumbing: groups payloads into fixed-size batches
     * within each partition — the batch shape a real codec/GPU decoder
     * consumes — and applies a pluggable batch decoder. `mapPartitions`

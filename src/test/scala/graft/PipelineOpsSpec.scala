@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** End-to-end checks of the LLM-pipeline operators over the smallest
   * driver corpus (sf0.001; the DuckDB hash-compare at sf0.01 is the
@@ -157,6 +157,57 @@ class PipelineOpsSpec extends SparkSuite {
 
   test("decodePayload is an explicit stub (no codecs in this environment)") {
     intercept[NotImplementedError] { Multimodal.decodePayload(Array[Byte](1, 2)) }
+  }
+
+  test("frameDedup conserves counts: dups == sampled frames minus distinct fingerprints") {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.withPayload(Tables.documents(spark, sfDir)), 64, 4)
+    val nSampled = frames.count()
+    val nDistinct = frames.select(md5(col("frame"))).distinct().count()
+    val out = Multimodal.frameDedup(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("n_frames")).sum == nSampled)
+    assert(out.map(_.getAs[Long]("n_dup_frames")).sum == nSampled - nDistinct)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_dup_frames") <= r.getAs[Long]("n_frames"))
+    }
+  }
+
+  test("bag set ops: exceptAll/intersectAll multiplicities are max(0,p-v)/min(p,v)") {
+    val ev = Tables.events(spark, sfDir)
+    def counts(t: String): Map[Long, Long] = ev
+      .filter(col("event_type") === t).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (p, v) = (counts("purchase"), counts("view"))
+    val surplus = Analytics.purchaseSurplus(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_surplus")).toMap
+    val expSurplus = p.map { case (u, n) => u -> (n - v.getOrElse(u, 0L)) }
+      .filter(_._2 > 0)
+    assert(surplus == expSurplus, "EXCEPT ALL multiplicity")
+    val common = Analytics.purchaseViewOverlap(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_common")).toMap
+    val expCommon = p.map { case (u, n) => u -> math.min(n, v.getOrElse(u, 0L)) }
+      .filter(_._2 > 0)
+    assert(common == expCommon, "INTERSECT ALL multiplicity")
+  }
+
+  test("scd2: per-key versions chain (valid_to == next valid_from), one current row") {
+    val rows = Analytics.scd2UserValue(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("version"),
+        r.getAs[java.sql.Timestamp]("valid_from"),
+        r.getAs[java.sql.Timestamp]("valid_to"),
+        r.getAs[Boolean]("is_current")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (user, history) =>
+      val h = history.sortBy(_._2)
+      assert(h.map(_._2).toSeq == (1L to h.length).toSeq, s"user $user versions dense")
+      h.sliding(2).foreach {
+        case Array((_, _, _, to, _), (_, _, from, _, _)) =>
+          assert(to == from, s"user $user interval chain broken")
+        case _ =>
+      }
+      assert(h.count(_._5) == 1 && h.last._5, s"user $user: exactly the last row is current")
+      assert(h.init.forall(_._4 != null), s"user $user: only the current row is open")
+    }
   }
 
   test("heavyHitterTokens: counts descend with rank, share is occ over ALL tokens") {

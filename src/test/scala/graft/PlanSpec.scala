@@ -267,6 +267,46 @@ class PlanSpec extends SparkSuite {
       s"expected exactly 2 hash exchanges (one per aggregate), got $hashExchanges:\n$plan")
   }
 
+  test("NOT IN plans the null-aware hash anti join — not the nested-loop fallback") {
+    val qe = Analytics.customersNoBigOrders(spark, sfDir).queryExecution
+    val plan = qe.explainString(ExplainMode.fromString("simple"))
+    // the single-column NOT IN rewrite: BroadcastHashJoin LeftAnti with
+    // the trailing isNullAwareAntiJoin=true flag (three-valued NOT IN
+    // semantics preserved in hash form); the naive plan is a quadratic
+    // BroadcastNestedLoopJoin and must not appear
+    assert(plan.contains("LeftAnti, BuildRight, true"),
+      s"no null-aware hash anti join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("gap-fill aggregates the fact table BEFORE any spine join") {
+    val plan = formatted(Analytics.hourlyGapFill(spark, sfDir))
+    // the left-outer spine join must consume the aggregated hourly
+    // counts, never raw events: every join input is post-aggregate
+    val tree = plan.linesIterator.takeWhile(l => !l.trim.startsWith("(1)")).toSeq
+    val joinDepths = tree.filter(_.contains("Join"))
+      .map(l => math.max(l.indexOf("+-"), l.indexOf(":-"))).filter(_ >= 0)
+    val aggDepths = tree.filter(_.contains("HashAggregate"))
+      .map(l => math.max(l.indexOf("+-"), l.indexOf(":-"))).filter(_ >= 0)
+    assert(joinDepths.nonEmpty && aggDepths.nonEmpty, plan)
+    assert(aggDepths.exists(_ > joinDepths.max),
+      s"fact aggregation must sit below the joins:\n${tree.mkString("\n")}")
+  }
+
+  test("frame dedup shuffles fingerprints — frame bytes never cross an exchange") {
+    val plan = formatted(graft.operators.Multimodal.frameDedup(spark, sfDir))
+    val exchanges = plan.split("\\n(?=\\(\\d+\\) )")
+      .filter(s => s.startsWith("(") && s.contains("Exchange") &&
+        s.contains("hashpartitioning"))
+    assert(exchanges.nonEmpty, s"expected shuffles in:\n$plan")
+    exchanges.foreach { e =>
+      val inputLine = e.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!inputLine.contains("frame#") && !inputLine.contains("payload#") &&
+             !inputLine.contains("text#"),
+        s"frame/payload bytes cross a frame-dedup shuffle: $inputLine")
+    }
+  }
+
   test("exact dedup shuffles 16-byte hashes, not document bodies") {
     val plan = formatted(Dedup.exactDedup(spark, sfDir))
     // the md5 grouping key must be computed map-side (partial agg below
