@@ -151,6 +151,8 @@ object SparkEntry {
     "x_repetition"         -> ((s, dir) => TextAnalysis.repetitionStats(s, dir)),
     "x_heavy_hitters"      -> ((s, dir) => TextAnalysis.heavyHitterTokens(s, dir)),
     "x_lang_confusion"     -> ((s, dir) => TextAnalysis.langConfusion(s, dir)),
+    "x_vocab_coverage"     -> ((s, dir) => TextAnalysis.vocabCoverage(s, dir)),
+    "x_epoch_mix"          -> ((s, dir) => CorpusOps.epochMix(s, dir)),
     "x_knn_brute"          -> ((s, dir) => Similarity.knnBruteForce(s, dir)),
     "x_knn_lsh"            -> ((s, dir) => Similarity.knnLsh(s, dir)),
     "x_knn_ivf"            -> ((s, dir) => Similarity.knnIvf(s, dir)),
@@ -1733,6 +1735,37 @@ object SparkEntry {
         |FROM (SELECT ROW_NUMBER() OVER (ORDER BY n_occ DESC, tok) AS rk,
         |             tok, n_occ, n_docs FROM c), t
         |WHERE rk <= 20 ORDER BY rk""".stripMargin,
+
+    "x_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT lang, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, tok, c,
+        |    ROW_NUMBER() OVER w AS rk,
+        |    SUM(c) OVER (PARTITION BY lang ORDER BY c DESC, tok
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(c) OVER (PARTITION BY lang) AS total
+        |  FROM c WINDOW w AS (PARTITION BY lang ORDER BY c DESC, tok))
+        |SELECT lang, COUNT(*) AS vocab_size, MAX(total) AS total_occ,
+        |  MIN(CASE WHEN cum*10 >= total*9 THEN rk END) AS rank90,
+        |  round(MAX(CASE WHEN rk = 1 THEN c END)::DOUBLE / MAX(total), 6) AS top1_share
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x_epoch_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tok,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 3 END AS n_repeats
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok, unnest(range(1, n_repeats + 1)) AS copy_id FROM d),
+        |b AS (
+        |  SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_copies,
+        |    SUM(n_tok)::BIGINT AS effective_tokens
+        |  FROM c GROUP BY lang),
+        |t AS (SELECT SUM(effective_tokens) AS epoch_tokens FROM b)
+        |SELECT lang, n_docs, n_copies, effective_tokens,
+        |  round(effective_tokens::DOUBLE / epoch_tokens, 6) AS mix_share
+        |FROM b, t ORDER BY lang""".stripMargin,
 
     "x_lang_confusion" ->
       """WITH g AS (

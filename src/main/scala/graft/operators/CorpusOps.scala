@@ -95,6 +95,38 @@ object CorpusOps {
       .orderBy("shard", "pos")
   }
 
+  /** Epoch-mixture upsampling — the complement of [[stratifiedSample]]
+    * (which DOWNsamples the dominant stratum): rare-language documents
+    * replicate `n_repeats` times into the training stream, the
+    * standard rebalancing move when the target mix needs MORE of a
+    * stratum than the corpus has. Replication is an explode over a
+    * `sequence` (a Generate — pure narrow fan-out, no shuffle until
+    * the tiny rollup), so at 100 TB the copies stream straight to the
+    * serializer without materializing. The rollup reports the
+    * effective (post-replication) token mix per language with its
+    * share of the epoch.
+    */
+  def epochMix(spark: SparkSession, dir: String): DataFrame = {
+    val rep = when(col("lang") === "en", lit(1)).otherwise(lit(3))
+    val copies = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"),
+        rep.as("n_repeats"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        explode(sequence(lit(1), col("n_repeats"))).as("copy_id"))
+    val byLang = copies.groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_copies"),
+           sum(col("n_tok")).as("effective_tokens"))
+      .localCheckpoint() // two consumers: the total and the share rows
+    val total = byLang.agg(sum(col("effective_tokens")).as("epoch_tokens"))
+    byLang.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"), col("n_copies"), col("effective_tokens"),
+        round(col("effective_tokens").cast("double") / col("epoch_tokens"), 6)
+          .as("mix_share"))
+      .orderBy("lang")
+  }
+
   /** The Gopher-style quality gate over a `text` column: token-count
     * bounds, mean word length (single-space-joined corpus: chars minus
     * separators over tokens), stopword ratio, type-token ratio. ONE

@@ -147,6 +147,41 @@ object TextAnalysis {
       .orderBy("rk")
   }
 
+  /** Vocabulary coverage curve per language — the tokenizer-design
+    * audit: how big must a vocabulary be to cover 90% of token
+    * occurrences, and how head-heavy is the distribution (top-1
+    * share). The 90% threshold compares integers (`cum*10 >=
+    * total*9`), never floating shares, so the reported rank is
+    * engine-exact. Scale shape: one (lang, token) aggregate, then a
+    * cumulative window over each language's vocabulary — at 100 TB
+    * the window input is vocabulary-sized (not corpus-sized), and the
+    * threshold rank only needs the head: a two-phase variant windows
+    * the top-k candidates and falls back only if 90% isn't reached.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val counts = Tables.documents(spark, dir)
+      .repartition(n, col("doc_id"))
+      .select(col("lang"), explode(toks).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("lang").orderBy(col("c").desc, col("tok"))
+    val cum = Window.partitionBy("lang").orderBy(col("c").desc, col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("lang")
+    counts
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .withColumn("cum", sum(col("c")).over(cum))
+      .withColumn("total", sum(col("c")).over(tot))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("vocab_size"),
+           max(col("total")).as("total_occ"),
+           min(when(col("cum") * 10 >= col("total") * 9, col("rk"))).as("rank90"),
+           round(max(when(col("rk") === 1, col("c"))).cast("double") /
+                 max(col("total")), 6).as("top1_share"))
+      .orderBy("lang")
+  }
+
   /** Label-vs-heuristic language confusion matrix: per (labeled lang,
     * guessed lang) doc counts and the within-label share — the
     * classifier-quality audit for the language-ID heuristic, the same

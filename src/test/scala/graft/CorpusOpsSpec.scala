@@ -64,6 +64,21 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("epoch mix replicates non-en docs 3x and shares sum to 1") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("lang").collect().map(_.getString(0))
+    val out = CorpusOps.epochMix(spark, sfDir).collect()
+    out.foreach { r =>
+      val (lang, nDocs, nCopies) =
+        (r.getString(0), r.getAs[Long]("n_docs"), r.getAs[Long]("n_copies"))
+      val rep = if (lang == "en") 1 else 3
+      assert(nCopies == nDocs * rep, s"$lang replication factor")
+      assert(nDocs == docs.count(_ == lang), s"$lang doc count")
+    }
+    val shareSum = out.map(_.getAs[Double]("mix_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"mix shares sum to $shareSum")
+  }
+
   test("quality filter keeps a bounded fraction per stratum") {
     val rows = CorpusOps.qualityFilter(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -210,6 +210,29 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("vocabCoverage: totals match the corpus, rank90 covers >= 90% when rescanned") {
+    val out = TextAnalysis.vocabCoverage(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).toSeq))
+    out.foreach { r =>
+      val lang = r.getString(0)
+      val toks = docs.filter(_._1 == lang).flatMap(_._2)
+      assert(r.getAs[Long]("total_occ") == toks.length, s"$lang total occurrences")
+      assert(r.getAs[Long]("vocab_size") == toks.distinct.length, s"$lang vocab size")
+      val rank90 = r.getAs[Long]("rank90")
+      assert(rank90 >= 1 && rank90 <= r.getAs[Long]("vocab_size"))
+      // recompute: the top-rank90 tokens really cover >= 90%, and one
+      // fewer does not (minimality)
+      val byCount = toks.groupBy(identity).map { case (t, o) => (t, o.size.toLong) }
+        .toSeq.sortBy { case (t, c) => (-c, t) }
+      val cum = byCount.map(_._2).scanLeft(0L)(_ + _).drop(1)
+      assert(cum(rank90.toInt - 1) * 10 >= toks.length.toLong * 9, s"$lang rank90 covers")
+      if (rank90 > 1)
+        assert(cum(rank90.toInt - 2) * 10 < toks.length.toLong * 9, s"$lang rank90 minimal")
+    }
+  }
+
   test("heavyHitterTokens: counts descend with rank, share is occ over ALL tokens") {
     val rows = TextAnalysis.heavyHitterTokens(spark, sfDir, k = 10)
       .orderBy("rk").collect()
