@@ -118,6 +118,9 @@ object SparkEntry {
     "x_runtime_filter"     -> ((s, dir) => Analytics.runtimeFilteredRevenue(s, dir)),
     "x_scd2"               -> ((s, dir) => Analytics.scd2UserValue(s, dir)),
     "x_histogram"          -> ((s, dir) => Analytics.valueHistogram(s, dir)),
+    "x_interval_join"      -> ((s, dir) => Analytics.viewToPurchaseWithinHour(s, dir)),
+    "x_zscore_outliers"    -> ((s, dir) => Analytics.zscoreOutliers(s, dir)),
+    "x_locf"               -> ((s, dir) => Analytics.hourlyValueLocf(s, dir)),
     "x_gap_fill"           -> ((s, dir) => Analytics.hourlyGapFill(s, dir)),
     "x_not_in"             -> ((s, dir) => Analytics.customersNoBigOrders(s, dir)),
     "x_except_all"         -> ((s, dir) => Analytics.purchaseSurplus(s, dir)),
@@ -656,6 +659,61 @@ object SparkEntry {
         |  COUNT(*) AS n_events
         |FROM events
         |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+
+    "x_interval_join" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id AS view_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT v.view_id) AS n_attributed_views,
+        |  COUNT(DISTINCT p.purchase_id) AS n_attributed_purchases
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND p.purchase_ts >= v.view_ts
+        |  AND p.purchase_ts < v.view_ts + INTERVAL 1 HOUR
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+
+    // mean/std round to 6 decimals BEFORE the +-3 sigma comparison:
+    // the engines' stddev summation orders differ, and classifying
+    // against the raw double would flip boundary rows
+    "x_zscore_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    round(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |          / COUNT(*), 6) AS mean_v,
+        |    round(stddev_samp(value), 6) AS std_v
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n_events,
+        |  MIN(s.mean_v) AS mean_v, MIN(s.std_v) AS std_v,
+        |  SUM(CASE WHEN e.value > s.mean_v + 3.0*s.std_v THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_high_outliers,
+        |  SUM(CASE WHEN e.value < s.mean_v - 3.0*s.std_v THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_low_outliers
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "x_locf" ->
+      """WITH span AS (
+        |  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        |  FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM span),
+        |h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    round(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |          / COUNT(*), 6) AS avg_value
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT DISTINCT event_type FROM events)
+        |SELECT t.event_type, spine.hour,
+        |  last_value(h.avg_value IGNORE NULLS) OVER (
+        |    PARTITION BY t.event_type ORDER BY spine.hour
+        |    ROWS UNBOUNDED PRECEDING) AS filled_value,
+        |  (h.avg_value IS NULL) AS is_filled
+        |FROM t CROSS JOIN spine
+        |LEFT JOIN h ON h.event_type = t.event_type AND h.hour = spine.hour
+        |ORDER BY t.event_type, spine.hour""".stripMargin,
 
     "x_gap_fill" ->
       """WITH span AS (

@@ -806,6 +806,86 @@ object Analytics {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Batch interval join — every (view, purchase) pair of the same
+    * user with the purchase inside the hour after the view (the
+    * attribution-window join; the batch twin of the streaming
+    * interval join in `streaming/StreamJoins.scala`). Shape: an
+    * equi-join on the user key carries the shuffle, the time window
+    * is a residual range predicate evaluated inside the join — never
+    * a cross product; at 100 TB both sides also partition by coarse
+    * time bucket so a key's history never colocates unbounded.
+    */
+  def viewToPurchaseWithinHour(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    views.join(purchases, Seq("user_id"))
+      .filter(col("purchase_ts") >= col("view_ts") &&
+              col("purchase_ts") < col("view_ts") + expr("interval 1 hour"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+           countDistinct(col("view_id")).as("n_attributed_views"),
+           countDistinct(col("purchase_id")).as("n_attributed_purchases"))
+      .orderBy("user_id")
+  }
+
+  /** Z-score outlier audit per event type: values beyond mean ± 3σ.
+    * The mean and stddev ROUND to 6 decimals before the comparison
+    * (the [[winsorizedQuantity]] bound trick): engines compute
+    * stddev with different summation algorithms, so comparing against
+    * the raw double would flip boundary rows — against the rounded
+    * bound both sides classify identically. Two-pass like every
+    * group-statistic filter: tiny per-group moments broadcast back
+    * over the fact table.
+    */
+  def zscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(round((dsum(col("value")) / count(lit(1))), 6).as("mean_v"),
+           round(stddev_samp(col("value")), 6).as("std_v"))
+    Tables.events(spark, dir)
+      .join(broadcast(stats), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           min(col("mean_v")).as("mean_v"),
+           min(col("std_v")).as("std_v"),
+           sum((col("value") > col("mean_v") + lit(3.0) * col("std_v")).cast("bigint"))
+             .as("n_high_outliers"),
+           sum((col("value") < col("mean_v") - lit(3.0) * col("std_v")).cast("bigint"))
+             .as("n_low_outliers"))
+      .orderBy("event_type")
+  }
+
+  /** Last-observation-carried-forward over the densified hour spine:
+    * [[hourlyGapFill]] provides the zeros; this fills each empty
+    * hour's AVERAGE VALUE with the most recent observed hour's (the
+    * standard telemetry/feature-store fill). `last_value(...,
+    * ignoreNulls)` over an unbounded-preceding frame is the
+    * one-window LOCF — no self-join, one shuffle on the series key.
+    */
+  def hourlyValueLocf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val hours = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+           date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(round(dsum(col("value")) / count(lit(1)), 6).as("avg_value"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select("event_type").distinct()
+      .crossJoin(hours)
+      .join(hourly, Seq("event_type", "hour"), "left_outer")
+      .withColumn("filled_value",
+        last(col("avg_value"), ignoreNulls = true).over(w))
+      .withColumn("is_filled", col("avg_value").isNull)
+      .select("event_type", "hour", "filled_value", "is_filled")
+      .orderBy("event_type", "hour")
+  }
+
   /** Fixed-width value histogram per event type — the distribution
     * profile a monitoring/data-quality pass computes. Bins are
     * integer arithmetic on exact cents (`round(value*100) div 2000` =

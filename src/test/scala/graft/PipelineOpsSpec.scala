@@ -210,6 +210,65 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("interval join equals the brute-force pair scan within the hour window") {
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getAs[java.sql.Timestamp](3).getTime))
+    val views = ev.filter(_._3 == "view")
+    val purchases = ev.filter(_._3 == "purchase")
+    val hour = 3600L * 1000
+    val pairs = for {
+      (u, vid, _, vts) <- views
+      (pu, pid, _, pts) <- purchases
+      if pu == u && pts >= vts && pts < vts + hour
+    } yield (u, vid, pid)
+    val expect = pairs.groupBy(_._1).map { case (u, ps) =>
+      u -> (ps.length.toLong, ps.map(_._2).distinct.length.toLong,
+            ps.map(_._3).distinct.length.toLong)
+    }
+    val got = Analytics.viewToPurchaseWithinHour(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_attributed_views"), r.getAs[Long]("n_attributed_purchases")))
+      .toMap
+    assert(got == expect)
+  }
+
+  test("zscore outliers match a plain-Scala recount against the ROUNDED bounds") {
+    val rows = Analytics.zscoreOutliers(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val (mean, std) = (r.getAs[Double]("mean_v"), r.getAs[Double]("std_v"))
+      val vals = ev.filter(_._1 == t).map(_._2)
+      assert(r.getAs[Long]("n_events") == vals.length)
+      assert(r.getAs[Long]("n_high_outliers") == vals.count(_ > mean + 3.0 * std), t)
+      assert(r.getAs[Long]("n_low_outliers") == vals.count(_ < mean - 3.0 * std), t)
+    }
+  }
+
+  test("LOCF carries the last observed hourly average across empty hours") {
+    val rows = Analytics.hourlyValueLocf(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Timestamp]("hour"),
+        Option(r.getAs[java.lang.Double]("filled_value")).map(_.toDouble),
+        r.getAs[Boolean]("is_filled")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, series) =>
+      val s = series.sortBy(_._2.getTime)
+      var lastObserved: Option[Double] = None
+      s.foreach { case (_, _, filled, isFilled) =>
+        if (!isFilled) {
+          assert(filled.isDefined, s"$t observed hour must carry its own value")
+          lastObserved = filled
+        } else {
+          assert(filled == lastObserved, s"$t filled hour must carry the last observation")
+        }
+      }
+    }
+  }
+
   test("vocabCoverage: totals match the corpus, rank90 covers >= 90% when rescanned") {
     val out = TextAnalysis.vocabCoverage(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir)
