@@ -121,6 +121,8 @@ object SparkEntry {
     "x_interval_join"      -> ((s, dir) => Analytics.viewToPurchaseWithinHour(s, dir)),
     "x_zscore_outliers"    -> ((s, dir) => Analytics.zscoreOutliers(s, dir)),
     "x_locf"               -> ((s, dir) => Analytics.hourlyValueLocf(s, dir)),
+    "x_variant"            -> ((s, dir) => Analytics.variantPropsAgg(s, dir)),
+    "x_lateral_topn"       -> ((s, dir) => Analytics.lateralTopOrder(s, dir)),
     "x_gap_fill"           -> ((s, dir) => Analytics.hourlyGapFill(s, dir)),
     "x_not_in"             -> ((s, dir) => Analytics.customersNoBigOrders(s, dir)),
     "x_except_all"         -> ((s, dir) => Analytics.purchaseSurplus(s, dir)),
@@ -659,6 +661,20 @@ object SparkEntry {
         |  COUNT(*) AS n_events
         |FROM events
         |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+
+    "x_variant" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "x_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+        |ORDER BY c.c_custkey""".stripMargin,
 
     "x_interval_join" ->
       """WITH v AS (

@@ -333,6 +333,46 @@ object Analytics {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Semi-structured VARIANT ingestion — the modern replacement for
+    * per-access `get_json_object`: `parse_json` parses each props
+    * string ONCE into the binary VARIANT encoding, and every
+    * `variant_get` is a typed byte-offset read, not a re-parse. At
+    * 100 TB this is the difference between one JSON parse per row and
+    * one per (row × accessed field); the aggregate itself is the
+    * ordinary partial-agg shuffle.
+    */
+  def variantPropsAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events_v")
+    spark.sql(
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  SUM(variant_get(v, '$.k', 'bigint')) AS sum_k,
+        |  MAX(variant_get(v, '$.k', 'bigint')) AS max_k
+        |FROM (SELECT event_type, parse_json(props) AS v FROM events_v)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** Correlated LATERAL subquery (top-1 order per customer) — the
+    * per-row-subquery surface. The interesting part is what Catalyst
+    * does with it: the correlated LIMIT 1 DECORRELATES into a
+    * rank-1 window with a map-side WindowGroupLimit (each input
+    * partition keeps only its per-key best row BEFORE the shuffle)
+    * joined back on the key — set-based, no per-customer execution,
+    * no nested loop (plan-asserted). The third formulation of top-k
+    * per group next to the window (x_topk_per_supplier) and the
+    * bounded aggregator (x_topk_agg).
+    */
+  def lateralTopOrder(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer_v c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_v o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
   /** UNION with set semantics (dedup across both sides). */
   def activeUsers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)

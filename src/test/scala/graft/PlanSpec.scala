@@ -267,6 +267,17 @@ class PlanSpec extends SparkSuite {
       s"expected exactly 2 hash exchanges (one per aggregate), got $hashExchanges:\n$plan")
   }
 
+  test("LATERAL limit-1 decorrelates to a map-side WindowGroupLimit + equi-join") {
+    val plan = Analytics.lateralTopOrder(spark, sfDir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // the correlated per-customer subquery must become set-based: a
+    // rank-1 window whose group-limit prunes BEFORE the shuffle,
+    // joined back on the key — never a per-row nested loop
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
   test("NOT IN plans the null-aware hash anti join — not the nested-loop fallback") {
     val qe = Analytics.customersNoBigOrders(spark, sfDir).queryExecution
     val plan = qe.explainString(ExplainMode.fromString("simple"))
