@@ -123,6 +123,7 @@ object SparkEntry {
     "x_locf"               -> ((s, dir) => Analytics.hourlyValueLocf(s, dir)),
     "x_variant"            -> ((s, dir) => Analytics.variantPropsAgg(s, dir)),
     "x_lateral_topn"       -> ((s, dir) => Analytics.lateralTopOrder(s, dir)),
+    "x_recursive_cte"      -> ((s, dir) => Analytics.managementChains(s, dir)),
     "x_gap_fill"           -> ((s, dir) => Analytics.hourlyGapFill(s, dir)),
     "x_not_in"             -> ((s, dir) => Analytics.customersNoBigOrders(s, dir)),
     "x_except_all"         -> ((s, dir) => Analytics.purchaseSurplus(s, dir)),
@@ -661,6 +662,15 @@ object SparkEntry {
         |  COUNT(*) AS n_events
         |FROM events
         |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+
+    "x_recursive_cte" ->
+      """WITH RECURSIVE chain(custkey, anc, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT custkey, anc // 10, depth + 1 FROM chain WHERE anc > 0)
+        |SELECT custkey AS c_custkey, MAX(depth) AS depth,
+        |       COUNT(*) AS n_chain, SUM(anc)::BIGINT AS anc_sum
+        |FROM chain GROUP BY custkey ORDER BY c_custkey""".stripMargin,
 
     "x_variant" ->
       """SELECT event_type, COUNT(*) AS n_events,

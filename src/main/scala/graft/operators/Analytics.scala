@@ -373,6 +373,32 @@ object Analytics {
         |ORDER BY c.c_custkey""".stripMargin)
   }
 
+  /** Recursive CTE hierarchy walk — each customer's management chain
+    * up a deterministic 10-ary tree (parent = key DIV 10; the corpus
+    * carries no hierarchy column, so the tree derives from the key —
+    * the [[skewedJoinAgg]] precedent for shapes the testdata lacks).
+    * Spark 4 recursion is UNION ALL-only: correct for DAGs/hierarchies
+    * where each level strictly shrinks toward the root (depth here is
+    * log10(maxKey), and each level is a narrow projection+filter over
+    * the previous — no joins, no shuffle growth). For CYCLIC
+    * fixpoints (the near-dup graph) UNION ALL would never terminate —
+    * that is exactly why connected components stays the
+    * driver-paced iterative operator ([[Dedup]] label propagation
+    * with per-round checkpoints): engine recursion for hierarchies,
+    * checkpointed iteration for cyclic graphs.
+    */
+  def managementChains(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """WITH RECURSIVE chain(custkey, anc, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer_v
+        |  UNION ALL
+        |  SELECT custkey, anc DIV 10, depth + 1 FROM chain WHERE anc > 0)
+        |SELECT custkey AS c_custkey, MAX(depth) AS depth,
+        |       COUNT(*) AS n_chain, SUM(anc) AS anc_sum
+        |FROM chain GROUP BY custkey ORDER BY c_custkey""".stripMargin)
+  }
+
   /** UNION with set semantics (dedup across both sides). */
   def activeUsers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
