@@ -124,6 +124,7 @@ object SparkEntry {
     "x_variant"            -> ((s, dir) => Analytics.variantPropsAgg(s, dir)),
     "x_lateral_topn"       -> ((s, dir) => Analytics.lateralTopOrder(s, dir)),
     "x_recursive_cte"      -> ((s, dir) => Analytics.managementChains(s, dir)),
+    "x_safe_arith"         -> ((s, dir) => Analytics.safeArithmetic(s, dir)),
     "x_gap_fill"           -> ((s, dir) => Analytics.hourlyGapFill(s, dir)),
     "x_not_in"             -> ((s, dir) => Analytics.customersNoBigOrders(s, dir)),
     "x_except_all"         -> ((s, dir) => Analytics.purchaseSurplus(s, dir)),
@@ -662,6 +663,23 @@ object SparkEntry {
         |  COUNT(*) AS n_events
         |FROM events
         |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+
+    // Spark try_cast/try_divide modeled as TRY_CAST / NULLIF-guarded
+    // division in DuckDB; sums bridge through VARCHAR per §4b lesson 9
+    "x_safe_arith" ->
+      """WITH e AS (
+        |  SELECT event_type, value, CAST(props->>'$.k' AS BIGINT) AS k FROM events),
+        |m AS (
+        |  SELECT event_type, value, k,
+        |    CASE WHEN k % 10 = 0 THEN 'v' || CAST(k AS VARCHAR)
+        |         ELSE CAST(k AS VARCHAR) END AS k_raw
+        |  FROM e)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(TRY_CAST(k_raw AS BIGINT)) AS n_parsable,
+        |  COUNT(CASE WHEN k % 7 = 0 THEN NULL ELSE value END) AS n_divisible,
+        |  ROUND(CAST(CAST(SUM(CAST(ROUND(value / NULLIF(k % 7, 0), 6)
+        |    AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE), 6) AS sum_ratio
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "x_recursive_cte" ->
       """WITH RECURSIVE chain(custkey, anc, depth) AS (

@@ -373,6 +373,35 @@ object Analytics {
         |ORDER BY c.c_custkey""".stripMargin)
   }
 
+  /** Error-safe arithmetic under ANSI mode — Spark 4 runs ANSI SQL by
+    * default, where a division by zero or a bad cast THROWS and kills
+    * the job; the `try_*` family returns NULL instead, which is the
+    * only sane behavior when one malformed record out of 10^12 must
+    * not abort a 100 TB pass. The query manufactures both failure
+    * modes deterministically (an unparsable string for every k
+    * divisible by 10, a zero divisor for every k divisible by 7) and
+    * reports survival counts plus the sum over the successful rows —
+    * the shape of every defensive-ingest quality report.
+    */
+  def safeArithmetic(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events_v")
+    spark.sql(
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    CAST(get_json_object(props, '$.k') AS BIGINT) AS k
+        |  FROM events_v),
+        |m AS (
+        |  SELECT event_type, value, k,
+        |    CASE WHEN k % 10 = 0 THEN concat('v', k) ELSE CAST(k AS STRING) END AS k_raw
+        |  FROM e)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(try_cast(k_raw AS BIGINT)) AS n_parsable,
+        |  COUNT(try_divide(value, k % 7)) AS n_divisible,
+        |  ROUND(CAST(CAST(SUM(CAST(ROUND(try_divide(value, k % 7), 6)
+        |    AS DECIMAL(18,6))) AS STRING) AS DOUBLE), 6) AS sum_ratio
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   /** Recursive CTE hierarchy walk — each customer's management chain
     * up a deterministic 10-ary tree (parent = key DIV 10; the corpus
     * carries no hierarchy column, so the tree derives from the key —
