@@ -946,10 +946,12 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"),
            min(col("mean_v")).as("mean_v"),
            min(col("std_v")).as("std_v"),
-           sum((col("value") > col("mean_v") + lit(3.0) * col("std_v")).cast("bigint"))
-             .as("n_high_outliers"),
-           sum((col("value") < col("mean_v") - lit(3.0) * col("std_v")).cast("bigint"))
-             .as("n_low_outliers"))
+           // coalesce: a single-row group has NULL stddev, making every
+           // comparison NULL and the sum NULL — the count must read 0
+           coalesce(sum((col("value") > col("mean_v") + lit(3.0) * col("std_v"))
+             .cast("bigint")), lit(0L)).as("n_high_outliers"),
+           coalesce(sum((col("value") < col("mean_v") - lit(3.0) * col("std_v"))
+             .cast("bigint")), lit(0L)).as("n_low_outliers"))
       .orderBy("event_type")
   }
 
@@ -962,23 +964,32 @@ object Analytics {
     */
   def hourlyValueLocf(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val hours = ev
-      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
-           date_trunc("hour", max(col("ts"))).as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
     val hourly = ev
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(round(dsum(col("value")) / count(lit(1)), 6).as("avg_value"))
     val w = Window.partitionBy("event_type").orderBy("hour")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.select("event_type").distinct()
-      .crossJoin(hours)
-      .join(hourly, Seq("event_type", "hour"), "left_outer")
+    densifyByHour(ev, hourly)
       .withColumn("filled_value",
         last(col("avg_value"), ignoreNulls = true).over(w))
       .withColumn("is_filled", col("avg_value").isNull)
       .select("event_type", "hour", "filled_value", "is_filled")
       .orderBy("event_type", "hour")
+  }
+
+  /** (type × hour) spine left-joined onto a per-(type, hour) aggregate
+    * — ONE definition of the densification scaffold shared by
+    * [[hourlyGapFill]] and [[hourlyValueLocf]] so a spine fix (bounds,
+    * timezone) can never apply to one and not the other.
+    */
+  private def densifyByHour(ev: DataFrame, hourlyAgg: DataFrame): DataFrame = {
+    val hours = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+           date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+    ev.select("event_type").distinct()
+      .crossJoin(hours)
+      .join(hourlyAgg, Seq("event_type", "hour"), "left_outer")
   }
 
   /** Fixed-width value histogram per event type — the distribution
@@ -1010,16 +1021,10 @@ object Analytics {
     */
   def hourlyGapFill(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val hours = ev
-      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
-           date_trunc("hour", max(col("ts"))).as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
     val counts = ev
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_events"))
-    ev.select("event_type").distinct()
-      .crossJoin(hours)
-      .join(counts, Seq("event_type", "hour"), "left_outer")
+    densifyByHour(ev, counts)
       .select(col("event_type"), col("hour"),
         coalesce(col("n_events"), lit(0L)).as("n_events"))
       .orderBy("event_type", "hour")

@@ -594,8 +594,12 @@ object Similarity {
   def kmeansInertia(spark: SparkSession, dir: String,
                     k: Int = 8, iters: Int = 2): DataFrame = {
     val fit = kmeansFit(spark, dir, k, iters)
-    val d2 = fit.vq.join(broadcast(fit.cents), Seq("pos"))
-      .join(fit.assignment.hint("broadcast"), Seq("vec_id", "cid"))
+    // assignment first, THEN the assigned centroid on (cid, pos): the
+    // training loop needs all k distances per vector, the audit needs
+    // exactly one — fanning out to all k and filtering would do k× the
+    // arithmetic for nothing
+    val d2 = fit.vq.join(fit.assignment.hint("broadcast"), Seq("vec_id"))
+      .join(broadcast(fit.cents), Seq("cid", "pos"))
       .groupBy("vec_id", "cid")
       .agg(sum((col("vq") - col("cq")) * (col("vq") - col("cq"))).as("d2"))
     d2.groupBy("cid")

@@ -28,9 +28,6 @@ class PartitionPruningSpec extends SparkSuite {
       val plan = q.queryExecution.executedPlan.toString()
       assert(plan.contains("PartitionFilters: [isnotnull(lang"),
         s"lang predicate must prune partitions, not filter rows:\n${plan.take(2000)}")
-      // the pruned scan must enumerate only the selected directory
-      val scanned = q.queryExecution.executedPlan.collectLeaves()
-        .flatMap(_.toString.linesIterator.find(_.contains("Location")))
       // row counts agree with the unpartitioned source
       val want = Tables.documents(spark, sfDir).filter(col("lang") === one).count()
       assert(q.count() == want, "pruned read returns exactly the partition's rows")
