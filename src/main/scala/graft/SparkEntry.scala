@@ -126,6 +126,7 @@ object SparkEntry {
     "x_recursive_cte"      -> ((s, dir) => Analytics.managementChains(s, dir)),
     "x_safe_arith"         -> ((s, dir) => Analytics.safeArithmetic(s, dir)),
     "x_gap_fill"           -> ((s, dir) => Analytics.hourlyGapFill(s, dir)),
+    "x_hopping_window"     -> ((s, dir) => Analytics.hoppingEventCounts(s, dir)),
     "x_not_in"             -> ((s, dir) => Analytics.customersNoBigOrders(s, dir)),
     "x_except_all"         -> ((s, dir) => Analytics.purchaseSurplus(s, dir)),
     "x_intersect_all"      -> ((s, dir) => Analytics.purchaseViewOverlap(s, dir)),
@@ -758,6 +759,22 @@ object SparkEntry {
         |FROM t CROSS JOIN spine
         |LEFT JOIN h ON h.event_type = t.event_type AND h.hour = spine.hour
         |ORDER BY t.event_type, spine.hour""".stripMargin,
+
+    // every event belongs to exactly window/slide = 4 hourly windows
+    // stepped 15 min; slot arithmetic mirrors Spark's epoch-aligned
+    // window() start computation (session TZ is UTC on both sides)
+    "x_hopping_window" ->
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |    CAST(to_timestamp((CAST(floor(epoch(ts)/900) AS BIGINT) - i) * 900)
+        |         AS TIMESTAMP) AS win_start
+        |  FROM events, range(0, 4) t(i))
+        |SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end, event_type,
+        |  COUNT(*) AS n_events,
+        |  ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE), 6)
+        |    AS sum_value
+        |FROM w GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
 
     "x_gap_fill" ->
       """WITH span AS (

@@ -1009,6 +1009,24 @@ object Analytics {
       .select("event_type", "bin", "bin_lo", "n_events")
       .orderBy("event_type", "bin")
 
+  /** Hopping (sliding-bucket) window aggregation in batch: each event
+    * lands in window/slide = 4 overlapping one-hour buckets stepped
+    * every 15 minutes — the smoothed time-series view dashboards
+    * build, and the exact batch twin of the streaming
+    * `window(ts, "1 hour", "15 minutes")` aggregation. Spark plans
+    * the bucket fan-out as an Expand (map-side row replication, like
+    * rollup), so the shuffle carries 4× pre-aggregated partials, not
+    * 4× events.
+    */
+  def hoppingEventCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(dsum(col("value")), 6).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+              col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
   /** Calendar gap-filling (time-series densification): hourly event
     * counts per type INCLUDING empty hours — the spine join every
     * dashboard/forecasting feed needs, and a correctness trap when

@@ -552,15 +552,18 @@ object Similarity {
     // the labelPropagation discipline (an O(corpus) assignment per
     // round must not accumulate iters copies in block storage)
     var prevGenIds: Set[Int] = Set.empty
-    val byVec = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
     for (_ <- 1 to iters) {
       val d2 = vq.join(broadcast(cents), Seq("pos"))
         .groupBy("vec_id", "cid")
         .agg(sum((col("vq") - col("cq")) * (col("vq") - col("cq"))).as("d2"))
+      // nearest centroid via min(struct(d2, cid)) — lexicographic
+      // struct ordering IS the (d2, cid) tie-break, as a map-side-
+      // partial hash aggregate instead of a rank-1 window (no
+      // per-vector sort, same x_minmax_by pattern)
       val (asg, asgIds) = graft.Caches.trackedCheckpoint(
-        d2.withColumn("rk", row_number().over(byVec))
-          .filter(col("rk") === 1)
-          .select("vec_id", "cid"))
+        d2.groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid")))
       val (cts, ctsIds) = graft.Caches.trackedCheckpoint(
         asg.join(vq, Seq("vec_id"))
           .groupBy("cid", "pos")

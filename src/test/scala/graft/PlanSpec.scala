@@ -252,6 +252,41 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("hot aggregation paths run fully inside whole-stage codegen (incl. PolyHash)") {
+    // simple-mode explain stars (`*(n)`) every whole-stage-codegen
+    // node; an unstarred compute node means a codegen break — the
+    // silent 10x the prompt warns about. Checked on the canonical
+    // scan->agg and on a PolyHash-filtered scan, since the custom
+    // expression must participate via doGenCode, not fall back.
+    def computeLines(plan: String): Seq[String] = plan.linesIterator
+      .filter(l => Seq("HashAggregate", "Project", "Filter").exists(l.contains))
+      .filterNot(_.contains("PushedFilters")).toSeq
+    // AQE inserts codegen per query stage at runtime and its pre-run
+    // plan string carries no stars — disable it here so the static
+    // plan shows the codegen spans directly
+    val key = "spark.sql.adaptive.enabled"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val agg = Analytics.pricingSummary(spark, sfDir).queryExecution.executedPlan.toString
+      val aggLines = computeLines(agg)
+      assert(aggLines.nonEmpty && aggLines.forall(_.contains("*(")),
+        s"codegen break in pricing summary:\n$agg")
+      val ph = graft.operators.CorpusOps.stratifiedSample(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val phLines = computeLines(ph)
+      assert(phLines.nonEmpty && phLines.forall(_.contains("*(")),
+        s"PolyHash breaks whole-stage codegen:\n$ph")
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("hopping window fans out via Expand below the aggregate — partials carry, not events") {
+    val plan = formatted(Analytics.hoppingEventCounts(spark, sfDir))
+    assert(plan.contains("Expand"), s"no Expand fan-out in:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("Functions [2]"),
+      s"no partial aggregation below the shuffle:\n$plan")
+  }
+
   test("full-outer reconciliation reuses the aggregates' partitioning — no third hash exchange") {
     val plan = formatted(Analytics.userFunnelReconciliation(spark, sfDir))
     // full-outer cannot broadcast; it must be the sort-merge form
