@@ -694,4 +694,37 @@ class StreamingSpec extends SparkSuite {
         Seq(("click", 1L, 4.0), ("view", 2L, 3.0), ("view", 1L, 8.0)))
     } finally q.stop()
   }
+
+  test("streaming hopping window matches the batch hopping aggregation (x_hopping_window twin)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val stream = ms.toDF().toDF("ts", "event_type", "value")
+    // the SAME window spec the batch operator uses: 1 h windows, 15 min hop
+    def hopped(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("start_s"),
+              col("event_type"), col("n_events"), col("sum_value"))
+    val q = hopped(stream)
+      .writeStream.format("memory").queryName("hop_stream")
+      .outputMode("complete").start()
+    try {
+      val m = 60_000L
+      val data = Seq(
+        (new Timestamp(5 * m), "view", 1.0),    // windows starting -55..+0 min
+        (new Timestamp(20 * m), "view", 2.0),   // overlaps 3 of the above
+        (new Timestamp(130 * m), "click", 4.0)) // disjoint hour
+      ms.addData(data: _*)
+      q.processAllAvailable()
+      def normalize(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      val streamed = normalize(spark.table("hop_stream").collect())
+      val batch = normalize(hopped(data.toDF("ts", "event_type", "value")).collect())
+      assert(streamed.toSeq == batch.toSeq, s"stream $streamed != batch $batch")
+      // each event lands in exactly window/hop = 4 buckets
+      assert(streamed.map(_._3).sum == data.length * 4L)
+    } finally q.stop()
+  }
 }
