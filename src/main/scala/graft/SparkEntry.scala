@@ -762,12 +762,16 @@ object SparkEntry {
 
     // every event belongs to exactly window/slide = 4 hourly windows
     // stepped 15 min; slot arithmetic mirrors Spark's epoch-aligned
-    // window() start computation (session TZ is UTC on both sides)
+    // window() start computation. The start is built as a NAIVE
+    // timestamp via epoch interval arithmetic — to_timestamp returns
+    // TIMESTAMPTZ and its cast shifts with DuckDB's session TimeZone,
+    // which would false-fail the gate on any non-UTC host
     "x_hopping_window" ->
       """WITH w AS (
         |  SELECT event_type, value,
-        |    CAST(to_timestamp((CAST(floor(epoch(ts)/900) AS BIGINT) - i) * 900)
-        |         AS TIMESTAMP) AS win_start
+        |    TIMESTAMP '1970-01-01 00:00:00' +
+        |      ((CAST(floor(epoch(ts)/900) AS BIGINT) - i) * 900) * INTERVAL 1 SECOND
+        |      AS win_start
         |  FROM events, range(0, 4) t(i))
         |SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end, event_type,
         |  COUNT(*) AS n_events,

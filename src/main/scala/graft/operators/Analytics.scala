@@ -1019,13 +1019,22 @@ object Analytics {
     * 4× events.
     */
   def hoppingEventCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    hoppingAgg(Tables.events(spark, dir))
+      .orderBy("win_start", "event_type")
+
+  /** The hopping aggregation itself over any (ts, event_type, value)
+    * frame — ONE definition of the window spec (1 h / 15 min) and the
+    * decimal-exact sum, shared by the batch query above and the
+    * stream==batch parity test so the "streaming twin" claim is
+    * checked against THIS code, not a copy.
+    */
+  def hoppingAgg(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
            round(dsum(col("value")), 6).as("sum_value"))
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
               col("event_type"), col("n_events"), col("sum_value"))
-      .orderBy("win_start", "event_type")
 
   /** Calendar gap-filling (time-series densification): hourly event
     * counts per type INCLUDING empty hours — the spine join every

@@ -283,7 +283,10 @@ class PlanSpec extends SparkSuite {
   test("hopping window fans out via Expand below the aggregate — partials carry, not events") {
     val plan = formatted(Analytics.hoppingEventCounts(spark, sfDir))
     assert(plan.contains("Expand"), s"no Expand fan-out in:\n$plan")
-    assert(plan.contains("partial_count") || plan.contains("Functions [2]"),
+    // partial_ prefix specifically: the final-mode aggregate also
+    // prints its function list, so a looser match could not detect a
+    // missing map-side combine
+    assert(plan.contains("partial_count"),
       s"no partial aggregation below the shuffle:\n$plan")
   }
 

@@ -699,21 +699,21 @@ class StreamingSpec extends SparkSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String, Double)]
     val stream = ms.toDF().toDF("ts", "event_type", "value")
-    // the SAME window spec the batch operator uses: 1 h windows, 15 min hop
-    def hopped(df: org.apache.spark.sql.DataFrame) = df
-      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-           round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6).as("sum_value"))
-      .select(unix_timestamp(col("window.start")).as("start_s"),
-              col("event_type"), col("n_events"), col("sum_value"))
+    // the REAL operator's aggregation (Analytics.hoppingAgg), applied
+    // to the stream and to the identical rows in batch — drift in the
+    // shipped window spec fails here, a test-local copy would not
+    def hopped(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Analytics.hoppingAgg(df)
+        .select(unix_timestamp(col("win_start")).as("start_s"),
+                col("event_type"), col("n_events"), col("sum_value"))
     val q = hopped(stream)
       .writeStream.format("memory").queryName("hop_stream")
       .outputMode("complete").start()
     try {
       val m = 60_000L
       val data = Seq(
-        (new Timestamp(5 * m), "view", 1.0),    // windows starting -55..+0 min
-        (new Timestamp(20 * m), "view", 2.0),   // overlaps 3 of the above
+        (new Timestamp(5 * m), "view", 1.0),    // in windows starting -45/-30/-15/0 min
+        (new Timestamp(20 * m), "view", 2.0),   // starts -30/-15/0/+15 — overlaps 3 of the above
         (new Timestamp(130 * m), "click", 4.0)) // disjoint hour
       ms.addData(data: _*)
       q.processAllAvailable()
