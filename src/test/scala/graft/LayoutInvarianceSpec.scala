@@ -1,0 +1,38 @@
+package graft
+
+/** Results must be bit-identical regardless of physical layout — the
+  * property that makes a re-run on a different cluster (different
+  * partition count, different split sizes) reproduce the committed
+  * output. Hash-gating, tie-broken windows, and decimal sums are the
+  * mechanisms; this spec pins the outcome by running order-sensitive
+  * operators under different shuffle-partition counts and comparing
+  * exact collected outputs.
+  */
+class LayoutInvarianceSpec extends SparkSuite {
+
+  private val targets: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+    ("x_training_order", () => graft.operators.CorpusOps.trainingOrder(spark, sfDir)),
+    ("x_domain_cap",     () => graft.operators.CorpusOps.domainCap(spark, sfDir)),
+    ("x_heavy_hitters",  () => graft.operators.TextAnalysis.heavyHitterTokens(spark, sfDir)),
+    ("x_chunk_dedup",    () => graft.operators.CorpusOps.chunkDedup(spark, sfDir)),
+    ("x_vocab_coverage", () => graft.operators.TextAnalysis.vocabCoverage(spark, sfDir)))
+
+  test("order-sensitive operators return identical rows under different shuffle layouts") {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    def run(parts: String): Map[String, Seq[String]] =
+      try {
+        spark.conf.set(key, parts)
+        targets.map { case (name, f) =>
+          Caches.releaseAll(spark) // layout must not leak via cached blocks
+          name -> f().collect().map(_.toString).toSeq
+        }.toMap
+      } finally spark.conf.set(key, saved)
+    val a = run("3")
+    val b = run("7")
+    targets.foreach { case (name, _) =>
+      assert(a(name) == b(name), s"$name output depends on the shuffle layout")
+      assert(a(name).nonEmpty, s"$name produced no rows — vacuous comparison")
+    }
+  }
+}
