@@ -5,11 +5,14 @@ Usage: python3 scripts/check.py [sfDir] [outDir]
 
 Assumes `graft.Verify` has already been run (scripts/check.sh does both).
 For each query dir under outDir: load Spark parquet + run the oracle SQL
-in DuckDB over the same sf tables; sort columns by name, sort rows,
-compare values exactly.
+in DuckDB over the same sf tables; compare Arrow schemas STRICTLY (the
+driver hashes typed values, so a DuckDB HUGEINT/DECIMAL vs Spark BIGINT
+is a driver FAIL even when the values are equal — r5 shipped exactly
+that), then sort columns by name, sort rows, compare values exactly.
 """
 import json, os, sys, glob
 import duckdb
+import pyarrow as pa
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -19,9 +22,27 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
+
+def norm_type(t: pa.DataType) -> str:
+    """Canonical spelling for driver-equivalent Arrow types.
+
+    Only representation details that cannot change a typed hash are
+    collapsed: timestamp unit/precision and string width. Numeric kind
+    (int64 vs float64 vs decimal128) is NEVER collapsed — that is the
+    exact class the driver fails on.
+    """
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return f"list<{norm_type(t.value_type)}>"
+    return str(t)
+
+
+fails = 0
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 names = sorted(d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d)))
-fails = 0
 # a query that crashed in Verify writes no output dir — surface it
 # instead of silently shrinking the denominator
 missing = sorted(set(oracle) - set(names))
@@ -32,22 +53,32 @@ for name in names:
     files = glob.glob(f"{out}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no spark output"); fails += 1; continue
-    got = con.execute(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
+    got_at = con.execute(f"SELECT * FROM '{out}/{name}/*.parquet'").arrow()
     if name not in oracle:
-        print(f"SKIP {name}: no oracle ({len(got)} rows)"); continue
+        print(f"SKIP {name}: no oracle ({got_at.num_rows} rows)"); continue
     try:
-        exp = con.execute(oracle[name]).df()
+        exp_at = con.execute(oracle[name]).arrow()
     except Exception as e:
         print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
-    got = got.reindex(sorted(got.columns), axis=1)
-    exp = exp.reindex(sorted(exp.columns), axis=1)
-    if list(got.columns) != list(exp.columns):
-        print(f"FAIL {name}: cols {list(got.columns)} vs {list(exp.columns)}"); fails += 1; continue
+    g_schema = {f.name: norm_type(f.type) for f in got_at.schema}
+    e_schema = {f.name: norm_type(f.type) for f in exp_at.schema}
+    if sorted(g_schema) != sorted(e_schema):
+        print(f"FAIL {name}: cols {sorted(g_schema)} vs {sorted(e_schema)}")
+        fails += 1; continue
+    dt_bad = {c: (g_schema[c], e_schema[c]) for c in g_schema
+              if g_schema[c] != e_schema[c]}
+    if dt_bad:
+        print(f"FAIL {name}: dtype mismatch (spark vs oracle) {dt_bad}")
+        fails += 1; continue
+    got, exp = got_at.to_pandas(), exp_at.to_pandas()
     if len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails += 1; continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
     g = got.sort_values(list(got.columns)).reset_index(drop=True)
     e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
-    # exact compare (queries are built to be bit-deterministic)
+    # exact compare (queries are built to be bit-deterministic); dtypes
+    # already gated strictly above at the Arrow level
     try:
         import pandas as pd
         pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)

@@ -660,7 +660,7 @@ object SparkEntry {
     "x_histogram" ->
       """SELECT event_type,
         |  CAST(round(value * 100) AS BIGINT) // 2000 AS bin,
-        |  (CAST(round(value * 100) AS BIGINT) // 2000) * 20.0 AS bin_lo,
+        |  ((CAST(round(value * 100) AS BIGINT) // 2000) * 20.0)::DOUBLE AS bin_lo,
         |  COUNT(*) AS n_events
         |FROM events
         |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
@@ -677,7 +677,7 @@ object SparkEntry {
         |  FROM e)
         |SELECT event_type, COUNT(*) AS n_events,
         |  COUNT(TRY_CAST(k_raw AS BIGINT)) AS n_parsable,
-        |  COUNT(CASE WHEN k % 7 = 0 THEN NULL ELSE value END) AS n_divisible,
+        |  COUNT(CASE WHEN k IS NULL OR k % 7 = 0 THEN NULL ELSE value END) AS n_divisible,
         |  ROUND(CAST(CAST(SUM(CAST(ROUND(value / NULLIF(k % 7, 0), 6)
         |    AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE), 6) AS sum_ratio
         |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -693,7 +693,7 @@ object SparkEntry {
 
     "x_variant" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |  SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        |  SUM(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k,
         |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -1870,7 +1870,7 @@ object SparkEntry {
         |                 ROWS UNBOUNDED PRECEDING) AS cum,
         |    SUM(c) OVER (PARTITION BY lang) AS total
         |  FROM c WINDOW w AS (PARTITION BY lang ORDER BY c DESC, tok))
-        |SELECT lang, COUNT(*) AS vocab_size, MAX(total) AS total_occ,
+        |SELECT lang, COUNT(*) AS vocab_size, MAX(total)::BIGINT AS total_occ,
         |  MIN(CASE WHEN cum*10 >= total*9 THEN rk END) AS rank90,
         |  round(MAX(CASE WHEN rk = 1 THEN c END)::DOUBLE / MAX(total), 6) AS top1_share
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,

@@ -994,16 +994,21 @@ object Analytics {
 
   /** Fixed-width value histogram per event type — the distribution
     * profile a monitoring/data-quality pass computes. Bins are
-    * integer arithmetic on exact cents (`round(value*100) div 2000` =
+    * integer arithmetic on exact cents (floor-divide cents by 2000 =
     * 20.00-wide buckets), so bucket boundaries are engine-independent
     * — a `floor(value/20)` on doubles would flip boundary cents by
-    * one ulp. One hash aggregate; bin count is bounded by the value
+    * one ulp, and plain `div` (truncate-toward-zero) would disagree
+    * with floor-division engines (DuckDB `//`) on negative values. One hash aggregate; bin count is bounded by the value
     * range, so the output stays tiny at any corpus size.
     */
   def valueHistogram(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"),
-        expr("CAST(round(value * 100) AS BIGINT) div 2000").as("bin"))
+        // Floor division, not `div` (truncate-toward-zero): cents minus
+        // pmod(cents, 2000) is exactly divisible, so the `div` is exact and
+        // equals floor — matching DuckDB's `//` even for negative values.
+        expr("(CAST(round(value * 100) AS BIGINT) - " +
+          "pmod(CAST(round(value * 100) AS BIGINT), 2000)) div 2000").as("bin"))
       .agg(count(lit(1)).as("n_events"))
       .withColumn("bin_lo", (col("bin") * 20.0))
       .select("event_type", "bin", "bin_lo", "n_events")

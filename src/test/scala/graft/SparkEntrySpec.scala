@@ -37,6 +37,78 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"tz-dependent oracle SQL in: $offenders")
   }
 
+  /** DuckDB widens integer SUMs to HUGEINT (Arrow decimal128(38,0))
+    * while Spark emits BIGINT, so any uncast SUM that reaches an
+    * oracle's output schema fails the driver's TYPED hash even when
+    * the values match — exactly how r5 shipped `x_variant` and
+    * `x_vocab_coverage` red. A SUM is "naked" unless its result is
+    * immediately cast (`SUM(...)::T` or `CAST(SUM(...) AS T)`).
+    * Naked SUMs are allowed only where audited not to escape to the
+    * output uncast, and the per-query count is pinned here: adding a
+    * new naked SUM (or removing an audited one) fails this test and
+    * forces re-auditing the escape path.
+    */
+  private val auditedNakedSums: Map[String, Int] = Map(
+    // kmeansCtes: 2× `SUM((vq-cq)^2) AS d2` — consumed only by
+    // ROW_NUMBER ORDER BY, never projected
+    "x_kmeans"            -> 2,
+    "x_knn_ivf_trained"   -> 2,
+    "x_ivf_probe_sweep"   -> 2,
+    "x_ivf_trained_recall"-> 2,
+    // kmeansCtes + one more ORDER BY-only d2 in the body
+    "x_cluster_quality"   -> 3,
+    // SUM(DECIMAL) (not HUGEINT) escaping through the VARCHAR bridge
+    "x_join_left_outer"   -> 1,
+    "x_scalar_subquery"   -> 1,
+    // window-SUM session counter, escapes via CAST(session_idx AS BIGINT)
+    "x_sessionize"        -> 1,
+    // totals consumed only as ::DOUBLE division denominators
+    "x_repetition"        -> 2,
+    "x_heavy_hitters"     -> 1,
+    "x_epoch_mix"         -> 1,
+    "x_lang_confusion"    -> 1,
+    // window sums: escape via MAX(total)::BIGINT / ratio / comparison
+    "x_vocab_coverage"    -> 2,
+    // running-token window, escapes via a cast bin expression
+    "x_doc_packing"       -> 1
+  )
+
+  /** Count SUM( occurrences whose result is not immediately cast. */
+  private def nakedSums(sql: String): Int = {
+    val lower = sql.toLowerCase
+    var count = 0
+    var i = lower.indexOf("sum(")
+    while (i >= 0) {
+      val identChar = i > 0 && (lower(i - 1).isLetterOrDigit || lower(i - 1) == '_')
+      if (!identChar) {
+        var depth = 0
+        var j = i + 3 // at '('
+        var end = -1
+        while (j < sql.length && end < 0) {
+          if (sql(j) == '(') depth += 1
+          else if (sql(j) == ')') { depth -= 1; if (depth == 0) end = j }
+          j += 1
+        }
+        val after = sql.drop(end + 1).dropWhile(_.isWhitespace)
+        val before = sql.take(i).reverse.dropWhile(_.isWhitespace).reverse
+        val castPrefix = before.toLowerCase.endsWith("cast(")
+        if (!castPrefix && !after.startsWith("::")) count += 1
+      }
+      i = lower.indexOf("sum(", i + 4)
+    }
+    count
+  }
+
+  test("uncast DuckDB SUMs are pinned to the audited non-escaping set") {
+    val actual = SparkEntry.oracleSql.view.mapValues(nakedSums)
+      .filter(_._2 > 0).toMap
+    assert(actual == auditedNakedSums,
+      s"naked-SUM drift — unexpected: ${(actual.toSet -- auditedNakedSums.toSet).toMap}; " +
+      s"missing audited: ${(auditedNakedSums.toSet -- actual.toSet).toMap}. " +
+      "Cast the sum (::BIGINT / VARCHAR bridge) or audit its escape path " +
+      "and update auditedNakedSums with a reason comment.")
+  }
+
   test("query names follow the ref_/x_ naming contract") {
     val bad = SparkEntry.queries.keySet.filterNot(n =>
       n.startsWith("ref_") || n.startsWith("x_"))
