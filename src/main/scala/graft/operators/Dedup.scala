@@ -174,12 +174,13 @@ object Dedup {
     * (their shingle unit is the same word 3-gram).
     */
   def nearDupMinhashRows(rows: DataFrame, threshold: Double): DataFrame = {
-    // `pairs` feeds TWO consumers (the broadcast into the intersection
-    // join AND candidateDocs) — without its own persist the whole
+    // `pairs` feeds TWO consumers (the intersection join AND
+    // candidateDocs) — without its own materialization the whole
     // bands→buckets→pairs pipeline above re-executes per consumer
     // (the r2 bench measured the query at 2x its single-pass cost).
-    // The pair set is tiny (bounded by bucket collisions), so this is
-    // a few KB of cache for one whole pipeline execution saved.
+    // The pair set is bounded by bucket collisions (bucketCap caps the
+    // per-bucket fan-out), so this is modest cache for one whole
+    // pipeline execution saved.
     // The buckets persist exists only to make the over-cap diagnostic
     // count free: its count() is the FIRST action and materializes
     // only the bucket aggregation over the already-checkpointed rows
@@ -204,14 +205,18 @@ object Dedup {
     val pairs = bucketPairs(buckets).localCheckpoint()
     buckets.unpersist()
     val sizes = rows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // Candidates are a small fraction of the corpus: semi-filter the
-    // shingle rows to candidate docs (broadcast of the candidate id
-    // set) before the intersection joins, so the (doc, h) shuffles
-    // carry only candidate rows.
+    // Semi-filter the shingle rows to candidate docs before the
+    // intersection joins, so the (doc, h) shuffles carry only
+    // candidate rows. NO broadcast() hint: on a boilerplate-heavy
+    // 100 TB corpus the candidate set is corpus-fraction-sized, and a
+    // hard hint there is a guaranteed OOM that never degrades. AQE
+    // sees the localCheckpointed pair set's true runtime size and
+    // picks broadcast exactly when it actually fits (verified in
+    // PlanSpec: small → broadcast, threshold off → shuffle join).
     val candidateDocs = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val crows = rows.join(broadcast(candidateDocs), Seq("doc_id"), "left_semi")
-    val inter = broadcast(pairs)
+    val crows = rows.join(candidateDocs, Seq("doc_id"), "left_semi")
+    val inter = pairs
       .join(crows.as("ra"), col("doc_a") === col("ra.doc_id"))
       .join(crows.as("rb"),
         col("doc_b") === col("rb.doc_id") && col("ra.h") === col("rb.h"))
@@ -633,7 +638,8 @@ object Dedup {
     * pair graph) and [[dedupSurvivorsUnified]] (all-families union
     * graph): exact dedup keeps the smallest doc_id per content hash,
     * near-dup clustering keeps only each component's root. Semi/anti
-    * joins against the (small) keep/non-root sets; the corpus itself
+    * joins against the keep/non-root sets (sized by AQE at runtime —
+    * broadcast only when they measure small); the corpus itself
     * streams through once.
     */
   private def survivorsByLang(spark: SparkSession, dir: String,
@@ -647,9 +653,14 @@ object Dedup {
     val nonRoots = labelPropagation(pairs)
       .filter(col("doc_id") =!= col("lbl"))
       .select("doc_id")
+    // No broadcast() hint on the anti-join: the non-root (duplicate)
+    // set grows with the corpus — on heavily-duplicated web text it is
+    // corpus-fraction-sized, and a hard hint is an OOM with no
+    // graceful degradation. AQE broadcasts it when its measured size
+    // fits and falls back to a shuffled anti-join when it doesn't.
     val surv = docs.select("doc_id", "lang")
       .join(keep, Seq("doc_id"), "left_semi")
-      .join(broadcast(nonRoots), Seq("doc_id"), "left_anti")
+      .join(nonRoots, Seq("doc_id"), "left_anti")
     docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
       .join(surv.groupBy("lang").agg(count(lit(1)).as("n_survivors")),
         Seq("lang"), "left")
@@ -723,11 +734,11 @@ object Dedup {
     * intersection and the size denominators (they carry no similarity
     * signal at any useful threshold), which bounds the fan-out at
     * GramDFCap · |rows| — linear in corpus size. The hot-gram set is
-    * Zipf-tiny, so it broadcasts into a left-anti join and the cached
-    * gram rows never reshuffle for the filter; at a scale where even
-    * the hot set outgrows a broadcast, swap the anti-join for a
-    * shuffle join — the semantics and the oracle stay identical.
-    * Pairs spanning two blocks are by design not compared.
+    * Zipf-tiny at this corpus, so AQE broadcasts it into the left-anti
+    * join at runtime; no hard broadcast() hint, so at a scale where
+    * the hot set outgrows a broadcast the plan degrades to a shuffled
+    * anti-join instead of OOMing — the semantics and the oracle stay
+    * identical. Pairs spanning two blocks are by design not compared.
     */
   def ngramJaccard(spark: SparkSession, dir: String,
                    threshold: Double = 0.02): DataFrame =
@@ -770,7 +781,7 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > GramDFCap)
       .select("lang", "source", "gh")
-    val kept = rows.join(broadcast(hotGrams), Seq("lang", "source", "gh"), "left_anti")
+    val kept = rows.join(hotGrams, Seq("lang", "source", "gh"), "left_anti")
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = kept.as("a")
       .join(kept.as("b"),

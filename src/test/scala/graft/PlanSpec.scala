@@ -123,6 +123,34 @@ class PlanSpec extends SparkSuite {
            !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("dedup survivor anti-join degrades to a shuffle join when the dup set cannot broadcast") {
+    // The non-root (duplicate) doc set grows with the corpus, so the
+    // anti-join must carry NO hard broadcast() hint: a hint-forced
+    // broadcast of a corpus-fraction-sized set is a guaranteed OOM at
+    // 100 TB with no graceful fallback. Forcing the threshold off
+    // simulates "build side too large" — the plan must degrade to a
+    // shuffled anti-join instead of insisting on a broadcast.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = formatted(Dedup.dedupSurvivors(spark, sfDir))
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"anti-join still broadcasts with the threshold off (hard hint?):\n$plan")
+      assert((plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")) &&
+             plan.contains("LeftAnti"), plan)
+    } finally spark.conf.set(key, old)
+    // ...and with default confs AQE still measures the tiny dup set at
+    // runtime and picks the broadcast — dropping the hint costs nothing
+    // at small scale
+    val df = Dedup.dedupSurvivors(spark, sfDir)
+    df.collect()
+    val adaptive = df.queryExecution.executedPlan.toString()
+    assert(adaptive.contains("AdaptiveSparkPlan isFinalPlan=true"), adaptive.take(2000))
+    assert(adaptive.contains("BroadcastHashJoin") && adaptive.contains("LeftAnti"),
+      s"AQE did not recover the small-side broadcast:\n${adaptive.take(4000)}")
+  }
+
   test("sessionize runs both windows and the aggregation on ONE shuffle") {
     val plan = formatted(Analytics.sessionize(spark, sfDir))
     // one hashpartitioning exchange shared by lag-window, running-sum
