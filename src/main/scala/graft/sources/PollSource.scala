@@ -92,8 +92,9 @@ object PollSource {
     Some(s"""{"05. price": "$price", "06. volume": "$volume"}""")
   }
 
-  private[sources] def fetcherFor(sourceId: String): Fetcher =
-    fetchers.getOrDefault(sourceId, mockQuote)
+  private[sources] def fetcherFor(sourceId: String,
+                                   fallback: Fetcher = mockQuote): Fetcher =
+    fetchers.getOrDefault(sourceId, fallback)
   private[sources] def clockFor(sourceId: String): () => Long =
     clocks.getOrDefault(sourceId, () => System.currentTimeMillis())
 }
@@ -116,12 +117,26 @@ private[sources] class PollTable(options: CaseInsensitiveStringMap)
     new ScanBuilder with Scan {
       override def build(): Scan = this
       override def readSchema(): StructType = PollSource.Schema
-      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+        // Declarative REST wiring: an `endpoint` option makes the real
+        // HTTP fetcher the fallback (a registry entry for the sourceId
+        // still wins — tests inject through it). No endpoint → the
+        // deterministic mock, as before.
+        val fallback: PollSource.Fetcher = Option(options.get("endpoint")) match {
+          case Some(endpoint) => new HttpQuoteFetcher(
+            endpointTemplate = endpoint,
+            apiKey = options.getOrDefault("apiKey", HttpQuoteFetcher.PlaceholderKey),
+            timeout = java.time.Duration.ofMillis(
+              options.getOrDefault("timeoutMs", "10000").toLong))
+          case None => PollSource.mockQuote _
+        }
         new PollMicroBatchStream(
           symbols = options.getOrDefault("symbols", "IBM,MSFT,AAPL,GOOGL")
             .split(",").toSeq.map(_.trim).filter(_.nonEmpty),
           intervalMs = options.getOrDefault("intervalMs", "15000").toLong,
-          sourceId = options.getOrDefault("sourceId", "default"))
+          sourceId = options.getOrDefault("sourceId", "default"),
+          fallback = fallback)
+      }
     }
 }
 
@@ -133,11 +148,12 @@ private[sources] case class PollPartition(
     rows: Array[(Long, String, String, Long)]) extends InputPartition
 
 private[sources] class PollMicroBatchStream(
-    symbols: Seq[String], intervalMs: Long, sourceId: String)
+    symbols: Seq[String], intervalMs: Long, sourceId: String,
+    fallback: PollSource.Fetcher = PollSource.mockQuote)
     extends MicroBatchStream {
   require(symbols.nonEmpty, "poll source needs at least one symbol")
   require(intervalMs > 0, "poll source needs a positive intervalMs")
-  private val fetcher = PollSource.fetcherFor(sourceId)
+  private val fetcher = PollSource.fetcherFor(sourceId, fallback)
   private val clock = PollSource.clockFor(sourceId)
 
   // Poll-loop state, driver-side like the reference's event loop:

@@ -190,4 +190,101 @@ class PollSourceSpec extends SparkSuite {
     assert(withSma.map(_.moving_average.get).exists(_ <= threshold),
       "test must cover both sides of the threshold")
   }
+
+  /** Loopback stub of the GLOBAL_QUOTE endpoint: every reference
+    * response shape behind one handler, selected by symbol
+    * (financial_engine.py:166-185 — success, API-limit Note, empty
+    * quote, missing price/volume, HTTP 500).
+    */
+  private def withStubServer[A](f: (String, java.util.concurrent.atomic.AtomicInteger) => A): A = {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/query", (exchange: com.sun.net.httpserver.HttpExchange) => {
+      hits.incrementAndGet()
+      val query = Option(exchange.getRequestURI.getQuery).getOrElse("")
+      val symbol = query.split("&").collectFirst {
+        case kv if kv.startsWith("symbol=") => kv.stripPrefix("symbol=")
+      }.getOrElse("")
+      val (status, body) = symbol match {
+        case "NOTE"  => (200, """{"Note": "API call frequency is 5 calls per minute"}""")
+        case "EMPTY" => (200, """{"Global Quote": {}}""")
+        case "NOPX"  => (200, """{"Global Quote": {"01. symbol": "NOPX"}}""")
+        case "BOOM"  => (500, "internal error")
+        case "JUNK"  => (200, "<html>not json</html>")
+        case s => (200,
+          s"""{"Global Quote": {"01. symbol": "$s", "05. price": "123.45", "06. volume": "678"}}""")
+      }
+      val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      exchange.sendResponseHeaders(status, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}" +
+          "/query?function=GLOBAL_QUOTE&symbol={symbol}&apikey={apikey}", hits)
+    finally server.stop(0)
+  }
+
+  test("HttpQuoteFetcher drives the real HTTP stack: every reference drop path returns None") {
+    withStubServer { (template, hits) =>
+      val fetcher = new graft.sources.HttpQuoteFetcher(template, apiKey = "k")
+      // success: the quote object's JSON comes back for the normalizer
+      val ok = fetcher("IBM", 0)
+      assert(ok.exists(_.contains(""""05. price":"123.45"""")), s"got $ok")
+      assert(ok.exists(_.contains(""""06. volume":"678"""")), s"got $ok")
+      // the reference's None paths (:171-185, :196-202)
+      assert(fetcher("NOTE", 1).isEmpty, "API-limit Note must drop")
+      assert(fetcher("EMPTY", 2).isEmpty, "empty Global Quote must drop")
+      assert(fetcher("NOPX", 3).isEmpty, "missing price/volume must drop")
+      assert(fetcher("BOOM", 4).isEmpty, "HTTP 5xx must drop")
+      assert(fetcher("JUNK", 5).isEmpty, "unparsable body must drop")
+      val served = hits.get()
+      // placeholder API key: no request may even be sent (:150-152)
+      val unconfigured = new graft.sources.HttpQuoteFetcher(template)
+      assert(unconfigured("IBM", 6).isEmpty)
+      assert(hits.get() == served, "placeholder key must not hit the endpoint")
+      // unreachable endpoint (connect refused) → None, not an exception
+      val dead = new graft.sources.HttpQuoteFetcher(
+        "http://127.0.0.1:1/query?symbol={symbol}&apikey={apikey}", apiKey = "k",
+        timeout = java.time.Duration.ofMillis(200))
+      assert(dead("IBM", 7).isEmpty)
+    }
+  }
+
+  test("endpoint option wires the HTTP fetcher into the poll stream end-to-end") {
+    withStubServer { (template, _) =>
+      val clock = new AtomicLong(0L)
+      PollSource.registerClock("t-http", () => clock.get())
+      // NO registered fetcher: the endpoint option must supply it
+      val stream = spark.readStream.format("graft.sources.PollSourceProvider")
+        .option("sourceId", "t-http")
+        .option("symbols", "IBM,NOTE") // round-robin hits the drop path too
+        .option("intervalMs", "100")
+        .option("endpoint", template)
+        .option("apiKey", "test-key")
+        .load()
+      val q = Sources.normalizeJsonQuotes(stream)
+        .writeStream.format("memory").queryName("poll_http").start()
+      def rows() = {
+        q.processAllAvailable()
+        spark.table("poll_http").select("id", "symbol", "price", "volume")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+          .toSeq.sortBy(_._1)
+      }
+      try {
+        // t=0: attempt 0 polls IBM over real HTTP and normalizes
+        assert(rows() == Seq(("av_000000000000", "IBM", 123.45, 678L)))
+        // t=100: attempt 1 (NOTE) returns the API-limit body -> dropped,
+        // 2x backoff means attempt 2 is due at 300, not 200
+        clock.set(100); assert(rows().size == 1)
+        clock.set(200); assert(rows().size == 1, "backoff after the Note drop")
+        clock.set(300)
+        val r = rows()
+        assert(r.map(_._2) == Seq("IBM", "IBM") &&
+               r.map(_._1) == Seq("av_000000000000", "av_000000000002"),
+          s"round-robin must continue past the dropped symbol: $r")
+      } finally q.stop()
+    }
+  }
 }
