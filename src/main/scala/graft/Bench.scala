@@ -33,6 +33,12 @@ object Bench {
     // optional comma-separated subset (local iteration aid; the driver
     // never sets it, so the committed bench always covers every query)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // Failure diagnostics are BUFFERED, not interleaved: every byte
+    // printed between the runs and the JSON line is budget stolen from
+    // the driver's bounded output capture (r5's tail kept only 82 of
+    // 121 queries of the line). The line must be the first thing
+    // printed once results exist AND the last thing printed overall.
+    val diagnostics = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -57,7 +63,7 @@ object Bench {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          diagnostics += s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}"
           -1.0
         })
         i += 1
@@ -66,12 +72,16 @@ object Bench {
       (name, if (ok) median(times.toSeq) else -1.0, ok)
     }
     val line = renderJson(results, nRuns, sfDir)
-    // stdout AND stderr, before the shutdown logs: whichever stream
-    // the driver's bounded capture window keeps, a complete copy of
-    // the line sits as close to the run's end as possible
+    // The line prints FIRST (the instant results exist, before any
+    // diagnostics) and again LAST after the session is down — whether
+    // the driver's bounded capture keeps the head or the tail of the
+    // output, a complete copy survives, on both streams.
     println(line)
     System.err.println(line)
-    spark.stop()
+    diagnostics.foreach(System.err.println)
+    spark.stop() // before the final copy: shutdown logs can't trail it
+    println(line)
+    System.err.println(line)
   }
 
   /** True median: mean of the two middle samples for even run counts

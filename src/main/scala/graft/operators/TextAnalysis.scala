@@ -152,34 +152,92 @@ object TextAnalysis {
     * occurrences, and how head-heavy is the distribution (top-1
     * share). The 90% threshold compares integers (`cum*10 >=
     * total*9`), never floating shares, so the reported rank is
-    * engine-exact. Scale shape: one (lang, token) aggregate, then a
-    * cumulative window over each language's vocabulary — at 100 TB
-    * the window input is vocabulary-sized (not corpus-sized), and the
-    * threshold rank only needs the head: a two-phase variant windows
-    * the top-k candidates and falls back only if 90% isn't reached.
+    * engine-exact.
+    *
+    * Scale shape — TWO-PHASE. A per-lang cumulative window over the
+    * whole vocabulary sorts each language's entire vocabulary on one
+    * reducer (the window partition IS the lang); at 100 TB a
+    * language's raw vocabulary is 10^8+ garbage-heavy tokens, so that
+    * single-reducer sort is the operator's bottleneck. Instead:
+    * phase 0 computes the per-lang scalars (vocab size, total, top-1)
+    * as one fully-parallel hash aggregate — no ordering needed; phase
+    * 1 extracts the top-`headK` tokens per lang with a SALTED
+    * two-level rank (each (lang, salt) shard ranks its own slice, the
+    * per-lang re-rank reads <= SaltBuckets * headK survivors — a
+    * global top-k is always inside the union of per-shard top-ks) and
+    * runs the cumulative window over that bounded head only. If a
+    * language's head doesn't reach 90% (rank90 > headK), phase 2
+    * falls back to the full-vocabulary window FOR THAT LANGUAGE
+    * alone — correctness never depends on the Zipf assumption, only
+    * the fast path does.
     */
-  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+  def vocabCoverage(spark: SparkSession, dir: String,
+                    headK: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // materialized once: consumers are phase 0, phase 1, and (rarely)
+    // the phase-2 fallback — see nearDupMinhash for the
+    // localCheckpoint-over-persist rationale
+    val counts = tokenCounts(spark, dir).localCheckpoint()
+    val scalars = counts.groupBy("lang")
+      .agg(count(lit(1)).as("vocab_size"),
+           sum(col("c")).as("total_occ"),
+           max(col("c")).as("top1c"))
+    val wLang = Window.partitionBy("lang").orderBy(col("c").desc, col("tok"))
+    val cumW = wLang.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def rank90Of(ranked: DataFrame): DataFrame = ranked
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .join(scalars.select(col("lang"), col("total_occ")), Seq("lang"))
+      .groupBy("lang")
+      .agg(min(when(col("cum") * 10 >= col("total_occ") * 9, col("rk"))).as("rank90"))
+    val headRank90 = // read twice: probe + result
+      rank90Of(vocabHeadRanked(counts, headK)).localCheckpoint()
+    // phase 2 (fallback): only languages whose head missed 90%. The
+    // collect is bounded by the number of LANGUAGES, not tokens.
+    val missed = headRank90.filter(col("rank90").isNull)
+      .select("lang").collect().map(_.getString(0)).toSeq
+    val rank90 =
+      if (missed.isEmpty) headRank90
+      else headRank90.filter(col("rank90").isNotNull).unionByName(
+        rank90Of(counts.filter(col("lang").isInCollection(missed))
+          .withColumn("rk", row_number().over(wLang).cast("bigint"))))
+    scalars.join(rank90, Seq("lang"))
+      .select(col("lang"), col("vocab_size"), col("total_occ"), col("rank90"),
+        round(col("top1c").cast("double") / col("total_occ"), 6).as("top1_share"))
+      .orderBy("lang")
+  }
+
+  /** Salt fan-out for the two-level top-k rank in [[vocabCoverage]]. */
+  val SaltBuckets = 16
+
+  /** The per-(lang, token) occurrence aggregate both coverage phases
+    * read — exposed pre-materialization so PlanSpec can pin the head
+    * pass's shape (the operator itself checkpoints it, which truncates
+    * the visible plan).
+    */
+  private[graft] def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val counts = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .repartition(n, col("doc_id"))
       .select(col("lang"), explode(toks).as("tok"))
       .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy("lang").orderBy(col("c").desc, col("tok"))
-    val cum = Window.partitionBy("lang").orderBy(col("c").desc, col("tok"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy("lang")
+  }
+
+  /** Phase 1 of [[vocabCoverage]]: the global per-lang top-`headK`
+    * tokens via a salted two-level rank. The same tie-break (c desc,
+    * tok) at both levels, so the head is exactly the global top-headK:
+    * every global top-headK token is inside its own shard's top-headK,
+    * and the re-rank reads <= SaltBuckets * headK survivors per lang.
+    */
+  private[graft] def vocabHeadRanked(counts: DataFrame, headK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wShard = Window.partitionBy("lang", "salt").orderBy(col("c").desc, col("tok"))
+    val wLang = Window.partitionBy("lang").orderBy(col("c").desc, col("tok"))
     counts
-      .withColumn("rk", row_number().over(w).cast("bigint"))
-      .withColumn("cum", sum(col("c")).over(cum))
-      .withColumn("total", sum(col("c")).over(tot))
-      .groupBy("lang")
-      .agg(count(lit(1)).as("vocab_size"),
-           max(col("total")).as("total_occ"),
-           min(when(col("cum") * 10 >= col("total") * 9, col("rk"))).as("rank90"),
-           round(max(when(col("rk") === 1, col("c"))).cast("double") /
-                 max(col("total")), 6).as("top1_share"))
-      .orderBy("lang")
+      .withColumn("salt", pmod(xxhash64(col("tok")), lit(SaltBuckets.toLong)))
+      .withColumn("r1", row_number().over(wShard)).filter(col("r1") <= headK)
+      .withColumn("rk", row_number().over(wLang).cast("bigint"))
+      .filter(col("rk") <= headK)
+      .drop("salt", "r1")
   }
 
   /** Label-vs-heuristic language confusion matrix: per (labeled lang,

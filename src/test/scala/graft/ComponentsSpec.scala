@@ -87,10 +87,14 @@ class ComponentsSpec extends SparkSuite {
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n"))
         .agg(org.apache.spark.sql.functions.max($"n")).head().getLong(0)
-      assert(maxBucket <= Dedup.BandBucketCap,
-        s"$sf max band bucket $maxBucket exceeds cap ${Dedup.BandBucketCap}: " +
-        "the cap would drop pairs the oracle keeps — model it in the oracle " +
-        "or raise the cap")
+      // margin, not just <=: buckets grow with the corpus, and a max
+      // bucket that CREEPS toward the cap across SF bumps should fail
+      // here (loudly, with headroom to react) before the cap starts
+      // dropping pairs the oracle keeps
+      assert(maxBucket * 4 <= Dedup.BandBucketCap,
+        s"$sf max band bucket $maxBucket is within 4x of cap " +
+        s"${Dedup.BandBucketCap}: corpus growth is eroding the oracle's " +
+        "no-cap assumption — model the cap in the oracle or raise it")
       Caches.releaseAll(spark)
     }
   }

@@ -292,6 +292,17 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("vocabCoverage: a too-small head falls back per language with identical output") {
+    // headK=1 covers ~4% of occurrences, nowhere near 90% — every
+    // language is forced onto the phase-2 full-vocabulary fallback,
+    // which must be output-identical to the fast head path
+    val fast = TextAnalysis.vocabCoverage(spark, sfDir).collect().map(_.toSeq).toSeq
+    val fellBack = TextAnalysis.vocabCoverage(spark, sfDir, headK = 1)
+      .collect().map(_.toSeq).toSeq
+    assert(fellBack == fast, "fallback path must be output-invariant")
+    Caches.releaseAll(spark)
+  }
+
   test("heavyHitterTokens: counts descend with rank, share is occ over ALL tokens") {
     val rows = TextAnalysis.heavyHitterTokens(spark, sfDir, k = 10)
       .orderBy("rk").collect()

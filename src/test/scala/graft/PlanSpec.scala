@@ -123,6 +123,22 @@ class PlanSpec extends SparkSuite {
            !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("vocab coverage's cumulative window reads only the salted bounded head") {
+    // The per-lang cumulative window is the operator's single-reducer
+    // hazard; phase 1 must bound its input: a salted shard rank
+    // (xxhash64 % SaltBuckets) filtered to headK, then the per-lang
+    // re-rank filtered to headK again — both filters sit below the
+    // cumulative window, so no full vocabulary ever reaches one reducer.
+    val counts = graft.operators.TextAnalysis.tokenCounts(spark, sfDir)
+    val plan = formatted(graft.operators.TextAnalysis.vocabHeadRanked(counts, 1024))
+    assert(plan.contains("xxhash64"), s"salted shard pass missing:\n$plan")
+    assert(plan.contains("<= 1024"), s"head bound missing:\n$plan")
+    // tree nodes render as "+- Window (15)"; the detail sections below
+    // render as "(15) Window" — count only the tree
+    val windows = plan.linesIterator.count(_.contains("- Window ("))
+    assert(windows == 2, s"expected shard rank + lang re-rank windows, got $windows:\n$plan")
+  }
+
   test("dedup survivor anti-join degrades to a shuffle join when the dup set cannot broadcast") {
     // The non-root (duplicate) doc set grows with the corpus, so the
     // anti-join must carry NO hard broadcast() hint: a hint-forced
