@@ -347,6 +347,51 @@ class StreamingSpec extends SparkSuite {
     assert(afterReplay == got, "batch replay must not change the pair set")
   }
 
+  test("incremental domain cap equals the batch domainCap pass (stream==batch, out of order)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "domcap-").toString
+    val store = s"$base/candidates"
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "source").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(graft.streaming.StreamingDomainCap.candidateSink(store))
+      .start()
+    // OUT-OF-ORDER split: the hash-ranked quota must be arrival-
+    // independent, so a late batch must be able to displace an early
+    // admission (a first-arrivals quota would fail this corpus order)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (high, low) = docs.partition(_._1 >= 250)
+    try {
+      Seq(high, low.take(60), low.drop(60)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+      df.collect().map(r => (r.getString(0), r.getAs[Long]("rk"), r.getAs[Long]("doc_id"))).toSeq
+    val got = rows(graft.streaming.StreamingDomainCap.capped(spark, store))
+    val want = rows(graft.operators.CorpusOps.domainCap(spark, sfDir))
+    assert(got == want, s"stream==batch: ${got.length} vs ${want.length} kept docs")
+    assert(want.nonEmpty, "cap must actually select documents")
+    // the quota BINDS on this corpus (some source has > cap docs), so
+    // the displacement property was actually exercised
+    assert(docs.groupBy(_._2).values.map(_.size).max > 20,
+      "corpus must oversubscribe at least one source")
+    // per-batch candidate partitions stay bounded at cap per source
+    val perBatch = graft.streaming.StreamingDomainCap.readStore(spark, store)
+      .groupBy("batch_id", "source").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(perBatch <= 20, s"batch partition exceeds the cap: $perBatch")
+    // replayed micro-batch (failure before checkpoint commit) must be
+    // idempotent: it overwrites its own partition, the kept set holds
+    graft.streaming.StreamingDomainCap.candidateSink(store)(
+      low.drop(60).toDF("doc_id", "source"), 2L)
+    val afterReplay = rows(graft.streaming.StreamingDomainCap.capped(spark, store))
+    assert(afterReplay == got, "batch replay must not change the kept set")
+  }
+
   test("composed streaming curation equals the batch pipeline (quality -> dedup -> near-dup)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files
