@@ -1,9 +1,11 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's t2 correctness gate.
 
-Usage: python3 scripts/check.py [sfDir] [outDir]
+Usage: python3 scripts/check.py [sfDir] [outDir] [onlyQ1,onlyQ2,...]
 
 Assumes `graft.Verify` has already been run (scripts/check.sh does both).
+With an `only` list (matching a targeted Verify run) the other queries
+are not reported missing.
 For each query dir under outDir: load Spark parquet + run the oracle SQL
 in DuckDB over the same sf tables; compare Arrow schemas STRICTLY (the
 driver hashes typed values, so a DuckDB HUGEINT/DECIMAL vs Spark BIGINT
@@ -42,6 +44,9 @@ def norm_type(t: pa.DataType) -> str:
 
 fails = 0
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+if len(sys.argv) > 3:
+    only = set(sys.argv[3].split(","))
+    oracle = {k: v for k, v in oracle.items() if k in only}
 names = sorted(d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d)))
 # a query that crashed in Verify writes no output dir — surface it
 # instead of silently shrinking the denominator

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CorpusOps, Dedup, Similarity}
+import graft.operators.{CorpusOps, Dedup, Similarity, TextAnalysis}
 
 /** The Caches contract (r2/r3 ADVICE): operators may leave
   * materialized intermediates for the session, but a Verify-style
@@ -24,7 +24,9 @@ class CacheDisciplineSpec extends SparkSuite {
       "decontaminate"   -> (() => CorpusOps.decontaminate(spark, sfDir)),
       "tfidfTopTerms"   -> (() => CorpusOps.tfidfTopTerms(spark, sfDir)),
       "knnLshRecall"    -> (() => Similarity.knnLshRecall(spark, sfDir)),
-      "embeddingNearDup" -> (() => Similarity.embeddingNearDup(spark, sfDir)))
+      "embeddingNearDup" -> (() => Similarity.embeddingNearDup(spark, sfDir)),
+      "heavyHitterTokens" -> (() => TextAnalysis.heavyHitterTokens(spark, sfDir)),
+      "vocabCoverage"   -> (() => TextAnalysis.vocabCoverage(spark, sfDir)))
     persistingOps.foreach { case (name, mk) =>
       withClue(s"$name: ") {
         consume(mk())
