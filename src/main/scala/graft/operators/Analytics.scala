@@ -52,10 +52,14 @@ object Analytics {
       .orderBy("l_returnflag", "l_linestatus")
 
   /** TPC-H Q3-style: 3-way join + agg + top-k. customer is small
-    * relative to fact tables → broadcast; orders⋈lineitem is the big
-    * equi-join, shuffled on orderkey (at scale: bucket both by
-    * orderkey to eliminate it). Top-10 via orderBy+limit = Spark
-    * TakeOrderedAndProject — no global sort materialization.
+    * relative to fact tables — the planner broadcasts it from its
+    * measured size (no hard hint: customer GROWS with the corpus, and
+    * a hint-forced broadcast cannot degrade when it outgrows the
+    * threshold; the size-based choice falls back to a shuffled join).
+    * orders⋈lineitem is the big equi-join, shuffled on orderkey (at
+    * scale: bucket both by orderkey to eliminate it). Top-10 via
+    * orderBy+limit = Spark TakeOrderedAndProject — no global sort
+    * materialization.
     */
   def topRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -64,7 +68,7 @@ object Analytics {
     val li   = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > to_timestamp(lit("1998-03-15 00:00:00")))
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,6)") *
                (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
@@ -73,16 +77,18 @@ object Analytics {
       .limit(10)
   }
 
-  /** Broadcast-join: fact ⋈ small dim. `broadcast(part)` pins the
-    * strategy — no shuffle of the 100 TB side, each task streams its
-    * lineitem split against an in-memory hash of part. At real scale
-    * part may exceed the broadcast threshold → falls back to shuffled
-    * hash join; the query shape stays identical.
+  /** Broadcast-join: fact ⋈ small dim — no shuffle of the 100 TB
+    * side, each task streams its lineitem split against an in-memory
+    * hash of part. The broadcast is SIZE-CHOSEN (planner stats + AQE),
+    * not hint-forced: part grows with the corpus, and a hard hint
+    * cannot degrade when part outgrows the threshold — the size-based
+    * choice falls back to a shuffled hash join with the query shape
+    * unchanged (PlanSpec pins the broadcast at this scale).
     */
   def brandVolume(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val p  = Tables.part(spark, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy("p_brand")
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
