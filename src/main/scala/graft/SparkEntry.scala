@@ -150,6 +150,7 @@ object SparkEntry {
     "x_ivf_probe_sweep"    -> ((s, dir) => Similarity.knnIvfProbeSweep(s, dir)),
     "x_dedup_exact"        -> ((s, dir) => Dedup.exactDedup(s, dir)),
     "x_dedup_minhash"      -> ((s, dir) => Dedup.nearDupMinhash(s, dir)),
+    "x_minhash_error"      -> ((s, dir) => Dedup.minhashErrorAudit(s, dir)),
     "x_dedup_simhash"      -> ((s, dir) => Dedup.simhashDocs(s, dir)),
     "x_dedup_simhash64"    -> ((s, dir) => Dedup.simhashDocs64(s, dir)),
     "x_doc_fingerprint"    -> ((s, dir) => Dedup.docFingerprint(s, dir)),
@@ -160,6 +161,8 @@ object SparkEntry {
     "x_heavy_hitters"      -> ((s, dir) => TextAnalysis.heavyHitterTokens(s, dir)),
     "x_lang_confusion"     -> ((s, dir) => TextAnalysis.langConfusion(s, dir)),
     "x_vocab_coverage"     -> ((s, dir) => TextAnalysis.vocabCoverage(s, dir)),
+    "x_vocab_overlap"      -> ((s, dir) => TextAnalysis.vocabOverlap(s, dir)),
+    "x_quality_deciles"    -> ((s, dir) => CorpusOps.qualityDeciles(s, dir)),
     "x_epoch_mix"          -> ((s, dir) => CorpusOps.epochMix(s, dir)),
     "x_knn_brute"          -> ((s, dir) => Similarity.knnBruteForce(s, dir)),
     "x_knn_lsh"            -> ((s, dir) => Similarity.knnLsh(s, dir)),
@@ -1367,6 +1370,49 @@ object SparkEntry {
         |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // estimate-vs-exact audit over the SAME candidate pairs as
+    // x_dedup_minhash, WITHOUT the threshold: est = agreeing signature
+    // components / 16, exact = shingle-set Jaccard, plus |error|
+    "x_minhash_error" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text,' ') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM tk WHERE len(toks) >= 3
+        |), hs AS (
+        |  SELECT doc_id, list_distinct(list_transform(shingles, s ->
+        |    list_reduce(list_transform(range(1,len(s)+1), i -> ascii(substr(s,i,1))::BIGINT),
+        |      (acc,c) -> (acc*31+c)%1000000007))) AS hashes
+        |  FROM sh
+        |), sig AS (
+        |  SELECT doc_id, list_transform(range(0,16), i ->
+        |    list_min(list_transform(hashes, x -> ((i*2+1)*x + (i*5+3)) % 1000000007))) AS sig
+        |  FROM hs
+        |), bands AS (
+        |  SELECT doc_id, b,
+        |    ((((((sig[4*b+1]::BIGINT % 1000000007)*31 + sig[4*b+2]::BIGINT) % 1000000007)*31
+        |       + sig[4*b+3]::BIGINT) % 1000000007 *31 + sig[4*b+4]::BIGINT) % 1000000007) AS bh
+        |  FROM sig, range(0,4) t(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
+        |), est AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    round(len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16, 6) AS est_jaccard
+        |  FROM pairs p JOIN sig sa ON p.doc_a = sa.doc_id JOIN sig sb ON p.doc_b = sb.doc_id
+        |), ex AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    round(len(list_filter(ha.hashes, x -> list_contains(hb.hashes, x)))::DOUBLE /
+        |      (len(ha.hashes)+len(hb.hashes)
+        |       -len(list_filter(ha.hashes, x -> list_contains(hb.hashes, x)))), 6) AS exact_jaccard
+        |  FROM pairs p JOIN hs ha ON p.doc_a = ha.doc_id JOIN hs hb ON p.doc_b = hb.doc_id
+        |)
+        |SELECT e.doc_a, e.doc_b, e.est_jaccard, x.exact_jaccard,
+        |  round(abs(e.est_jaccard - x.exact_jaccard), 6) AS abs_err
+        |FROM est e JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+        |ORDER BY e.doc_a, e.doc_b""".stripMargin,
+
     // components over the SAME pair set as x_dedup_minhash (jaccard >=
     // 0.7), via WITH RECURSIVE reachability; Spark computes them with
     // distributed min-label propagation
@@ -1874,6 +1920,37 @@ object SparkEntry {
         |  MIN(CASE WHEN cum*10 >= total*9 THEN rk END) AS rank90,
         |  round(MAX(CASE WHEN rk = 1 THEN c END)::DOUBLE / MAX(total), 6) AS top1_share
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x_vocab_overlap" ->
+      """WITH v AS (SELECT DISTINCT lang, tok FROM (
+        |  SELECT lang, unnest(string_split(text,' ')) AS tok FROM documents)),
+        |s AS (SELECT lang, COUNT(*) AS sz FROM v GROUP BY lang),
+        |i AS (SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_common
+        |      FROM v a JOIN v b ON a.tok = b.tok AND a.lang < b.lang
+        |      GROUP BY 1, 2)
+        |SELECT i.lang_a, i.lang_b, i.n_common, sa.sz AS vocab_a, sb.sz AS vocab_b,
+        |  round(i.n_common::DOUBLE / (sa.sz + sb.sz - i.n_common), 6) AS jaccard
+        |FROM i JOIN s sa ON i.lang_a = sa.lang JOIN s sb ON i.lang_b = sb.lang
+        |ORDER BY i.lang_a, i.lang_b""".stripMargin,
+
+    // decile id is integer arithmetic on the global rank — NOT NTILE,
+    // whose remainder convention need not match across engines; the
+    // Spark side evaluates the identical ((rn-1)*10) div n formula
+    "x_quality_deciles" ->
+      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |    round(least(1.0, len(toks)/50.0)*0.4
+        |        + (len(list_distinct(toks))::DOUBLE/len(toks))*0.3
+        |        + least(1.0, (len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t)))::DOUBLE/len(toks))*5.0)*0.3, 6) AS quality
+        |  FROM tk),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) AS rn,
+        |             COUNT(*) OVER () AS n FROM s)
+        |SELECT ((rn - 1) * 10) // n + 1 AS decile, COUNT(*) AS n_docs,
+        |  MIN(quality) AS min_quality, MAX(quality) AS max_quality,
+        |  CAST(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS avg_quality,
+        |  SUM(n_tokens)::BIGINT AS total_tokens
+        |FROM r GROUP BY 1 ORDER BY decile""".stripMargin,
 
     "x_epoch_mix" ->
       """WITH d AS (

@@ -21,6 +21,83 @@ object CorpusOps {
     */
   val DecontamGramN = 4
 
+  /** Exact DISTRIBUTED global rank over `sortCols` (assumed a unique
+    * key): range-partition on the sort key, rank WITHIN each partition,
+    * then add per-partition offsets. The offsets come from one
+    * partition-count aggregate collected to the driver — bounded by
+    * the PARTITION count (a config scalar), never by the data, the
+    * same driver-bounded move as [[TextAnalysis.vocabCoverage]]'s
+    * language collect. No single-reducer global window ever runs: the
+    * per-partition rank window partitions on the physical partition
+    * id, so every reducer sorts only its own range slice. This is the
+    * scalable form of `ROW_NUMBER() OVER (ORDER BY ...)` — the naive
+    * form funnels the whole table through ONE reducer at 100 TB.
+    *
+    * The range-partitioned frame is localCheckpointed BEFORE the
+    * counts collect: the offsets and the rank join must see the SAME
+    * physical partitioning (range boundaries come from sampling;
+    * re-evaluating the exchange for each consumer could resample).
+    */
+  private[graft] def withGlobalRank(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+                                    rankCol: String): (DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df.repartitionByRange(n, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = parted.groupBy("_pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2).init)
+    val total = counts.map(_._2).sum
+    val offsetDf = spark.createDataFrame(offsets.toSeq).toDF("_pid", "_off")
+    val w = Window.partitionBy("_pid").orderBy(sortCols: _*)
+    val ranked = parted
+      .withColumn("_lr", row_number().over(w))
+      // partition-count-sized: broadcast is bounded by config, like
+      // the centroid tables
+      .join(broadcast(offsetDf), "_pid")
+      .withColumn(rankCol, (col("_off") + col("_lr")).cast("bigint"))
+      .drop("_pid", "_off", "_lr")
+    (ranked, total)
+  }
+
+  /** Quality-decile curriculum bins: rank every document by its
+    * [[TextAnalysis.textStats]] quality score (ties broken by doc_id —
+    * a unique total order, so the binning is engine-exact) and split
+    * the ranking into `k` equal bins, reporting each bin's size,
+    * quality range, mean quality, and token mass. This is the
+    * curriculum-learning audit: band 1 is what "train on the best
+    * decile first" actually selects, and the per-decile token mass is
+    * what it costs.
+    *
+    * The bin id is integer arithmetic on the global rank
+    * (`(rn-1)*k div N + 1`) rather than NTILE — the same formula
+    * evaluated in the oracle, so bin boundaries cannot drift between
+    * engines' NTILE remainder conventions.
+    *
+    * Scale shape: the global rank comes from [[withGlobalRank]]
+    * (range-partition + per-partition rank + partition-count offsets)
+    * — no single-reducer window anywhere (plan-asserted); the decile
+    * rollup is a k-row hash aggregate.
+    */
+  def qualityDeciles(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val stats = TextAnalysis.textStats(spark, dir)
+      .select("doc_id", "quality", "n_tokens")
+    val (ranked, total) = withGlobalRank(stats,
+      Seq(col("quality").desc, col("doc_id")), "rn")
+    ranked
+      .withColumn("decile", expr(s"((rn - 1) * $k) div ${total}") + 1)
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("quality")).as("min_quality"),
+           max(col("quality")).as("max_quality"),
+           (sum(col("quality").cast("decimal(18,6)")).cast("double") /
+             count(lit(1))).as("avg_quality"),
+           sum(col("n_tokens")).as("total_tokens"))
+      .orderBy("decile")
+  }
+
   /** Deterministic hash-based stratified sampling: keep a document iff
     * polyhash(doc_id) mod 100 falls under its stratum's rate —
     * downsample the dominant language, keep rare strata dense (the
@@ -329,27 +406,12 @@ object CorpusOps {
     */
   def decontaminate(spark: SparkSession, dir: String,
                     benchDocs: Int = 20): DataFrame = {
-    graft.functions.PolyHash.register(spark)
-    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val toks = split(col("text"), " ")
-    def gramRows(df: DataFrame): DataFrame = df
-      .filter(size(toks) >= DecontamGramN)
-      .repartition(n, col("doc_id"))
-      .select(col("doc_id"), toks.as("toks"),
-        explode(sequence(lit(1), size(toks) - (DecontamGramN - 1))).as("i"))
-      .select(col("doc_id"),
-        call_function(graft.functions.PolyHash.Name,
-          concat(element_at(col("toks"), col("i")), lit(" "),
-                 element_at(col("toks"), col("i") + 1), lit(" "),
-                 element_at(col("toks"), col("i") + 2), lit(" "),
-                 element_at(col("toks"), col("i") + 3))).as("gh"))
-      .dropDuplicates("doc_id", "gh")
     // ONE gram materialization over all documents, split afterwards —
     // building the bench and corpus gram tables separately would run
     // the explode+hash pipeline twice. The rows feed three consumers
     // (bench grams, sizes, the probe join): materialize once, with
     // plan truncation (see Dedup.nearDupMinhash).
-    val rows = gramRows(Tables.documents(spark, dir)).localCheckpoint()
+    val rows = decontamGramRows(Tables.documents(spark, dir)).localCheckpoint()
     val corpus = rows.filter(col("doc_id") >= benchDocs)
     val bench = rows.filter(col("doc_id") < benchDocs)
       .select("gh").distinct()
@@ -361,5 +423,32 @@ object CorpusOps {
         round(col("n_shared").cast("double") / col("n_grams"), 6))
       .select("doc_id", "n_grams", "n_shared", "contamination")
       .orderBy("doc_id")
+  }
+
+  /** (doc_id, gh): one row per DISTINCT word-[[DecontamGramN]]-gram
+    * hash of each document — the decontamination probe unit, shared by
+    * the batch pass above and the streaming twin
+    * ([[graft.streaming.StreamingDecontam]]) so the gram definition
+    * cannot drift between them. Same shape as
+    * [[Dedup.shingleHashRows]]: tokens materialized once, positions
+    * explode, codegen'd concat + PolyHash, dedup on the 8-byte hash.
+    */
+  private[graft] def decontamGramRows(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.PolyHash.register(spark)
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val toks = split(col("text"), " ")
+    df
+      .filter(size(toks) >= DecontamGramN)
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"), toks.as("toks"),
+        explode(sequence(lit(1), size(toks) - (DecontamGramN - 1))).as("i"))
+      .select(col("doc_id"),
+        call_function(graft.functions.PolyHash.Name,
+          concat(element_at(col("toks"), col("i")), lit(" "),
+                 element_at(col("toks"), col("i") + 1), lit(" "),
+                 element_at(col("toks"), col("i") + 2), lit(" "),
+                 element_at(col("toks"), col("i") + 3))).as("gh"))
+      .dropDuplicates("doc_id", "gh")
   }
 }

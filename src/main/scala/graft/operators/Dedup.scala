@@ -126,14 +126,21 @@ object Dedup {
     * Band hash = Horner fold (acc*31 + sig_i) mod P over the band's
     * rows — exactly reproducible in the oracle's integer arithmetic.
     */
-  def minhashBandsFrom(rows: DataFrame): DataFrame = {
+  def minhashBandsFrom(rows: DataFrame): DataFrame =
+    minhashBandsFromSigs(minhashSigsFrom(rows))
+
+  /** Band hashes over an already-computed signature table — the seam
+    * [[minhashErrorAudit]] uses to derive bands AND per-component
+    * agreement from ONE signature aggregation.
+    */
+  def minhashBandsFromSigs(sigs: DataFrame): DataFrame = {
     val bandRecs = (0 until Bands).map { b =>
       val bh = (0 until RowsPerBand).foldLeft(lit(0L)) { (acc, r) =>
         (acc * 31 + col(s"m${b * RowsPerBand + r}")) % P
       }
       struct(lit(b).as("band"), bh.as("bh"))
     }
-    minhashSigsFrom(rows)
+    sigs
       .select(col("doc_id"), explode(array(bandRecs: _*)).as("rec"))
       .select(col("doc_id"), col("rec.band").as("band"), col("rec.bh").as("bh"))
   }
@@ -230,6 +237,73 @@ object Dedup {
               (col("sza") + col("szb") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash ESTIMATE-vs-EXACT Jaccard audit over the LSH candidate
+    * pairs — the "measure, don't claim" companion to
+    * [[nearDupMinhash]], the same move as the ANN recall audits: the
+    * production pipeline THRESHOLDS on exact Jaccard after candidate
+    * generation, and this query prices what thresholding on the
+    * 16-component signature estimate instead would cost (the estimate
+    * is a 16-sample Bernoulli mean of the true Jaccard — expected
+    * |error| ~ sqrt(J(1-J)/16) ≈ 0.1, which is why the exact re-check
+    * exists at all).
+    *
+    * Per candidate pair: `est_jaccard` = agreeing signature components
+    * / 16, `exact_jaccard` over the distinct shingle-hash sets, and
+    * the absolute error. Candidate pairs with ZERO shingle overlap
+    * (pure permutation/band coincidences) are kept — they are exactly
+    * the estimator's worst case.
+    *
+    * Scale shape: signatures aggregate ONCE (one hash-agg over the
+    * checkpointed shingle rows) and feed both the band derivation and
+    * the per-component agreement join; the agreement join carries 17
+    * longs per candidate doc; the exact side is the candidate-filtered
+    * intersection equi-join of [[nearDupMinhashRows]]. No cross
+    * products, no corpus-growing broadcast hints.
+    */
+  def minhashErrorAudit(spark: SparkSession, dir: String): DataFrame = {
+    val rows = shingleHashRows(spark, dir).localCheckpoint()
+    // one signature aggregation, three consumers (bands, both
+    // agreement sides) — materialize + truncate (see nearDupMinhash)
+    val sigs = minhashSigsFrom(rows).localCheckpoint()
+    val buckets = minhashBandsFromSigs(sigs)
+      .groupBy("band", "bh").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = bucketPairs(buckets).localCheckpoint()
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = pairs
+      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(agree.cast("double") / NumHashes, 6).as("est_jaccard"))
+    val sizes = rows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val candidateDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val crows = rows.join(candidateDocs, Seq("doc_id"), "left_semi")
+    val inter = pairs
+      .join(crows.as("ra"), col("doc_a") === col("ra.doc_id"))
+      .join(crows.as("rb"),
+        col("doc_b") === col("rb.doc_id") && col("ra.h") === col("rb.h"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      // LEFT join, unlike the threshold pipeline: zero-intersection
+      // candidates must stay in the audit
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("exact_jaccard",
+        round(col("inter").cast("double") /
+              (col("sza") + col("szb") - col("inter")), 6))
+      .join(est, Seq("doc_a", "doc_b"))
+      .withColumn("abs_err",
+        round(abs(col("est_jaccard") - col("exact_jaccard")), 6))
+      .select("doc_a", "doc_b", "est_jaccard", "exact_jaccard", "abs_err")
       .orderBy("doc_a", "doc_b")
   }
 

@@ -240,6 +240,40 @@ object TextAnalysis {
       .drop("salt", "r1")
   }
 
+  /** Cross-language vocabulary overlap: pairwise Jaccard similarity of
+    * the per-language vocabularies (distinct token sets) — the
+    * corpus-composition audit behind tokenizer sharing decisions (high
+    * overlap → one shared vocabulary covers both languages; low →
+    * per-language merges are buying coverage) and a contamination
+    * signal (a "zh" shard whose vocabulary is mostly inside "en" is
+    * mislabeled or machine-translated).
+    *
+    * Scale shape: everything downstream of the first aggregate is
+    * VOCABULARY-sized, not corpus-sized — the (lang, tok) aggregate
+    * collapses all occurrences, and the overlap self-join is an
+    * equi-join on the token whose per-token fan-out is bounded by the
+    * language count (each language contributes one row per token), so
+    * no token can be a hot key. The per-language size table is
+    * language-count-sized and AQE-broadcasts into the final join.
+    */
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // three consumers (sizes + both join sides) of one vocab aggregate
+    val vocab = tokenCounts(spark, dir).select("lang", "tok").localCheckpoint()
+    val sizes = vocab.groupBy("lang").agg(count(lit(1)).as("sz"))
+    val inter = vocab.as("a").join(vocab.as("b"),
+        col("a.tok") === col("b.tok") && col("a.lang") < col("b.lang"))
+      .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("lang").as("lang_a"), col("sz").as("vocab_a")), "lang_a")
+      .join(sizes.select(col("lang").as("lang_b"), col("sz").as("vocab_b")), "lang_b")
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+              (col("vocab_a") + col("vocab_b") - col("n_common")), 6))
+      .select("lang_a", "lang_b", "n_common", "vocab_a", "vocab_b", "jaccard")
+      .orderBy("lang_a", "lang_b")
+  }
+
   /** Label-vs-heuristic language confusion matrix: per (labeled lang,
     * guessed lang) doc counts and the within-label share — the
     * classifier-quality audit for the language-ID heuristic, the same

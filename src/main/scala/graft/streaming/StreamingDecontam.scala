@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusOps
+
+/** Incremental benchmark decontamination over a document stream — the
+  * streaming twin of [[CorpusOps.decontaminate]]: every arriving crawl
+  * shard is probed against the FIXED benchmark gram set (an eval suite
+  * is static by nature — it changes by re-publishing the index, not
+  * per batch), and each contaminated document's overlap report is
+  * appended. The gram unit is [[CorpusOps.decontamGramRows]] — the
+  * same definition the batch pass uses, so the two cannot drift.
+  *
+  * Stream==batch: per-document reports depend only on that document's
+  * text and the static benchmark set, so the union of per-batch
+  * reports over ANY batch split of a corpus equals the batch
+  * `decontaminate` rows for the same corpus/bench partition (asserted
+  * in StreamingSpec, including an out-of-order split).
+  *
+  * Scale shape: the benchmark gram index is bounded by the eval suite
+  * (thousands of docs, not corpus-scale) — it broadcasts into a
+  * left-semi probe, so the arriving shard never shuffles for the
+  * probe; the only shuffle is the per-doc count aggregate, keyed on
+  * doc_id. Batch replay is idempotent: output is partitioned by
+  * batch_id with dynamic partition overwrite, so a replayed batch
+  * overwrites itself ([[StreamingDedup]]'s contract).
+  */
+object StreamingDecontam {
+
+  private val ReportSchema =
+    "doc_id BIGINT, n_grams BIGINT, n_shared BIGINT, contamination DOUBLE, batch_id BIGINT"
+
+  /** All contamination reports emitted so far. */
+  def readReport(spark: SparkSession, reportPath: String): DataFrame =
+    if (new java.io.File(reportPath).exists())
+      spark.read.schema(ReportSchema).parquet(reportPath)
+        .select("doc_id", "n_grams", "n_shared", "contamination")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ReportSchema))
+      .select("doc_id", "n_grams", "n_shared", "contamination")
+
+  /** Build the benchmark gram index at `benchPath` from the benchmark
+    * documents — run once when the eval suite is (re)published.
+    */
+  def writeBenchIndex(benchmarkDocs: DataFrame, benchPath: String): Unit =
+    CorpusOps.decontamGramRows(benchmarkDocs)
+      .select("gh").distinct()
+      .write.mode("overwrite").parquet(benchPath)
+
+  /** foreachBatch body: probe one micro-batch of `(doc_id, text, ...)`
+    * rows against the benchmark index and append its contamination
+    * reports (contaminated documents only, like the batch pass).
+    */
+  def contamSink(benchPath: String, reportPath: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val bench = spark.read.parquet(benchPath)
+      val rows = CorpusOps.decontamGramRows(batch)
+      val sizes = rows.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      // benchmark sets are small by nature — the broadcast is bounded
+      // by the eval suite, not the corpus (same hint as the batch op)
+      val hits = rows.join(broadcast(bench), Seq("gh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      sizes.join(hits, Seq("doc_id"))
+        .withColumn("contamination",
+          round(col("n_shared").cast("double") / col("n_grams"), 6))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(reportPath)
+      ()
+  }
+}

@@ -26,7 +26,10 @@ class CacheDisciplineSpec extends SparkSuite {
       "knnLshRecall"    -> (() => Similarity.knnLshRecall(spark, sfDir)),
       "embeddingNearDup" -> (() => Similarity.embeddingNearDup(spark, sfDir)),
       "heavyHitterTokens" -> (() => TextAnalysis.heavyHitterTokens(spark, sfDir)),
-      "vocabCoverage"   -> (() => TextAnalysis.vocabCoverage(spark, sfDir)))
+      "vocabCoverage"   -> (() => TextAnalysis.vocabCoverage(spark, sfDir)),
+      "vocabOverlap"    -> (() => TextAnalysis.vocabOverlap(spark, sfDir)),
+      "minhashErrorAudit" -> (() => Dedup.minhashErrorAudit(spark, sfDir)),
+      "qualityDeciles"  -> (() => CorpusOps.qualityDeciles(spark, sfDir)))
     persistingOps.foreach { case (name, mk) =>
       withClue(s"$name: ") {
         consume(mk())

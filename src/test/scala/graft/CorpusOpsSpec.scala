@@ -99,6 +99,42 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("distributed global rank equals the single-node sort index") {
+    import org.apache.spark.sql.functions.col
+    val stats = graft.operators.TextAnalysis.textStats(spark, sfDir)
+      .select("doc_id", "quality")
+    val (ranked, total) = CorpusOps.withGlobalRank(stats,
+      Seq(col("quality").desc, col("doc_id")), "rn")
+    val got = ranked.select("doc_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val local = stats.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, q) => (-q, id) }
+      .zipWithIndex.map { case ((id, _), i) => (id, i + 1L) }.toMap
+    assert(total == local.size.toLong)
+    assert(got == local, "rank must equal the global sort position")
+  }
+
+  test("quality deciles: even bins, dense ids, monotone quality boundaries") {
+    val rows = CorpusOps.qualityDeciles(spark, sfDir).collect()
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "bins partition the corpus")
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length), "dense decile ids")
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"uneven bins: ${sizes.toSeq}")
+    // ranking is quality-DESC: each bin's floor >= the next bin's
+    // ceiling (equal exactly when a tie spans the boundary)
+    rows.sliding(2).foreach {
+      case Array(hi, lo) =>
+        assert(hi.getDouble(2) >= lo.getDouble(3),
+          s"decile ${hi.getLong(0)} min < decile ${lo.getLong(0)} max")
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(4) + 1e-9 && r.getDouble(4) <= r.getDouble(3) + 1e-9,
+        "avg within [min, max]")
+    }
+  }
+
   test("tf-idf emits a full descending top-k per language") {
     val rows = CorpusOps.tfidfTopTerms(spark, sfDir, k = 5).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(5)))

@@ -28,6 +28,54 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("minhashErrorAudit: superset of the thresholded pairs, exact values agree") {
+    val audit = Dedup.minhashErrorAudit(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+                 (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(audit.nonEmpty, "band buckets produce candidate pairs")
+    audit.foreach { case ((a, b), (est, exact, err)) =>
+      assert(a < b, "canonical pair order")
+      assert(est >= 0.0 && est <= 1.0 && exact >= 0.0 && exact <= 1.0)
+      // est is a multiple of 1/16 (agreeing components over 16)
+      assert(math.abs(est * 16 - math.round(est * 16)) < 1e-9, s"est=$est")
+      assert(math.abs(err - math.abs(est - exact)) < 1e-6)
+    }
+    // every pair the thresholded pipeline emits is in the audit with
+    // the same exact Jaccard (same candidates, no threshold)
+    val strict = Dedup.nearDupMinhash(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(strict.nonEmpty)
+    strict.foreach { case (k, j) =>
+      assert(audit.contains(k), s"thresholded pair $k missing from audit")
+      assert(audit(k)._2 == j, s"exact jaccard drifted for $k")
+    }
+    assert(audit.size >= strict.size)
+  }
+
+  test("vocabOverlap: pairwise jaccard matches per-language token sets") {
+    val out = TextAnalysis.vocabOverlap(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val vocab = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1)
+      .map { case (l, rs) => l -> rs.flatMap(_._2.split(" ")).toSet }
+    val langs = vocab.keys.toSeq.sorted
+    val expectedPairs = (for {
+      a <- langs; b <- langs if a < b
+      if (vocab(a) & vocab(b)).nonEmpty
+    } yield (a, b)).toSet
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet == expectedPairs)
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val inter = (vocab(a) & vocab(b)).size
+      val union = (vocab(a) | vocab(b)).size
+      assert(r.getLong(2) == inter, s"n_common($a,$b)")
+      assert(r.getLong(3) == vocab(a).size && r.getLong(4) == vocab(b).size)
+      assert(math.abs(r.getDouble(5) - inter.toDouble / union) < 1e-6)
+    }
+  }
+
   test("ngramJaccard pairs never span a (lang, source) block") {
     import spark.implicits._
     // the jaccard formula itself is covered by the DuckDB oracle

@@ -167,6 +167,20 @@ class PlanSpec extends SparkSuite {
       s"AQE did not recover the small-side broadcast:\n${adaptive.take(4000)}")
   }
 
+  test("quality deciles never run a single-reducer global window") {
+    // the global rank comes from withGlobalRank: a per-PARTITION-id
+    // window over the range-partitioned (checkpointed) frame plus
+    // partition-count offsets — the plan must show the _pid-keyed
+    // window exchange and NO SinglePartition exchange (the signature
+    // of a naive ROW_NUMBER() OVER (ORDER BY ...) global window)
+    val plan = formatted(graft.operators.CorpusOps.qualityDeciles(spark, sfDir))
+    assert(plan.contains("hashpartitioning(_pid"), s"per-partition rank window missing:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"global-window funnel found in the decile plan:\n$plan")
+    val windows = plan.linesIterator.count(_.contains("- Window ("))
+    assert(windows == 1, s"expected exactly the partition-local rank window, got $windows:\n$plan")
+  }
+
   test("sessionize runs both windows and the aggregation on ONE shuffle") {
     val plan = formatted(Analytics.sessionize(spark, sfDir))
     // one hashpartitioning exchange shared by lag-window, running-sum

@@ -392,6 +392,46 @@ class StreamingSpec extends SparkSuite {
     assert(afterReplay == got, "batch replay must not change the kept set")
   }
 
+  test("incremental decontamination equals the batch pass (stream==batch, out of order)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "decontam-").toString
+    val (benchPath, reportPath) = (s"$base/bench", s"$base/report")
+    // the benchmark index is fixed before the stream starts (an eval
+    // suite is static) — same bench partition as the batch pass
+    val allDocs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    graft.streaming.StreamingDecontam.writeBenchIndex(
+      allDocs.filter(org.apache.spark.sql.functions.col("doc_id") < 20), benchPath)
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(graft.streaming.StreamingDecontam.contamSink(benchPath, reportPath))
+      .start()
+    // OUT-OF-ORDER batch split of the corpus side (doc_id >= 20):
+    // reports are per-document, so arrival order must not matter
+    val corpus = allDocs.filter(org.apache.spark.sql.functions.col("doc_id") >= 20)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (high, low) = corpus.partition(_._1 >= 250)
+    try {
+      Seq(high, low.take(100), low.drop(100)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = rows(graft.streaming.StreamingDecontam.readReport(spark, reportPath))
+    val want = rows(graft.operators.CorpusOps.decontaminate(spark, sfDir))
+    assert(want.nonEmpty, "corpus must actually contain contaminated docs")
+    assert(got == want, s"stream==batch: ${got.size} vs ${want.size} reports")
+    // replayed micro-batch must be idempotent (overwrites its own
+    // partition instead of appending)
+    graft.streaming.StreamingDecontam.contamSink(benchPath, reportPath)(
+      low.drop(100).toDF("doc_id", "text"), 2L)
+    val afterReplay = rows(graft.streaming.StreamingDecontam.readReport(spark, reportPath))
+    assert(afterReplay == got, "batch replay must not change the report set")
+  }
+
   test("composed streaming curation equals the batch pipeline (quality -> dedup -> near-dup)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files
