@@ -137,6 +137,7 @@ object SparkEntry {
     "x_training_order"     -> ((s, dir) => CorpusOps.trainingOrder(s, dir)),
     "x_quality_filter"     -> ((s, dir) => CorpusOps.qualityFilter(s, dir)),
     "x_decontaminate"      -> ((s, dir) => CorpusOps.decontaminate(s, dir)),
+    "x_contam_by_bench"    -> ((s, dir) => CorpusOps.contaminationByBench(s, dir)),
     "x_tfidf_top_terms"    -> ((s, dir) => CorpusOps.tfidfTopTerms(s, dir)),
     "x_curation_pipeline"  -> ((s, dir) => CorpusOps.curationPipeline(s, dir)),
     "x_doc_chunks"         -> ((s, dir) => CorpusOps.docChunks(s, dir)),
@@ -1133,6 +1134,37 @@ object SparkEntry {
         |SELECT s.doc_id, s.n_grams, h.n_shared,
         |  round(h.n_shared::DOUBLE/s.n_grams, 6) AS contamination
         |FROM sizes s JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the reverse audit: per BENCHMARK doc, its leakage into the
+    // corpus; LEFT join keeps zero-leak bench docs (the clean rows are
+    // the point of an integrity report)
+    "x_contam_by_bench" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text,' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    list_transform(range(1, len(toks)-2),
+        |      i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]),
+        |    s -> list_reduce(list_transform(range(1,len(s)+1),
+        |           i2 -> ascii(substr(s,i2,1))::BIGINT),
+        |           (acc,c)->(acc*31+c)%1000000007)))) AS gh
+        |  FROM tk WHERE len(toks) >= 4
+        |), bench AS (
+        |  SELECT doc_id AS bench_id, gh FROM g WHERE doc_id < 20
+        |), corp AS (
+        |  SELECT * FROM g WHERE doc_id >= 20
+        |), sizes AS (
+        |  SELECT bench_id, COUNT(*) AS n_grams FROM bench GROUP BY bench_id
+        |), hits AS (
+        |  SELECT b.bench_id, COUNT(DISTINCT c.doc_id) AS n_hit_docs,
+        |         COUNT(DISTINCT b.gh) AS n_hit_grams
+        |  FROM corp c JOIN bench b USING (gh) GROUP BY b.bench_id
+        |)
+        |SELECT s.bench_id, s.n_grams,
+        |  COALESCE(h.n_hit_docs, 0)::BIGINT AS n_hit_docs,
+        |  COALESCE(h.n_hit_grams, 0)::BIGINT AS n_hit_grams,
+        |  round(COALESCE(h.n_hit_grams, 0)::DOUBLE / s.n_grams, 6) AS leak_ratio
+        |FROM sizes s LEFT JOIN hits h USING (bench_id) ORDER BY bench_id""".stripMargin,
 
     "x_tfidf_top_terms" ->
       """WITH r AS (

@@ -425,6 +425,41 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** The REVERSE decontamination audit: per BENCHMARK document, how
+    * far it has leaked into the corpus — hit doc count, how many of
+    * its grams occur anywhere in the corpus, and the leaked-gram
+    * ratio. [[decontaminate]] answers "which corpus docs must be
+    * dropped"; this answers "which eval items are compromised and how
+    * badly" — the report an eval-integrity review reads. Benchmark
+    * docs with ZERO leakage are kept (the clean rows are the point of
+    * an integrity report).
+    *
+    * Scale shape: same probe as [[decontaminate]] — bench grams are
+    * eval-suite-bounded and broadcast; the corpus side streams through
+    * the gram join once and aggregates keyed by bench doc, so the
+    * output is benchmark-sized. The distinct-doc/distinct-gram counts
+    * shuffle only (bench_id, doc_id/gh) pairs that actually matched.
+    */
+  def contaminationByBench(spark: SparkSession, dir: String,
+                           benchDocs: Int = 20): DataFrame = {
+    val rows = decontamGramRows(Tables.documents(spark, dir)).localCheckpoint()
+    val bench = rows.filter(col("doc_id") < benchDocs)
+      .select(col("doc_id").as("bench_id"), col("gh"))
+    val corpus = rows.filter(col("doc_id") >= benchDocs)
+    val hits = corpus.join(broadcast(bench), Seq("gh"))
+      .groupBy("bench_id")
+      .agg(countDistinct(col("doc_id")).as("n_hit_docs"),
+           countDistinct(col("gh")).as("n_hit_grams"))
+    val sizes = bench.groupBy("bench_id").agg(count(lit(1)).as("n_grams"))
+    sizes.join(hits, Seq("bench_id"), "left")
+      .withColumn("n_hit_docs", coalesce(col("n_hit_docs"), lit(0L)))
+      .withColumn("n_hit_grams", coalesce(col("n_hit_grams"), lit(0L)))
+      .withColumn("leak_ratio",
+        round(col("n_hit_grams").cast("double") / col("n_grams"), 6))
+      .select("bench_id", "n_grams", "n_hit_docs", "n_hit_grams", "leak_ratio")
+      .orderBy("bench_id")
+  }
+
   /** (doc_id, gh): one row per DISTINCT word-[[DecontamGramN]]-gram
     * hash of each document — the decontamination probe unit, shared by
     * the batch pass above and the streaming twin

@@ -29,7 +29,8 @@ class CacheDisciplineSpec extends SparkSuite {
       "vocabCoverage"   -> (() => TextAnalysis.vocabCoverage(spark, sfDir)),
       "vocabOverlap"    -> (() => TextAnalysis.vocabOverlap(spark, sfDir)),
       "minhashErrorAudit" -> (() => Dedup.minhashErrorAudit(spark, sfDir)),
-      "qualityDeciles"  -> (() => CorpusOps.qualityDeciles(spark, sfDir)))
+      "qualityDeciles"  -> (() => CorpusOps.qualityDeciles(spark, sfDir)),
+      "contaminationByBench" -> (() => CorpusOps.contaminationByBench(spark, sfDir)))
     persistingOps.foreach { case (name, mk) =>
       withClue(s"$name: ") {
         consume(mk())

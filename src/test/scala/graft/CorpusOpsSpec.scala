@@ -99,6 +99,22 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("per-benchmark contamination audit is consistent with the corpus-side pass") {
+    val byBench = CorpusOps.contaminationByBench(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(byBench.nonEmpty)
+    byBench.foreach { case (id, nGrams, hitDocs, hitGrams, ratio) =>
+      assert(id < 20, "only benchmark docs appear")
+      assert(hitGrams <= nGrams, "leaked grams bounded by the doc's grams")
+      assert((hitDocs == 0) == (hitGrams == 0), "doc hits iff gram hits")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    // the two directions must agree on WHETHER contamination exists
+    val corpusSide = CorpusOps.decontaminate(spark, sfDir).collect()
+    assert(corpusSide.nonEmpty == byBench.exists(_._3 > 0),
+      "corpus-side and bench-side audits disagree on contamination presence")
+  }
+
   test("distributed global rank equals the single-node sort index") {
     import org.apache.spark.sql.functions.col
     val stats = graft.operators.TextAnalysis.textStats(spark, sfDir)

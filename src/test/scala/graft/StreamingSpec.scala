@@ -432,6 +432,42 @@ class StreamingSpec extends SparkSuite {
     assert(afterReplay == got, "batch replay must not change the report set")
   }
 
+  test("incremental token counts merge to the batch heavy-hitter report (stream==batch)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "tokcnt-").toString
+    val store = s"$base/store"
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(graft.streaming.StreamingTokenCounts.countSink(store))
+      .start()
+    // OUT-OF-ORDER split — counts are a commutative monoid, so the
+    // merged store must not care
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (high, low) = docs.partition(_._1 >= 250)
+    try {
+      Seq(high, low.take(120), low.drop(120)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long, Long, Double)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    val got = rows(graft.streaming.StreamingTokenCounts.topK(spark, store))
+    val want = rows(graft.operators.TextAnalysis.heavyHitterTokens(spark, sfDir))
+    assert(want.nonEmpty)
+    assert(got == want, s"stream==batch: streamed top-k differs from the batch report")
+    // replayed micro-batch must be idempotent (overwrites its own
+    // partition instead of double-counting)
+    graft.streaming.StreamingTokenCounts.countSink(store)(
+      low.drop(120).toDF("doc_id", "text"), 2L)
+    val afterReplay = rows(graft.streaming.StreamingTokenCounts.topK(spark, store))
+    assert(afterReplay == got, "batch replay must not inflate counts")
+  }
+
   test("composed streaming curation equals the batch pipeline (quality -> dedup -> near-dup)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files
