@@ -152,6 +152,7 @@ object SparkEntry {
     "x_dedup_exact"        -> ((s, dir) => Dedup.exactDedup(s, dir)),
     "x_dedup_minhash"      -> ((s, dir) => Dedup.nearDupMinhash(s, dir)),
     "x_minhash_error"      -> ((s, dir) => Dedup.minhashErrorAudit(s, dir)),
+    "x_minhash_sweep"      -> ((s, dir) => Dedup.minhashThresholdSweep(s, dir)),
     "x_dedup_simhash"      -> ((s, dir) => Dedup.simhashDocs(s, dir)),
     "x_dedup_simhash64"    -> ((s, dir) => Dedup.simhashDocs64(s, dir)),
     "x_doc_fingerprint"    -> ((s, dir) => Dedup.docFingerprint(s, dir)),
@@ -1444,6 +1445,61 @@ object SparkEntry {
         |  round(abs(e.est_jaccard - x.exact_jaccard), 6) AS abs_err
         |FROM est e JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
         |ORDER BY e.doc_a, e.doc_b""".stripMargin,
+
+    // the audit rolled up into the decision: per estimate-threshold,
+    // the confusion counts vs exact-Jaccard truth over the same
+    // candidate pairs (est/ex CTEs identical to x_minhash_error)
+    "x_minhash_sweep" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text,' ') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM tk WHERE len(toks) >= 3
+        |), hs AS (
+        |  SELECT doc_id, list_distinct(list_transform(shingles, s ->
+        |    list_reduce(list_transform(range(1,len(s)+1), i -> ascii(substr(s,i,1))::BIGINT),
+        |      (acc,c) -> (acc*31+c)%1000000007))) AS hashes
+        |  FROM sh
+        |), sig AS (
+        |  SELECT doc_id, list_transform(range(0,16), i ->
+        |    list_min(list_transform(hashes, x -> ((i*2+1)*x + (i*5+3)) % 1000000007))) AS sig
+        |  FROM hs
+        |), bands AS (
+        |  SELECT doc_id, b,
+        |    ((((((sig[4*b+1]::BIGINT % 1000000007)*31 + sig[4*b+2]::BIGINT) % 1000000007)*31
+        |       + sig[4*b+3]::BIGINT) % 1000000007 *31 + sig[4*b+4]::BIGINT) % 1000000007) AS bh
+        |  FROM sig, range(0,4) t(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
+        |), est AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    round(len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16, 6) AS est_jaccard
+        |  FROM pairs p JOIN sig sa ON p.doc_a = sa.doc_id JOIN sig sb ON p.doc_b = sb.doc_id
+        |), ex AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    round(len(list_filter(ha.hashes, x -> list_contains(hb.hashes, x)))::DOUBLE /
+        |      (len(ha.hashes)+len(hb.hashes)
+        |       -len(list_filter(ha.hashes, x -> list_contains(hb.hashes, x)))), 6) AS exact_jaccard
+        |  FROM pairs p JOIN hs ha ON p.doc_a = ha.doc_id JOIN hs hb ON p.doc_b = hb.doc_id
+        |), j AS (
+        |  SELECT e.est_jaccard, x.exact_jaccard
+        |  FROM est e JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+        |), t AS (SELECT unnest([0.5::DOUBLE, 0.7::DOUBLE, 0.9::DOUBLE]) AS threshold)
+        |SELECT threshold, n_pairs, tp, fp, fn,
+        |  round(tp::DOUBLE / NULLIF(tp + fp, 0), 6) AS prec,
+        |  round(tp::DOUBLE / NULLIF(tp + fn, 0), 6) AS recall
+        |FROM (
+        |  SELECT t.threshold, COUNT(*) AS n_pairs,
+        |    SUM(CASE WHEN est_jaccard >= threshold AND exact_jaccard >= threshold
+        |             THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |    SUM(CASE WHEN est_jaccard >= threshold AND exact_jaccard < threshold
+        |             THEN 1 ELSE 0 END)::BIGINT AS fp,
+        |    SUM(CASE WHEN est_jaccard < threshold AND exact_jaccard >= threshold
+        |             THEN 1 ELSE 0 END)::BIGINT AS fn
+        |  FROM j, t GROUP BY t.threshold)
+        |ORDER BY threshold""".stripMargin,
 
     // components over the SAME pair set as x_dedup_minhash (jaccard >=
     // 0.7), via WITH RECURSIVE reachability; Spark computes them with

@@ -307,6 +307,41 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash estimator threshold sweep — the [[minhashErrorAudit]]
+    * rolled up into the decision it informs, the same move as the IVF
+    * probe sweep: if the pipeline thresholded on the cheap 16-component
+    * signature ESTIMATE instead of running the exact re-check, what
+    * precision/recall (vs exact-Jaccard truth over the same candidate
+    * pairs) would each threshold buy? One row per threshold with the
+    * confusion counts — the curve that prices skipping the exact
+    * intersection join (the candidate phase's dominant cost) in
+    * false merges.
+    *
+    * Scale shape: consumes the candidate-pair audit table (bounded by
+    * band collisions, never corpus-sized); the sweep is a
+    * thresholds × pairs Expand into one tiny hash aggregate.
+    */
+  def minhashThresholdSweep(spark: SparkSession, dir: String,
+                            thresholds: Seq[Double] = Seq(0.5, 0.7, 0.9)): DataFrame = {
+    val audit = minhashErrorAudit(spark, dir)
+    val ts = explode(array(thresholds.map(lit): _*)).as("threshold")
+    audit.select(col("est_jaccard"), col("exact_jaccard"), ts)
+      .groupBy("threshold")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("est_jaccard") >= col("threshold") &&
+                 col("exact_jaccard") >= col("threshold"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("est_jaccard") >= col("threshold") &&
+                 col("exact_jaccard") < col("threshold"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("est_jaccard") < col("threshold") &&
+                 col("exact_jaccard") >= col("threshold"), 1L).otherwise(0L)).as("fn"))
+      // "prec", not "precision": PRECISION is a type keyword in ANSI
+      // engines (DOUBLE PRECISION) and would need quoting in the oracle
+      .withColumn("prec", expr("round(tp / nullif(tp + fp, 0), 6)"))
+      .withColumn("recall", expr("round(tp / nullif(tp + fn, 0), 6)"))
+      .orderBy("threshold")
+  }
+
   /** In-bucket candidate-pair expansion over aggregated LSH band
     * buckets `(band, bh, ids)`, with a bucket-size cap: buckets larger
     * than `bucketCap` are dropped entirely. A bucket's pair fan-out is

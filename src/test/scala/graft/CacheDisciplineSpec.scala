@@ -29,6 +29,7 @@ class CacheDisciplineSpec extends SparkSuite {
       "vocabCoverage"   -> (() => TextAnalysis.vocabCoverage(spark, sfDir)),
       "vocabOverlap"    -> (() => TextAnalysis.vocabOverlap(spark, sfDir)),
       "minhashErrorAudit" -> (() => Dedup.minhashErrorAudit(spark, sfDir)),
+      "minhashThresholdSweep" -> (() => Dedup.minhashThresholdSweep(spark, sfDir)),
       "qualityDeciles"  -> (() => CorpusOps.qualityDeciles(spark, sfDir)),
       "contaminationByBench" -> (() => CorpusOps.contaminationByBench(spark, sfDir)))
     persistingOps.foreach { case (name, mk) =>

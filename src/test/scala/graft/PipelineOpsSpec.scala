@@ -52,6 +52,33 @@ class PipelineOpsSpec extends SparkSuite {
     assert(audit.size >= strict.size)
   }
 
+  test("minhash threshold sweep matches a local recount of the audit table") {
+    val audit = Dedup.minhashErrorAudit(spark, sfDir).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3)))
+    val sweep = Dedup.minhashThresholdSweep(spark, sfDir).collect()
+    assert(sweep.map(_.getDouble(0)).toSeq == Seq(0.5, 0.7, 0.9))
+    sweep.foreach { r =>
+      val t = r.getDouble(0)
+      val (np, tp, fp, fn) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(np == audit.length, "n_pairs is the full candidate set at every threshold")
+      val ltp = audit.count { case (e, x) => e >= t && x >= t }.toLong
+      val lfp = audit.count { case (e, x) => e >= t && x < t }.toLong
+      val lfn = audit.count { case (e, x) => e < t && x >= t }.toLong
+      assert((tp, fp, fn) == ((ltp, lfp, lfn)), s"confusion counts at t=$t")
+      if (tp + fp > 0) {
+        assert(!r.isNullAt(5))
+        assert(math.abs(r.getDouble(5) - tp.toDouble / (tp + fp)) < 1e-6)
+      } else assert(r.isNullAt(5), "precision undefined with no positives")
+      if (tp + fn > 0) {
+        assert(!r.isNullAt(6))
+        assert(math.abs(r.getDouble(6) - tp.toDouble / (tp + fn)) < 1e-6)
+      } else assert(r.isNullAt(6), "recall undefined with no exact positives")
+    }
+    // positives can only shrink as the threshold rises
+    val estPos = sweep.map(r => r.getLong(2) + r.getLong(3))
+    assert(estPos.zip(estPos.tail).forall { case (a, b) => a >= b })
+  }
+
   test("vocabOverlap: pairwise jaccard matches per-language token sets") {
     val out = TextAnalysis.vocabOverlap(spark, sfDir).collect()
     assert(out.nonEmpty)

@@ -468,6 +468,45 @@ class StreamingSpec extends SparkSuite {
     assert(afterReplay == got, "batch replay must not inflate counts")
   }
 
+  test("incremental kmeans statistics fold to the one-round batch fit (stream==batch)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "kmstats-").toString
+    val (centPath, statsPath) = (s"$base/centroids", s"$base/stats")
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    // deployed centroids fixed before the stream starts — the batch
+    // trainer's seed, so kmeansCentroids(iters = 1) is the exact oracle
+    graft.streaming.StreamingKmeansStats.writeSeedCentroids(emb, centPath)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = ms.toDF().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(graft.streaming.StreamingKmeansStats.statsSink(centPath, statsPath))
+      .start()
+    // OUT-OF-ORDER split — integer sufficient statistics are split-
+    // and order-independent by algebra; this asserts it end to end
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (high, low) = vecs.partition(_._1 >= 250)
+    try {
+      Seq(high, low.take(120), low.drop(120)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val got = rows(graft.streaming.StreamingKmeansStats.updatedCentroids(spark, statsPath))
+    val want = rows(graft.operators.Similarity.kmeansCentroids(spark, sfDir, k = 8, iters = 1))
+    assert(want.nonEmpty)
+    assert(got == want, s"stream==batch: ${got.length} vs ${want.length} centroid rows")
+    // replayed micro-batch must be idempotent (overwrites its own
+    // partition instead of double-counting its statistics)
+    graft.streaming.StreamingKmeansStats.statsSink(centPath, statsPath)(
+      low.drop(120).toDF("vec_id", "embedding"), 2L)
+    val afterReplay = rows(graft.streaming.StreamingKmeansStats.updatedCentroids(spark, statsPath))
+    assert(afterReplay == got, "batch replay must not shift the centroids")
+  }
+
   test("composed streaming curation equals the batch pipeline (quality -> dedup -> near-dup)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files
