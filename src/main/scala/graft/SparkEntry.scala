@@ -153,6 +153,7 @@ object SparkEntry {
     "x_dedup_minhash"      -> ((s, dir) => Dedup.nearDupMinhash(s, dir)),
     "x_minhash_error"      -> ((s, dir) => Dedup.minhashErrorAudit(s, dir)),
     "x_minhash_sweep"      -> ((s, dir) => Dedup.minhashThresholdSweep(s, dir)),
+    "x_kmv_distinct"       -> ((s, dir) => Dedup.kmvDistinctShingles(s, dir)),
     "x_dedup_simhash"      -> ((s, dir) => Dedup.simhashDocs(s, dir)),
     "x_dedup_simhash64"    -> ((s, dir) => Dedup.simhashDocs64(s, dir)),
     "x_doc_fingerprint"    -> ((s, dir) => Dedup.docFingerprint(s, dir)),
@@ -1500,6 +1501,33 @@ object SparkEntry {
         |             THEN 1 ELSE 0 END)::BIGINT AS fn
         |  FROM j, t GROUP BY t.threshold)
         |ORDER BY threshold""".stripMargin,
+
+    // KMV sketch, oracle-checked: the estimate is a pure function of
+    // the deterministic poly-31 hash, so DuckDB reproduces the SKETCH
+    // itself (contrast x_approx_distinct's HLL — engine-internal,
+    // rows-only). est = (k-1)*P // h_k with k = 64.
+    "x_kmv_distinct" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT DISTINCT lang,
+        |    list_reduce(list_transform(range(1,len(s)+1), i2 -> ascii(substr(s,i2,1))::BIGINT),
+        |      (acc,c) -> (acc*31+c)%1000000007) AS h
+        |  FROM (SELECT lang, unnest(list_distinct(list_transform(range(1, len(toks)-1),
+        |          i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]))) AS s
+        |        FROM tk WHERE len(toks) >= 3)
+        |), e AS (
+        |  SELECT lang, COUNT(*) AS exact_distinct FROM g GROUP BY lang
+        |), kk AS (
+        |  SELECT lang, h AS hk FROM (
+        |    SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rk FROM g)
+        |  WHERE rk = 64
+        |)
+        |SELECT e.lang, e.exact_distinct,
+        |  (63::BIGINT * 1000000007) // kk.hk AS kmv_estimate,
+        |  round(abs((63::BIGINT * 1000000007) // kk.hk - e.exact_distinct)::DOUBLE
+        |        / e.exact_distinct, 6) AS rel_err
+        |FROM e JOIN kk USING (lang) ORDER BY lang""".stripMargin,
 
     // components over the SAME pair set as x_dedup_minhash (jaccard >=
     // 0.7), via WITH RECURSIVE reachability; Spark computes them with

@@ -342,6 +342,63 @@ object Dedup {
       .orderBy("threshold")
   }
 
+  /** KMV (k-minimum-values) distinct-shingle sketch, oracle-checked:
+    * estimate each language's distinct word-3-gram cardinality from
+    * the k SMALLEST distinct shingle hashes — `est = (k-1)·P / h_k` —
+    * next to the exact count and the relative error. The point of
+    * this query is that the sketch itself is EXACTLY reproducible:
+    * unlike HLL/t-digest (engine-specific internals → rows-only
+    * checks, x_approx_distinct/x_approx_percentiles), KMV is a pure
+    * function of a deterministic hash, so the DuckDB oracle computes
+    * the identical estimate and the driver hash-checks a SKETCH. The
+    * cardinality it prices is the n-gram table the dedup family
+    * materializes — the pre-flight sizing question.
+    *
+    * Scale shape: the distinct-(lang, hash) aggregate is
+    * vocabulary-sized; the k-th-smallest extraction uses the salted
+    * two-level rank ([[TextAnalysis.vocabHeadRanked]]'s pattern — the
+    * global k smallest are always inside the union of per-shard k
+    * smallest), so no full vocabulary sorts on one reducer. At 100 TB
+    * the same sketch folds as a bounded typed Aggregator (min-k
+    * buffer per group), the [[graft.functions.TopKAggregator]] move.
+    */
+  def kmvDistinctShingles(spark: SparkSession, dir: String,
+                          k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.PolyHash.register(spark)
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val toks = split(col("text"), " ")
+    // lang-tagged twin of shingleHashRows (lang rides along so the
+    // per-lang distinct needs no corpus-sized doc->lang join)
+    val rows = Tables.documents(spark, dir)
+      .filter(size(toks) >= WordShingleN)
+      .repartition(n, col("doc_id"))
+      .select(col("lang"), toks.as("toks"),
+        explode(sequence(lit(1), size(toks) - (WordShingleN - 1))).as("i"))
+      .select(col("lang"),
+        call_function(graft.functions.PolyHash.Name,
+          concat(element_at(col("toks"), col("i")), lit(" "),
+                 element_at(col("toks"), col("i") + 1), lit(" "),
+                 element_at(col("toks"), col("i") + 2))).as("h"))
+      .dropDuplicates("lang", "h")
+      .localCheckpoint() // two consumers: exact count + min-k
+    val exact = rows.groupBy("lang").agg(count(lit(1)).as("exact_distinct"))
+    val wShard = Window.partitionBy("lang", "salt").orderBy("h")
+    val wLang = Window.partitionBy("lang").orderBy("h")
+    val kth = rows
+      .withColumn("salt", pmod(col("h"), lit(TextAnalysis.SaltBuckets.toLong)))
+      .withColumn("r1", row_number().over(wShard)).filter(col("r1") <= k)
+      .withColumn("rk", row_number().over(wLang)).filter(col("rk") === k)
+      .select(col("lang"), col("h").as("hk"))
+    exact.join(kth, Seq("lang"))
+      .withColumn("kmv_estimate", expr(s"(${k - 1}L * ${P}L) div hk"))
+      .withColumn("rel_err",
+        round(abs(col("kmv_estimate") - col("exact_distinct")).cast("double") /
+              col("exact_distinct"), 6))
+      .select("lang", "exact_distinct", "kmv_estimate", "rel_err")
+      .orderBy("lang")
+  }
+
   /** In-bucket candidate-pair expansion over aggregated LSH band
     * buckets `(band, bh, ids)`, with a bucket-size cap: buckets larger
     * than `bucketCap` are dropped entirely. A bucket's pair fan-out is

@@ -30,6 +30,7 @@ class CacheDisciplineSpec extends SparkSuite {
       "vocabOverlap"    -> (() => TextAnalysis.vocabOverlap(spark, sfDir)),
       "minhashErrorAudit" -> (() => Dedup.minhashErrorAudit(spark, sfDir)),
       "minhashThresholdSweep" -> (() => Dedup.minhashThresholdSweep(spark, sfDir)),
+      "kmvDistinctShingles" -> (() => Dedup.kmvDistinctShingles(spark, sfDir)),
       "qualityDeciles"  -> (() => CorpusOps.qualityDeciles(spark, sfDir)),
       "contaminationByBench" -> (() => CorpusOps.contaminationByBench(spark, sfDir)))
     persistingOps.foreach { case (name, mk) =>

@@ -15,7 +15,12 @@ class LayoutInvarianceSpec extends SparkSuite {
     ("x_domain_cap",     () => graft.operators.CorpusOps.domainCap(spark, sfDir)),
     ("x_heavy_hitters",  () => graft.operators.TextAnalysis.heavyHitterTokens(spark, sfDir)),
     ("x_chunk_dedup",    () => graft.operators.CorpusOps.chunkDedup(spark, sfDir)),
-    ("x_vocab_coverage", () => graft.operators.TextAnalysis.vocabCoverage(spark, sfDir)))
+    ("x_vocab_coverage", () => graft.operators.TextAnalysis.vocabCoverage(spark, sfDir)),
+    // the global rank is computed per-partition + offsets, so layout
+    // independence IS its correctness claim
+    ("x_quality_deciles", () => graft.operators.CorpusOps.qualityDeciles(spark, sfDir)),
+    // k-th smallest via salted two-level rank — same claim
+    ("x_kmv_distinct",   () => graft.operators.Dedup.kmvDistinctShingles(spark, sfDir)))
 
   test("order-sensitive operators return identical rows under different shuffle layouts") {
     val key = "spark.sql.shuffle.partitions"

@@ -79,6 +79,32 @@ class PipelineOpsSpec extends SparkSuite {
     assert(estPos.zip(estPos.tail).forall { case (a, b) => a >= b })
   }
 
+  test("KMV sketch: hk is the k-th smallest distinct hash, estimate recomputes locally") {
+    val out = Dedup.kmvDistinctShingles(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sfDir).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byLang = docs.groupBy(_._1).map { case (l, rs) =>
+      l -> rs.flatMap { case (_, t) =>
+        val w = t.split(" ")
+        if (w.length < 3) Seq.empty
+        else w.sliding(3).map(g => graft.functions.PolyHash.hash(g.mkString(" "))).toSeq
+      }.distinct.sorted
+    }
+    out.foreach { r =>
+      val (lang, exact, est, err) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val hs = byLang(lang)
+      assert(exact == hs.length.toLong, s"$lang exact distinct")
+      val hk = hs(63) // k = 64
+      assert(est == 63L * 1000000007L / hk, s"$lang estimator")
+      assert(math.abs(err - math.abs(est - exact).toDouble / exact) < 1e-6)
+      // k=64 KMV has ~1/sqrt(64) relative sd; 0.5 is a >4-sigma bound
+      // on this FIXED corpus (deterministic, not a flaky statistical test)
+      assert(err < 0.5, s"KMV implausibly far off for $lang: $est vs $exact")
+    }
+  }
+
   test("vocabOverlap: pairwise jaccard matches per-language token sets") {
     val out = TextAnalysis.vocabOverlap(spark, sfDir).collect()
     assert(out.nonEmpty)

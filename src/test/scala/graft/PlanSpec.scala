@@ -167,6 +167,27 @@ class PlanSpec extends SparkSuite {
       s"AQE did not recover the small-side broadcast:\n${adaptive.take(4000)}")
   }
 
+  test("minhash error audit joins only on derived keys — never a cross product") {
+    val plan = formatted(Dedup.minhashErrorAudit(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("KMV extracts the k-th smallest through the salted shard rank, no global funnel") {
+    val plan = formatted(Dedup.kmvDistinctShingles(spark, sfDir))
+    assert(!plan.contains("SinglePartition"),
+      s"single-reducer funnel in the KMV plan:\n$plan")
+    val windows = plan.linesIterator.count(_.contains("- Window ("))
+    assert(windows == 2, s"expected shard + lang rank windows, got $windows:\n$plan")
+  }
+
+  test("bench-side contamination audit probes via broadcast — corpus never cross-joins") {
+    val plan = formatted(graft.operators.CorpusOps.contaminationByBench(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("quality deciles never run a single-reducer global window") {
     // the global rank comes from withGlobalRank: a per-PARTITION-id
     // window over the range-partitioned (checkpointed) frame plus
