@@ -154,6 +154,7 @@ object SparkEntry {
     "x_minhash_error"      -> ((s, dir) => Dedup.minhashErrorAudit(s, dir)),
     "x_minhash_sweep"      -> ((s, dir) => Dedup.minhashThresholdSweep(s, dir)),
     "x_kmv_distinct"       -> ((s, dir) => Dedup.kmvDistinctShingles(s, dir)),
+    "x_kmv_agg"            -> ((s, dir) => Dedup.kmvDistinctShinglesAgg(s, dir)),
     "x_dedup_simhash"      -> ((s, dir) => Dedup.simhashDocs(s, dir)),
     "x_dedup_simhash64"    -> ((s, dir) => Dedup.simhashDocs64(s, dir)),
     "x_doc_fingerprint"    -> ((s, dir) => Dedup.docFingerprint(s, dir)),
@@ -167,6 +168,7 @@ object SparkEntry {
     "x_vocab_overlap"      -> ((s, dir) => TextAnalysis.vocabOverlap(s, dir)),
     "x_quality_deciles"    -> ((s, dir) => CorpusOps.qualityDeciles(s, dir)),
     "x_epoch_mix"          -> ((s, dir) => CorpusOps.epochMix(s, dir)),
+    "x_temp_mix"           -> ((s, dir) => CorpusOps.temperatureMix(s, dir)),
     "x_knn_brute"          -> ((s, dir) => Similarity.knnBruteForce(s, dir)),
     "x_knn_lsh"            -> ((s, dir) => Similarity.knnLsh(s, dir)),
     "x_knn_ivf"            -> ((s, dir) => Similarity.knnIvf(s, dir)),
@@ -1529,6 +1531,31 @@ object SparkEntry {
         |        / e.exact_distinct, 6) AS rel_err
         |FROM e JOIN kk USING (lang) ORDER BY lang""".stripMargin,
 
+    // same oracle as x_kmv_distinct — salted-rank vs bounded-Aggregator
+    // strategies, one logical sketch, both verified and benched
+    "x_kmv_agg" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT DISTINCT lang,
+        |    list_reduce(list_transform(range(1,len(s)+1), i2 -> ascii(substr(s,i2,1))::BIGINT),
+        |      (acc,c) -> (acc*31+c)%1000000007) AS h
+        |  FROM (SELECT lang, unnest(list_distinct(list_transform(range(1, len(toks)-1),
+        |          i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]))) AS s
+        |        FROM tk WHERE len(toks) >= 3)
+        |), e AS (
+        |  SELECT lang, COUNT(*) AS exact_distinct FROM g GROUP BY lang
+        |), kk AS (
+        |  SELECT lang, h AS hk FROM (
+        |    SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rk FROM g)
+        |  WHERE rk = 64
+        |)
+        |SELECT e.lang, e.exact_distinct,
+        |  (63::BIGINT * 1000000007) // kk.hk AS kmv_estimate,
+        |  round(abs((63::BIGINT * 1000000007) // kk.hk - e.exact_distinct)::DOUBLE
+        |        / e.exact_distinct, 6) AS rel_err
+        |FROM e JOIN kk USING (lang) ORDER BY lang""".stripMargin,
+
     // components over the SAME pair set as x_dedup_minhash (jaccard >=
     // 0.7), via WITH RECURSIVE reachability; Spark computes them with
     // distributed min-label propagation
@@ -2082,6 +2109,20 @@ object SparkEntry {
         |SELECT lang, n_docs, n_copies, effective_tokens,
         |  round(effective_tokens::DOUBLE / epoch_tokens, 6) AS mix_share
         |FROM b, t ORDER BY lang""".stripMargin,
+
+    // alpha = 1/2 on purpose: sqrt is IEEE-correctly-rounded in every
+    // engine (pow(x, 0.3) is not); rounded sqrts sum in DECIMAL, all
+    // ratios divide the same rounded operands
+    "x_temp_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_docs,
+        |        round(sqrt(n_docs::DOUBLE), 6)::DECIMAL(18,6) AS sqrt_r FROM c),
+        |r AS (SELECT lang, n_docs,
+        |        round(n_docs::DOUBLE / (SELECT SUM(n_docs)::BIGINT FROM c), 6) AS share,
+        |        round(sqrt_r::DOUBLE / (SELECT SUM(sqrt_r)::DOUBLE FROM w), 6) AS weight
+        |      FROM w)
+        |SELECT lang, n_docs, share, weight, round(weight / share, 6) AS boost
+        |FROM r ORDER BY lang""".stripMargin,
 
     "x_lang_confusion" ->
       """WITH g AS (

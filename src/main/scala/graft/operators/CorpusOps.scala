@@ -425,6 +425,41 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Temperature-based mixture weighting — the multilingual-training
+    * sampling knob: resample language l with weight ∝ n_l^α (α = 1/2
+    * here), which upsamples rare languages and caps the dominant one
+    * (the standard rebalancing between "native proportions" α=1 and
+    * "uniform" α=0). Reports, per language: raw share, temperature
+    * weight, and the effective boost (weight/share) an epoch sampler
+    * applies — [[epochMix]] is the replication mechanic this table
+    * parameterizes, [[stratifiedSample]] the hash gate that applies a
+    * rate deterministically.
+    *
+    * Exactness: α = 1/2 is deliberate — sqrt is correctly rounded in
+    * IEEE 754 (identical in every engine), unlike pow(x, 0.3); the
+    * rounded sqrts then sum in DECIMAL (order-independent) and every
+    * ratio divides the same rounded operands, so the whole table is
+    * engine-exact. Scale shape: one language-count aggregate, then
+    * frameless windows over the language-sized table — nothing
+    * corpus-sized past the first aggregate.
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("sqrt_r",
+        round(sqrt(col("n_docs").cast("double")), 6).cast("decimal(18,6)"))
+      .withColumn("share",
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(w), 6))
+      .withColumn("weight",
+        round(col("sqrt_r").cast("double") /
+              sum(col("sqrt_r")).over(w).cast("double"), 6))
+      .withColumn("boost", round(col("weight") / col("share"), 6))
+      .select("lang", "n_docs", "share", "weight", "boost")
+      .orderBy("lang")
+  }
+
   /** The REVERSE decontamination audit: per BENCHMARK document, how
     * far it has leaked into the corpus — hit doc count, how many of
     * its grams occur anywhere in the corpus, and the leaked-gram

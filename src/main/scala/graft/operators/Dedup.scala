@@ -399,6 +399,50 @@ object Dedup {
       .orderBy("lang")
   }
 
+  /** The KMV sketch via the typed bounded
+    * [[graft.functions.MinKAggregator]] instead of the window rank:
+    * the O(k) sketch buffer folds map-side (exact distinct count and
+    * min-k sketch in ONE grouped pass over the pre-distincted rows),
+    * where [[kmvDistinctShingles]]'s salted rank still shuffles the
+    * whole vocabulary once. Same rows, same DuckDB oracle — wired as
+    * its own bench query so the two strategies are measured side by
+    * side, the [[graft.functions.TopKAggregator]] move.
+    */
+  def kmvDistinctShinglesAgg(spark: SparkSession, dir: String,
+                             k: Int = 64): DataFrame = {
+    import spark.implicits._
+    import graft.functions.MinKAggregator
+    graft.functions.PolyHash.register(spark)
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val toks = split(col("text"), " ")
+    val rows = Tables.documents(spark, dir)
+      .filter(size(toks) >= WordShingleN)
+      .repartition(n, col("doc_id"))
+      .select(col("lang"), toks.as("toks"),
+        explode(sequence(lit(1), size(toks) - (WordShingleN - 1))).as("i"))
+      .select(col("lang"),
+        call_function(graft.functions.PolyHash.Name,
+          concat(element_at(col("toks"), col("i")), lit(" "),
+                 element_at(col("toks"), col("i") + 1), lit(" "),
+                 element_at(col("toks"), col("i") + 2))).as("h"))
+      .dropDuplicates("lang", "h")
+    val grouped = rows.as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+    grouped
+      .agg(MinKAggregator.minK(k).toColumn.name("mink"),
+           MinKAggregator.countAll.toColumn.name("exact_distinct"))
+      // a language with fewer than k distinct hashes has no k-th
+      // smallest — dropped, mirroring the window form's rk == k join
+      .flatMap { case (lang, mink, exact) =>
+        if (mink.length < k) None
+        else Some((lang, exact, (k - 1).toLong * P / mink.last))
+      }
+      .toDF("lang", "exact_distinct", "kmv_estimate")
+      .withColumn("rel_err",
+        round(abs(col("kmv_estimate") - col("exact_distinct")).cast("double") /
+              col("exact_distinct"), 6))
+      .orderBy("lang")
+  }
+
   /** In-bucket candidate-pair expansion over aggregated LSH band
     * buckets `(band, bh, ids)`, with a bucket-size cap: buckets larger
     * than `bucketCap` are dropped entirely. A bucket's pair fan-out is

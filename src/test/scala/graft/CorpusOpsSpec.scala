@@ -151,6 +151,26 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("temperature mix: weights recompute locally and rebalance toward rare languages") {
+    val rows = CorpusOps.temperatureMix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum
+    rows.foreach { case (lang, n, share, weight, boost) =>
+      assert(math.abs(share - n.toDouble / total) < 1e-6, s"$lang share")
+      assert(math.abs(boost - weight / share) < 1e-4, s"$lang boost")
+    }
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "shares sum to 1")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, "weights sum to 1")
+    // alpha = 1/2 flattens the mix: dominant damped, rarest boosted
+    val dominant = rows.maxBy(_._2)
+    val rarest = rows.minBy(_._2)
+    if (dominant._2 > rarest._2) {
+      assert(dominant._5 < 1.0, s"dominant ${dominant._1} not damped")
+      assert(rarest._5 > 1.0, s"rarest ${rarest._1} not boosted")
+    }
+  }
+
   test("tf-idf emits a full descending top-k per language") {
     val rows = CorpusOps.tfidfTopTerms(spark, sfDir, k = 5).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(5)))
