@@ -178,6 +178,8 @@ object SparkEntry {
     "x_simhash_neardup"    -> ((s, dir) => Dedup.simhashNearDup(s, dir)),
     "x_fuzzy_dedup"        -> ((s, dir) => Dedup.fuzzyNameDedup(s, dir)),
     "x_dup_components"     -> ((s, dir) => Dedup.dupComponents(s, dir)),
+    "x_delete_cascade"     -> ((s, dir) => Dedup.deleteCascade(s, dir)),
+    "x_shard_skew"         -> ((s, dir) => CorpusOps.shardSkew(s, dir)),
     "x_dedup_survivors"    -> ((s, dir) => Dedup.dedupSurvivors(s, dir)),
     "x_dedup_unified"      -> ((s, dir) => Dedup.dedupUnified(s, dir)),
     "x_unified_survivors"  -> ((s, dir) => Dedup.dedupSurvivorsUnified(s, dir)),
@@ -1603,6 +1605,67 @@ object SparkEntry {
         |SELECT component_root, COUNT(*) AS n_members, MAX(doc) AS max_member FROM (
         |  SELECT doc, MIN(r) AS component_root FROM reach GROUP BY doc
         |) GROUP BY component_root ORDER BY component_root""".stripMargin,
+
+    // the same component map AFTER the deletion list (doc_id % 7 == 0)
+    // is applied to the pair graph: deleted survivors are replaced by
+    // the next-smallest member, deleted bridges split their component
+    "x_delete_cascade" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, string_split(text,' ') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM tk WHERE len(toks) >= 3
+        |), hs AS (
+        |  SELECT doc_id, list_distinct(list_transform(shingles, s ->
+        |    list_reduce(list_transform(range(1,len(s)+1), i -> ascii(substr(s,i,1))::BIGINT),
+        |      (acc,c) -> (acc*31+c)%1000000007))) AS hashes
+        |  FROM sh
+        |), sig AS (
+        |  SELECT doc_id, list_transform(range(0,16), i ->
+        |    list_min(list_transform(hashes, x -> ((i*2+1)*x + (i*5+3)) % 1000000007))) AS sig
+        |  FROM hs
+        |), bands AS (
+        |  SELECT doc_id, b,
+        |    ((((((sig[4*b+1]::BIGINT % 1000000007)*31 + sig[4*b+2]::BIGINT) % 1000000007)*31
+        |       + sig[4*b+3]::BIGINT) % 1000000007 *31 + sig[4*b+4]::BIGINT) % 1000000007) AS bh
+        |  FROM sig, range(0,4) t(b)
+        |), cpairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
+        |), scored AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    round(len(list_filter(ha.hashes, x -> list_contains(hb.hashes, x)))::DOUBLE /
+        |      (len(ha.hashes)+len(hb.hashes)
+        |       -len(list_filter(ha.hashes, x -> list_contains(hb.hashes, x)))), 6) AS jaccard
+        |  FROM cpairs p JOIN hs ha ON p.doc_a = ha.doc_id JOIN hs hb ON p.doc_b = hb.doc_id
+        |), dup AS (
+        |  SELECT doc_a, doc_b FROM scored
+        |  WHERE jaccard >= 0.7 AND doc_a % 7 <> 0 AND doc_b % 7 <> 0
+        |), edges AS (
+        |  SELECT doc_a, doc_b FROM dup UNION ALL SELECT doc_b, doc_a FROM dup
+        |), nodes AS (
+        |  SELECT DISTINCT doc_a AS doc_id FROM edges
+        |), reach AS (
+        |  SELECT doc_id AS doc, doc_id AS r FROM nodes
+        |  UNION
+        |  SELECT e.doc_b AS doc, reach.r FROM reach JOIN edges e ON e.doc_a = reach.doc
+        |)
+        |SELECT component_root, COUNT(*) AS n_members, MAX(doc) AS max_member FROM (
+        |  SELECT doc, MIN(r) AS component_root FROM reach GROUP BY doc
+        |) GROUP BY component_root ORDER BY component_root""".stripMargin,
+
+    "x_shard_skew" ->
+      """WITH h AS (
+        |  SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tok,
+        |    list_reduce(list_transform(range(1, len(CAST(doc_id AS VARCHAR))+1),
+        |      i -> ascii(substr(CAST(doc_id AS VARCHAR), i, 1))::BIGINT),
+        |      (acc, c) -> (acc*31+c)%1000000007) % 8 AS shard
+        |  FROM documents)
+        |SELECT shard, COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS total_tokens,
+        |  round(COUNT(*)::DOUBLE * 8 / (SELECT COUNT(*) FROM h), 6) AS doc_load,
+        |  round(SUM(n_tok)::DOUBLE * 8 / (SELECT SUM(n_tok)::BIGINT FROM h), 6) AS tok_load
+        |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
 
     "x_dedup_survivors" ->
       """WITH RECURSIVE tk AS (

@@ -172,6 +172,37 @@ object CorpusOps {
       .orderBy("shard", "pos")
   }
 
+  /** Training-shard balance audit over [[trainingOrder]]'s hash-shard
+    * assignment: per shard, the document count, token mass, and load
+    * factors relative to perfect balance (1.0 = exactly corpus/shards).
+    * Hash sharding balances DOCUMENT counts by construction, but token
+    * mass follows the length distribution — the factor a serialization
+    * planner actually cares about (a shard 1.3x heavier in tokens
+    * finishes an epoch 1.3x later). One corpus scan into a
+    * shards-sized aggregate; the totals attach as frameless windows
+    * over the shards-sized table.
+    */
+  def shardSkew(spark: SparkSession, dir: String, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.PolyHash.register(spark)
+    val w = Window.partitionBy()
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"),
+        pmod(call_function(graft.functions.PolyHash.Name,
+          col("doc_id").cast("string")), lit(shards.toLong)).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      .withColumn("doc_load",
+        round(col("n_docs").cast("double") * shards /
+              sum(col("n_docs")).over(w), 6))
+      .withColumn("tok_load",
+        round(col("total_tokens").cast("double") * shards /
+              sum(col("total_tokens")).over(w), 6))
+      .select("shard", "n_docs", "total_tokens", "doc_load", "tok_load")
+      .orderBy("shard")
+  }
+
   /** Epoch-mixture upsampling — the complement of [[stratifiedSample]]
     * (which DOWNsamples the dominant stratum): rare-language documents
     * replicate `n_repeats` times into the training stream, the

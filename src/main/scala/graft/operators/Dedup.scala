@@ -677,6 +677,31 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
       .orderBy("component_root")
 
+  /** Right-to-be-forgotten cascade: the near-dup component map
+    * recomputed after a deletion list is applied — the takedown /
+    * GDPR-erasure pass a managed corpus must support. Deleting a
+    * document does two non-obvious things the recomputation gets for
+    * free: a deleted SURVIVOR promotes the next-smallest member to
+    * component root, and a deleted BRIDGE document (whose pairs were
+    * the only link between two clusters) SPLITS its component — both
+    * fall out of running components over the pair graph restricted to
+    * surviving endpoints, which is exactly what this does (tombstones
+    * here are the deterministic doc_id % 7 == 0 set, chosen to
+    * intersect the planted near-dup clusters at every test SF; a real
+    * pass anti-joins a tombstone table in the same place).
+    *
+    * Scale shape: identical to [[dupComponents]] — the tombstone
+    * filter is a narrow predicate on the (tiny) pair set, then the
+    * same driver-paced checkpointed label propagation.
+    */
+  def deleteCascade(spark: SparkSession, dir: String,
+                    threshold: Double = 0.7, maxIters: Int = 15): DataFrame =
+    componentsFromPairs(
+      nearDupMinhash(spark, dir, threshold)
+        .filter(col("doc_a") % 7 =!= 0 && col("doc_b") % 7 =!= 0)
+        .select("doc_a", "doc_b"),
+      maxIters)
+
   /** Loop partition count for [[labelPropagation]], derived from the
     * (already materialized) pair count: each round shuffles O(edges)
     * label rows, so size partitions to THAT graph — 32 session-default

@@ -31,6 +31,7 @@ class CacheDisciplineSpec extends SparkSuite {
       "minhashErrorAudit" -> (() => Dedup.minhashErrorAudit(spark, sfDir)),
       "minhashThresholdSweep" -> (() => Dedup.minhashThresholdSweep(spark, sfDir)),
       "kmvDistinctShingles" -> (() => Dedup.kmvDistinctShingles(spark, sfDir)),
+      "deleteCascade"   -> (() => Dedup.deleteCascade(spark, sfDir)),
       "qualityDeciles"  -> (() => CorpusOps.qualityDeciles(spark, sfDir)),
       "contaminationByBench" -> (() => CorpusOps.contaminationByBench(spark, sfDir)))
     persistingOps.foreach { case (name, mk) =>

@@ -50,6 +50,37 @@ class ComponentsSpec extends SparkSuite {
     surv.foreach(r => assert(r.getLong(1) >= r.getLong(2) && r.getLong(2) > 0))
   }
 
+  test("delete cascade equals a local union-find over the tombstone-filtered graph") {
+    val pairs = Dedup.nearDupMinhash(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val kept = pairs.filter { case (a, b) => a % 7 != 0 && b % 7 != 0 }
+    assert(kept.length < pairs.length,
+      "the tombstone list must actually intersect the pair graph")
+    // local union-find over the surviving edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    kept.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.toSeq.map(x => (find(x), x)).groupBy(_._1)
+      .map { case (root, xs) => (root, xs.length.toLong, xs.map(_._2).max) }
+      .toSeq.sortBy(_._1)
+    val got = Dedup.deleteCascade(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, "distributed cascade differs from local union-find")
+    got.foreach { case (root, _, maxM) =>
+      assert(root % 7 != 0 && maxM % 7 != 0, "tombstoned ids must not appear")
+    }
+    // the cascade must actually differ from the unfiltered component map
+    val before = Dedup.dupComponents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got != before, "deletion changed nothing — tombstones missed the graph")
+  }
+
   test("graphParts scales with the pair graph, not the session default") {
     assert(Dedup.graphPartsFor(1L) == 1)
     assert(Dedup.graphPartsFor(255L) == 1)

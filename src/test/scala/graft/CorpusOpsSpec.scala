@@ -151,6 +151,24 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("shard skew recomputes locally; load factors average to balance") {
+    val rows = CorpusOps.shardSkew(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val local = docs.groupBy { case (id, _) => PolyHash.hash(id.toString) % 8 }
+      .map { case (s, ds) => (s, ds.length.toLong, ds.map(_._2.split(" ").length.toLong).sum) }
+    rows.foreach { case (shard, nDocs, nTok, docLoad, tokLoad) =>
+      val (_, ln, lt) = local.find(_._1 == shard).get
+      assert(nDocs == ln && nTok == lt, s"shard $shard counts")
+      assert(math.abs(docLoad - nDocs.toDouble * 8 / docs.length) < 1e-6)
+      val totalTok = local.map(_._3).sum
+      assert(math.abs(tokLoad - nTok.toDouble * 8 / totalTok) < 1e-6)
+    }
+    assert(rows.map(_._2).sum == docs.length, "shards partition the corpus")
+  }
+
   test("temperature mix: weights recompute locally and rebalance toward rare languages") {
     val rows = CorpusOps.temperatureMix(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
