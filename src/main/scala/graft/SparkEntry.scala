@@ -140,6 +140,7 @@ object SparkEntry {
     "x_contam_by_bench"    -> ((s, dir) => CorpusOps.contaminationByBench(s, dir)),
     "x_tfidf_top_terms"    -> ((s, dir) => CorpusOps.tfidfTopTerms(s, dir)),
     "x_curation_pipeline"  -> ((s, dir) => CorpusOps.curationPipeline(s, dir)),
+    "x_curation_funnel"    -> ((s, dir) => CorpusOps.curationFunnel(s, dir)),
     "x_doc_chunks"         -> ((s, dir) => CorpusOps.docChunks(s, dir)),
     "x_chunk_dedup"        -> ((s, dir) => CorpusOps.chunkDedup(s, dir)),
     "x_doc_packing"        -> ((s, dir) => CorpusOps.docPacking(s, dir)),
@@ -1654,6 +1655,89 @@ object SparkEntry {
         |SELECT component_root, COUNT(*) AS n_members, MAX(doc) AS max_member FROM (
         |  SELECT doc, MIN(r) AS component_root FROM reach GROUP BY doc
         |) GROUP BY component_root ORDER BY component_root""".stripMargin,
+
+    // the 5-stage yield table; every stage predicate is the same SQL
+    // fragment its standalone oracle uses (quality gate from
+    // x_quality_filter, md5 survivor from x_dedup_exact, component
+    // roots from x_dup_components, contaminated set from
+    // x_decontaminate)
+    "x_curation_funnel" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, text, string_split(text,' ') AS toks FROM documents
+        |), q AS (
+        |  SELECT doc_id, text FROM tk
+        |  WHERE len(toks) BETWEEN 20 AND 1000
+        |    AND (len(text) - (len(toks)-1))::DOUBLE/len(toks) BETWEEN 2.0 AND 12.0
+        |    AND len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t)))::DOUBLE/len(toks) >= 0.03
+        |    AND len(list_distinct(toks))::DOUBLE/len(toks) >= 0.2
+        |), s3 AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM tk WHERE len(toks) >= 3
+        |), hs AS (
+        |  SELECT doc_id, list_distinct(list_transform(shingles, s ->
+        |    list_reduce(list_transform(range(1,len(s)+1), i -> ascii(substr(s,i,1))::BIGINT),
+        |      (acc,c) -> (acc*31+c)%1000000007))) AS hashes
+        |  FROM sh
+        |), sig AS (
+        |  SELECT doc_id, list_transform(range(0,16), i ->
+        |    list_min(list_transform(hashes, x -> ((i*2+1)*x + (i*5+3)) % 1000000007))) AS sig
+        |  FROM hs
+        |), bands AS (
+        |  SELECT doc_id, b,
+        |    ((((((sig[4*b+1]::BIGINT % 1000000007)*31 + sig[4*b+2]::BIGINT) % 1000000007)*31
+        |       + sig[4*b+3]::BIGINT) % 1000000007 *31 + sig[4*b+4]::BIGINT) % 1000000007) AS bh
+        |  FROM sig, range(0,4) t(b)
+        |), cpairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
+        |), scored AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    round(len(list_filter(ha.hashes, x -> list_contains(hb.hashes, x)))::DOUBLE /
+        |      (len(ha.hashes)+len(hb.hashes)
+        |       -len(list_filter(ha.hashes, x -> list_contains(hb.hashes, x)))), 6) AS jaccard
+        |  FROM cpairs p JOIN hs ha ON p.doc_a = ha.doc_id JOIN hs hb ON p.doc_b = hb.doc_id
+        |), dup AS (
+        |  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.7
+        |), edges AS (
+        |  SELECT doc_a, doc_b FROM dup UNION ALL SELECT doc_b, doc_a FROM dup
+        |), nodes AS (
+        |  SELECT DISTINCT doc_a AS doc_id FROM edges
+        |), reach AS (
+        |  SELECT doc_id AS doc, doc_id AS r FROM nodes
+        |  UNION
+        |  SELECT e.doc_b AS doc, reach.r FROM reach JOIN edges e ON e.doc_a = reach.doc
+        |), nonroot AS (
+        |  SELECT doc AS doc_id FROM (
+        |    SELECT doc, MIN(r) AS root FROM reach GROUP BY doc) WHERE doc <> root
+        |), s4 AS (
+        |  SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM nonroot)
+        |), dg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    list_transform(range(1, len(toks)-2),
+        |      i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]),
+        |    s -> list_reduce(list_transform(range(1,len(s)+1),
+        |           i2 -> ascii(substr(s,i2,1))::BIGINT),
+        |           (acc,c)->(acc*31+c)%1000000007)))) AS gh
+        |  FROM tk WHERE len(toks) >= 4
+        |), bench AS (
+        |  SELECT DISTINCT gh FROM dg WHERE doc_id < 20
+        |), contaminated AS (
+        |  SELECT DISTINCT c.doc_id FROM dg c JOIN bench b USING (gh) WHERE c.doc_id >= 20
+        |), s5 AS (
+        |  SELECT doc_id FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |), f AS (
+        |  SELECT 1 AS stage_id, 'raw' AS stage, (SELECT COUNT(*) FROM documents) AS n_docs
+        |  UNION ALL SELECT 2, 'quality', (SELECT COUNT(*) FROM q)
+        |  UNION ALL SELECT 3, 'exact_unique', (SELECT COUNT(*) FROM s3)
+        |  UNION ALL SELECT 4, 'neardup_root', (SELECT COUNT(*) FROM s4)
+        |  UNION ALL SELECT 5, 'decontaminated', (SELECT COUNT(*) FROM s5)
+        |)
+        |SELECT stage_id::BIGINT AS stage_id, stage, n_docs::BIGINT AS n_docs,
+        |  round(n_docs::DOUBLE / (SELECT COUNT(*) FROM documents), 6) AS retained
+        |FROM f ORDER BY stage_id""".stripMargin,
 
     "x_shard_skew" ->
       """WITH h AS (

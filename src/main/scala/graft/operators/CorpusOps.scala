@@ -285,6 +285,50 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_unique_docs"), min(col("keep_id")).as("first_keep"))
       .orderBy("lang", "source")
 
+  /** The whole-corpus curation funnel: one row per stage of the
+    * canonical pass — raw → quality gate → exact-unique (min-doc_id
+    * per content hash among quality passers) → near-dup root (only
+    * each MinHash component's canonical representative survives) →
+    * decontaminated — with the document count and retained fraction
+    * at each stage. This is the yield table a curation run reports
+    * first: it prices every stage's cut against the raw corpus.
+    * Stage predicates are the SAME definitions the standalone
+    * queries use ([[qualityKeep]], [[Dedup.exactDedup]]'s survivor
+    * rule, [[Dedup.labelPropagation]] non-roots, [[decontaminate]]'s
+    * contaminated set) — one definition each, no drift.
+    *
+    * Scale shape: each stage is a narrow filter or an anti-join
+    * against a bounded/duplicate-sized set over the previous stage;
+    * the five stage counts are five count aggregates unioned into a
+    * 5-row table, and the raw total attaches as a broadcast one-row
+    * cross join.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val s2 = docs.filter(qualityKeep)
+    val s3 = s2.groupBy(md5(encode(col("text"), "UTF-8")).as("ch"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val nonRoots = Dedup.labelPropagation(
+        Dedup.nearDupMinhash(spark, dir).select("doc_a", "doc_b"))
+      .filter(col("doc_id") =!= col("lbl")).select("doc_id")
+    val s4 = s3.join(nonRoots, Seq("doc_id"), "left_anti")
+    val contaminated = decontaminate(spark, dir).select("doc_id")
+    val s5 = s4.join(contaminated, Seq("doc_id"), "left_anti")
+    val raw = docs.agg(count(lit(1)).as("n_raw"))
+    def stage(id: Long, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(id).as("stage_id"), lit(name).as("stage"), col("n_docs"))
+    stage(1L, "raw", docs)
+      .unionByName(stage(2L, "quality", s2))
+      .unionByName(stage(3L, "exact_unique", s3))
+      .unionByName(stage(4L, "neardup_root", s4))
+      .unionByName(stage(5L, "decontaminated", s5))
+      .crossJoin(broadcast(raw))
+      .withColumn("retained", round(col("n_docs").cast("double") / col("n_raw"), 6))
+      .select("stage_id", "stage", "n_docs", "retained")
+      .orderBy("stage_id")
+  }
+
   /** Smoothed TF-IDF top-k terms per language label: tf counts every
     * occurrence within the language, df counts distinct documents
     * corpus-wide, idf = ln((N+1)/(df+1)). The corpus size attaches as

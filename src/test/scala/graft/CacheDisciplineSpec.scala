@@ -33,7 +33,8 @@ class CacheDisciplineSpec extends SparkSuite {
       "kmvDistinctShingles" -> (() => Dedup.kmvDistinctShingles(spark, sfDir)),
       "deleteCascade"   -> (() => Dedup.deleteCascade(spark, sfDir)),
       "qualityDeciles"  -> (() => CorpusOps.qualityDeciles(spark, sfDir)),
-      "contaminationByBench" -> (() => CorpusOps.contaminationByBench(spark, sfDir)))
+      "contaminationByBench" -> (() => CorpusOps.contaminationByBench(spark, sfDir)),
+      "curationFunnel"  -> (() => CorpusOps.curationFunnel(spark, sfDir)))
     persistingOps.foreach { case (name, mk) =>
       withClue(s"$name: ") {
         consume(mk())

@@ -151,6 +151,25 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("curation funnel: monotone stage counts anchored to the standalone passes") {
+    val rows = CorpusOps.curationFunnel(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (1L to 5L), "dense ordered stage ids")
+    val counts = rows.map(_._3)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"stages must only shrink: ${counts.toSeq}")
+    val nRaw = graft.Tables.documents(spark, sfDir).count()
+    assert(counts.head == nRaw, "stage 1 is the raw corpus")
+    val nQuality = graft.Tables.documents(spark, sfDir)
+      .filter(CorpusOps.qualityKeep).count()
+    assert(counts(1) == nQuality, "stage 2 equals the standalone quality gate")
+    rows.foreach { case (_, _, n, ret) =>
+      assert(math.abs(ret - n.toDouble / nRaw) < 1e-6)
+    }
+    assert(counts.last > 0, "funnel must not empty the corpus")
+    assert(counts.last < nRaw, "funnel must actually cut")
+  }
+
   test("shard skew recomputes locally; load factors average to balance") {
     val rows = CorpusOps.shardSkew(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
