@@ -615,6 +615,98 @@ object Similarity {
       .orderBy("centroid_id")
   }
 
+  /** Product-quantization (PQ) ADC recall audit — the memory-bound
+    * compression trade at embedding scale: split each 64-dim vector
+    * into 8 subvectors, train a 16-code codebook PER SUBSPACE (one
+    * Lloyd round, seeded like the k-means trainer), encode every
+    * vector as 8 codes (4 bits each → 4 bytes where the raw vector is
+    * 256 — a 64x memory cut), and search with Asymmetric Distance
+    * Computation: the query precomputes its exact distance to every
+    * (subspace, code) centroid (a 128-entry table) and a candidate's
+    * distance is the sum of 8 table lookups. Recall is measured
+    * against exact integer-L2 brute-force truth — the same
+    * measure-don't-claim audit as the IVF/LSH family, pricing the
+    * 64x compression in top-k hits.
+    *
+    * Exactness: all arithmetic is BIGINT micro-units (the k-means
+    * trainer's convention), codebook means round once, ADC sums are
+    * integer — the whole audit is engine-exact, which is why a
+    * quantization SCHEME can be oracle-checked at all.
+    *
+    * Scale shape: training and encoding are the same
+    * broadcast-codebook distance join as the k-means trainer, grouped
+    * by (vector, subspace) — map-side partial, no window over corpus
+    * rows except the per-query top-k ranks. The brute-force side is
+    * the audit's oracle truth, bounded by the fixed query count, not
+    * a production path.
+    */
+  def pqRecall(spark: SparkSession, dir: String, nSubs: Int = 8,
+               nCodes: Int = 16, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val subDim = Dim / nSubs
+    // integer micro-unit subvector rows; many consumers (two
+    // assignment passes, codebook update, query table, brute truth)
+    val (sq, _) = graft.Caches.trackedCheckpoint(
+      Tables.embeddings(spark, dir)
+        .repartition(n, col("vec_id"))
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("bigint").as("pos"),
+          round(col("col").cast("double") * 1e6).cast("bigint").as("vq"))
+        .withColumn("sub", expr(s"pos div $subDim")))
+    val c0 = sq.filter(col("vec_id") < nCodes)
+      .select(col("vec_id").cast("bigint").as("cid"),
+        col("sub"), col("pos"), col("vq").as("cq"))
+    // nearest codebook entry per (vector, subspace) — the trainer's
+    // min(struct(d2, cid)) hash-agg tie-break, per subspace
+    def assign(cents: DataFrame): DataFrame =
+      sq.join(broadcast(cents), Seq("sub", "pos"))
+        .groupBy("vec_id", "sub", "cid")
+        .agg(sum((col("vq") - col("cq")) * (col("vq") - col("cq"))).as("d2"))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
+    val a1 = assign(c0)
+    val (c1, _c1Ids) = graft.Caches.trackedCheckpoint(
+      a1.join(sq, Seq("vec_id", "sub"))
+        .groupBy("cid", "sub", "pos")
+        .agg(round(sum(col("vq")).cast("double") / count(lit(1)))
+          .cast("bigint").as("cq")))
+    val codes = assign(c1) // the PQ encoding against the trained books
+    // per-query exact distance to every (subspace, code) centroid —
+    // the ADC table, nQueries x nSubs x nCodes rows
+    val qd = sq.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("sub"), col("pos"),
+        col("vq").as("qv"))
+      .join(broadcast(c1), Seq("sub", "pos"))
+      .groupBy("query_id", "sub", "cid")
+      .agg(sum((col("qv") - col("cq")) * (col("qv") - col("cq"))).as("d2q"))
+    val adc = codes.join(qd, Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d2q")).as("adist"))
+    val wA = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    val topA = adc.withColumn("rk", row_number().over(wA)).filter(col("rk") <= k)
+      .select("query_id", "neighbor_id")
+    // exact integer-L2 truth over the same micro-unit rows
+    val brute = sq.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("pos"), col("vq").as("qv"))
+      .join(sq.select(col("vec_id").as("neighbor_id"), col("pos"), col("vq")),
+        Seq("pos"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum((col("qv") - col("vq")) * (col("qv") - col("vq"))).as("d2"))
+    val wB = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
+    val topB = brute.withColumn("rk", row_number().over(wB)).filter(col("rk") <= k)
+      .select("query_id", "neighbor_id")
+    val hits = topB.join(topA, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    topB.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall", round(col("n_hits").cast("double") / k, 6))
+      .orderBy("query_id")
+  }
+
   /** Generator (UDTF-analog) surface: posexplode flattens each vector
     * to (vec_id, pos, val) rows — the lateral-view shape; kept to the
     * leading positions so the output is bounded.

@@ -24,6 +24,7 @@ class CacheDisciplineSpec extends SparkSuite {
       "decontaminate"   -> (() => CorpusOps.decontaminate(spark, sfDir)),
       "tfidfTopTerms"   -> (() => CorpusOps.tfidfTopTerms(spark, sfDir)),
       "knnLshRecall"    -> (() => Similarity.knnLshRecall(spark, sfDir)),
+      "pqRecall"        -> (() => Similarity.pqRecall(spark, sfDir)),
       "embeddingNearDup" -> (() => Similarity.embeddingNearDup(spark, sfDir)),
       "heavyHitterTokens" -> (() => TextAnalysis.heavyHitterTokens(spark, sfDir)),
       "vocabCoverage"   -> (() => TextAnalysis.vocabCoverage(spark, sfDir)),

@@ -79,6 +79,20 @@ class PipelineOpsSpec extends SparkSuite {
     assert(estPos.zip(estPos.tail).forall { case (a, b) => a >= b })
   }
 
+  test("PQ-ADC recall audit: one row per query, hits bounded, signal present") {
+    val rows = Similarity.pqRecall(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 10, "one row per query")
+    rows.foreach { case (q, h, rec) =>
+      assert(q >= 0 && q < 10)
+      assert(h >= 0 && h <= 5, s"hits out of range for query $q")
+      assert(math.abs(rec - h.toDouble / 5) < 1e-9)
+    }
+    // 64x compression cannot have zero signal on this corpus: ADC must
+    // recover at least some exact neighbors overall
+    assert(rows.map(_._2).sum > 0, "ADC found no true neighbors at all")
+  }
+
   test("KMV sketch: hk is the k-th smallest distinct hash, estimate recomputes locally") {
     val out = Dedup.kmvDistinctShingles(spark, sfDir).collect()
     assert(out.nonEmpty)
