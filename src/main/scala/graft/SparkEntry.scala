@@ -187,6 +187,7 @@ object SparkEntry {
     "x_knn_recall"         -> ((s, dir) => Similarity.knnLshRecall(s, dir)),
     "x_quantized_recall"   -> ((s, dir) => Similarity.knnQuantizedRecall(s, dir)),
     "x_pq_recall"          -> ((s, dir) => Similarity.pqRecall(s, dir)),
+    "x_pq_rerank"          -> ((s, dir) => Similarity.pqRerankRecall(s, dir)),
     "x_ivf_recall"         -> ((s, dir) => Similarity.knnIvfRecall(s, dir)),
     "x_knn_lsh_banded"     -> ((s, dir) => Similarity.knnLshBanded(s, dir)),
     "x_banded_recall"      -> ((s, dir) => Similarity.knnLshBandedRecall(s, dir)),
@@ -1329,6 +1330,58 @@ object SparkEntry {
         |top_a AS (SELECT query_id, neighbor_id FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk
         |  FROM adc) WHERE rk <= 5),
+        |bd AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+        |         SUM((q.vq-v.vq)*(q.vq-v.vq)) AS d2
+        |       FROM sq q JOIN sq v ON q.pos = v.pos AND v.vec_id <> q.vec_id
+        |       WHERE q.vec_id < 10 GROUP BY 1, 2),
+        |top_b AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk
+        |  FROM bd) WHERE rk <= 5),
+        |hits AS (SELECT b.query_id, COUNT(*) AS n_hits
+        |         FROM top_b b JOIN top_a a ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+        |         GROUP BY b.query_id)
+        |SELECT qq.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |  round(COALESCE(h.n_hits, 0)::DOUBLE/5, 6) AS recall
+        |FROM (SELECT DISTINCT query_id FROM top_b) qq LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+
+    // fetch-then-rerank: top-50 by ADC, exact re-rank of ONLY those
+    // candidates, top-5 — the production PQ serving path; same CTE
+    // chain as x_pq_recall up to `adc`
+    "x_pq_rerank" ->
+      """WITH vq AS (
+        |  SELECT vec_id, (i-1)::BIGINT AS pos,
+        |         round(embedding[i]::DOUBLE * 1000000)::BIGINT AS vq
+        |  FROM embeddings, range(1, 65) t(i)),
+        |sq AS (SELECT vec_id, pos, pos // 8 AS sub, vq FROM vq),
+        |c0 AS (SELECT vec_id::BIGINT AS cid, sub, pos, vq AS cq FROM sq WHERE vec_id < 16),
+        |a1 AS (SELECT vec_id, sub, cid FROM (
+        |  SELECT vec_id, sub, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
+        |  FROM (SELECT s.vec_id, s.sub, c.cid, SUM((s.vq-c.cq)*(s.vq-c.cq)) AS d2
+        |        FROM sq s JOIN c0 c ON s.sub = c.sub AND s.pos = c.pos GROUP BY 1, 2, 3)) WHERE rk = 1),
+        |c1 AS (SELECT a1.cid, sq.sub, sq.pos, round(SUM(sq.vq)::DOUBLE / COUNT(*))::BIGINT AS cq
+        |       FROM a1 JOIN sq ON a1.vec_id = sq.vec_id AND a1.sub = sq.sub GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, sub, cid FROM (
+        |  SELECT vec_id, sub, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
+        |  FROM (SELECT s.vec_id, s.sub, c.cid, SUM((s.vq-c.cq)*(s.vq-c.cq)) AS d2
+        |        FROM sq s JOIN c1 c ON s.sub = c.sub AND s.pos = c.pos GROUP BY 1, 2, 3)) WHERE rk = 1),
+        |qd AS (SELECT s.vec_id AS query_id, c.sub, c.cid, SUM((s.vq-c.cq)*(s.vq-c.cq)) AS d2q
+        |       FROM sq s JOIN c1 c ON s.sub = c.sub AND s.pos = c.pos
+        |       WHERE s.vec_id < 10 GROUP BY 1, 2, 3),
+        |adc AS (SELECT q.query_id, co.vec_id AS neighbor_id, SUM(q.d2q) AS adist
+        |        FROM codes co JOIN qd q ON co.sub = q.sub AND co.cid = q.cid
+        |        WHERE co.vec_id <> q.query_id GROUP BY 1, 2),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk
+        |  FROM adc) WHERE rk <= 50),
+        |rr AS (SELECT c.query_id, c.neighbor_id, SUM((q.vq - v.vq)*(q.vq - v.vq)) AS rd2
+        |       FROM cand c
+        |       JOIN sq q ON q.vec_id = c.query_id
+        |       JOIN sq v ON v.vec_id = c.neighbor_id AND v.pos = q.pos
+        |       GROUP BY 1, 2),
+        |top_a AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rd2, neighbor_id) AS rk
+        |  FROM rr) WHERE rk <= 5),
         |bd AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
         |         SUM((q.vq-v.vq)*(q.vq-v.vq)) AS d2
         |       FROM sq q JOIN sq v ON q.pos = v.pos AND v.vec_id <> q.vec_id

@@ -641,7 +641,25 @@ object Similarity {
     * a production path.
     */
   def pqRecall(spark: SparkSession, dir: String, nSubs: Int = 8,
-               nCodes: Int = 16, k: Int = 5, nQueries: Int = 10): DataFrame = {
+               nCodes: Int = 16, k: Int = 5, nQueries: Int = 10): DataFrame =
+    pqRecallImpl(spark, dir, nSubs, nCodes, k, nQueries, rerankN = 0)
+
+  /** PQ-ADC with the production fix [[pqRecall]]'s measured 0.32
+    * recall demands: ADC ranks a WIDE candidate list (top-`rerankN`
+    * by table-lookup distance — the cheap pass over the 64x-compressed
+    * codes), then only those candidates are re-ranked with the exact
+    * distance (the expensive pass touches rerankN vectors per query,
+    * not the corpus). This two-stage fetch-then-rerank is how every
+    * production PQ/IVFPQ index is actually served; the audit measures
+    * what the candidate width buys back.
+    */
+  def pqRerankRecall(spark: SparkSession, dir: String, rerankN: Int = 50,
+                     k: Int = 5, nQueries: Int = 10): DataFrame =
+    pqRecallImpl(spark, dir, nSubs = 8, nCodes = 16, k, nQueries, rerankN)
+
+  private def pqRecallImpl(spark: SparkSession, dir: String, nSubs: Int,
+                           nCodes: Int, k: Int, nQueries: Int,
+                           rerankN: Int): DataFrame = {
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val subDim = Dim / nSubs
     // integer micro-unit subvector rows; many consumers (two
@@ -685,8 +703,29 @@ object Similarity {
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("d2q")).as("adist"))
     val wA = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
-    val topA = adc.withColumn("rk", row_number().over(wA)).filter(col("rk") <= k)
-      .select("query_id", "neighbor_id")
+    val topA =
+      if (rerankN <= 0)
+        adc.withColumn("rk", row_number().over(wA)).filter(col("rk") <= k)
+          .select("query_id", "neighbor_id")
+      else {
+        // fetch-then-rerank: wide ADC candidate list, exact distance
+        // only on those candidates (rerankN vectors per query, never
+        // the corpus)
+        val cand = adc.withColumn("rk", row_number().over(wA))
+          .filter(col("rk") <= rerankN)
+          .select("query_id", "neighbor_id")
+        val qrows = sq.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("pos"), col("vq").as("qv"))
+        val rr = cand
+          .join(qrows, Seq("query_id"))
+          .join(sq.select(col("vec_id").as("neighbor_id"), col("pos"), col("vq")),
+            Seq("neighbor_id", "pos"))
+          .groupBy("query_id", "neighbor_id")
+          .agg(sum((col("qv") - col("vq")) * (col("qv") - col("vq"))).as("rd2"))
+        val wR = Window.partitionBy("query_id").orderBy(col("rd2"), col("neighbor_id"))
+        rr.withColumn("rk", row_number().over(wR)).filter(col("rk") <= k)
+          .select("query_id", "neighbor_id")
+      }
     // exact integer-L2 truth over the same micro-unit rows
     val brute = sq.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("pos"), col("vq").as("qv"))

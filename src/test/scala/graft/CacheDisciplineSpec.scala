@@ -25,6 +25,7 @@ class CacheDisciplineSpec extends SparkSuite {
       "tfidfTopTerms"   -> (() => CorpusOps.tfidfTopTerms(spark, sfDir)),
       "knnLshRecall"    -> (() => Similarity.knnLshRecall(spark, sfDir)),
       "pqRecall"        -> (() => Similarity.pqRecall(spark, sfDir)),
+      "pqRerankRecall"  -> (() => Similarity.pqRerankRecall(spark, sfDir)),
       "embeddingNearDup" -> (() => Similarity.embeddingNearDup(spark, sfDir)),
       "heavyHitterTokens" -> (() => TextAnalysis.heavyHitterTokens(spark, sfDir)),
       "vocabCoverage"   -> (() => TextAnalysis.vocabCoverage(spark, sfDir)),

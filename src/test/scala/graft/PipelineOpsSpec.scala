@@ -93,6 +93,20 @@ class PipelineOpsSpec extends SparkSuite {
     assert(rows.map(_._2).sum > 0, "ADC found no true neighbors at all")
   }
 
+  test("PQ rerank recovers recall over raw ADC; full-width rerank is exact") {
+    def mean(df: org.apache.spark.sql.DataFrame): Double = {
+      val rows = df.collect().map(_.getDouble(2))
+      rows.sum / rows.length
+    }
+    val raw = mean(Similarity.pqRecall(spark, sfDir))
+    val rr = mean(Similarity.pqRerankRecall(spark, sfDir))
+    assert(rr >= raw, s"re-ranking must not lose recall (raw $raw vs rerank $rr)")
+    // a candidate list as wide as the corpus re-ranks everything
+    // exactly -> recall 1.0 by construction
+    val full = mean(Similarity.pqRerankRecall(spark, sfDir, rerankN = 1000))
+    assert(full == 1.0, s"full-width rerank must be exact, got $full")
+  }
+
   test("KMV sketch: hk is the k-th smallest distinct hash, estimate recomputes locally") {
     val out = Dedup.kmvDistinctShingles(spark, sfDir).collect()
     assert(out.nonEmpty)
