@@ -70,7 +70,13 @@ class SparkEntrySpec extends AnyFunSuite {
     // window sums: escape via MAX(total)::BIGINT / ratio / comparison
     "x_vocab_coverage"    -> 2,
     // running-token window, escapes via a cast bin expression
-    "x_doc_packing"       -> 1
+    "x_doc_packing"       -> 1,
+    // PQ distances (assignment d2 x2, query table d2q, ADC adist,
+    // brute d2 [, rerank rd2]) — all consumed only by ROW_NUMBER
+    // ORDER BY or an inner re-sum; the output carries only COUNT
+    // hits and a rounded ratio
+    "x_pq_recall"         -> 5,
+    "x_pq_rerank"         -> 6
   )
 
   /** Count SUM( occurrences whose result is not immediately cast. */
