@@ -188,6 +188,26 @@ class PlanSpec extends SparkSuite {
            !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("curation funnel and delete cascade never cross-join") {
+    for (df <- Seq(graft.operators.CorpusOps.curationFunnel(spark, sfDir),
+                   Dedup.deleteCascade(spark, sfDir))) {
+      val plan = formatted(df)
+      assert(!plan.contains("CartesianProduct"), plan)
+      // the only nested-loop join allowed is the bounded broadcast
+      // (funnel: the 1-row raw-count cross join); count TREE nodes
+      // ("+- BroadcastNestedLoopJoin ..."), not the detail sections
+      // ("(87) BroadcastNestedLoopJoin") that repeat each node
+      val bnl = plan.linesIterator.count(_.contains("- BroadcastNestedLoopJoin"))
+      assert(bnl <= 1, s"unexpected nested-loop joins ($bnl):\n$plan")
+    }
+  }
+
+  test("PQ search joins on (subspace, code) keys — never a cross product") {
+    val plan = formatted(Similarity.pqRecall(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("quality deciles never run a single-reducer global window") {
     // the global rank comes from withGlobalRank: a per-PARTITION-id
     // window over the range-partitioned (checkpointed) frame plus
