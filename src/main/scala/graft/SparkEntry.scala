@@ -188,6 +188,7 @@ object SparkEntry {
     "x_quantized_recall"   -> ((s, dir) => Similarity.knnQuantizedRecall(s, dir)),
     "x_pq_recall"          -> ((s, dir) => Similarity.pqRecall(s, dir)),
     "x_pq_rerank"          -> ((s, dir) => Similarity.pqRerankRecall(s, dir)),
+    "x_ivfpq"              -> ((s, dir) => Similarity.ivfPqRecall(s, dir)),
     "x_ivf_recall"         -> ((s, dir) => Similarity.knnIvfRecall(s, dir)),
     "x_knn_lsh_banded"     -> ((s, dir) => Similarity.knnLshBanded(s, dir)),
     "x_banded_recall"      -> ((s, dir) => Similarity.knnLshBandedRecall(s, dir)),
@@ -1385,6 +1386,64 @@ object SparkEntry {
         |bd AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
         |         SUM((q.vq-v.vq)*(q.vq-v.vq)) AS d2
         |       FROM sq q JOIN sq v ON q.pos = v.pos AND v.vec_id <> q.vec_id
+        |       WHERE q.vec_id < 10 GROUP BY 1, 2),
+        |top_b AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk
+        |  FROM bd) WHERE rk <= 5),
+        |hits AS (SELECT b.query_id, COUNT(*) AS n_hits
+        |         FROM top_b b JOIN top_a a ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+        |         GROUP BY b.query_id)
+        |SELECT qq.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |  round(COALESCE(h.n_hits, 0)::DOUBLE/5, 6) AS recall
+        |FROM (SELECT DISTINCT query_id FROM top_b) qq LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+
+    // IVF-PQ composite: trained L2 cells (kmeansCtes a2/c2) prune to
+    // nProbe=2 cells, PQ-ADC (p-prefixed CTEs, identical to
+    // x_pq_recall's) scores the candidates, exact re-rank of the
+    // top-20 shortlist returns top-5; truth = exact integer L2
+    "x_ivfpq" ->
+      s"""WITH $kmeansCtes,
+        |psq AS (SELECT vec_id, pos, pos // 8 AS sub, vq FROM vq),
+        |pc0 AS (SELECT vec_id::BIGINT AS cid, sub, pos, vq AS cq FROM psq WHERE vec_id < 16),
+        |pa1 AS (SELECT vec_id, sub, cid FROM (
+        |  SELECT vec_id, sub, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
+        |  FROM (SELECT s.vec_id, s.sub, c.cid, SUM((s.vq-c.cq)*(s.vq-c.cq)) AS d2
+        |        FROM psq s JOIN pc0 c ON s.sub = c.sub AND s.pos = c.pos GROUP BY 1, 2, 3)) WHERE rk = 1),
+        |pc1 AS (SELECT pa1.cid, psq.sub, psq.pos, round(SUM(psq.vq)::DOUBLE / COUNT(*))::BIGINT AS cq
+        |        FROM pa1 JOIN psq ON pa1.vec_id = psq.vec_id AND pa1.sub = psq.sub GROUP BY 1, 2, 3),
+        |pcodes AS (SELECT vec_id, sub, cid FROM (
+        |  SELECT vec_id, sub, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
+        |  FROM (SELECT s.vec_id, s.sub, c.cid, SUM((s.vq-c.cq)*(s.vq-c.cq)) AS d2
+        |        FROM psq s JOIN pc1 c ON s.sub = c.sub AND s.pos = c.pos GROUP BY 1, 2, 3)) WHERE rk = 1),
+        |pqd AS (SELECT s.vec_id AS query_id, c.sub, c.cid, SUM((s.vq-c.cq)*(s.vq-c.cq)) AS d2q
+        |        FROM psq s JOIN pc1 c ON s.sub = c.sub AND s.pos = c.pos
+        |        WHERE s.vec_id < 10 GROUP BY 1, 2, 3),
+        |qcell AS (SELECT query_id, cid FROM (
+        |  SELECT query_id, cid, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cd2, cid) AS rk
+        |  FROM (SELECT v.vec_id AS query_id, c.cid, SUM((v.vq-c.cq)*(v.vq-c.cq)) AS cd2
+        |        FROM vq v JOIN c2 c USING (pos) WHERE v.vec_id < 10 GROUP BY 1, 2)) WHERE rk <= 2),
+        |cand AS (SELECT qc.query_id, a2.vec_id FROM qcell qc JOIN a2 ON a2.cid = qc.cid
+        |         WHERE a2.vec_id <> qc.query_id),
+        |adc AS (SELECT ca.query_id, ca.vec_id AS neighbor_id, SUM(q.d2q) AS adist
+        |        FROM cand ca
+        |        JOIN pcodes co ON co.vec_id = ca.vec_id
+        |        JOIN pqd q ON q.query_id = ca.query_id AND q.sub = co.sub AND q.cid = co.cid
+        |        GROUP BY 1, 2),
+        |wide AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk
+        |  FROM adc) WHERE rk <= 20),
+        |rr AS (SELECT w.query_id, w.neighbor_id, SUM((q.vq - v.vq)*(q.vq - v.vq)) AS rd2
+        |       FROM wide w
+        |       JOIN psq q ON q.vec_id = w.query_id
+        |       JOIN psq v ON v.vec_id = w.neighbor_id AND v.pos = q.pos
+        |       GROUP BY 1, 2),
+        |top_a AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rd2, neighbor_id) AS rk
+        |  FROM rr) WHERE rk <= 5),
+        |bd AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+        |         SUM((q.vq-v.vq)*(q.vq-v.vq)) AS d2
+        |       FROM psq q JOIN psq v ON q.pos = v.pos AND v.vec_id <> q.vec_id
         |       WHERE q.vec_id < 10 GROUP BY 1, 2),
         |top_b AS (SELECT query_id, neighbor_id FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk

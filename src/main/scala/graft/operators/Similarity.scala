@@ -657,9 +657,16 @@ object Similarity {
                      k: Int = 5, nQueries: Int = 10): DataFrame =
     pqRecallImpl(spark, dir, nSubs = 8, nCodes = 16, k, nQueries, rerankN)
 
-  private def pqRecallImpl(spark: SparkSession, dir: String, nSubs: Int,
-                           nCodes: Int, k: Int, nQueries: Int,
-                           rerankN: Int): DataFrame = {
+  /** The PQ training/encoding artifacts shared by the PQ audits and
+    * the IVF-PQ composite: micro-unit subvector rows `sq`, trained
+    * codebooks `c1`, per-vector codes, and the per-query ADC distance
+    * table `qd`.
+    */
+  private case class PqArtifacts(sq: DataFrame, c1: DataFrame,
+                                 codes: DataFrame, qd: DataFrame)
+
+  private def pqArtifacts(spark: SparkSession, dir: String, nSubs: Int,
+                          nCodes: Int, nQueries: Int): PqArtifacts = {
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val subDim = Dim / nSubs
     // integer micro-unit subvector rows; many consumers (two
@@ -698,6 +705,14 @@ object Similarity {
       .join(broadcast(c1), Seq("sub", "pos"))
       .groupBy("query_id", "sub", "cid")
       .agg(sum((col("qv") - col("cq")) * (col("qv") - col("cq"))).as("d2q"))
+    PqArtifacts(sq, c1, codes, qd)
+  }
+
+  private def pqRecallImpl(spark: SparkSession, dir: String, nSubs: Int,
+                           nCodes: Int, k: Int, nQueries: Int,
+                           rerankN: Int): DataFrame = {
+    val PqArtifacts(sq, _, codes, qd) =
+      pqArtifacts(spark, dir, nSubs, nCodes, nQueries)
     val adc = codes.join(qd, Seq("sub", "cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
@@ -729,6 +744,83 @@ object Similarity {
     // exact integer-L2 truth over the same micro-unit rows
     val brute = sq.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("pos"), col("vq").as("qv"))
+      .join(sq.select(col("vec_id").as("neighbor_id"), col("pos"), col("vq")),
+        Seq("pos"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum((col("qv") - col("vq")) * (col("qv") - col("vq"))).as("d2"))
+    val wB = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
+    val topB = brute.withColumn("rk", row_number().over(wB)).filter(col("rk") <= k)
+      .select("query_id", "neighbor_id")
+    val hits = topB.join(topA, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    topB.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall", round(col("n_hits").cast("double") / k, 6))
+      .orderBy("query_id")
+  }
+
+  /** IVF-PQ: the production ANN serving composite — coarse k-means
+    * cells PRUNE the corpus (only the query's `nProbe` nearest cells
+    * are visited), PQ-ADC SCORES the surviving candidates from their
+    * 8-code compressed form, and an exact re-rank of the narrow
+    * shortlist returns the top-k. This is the FAISS-style index
+    * shape: pruning bounds how much is read, compression bounds what
+    * a read costs, re-ranking restores exactness on the shortlist.
+    * (Production IVFPQ encodes cell RESIDUALS for tighter codes; this
+    * audit composes the pruning and compression axes with shared
+    * codebooks — the residual refinement drops into the same
+    * pipeline.) Both stages reuse the trained artifacts their
+    * standalone audits measure: the [[kmeansCentroids]] L2 cells and
+    * the [[pqRecall]] codebooks.
+    *
+    * Everything is BIGINT micro-units, so the composite — like its
+    * parts — is oracle-checked end to end.
+    */
+  def ivfPqRecall(spark: SparkSession, dir: String, nProbe: Int = 2,
+                  rerankN: Int = 20, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val fit = kmeansFit(spark, dir, k = 8, iters = 2)
+    graft.Caches.release(spark, fit.vqIds)
+    val PqArtifacts(sq, _, codes, qd) =
+      pqArtifacts(spark, dir, nSubs = 8, nCodes = 16, nQueries)
+    // query -> nProbe nearest coarse cells, by exact L2 to the
+    // trained centroids (broadcast — k x 64 rows)
+    val qcd = sq.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("pos"), col("vq").as("qv"))
+      .join(broadcast(fit.cents), Seq("pos"))
+      .groupBy("query_id", "cid")
+      .agg(sum((col("qv") - col("cq")) * (col("qv") - col("cq"))).as("cd2"))
+    val wC = Window.partitionBy("query_id").orderBy(col("cd2"), col("cid"))
+    val probes = qcd.withColumn("rk", row_number().over(wC))
+      .filter(col("rk") <= nProbe).select("query_id", "cid")
+    // candidates: vectors assigned to a probed cell — the equi-join
+    // prune that reads nProbe/k of the corpus
+    val cand = probes.join(fit.assignment, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    // ADC over the pruned candidates only
+    val adc = cand
+      .join(codes, Seq("vec_id"))
+      .join(qd, Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d2q")).as("adist"))
+    val wA = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    val wide = adc.withColumn("rk", row_number().over(wA))
+      .filter(col("rk") <= rerankN).select("query_id", "neighbor_id")
+    // exact re-rank of the shortlist
+    val qrows = sq.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("pos"), col("vq").as("qv"))
+    val rr = wide.join(qrows, Seq("query_id"))
+      .join(sq.select(col("vec_id").as("neighbor_id"), col("pos"), col("vq")),
+        Seq("neighbor_id", "pos"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum((col("qv") - col("vq")) * (col("qv") - col("vq"))).as("rd2"))
+    val wR = Window.partitionBy("query_id").orderBy(col("rd2"), col("neighbor_id"))
+    val topA = rr.withColumn("rk", row_number().over(wR)).filter(col("rk") <= k)
+      .select("query_id", "neighbor_id")
+    // exact integer-L2 truth
+    val brute = qrows
       .join(sq.select(col("vec_id").as("neighbor_id"), col("pos"), col("vq")),
         Seq("pos"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -26,6 +26,7 @@ class CacheDisciplineSpec extends SparkSuite {
       "knnLshRecall"    -> (() => Similarity.knnLshRecall(spark, sfDir)),
       "pqRecall"        -> (() => Similarity.pqRecall(spark, sfDir)),
       "pqRerankRecall"  -> (() => Similarity.pqRerankRecall(spark, sfDir)),
+      "ivfPqRecall"     -> (() => Similarity.ivfPqRecall(spark, sfDir)),
       "embeddingNearDup" -> (() => Similarity.embeddingNearDup(spark, sfDir)),
       "heavyHitterTokens" -> (() => TextAnalysis.heavyHitterTokens(spark, sfDir)),
       "vocabCoverage"   -> (() => TextAnalysis.vocabCoverage(spark, sfDir)),

@@ -93,6 +93,17 @@ class PipelineOpsSpec extends SparkSuite {
     assert(rows.map(_._2).sum > 0, "ADC found no true neighbors at all")
   }
 
+  test("IVF-PQ composite: one row per query, hits bounded, pruning+compression has signal") {
+    val rows = Similarity.ivfPqRecall(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 10)
+    rows.foreach { case (q, h, rec) =>
+      assert(h >= 0 && h <= 5, s"hits out of range for query $q")
+      assert(math.abs(rec - h.toDouble / 5) < 1e-9)
+    }
+    assert(rows.map(_._2).sum > 0, "composite found no true neighbors at all")
+  }
+
   test("PQ rerank recovers recall over raw ADC; full-width rerank is exact") {
     def mean(df: org.apache.spark.sql.DataFrame): Double = {
       val rows = df.collect().map(_.getDouble(2))

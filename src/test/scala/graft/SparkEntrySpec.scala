@@ -76,7 +76,10 @@ class SparkEntrySpec extends AnyFunSuite {
     // ORDER BY or an inner re-sum; the output carries only COUNT
     // hits and a rounded ratio
     "x_pq_recall"         -> 5,
-    "x_pq_rerank"         -> 6
+    "x_pq_rerank"         -> 6,
+    // kmeansCtes (2) + PQ chain (pa1, pcodes, pqd) + cell ranking,
+    // ADC re-sum, rerank, brute — all ORDER BY-only
+    "x_ivfpq"             -> 9
   )
 
   /** Count SUM( occurrences whose result is not immediately cast. */
