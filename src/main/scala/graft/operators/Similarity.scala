@@ -665,31 +665,55 @@ object Similarity {
   private case class PqArtifacts(sq: DataFrame, c1: DataFrame,
                                  codes: DataFrame, qd: DataFrame)
 
+  /** Micro-unit subvector rows `(vec_id, pos, sub, vq)` of any
+    * `(vec_id, embedding, ...)` frame — the PQ arithmetic unit,
+    * shared with the streaming encoder so batch and stream cannot
+    * drift.
+    */
+  private[graft] def pqMicroUnits(df: DataFrame, nSubs: Int = 8): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val subDim = Dim / nSubs
+    df.repartition(n, col("vec_id"))
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("bigint").as("pos"),
+        round(col("col").cast("double") * 1e6).cast("bigint").as("vq"))
+      .withColumn("sub", expr(s"pos div $subDim"))
+  }
+
+  /** Nearest codebook entry per (vector, subspace) — the trainer's
+    * min(struct(d2, cid)) hash-agg tie-break, per subspace; shared
+    * with the streaming encoder.
+    */
+  private[graft] def pqAssign(rows: DataFrame, cents: DataFrame): DataFrame =
+    rows.join(broadcast(cents), Seq("sub", "pos"))
+      .groupBy("vec_id", "sub", "cid")
+      .agg(sum((col("vq") - col("cq")) * (col("vq") - col("cq"))).as("d2"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
+
+  /** Trained PQ codebooks `(cid, sub, pos, cq)` — the artifact a
+    * deployment publishes for the streaming encoder.
+    */
+  def pqCodebooks(spark: SparkSession, dir: String): DataFrame =
+    pqArtifacts(spark, dir, nSubs = 8, nCodes = 16, nQueries = 10).c1
+
+  /** The batch PQ encoding `(vec_id, sub, cid)` — the streaming
+    * encoder's stream==batch oracle.
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    pqArtifacts(spark, dir, nSubs = 8, nCodes = 16, nQueries = 10).codes
+
   private def pqArtifacts(spark: SparkSession, dir: String, nSubs: Int,
                           nCodes: Int, nQueries: Int): PqArtifacts = {
-    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val subDim = Dim / nSubs
     // integer micro-unit subvector rows; many consumers (two
     // assignment passes, codebook update, query table, brute truth)
     val (sq, _) = graft.Caches.trackedCheckpoint(
-      Tables.embeddings(spark, dir)
-        .repartition(n, col("vec_id"))
-        .select(col("vec_id"), posexplode(col("embedding")))
-        .select(col("vec_id"), col("pos").cast("bigint").as("pos"),
-          round(col("col").cast("double") * 1e6).cast("bigint").as("vq"))
-        .withColumn("sub", expr(s"pos div $subDim")))
+      pqMicroUnits(Tables.embeddings(spark, dir), nSubs))
     val c0 = sq.filter(col("vec_id") < nCodes)
       .select(col("vec_id").cast("bigint").as("cid"),
         col("sub"), col("pos"), col("vq").as("cq"))
-    // nearest codebook entry per (vector, subspace) — the trainer's
-    // min(struct(d2, cid)) hash-agg tie-break, per subspace
-    def assign(cents: DataFrame): DataFrame =
-      sq.join(broadcast(cents), Seq("sub", "pos"))
-        .groupBy("vec_id", "sub", "cid")
-        .agg(sum((col("vq") - col("cq")) * (col("vq") - col("cq"))).as("d2"))
-        .groupBy("vec_id", "sub")
-        .agg(min(struct(col("d2"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
+    def assign(cents: DataFrame): DataFrame = pqAssign(sq, cents)
     val a1 = assign(c0)
     val (c1, _c1Ids) = graft.Caches.trackedCheckpoint(
       a1.join(sq, Seq("vec_id", "sub"))

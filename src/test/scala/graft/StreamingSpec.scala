@@ -468,6 +468,41 @@ class StreamingSpec extends SparkSuite {
     assert(afterReplay == got, "batch replay must not inflate counts")
   }
 
+  test("incremental PQ encoding equals the batch codes (stream==batch, out of order)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "pqenc-").toString
+    val (bookPath, codesPath) = (s"$base/books", s"$base/codes")
+    // the trainer publishes its codebooks before the stream starts
+    graft.operators.Similarity.pqCodebooks(spark, sfDir)
+      .write.mode("overwrite").parquet(bookPath)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = ms.toDF().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(graft.streaming.StreamingPqEncode.encodeSink(bookPath, codesPath))
+      .start()
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (high, low) = vecs.partition(_._1 >= 250)
+    try {
+      Seq(high, low.take(120), low.drop(120)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = rows(graft.streaming.StreamingPqEncode.readCodes(spark, codesPath))
+    val want = rows(graft.operators.Similarity.pqCodes(spark, sfDir))
+    assert(want.nonEmpty)
+    assert(got == want, s"stream==batch: ${got.size} streamed codes vs ${want.size} batch codes")
+    // replayed micro-batch must be idempotent
+    graft.streaming.StreamingPqEncode.encodeSink(bookPath, codesPath)(
+      low.drop(120).toDF("vec_id", "embedding"), 2L)
+    val afterReplay = rows(graft.streaming.StreamingPqEncode.readCodes(spark, codesPath))
+    assert(afterReplay == got, "batch replay must not change the code store")
+  }
+
   test("incremental kmeans statistics fold to the one-round batch fit (stream==batch)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files
