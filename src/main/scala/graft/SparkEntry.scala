@@ -671,13 +671,22 @@ object SparkEntry {
         |WHERE p_brand = 'Brand#7' AND p_size <= 5
         |GROUP BY p_size ORDER BY p_size""".stripMargin,
 
+    // Division-semantics-free binning (mirrors the Spark side's
+    // pmod-subtraction): cents minus the POSITIVE mod is an exact
+    // multiple of 2000, so the `//` is exact division — identical
+    // under floor (DuckDB //) or truncate (Spark div) semantics for
+    // ANY sign of value, no corpus non-negativity contract needed
     "x_histogram" ->
-      """SELECT event_type,
-        |  CAST(round(value * 100) AS BIGINT) // 2000 AS bin,
-        |  ((CAST(round(value * 100) AS BIGINT) // 2000) * 20.0)::DOUBLE AS bin_lo,
+      """WITH c AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    (cents - ((cents % 2000) + 2000) % 2000) // 2000 AS bin
+        |  FROM c)
+        |SELECT event_type, bin, (bin * 20.0)::DOUBLE AS bin_lo,
         |  COUNT(*) AS n_events
-        |FROM events
-        |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+        |FROM b GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
 
     // Spark try_cast/try_divide modeled as TRY_CAST / NULLIF-guarded
     // division in DuckDB; sums bridge through VARCHAR per §4b lesson 9

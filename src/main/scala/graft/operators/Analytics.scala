@@ -1007,14 +1007,22 @@ object Analytics {
     * with floor-division engines (DuckDB `//`) on negative values. One hash aggregate; bin count is bounded by the value
     * range, so the output stays tiny at any corpus size.
     */
+  /** Floor binning of `value` into $20 (2000-cent) bins, division-
+    * semantics-free: cents minus pmod(cents, 2000) is an EXACT
+    * multiple of 2000, so the `div` is exact division — identical
+    * under floor (DuckDB `//`) or truncate (Spark `div`) semantics
+    * for any sign of value. The oracle uses the same subtraction
+    * form; negative-value floor semantics are probed in
+    * PipelineOpsSpec so neither side silently leans on a
+    * non-negative-corpus contract.
+    */
+  private[graft] val histogramBin =
+    expr("(CAST(round(value * 100) AS BIGINT) - " +
+      "pmod(CAST(round(value * 100) AS BIGINT), 2000)) div 2000")
+
   def valueHistogram(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .groupBy(col("event_type"),
-        // Floor division, not `div` (truncate-toward-zero): cents minus
-        // pmod(cents, 2000) is exactly divisible, so the `div` is exact and
-        // equals floor — matching DuckDB's `//` even for negative values.
-        expr("(CAST(round(value * 100) AS BIGINT) - " +
-          "pmod(CAST(round(value * 100) AS BIGINT), 2000)) div 2000").as("bin"))
+      .groupBy(col("event_type"), histogramBin.as("bin"))
       .agg(count(lit(1)).as("n_events"))
       .withColumn("bin_lo", (col("bin") * 20.0))
       .select("event_type", "bin", "bin_lo", "n_events")

@@ -621,12 +621,19 @@ object Dedup {
     * 16-bit bands also shrink the candidate join 256x vs 8-bit bands.
     */
   def simhashNearDup(spark: SparkSession, dir: String,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3): DataFrame =
+    simhashNearDupFrom(Tables.documents(spark, dir), maxHamming)
+
+  /** SimHash near-dup pairs over ANY `(doc_id, text, ...)` frame — the
+    * seam [[unifiedPairs]] uses to fingerprint an already-materialized
+    * corpus projection instead of re-reading the source table.
+    */
+  def simhashNearDupFrom(docRows: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4 x 16-bit bands guarantee recall only up to Hamming distance 3")
     // the fingerprint table feeds four subtrees (two band-join sides,
     // two verify lookups) — materialize once, plan-truncated
-    val (docs, _) = graft.Caches.trackedCheckpoint(simhashDocs64(spark, dir))
+    val (docs, _) = graft.Caches.trackedCheckpoint(simhashDocs64From(docRows))
     val bands = docs
       .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
         explode(sequence(lit(0), lit(3))).as("band"))
@@ -823,22 +830,51 @@ object Dedup {
     * its own skew caps; the union is a cheap distinct over three tiny
     * pair sets, so the composition adds no new scale axis.
     *
-    * One-scan composition: MinHash and n-gram Jaccard share the SAME
-    * shingle unit (word 3-grams, identically hashed and deduped —
-    * [[wordGramRows]]), so the corpus is tokenized/exploded/hashed
-    * ONCE and both families read the one checkpointed gram table —
-    * at 100 TB that is a whole corpus scan saved vs running the
-    * standalone queries back to back. SimHash votes on character
-    * 8-grams (a different unit by design) and keeps its own pass.
+    * One-scan composition: the corpus projection `(doc_id, lang,
+    * source, text)` is read from storage ONCE into a checkpointed
+    * frame, and BOTH tokenizations read those blocks — MinHash and
+    * n-gram Jaccard share the same word-3-gram unit (one
+    * tokenize/explode/hash pass, one checkpointed gram table —
+    * [[wordGramRowsFrom]]), and SimHash's character-8-gram pass (a
+    * different unit by design) re-reads the checkpointed text instead
+    * of scanning the source table a second time. At 100 TB that is a
+    * whole corpus read saved per composite; the raw-text blocks are
+    * released as soon as both derived tables (grams, fingerprints)
+    * materialize, so the composite never holds text longer than the
+    * tokenization itself.
     */
   def unifiedPairs(spark: SparkSession, dir: String,
                    minhashThreshold: Double = 0.7,
                    maxHamming: Int = 3,
                    ngramThreshold: Double = 0.02): DataFrame = {
-    val grams = wordGramRows(spark, dir).localCheckpoint()
+    val (docs, docIds) = graft.Caches.trackedCheckpoint(unifiedDocs(spark, dir))
+    val pairs = unifiedPairsFrom(docs, minhashThreshold, maxHamming, ngramThreshold)
+    // both tokenizations checkpointed their derived tables eagerly —
+    // the returned plan reads grams + fingerprints, never the text
+    graft.Caches.release(spark, docIds)
+    pairs
+  }
+
+  /** The corpus projection both [[unifiedPairs]] tokenizations (and
+    * [[dedupSurvivorsUnified]]'s rollup) read: exactly the columns the
+    * word-gram pass, the SimHash pass, and the survivor rollup need.
+    */
+  private def unifiedDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+
+  /** [[unifiedPairs]] over an already-materialized corpus projection —
+    * the seam that lets [[dedupSurvivorsUnified]] share ONE checkpoint
+    * across the pair graph and the survivor rollup.
+    */
+  private def unifiedPairsFrom(docs: DataFrame,
+                               minhashThreshold: Double,
+                               maxHamming: Int,
+                               ngramThreshold: Double): DataFrame = {
+    val grams = wordGramRowsFrom(docs).localCheckpoint()
     val minhashRows = grams.select(col("doc_id"), col("gh").as("h"))
     nearDupMinhashRows(minhashRows, minhashThreshold).select("doc_a", "doc_b")
-      .union(simhashNearDup(spark, dir, maxHamming).select("doc_a", "doc_b"))
+      .union(simhashNearDupFrom(docs, maxHamming).select("doc_a", "doc_b"))
       .union(ngramJaccardRows(grams, ngramThreshold).select("doc_a", "doc_b"))
       .distinct()
   }
@@ -857,9 +893,20 @@ object Dedup {
     * with the union graph's non-roots removed instead of MinHash-only.
     * Survivor count is <= the per-family variant by construction
     * (more edges can only merge more docs into clusters).
+    *
+    * One-scan: the SAME checkpointed corpus projection feeds the pair
+    * graph's two tokenizations AND the survivor rollup's exact-dedup /
+    * per-language counts — the composite reads `documents` from
+    * storage exactly once. (Here the projection's blocks live until
+    * the caller's [[graft.Caches.releaseAll]]: the returned plan's
+    * rollup side still reads them.)
     */
-  def dedupSurvivorsUnified(spark: SparkSession, dir: String): DataFrame =
-    survivorsByLang(spark, dir, unifiedPairs(spark, dir))
+  def dedupSurvivorsUnified(spark: SparkSession, dir: String): DataFrame = {
+    val (docs, _) = graft.Caches.trackedCheckpoint(unifiedDocs(spark, dir))
+    survivorsByLangFrom(docs,
+      unifiedPairsFrom(docs, minhashThreshold = 0.7, maxHamming = 3,
+        ngramThreshold = 0.02))
+  }
 
   /** The dedup end product: per-language survivor counts after BOTH
     * dedup passes — exact (content-hash, smallest doc_id survives) AND
@@ -878,9 +925,12 @@ object Dedup {
     * streams through once.
     */
   private def survivorsByLang(spark: SparkSession, dir: String,
-                              pairs: DataFrame): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
-      col("text"))
+                              pairs: DataFrame): DataFrame =
+    survivorsByLangFrom(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text")),
+      pairs)
+
+  private def survivorsByLangFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val keep = docs
       .groupBy(md5(encode(col("text"), "UTF-8")).as("ch"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -991,11 +1041,19 @@ object Dedup {
     * block columns differ — which is what lets [[unifiedPairs]] feed
     * both the MinHash and n-gram families from one pass.
     */
-  def wordGramRows(spark: SparkSession, dir: String): DataFrame = {
+  def wordGramRows(spark: SparkSession, dir: String): DataFrame =
+    wordGramRowsFrom(Tables.documents(spark, dir))
+
+  /** Word-gram hash rows over ANY `(doc_id, lang, source, text, ...)`
+    * frame — the seam [[unifiedPairs]] uses to tokenize an
+    * already-materialized corpus projection.
+    */
+  def wordGramRowsFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     graft.functions.PolyHash.register(spark)
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val toks = split(col("text"), " ")
-    Tables.documents(spark, dir)
+    docs
       .filter(size(toks) >= 3)
       .repartition(n, col("doc_id"))  // see shingleHashRows: pre-explode, one shuffle, AQE-coalesce-proof
       .select(col("doc_id"), col("lang"), col("source"), toks.as("toks"),

@@ -63,6 +63,11 @@ object StreamingDomainCap {
         .select(col("doc_id"), col("source"),
           call_function(graft.functions.PolyHash.Name,
             col("doc_id").cast("string")).as("h"))
+        // a doc resent WITHIN one micro-batch must hold one rank slot,
+        // not several: duplicate rows rank consecutively (identical
+        // (h, doc_id) key) and would evict a distinct doc from the
+        // batch-local top-cap that the read-side dedup cannot recover
+        .dropDuplicates("source", "doc_id")
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= cap)
         .drop("rk")

@@ -460,6 +460,17 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("histogramBin floors for negative values (oracle-portable division semantics)") {
+    // the corpus pins value >= 0.01, where floor and truncate agree —
+    // this probe feeds the expression NEGATIVE values so a regression
+    // back to bare `div`/`//` (which disagree below zero) fails loudly
+    import spark.implicits._
+    val got = Seq(-45.0, -0.01, 0.0, 0.01, 45.0).toDF("value")
+      .select(Analytics.histogramBin.as("bin")).as[Long].collect().toSeq
+    assert(got == Seq(-3L, -1L, 0L, 0L, 2L),
+      s"expected floor(cents/2000) semantics, got $got")
+  }
+
   test("langConfusion: cells partition the corpus and shares sum to 1 per label") {
     val out = TextAnalysis.langConfusion(spark, sfDir).collect()
     val nDocs = Tables.documents(spark, sfDir).count()

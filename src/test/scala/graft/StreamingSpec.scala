@@ -365,7 +365,11 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     val (high, low) = docs.partition(_._1 >= 250)
     try {
-      Seq(high, low.take(60), low.drop(60)).foreach { chunk =>
+      // first batch resends EVERY row within the batch: duplicate rows
+      // rank adjacently, so without the sink's within-batch dedup they
+      // would halve the distinct docs surviving the batch-local
+      // top-cap and permanently evict global winners
+      Seq(high ++ high, low.take(60), low.drop(60)).foreach { chunk =>
         ms.addData(chunk); q.processAllAvailable()
       }
     } finally q.stop()
@@ -407,9 +411,12 @@ class StreamingSpec extends SparkSuite {
       .option("checkpointLocation", s"$base/ckpt")
       .foreachBatch(graft.streaming.StreamingDecontam.contamSink(benchPath, reportPath))
       .start()
-    // OUT-OF-ORDER batch split of the corpus side (doc_id >= 20):
-    // reports are per-document, so arrival order must not matter
-    val corpus = allDocs.filter(org.apache.spark.sql.functions.col("doc_id") >= 20)
+    // OUT-OF-ORDER batch split of the FULL corpus — benchmark docs
+    // included: the sink must anti-join them out via the published
+    // doc_id set (a bench doc self-matches at contamination 1.0
+    // otherwise), and reports are per-document so arrival order must
+    // not matter
+    val corpus = allDocs
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     val (high, low) = corpus.partition(_._1 >= 250)
     try {
