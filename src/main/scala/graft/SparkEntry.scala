@@ -189,6 +189,7 @@ object SparkEntry {
     "x_pq_recall"          -> ((s, dir) => Similarity.pqRecall(s, dir)),
     "x_pq_rerank"          -> ((s, dir) => Similarity.pqRerankRecall(s, dir)),
     "x_ivfpq"              -> ((s, dir) => Similarity.ivfPqRecall(s, dir)),
+    "x_ivfpq_residual"     -> ((s, dir) => Similarity.ivfPqResidualRecall(s, dir)),
     "x_ivf_recall"         -> ((s, dir) => Similarity.knnIvfRecall(s, dir)),
     "x_knn_lsh_banded"     -> ((s, dir) => Similarity.knnLshBanded(s, dir)),
     "x_banded_recall"      -> ((s, dir) => Similarity.knnLshBandedRecall(s, dir)),
@@ -222,6 +223,47 @@ object SparkEntry {
       |        FROM vq v JOIN c1 c USING (pos) GROUP BY 1, 2)) WHERE rk = 1),
       |c2 AS (SELECT a2.cid, vq.pos, round(SUM(vq.vq)::DOUBLE / COUNT(*))::BIGINT AS cq
       |       FROM a2 JOIN vq USING (vec_id) GROUP BY 1, 2)""".stripMargin
+
+  /** Shared PQ trainer CTE chain with table-name prefix `p` — mirrors
+    * the Spark trainer (Similarity.pqArtifactsFrom: hash-spread seed
+    * by the polynomial doc-id hash, two unrolled Lloyd rounds) so the
+    * trainer definition cannot drift between the PQ oracles. Expects
+    * `${p}sq (vec_id, sub, pos, vq)` to be defined; ends in the
+    * trained books `${p}c2` and the encoding `${p}codes`.
+    */
+  private def pqTrainCtes(p: String): String =
+    s"""${p}seed AS (
+       |  SELECT vec_id FROM (SELECT DISTINCT vec_id FROM ${p}sq)
+       |  ORDER BY list_reduce(list_transform(range(1, len(CAST(vec_id AS VARCHAR))+1),
+       |    i -> ascii(substr(CAST(vec_id AS VARCHAR), i, 1))::BIGINT),
+       |    (acc, c) -> (acc*31+c)%1000000007), vec_id
+       |  LIMIT 16),
+       |${p}c0 AS (SELECT s.vec_id::BIGINT AS cid, s.sub, s.pos, s.vq AS cq
+       |           FROM ${p}sq s JOIN ${p}seed USING (vec_id)),
+       |${p}a1 AS (SELECT vec_id, sub, cid FROM (
+       |  SELECT vec_id, sub, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
+       |  FROM (SELECT s.vec_id, s.sub, c.cid, SUM((s.vq-c.cq)*(s.vq-c.cq)) AS d2
+       |        FROM ${p}sq s JOIN ${p}c0 c ON s.sub = c.sub AND s.pos = c.pos GROUP BY 1, 2, 3)) WHERE rk = 1),
+       |${p}c1 AS (SELECT a.cid, s.sub, s.pos, round(SUM(s.vq)::DOUBLE / COUNT(*))::BIGINT AS cq
+       |           FROM ${p}a1 a JOIN ${p}sq s ON a.vec_id = s.vec_id AND a.sub = s.sub GROUP BY 1, 2, 3),
+       |${p}a2 AS (SELECT vec_id, sub, cid FROM (
+       |  SELECT vec_id, sub, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
+       |  FROM (SELECT s.vec_id, s.sub, c.cid, SUM((s.vq-c.cq)*(s.vq-c.cq)) AS d2
+       |        FROM ${p}sq s JOIN ${p}c1 c ON s.sub = c.sub AND s.pos = c.pos GROUP BY 1, 2, 3)) WHERE rk = 1),
+       |${p}c2 AS (SELECT a.cid, s.sub, s.pos, round(SUM(s.vq)::DOUBLE / COUNT(*))::BIGINT AS cq
+       |           FROM ${p}a2 a JOIN ${p}sq s ON a.vec_id = s.vec_id AND a.sub = s.sub GROUP BY 1, 2, 3),
+       |${p}codes AS (SELECT vec_id, sub, cid FROM (
+       |  SELECT vec_id, sub, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
+       |  FROM (SELECT s.vec_id, s.sub, c.cid, SUM((s.vq-c.cq)*(s.vq-c.cq)) AS d2
+       |        FROM ${p}sq s JOIN ${p}c2 c ON s.sub = c.sub AND s.pos = c.pos GROUP BY 1, 2, 3)) WHERE rk = 1)""".stripMargin
+
+  /** The per-query ADC distance table over the trained `${p}c2` books
+    * — the query side of every PQ oracle.
+    */
+  private def pqQdCte(p: String): String =
+    s"""${p}qd AS (SELECT s.vec_id AS query_id, c.sub, c.cid, SUM((s.vq-c.cq)*(s.vq-c.cq)) AS d2q
+       |       FROM ${p}sq s JOIN ${p}c2 c ON s.sub = c.sub AND s.pos = c.pos
+       |       WHERE s.vec_id < 10 GROUP BY 1, 2, 3)""".stripMargin
 
   /** Trained-IVF CTE base: trained centroids as DOUBLE lists, corpus
     * with norms, centroid ranking, and first-cell assignment — ends in
@@ -1310,30 +1352,19 @@ object SparkEntry {
         |FROM (SELECT DISTINCT query_id FROM top_b) qq2 LEFT JOIN hits h USING (query_id)
         |ORDER BY query_id""".stripMargin,
 
-    // PQ-ADC: per-subspace 16-code books (one Lloyd round, trainer
-    // seeding), 8-code encoding, asymmetric distance = sum of the
-    // query's exact per-(sub, code) distances; truth = exact integer
-    // L2 — all BIGINT micro-units, so the scheme itself oracle-checks
+    // PQ-ADC: per-subspace 16-code books (hash-spread seed, two Lloyd
+    // rounds — pqTrainCtes mirrors the Spark trainer), 8-code
+    // encoding, asymmetric distance = sum of the query's exact
+    // per-(sub, code) distances; truth = exact integer L2 — all
+    // BIGINT micro-units, so the scheme itself oracle-checks
     "x_pq_recall" ->
-      """WITH vq AS (
+      s"""WITH vq AS (
         |  SELECT vec_id, (i-1)::BIGINT AS pos,
         |         round(embedding[i]::DOUBLE * 1000000)::BIGINT AS vq
         |  FROM embeddings, range(1, 65) t(i)),
         |sq AS (SELECT vec_id, pos, pos // 8 AS sub, vq FROM vq),
-        |c0 AS (SELECT vec_id::BIGINT AS cid, sub, pos, vq AS cq FROM sq WHERE vec_id < 16),
-        |a1 AS (SELECT vec_id, sub, cid FROM (
-        |  SELECT vec_id, sub, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
-        |  FROM (SELECT s.vec_id, s.sub, c.cid, SUM((s.vq-c.cq)*(s.vq-c.cq)) AS d2
-        |        FROM sq s JOIN c0 c ON s.sub = c.sub AND s.pos = c.pos GROUP BY 1, 2, 3)) WHERE rk = 1),
-        |c1 AS (SELECT a1.cid, sq.sub, sq.pos, round(SUM(sq.vq)::DOUBLE / COUNT(*))::BIGINT AS cq
-        |       FROM a1 JOIN sq ON a1.vec_id = sq.vec_id AND a1.sub = sq.sub GROUP BY 1, 2, 3),
-        |codes AS (SELECT vec_id, sub, cid FROM (
-        |  SELECT vec_id, sub, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
-        |  FROM (SELECT s.vec_id, s.sub, c.cid, SUM((s.vq-c.cq)*(s.vq-c.cq)) AS d2
-        |        FROM sq s JOIN c1 c ON s.sub = c.sub AND s.pos = c.pos GROUP BY 1, 2, 3)) WHERE rk = 1),
-        |qd AS (SELECT s.vec_id AS query_id, c.sub, c.cid, SUM((s.vq-c.cq)*(s.vq-c.cq)) AS d2q
-        |       FROM sq s JOIN c1 c ON s.sub = c.sub AND s.pos = c.pos
-        |       WHERE s.vec_id < 10 GROUP BY 1, 2, 3),
+        |${pqTrainCtes("")},
+        |${pqQdCte("")},
         |adc AS (SELECT q.query_id, co.vec_id AS neighbor_id, SUM(q.d2q) AS adist
         |        FROM codes co JOIN qd q ON co.sub = q.sub AND co.cid = q.cid
         |        WHERE co.vec_id <> q.query_id GROUP BY 1, 2),
@@ -1359,25 +1390,13 @@ object SparkEntry {
     // candidates, top-5 — the production PQ serving path; same CTE
     // chain as x_pq_recall up to `adc`
     "x_pq_rerank" ->
-      """WITH vq AS (
+      s"""WITH vq AS (
         |  SELECT vec_id, (i-1)::BIGINT AS pos,
         |         round(embedding[i]::DOUBLE * 1000000)::BIGINT AS vq
         |  FROM embeddings, range(1, 65) t(i)),
         |sq AS (SELECT vec_id, pos, pos // 8 AS sub, vq FROM vq),
-        |c0 AS (SELECT vec_id::BIGINT AS cid, sub, pos, vq AS cq FROM sq WHERE vec_id < 16),
-        |a1 AS (SELECT vec_id, sub, cid FROM (
-        |  SELECT vec_id, sub, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
-        |  FROM (SELECT s.vec_id, s.sub, c.cid, SUM((s.vq-c.cq)*(s.vq-c.cq)) AS d2
-        |        FROM sq s JOIN c0 c ON s.sub = c.sub AND s.pos = c.pos GROUP BY 1, 2, 3)) WHERE rk = 1),
-        |c1 AS (SELECT a1.cid, sq.sub, sq.pos, round(SUM(sq.vq)::DOUBLE / COUNT(*))::BIGINT AS cq
-        |       FROM a1 JOIN sq ON a1.vec_id = sq.vec_id AND a1.sub = sq.sub GROUP BY 1, 2, 3),
-        |codes AS (SELECT vec_id, sub, cid FROM (
-        |  SELECT vec_id, sub, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
-        |  FROM (SELECT s.vec_id, s.sub, c.cid, SUM((s.vq-c.cq)*(s.vq-c.cq)) AS d2
-        |        FROM sq s JOIN c1 c ON s.sub = c.sub AND s.pos = c.pos GROUP BY 1, 2, 3)) WHERE rk = 1),
-        |qd AS (SELECT s.vec_id AS query_id, c.sub, c.cid, SUM((s.vq-c.cq)*(s.vq-c.cq)) AS d2q
-        |       FROM sq s JOIN c1 c ON s.sub = c.sub AND s.pos = c.pos
-        |       WHERE s.vec_id < 10 GROUP BY 1, 2, 3),
+        |${pqTrainCtes("")},
+        |${pqQdCte("")},
         |adc AS (SELECT q.query_id, co.vec_id AS neighbor_id, SUM(q.d2q) AS adist
         |        FROM codes co JOIN qd q ON co.sub = q.sub AND co.cid = q.cid
         |        WHERE co.vec_id <> q.query_id GROUP BY 1, 2),
@@ -1414,20 +1433,8 @@ object SparkEntry {
     "x_ivfpq" ->
       s"""WITH $kmeansCtes,
         |psq AS (SELECT vec_id, pos, pos // 8 AS sub, vq FROM vq),
-        |pc0 AS (SELECT vec_id::BIGINT AS cid, sub, pos, vq AS cq FROM psq WHERE vec_id < 16),
-        |pa1 AS (SELECT vec_id, sub, cid FROM (
-        |  SELECT vec_id, sub, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
-        |  FROM (SELECT s.vec_id, s.sub, c.cid, SUM((s.vq-c.cq)*(s.vq-c.cq)) AS d2
-        |        FROM psq s JOIN pc0 c ON s.sub = c.sub AND s.pos = c.pos GROUP BY 1, 2, 3)) WHERE rk = 1),
-        |pc1 AS (SELECT pa1.cid, psq.sub, psq.pos, round(SUM(psq.vq)::DOUBLE / COUNT(*))::BIGINT AS cq
-        |        FROM pa1 JOIN psq ON pa1.vec_id = psq.vec_id AND pa1.sub = psq.sub GROUP BY 1, 2, 3),
-        |pcodes AS (SELECT vec_id, sub, cid FROM (
-        |  SELECT vec_id, sub, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
-        |  FROM (SELECT s.vec_id, s.sub, c.cid, SUM((s.vq-c.cq)*(s.vq-c.cq)) AS d2
-        |        FROM psq s JOIN pc1 c ON s.sub = c.sub AND s.pos = c.pos GROUP BY 1, 2, 3)) WHERE rk = 1),
-        |pqd AS (SELECT s.vec_id AS query_id, c.sub, c.cid, SUM((s.vq-c.cq)*(s.vq-c.cq)) AS d2q
-        |        FROM psq s JOIN pc1 c ON s.sub = c.sub AND s.pos = c.pos
-        |        WHERE s.vec_id < 10 GROUP BY 1, 2, 3),
+        |${pqTrainCtes("p")},
+        |${pqQdCte("p")},
         |qcell AS (SELECT query_id, cid FROM (
         |  SELECT query_id, cid, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cd2, cid) AS rk
         |  FROM (SELECT v.vec_id AS query_id, c.cid, SUM((v.vq-c.cq)*(v.vq-c.cq)) AS cd2
@@ -1453,6 +1460,64 @@ object SparkEntry {
         |bd AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
         |         SUM((q.vq-v.vq)*(q.vq-v.vq)) AS d2
         |       FROM psq q JOIN psq v ON q.pos = v.pos AND v.vec_id <> q.vec_id
+        |       WHERE q.vec_id < 10 GROUP BY 1, 2),
+        |top_b AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk
+        |  FROM bd) WHERE rk <= 5),
+        |hits AS (SELECT b.query_id, COUNT(*) AS n_hits
+        |         FROM top_b b JOIN top_a a ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+        |         GROUP BY b.query_id)
+        |SELECT qq.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |  round(COALESCE(h.n_hits, 0)::DOUBLE/5, 6) AS recall
+        |FROM (SELECT DISTINCT query_id FROM top_b) qq LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+
+    // residual-encoded IVF-PQ: PQ books train on each vector's
+    // residual vs its coarse cell (rsq; r-prefixed trainer CTEs,
+    // identical chain to x_pq_recall's); the query ADC table is PER
+    // PROBED CELL (the query residual differs per cell) and a
+    // candidate is scored with the table of the cell it lives in
+    "x_ivfpq_residual" ->
+      s"""WITH $kmeansCtes,
+        |rsq AS (SELECT v.vec_id, v.pos, v.pos // 8 AS sub, v.vq - c.cq AS vq
+        |        FROM vq v JOIN a2 USING (vec_id)
+        |        JOIN c2 c ON c.cid = a2.cid AND c.pos = v.pos),
+        |${pqTrainCtes("r")},
+        |qcell AS (SELECT query_id, cid FROM (
+        |  SELECT query_id, cid, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cd2, cid) AS rk
+        |  FROM (SELECT v.vec_id AS query_id, c.cid, SUM((v.vq-c.cq)*(v.vq-c.cq)) AS cd2
+        |        FROM vq v JOIN c2 c USING (pos) WHERE v.vec_id < 10 GROUP BY 1, 2)) WHERE rk <= 2),
+        |qres AS (SELECT qc.query_id, qc.cid AS cell, v.pos, v.pos // 8 AS sub, v.vq - c.cq AS qv
+        |         FROM qcell qc
+        |         JOIN vq v ON v.vec_id = qc.query_id
+        |         JOIN c2 c ON c.cid = qc.cid AND c.pos = v.pos),
+        |rqd AS (SELECT q.query_id, q.cell, b.sub, b.cid AS code,
+        |          SUM((q.qv - b.cq)*(q.qv - b.cq)) AS d2q
+        |        FROM qres q JOIN rc2 b ON b.sub = q.sub AND b.pos = q.pos
+        |        GROUP BY 1, 2, 3, 4),
+        |cand AS (SELECT qc.query_id, qc.cid AS cell, a2.vec_id
+        |         FROM qcell qc JOIN a2 ON a2.cid = qc.cid
+        |         WHERE a2.vec_id <> qc.query_id),
+        |adc AS (SELECT ca.query_id, ca.vec_id AS neighbor_id, SUM(q.d2q) AS adist
+        |        FROM cand ca
+        |        JOIN rcodes co ON co.vec_id = ca.vec_id
+        |        JOIN rqd q ON q.query_id = ca.query_id AND q.cell = ca.cell
+        |                  AND q.sub = co.sub AND q.code = co.cid
+        |        GROUP BY 1, 2),
+        |wide AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk
+        |  FROM adc) WHERE rk <= 20),
+        |rr AS (SELECT w.query_id, w.neighbor_id, SUM((q.vq - v.vq)*(q.vq - v.vq)) AS rd2
+        |       FROM wide w
+        |       JOIN vq q ON q.vec_id = w.query_id
+        |       JOIN vq v ON v.vec_id = w.neighbor_id AND v.pos = q.pos
+        |       GROUP BY 1, 2),
+        |top_a AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rd2, neighbor_id) AS rk
+        |  FROM rr) WHERE rk <= 5),
+        |bd AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+        |         SUM((q.vq-v.vq)*(q.vq-v.vq)) AS d2
+        |       FROM vq q JOIN vq v ON q.pos = v.pos AND v.vec_id <> q.vec_id
         |       WHERE q.vec_id < 10 GROUP BY 1, 2),
         |top_b AS (SELECT query_id, neighbor_id FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk

@@ -617,8 +617,9 @@ object Similarity {
 
   /** Product-quantization (PQ) ADC recall audit — the memory-bound
     * compression trade at embedding scale: split each 64-dim vector
-    * into 8 subvectors, train a 16-code codebook PER SUBSPACE (one
-    * Lloyd round, seeded like the k-means trainer), encode every
+    * into 8 subvectors, train a 16-code codebook PER SUBSPACE
+    * (hash-spread seeding + two Lloyd rounds — see
+    * [[pqArtifactsFrom]]), encode every
     * vector as 8 codes (4 bits each → 4 bytes where the raw vector is
     * 256 — a 64x memory cut), and search with Asymmetric Distance
     * Computation: the query precomputes its exact distance to every
@@ -644,7 +645,7 @@ object Similarity {
                nCodes: Int = 16, k: Int = 5, nQueries: Int = 10): DataFrame =
     pqRecallImpl(spark, dir, nSubs, nCodes, k, nQueries, rerankN = 0)
 
-  /** PQ-ADC with the production fix [[pqRecall]]'s measured 0.32
+  /** PQ-ADC with the production fix [[pqRecall]]'s measured raw
     * recall demands: ADC ranks a WIDE candidate list (top-`rerankN`
     * by table-lookup distance — the cheap pass over the 64x-compressed
     * codes), then only those candidates are re-ranked with the exact
@@ -658,12 +659,29 @@ object Similarity {
     pqRecallImpl(spark, dir, nSubs = 8, nCodes = 16, k, nQueries, rerankN)
 
   /** The PQ training/encoding artifacts shared by the PQ audits and
-    * the IVF-PQ composite: micro-unit subvector rows `sq`, trained
-    * codebooks `c1`, per-vector codes, and the per-query ADC distance
-    * table `qd`.
+    * the IVF-PQ composites: micro-unit subvector rows `sq`, trained
+    * codebooks `books`, per-vector codes, and the per-query ADC
+    * distance table `qd`.
     */
-  private case class PqArtifacts(sq: DataFrame, c1: DataFrame,
+  private case class PqArtifacts(sq: DataFrame, books: DataFrame,
                                  codes: DataFrame, qd: DataFrame)
+
+  /** The published artifacts of ONE PQ training run — what a
+    * deployment ships to its serving/ingest tier: the trained
+    * `codebooks` (the streaming encoder's fixed reference), the batch
+    * `codes` (the stream==batch oracle for the encoder AND the code
+    * store an ADC search scans), and the per-query ADC distance
+    * `queryTable`. One struct from one training — accessors that each
+    * retrained privately would double the work and leave two redundant
+    * checkpointed corpora behind.
+    */
+  case class PqModel(codebooks: DataFrame, codes: DataFrame, queryTable: DataFrame)
+
+  /** Train the PQ model once and return every published artifact. */
+  def pqModel(spark: SparkSession, dir: String, nQueries: Int = 10): PqModel = {
+    val a = pqArtifacts(spark, dir, nSubs = 8, nCodes = 16, nQueries)
+    PqModel(a.books, a.codes, a.qd)
+  }
 
   /** Micro-unit subvector rows `(vec_id, pos, sub, vq)` of any
     * `(vec_id, embedding, ...)` frame — the PQ arithmetic unit,
@@ -692,80 +710,105 @@ object Similarity {
       .agg(min(struct(col("d2"), col("cid"))).as("m"))
       .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
 
-  /** Trained PQ codebooks `(cid, sub, pos, cq)` — the artifact a
-    * deployment publishes for the streaming encoder.
-    */
-  def pqCodebooks(spark: SparkSession, dir: String): DataFrame =
-    pqArtifacts(spark, dir, nSubs = 8, nCodes = 16, nQueries = 10).c1
-
-  /** The batch PQ encoding `(vec_id, sub, cid)` — the streaming
-    * encoder's stream==batch oracle.
-    */
-  def pqCodes(spark: SparkSession, dir: String): DataFrame =
-    pqArtifacts(spark, dir, nSubs = 8, nCodes = 16, nQueries = 10).codes
-
   private def pqArtifacts(spark: SparkSession, dir: String, nSubs: Int,
                           nCodes: Int, nQueries: Int): PqArtifacts = {
     // integer micro-unit subvector rows; many consumers (two
     // assignment passes, codebook update, query table, brute truth)
     val (sq, _) = graft.Caches.trackedCheckpoint(
       pqMicroUnits(Tables.embeddings(spark, dir), nSubs))
-    val c0 = sq.filter(col("vec_id") < nCodes)
+    pqArtifactsFrom(sq, nCodes, nQueries)
+  }
+
+  /** The PQ trainer over ALREADY-MATERIALIZED micro-unit subvector
+    * rows — the seam that lets [[ivfPqRecall]] share the k-means
+    * fit's exploded-corpus checkpoint instead of materializing the
+    * same rows twice, and lets [[ivfPqResidualRecall]] train on
+    * residual rows with the identical scheme.
+    *
+    * Training: hash-spread seeding + two Lloyd rounds. Seeds are the
+    * `nCodes` vectors with the smallest (PolyHash(vec_id), vec_id) —
+    * a deterministic uniform sample spread across the corpus, where
+    * the previous first-`nCodes` seed took adjacent (crawl-correlated)
+    * vectors. The seed selection is a distributed top-k
+    * (TakeOrderedAndProject — no single-partition window), and each
+    * Lloyd round is the same broadcast-codebook assign + integer-mean
+    * update as the k-means trainer, checkpointed per round. All
+    * arithmetic stays BIGINT micro-units, so the trained scheme
+    * remains oracle-checkable end to end.
+    */
+  private def pqArtifactsFrom(sq: DataFrame, nCodes: Int,
+                              nQueries: Int): PqArtifacts = {
+    val spark = sq.sparkSession
+    graft.functions.PolyHash.register(spark)
+    // hash-spread seeding: the nCodes vectors with the smallest
+    // (PolyHash(vec_id), vec_id) — a deterministic uniform sample, vs
+    // the first-nCodes seed whose members are adjacent in ingest
+    // order and correlated on any real crawl. Selection is a
+    // distributed top-k (TakeOrderedAndProject, no single-partition
+    // window). Measured at sf0.01/50 queries the two seeds converge
+    // to identical books after the Lloyd rounds (synthetic corpus);
+    // the hash seed is kept as the production-defensible default.
+    val seedIds = sq.select("vec_id").distinct()
+      .withColumn("h", call_function(graft.functions.PolyHash.Name,
+        col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(nCodes)
+      .select("vec_id")
+    val c0 = sq.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("vec_id").cast("bigint").as("cid"),
         col("sub"), col("pos"), col("vq").as("cq"))
-    def assign(cents: DataFrame): DataFrame = pqAssign(sq, cents)
-    val a1 = assign(c0)
-    val (c1, _c1Ids) = graft.Caches.trackedCheckpoint(
-      a1.join(sq, Seq("vec_id", "sub"))
-        .groupBy("cid", "sub", "pos")
-        .agg(round(sum(col("vq")).cast("double") / count(lit(1)))
-          .cast("bigint").as("cq")))
-    val codes = assign(c1) // the PQ encoding against the trained books
+    def update(asg: DataFrame): DataFrame = {
+      val (c, _) = graft.Caches.trackedCheckpoint(
+        asg.join(sq, Seq("vec_id", "sub"))
+          .groupBy("cid", "sub", "pos")
+          .agg(round(sum(col("vq")).cast("double") / count(lit(1)))
+            .cast("bigint").as("cq")))
+      c
+    }
+    // two Lloyd rounds: at sf0.01 with 50 queries the second round
+    // lifts raw ADC 0.248 -> 0.256, rerank 0.716 -> 0.748, IVF-PQ
+    // 0.408 -> 0.420 (a third round is not worth a bench-visible
+    // extra corpus pass per composite)
+    val c1 = update(pqAssign(sq, c0))
+    val books = update(pqAssign(sq, c1))
+    val codes = pqAssign(sq, books) // the encoding against the trained books
     // per-query exact distance to every (subspace, code) centroid —
     // the ADC table, nQueries x nSubs x nCodes rows
     val qd = sq.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("sub"), col("pos"),
         col("vq").as("qv"))
-      .join(broadcast(c1), Seq("sub", "pos"))
+      .join(broadcast(books), Seq("sub", "pos"))
       .groupBy("query_id", "sub", "cid")
       .agg(sum((col("qv") - col("cq")) * (col("qv") - col("cq"))).as("d2q"))
-    PqArtifacts(sq, c1, codes, qd)
+    PqArtifacts(sq, books, codes, qd)
   }
 
-  private def pqRecallImpl(spark: SparkSession, dir: String, nSubs: Int,
-                           nCodes: Int, k: Int, nQueries: Int,
-                           rerankN: Int): DataFrame = {
-    val PqArtifacts(sq, _, codes, qd) =
-      pqArtifacts(spark, dir, nSubs, nCodes, nQueries)
-    val adc = codes.join(qd, Seq("sub", "cid"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum(col("d2q")).as("adist"))
-    val wA = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
-    val topA =
-      if (rerankN <= 0)
-        adc.withColumn("rk", row_number().over(wA)).filter(col("rk") <= k)
-          .select("query_id", "neighbor_id")
-      else {
-        // fetch-then-rerank: wide ADC candidate list, exact distance
-        // only on those candidates (rerankN vectors per query, never
-        // the corpus)
-        val cand = adc.withColumn("rk", row_number().over(wA))
-          .filter(col("rk") <= rerankN)
-          .select("query_id", "neighbor_id")
-        val qrows = sq.filter(col("vec_id") < nQueries)
-          .select(col("vec_id").as("query_id"), col("pos"), col("vq").as("qv"))
-        val rr = cand
-          .join(qrows, Seq("query_id"))
-          .join(sq.select(col("vec_id").as("neighbor_id"), col("pos"), col("vq")),
-            Seq("neighbor_id", "pos"))
-          .groupBy("query_id", "neighbor_id")
-          .agg(sum((col("qv") - col("vq")) * (col("qv") - col("vq"))).as("rd2"))
-        val wR = Window.partitionBy("query_id").orderBy(col("rd2"), col("neighbor_id"))
-        rr.withColumn("rk", row_number().over(wR)).filter(col("rk") <= k)
-          .select("query_id", "neighbor_id")
-      }
-    // exact integer-L2 truth over the same micro-unit rows
+  /** Exact integer-L2 re-rank of a per-query candidate shortlist:
+    * top-`k` among ONLY the candidate pairs (rerank-width vectors per
+    * query, never the corpus). Shared by the fetch-then-rerank audit
+    * and both IVF-PQ composites.
+    */
+  private def exactRerank(sq: DataFrame, cand: DataFrame, k: Int,
+                          nQueries: Int): DataFrame = {
+    val qrows = sq.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("pos"), col("vq").as("qv"))
+    val rr = cand.join(qrows, Seq("query_id"))
+      .join(sq.select(col("vec_id").as("neighbor_id"), col("pos"), col("vq")),
+        Seq("neighbor_id", "pos"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum((col("qv") - col("vq")) * (col("qv") - col("vq"))).as("rd2"))
+    val w = Window.partitionBy("query_id").orderBy(col("rd2"), col("neighbor_id"))
+    rr.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "neighbor_id")
+  }
+
+  /** Per-query recall of an approximate top-k `topA` against exact
+    * integer-L2 brute-force truth over the same micro-unit rows — the
+    * measure-don't-claim report every ANN audit here ends in. The
+    * brute side is bounded by the fixed query count, not a production
+    * path.
+    */
+  private def recallReport(sq: DataFrame, topA: DataFrame, k: Int,
+                           nQueries: Int): DataFrame = {
     val brute = sq.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("pos"), col("vq").as("qv"))
       .join(sq.select(col("vec_id").as("neighbor_id"), col("pos"), col("vq")),
@@ -785,6 +828,40 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Top-`n` ADC shortlist per query over a code store: a candidate's
+    * asymmetric distance is the sum of its 8 codes' entries in the
+    * query's precomputed distance table. THE serving primitive — the
+    * batch audits and the streamed-code-store search both call this,
+    * so "the stream serves what batch computed" is shared code, not a
+    * reimplementation.
+    */
+  private[graft] def adcShortlist(codes: DataFrame, qd: DataFrame,
+                                  n: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    codes.join(qd, Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d2q")).as("adist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select("query_id", "neighbor_id")
+  }
+
+  private def pqRecallImpl(spark: SparkSession, dir: String, nSubs: Int,
+                           nCodes: Int, k: Int, nQueries: Int,
+                           rerankN: Int): DataFrame = {
+    val PqArtifacts(sq, _, codes, qd) =
+      pqArtifacts(spark, dir, nSubs, nCodes, nQueries)
+    val topA =
+      if (rerankN <= 0) adcShortlist(codes, qd, k)
+      else
+        // fetch-then-rerank: wide ADC candidate list, exact distance
+        // only on those candidates (rerankN vectors per query, never
+        // the corpus)
+        exactRerank(sq, adcShortlist(codes, qd, rerankN), k, nQueries)
+    recallReport(sq, topA, k, nQueries)
+  }
+
   /** IVF-PQ: the production ANN serving composite — coarse k-means
     * cells PRUNE the corpus (only the query's `nProbe` nearest cells
     * are visited), PQ-ADC SCORES the surviving candidates from their
@@ -792,12 +869,11 @@ object Similarity {
     * shortlist returns the top-k. This is the FAISS-style index
     * shape: pruning bounds how much is read, compression bounds what
     * a read costs, re-ranking restores exactness on the shortlist.
-    * (Production IVFPQ encodes cell RESIDUALS for tighter codes; this
-    * audit composes the pruning and compression axes with shared
-    * codebooks — the residual refinement drops into the same
-    * pipeline.) Both stages reuse the trained artifacts their
-    * standalone audits measure: the [[kmeansCentroids]] L2 cells and
-    * the [[pqRecall]] codebooks.
+    * (Production IVFPQ encodes cell RESIDUALS for tighter codes —
+    * that refinement is [[ivfPqResidualRecall]], same pipeline.)
+    * Both stages reuse the trained artifacts their standalone audits
+    * measure: the [[kmeansCentroids]] L2 cells and the [[pqRecall]]
+    * codebooks.
     *
     * Everything is BIGINT micro-units, so the composite — like its
     * parts — is oracle-checked end to end.
@@ -805,9 +881,12 @@ object Similarity {
   def ivfPqRecall(spark: SparkSession, dir: String, nProbe: Int = 2,
                   rerankN: Int = 20, k: Int = 5, nQueries: Int = 10): DataFrame = {
     val fit = kmeansFit(spark, dir, k = 8, iters = 2)
-    graft.Caches.release(spark, fit.vqIds)
-    val PqArtifacts(sq, _, codes, qd) =
-      pqArtifacts(spark, dir, nSubs = 8, nCodes = 16, nQueries)
+    // the PQ side's subvector rows are the SAME micro-unit rows the
+    // k-means fit checkpointed, plus a derived `sub` column — share
+    // the one checkpoint (and keep its blocks: every consumer below
+    // reads them) instead of materializing the corpus twice
+    val sq = fit.vq.withColumn("sub", expr(s"pos div ${Dim / 8}"))
+    val PqArtifacts(_, _, codes, qd) = pqArtifactsFrom(sq, nCodes = 16, nQueries)
     // query -> nProbe nearest coarse cells, by exact L2 to the
     // trained centroids (broadcast — k x 64 rows)
     val qcd = sq.filter(col("vec_id") < nQueries)
@@ -832,34 +911,87 @@ object Similarity {
     val wA = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
     val wide = adc.withColumn("rk", row_number().over(wA))
       .filter(col("rk") <= rerankN).select("query_id", "neighbor_id")
-    // exact re-rank of the shortlist
+    // exact re-rank of the shortlist, recall vs exact integer-L2 truth
+    recallReport(sq, exactRerank(sq, wide, k, nQueries), k, nQueries)
+  }
+
+  /** Residual-encoded IVF-PQ — the production refinement of
+    * [[ivfPqRecall]]: PQ codes compress each vector's RESIDUAL
+    * against its coarse cell's centroid rather than the raw vector.
+    * Residuals concentrate near zero (the coarse cell already
+    * explains the vector's position), so the same 16-code budget per
+    * subspace spends its resolution on a much tighter distribution —
+    * tighter codes, higher recall at the same nProbe/rerank budget.
+    * This is the FAISS IVFPQ encoding proper.
+    *
+    * Serving-side difference vs the raw composite: the query's ADC
+    * table is PER PROBED CELL — the query residual (query minus cell
+    * centroid) differs in each probed cell, so the table is
+    * nQueries x nProbe x 8 x 16 entries (still bounded by the fixed
+    * query set and probe budget, never corpus-sized), and a
+    * candidate is scored with the table of the cell it lives in.
+    *
+    * Scale shape: residual rows derive from the SAME exploded-corpus
+    * checkpoint the coarse fit trained on (one corpus
+    * materialization feeds coarse training, residual encoding, exact
+    * re-rank, and the brute truth); the residual frame checkpoints
+    * once and feeds the PQ trainer's passes. Everything stays BIGINT
+    * micro-units (a difference of micro-units is a micro-unit), so
+    * the full residual scheme is oracle-checked end to end.
+    */
+  def ivfPqResidualRecall(spark: SparkSession, dir: String, nProbe: Int = 2,
+                          rerankN: Int = 20, k: Int = 5,
+                          nQueries: Int = 10): DataFrame = {
+    val fit = kmeansFit(spark, dir, k = 8, iters = 2)
+    val subDim = Dim / 8
+    // raw subvector rows (exact re-rank + truth) — shared checkpoint
+    val sq = fit.vq.withColumn("sub", expr(s"pos div $subDim"))
+    // residual rows: vector minus its assigned coarse centroid
+    val (rsq, _) = graft.Caches.trackedCheckpoint(
+      fit.vq.join(fit.assignment, Seq("vec_id"))
+        .join(broadcast(fit.cents), Seq("cid", "pos"))
+        .select(col("vec_id"), col("pos"),
+          expr(s"pos div $subDim").as("sub"),
+          (col("vq") - col("cq")).as("vq")))
+    // PQ trained on residuals — same seeding/rounds as the raw scheme
+    // (the trainer's own query table scores residuals against each
+    // query's OWN cell, which is not the serving shape — build the
+    // per-probed-cell table below instead)
+    val PqArtifacts(_, books, codes, _) = pqArtifactsFrom(rsq, nCodes = 16, nQueries)
+    // query -> nProbe nearest coarse cells (exact L2, broadcast cells)
     val qrows = sq.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("pos"), col("vq").as("qv"))
-    val rr = wide.join(qrows, Seq("query_id"))
-      .join(sq.select(col("vec_id").as("neighbor_id"), col("pos"), col("vq")),
-        Seq("neighbor_id", "pos"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(sum((col("qv") - col("vq")) * (col("qv") - col("vq"))).as("rd2"))
-    val wR = Window.partitionBy("query_id").orderBy(col("rd2"), col("neighbor_id"))
-    val topA = rr.withColumn("rk", row_number().over(wR)).filter(col("rk") <= k)
-      .select("query_id", "neighbor_id")
-    // exact integer-L2 truth
-    val brute = qrows
-      .join(sq.select(col("vec_id").as("neighbor_id"), col("pos"), col("vq")),
-        Seq("pos"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(sum((col("qv") - col("vq")) * (col("qv") - col("vq"))).as("d2"))
-    val wB = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
-    val topB = brute.withColumn("rk", row_number().over(wB)).filter(col("rk") <= k)
-      .select("query_id", "neighbor_id")
-    val hits = topB.join(topA, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-    topB.select("query_id").distinct()
-      .join(hits, Seq("query_id"), "left")
-      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
-      .withColumn("recall", round(col("n_hits").cast("double") / k, 6))
-      .orderBy("query_id")
+    val qcd = qrows.join(broadcast(fit.cents), Seq("pos"))
+      .groupBy("query_id", "cid")
+      .agg(sum((col("qv") - col("cq")) * (col("qv") - col("cq"))).as("cd2"))
+    val wC = Window.partitionBy("query_id").orderBy(col("cd2"), col("cid"))
+    val probes = qcd.withColumn("rk", row_number().over(wC))
+      .filter(col("rk") <= nProbe).select("query_id", "cid")
+    // per-(query, probed cell) residual ADC table: the query residual
+    // vs THAT cell, distanced to every (subspace, code) book entry —
+    // nQueries x nProbe x 128 rows
+    val qres = probes.join(qrows, Seq("query_id"))
+      .join(broadcast(fit.cents), Seq("cid", "pos"))
+      .select(col("query_id"), col("cid").as("cell"), col("pos"),
+        expr(s"pos div $subDim").as("sub"), (col("qv") - col("cq")).as("qv"))
+    val qd = qres.join(broadcast(books.withColumnRenamed("cid", "code")),
+        Seq("sub", "pos"))
+      .groupBy("query_id", "cell", "sub", "code")
+      .agg(sum((col("qv") - col("cq")) * (col("qv") - col("cq"))).as("d2q"))
+    // candidates: vectors in a probed cell, scored with that cell's
+    // table via their residual codes
+    val cand = probes.join(fit.assignment, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("cid").as("cell"), col("vec_id"))
+    val adc = cand
+      .join(codes.withColumnRenamed("cid", "code"), Seq("vec_id"))
+      .join(qd, Seq("query_id", "cell", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d2q")).as("adist"))
+    val wA = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    val wide = adc.withColumn("rk", row_number().over(wA))
+      .filter(col("rk") <= rerankN).select("query_id", "neighbor_id")
+    recallReport(sq, exactRerank(sq, wide, k, nQueries), k, nQueries)
   }
 
   /** Generator (UDTF-analog) surface: posexplode flattens each vector

@@ -7,7 +7,7 @@ import graft.operators.Similarity
 
 /** Incremental PQ encoding over an embedding stream — the ingest side
   * of a vector store: the batch trainer publishes its codebooks
-  * ([[Similarity.pqCodebooks]]), and every arriving batch of vectors
+  * ([[Similarity.pqModel]]), and every arriving batch of vectors
   * is encoded to its 8 sub-codes (the ~64x-compressed form
   * [[Similarity.ivfPqRecall]] searches) and appended to the code
   * store. Encoding is per-vector against a FIXED codebook — no

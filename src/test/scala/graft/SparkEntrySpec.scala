@@ -71,15 +71,19 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_vocab_coverage"    -> 2,
     // running-token window, escapes via a cast bin expression
     "x_doc_packing"       -> 1,
-    // PQ distances (assignment d2 x2, query table d2q, ADC adist,
-    // brute d2 [, rerank rd2]) — all consumed only by ROW_NUMBER
-    // ORDER BY or an inner re-sum; the output carries only COUNT
-    // hits and a rounded ratio
-    "x_pq_recall"         -> 5,
-    "x_pq_rerank"         -> 6,
-    // kmeansCtes (2) + PQ chain (pa1, pcodes, pqd) + cell ranking,
-    // ADC re-sum, rerank, brute — all ORDER BY-only
-    "x_ivfpq"             -> 9
+    // PQ distances (assignment d2 x3 — two Lloyd rounds + encoding,
+    // query table d2q, ADC adist, brute d2 [, rerank rd2]) — all
+    // consumed only by ROW_NUMBER ORDER BY or an inner re-sum; the
+    // output carries only COUNT hits and a rounded ratio
+    "x_pq_recall"         -> 6,
+    "x_pq_rerank"         -> 7,
+    // kmeansCtes (2) + PQ chain (pa1, pa2, pcodes, pqd) + cell
+    // ranking, ADC re-sum, rerank, brute — all ORDER BY-only
+    "x_ivfpq"             -> 10,
+    // kmeansCtes (2) + residual PQ chain (ra1, ra2, rcodes) + cell
+    // ranking cd2, per-cell query table d2q, ADC re-sum, rerank,
+    // brute — all ORDER BY-only
+    "x_ivfpq_residual"    -> 10
   )
 
   /** Count SUM( occurrences whose result is not immediately cast. */

@@ -480,9 +480,11 @@ class StreamingSpec extends SparkSuite {
     val base = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("target"), "pqenc-").toString
     val (bookPath, codesPath) = (s"$base/books", s"$base/codes")
-    // the trainer publishes its codebooks before the stream starts
-    graft.operators.Similarity.pqCodebooks(spark, sfDir)
-      .write.mode("overwrite").parquet(bookPath)
+    // ONE training run publishes every artifact (books for the
+    // encoder, codes as the stream==batch oracle, the query table for
+    // the serve twin) — per-accessor retraining would double the work
+    val model = graft.operators.Similarity.pqModel(spark, sfDir)
+    model.codebooks.write.mode("overwrite").parquet(bookPath)
     val ms = MemoryStream[(Long, Seq[Float])]
     val q = ms.toDF().toDF("vec_id", "embedding").writeStream
       .option("checkpointLocation", s"$base/ckpt")
@@ -500,7 +502,7 @@ class StreamingSpec extends SparkSuite {
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val got = rows(graft.streaming.StreamingPqEncode.readCodes(spark, codesPath))
-    val want = rows(graft.operators.Similarity.pqCodes(spark, sfDir))
+    val want = rows(model.codes)
     assert(want.nonEmpty)
     assert(got == want, s"stream==batch: ${got.size} streamed codes vs ${want.size} batch codes")
     // replayed micro-batch must be idempotent
@@ -508,6 +510,17 @@ class StreamingSpec extends SparkSuite {
       low.drop(120).toDF("vec_id", "embedding"), 2L)
     val afterReplay = rows(graft.streaming.StreamingPqEncode.readCodes(spark, codesPath))
     assert(afterReplay == got, "batch replay must not change the code store")
+    // SERVE twin: an ADC search over the streamed code store returns
+    // the exact batch shortlist (the same adcShortlist the rerank
+    // audit fetches its candidates with) — ingest→serve closed
+    def shortlist(codes: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      graft.operators.Similarity.adcShortlist(codes, model.queryTable, 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val served = shortlist(graft.streaming.StreamingPqEncode.readCodes(spark, codesPath))
+    val batchServed = shortlist(model.codes)
+    assert(batchServed.nonEmpty)
+    assert(served == batchServed,
+      s"stream-served shortlist diverges: ${served.size} vs ${batchServed.size} pairs")
   }
 
   test("incremental kmeans statistics fold to the one-round batch fit (stream==batch)") {
