@@ -147,6 +147,7 @@ object SparkEntry {
     "x_centroids"          -> ((s, dir) => Similarity.labelCentroids(s, dir)),
     "x_kmeans"             -> ((s, dir) => Similarity.kmeansCentroids(s, dir)),
     "x_cluster_quality"    -> ((s, dir) => Similarity.kmeansInertia(s, dir)),
+    "x_semantic_dedup"     -> ((s, dir) => Similarity.semanticDedup(s, dir)),
     "x_knn_ivf_trained"    -> ((s, dir) => Similarity.knnIvfTrained(s, dir)),
     "x_ivf_trained_recall" -> ((s, dir) => Similarity.knnIvfTrainedRecall(s, dir)),
     "x_ivf_probe_sweep"    -> ((s, dir) => Similarity.knnIvfProbeSweep(s, dir)),
@@ -223,6 +224,19 @@ object SparkEntry {
       |        FROM vq v JOIN c1 c USING (pos) GROUP BY 1, 2)) WHERE rk = 1),
       |c2 AS (SELECT a2.cid, vq.pos, round(SUM(vq.vq)::DOUBLE / COUNT(*))::BIGINT AS cq
       |       FROM a2 JOIN vq USING (vec_id) GROUP BY 1, 2)""".stripMargin
+
+  /** Deployment routing over the trained cells: every vector assigned
+    * against the FINAL `c2` centroids (a FAISS index add() assigns
+    * against the trained coarse quantizer — the training loop's own
+    * last assignment `a2` is vs the previous round's centroids, a
+    * training artifact). Used by the IVF-PQ serving oracles; mirrors
+    * `Similarity.coarseAssign(vq, cents)` in the model builders.
+    */
+  private val routeCte: String =
+    """a3 AS (SELECT vec_id, cid FROM (
+      |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+      |  FROM (SELECT v.vec_id, c.cid, SUM((v.vq-c.cq)*(v.vq-c.cq)) AS d2
+      |        FROM vq v JOIN c2 c USING (pos) GROUP BY 1, 2)) WHERE rk = 1)""".stripMargin
 
   /** Shared PQ trainer CTE chain with table-name prefix `p` — mirrors
     * the Spark trainer (Similarity.pqArtifactsFrom: hash-spread seed
@@ -1295,6 +1309,38 @@ object SparkEntry {
         |  round(CAST(CAST(SUM(d2) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS mean_d2
         |FROM d GROUP BY cid ORDER BY centroid_id""".stripMargin,
 
+    // SemDeDup: cell-scoped pairs under the micro-unit d2 threshold;
+    // drop the pair side closer to its centroid — (cent_d2, vec_id)
+    // row comparison is the same lexicographic tie-break both engines
+    // order structs/rows by
+    "x_semantic_dedup" ->
+      s"""WITH $kmeansCtes,
+        |cent AS (SELECT a2.vec_id, a2.cid, SUM((v.vq - c.cq)*(v.vq - c.cq)) AS cent_d2
+        |         FROM a2 JOIN vq v USING (vec_id) JOIN c2 c ON c.cid = a2.cid AND c.pos = v.pos
+        |         GROUP BY 1, 2),
+        |prs AS (SELECT * FROM (
+        |  SELECT aa.cid, va.vec_id AS u, vb.vec_id AS v,
+        |         SUM((va.vq - vb.vq)*(va.vq - vb.vq)) AS d2
+        |  FROM vq va JOIN a2 aa ON aa.vec_id = va.vec_id
+        |  JOIN a2 ab ON ab.cid = aa.cid AND ab.vec_id > aa.vec_id
+        |  JOIN vq vb ON vb.vec_id = ab.vec_id AND vb.pos = va.pos
+        |  GROUP BY 1, 2, 3) WHERE d2 < 1400000000000),
+        |nbrs AS (SELECT cid, u AS vec_id, v AS other FROM prs
+        |         UNION ALL SELECT cid, v AS vec_id, u AS other FROM prs),
+        |dropped AS (SELECT DISTINCT n.cid, n.vec_id
+        |            FROM nbrs n JOIN cent c1 ON c1.vec_id = n.vec_id
+        |            JOIN cent cx ON cx.vec_id = n.other
+        |            WHERE (cx.cent_d2, cx.vec_id) > (c1.cent_d2, c1.vec_id)),
+        |mem AS (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY cid),
+        |dp AS (SELECT cid, COUNT(*) AS n_dup_pairs FROM prs GROUP BY cid),
+        |dr AS (SELECT cid, COUNT(*) AS n_dropped FROM dropped GROUP BY cid)
+        |SELECT m.cid AS cell, m.n_members,
+        |  COALESCE(dp.n_dup_pairs, 0)::BIGINT AS n_dup_pairs,
+        |  COALESCE(dr.n_dropped, 0)::BIGINT AS n_dropped,
+        |  (m.n_members - COALESCE(dr.n_dropped, 0))::BIGINT AS n_kept
+        |FROM mem m LEFT JOIN dp USING (cid) LEFT JOIN dr USING (cid)
+        |ORDER BY cell""".stripMargin,
+
     "x_knn_ivf_trained" ->
       s"""WITH $kmeansCtes,
         |$trainedIvfCtes
@@ -1432,6 +1478,7 @@ object SparkEntry {
     // top-20 shortlist returns top-5; truth = exact integer L2
     "x_ivfpq" ->
       s"""WITH $kmeansCtes,
+        |$routeCte,
         |psq AS (SELECT vec_id, pos, pos // 8 AS sub, vq FROM vq),
         |${pqTrainCtes("p")},
         |${pqQdCte("p")},
@@ -1439,8 +1486,8 @@ object SparkEntry {
         |  SELECT query_id, cid, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cd2, cid) AS rk
         |  FROM (SELECT v.vec_id AS query_id, c.cid, SUM((v.vq-c.cq)*(v.vq-c.cq)) AS cd2
         |        FROM vq v JOIN c2 c USING (pos) WHERE v.vec_id < 10 GROUP BY 1, 2)) WHERE rk <= 2),
-        |cand AS (SELECT qc.query_id, a2.vec_id FROM qcell qc JOIN a2 ON a2.cid = qc.cid
-        |         WHERE a2.vec_id <> qc.query_id),
+        |cand AS (SELECT qc.query_id, a3.vec_id FROM qcell qc JOIN a3 ON a3.cid = qc.cid
+        |         WHERE a3.vec_id <> qc.query_id),
         |adc AS (SELECT ca.query_id, ca.vec_id AS neighbor_id, SUM(q.d2q) AS adist
         |        FROM cand ca
         |        JOIN pcodes co ON co.vec_id = ca.vec_id
@@ -1479,9 +1526,10 @@ object SparkEntry {
     // candidate is scored with the table of the cell it lives in
     "x_ivfpq_residual" ->
       s"""WITH $kmeansCtes,
+        |$routeCte,
         |rsq AS (SELECT v.vec_id, v.pos, v.pos // 8 AS sub, v.vq - c.cq AS vq
-        |        FROM vq v JOIN a2 USING (vec_id)
-        |        JOIN c2 c ON c.cid = a2.cid AND c.pos = v.pos),
+        |        FROM vq v JOIN a3 USING (vec_id)
+        |        JOIN c2 c ON c.cid = a3.cid AND c.pos = v.pos),
         |${pqTrainCtes("r")},
         |qcell AS (SELECT query_id, cid FROM (
         |  SELECT query_id, cid, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cd2, cid) AS rk
@@ -1495,9 +1543,9 @@ object SparkEntry {
         |          SUM((q.qv - b.cq)*(q.qv - b.cq)) AS d2q
         |        FROM qres q JOIN rc2 b ON b.sub = q.sub AND b.pos = q.pos
         |        GROUP BY 1, 2, 3, 4),
-        |cand AS (SELECT qc.query_id, qc.cid AS cell, a2.vec_id
-        |         FROM qcell qc JOIN a2 ON a2.cid = qc.cid
-        |         WHERE a2.vec_id <> qc.query_id),
+        |cand AS (SELECT qc.query_id, qc.cid AS cell, a3.vec_id
+        |         FROM qcell qc JOIN a3 ON a3.cid = qc.cid
+        |         WHERE a3.vec_id <> qc.query_id),
         |adc AS (SELECT ca.query_id, ca.vec_id AS neighbor_id, SUM(q.d2q) AS adist
         |        FROM cand ca
         |        JOIN rcodes co ON co.vec_id = ca.vec_id

@@ -553,17 +553,7 @@ object Similarity {
     // round must not accumulate iters copies in block storage)
     var prevGenIds: Set[Int] = Set.empty
     for (_ <- 1 to iters) {
-      val d2 = vq.join(broadcast(cents), Seq("pos"))
-        .groupBy("vec_id", "cid")
-        .agg(sum((col("vq") - col("cq")) * (col("vq") - col("cq"))).as("d2"))
-      // nearest centroid via min(struct(d2, cid)) — lexicographic
-      // struct ordering IS the (d2, cid) tie-break, as a map-side-
-      // partial hash aggregate instead of a rank-1 window (no
-      // per-vector sort, same x_minmax_by pattern)
-      val (asg, asgIds) = graft.Caches.trackedCheckpoint(
-        d2.groupBy("vec_id")
-          .agg(min(struct(col("d2"), col("cid"))).as("m"))
-          .select(col("vec_id"), col("m.cid").as("cid")))
+      val (asg, asgIds) = graft.Caches.trackedCheckpoint(coarseAssign(vq, cents))
       val (cts, ctsIds) = graft.Caches.trackedCheckpoint(
         asg.join(vq, Seq("vec_id"))
           .groupBy("cid", "pos")
@@ -575,6 +565,90 @@ object Similarity {
     }
     KmeansFit(vq, assignment, cents, vqIds, prevGenIds)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — the embedding-space dedup a pretraining corpus
+    * runs AFTER lexical dedup): cluster the embedding space with the
+    * k-means trainer, call two vectors semantic duplicates when their
+    * squared L2 distance within the SAME cluster is below `maxD2`,
+    * and keep the duplicate farthest from its centroid (the paper's
+    * low-centroid-similarity keep rule — the boundary example carries
+    * more information than the cluster-typical one). A vector is
+    * dropped iff some same-cell neighbor within `maxD2` ranks
+    * strictly higher by (centroid distance, vec_id) — deterministic
+    * and component-free, exactly the paper's per-example rule (two
+    * mutually-near boundary examples can both survive; that is the
+    * rule, not a bug).
+    *
+    * Output: per cell, the member count, dup-pair count, dropped and
+    * kept counts — the yield table a curation pipeline budgets
+    * against.
+    *
+    * Scale shape: the candidate-pair join is CELL-SCOPED (equi-join
+    * on cid, never corpus-wide) — the quadratic term is (n/k)^2 per
+    * cell, bounded by cluster granularity; production runs k ~
+    * sqrt(n) so cells stay ~sqrt(n) wide (the banded-LSH family is
+    * the non-clustered alternative at the same scale). Centrality is
+    * one broadcast-centroid join over the SAME exploded-corpus
+    * checkpoint the training used. Everything stays BIGINT
+    * micro-units → the whole scheme (training included) is
+    * oracle-checked end to end.
+    */
+  def semanticDedup(spark: SparkSession, dir: String,
+                    maxD2: Long = 1400000000000L): DataFrame = {
+    val fit = kmeansFit(spark, dir, k = 8, iters = 2)
+    // centrality: exact d2 of each vector to its UPDATED centroid
+    // (assignment first, then one (cid, pos) join — the kmeansInertia
+    // audit shape)
+    val cent = fit.vq.join(fit.assignment.hint("broadcast"), Seq("vec_id"))
+      .join(broadcast(fit.cents), Seq("cid", "pos"))
+      .groupBy("vec_id", "cid")
+      .agg(sum((col("vq") - col("cq")) * (col("vq") - col("cq"))).as("cent_d2"))
+    // cell-scoped candidate pairs under the distance threshold
+    val rows = fit.vq.join(fit.assignment, Seq("vec_id"))
+    val pairs = rows.alias("a").join(rows.alias("b"),
+        col("a.cid") === col("b.cid") && col("a.pos") === col("b.pos") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.cid").as("cid"), col("a.vec_id").as("u"),
+        col("b.vec_id").as("v"))
+      .agg(sum((col("a.vq") - col("b.vq")) * (col("a.vq") - col("b.vq"))).as("d2"))
+      .filter(col("d2") < lit(maxD2))
+    // symmetric neighbor view; drop the lower-ranked side of each pair
+    val nbrs = pairs.select(col("cid"), col("u").as("vec_id"), col("v").as("other"))
+      .union(pairs.select(col("cid"), col("v").as("vec_id"), col("u").as("other")))
+    val dropped = nbrs
+      .join(cent.select(col("vec_id"), col("cent_d2")), Seq("vec_id"))
+      .join(cent.select(col("vec_id").as("other"), col("cent_d2").as("ocent_d2")),
+        Seq("other"))
+      .filter(struct(col("ocent_d2"), col("other")) >
+        struct(col("cent_d2"), col("vec_id")))
+      .select("cid", "vec_id").distinct()
+    val members = fit.assignment.groupBy("cid").agg(count(lit(1)).as("n_members"))
+    val dupPairs = pairs.groupBy("cid").agg(count(lit(1)).as("n_dup_pairs"))
+    val drops = dropped.groupBy("cid").agg(count(lit(1)).as("n_dropped"))
+    members.join(dupPairs, Seq("cid"), "left").join(drops, Seq("cid"), "left")
+      .select(col("cid").as("cell"), col("n_members"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy("cell")
+  }
+
+  /** Nearest coarse centroid per vector `(vec_id, cid)` over
+    * micro-unit rows `(vec_id, pos, vq, ...)` vs centroids
+    * `(cid, pos, cq)`. min(struct(d2, cid)) — lexicographic struct
+    * ordering IS the (d2, cid) tie-break — as a map-side-partial hash
+    * aggregate instead of a rank-1 window (no per-vector sort, same
+    * x_minmax_by pattern). Shared by the Lloyd loop and the streaming
+    * vector-store router, so batch and streamed routing cannot drift.
+    */
+  private[graft] def coarseAssign(rows: DataFrame, cents: DataFrame): DataFrame =
+    rows.join(broadcast(cents), Seq("pos"))
+      .groupBy("vec_id", "cid")
+      .agg(sum((col("vq") - col("cq")) * (col("vq") - col("cq"))).as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
 
   /** Cluster-quality audit of the trained fit: per final centroid, the
     * member count and the inertia (sum of squared distances of members
@@ -880,39 +954,89 @@ object Similarity {
     */
   def ivfPqRecall(spark: SparkSession, dir: String, nProbe: Int = 2,
                   rerankN: Int = 20, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val m = ivfPqModel(spark, dir, nQueries)
+    val probes = coarseProbes(m.microRows, m.cells, nProbe, nQueries)
+    val wide = ivfShortlist(m.assignment, m.codes, m.queryTable, probes, rerankN)
+    // exact re-rank of the shortlist, recall vs exact integer-L2 truth
+    recallReport(m.microRows, exactRerank(m.microRows, wide, k, nQueries),
+      k, nQueries)
+  }
+
+  /** The published artifacts of ONE IVF-PQ training run — what a
+    * vector-store deployment ships to its ingest and serving tiers:
+    * coarse `cells` (the streaming router's fixed centroids), the
+    * batch `assignment` (the streamed routing table's stream==batch
+    * oracle), PQ `codebooks` and batch `codes`, and the per-query ADC
+    * `queryTable`. `microRows` is the shared exploded-corpus
+    * checkpoint (exact re-rank / brute-truth side — an audit
+    * artifact, not something serving ships).
+    */
+  case class IvfPqModel(cells: DataFrame, assignment: DataFrame,
+                        codebooks: DataFrame, codes: DataFrame,
+                        queryTable: DataFrame, microRows: DataFrame)
+
+  /** Train the coarse cells and the PQ books once and return every
+    * published artifact; [[ivfPqRecall]] and the streaming
+    * vector-store lifecycle compose the same pieces. The PQ side's
+    * subvector rows are the SAME micro-unit rows the k-means fit
+    * checkpointed, plus a derived `sub` column — one corpus
+    * materialization feeds both trainings and every audit below.
+    */
+  def ivfPqModel(spark: SparkSession, dir: String,
+                 nQueries: Int = 10): IvfPqModel = {
     val fit = kmeansFit(spark, dir, k = 8, iters = 2)
-    // the PQ side's subvector rows are the SAME micro-unit rows the
-    // k-means fit checkpointed, plus a derived `sub` column — share
-    // the one checkpoint (and keep its blocks: every consumer below
-    // reads them) instead of materializing the corpus twice
     val sq = fit.vq.withColumn("sub", expr(s"pos div ${Dim / 8}"))
-    val PqArtifacts(_, _, codes, qd) = pqArtifactsFrom(sq, nCodes = 16, nQueries)
-    // query -> nProbe nearest coarse cells, by exact L2 to the
-    // trained centroids (broadcast — k x 64 rows)
+    val a = pqArtifactsFrom(sq, nCodes = 16, nQueries)
+    // route the corpus against the FINAL cells — the deployment
+    // convention (a FAISS index add() assigns against the trained
+    // coarse quantizer), matching the codes-vs-final-books convention
+    // of the PQ side. The training loop's own last assignment is vs
+    // the PREVIOUS round's centroids — a training artifact, not what
+    // a router computes — and using it here would make the batch
+    // composite disagree with any router that ships `cells`.
+    val (routing, _) = graft.Caches.trackedCheckpoint(
+      coarseAssign(fit.vq, fit.cents))
+    IvfPqModel(fit.cents, routing, a.books, a.codes, a.qd, sq)
+  }
+
+  /** Each query's `nProbe` nearest coarse cells by exact L2 to the
+    * trained centroids (broadcast — k x 64 rows).
+    */
+  private[graft] def coarseProbes(sq: DataFrame, cents: DataFrame,
+                                  nProbe: Int, nQueries: Int): DataFrame = {
     val qcd = sq.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("pos"), col("vq").as("qv"))
-      .join(broadcast(fit.cents), Seq("pos"))
+      .join(broadcast(cents), Seq("pos"))
       .groupBy("query_id", "cid")
       .agg(sum((col("qv") - col("cq")) * (col("qv") - col("cq"))).as("cd2"))
-    val wC = Window.partitionBy("query_id").orderBy(col("cd2"), col("cid"))
-    val probes = qcd.withColumn("rk", row_number().over(wC))
+    val w = Window.partitionBy("query_id").orderBy(col("cd2"), col("cid"))
+    qcd.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= nProbe).select("query_id", "cid")
-    // candidates: vectors assigned to a probed cell — the equi-join
-    // prune that reads nProbe/k of the corpus
-    val cand = probes.join(fit.assignment, Seq("cid"))
+  }
+
+  /** IVF-pruned ADC shortlist: candidates are the vectors ROUTED to a
+    * probed cell (the equi-join prune that reads nProbe/k of the
+    * corpus), scored by asymmetric distance from their 8 codes only.
+    * THE pruned serving primitive — the batch composite and the
+    * search over the streamed code store share it, so "the stream
+    * serves what batch computed" is shared code, not a
+    * reimplementation.
+    */
+  private[graft] def ivfShortlist(routing: DataFrame, codes: DataFrame,
+                                  qd: DataFrame, probes: DataFrame,
+                                  n: Int): DataFrame = {
+    val cand = probes.join(routing, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id")
-    // ADC over the pruned candidates only
     val adc = cand
       .join(codes, Seq("vec_id"))
       .join(qd, Seq("query_id", "sub", "cid"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("d2q")).as("adist"))
-    val wA = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
-    val wide = adc.withColumn("rk", row_number().over(wA))
-      .filter(col("rk") <= rerankN).select("query_id", "neighbor_id")
-    // exact re-rank of the shortlist, recall vs exact integer-L2 truth
-    recallReport(sq, exactRerank(sq, wide, k, nQueries), k, nQueries)
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    adc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select("query_id", "neighbor_id")
   }
 
   /** Residual-encoded IVF-PQ — the production refinement of
@@ -946,9 +1070,13 @@ object Similarity {
     val subDim = Dim / 8
     // raw subvector rows (exact re-rank + truth) — shared checkpoint
     val sq = fit.vq.withColumn("sub", expr(s"pos div $subDim"))
-    // residual rows: vector minus its assigned coarse centroid
+    // route against the FINAL cells (the ivfPqModel deployment
+    // convention) — residuals are vs the cell the vector is STORED in
+    val (routing, _) = graft.Caches.trackedCheckpoint(
+      coarseAssign(fit.vq, fit.cents))
+    // residual rows: vector minus its routed cell's centroid
     val (rsq, _) = graft.Caches.trackedCheckpoint(
-      fit.vq.join(fit.assignment, Seq("vec_id"))
+      fit.vq.join(routing, Seq("vec_id"))
         .join(broadcast(fit.cents), Seq("cid", "pos"))
         .select(col("vec_id"), col("pos"),
           expr(s"pos div $subDim").as("sub"),
@@ -961,12 +1089,7 @@ object Similarity {
     // query -> nProbe nearest coarse cells (exact L2, broadcast cells)
     val qrows = sq.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("pos"), col("vq").as("qv"))
-    val qcd = qrows.join(broadcast(fit.cents), Seq("pos"))
-      .groupBy("query_id", "cid")
-      .agg(sum((col("qv") - col("cq")) * (col("qv") - col("cq"))).as("cd2"))
-    val wC = Window.partitionBy("query_id").orderBy(col("cd2"), col("cid"))
-    val probes = qcd.withColumn("rk", row_number().over(wC))
-      .filter(col("rk") <= nProbe).select("query_id", "cid")
+    val probes = coarseProbes(sq, fit.cents, nProbe, nQueries)
     // per-(query, probed cell) residual ADC table: the query residual
     // vs THAT cell, distanced to every (subspace, code) book entry —
     // nQueries x nProbe x 128 rows
@@ -978,9 +1101,9 @@ object Similarity {
         Seq("sub", "pos"))
       .groupBy("query_id", "cell", "sub", "code")
       .agg(sum((col("qv") - col("cq")) * (col("qv") - col("cq"))).as("d2q"))
-    // candidates: vectors in a probed cell, scored with that cell's
-    // table via their residual codes
-    val cand = probes.join(fit.assignment, Seq("cid"))
+    // candidates: vectors ROUTED to a probed cell, scored with that
+    // cell's table via their residual codes
+    val cand = probes.join(routing, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("cid").as("cell"), col("vec_id"))
     val adc = cand

@@ -67,6 +67,30 @@ class KmeansSpec extends SparkSuite {
     // Lloyd monotonicity: each assign+update round cannot increase the
     // objective (up to the integer micro-unit rounding of updates)
     assert(total2 <= total1 * 1.001,
-      s"round-2 inertia $total2 should not exceed round-1 $total1")
+      s"round-2 inertia $total2 should not exceed total round-1 $total1")
+  }
+
+  test("semantic dedup: counts balance, and the threshold edges pin the keep rule") {
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    def rows(maxD2: Long): Seq[(Long, Long, Long, Long, Long)] =
+      Similarity.semanticDedup(spark, sfDir, maxD2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+    // default threshold: per-cell books balance and cover the corpus
+    val dflt = rows(1400000000000L)
+    assert(dflt.map(_._2).sum == nVecs, "members must partition the corpus")
+    dflt.foreach { case (cell, members, dupPairs, dropped, kept) =>
+      assert(kept == members - dropped, s"cell $cell books don't balance")
+      // each pair's loser is its strictly-lower side, so a pair
+      // witnesses at most one drop: dropped <= dupPairs
+      assert(dropped <= members && dropped <= dupPairs,
+        s"cell $cell: $dupPairs pairs cannot drop $dropped of $members")
+    }
+    // maxD2 = 0: nothing is a duplicate, everything survives
+    assert(rows(0L).forall { case (_, m, p, d, k) => p == 0 && d == 0 && k == m })
+    // maxD2 = inf: every within-cell pair is a dup, so the keep rule
+    // retains exactly ONE vector per cell — the (cent_d2, vec_id)-max
+    assert(rows(Long.MaxValue).forall { case (_, m, p, d, k) =>
+      p == m * (m - 1) / 2 && k == 1 && d == m - 1 })
   }
 }

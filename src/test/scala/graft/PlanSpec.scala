@@ -208,6 +208,16 @@ class PlanSpec extends SparkSuite {
            !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("residual IVF-PQ prunes via routed-cell equi-joins — never a cross product") {
+    // candidates come from the probes⋈routing equi-join and score
+    // through (query, cell, subspace, code) keys — a cross product or
+    // nested-loop anywhere would mean the prune degenerated to
+    // corpus-wide pairing
+    val plan = formatted(Similarity.ivfPqResidualRecall(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("quality deciles never run a single-reducer global window") {
     // the global rank comes from withGlobalRank: a per-PARTITION-id
     // window over the range-partitioned (checkpointed) frame plus

@@ -77,13 +77,16 @@ class SparkEntrySpec extends AnyFunSuite {
     // output carries only COUNT hits and a rounded ratio
     "x_pq_recall"         -> 6,
     "x_pq_rerank"         -> 7,
-    // kmeansCtes (2) + PQ chain (pa1, pa2, pcodes, pqd) + cell
-    // ranking, ADC re-sum, rerank, brute — all ORDER BY-only
-    "x_ivfpq"             -> 10,
-    // kmeansCtes (2) + residual PQ chain (ra1, ra2, rcodes) + cell
-    // ranking cd2, per-cell query table d2q, ADC re-sum, rerank,
-    // brute — all ORDER BY-only
-    "x_ivfpq_residual"    -> 10
+    // kmeansCtes (2) + routeCte + PQ chain (pa1, pa2, pcodes, pqd) +
+    // cell ranking, ADC re-sum, rerank, brute — all ORDER BY-only
+    "x_ivfpq"             -> 11,
+    // kmeansCtes (2) + routeCte + residual PQ chain (ra1, ra2,
+    // rcodes) + cell ranking cd2, per-cell query table d2q, ADC
+    // re-sum, rerank, brute — all ORDER BY-only
+    "x_ivfpq_residual"    -> 11,
+    // kmeansCtes (2) + centrality cent_d2 (row-comparison-only) +
+    // pair distance d2 (threshold-filter-only); outputs are COUNTs
+    "x_semantic_dedup"    -> 4
   )
 
   /** Count SUM( occurrences whose result is not immediately cast. */

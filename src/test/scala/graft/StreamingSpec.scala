@@ -523,6 +523,70 @@ class StreamingSpec extends SparkSuite {
       s"stream-served shortlist diverges: ${served.size} vs ${batchServed.size} pairs")
   }
 
+  test("vector-store lifecycle: streamed routing + codes serve the batch IVF-PQ shortlist") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "vstore-").toString
+    val (bookPath, cellsPath) = (s"$base/books", s"$base/cells")
+    val (codesPath, routingPath) = (s"$base/codes", s"$base/routing")
+    // ONE training run publishes the deployment artifacts (cells for
+    // the router, books for the encoder); assignment / codes / query
+    // table stay behind as the stream==batch oracles
+    val model = graft.operators.Similarity.ivfPqModel(spark, sfDir)
+    model.codebooks.write.mode("overwrite").parquet(bookPath)
+    model.cells.write.mode("overwrite").parquet(cellsPath)
+    val encode = graft.streaming.StreamingPqEncode.encodeSink(bookPath, codesPath)
+    val route = graft.streaming.StreamingPqEncode.routeSink(cellsPath, routingPath)
+    // one ingest stream feeds BOTH stores — encode + route per batch
+    val ingest: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (b, id) => { encode(b, id); route(b, id) }
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = ms.toDF().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(ingest)
+      .start()
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (high, low) = vecs.partition(_._1 >= 250)
+    try {
+      // OUT-OF-ORDER split: late ids first, then two early chunks
+      Seq(high, low.take(150), low.drop(150)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the streamed routing table IS the batch assignment
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("vec_id", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val routed = pairs(graft.streaming.StreamingPqEncode.readRouting(spark, routingPath))
+    assert(routed == pairs(model.assignment),
+      s"streamed routing (${routed.size}) != batch assignment")
+    // full IVF-PQ serve over ONLY the streamed store (routing + codes)
+    // equals the batch composite's own shortlist — same primitive
+    // (ivfShortlist), same probes, different store
+    val probes = graft.operators.Similarity.coarseProbes(
+      model.microRows, model.cells, nProbe = 2, nQueries = 10)
+    def shortlist(routing: org.apache.spark.sql.DataFrame,
+                  codes: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      graft.operators.Similarity
+        .ivfShortlist(routing, codes, model.queryTable, probes, 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val served = shortlist(
+      graft.streaming.StreamingPqEncode.readRouting(spark, routingPath),
+      graft.streaming.StreamingPqEncode.readCodes(spark, codesPath))
+    val batchServed = shortlist(model.assignment, model.codes)
+    assert(batchServed.nonEmpty)
+    assert(served == batchServed,
+      s"stream-served IVF-PQ shortlist diverges: ${served.size} vs ${batchServed.size} pairs")
+    // replayed routing micro-batch must not change what serving sees
+    route(low.drop(150).toDF("vec_id", "embedding"), 2L)
+    val afterReplay = shortlist(
+      graft.streaming.StreamingPqEncode.readRouting(spark, routingPath),
+      graft.streaming.StreamingPqEncode.readCodes(spark, codesPath))
+    assert(afterReplay == served, "routing replay must not change the served shortlist")
+  }
+
   test("incremental kmeans statistics fold to the one-round batch fit (stream==batch)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files
