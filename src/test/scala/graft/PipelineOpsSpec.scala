@@ -480,4 +480,24 @@ class PipelineOpsSpec extends SparkSuite {
       assert(math.abs(s - 1.0) < 1e-5, s"$lang shares sum to $s")
     }
   }
+
+  test("zorderSkipping: the read ladder holds — zorder < single-dim sort < natural") {
+    val rows = Analytics.zorderSkipping(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq("bypart", "natural", "zorder"))
+    val total = Tables.lineitem(spark, sfDir).count()
+    val Array(by, nat, zo) = rows
+    // insertion order clusters neither dimension: nothing prunes
+    assert(nat._2 == 64 && nat._3 == 64 && nat._4 == total,
+      s"natural layout must read everything, got $nat")
+    // one sorted dimension prunes its range; the curve prunes BOTH
+    assert(by._4 < nat._4, s"single-dim sort must prune rows, got $by")
+    assert(zo._4 < by._4, s"z-order must beat the single-dim sort: $zo vs $by")
+    rows.foreach { case (layout, nShards, read, scanned, frac) =>
+      assert(read <= nShards && scanned <= total, s"$layout books don't balance")
+      val expect = BigDecimal(scanned.toDouble / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(frac - expect) < 1e-9, s"$layout read_frac drifted")
+    }
+  }
 }
