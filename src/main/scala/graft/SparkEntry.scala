@@ -1353,20 +1353,22 @@ object SparkEntry {
         |  round(CAST(CAST(SUM(d2) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS mean_d2
         |FROM d GROUP BY cid ORDER BY centroid_id""".stripMargin,
 
-    // SemDeDup: cell-scoped pairs under the micro-unit d2 threshold;
-    // drop the pair side closer to its centroid — (cent_d2, vec_id)
-    // row comparison is the same lexicographic tie-break both engines
-    // order structs/rows by
+    // SemDeDup: membership by FINAL-cells routing (a3 — the same
+    // membership a streaming ingest reproduces); cell-scoped pairs
+    // under the micro-unit d2 threshold; drop the pair side closer to
+    // its centroid — (cent_d2, vec_id) row comparison is the same
+    // lexicographic tie-break both engines order structs/rows by
     "x_semantic_dedup" ->
       s"""WITH $kmeansCtes,
-        |cent AS (SELECT a2.vec_id, a2.cid, SUM((v.vq - c.cq)*(v.vq - c.cq)) AS cent_d2
-        |         FROM a2 JOIN vq v USING (vec_id) JOIN c2 c ON c.cid = a2.cid AND c.pos = v.pos
+        |$routeCte,
+        |cent AS (SELECT a3.vec_id, a3.cid, SUM((v.vq - c.cq)*(v.vq - c.cq)) AS cent_d2
+        |         FROM a3 JOIN vq v USING (vec_id) JOIN c2 c ON c.cid = a3.cid AND c.pos = v.pos
         |         GROUP BY 1, 2),
         |prs AS (SELECT * FROM (
         |  SELECT aa.cid, va.vec_id AS u, vb.vec_id AS v,
         |         SUM((va.vq - vb.vq)*(va.vq - vb.vq)) AS d2
-        |  FROM vq va JOIN a2 aa ON aa.vec_id = va.vec_id
-        |  JOIN a2 ab ON ab.cid = aa.cid AND ab.vec_id > aa.vec_id
+        |  FROM vq va JOIN a3 aa ON aa.vec_id = va.vec_id
+        |  JOIN a3 ab ON ab.cid = aa.cid AND ab.vec_id > aa.vec_id
         |  JOIN vq vb ON vb.vec_id = ab.vec_id AND vb.pos = va.pos
         |  GROUP BY 1, 2, 3) WHERE d2 < 1400000000000),
         |nbrs AS (SELECT cid, u AS vec_id, v AS other FROM prs
@@ -1375,7 +1377,7 @@ object SparkEntry {
         |            FROM nbrs n JOIN cent c1 ON c1.vec_id = n.vec_id
         |            JOIN cent cx ON cx.vec_id = n.other
         |            WHERE (cx.cent_d2, cx.vec_id) > (c1.cent_d2, c1.vec_id)),
-        |mem AS (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY cid),
+        |mem AS (SELECT cid, COUNT(*) AS n_members FROM a3 GROUP BY cid),
         |dp AS (SELECT cid, COUNT(*) AS n_dup_pairs FROM prs GROUP BY cid),
         |dr AS (SELECT cid, COUNT(*) AS n_dropped FROM dropped GROUP BY cid)
         |SELECT m.cid AS cell, m.n_members,

@@ -597,22 +597,51 @@ object Similarity {
   def semanticDedup(spark: SparkSession, dir: String,
                     maxD2: Long = 1400000000000L): DataFrame = {
     val fit = kmeansFit(spark, dir, k = 8, iters = 2)
-    // centrality: exact d2 of each vector to its UPDATED centroid
-    // (assignment first, then one (cid, pos) join — the kmeansInertia
-    // audit shape)
-    val cent = fit.vq.join(fit.assignment.hint("broadcast"), Seq("vec_id"))
-      .join(broadcast(fit.cents), Seq("cid", "pos"))
-      .groupBy("vec_id", "cid")
-      .agg(sum((col("vq") - col("cq")) * (col("vq") - col("cq"))).as("cent_d2"))
-    // cell-scoped candidate pairs under the distance threshold
-    val rows = fit.vq.join(fit.assignment, Seq("vec_id"))
-    val pairs = rows.alias("a").join(rows.alias("b"),
+    // membership by routing against the FINAL cells (the paper
+    // clusters with the finished fit; also the only membership a
+    // streaming ingest can reproduce — the in-loop assignment is vs
+    // the previous round's centroids, a training artifact)
+    val (routing, _) = graft.Caches.trackedCheckpoint(
+      coarseAssign(fit.vq, fit.cents))
+    val rows = fit.vq.join(routing, Seq("vec_id"))
+    semanticYield(rows, fit.cents, semanticPairs(rows, maxD2))
+  }
+
+  /** The trained final cells `(cid, pos, cq)` in raw micro-units —
+    * the routing artifact a deployment publishes (ivfPqModel bundles
+    * the same frame; this accessor trains only the coarse fit, for
+    * consumers that need no PQ side — e.g. the streaming SemDeDup
+    * ingest).
+    */
+  def coarseCells(spark: SparkSession, dir: String): DataFrame =
+    kmeansFit(spark, dir, k = 8, iters = 2).cents
+
+  /** Cell-scoped candidate pairs `(cid, u, v)` of `rows`
+    * `(vec_id, cid, pos, vq)` under the `maxD2` squared-distance
+    * threshold, `u < v` — the quadratic term is (n/k)^2 per cell,
+    * never corpus-wide.
+    */
+  private[graft] def semanticPairs(rows: DataFrame, maxD2: Long): DataFrame =
+    rows.alias("a").join(rows.alias("b"),
         col("a.cid") === col("b.cid") && col("a.pos") === col("b.pos") &&
           col("a.vec_id") < col("b.vec_id"))
       .groupBy(col("a.cid").as("cid"), col("a.vec_id").as("u"),
         col("b.vec_id").as("v"))
       .agg(sum((col("a.vq") - col("b.vq")) * (col("a.vq") - col("b.vq"))).as("d2"))
       .filter(col("d2") < lit(maxD2))
+      .select("cid", "u", "v")
+
+  /** The SemDeDup keep rule + per-cell yield table over routed rows
+    * `(vec_id, cid, pos, vq)`, final centroids, and the duplicate
+    * pair set `(cid, u, v)`. Shared by the batch operator and the
+    * streaming twin's read side, so stream==batch is shared code.
+    */
+  private[graft] def semanticYield(rows: DataFrame, cents: DataFrame,
+                                   pairs: DataFrame): DataFrame = {
+    // centrality: exact d2 of each vector to its routed centroid
+    val cent = rows.join(broadcast(cents), Seq("cid", "pos"))
+      .groupBy("vec_id", "cid")
+      .agg(sum((col("vq") - col("cq")) * (col("vq") - col("cq"))).as("cent_d2"))
     // symmetric neighbor view; drop the lower-ranked side of each pair
     val nbrs = pairs.select(col("cid"), col("u").as("vec_id"), col("v").as("other"))
       .union(pairs.select(col("cid"), col("v").as("vec_id"), col("u").as("other")))
@@ -623,7 +652,7 @@ object Similarity {
       .filter(struct(col("ocent_d2"), col("other")) >
         struct(col("cent_d2"), col("vec_id")))
       .select("cid", "vec_id").distinct()
-    val members = fit.assignment.groupBy("cid").agg(count(lit(1)).as("n_members"))
+    val members = cent.groupBy("cid").agg(count(lit(1)).as("n_members"))
     val dupPairs = pairs.groupBy("cid").agg(count(lit(1)).as("n_dup_pairs"))
     val drops = dropped.groupBy("cid").agg(count(lit(1)).as("n_dropped"))
     members.join(dupPairs, Seq("cid"), "left").join(drops, Seq("cid"), "left")

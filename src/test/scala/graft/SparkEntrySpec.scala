@@ -84,9 +84,10 @@ class SparkEntrySpec extends AnyFunSuite {
     // rcodes) + cell ranking cd2, per-cell query table d2q, ADC
     // re-sum, rerank, brute — all ORDER BY-only
     "x_ivfpq_residual"    -> 11,
-    // kmeansCtes (2) + centrality cent_d2 (row-comparison-only) +
-    // pair distance d2 (threshold-filter-only); outputs are COUNTs
-    "x_semantic_dedup"    -> 4
+    // kmeansCtes (2) + routeCte + centrality cent_d2
+    // (row-comparison-only) + pair distance d2 (threshold-filter-
+    // only); outputs are COUNTs
+    "x_semantic_dedup"    -> 5
   )
 
   /** Count SUM( occurrences whose result is not immediately cast. */

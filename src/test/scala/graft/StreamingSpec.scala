@@ -587,6 +587,50 @@ class StreamingSpec extends SparkSuite {
     assert(afterReplay == served, "routing replay must not change the served shortlist")
   }
 
+  test("incremental semantic dedup matches the batch yield table (stream==batch)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "semdedup-").toString
+    val (cellsPath, vecPath, pairPath) =
+      (s"$base/cells", s"$base/vectors", s"$base/pairs")
+    // the trainer publishes its final cells; membership by routing
+    // against them is exactly what batch semanticDedup computes
+    graft.operators.Similarity.coarseCells(spark, sfDir)
+      .write.mode("overwrite").parquet(cellsPath)
+    val sink = graft.streaming.StreamingSemanticDedup
+      .ingestSink(cellsPath, vecPath, pairPath)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = ms.toDF().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(sink)
+      .start()
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (high, low) = vecs.partition(_._1 >= 250)
+    try {
+      // OUT-OF-ORDER split: every duplicate pair must be found when
+      // its LATER vector arrives, whichever side that is
+      Seq(high, low.take(150), low.drop(150)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val got = rows(graft.streaming.StreamingSemanticDedup
+      .report(spark, cellsPath, vecPath, pairPath))
+    val want = rows(graft.operators.Similarity.semanticDedup(spark, sfDir))
+    assert(want.nonEmpty)
+    assert(got == want, s"stream==batch: streamed yield table diverges")
+    // replayed micro-batch re-derives its pairs (possibly a superset
+    // into its own partition) — the report must not move
+    sink(low.drop(150).toDF("vec_id", "embedding"), 2L)
+    val afterReplay = rows(graft.streaming.StreamingSemanticDedup
+      .report(spark, cellsPath, vecPath, pairPath))
+    assert(afterReplay == got, "batch replay must not change the yield table")
+  }
+
   test("incremental kmeans statistics fold to the one-round batch fit (stream==batch)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files
