@@ -208,6 +208,20 @@ class PlanSpec extends SparkSuite {
            !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("z-order audit ranks all three layouts with partition-local windows only") {
+    // every layout's global rank is withGlobalRank (per-partition-id
+    // window over the range exchange) — a Window over anything but
+    // the _pid hash exchange would be the naive ROW_NUMBER() OVER
+    // (ORDER BY ...) single-reducer funnel that cannot rank 100 TB.
+    // (The three 64-row final aggregates legitimately use
+    // SinglePartition; only the rank windows are pinned here.)
+    val plan = formatted(graft.operators.Analytics.zorderSkipping(spark, sfDir))
+    val windows = plan.linesIterator.count(_.contains("- Window ("))
+    assert(windows == 3, s"expected one partition-local rank window per layout, got $windows:\n$plan")
+    val pidExchanges = "hashpartitioning\\(_pid".r.findAllIn(plan).length
+    assert(pidExchanges >= 3, s"per-partition rank exchanges missing ($pidExchanges):\n$plan")
+  }
+
   test("residual IVF-PQ prunes via routed-cell equi-joins — never a cross product") {
     // candidates come from the probes⋈routing equi-join and score
     // through (query, cell, subspace, code) keys — a cross product or
