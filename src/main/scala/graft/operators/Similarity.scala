@@ -859,20 +859,22 @@ object Similarity {
     val c0 = sq.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("vec_id").cast("bigint").as("cid"),
         col("sub"), col("pos"), col("vq").as("cq"))
-    def update(asg: DataFrame): DataFrame = {
-      val (c, _) = graft.Caches.trackedCheckpoint(
-        asg.join(sq, Seq("vec_id", "sub"))
-          .groupBy("cid", "sub", "pos")
-          .agg(round(sum(col("vq")).cast("double") / count(lit(1)))
-            .cast("bigint").as("cq")))
-      c
-    }
+    def update(asg: DataFrame): DataFrame =
+      asg.join(sq, Seq("vec_id", "sub"))
+        .groupBy("cid", "sub", "pos")
+        .agg(round(sum(col("vq")).cast("double") / count(lit(1)))
+          .cast("bigint").as("cq"))
     // two Lloyd rounds: at sf0.01 with 50 queries the second round
     // lifts raw ADC 0.248 -> 0.256, rerank 0.716 -> 0.748, IVF-PQ
     // 0.408 -> 0.420 (a third round is not worth a bench-visible
-    // extra corpus pass per composite)
+    // extra corpus pass per composite). Round 1 stays LAZY: it is
+    // consumed exactly once, inside the books checkpoint below, so
+    // both rounds evaluate in one action — the per-round checkpoint
+    // discipline is for UNBOUNDED loops (label propagation, the
+    // k-means trainer's `iters`), not a fixed two-round chain whose
+    // every downstream consumer reads only the final books.
     val c1 = update(pqAssign(sq, c0))
-    val books = update(pqAssign(sq, c1))
+    val (books, _) = graft.Caches.trackedCheckpoint(update(pqAssign(sq, c1)))
     val codes = pqAssign(sq, books) // the encoding against the trained books
     // per-query exact distance to every (subspace, code) centroid —
     // the ADC table, nQueries x nSubs x nCodes rows

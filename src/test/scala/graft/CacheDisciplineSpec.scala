@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CorpusOps, Dedup, Similarity, TextAnalysis}
+import graft.operators.{Analytics, CorpusOps, Dedup, Similarity, TextAnalysis}
 
 /** The Caches contract (r2/r3 ADVICE): operators may leave
   * materialized intermediates for the session, but a Verify-style
@@ -37,7 +37,10 @@ class CacheDisciplineSpec extends SparkSuite {
       "deleteCascade"   -> (() => Dedup.deleteCascade(spark, sfDir)),
       "qualityDeciles"  -> (() => CorpusOps.qualityDeciles(spark, sfDir)),
       "contaminationByBench" -> (() => CorpusOps.contaminationByBench(spark, sfDir)),
-      "curationFunnel"  -> (() => CorpusOps.curationFunnel(spark, sfDir)))
+      "curationFunnel"  -> (() => CorpusOps.curationFunnel(spark, sfDir)),
+      "ivfPqResidualRecall" -> (() => Similarity.ivfPqResidualRecall(spark, sfDir)),
+      "semanticDedup"   -> (() => Similarity.semanticDedup(spark, sfDir)),
+      "zorderSkipping"  -> (() => Analytics.zorderSkipping(spark, sfDir)))
     persistingOps.foreach { case (name, mk) =>
       withClue(s"$name: ") {
         consume(mk())
