@@ -149,6 +149,9 @@ object SparkEntry {
     "x_kmeans"             -> ((s, dir) => Similarity.kmeansCentroids(s, dir)),
     "x_cluster_quality"    -> ((s, dir) => Similarity.kmeansInertia(s, dir)),
     "x_semantic_dedup"     -> ((s, dir) => Similarity.semanticDedup(s, dir)),
+    "x_semantic_decontam"  -> ((s, dir) => Similarity.semanticDecontam(s, dir)),
+    "x_cluster_purity"     -> ((s, dir) => Similarity.clusterPurity(s, dir)),
+    "x_hard_negatives"     -> ((s, dir) => Similarity.hardNegatives(s, dir)),
     "x_knn_ivf_trained"    -> ((s, dir) => Similarity.knnIvfTrained(s, dir)),
     "x_ivf_trained_recall" -> ((s, dir) => Similarity.knnIvfTrainedRecall(s, dir)),
     "x_ivf_probe_sweep"    -> ((s, dir) => Similarity.knnIvfProbeSweep(s, dir)),
@@ -1386,6 +1389,65 @@ object SparkEntry {
         |  (m.n_members - COALESCE(dr.n_dropped, 0))::BIGINT AS n_kept
         |FROM mem m LEFT JOIN dp USING (cid) LEFT JOIN dr USING (cid)
         |ORDER BY cell""".stripMargin,
+
+    // semantic decontamination: nearest-bench micro-unit d2 under the
+    // calibrated threshold; BIGINT cast pins the DuckDB HUGEINT sum
+    "x_semantic_decontam" ->
+      """WITH vq AS (
+        |  SELECT vec_id, (i-1)::BIGINT AS pos,
+        |         round(embedding[i]::DOUBLE * 1000000)::BIGINT AS vq
+        |  FROM embeddings, range(1, 65) t(i)),
+        |b AS (SELECT vec_id AS bench_id, pos, vq AS bq FROM vq WHERE vec_id < 20),
+        |c AS (SELECT * FROM vq WHERE vec_id >= 20),
+        |d AS (SELECT c.vec_id, b.bench_id, SUM((c.vq-b.bq)*(c.vq-b.bq))::BIGINT AS d2
+        |      FROM c JOIN b USING (pos) GROUP BY 1, 2),
+        |m AS (SELECT vec_id, bench_id, d2 FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, bench_id) AS rk
+        |  FROM d) WHERE rk = 1)
+        |SELECT vec_id, bench_id, d2 FROM m
+        |WHERE d2 < 1300000000000
+        |ORDER BY vec_id""".stripMargin,
+
+    // cluster-vs-label purity over FINAL-cells routing; majority ties
+    // break to the smallest label ((n DESC, label) rank)
+    "x_cluster_purity" ->
+      s"""WITH $kmeansCtes,
+        |$routeCte,
+        |bl AS (SELECT a3.cid, e.label::BIGINT AS label, COUNT(*) AS n
+        |       FROM a3 JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+        |rkd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY n DESC, label) AS rk
+        |        FROM bl)
+        |SELECT cid AS cell, SUM(n)::BIGINT AS n_members, COUNT(*)::BIGINT AS n_labels,
+        |  MAX(CASE WHEN rk = 1 THEN label END) AS top_label,
+        |  MAX(CASE WHEN rk = 1 THEN n END)::BIGINT AS top_n,
+        |  round(MAX(CASE WHEN rk = 1 THEN n END)::DOUBLE / SUM(n), 6) AS purity
+        |FROM rkd GROUP BY cid ORDER BY cell""".stripMargin,
+
+    // hard-negative mining: per query, nearest same-label and nearest
+    // different-label by exact micro-unit d2, self excluded
+    "x_hard_negatives" ->
+      """WITH vq AS (
+        |  SELECT e.vec_id, e.label::BIGINT AS label, (i-1)::BIGINT AS pos,
+        |         round(e.embedding[i]::DOUBLE * 1000000)::BIGINT AS vq
+        |  FROM embeddings e, range(1, 65) t(i)),
+        |q AS (SELECT vec_id AS query_id, label AS q_label, pos, vq AS qq
+        |      FROM vq WHERE vec_id < 10),
+        |d AS (SELECT q.query_id, q.q_label, v.vec_id, v.label,
+        |             SUM((v.vq-q.qq)*(v.vq-q.qq))::BIGINT AS d2
+        |      FROM vq v JOIN q ON v.pos = q.pos AND v.vec_id <> q.query_id
+        |      GROUP BY 1, 2, 3, 4),
+        |p AS (SELECT query_id, q_label, vec_id, d2 FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rk
+        |  FROM d WHERE label = q_label) WHERE rk = 1),
+        |ng AS (SELECT query_id, vec_id, d2 FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rk
+        |  FROM d WHERE label <> q_label) WHERE rk = 1)
+        |SELECT p.query_id, p.q_label AS label,
+        |  p.vec_id AS pos_id, p.d2 AS pos_d2,
+        |  ng.vec_id AS neg_id, ng.d2 AS neg_d2,
+        |  (ng.d2 - p.d2)::BIGINT AS margin
+        |FROM p JOIN ng USING (query_id)
+        |ORDER BY query_id""".stripMargin,
 
     "x_knn_ivf_trained" ->
       s"""WITH $kmeansCtes,

@@ -718,6 +718,154 @@ object Similarity {
       .orderBy("centroid_id")
   }
 
+  /** `(vec_id, label, pos, vq)` micro-unit rows of the embeddings
+    * table — the integer-exact exploded form ([[kmeansFit]]'s `vq`
+    * convention) with the label carried through the explode, so
+    * label-aware consumers ([[hardNegatives]]) never join the corpus
+    * back onto itself for it. Repartitioned BEFORE the posexplode for
+    * the same reason as [[corpus]].
+    */
+  private def microRows(spark: SparkSession, dir: String): DataFrame = {
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Tables.embeddings(spark, dir)
+      .repartition(n, col("vec_id"))
+      .select(col("vec_id"), col("label").cast("bigint").as("label"),
+        posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("pos").cast("bigint").as("pos"),
+        round(col("col").cast("double") * 1e6).cast("bigint").as("vq"))
+  }
+
+  /** Semantic decontamination — the embedding-space twin of
+    * [[CorpusOps.decontaminate]]: an eval suite leaks into a training
+    * corpus not only verbatim (the word-gram probe) but as paraphrases
+    * and translations, which land NEAR the benchmark item in embedding
+    * space. Flags every corpus vector whose squared L2 distance to its
+    * nearest benchmark vector (`vec_id < benchVecs`, the stand-in for
+    * the embedded eval set) is below `maxD2`, reporting that nearest
+    * benchmark item and the exact micro-unit distance. Completes the
+    * decontamination axis the way [[semanticDedup]] completes the
+    * dedup axis: lexical + semantic, batch + streaming
+    * ([[graft.streaming.StreamingSemanticDecontam]]).
+    *
+    * Exactness: BIGINT micro-unit distances (max ~2.6e14 for 64 dims
+    * — no overflow); nearest-bench tie-breaks by (d2, bench_id) via
+    * min(struct(...)), the same lexicographic ordering both engines
+    * use. The default threshold is calibrated to this corpus's
+    * distance distribution (~5th percentile of nearest-bench d2) so
+    * the report is non-empty but bounded — production would calibrate
+    * it against labeled paraphrase pairs the same way.
+    *
+    * Scale shape: the benchmark side is eval-suite-bounded and
+    * broadcasts (the [[CorpusOps.decontaminate]] bound); the corpus
+    * explodes once and never shuffles for the probe — the
+    * per-(vector, bench) distance fan-out happens map-side under the
+    * broadcast hash join, and the only exchanges carry (vec_id,
+    * bench_id, d2) aggregates, never embedding components.
+    */
+  def semanticDecontam(spark: SparkSession, dir: String,
+                       benchVecs: Int = 20,
+                       maxD2: Long = 1300000000000L): DataFrame = {
+    val rows = microRows(spark, dir)
+    val bench = rows.filter(col("vec_id") < benchVecs)
+      .select(col("vec_id").as("bench_id"), col("pos"), col("vq").as("bq"))
+    val corpus = rows.filter(col("vec_id") >= benchVecs)
+    corpus.join(broadcast(bench), Seq("pos"))
+      .groupBy("vec_id", "bench_id")
+      .agg(sum((col("vq") - col("bq")) * (col("vq") - col("bq"))).as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("bench_id"))).as("m"))
+      .select(col("vec_id"), col("m.bench_id").as("bench_id"), col("m.d2").as("d2"))
+      .filter(col("d2") < lit(maxD2))
+      .orderBy("vec_id")
+  }
+
+  /** Cluster-vs-label agreement audit of the trained k-means fit: per
+    * final cell (membership by FINAL-cells routing, the
+    * [[semanticDedup]] convention), the member count, how many
+    * distinct labels landed in it, the majority label with its count,
+    * and the purity (majority share). [[kmeansInertia]] scores the fit
+    * geometrically; this scores it against the labels the corpus
+    * already carries — the audit that decides whether
+    * cluster-balanced sampling or [[semanticDedup]]'s cell-scoped
+    * pairing can stand in for label-aware curation.
+    *
+    * Majority ties break to the smallest label (explicit (n DESC,
+    * label) rank — max_by would be nondeterministic on ties).
+    *
+    * Scale shape: routing is checkpointed (one corpus materialization,
+    * [[coarseAssign]]'s hash-aggregate — no window), the label join is
+    * a narrow (vec_id, label) shuffle against corpus-sized routing
+    * rows, and everything after the (cid, label) aggregate is
+    * k×labels-sized. The exploded-corpus blocks release once routing
+    * materializes ([[kmeansCentroids]]'s discipline).
+    */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val fit = kmeansFit(spark, dir, k = 8, iters = 2)
+    val (routing, _) = graft.Caches.trackedCheckpoint(
+      coarseAssign(fit.vq, fit.cents))
+    graft.Caches.release(spark, fit.vqIds)
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("bigint").as("label"))
+    val byLabel = routing.join(labels, Seq("vec_id"))
+      .groupBy("cid", "label").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("cid").orderBy(col("n").desc, col("label"))
+    byLabel
+      .withColumn("rk", row_number().over(w))
+      .groupBy("cid")
+      .agg(sum(col("n")).as("n_members"),
+           count(lit(1)).as("n_labels"),
+           max(when(col("rk") === 1, col("label"))).as("top_label"),
+           max(when(col("rk") === 1, col("n"))).as("top_n"))
+      .withColumn("purity",
+        round(col("top_n").cast("double") / col("n_members"), 6))
+      .select(col("cid").as("cell"), col("n_members"), col("n_labels"),
+        col("top_label"), col("top_n"), col("purity"))
+      .orderBy("cell")
+  }
+
+  /** Hard-negative mining audit — the contrastive-training data op:
+    * for each query vector (`vec_id < nQueries`), the nearest
+    * SAME-label corpus vector (the easy positive a triplet loss
+    * anchors on) and the nearest DIFFERENT-label vector (the hard
+    * negative it mines), by exact micro-unit squared L2, self
+    * excluded. The margin (neg_d2 − pos_d2) is the per-anchor
+    * separation a metric-learning run tracks: a non-positive margin
+    * means the hardest negative sits inside the positive radius —
+    * exactly the anchors a miner feeds back into training.
+    *
+    * Exactness: BIGINT micro-unit distances; both argmins tie-break by
+    * (d2, vec_id) via conditional min(struct(...)).
+    *
+    * Scale shape: the query side is bounded and broadcasts (the
+    * [[knnBruteForce]] bound); labels ride through the corpus explode
+    * ([[microRows]]) so no corpus self-join materializes; the
+    * per-(query, candidate) distances aggregate map-side and only
+    * (query_id, vec_id, d2, label) rows reach an exchange. One corpus
+    * pass, two conditional aggregates, queries-sized output.
+    */
+  def hardNegatives(spark: SparkSession, dir: String,
+                    nQueries: Int = 10): DataFrame = {
+    val rows = microRows(spark, dir)
+    val q = rows.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("pos").as("qpos"), col("vq").as("qq"))
+    val d2 = rows.join(broadcast(q),
+        col("pos") === col("qpos") && col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("q_label"), col("vec_id"), col("label"))
+      .agg(sum((col("vq") - col("qq")) * (col("vq") - col("qq"))).as("d2"))
+    d2.groupBy("query_id", "q_label")
+      .agg(
+        min(when(col("label") === col("q_label"),
+          struct(col("d2"), col("vec_id")))).as("p"),
+        min(when(col("label") =!= col("q_label"),
+          struct(col("d2"), col("vec_id")))).as("ng"))
+      .select(col("query_id"), col("q_label").as("label"),
+        col("p.vec_id").as("pos_id"), col("p.d2").as("pos_d2"),
+        col("ng.vec_id").as("neg_id"), col("ng.d2").as("neg_d2"),
+        (col("ng.d2") - col("p.d2")).as("margin"))
+      .orderBy("query_id")
+  }
+
   /** Product-quantization (PQ) ADC recall audit — the memory-bound
     * compression trade at embedding scale: split each 64-dim vector
     * into 8 subvectors, train a 16-code codebook PER SUBSPACE

@@ -118,6 +118,77 @@ class PipelineOpsSpec extends SparkSuite {
     assert(full == 1.0, s"full-width rerank must be exact, got $full")
   }
 
+  /** (vec_id, label, micro-unit coords) of every embedding, for local
+    * brute-force recomputation — BigDecimal HALF_UP matches Spark's
+    * round() on the possibly-negative coordinates (math.round would
+    * diverge on exact-.5 negatives).
+    */
+  private def microVecs(): Array[(Long, Long, Array[Long])] =
+    Tables.embeddings(spark, sfDir).select("vec_id", "label", "embedding")
+      .collect()
+      .map { r =>
+        val m = r.getSeq[Float](2).map(f =>
+          BigDecimal(f.toDouble * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
+        (r.getLong(0), r.getInt(1).toLong, m)
+      }
+
+  private def d2(a: Array[Long], b: Array[Long]): Long =
+    a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+
+  test("semanticDecontam: flagged rows match a local brute nearest-bench recompute") {
+    val vecs = microVecs()
+    val bench = vecs.filter(_._1 < 20)
+    val corpus = vecs.filter(_._1 >= 20)
+    val maxD2 = 1300000000000L
+    val want = corpus.flatMap { case (vid, _, m) =>
+      // argmin with (d2, bench_id) tie-break — the operator's contract
+      val (bd2, bid) = bench.map { case (b, _, bm) => (d2(m, bm), b) }.min
+      if (bd2 < maxD2) Some((vid, bid, bd2)) else None
+    }.sortBy(_._1).toSeq
+    val got = Similarity.semanticDecontam(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, "flagged set must equal the local recompute")
+    assert(got.nonEmpty, "calibrated threshold should flag something on this corpus")
+    // threshold edges: 0 flags nothing; MaxValue flags the whole corpus side
+    assert(Similarity.semanticDecontam(spark, sfDir, maxD2 = 0L).count() == 0)
+    assert(Similarity.semanticDecontam(spark, sfDir, maxD2 = Long.MaxValue).count()
+      == corpus.length.toLong)
+  }
+
+  test("hardNegatives: exact equality with a local brute-force mining pass") {
+    val vecs = microVecs()
+    val want = vecs.filter(_._1 < 10).sortBy(_._1).map { case (q, lab, qm) =>
+      val others = vecs.filter(_._1 != q)
+      val (pd2, pid) = others.collect { case (v, l, m) if l == lab => (d2(qm, m), v) }.min
+      val (nd2, nid) = others.collect { case (v, l, m) if l != lab => (d2(qm, m), v) }.min
+      (q, lab, pid, pd2, nid, nd2, nd2 - pd2)
+    }.toSeq
+    val got = Similarity.hardNegatives(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == want)
+  }
+
+  test("clusterPurity: members partition the corpus, majority bounds hold per cell") {
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    val labels = Tables.embeddings(spark, sfDir).select("label")
+      .distinct().collect().map(_.getInt(0).toLong).toSet
+    val rows = Similarity.clusterPurity(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.map(_._2).sum == nVecs, "cells must partition the corpus")
+    rows.foreach { case (cell, members, nLabels, topLabel, topN, purity) =>
+      assert(nLabels >= 1 && nLabels <= labels.size)
+      assert(labels.contains(topLabel), s"cell $cell majority label out of domain")
+      assert(topN >= 1 && topN <= members)
+      // the majority class is at least an even split across the labels present
+      assert(topN * nLabels >= members, s"cell $cell: $topN cannot be the majority of $members over $nLabels labels")
+      assert(math.abs(purity - BigDecimal(topN.toDouble / members)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
   test("KMV sketch: hk is the k-th smallest distinct hash, estimate recomputes locally") {
     val out = Dedup.kmvDistinctShingles(spark, sfDir).collect()
     assert(out.nonEmpty)

@@ -87,7 +87,10 @@ class SparkEntrySpec extends AnyFunSuite {
     // kmeansCtes (2) + routeCte + centrality cent_d2
     // (row-comparison-only) + pair distance d2 (threshold-filter-
     // only); outputs are COUNTs
-    "x_semantic_dedup"    -> 5
+    "x_semantic_dedup"    -> 5,
+    // kmeansCtes (2) + routeCte (ORDER BY-only) + one SUM(n) consumed
+    // only as the ::DOUBLE purity denominator
+    "x_cluster_purity"    -> 4
   )
 
   /** Count SUM( occurrences whose result is not immediately cast. */
