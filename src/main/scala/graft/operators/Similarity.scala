@@ -768,7 +768,20 @@ object Similarity {
     val rows = microRows(spark, dir)
     val bench = rows.filter(col("vec_id") < benchVecs)
       .select(col("vec_id").as("bench_id"), col("pos"), col("vq").as("bq"))
-    val corpus = rows.filter(col("vec_id") >= benchVecs)
+    nearestBenchFlags(rows.filter(col("vec_id") >= benchVecs), bench, maxD2)
+      .orderBy("vec_id")
+  }
+
+  /** The nearest-benchmark probe over micro-unit rows — the
+    * [[semanticDecontam]] arithmetic factored out so the streaming
+    * twin ([[graft.streaming.StreamingSemanticDecontam]]) flags with
+    * the SAME code and the two cannot drift. `corpus` carries
+    * `(vec_id, pos, vq)`, `bench` carries `(bench_id, pos, bq)`
+    * (eval-suite-bounded — it broadcasts); returns the flagged
+    * `(vec_id, bench_id, d2)` rows, unordered.
+    */
+  private[graft] def nearestBenchFlags(corpus: DataFrame, bench: DataFrame,
+                                       maxD2: Long): DataFrame =
     corpus.join(broadcast(bench), Seq("pos"))
       .groupBy("vec_id", "bench_id")
       .agg(sum((col("vq") - col("bq")) * (col("vq") - col("bq"))).as("d2"))
@@ -776,8 +789,6 @@ object Similarity {
       .agg(min(struct(col("d2"), col("bench_id"))).as("m"))
       .select(col("vec_id"), col("m.bench_id").as("bench_id"), col("m.d2").as("d2"))
       .filter(col("d2") < lit(maxD2))
-      .orderBy("vec_id")
-  }
 
   /** Cluster-vs-label agreement audit of the trained k-means fit: per
     * final cell (membership by FINAL-cells routing, the

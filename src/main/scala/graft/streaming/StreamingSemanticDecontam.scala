@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Incremental semantic decontamination over a vector stream — the
+  * streaming twin of [[Similarity.semanticDecontam]], completing the
+  * same batch/stream square the lexical probe closed with
+  * [[StreamingDecontam]]: the benchmark embedding index is published
+  * ONCE (an eval suite is static — it changes by re-publishing, not
+  * per batch), and every arriving `(vec_id, embedding, ...)` batch is
+  * probed against it with the SAME factored arithmetic
+  * ([[Similarity.nearestBenchFlags]]), appending each flagged
+  * vector's nearest benchmark item and exact micro-unit distance.
+  *
+  * Stream==batch: a vector's flag depends only on its own embedding
+  * and the static benchmark index, so the union of per-batch reports
+  * over ANY batch split equals the batch `semanticDecontam` rows. The
+  * index carries the benchmark vec_id set alongside the micro rows
+  * and the sink anti-joins it out of every batch — the stream may
+  * carry the FULL corpus (benchmark vectors included) without bench
+  * items self-flagging at d2 = 0 (the [[StreamingDecontam]]
+  * self-match contract, asserted in StreamingSpec over an
+  * out-of-order full-corpus split).
+  *
+  * Scale shape: the index is eval-suite-bounded (benchVecs x 64 micro
+  * rows) and broadcasts into the probe, so the arriving shard never
+  * shuffles for the pairing — the per-(vector, bench) distance
+  * fan-out happens map-side under the broadcast hash join and only
+  * (vec_id, bench_id, d2) aggregates reach an exchange. Batch replay
+  * is idempotent: output is partitioned by batch_id with dynamic
+  * partition overwrite, so a replayed batch overwrites its own
+  * partition ([[StreamingDedup]]'s contract).
+  */
+object StreamingSemanticDecontam {
+
+  private val ReportSchema =
+    "vec_id BIGINT, bench_id BIGINT, d2 BIGINT, batch_id BIGINT"
+
+  /** All flags emitted so far. */
+  def readReport(spark: SparkSession, reportPath: String): DataFrame =
+    if (new java.io.File(reportPath).exists())
+      spark.read.schema(ReportSchema).parquet(reportPath)
+        .select("vec_id", "bench_id", "d2")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ReportSchema))
+      .select("vec_id", "bench_id", "d2")
+
+  /** Publish the benchmark index at `benchPath` from the benchmark
+    * vectors (`(vec_id, embedding, ...)` rows) — run once when the
+    * eval suite's embedding set is (re)published. One artifact: the
+    * micro-unit rows `(bench_id, pos, bq)`, which carry the vec_id
+    * set the sink needs for self-match exclusion.
+    */
+  def writeBenchIndex(benchmarkVecs: DataFrame, benchPath: String): Unit =
+    Similarity.pqMicroUnits(benchmarkVecs)
+      .select(col("vec_id").as("bench_id"), col("pos"), col("vq").as("bq"))
+      .write.mode("overwrite").parquet(s"$benchPath/micro")
+
+  /** foreachBatch body: probe one micro-batch of
+    * `(vec_id, embedding, ...)` rows against the published benchmark
+    * index and append its flags. Benchmark vectors arriving in the
+    * batch are anti-joined out first via the index's own vec_id set.
+    */
+  def flagSink(benchPath: String, reportPath: String,
+               maxD2: Long = 1300000000000L): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val bench = spark.read.parquet(s"$benchPath/micro")
+      val benchIds = bench.select(col("bench_id").as("vec_id")).distinct()
+      val corpus = Similarity.pqMicroUnits(
+          batch.join(broadcast(benchIds), Seq("vec_id"), "left_anti"))
+        .select("vec_id", "pos", "vq")
+      Similarity.nearestBenchFlags(corpus, bench, maxD2)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(reportPath)
+      ()
+  }
+}

@@ -439,6 +439,47 @@ class StreamingSpec extends SparkSuite {
     assert(afterReplay == got, "batch replay must not change the report set")
   }
 
+  test("incremental semantic decontam equals the batch pass (stream==batch, out of order)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "semdecontam-").toString
+    val (benchPath, reportPath) = (s"$base/bench", s"$base/report")
+    val allVecs = graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    // the benchmark index is published once before the stream starts —
+    // same bench partition as the batch pass (vec_id < 20)
+    graft.streaming.StreamingSemanticDecontam.writeBenchIndex(
+      allVecs.filter(org.apache.spark.sql.functions.col("vec_id") < 20), benchPath)
+    val sink = graft.streaming.StreamingSemanticDecontam.flagSink(benchPath, reportPath)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = ms.toDF().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(sink)
+      .start()
+    // OUT-OF-ORDER split of the FULL corpus — benchmark vectors
+    // included: the sink must anti-join them out via the index's own
+    // vec_id set (a bench vector self-flags at d2 = 0 otherwise), and
+    // flags are per-vector so arrival order must not matter
+    val vecs = allVecs.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (high, low) = vecs.partition(_._1 >= 250)
+    try {
+      Seq(high, low.take(150), low.drop(150)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = rows(graft.streaming.StreamingSemanticDecontam.readReport(spark, reportPath))
+    val want = rows(graft.operators.Similarity.semanticDecontam(spark, sfDir))
+    assert(want.nonEmpty, "corpus must actually contain semantic leaks")
+    assert(got == want, s"stream==batch: ${got.size} vs ${want.size} flags")
+    // replayed micro-batch must be idempotent (overwrites its own
+    // partition instead of appending)
+    sink(low.drop(150).toDF("vec_id", "embedding"), 2L)
+    val afterReplay = rows(
+      graft.streaming.StreamingSemanticDecontam.readReport(spark, reportPath))
+    assert(afterReplay == got, "batch replay must not change the flag set")
+  }
+
   test("incremental token counts merge to the batch heavy-hitter report (stream==batch)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files
