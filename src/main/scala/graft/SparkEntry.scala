@@ -136,6 +136,7 @@ object SparkEntry {
     "x_stratified_sample"  -> ((s, dir) => CorpusOps.stratifiedSample(s, dir)),
     "x_domain_cap"         -> ((s, dir) => CorpusOps.domainCap(s, dir)),
     "x_training_order"     -> ((s, dir) => CorpusOps.trainingOrder(s, dir)),
+    "x_split_leakage"      -> ((s, dir) => CorpusOps.splitLeakage(s, dir)),
     "x_quality_filter"     -> ((s, dir) => CorpusOps.qualityFilter(s, dir)),
     "x_decontaminate"      -> ((s, dir) => CorpusOps.decontaminate(s, dir)),
     "x_contam_by_bench"    -> ((s, dir) => CorpusOps.contaminationByBench(s, dir)),
@@ -1217,6 +1218,90 @@ object SparkEntry {
         |SELECT doc_id, h % 8 AS shard,
         |  ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
         |FROM h ORDER BY shard, pos""".stripMargin,
+
+    // same MinHash pair set + WITH RECURSIVE reachability as
+    // x_dup_components; split = polyhash(id) % 10 (0-7/8/9), by_root
+    // hashes the component root (singletons root at themselves)
+    "x_split_leakage" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, string_split(text,' ') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM tk WHERE len(toks) >= 3
+        |), hs AS (
+        |  SELECT doc_id, list_distinct(list_transform(shingles, s ->
+        |    list_reduce(list_transform(range(1,len(s)+1), i -> ascii(substr(s,i,1))::BIGINT),
+        |      (acc,c) -> (acc*31+c)%1000000007))) AS hashes
+        |  FROM sh
+        |), sig AS (
+        |  SELECT doc_id, list_transform(range(0,16), i ->
+        |    list_min(list_transform(hashes, x -> ((i*2+1)*x + (i*5+3)) % 1000000007))) AS sig
+        |  FROM hs
+        |), bands AS (
+        |  SELECT doc_id, b,
+        |    ((((((sig[4*b+1]::BIGINT % 1000000007)*31 + sig[4*b+2]::BIGINT) % 1000000007)*31
+        |       + sig[4*b+3]::BIGINT) % 1000000007 *31 + sig[4*b+4]::BIGINT) % 1000000007) AS bh
+        |  FROM sig, range(0,4) t(b)
+        |), cpairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
+        |), scored AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    round(len(list_filter(ha.hashes, x -> list_contains(hb.hashes, x)))::DOUBLE /
+        |      (len(ha.hashes)+len(hb.hashes)
+        |       -len(list_filter(ha.hashes, x -> list_contains(hb.hashes, x)))), 6) AS jaccard
+        |  FROM cpairs p JOIN hs ha ON p.doc_a = ha.doc_id JOIN hs hb ON p.doc_b = hb.doc_id
+        |), dup AS (
+        |  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.7
+        |), edges AS (
+        |  SELECT doc_a, doc_b FROM dup UNION ALL SELECT doc_b, doc_a FROM dup
+        |), nodes AS (
+        |  SELECT DISTINCT doc_a AS doc_id FROM edges
+        |), reach AS (
+        |  SELECT doc_id AS doc, doc_id AS r FROM nodes
+        |  UNION
+        |  SELECT e.doc_b AS doc, reach.r FROM reach JOIN edges e ON e.doc_a = reach.doc
+        |), lbl AS (
+        |  SELECT doc, MIN(r) AS root FROM reach GROUP BY doc
+        |), rt AS (
+        |  SELECT d.doc_id, COALESCE(l.root, d.doc_id) AS root
+        |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc
+        |), hashed AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(range(1, len(CAST(doc_id AS VARCHAR))+1),
+        |      i -> ascii(substr(CAST(doc_id AS VARCHAR), i, 1))::BIGINT),
+        |      (acc,c) -> (acc*31+c)%1000000007) % 10 AS bd,
+        |    list_reduce(list_transform(range(1, len(CAST(root AS VARCHAR))+1),
+        |      i -> ascii(substr(CAST(root AS VARCHAR), i, 1))::BIGINT),
+        |      (acc,c) -> (acc*31+c)%1000000007) % 10 AS br
+        |  FROM rt
+        |), asg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bd < 8 THEN 'train' WHEN bd = 8 THEN 'val' ELSE 'test' END AS by_doc,
+        |    CASE WHEN br < 8 THEN 'train' WHEN br = 8 THEN 'val' ELSE 'test' END AS by_root
+        |  FROM hashed
+        |), crs AS (
+        |  SELECT
+        |    COALESCE(SUM(CASE WHEN sa.by_doc <> sb.by_doc THEN 1 ELSE 0 END)::BIGINT, 0) AS c_doc,
+        |    COALESCE(SUM(CASE WHEN sa.by_root <> sb.by_root THEN 1 ELSE 0 END)::BIGINT, 0) AS c_root
+        |  FROM dup p JOIN asg sa ON p.doc_a = sa.doc_id JOIN asg sb ON p.doc_b = sb.doc_id
+        |), sizes AS (
+        |  SELECT 'by_doc' AS scheme,
+        |    SUM(CASE WHEN by_doc = 'train' THEN 1 ELSE 0 END)::BIGINT AS n_train,
+        |    SUM(CASE WHEN by_doc = 'val' THEN 1 ELSE 0 END)::BIGINT AS n_val,
+        |    SUM(CASE WHEN by_doc = 'test' THEN 1 ELSE 0 END)::BIGINT AS n_test
+        |  FROM asg
+        |  UNION ALL
+        |  SELECT 'by_root',
+        |    SUM(CASE WHEN by_root = 'train' THEN 1 ELSE 0 END)::BIGINT,
+        |    SUM(CASE WHEN by_root = 'val' THEN 1 ELSE 0 END)::BIGINT,
+        |    SUM(CASE WHEN by_root = 'test' THEN 1 ELSE 0 END)::BIGINT
+        |  FROM asg)
+        |SELECT s.scheme, s.n_train, s.n_val, s.n_test,
+        |  CASE WHEN s.scheme = 'by_doc' THEN c.c_doc ELSE c.c_root END AS n_crossing
+        |FROM sizes s CROSS JOIN crs c
+        |ORDER BY scheme""".stripMargin,
 
     "x_quality_filter" ->
       """WITH tk AS (

@@ -596,4 +596,74 @@ object CorpusOps {
                  element_at(col("toks"), col("i") + 3))).as("gh"))
       .dropDuplicates("doc_id", "gh")
   }
+
+  /** Train/val/test split leakage audit — the assignment op every
+    * training pipeline runs and the subtle bug most of them ship:
+    * hashing each DOCUMENT into a split ("by_doc") puts near-duplicate
+    * pairs on opposite sides of the train/test wall, so the eval set
+    * silently contains paraphrases of training documents. The fix is
+    * group-consistent assignment ("by_root"): hash the document's
+    * near-dup COMPONENT ROOT (its [[Dedup.labelPropagation]] label;
+    * singletons root at themselves), so an entire duplicate cluster
+    * lands in one split and crossing pairs are zero BY CONSTRUCTION —
+    * which this audit measures rather than assumes, reporting for each
+    * scheme the split sizes and how many near-dup pairs cross splits.
+    *
+    * Split rule: polyhash(id) mod 10 → 0-7 train, 8 val, 9 test — the
+    * deterministic hash-gating of [[stratifiedSample]] (reproducible
+    * across engines, runs, and partition layouts; adding a corpus
+    * re-shard never moves a document between splits).
+    *
+    * Scale shape: the pair graph is the MinHash family's
+    * (banded equi-join, bounded buckets) and the labels are the
+    * driver-paced propagation loop both component queries already
+    * run; the assignment itself is a narrow hash projection, the
+    * root map a pair-graph-sized join (near-dup docs only — singleton
+    * roots need no join row), and each scheme's report is one
+    * conditional aggregate over splits plus one over pairs. Nothing
+    * new shuffles at corpus scale beyond the dedup family itself.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyHash.register(spark)
+    // one materialized pair set feeds BOTH the label propagation and
+    // the crossing audit (labelPropagation re-checkpoints internally;
+    // this checkpoint stops the whole MinHash pipeline re-running for
+    // the pair-side consumer); blocks live until the caller's
+    // releaseAll (the Caches contract — the result still reads them)
+    val pairs = Dedup.nearDupMinhash(spark, dir)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val labels = Dedup.labelPropagation(pairs)
+    val roots = Tables.documents(spark, dir).select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("root"))
+    def splitOf(id: org.apache.spark.sql.Column) = {
+      val b = pmod(call_function(graft.functions.PolyHash.Name,
+        id.cast("string")), lit(10))
+      when(b < 8, "train").when(b === 8, "val").otherwise("test")
+    }
+    val assign = roots
+      .withColumn("by_doc", splitOf(col("doc_id")))
+      .withColumn("by_root", splitOf(col("root")))
+      .localCheckpoint() // two scheme aggregates + two pair joins read it
+    def sizesOf(scheme: String) = assign
+      .agg(sum(when(col(scheme) === "train", 1L).otherwise(0L)).as("n_train"),
+           sum(when(col(scheme) === "val", 1L).otherwise(0L)).as("n_val"),
+           sum(when(col(scheme) === "test", 1L).otherwise(0L)).as("n_test"))
+      .select(lit(scheme).as("scheme"), col("n_train"), col("n_val"), col("n_test"))
+    val a = assign.select(col("doc_id").as("doc_a"),
+      col("by_doc").as("sa_doc"), col("by_root").as("sa_root"))
+    val b = assign.select(col("doc_id").as("doc_b"),
+      col("by_doc").as("sb_doc"), col("by_root").as("sb_root"))
+    val crossing = pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .agg(coalesce(sum(when(col("sa_doc") =!= col("sb_doc"), 1L).otherwise(0L)),
+             lit(0L)).as("by_doc"),
+           coalesce(sum(when(col("sa_root") =!= col("sb_root"), 1L).otherwise(0L)),
+             lit(0L)).as("by_root"))
+      .select(explode(map(
+        lit("by_doc"), col("by_doc"), lit("by_root"), col("by_root"))))
+      .select(col("key").as("scheme"), col("value").as("n_crossing"))
+    sizesOf("by_doc").unionAll(sizesOf("by_root"))
+      .join(crossing, Seq("scheme"))
+      .orderBy("scheme")
+  }
 }

@@ -276,4 +276,35 @@ class CorpusOpsSpec extends SparkSuite {
       assert(rs.map(_._2).max <= expectToks / CorpusOps.SeqLen)
     }
   }
+
+  test("split leakage: sizes partition the corpus, by_root crosses zero, by_doc recomputes locally") {
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    val rows = CorpusOps.splitLeakage(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq("by_doc", "by_root"))
+    rows.foreach { case (scheme, tr, va, te, _) =>
+      assert(tr + va + te == nDocs, s"$scheme splits must partition the corpus")
+    }
+    // group-consistent assignment cannot cross: every near-dup pair
+    // shares a component root, so both ends hash identically
+    val byRoot = rows.find(_._1 == "by_root").get
+    assert(byRoot._5 == 0L, "by_root must have zero crossing pairs")
+    // naive by_doc scheme recomputes locally from the pair set + hash
+    val pairs = graft.operators.Dedup.nearDupMinhash(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def split(id: Long): String = {
+      val b = PolyHash.hash(id.toString) % 10
+      if (b < 8) "train" else if (b == 8) "val" else "test"
+    }
+    val byDoc = rows.find(_._1 == "by_doc").get
+    assert(byDoc._5 == pairs.count { case (a, b) => split(a) != split(b) },
+      "by_doc crossing count must match the local recompute")
+    assert(byDoc._5 > 0L,
+      "the planted near-dup clusters must actually demonstrate leakage")
+    val all = graft.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(byDoc._2 == all.count(split(_) == "train"), "by_doc train size")
+    assert(byDoc._3 == all.count(split(_) == "val"), "by_doc val size")
+  }
 }
