@@ -171,6 +171,7 @@ object SparkEntry {
     "x_repetition"         -> ((s, dir) => TextAnalysis.repetitionStats(s, dir)),
     "x_heavy_hitters"      -> ((s, dir) => TextAnalysis.heavyHitterTokens(s, dir)),
     "x_lang_confusion"     -> ((s, dir) => TextAnalysis.langConfusion(s, dir)),
+    "x_langid_ngram"       -> ((s, dir) => TextAnalysis.langIdNgram(s, dir)),
     "x_vocab_coverage"     -> ((s, dir) => TextAnalysis.vocabCoverage(s, dir)),
     "x_vocab_overlap"      -> ((s, dir) => TextAnalysis.vocabOverlap(s, dir)),
     "x_quality_deciles"    -> ((s, dir) => CorpusOps.qualityDeciles(s, dir)),
@@ -2756,6 +2757,34 @@ object SparkEntry {
         |SELECT lang, lang_guess, n_docs,
         |  round(n_docs::DOUBLE / SUM(n_docs) OVER (PARTITION BY lang), 6) AS lang_share
         |FROM c ORDER BY lang, lang_guess""".stripMargin,
+
+    // char-trigram profile classifier: top-40 trigrams per lang by
+    // document frequency, each doc votes for the most-shared profile
+    // (hits DESC, plang tie-break); no hits at all -> 'und'. Short
+    // strings (<3 chars) yield the whole string, the shingles contract
+    "x_langid_ngram" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(text)-2, 1)+1), i -> substr(text, i, 3)))) AS tok
+        |  FROM documents),
+        |c AS (SELECT lang, tok, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT lang AS plang, tok FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rk
+        |    FROM c) WHERE rk <= 40),
+        |hits AS (
+        |  SELECT g.doc_id, p.plang, COUNT(*) AS hits
+        |  FROM g JOIN prof p ON g.tok = p.tok GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT doc_id, plang AS lang_pred FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang) AS rk
+        |    FROM hits) WHERE rk = 1),
+        |j AS (
+        |  SELECT d.lang, COALESCE(p.lang_pred, 'und') AS lang_pred
+        |  FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id)
+        |SELECT lang, lang_pred, COUNT(*)::BIGINT AS n_docs,
+        |  round(COUNT(*)::DOUBLE / SUM(COUNT(*)::BIGINT) OVER (PARTITION BY lang), 6) AS lang_share
+        |FROM j GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
 
     // chunking: 64-token windows every 48 tokens (overlap 16); the
     // chunk fingerprint is the same rolling hash as x_doc_fingerprint

@@ -24,7 +24,7 @@ object TextAnalysis {
     *  - stop_ratio: stopword fraction — fluency/language signal
     *  - est_bpe_tokens: ceil(chars/4), the classic BPE-size estimate
     *  - lang_guess: n-gram-free heuristic language id (stopword-driven;
-    *    a real n-gram profile model drops in behind the same column)
+    *    the real n-gram profile model is [[langIdNgram]])
     *  - quality: weighted score in [0,1] of length, diversity, fluency
     */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
@@ -293,5 +293,61 @@ object TextAnalysis {
         round(col("n_docs").cast("double") /
           sum(col("n_docs")).over(Window.partitionBy("lang")), 6))
       .orderBy("lang", "lang_guess")
+  }
+
+  /** Character-trigram language-ID — the real n-gram profile model
+    * the [[textStats]] `lang_guess` scaladoc promises behind the
+    * stopword heuristic (and what production language-ID actually is:
+    * an n-gram profile classifier, per Cavnar-Trenkle / fastText's
+    * character n-gram features). Two phases, both self-trained on the
+    * corpus's own labels:
+    *   1. PROFILE — the top-`profileK` character trigrams per
+    *      language by document frequency (distinct per doc, so one
+    *      spammy document cannot dominate a profile);
+    *   2. SCORE — each document votes for the language whose profile
+    *      shares the most trigrams with it (ties break to the
+    *      smallest language code; documents hitting no profile at all
+    *      predict 'und').
+    * Output is the labeled-vs-predicted confusion matrix with
+    * within-label shares — the classifier-quality audit, measured
+    * against the labels rather than assumed.
+    *
+    * Scale shape: the trigram explode is the SimHash shingle pass's
+    * shape (narrow, corpus-sized, one checkpoint feeds BOTH phases);
+    * the (lang, trigram) aggregate collapses to vocabulary size and
+    * its per-lang top-K reuses [[vocabHeadRanked]]'s salted two-level
+    * rank (no single-reducer vocabulary sort); the profile is
+    * langs x profileK rows and BROADCASTS into the scoring join, so
+    * scoring never shuffles the corpus — per-(doc, lang) hit counts
+    * aggregate map-side and everything after the vote is
+    * langs^2-sized.
+    */
+  def langIdNgram(spark: SparkSession, dir: String,
+                  profileK: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val gramRows = Tables.documents(spark, dir)
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("tok"))
+      .localCheckpoint() // two consumers: profile counts + scoring
+    val counts = gramRows.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val profile = vocabHeadRanked(counts, profileK)
+      .select(col("lang").as("plang"), col("tok"))
+    val hits = gramRows.join(broadcast(profile), Seq("tok"))
+      .groupBy("doc_id", "lang", "plang")
+      .agg(count(lit(1)).as("hits"))
+    val pred = hits
+      .groupBy("doc_id", "lang")
+      .agg(min(struct((-col("hits")).as("nh"), col("plang"))).as("m"))
+      .select(col("doc_id"), col("m.plang").as("lang_pred"))
+    Tables.documents(spark, dir).select("doc_id", "lang")
+      .join(pred, Seq("doc_id"), "left")
+      .withColumn("lang_pred", coalesce(col("lang_pred"), lit("und")))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
+      .withColumn("lang_share",
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy("lang")), 6))
+      .orderBy("lang", "lang_pred")
   }
 }

@@ -215,6 +215,42 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("langIdNgram: confusion matrix matches a local profile-classifier recompute") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def trigrams(s: String): Set[String] =
+      if (s.length < 3) Set(s)
+      else (1 to s.length - 2).map(i => s.substring(i - 1, i + 2)).toSet
+    // top-40 trigrams per lang by doc frequency, (c DESC, tok) order
+    val profile: Map[String, Set[String]] = docs
+      .flatMap { case (_, lang, text) => trigrams(text).map(lang -> _) }
+      .groupBy(identity).map { case ((lang, tok), occ) => (lang, tok, occ.length) }
+      .groupBy(_._1).map { case (lang, rows) =>
+        lang -> rows.toSeq.sortBy { case (_, tok, c) => (-c, tok) }
+          .take(40).map(_._2).toSet
+      }
+    val want = docs.map { case (_, lang, text) =>
+      val gs = trigrams(text)
+      val scores = profile.toSeq
+        .map { case (pl, toks) => (pl, (gs & toks).size) }
+        .filter(_._2 > 0)
+      val pred =
+        if (scores.isEmpty) "und"
+        else scores.minBy { case (pl, h) => (-h, pl) }._1
+      (lang, pred)
+    }.groupBy(identity).map { case (k, v) => (k._1, k._2, v.length.toLong) }.toSet
+    val got = TextAnalysis.langIdNgram(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, "confusion cells must equal the local recompute")
+    // shares sum to 1 within each labeled language
+    TextAnalysis.langIdNgram(spark, sfDir).collect()
+      .groupBy(_.getString(0)).foreach { case (lang, rows) =>
+        val s = rows.map(_.getDouble(3)).sum
+        assert(math.abs(s - 1.0) < 1e-4, s"$lang shares must sum to 1, got $s")
+      }
+  }
+
   test("vocabOverlap: pairwise jaccard matches per-language token sets") {
     val out = TextAnalysis.vocabOverlap(spark, sfDir).collect()
     assert(out.nonEmpty)
