@@ -491,4 +491,48 @@ class PlanSpec extends SparkSuite {
     val inputLine = exchange.linesIterator.find(_.startsWith("Input")).getOrElse("")
     assert(!inputLine.contains("text#"), s"document text crosses the shuffle: $inputLine")
   }
+
+  /** Shuffle-exchange sections of a formatted plan. */
+  private def shuffleSections(plan: String): Seq[String] =
+    plan.split("\\n(?=\\(\\d+\\) )").toSeq
+      .filter(s => s.startsWith("(") && s.contains("Exchange") &&
+        s.contains("hashpartitioning"))
+
+  test("semantic decontam broadcasts the bench index; exploded micro rows never shuffle") {
+    val plan = formatted(Similarity.semanticDecontam(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"bench probe not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"probe fell back to a shuffled join:\n$plan")
+    // the only pre-explode shuffle carries whole vectors (one row per
+    // vector); the 64x-exploded (pos, vq) form must aggregate partial
+    // map-side and never cross an exchange
+    shuffleSections(plan).foreach { ex =>
+      val input = ex.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("vq#") && !input.contains("bq#"),
+        s"exploded micro rows cross a shuffle: $input")
+    }
+  }
+
+  test("hard negatives broadcast the query side; exploded micro rows never shuffle") {
+    val plan = formatted(Similarity.hardNegatives(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"query side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"probe fell back to a shuffled join:\n$plan")
+    shuffleSections(plan).foreach { ex =>
+      val input = ex.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("vq#") && !input.contains("qq#"),
+        s"exploded micro rows cross a shuffle: $input")
+    }
+  }
+
+  test("langid scoring joins the broadcast profile — the trigram stream never shuffles for it") {
+    val plan = formatted(graft.operators.TextAnalysis.langIdNgram(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"profile not broadcast:\n$plan")
+    // the corpus-sized trigram rows reach exchanges only as partial
+    // aggregates (profile counts, per-doc hit counts) — never with
+    // the document text attached
+    shuffleSections(plan).foreach { ex =>
+      val input = ex.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("text#"), s"document text crosses a shuffle: $input")
+    }
+  }
 }
