@@ -40,7 +40,10 @@ class CacheDisciplineSpec extends SparkSuite {
       "curationFunnel"  -> (() => CorpusOps.curationFunnel(spark, sfDir)),
       "ivfPqResidualRecall" -> (() => Similarity.ivfPqResidualRecall(spark, sfDir)),
       "semanticDedup"   -> (() => Similarity.semanticDedup(spark, sfDir)),
-      "zorderSkipping"  -> (() => Analytics.zorderSkipping(spark, sfDir)))
+      "zorderSkipping"  -> (() => Analytics.zorderSkipping(spark, sfDir)),
+      "clusterPurity"   -> (() => Similarity.clusterPurity(spark, sfDir)),
+      "splitLeakage"    -> (() => CorpusOps.splitLeakage(spark, sfDir)),
+      "langIdNgram"     -> (() => TextAnalysis.langIdNgram(spark, sfDir)))
     persistingOps.foreach { case (name, mk) =>
       withClue(s"$name: ") {
         consume(mk())
