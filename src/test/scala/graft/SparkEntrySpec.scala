@@ -67,6 +67,9 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_heavy_hitters"     -> 1,
     "x_epoch_mix"         -> 1,
     "x_lang_confusion"    -> 1,
+    // window-SUM share denominator, consumed only as ::DOUBLE (the
+    // x_lang_confusion class)
+    "x_langid_ngram"      -> 1,
     // window sums: escape via MAX(total)::BIGINT / ratio / comparison
     "x_vocab_coverage"    -> 2,
     // running-token window, escapes via a cast bin expression
