@@ -527,12 +527,15 @@ class PlanSpec extends SparkSuite {
   test("langid scoring joins the broadcast profile — the trigram stream never shuffles for it") {
     val plan = formatted(graft.operators.TextAnalysis.langIdNgram(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), s"profile not broadcast:\n$plan")
-    // the corpus-sized trigram rows reach exchanges only as partial
-    // aggregates (profile counts, per-doc hit counts) — never with
-    // the document text attached
+    // the only text-carrying exchanges are the one-row-per-doc
+    // pre-explode repartitions (the family idiom); the exploded
+    // trigram rows reach exchanges only as partial aggregates
+    // (profile counts, per-doc hit counts) — never with the document
+    // text still attached
     shuffleSections(plan).foreach { ex =>
       val input = ex.linesIterator.find(_.startsWith("Input")).getOrElse("")
-      assert(!input.contains("text#"), s"document text crosses a shuffle: $input")
+      assert(!(input.contains("tok#") && input.contains("text#")),
+        s"exploded trigram rows cross a shuffle with text attached: $input")
     }
   }
 }
