@@ -15,17 +15,33 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects as
-    * an illegal type by default. Read it as a raw nanos BIGINT
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a regular
-    * microsecond TIMESTAMP — the same truncation DuckDB applies when it
-    * reads the file, so oracle comparisons agree.
+  /** `events.ts` normalization — the generator has shipped the column
+    * two ways across corpus versions, and every downstream query wants
+    * ONE type: session-zoned microsecond TIMESTAMP.
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark 4 rejects it by default; read
+    *    as raw nanos BIGINT (`spark.sql.legacy.parquet.nanosAsLong`)
+    *    and truncate to micros — the same truncation DuckDB applies.
+    *  - parquet timestamp[us] (isAdjustedToUTC=false): Spark infers
+    *    TIMESTAMP_NTZ; cast to TIMESTAMP under the session's UTC zone,
+    *    which keeps the wall-clock instant DuckDB reads bit-identical.
+    *
+    * Dispatch is on the READ schema, not a config, so either corpus
+    * version (and a mixed multi-file table at scale) normalizes to the
+    * same column type.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
