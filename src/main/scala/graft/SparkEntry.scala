@@ -166,6 +166,7 @@ object SparkEntry {
     "x_dedup_simhash64"    -> ((s, dir) => Dedup.simhashDocs64(s, dir)),
     "x_doc_fingerprint"    -> ((s, dir) => Dedup.docFingerprint(s, dir)),
     "x_ngram_jaccard"      -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    "x_substring_dedup"    -> ((s, dir) => Dedup.substringDedup(s, dir)),
     "x_text_stats"         -> ((s, dir) => TextAnalysis.textStats(s, dir)),
     "x_text_quality_by_lang" -> ((s, dir) => TextAnalysis.qualityByLang(s, dir)),
     "x_repetition"         -> ((s, dir) => TextAnalysis.repetitionStats(s, dir)),
@@ -2887,6 +2888,53 @@ object SparkEntry {
         |  FROM ins i JOIN sizes sa ON i.doc_a = sa.doc_id
         |             JOIN sizes sb ON i.doc_b = sb.doc_id
         |) WHERE jaccard >= 0.02 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Exact-substring dedup (Lee et al. ExactSubstr, 2107.06499):
+    // positions whose 8-token gram (PolyHash of the space-joined
+    // tokens — identical Horner fold to the Spark side) occurs in >= 2
+    // distinct docs, merged gaps-and-islands into maximal spans (a gap
+    // > 8 breaks coverage). pos from range() is BIGINT here vs Spark
+    // INT — group-key only, never output; sums/counts land as BIGINT
+    // on both sides, total_tokens casts explicitly.
+    "x_substring_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+        |), g0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)-6), i ->
+        |    {'i': i,
+        |     'gh': list_reduce(list_transform(range(1, len(array_to_string(t[i:i+7],' '))+1),
+        |            j -> ascii(substr(array_to_string(t[i:i+7],' '),j,1))::BIGINT),
+        |            (a,c)->(a*31+c)%1000000007)})) AS u
+        |  FROM tk WHERE len(t) >= 8
+        |), g AS (
+        |  SELECT doc_id, u.i AS pos, u.gh AS gh FROM g0
+        |), dup AS (
+        |  SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+        |), hit AS (
+        |  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)
+        |), brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN LAG(pos) OVER w IS NULL OR pos - LAG(pos) OVER w > 8
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM hit WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |), isl AS (
+        |  SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM brk
+        |), spans AS (
+        |  SELECT doc_id, island, MAX(pos) - MIN(pos) + 8 AS span_tokens
+        |  FROM isl GROUP BY doc_id, island
+        |), per_doc AS (
+        |  SELECT doc_id, COUNT(*) AS n_spans,
+        |    CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+        |  FROM spans GROUP BY doc_id
+        |)
+        |SELECT p.doc_id,
+        |  CAST(len(string_split(d.text,' ')) AS BIGINT) AS total_tokens,
+        |  p.n_spans, p.dup_tokens,
+        |  round(p.dup_tokens::DOUBLE / len(string_split(d.text,' ')), 6) AS dup_share
+        |FROM per_doc p JOIN documents d USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin,
 
     "x_text_stats" ->
       """WITH tk AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)

@@ -29,6 +29,7 @@ object Dedup {
   val RowsPerBand  = 4  // NumHashes / Bands
   val P: Long      = TextFunctions.P
   val GramDFCap    = 64 // n-gram Jaccard: drop grams seen in > this many docs of a block
+  val SpanGramN    = 8  // exact-substring dedup: duplicated-span gram size in tokens
   val BandBucketCap = 256 // MinHash LSH: drop band buckets larger than this (see bucketPairs)
 
   /** (doc_id, shingles, hashes): distinct character 8-gram shingles of
@@ -1064,6 +1065,92 @@ object Dedup {
                  element_at(col("toks"), col("i") + 1), lit(" "),
                  element_at(col("toks"), col("i") + 2))).as("gh"))
       .dropDuplicates("doc_id", "gh")
+  }
+
+  /** (doc_id, pos, gh): one row per overlapping [[SpanGramN]]-token
+    * gram POSITION of each document — the exact-substring dedup unit.
+    * Unlike [[wordGramRows]] there is deliberately NO per-doc
+    * `(doc_id, gh)` dedup: positions are the payload (span
+    * reconstruction needs every occurrence), and a within-doc repeat
+    * of a cross-doc duplicated gram is part of the duplicated-span
+    * area being measured.
+    */
+  def spanGramRowsFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.PolyHash.register(spark)
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val toks = split(col("text"), " ")
+    docs
+      .filter(size(toks) >= SpanGramN)
+      .repartition(n, col("doc_id"))  // see shingleHashRows: pre-explode, one shuffle, AQE-coalesce-proof
+      .select(col("doc_id"), toks.as("toks"),
+        explode(sequence(lit(1), size(toks) - (SpanGramN - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        call_function(graft.functions.PolyHash.Name,
+          array_join(slice(col("toks"), col("pos"), lit(SpanGramN)), " ")).as("gh"))
+  }
+
+  def spanGramRows(spark: SparkSession, dir: String): DataFrame =
+    spanGramRowsFrom(Tables.documents(spark, dir))
+
+  /** Exact-substring deduplication report — the ExactSubstr family of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499): find token SPANS that occur
+    * verbatim in more than one document, the duplication mode that
+    * document-level near-dup (MinHash/SimHash) misses entirely (a
+    * boilerplate header pasted into thousands of otherwise-distinct
+    * pages never lifts whole-document Jaccard above a threshold, yet
+    * is exactly the text a trained model memorizes).
+    *
+    * Semantics: a position `pos` in a document is DUPLICATED when its
+    * [[SpanGramN]]-token gram (PolyHash of the space-joined tokens —
+    * the oracle applies the identical hash) occurs in >= 2 DISTINCT
+    * documents. Per document, duplicated positions merge into maximal
+    * spans (gaps-and-islands: a new span starts when the position gap
+    * exceeds [[SpanGramN]], i.e. the covered token intervals
+    * `[pos, pos+N-1]` no longer overlap or touch), and the report is
+    * one row per affected document: `(doc_id, total_tokens, n_spans,
+    * dup_tokens, dup_share)`, ordered by doc_id.
+    *
+    * 100 TB shape: gram rows are one row per corpus token (positions
+    * and 8-byte hashes, never text) materialized once for the two
+    * consumers; the duplicated-gram set is a map-side-partial hash
+    * aggregate shuffling 8-byte keys; membership is an EQUI-join on
+    * `gh` (AQE sizes the sides — no broadcast hint, the duplicated
+    * vocabulary grows with the corpus); span reconstruction shuffles
+    * only the HIT positions by doc_id. Nothing here is quadratic: a
+    * gram shared by k documents contributes k rows (its occurrences),
+    * not k^2 pairs — pathological boilerplate needs no DF cap.
+    */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedupFrom(Tables.documents(spark, dir))
+
+  def substringDedupFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (grams, _) = graft.Caches.trackedCheckpoint(spanGramRowsFrom(docs))
+    val dupGrams = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gh")
+    val hits = grams.join(dupGrams, Seq("gh")).select("doc_id", "pos")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = hits
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(byPos).isNull ||
+             col("pos") - lag(col("pos"), 1).over(byPos) > SpanGramN, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg((max(col("pos")) - min(col("pos")) + SpanGramN).as("span_tokens"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("dup_tokens"))
+    val totals = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("total_tokens"))
+    perDoc.join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("total_tokens"), col("n_spans"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("total_tokens"), 6).as("dup_share"))
+      .orderBy("doc_id")
   }
 
   /** Blocked n-gram Jaccard over an ALREADY-MATERIALIZED

@@ -43,7 +43,8 @@ class CacheDisciplineSpec extends SparkSuite {
       "zorderSkipping"  -> (() => Analytics.zorderSkipping(spark, sfDir)),
       "clusterPurity"   -> (() => Similarity.clusterPurity(spark, sfDir)),
       "splitLeakage"    -> (() => CorpusOps.splitLeakage(spark, sfDir)),
-      "langIdNgram"     -> (() => TextAnalysis.langIdNgram(spark, sfDir)))
+      "langIdNgram"     -> (() => TextAnalysis.langIdNgram(spark, sfDir)),
+      "substringDedup"  -> (() => Dedup.substringDedup(spark, sfDir)))
     persistingOps.foreach { case (name, mk) =>
       withClue(s"$name: ") {
         consume(mk())

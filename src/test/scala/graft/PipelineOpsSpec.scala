@@ -607,4 +607,45 @@ class PipelineOpsSpec extends SparkSuite {
       assert(math.abs(frac - expect) < 1e-9, s"$layout read_frac drifted")
     }
   }
+
+  test("substringDedup: hand-built spans — merge, adjacency-touch, and gap-break") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")
+    val a = toks("a", 8); val b = toks("b", 8); val u = toks("x", 9)
+    val docs = Seq(
+      // doc1 ⊂ doc2: one contiguous duplicated region in each
+      (1L, "a b c d e f g h i j"),
+      (2L, "z z a b c d e f g h i j"),
+      (3L, "q w e r t y u i o p"), // unique: must be absent
+      // doc4 has A..(9 unique)..B — dup positions 1 and 18, gap 17 > 8
+      // breaks into TWO spans of 8; doc5 = A ++ B back-to-back — dup
+      // positions 1 and 9, gap exactly 8 TOUCHES, merging to ONE span
+      (4L, (a ++ u ++ b).mkString(" ")),
+      (5L, (a ++ b).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedupFrom(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 5L))
+    assert(out(1L) == ((10L, 1L, 10L, 1.0)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((12L, 1L, 10L, 0.833333)), s"doc2: ${out(2L)}")
+    assert(out(4L) == ((25L, 2L, 16L, 0.64)), s"doc4: ${out(4L)}")
+    assert(out(5L) == ((16L, 1L, 16L, 1.0)), s"doc5: ${out(5L)}")
+  }
+
+  test("substringDedup: corpus invariants — spans fit inside their documents") {
+    val rows = Dedup.substringDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty, "planted near-dups share verbatim 8-token spans")
+    rows.foreach { r =>
+      val (total, nSpans, dup, share) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nSpans >= 1 && dup >= Dedup.SpanGramN, s"degenerate span: $r")
+      assert(dup <= total, s"span coverage exceeds the document: $r")
+      // k merged spans are k disjoint regions of >= 8 tokens each
+      assert(dup >= nSpans * Dedup.SpanGramN, s"islands too small: $r")
+      val expect = BigDecimal(dup.toDouble / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(share - expect) < 1e-9, s"share drifted: $r")
+    }
+  }
 }

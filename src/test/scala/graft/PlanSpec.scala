@@ -80,6 +80,14 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("substring dedup: gram-hash equi-joins only, never doc-pair products") {
+    // the duplicated-gram membership join and the per-doc totals join
+    // must both be hash equi-joins; a gram shared by k docs contributes
+    // k rows, so nothing in the plan may go quadratic
+    val plan = formatted(graft.operators.Dedup.substringDedup(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("brand volume broadcasts the dimension side") {
     val plan = formatted(Analytics.brandVolume(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), plan)

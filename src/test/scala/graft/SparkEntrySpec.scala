@@ -62,6 +62,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_scalar_subquery"   -> 1,
     // window-SUM session counter, escapes via CAST(session_idx AS BIGINT)
     "x_sessionize"        -> 1,
+    // window-SUM island counter — GROUP BY key only, never projected
+    "x_substring_dedup"   -> 1,
     // totals consumed only as ::DOUBLE division denominators
     "x_repetition"        -> 2,
     "x_heavy_hitters"     -> 1,
