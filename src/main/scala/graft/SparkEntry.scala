@@ -167,6 +167,7 @@ object SparkEntry {
     "x_doc_fingerprint"    -> ((s, dir) => Dedup.docFingerprint(s, dir)),
     "x_ngram_jaccard"      -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "x_substring_dedup"    -> ((s, dir) => Dedup.substringDedup(s, dir)),
+    "x_substring_hotspots" -> ((s, dir) => Dedup.substringHotspots(s, dir)),
     "x_text_stats"         -> ((s, dir) => TextAnalysis.textStats(s, dir)),
     "x_text_quality_by_lang" -> ((s, dir) => TextAnalysis.qualityByLang(s, dir)),
     "x_repetition"         -> ((s, dir) => TextAnalysis.repetitionStats(s, dir)),
@@ -2935,6 +2936,38 @@ object SparkEntry {
         |  round(p.dup_tokens::DOUBLE / len(string_split(d.text,' ')), 6) AS dup_share
         |FROM per_doc p JOIN documents d USING (doc_id)
         |ORDER BY p.doc_id""".stripMargin,
+
+    // Top boilerplate spans: same gram table as x_substring_dedup;
+    // top-15 by (n_docs DESC, n_occ DESC, gh) — gh is the unique
+    // tie-break so the LIMIT boundary is deterministic in both
+    // engines; the representative occurrence is the min (doc_id, pos)
+    "x_substring_hotspots" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+        |), g0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)-6), i ->
+        |    {'i': i,
+        |     'gh': list_reduce(list_transform(range(1, len(array_to_string(t[i:i+7],' '))+1),
+        |            j -> ascii(substr(array_to_string(t[i:i+7],' '),j,1))::BIGINT),
+        |            (a,c)->(a*31+c)%1000000007)})) AS u
+        |  FROM tk WHERE len(t) >= 8
+        |), g AS (
+        |  SELECT doc_id, u.i AS pos, u.gh AS gh FROM g0
+        |), top AS (
+        |  SELECT gh, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+        |  FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+        |  ORDER BY n_docs DESC, n_occ DESC, gh LIMIT 15
+        |), rep AS (
+        |  SELECT gh, n_docs, n_occ, doc_id, pos FROM (
+        |    SELECT t.gh, t.n_docs, t.n_occ, g.doc_id, g.pos,
+        |      ROW_NUMBER() OVER (PARTITION BY t.gh ORDER BY g.doc_id, g.pos) AS rn
+        |    FROM top t JOIN g ON g.gh = t.gh) WHERE rn = 1
+        |)
+        |SELECT r.gh,
+        |  array_to_string((string_split(d.text,' '))[r.pos:r.pos+7], ' ') AS gram,
+        |  r.n_docs, r.n_occ
+        |FROM rep r JOIN documents d USING (doc_id)
+        |ORDER BY r.n_docs DESC, r.n_occ DESC, r.gh""".stripMargin,
 
     "x_text_stats" ->
       """WITH tk AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)

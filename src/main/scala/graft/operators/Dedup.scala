@@ -1126,13 +1126,27 @@ object Dedup {
     substringDedupFrom(Tables.documents(spark, dir))
 
   def substringDedupFrom(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (grams, _) = graft.Caches.trackedCheckpoint(spanGramRowsFrom(docs))
     val dupGrams = grams.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
       .select("gh")
     val hits = grams.join(dupGrams, Seq("gh")).select("doc_id", "pos")
+    val totals = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("total_tokens"))
+    spanReport(hits, totals)
+  }
+
+  /** Gaps-and-islands span report over a `(doc_id, pos)` duplicated-
+    * position set plus per-doc `(doc_id, total_tokens)` — THE shared
+    * arithmetic between [[substringDedup]] and the streaming twin
+    * ([[graft.streaming.StreamingSubstring]]), so the two cannot
+    * drift: positions merge into maximal spans (gap > [[SpanGramN]]
+    * breaks coverage), reported per doc as
+    * `(total_tokens, n_spans, dup_tokens, dup_share)`.
+    */
+  private[graft] def spanReport(hits: DataFrame, totals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val spans = hits
       .withColumn("brk",
@@ -1145,12 +1159,50 @@ object Dedup {
       .agg((max(col("pos")) - min(col("pos")) + SpanGramN).as("span_tokens"))
     val perDoc = spans.groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("dup_tokens"))
-    val totals = docs
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("total_tokens"))
     perDoc.join(totals, Seq("doc_id"))
       .select(col("doc_id"), col("total_tokens"), col("n_spans"), col("dup_tokens"),
         round(col("dup_tokens").cast("double") / col("total_tokens"), 6).as("dup_share"))
       .orderBy("doc_id")
+  }
+
+  /** Top duplicated spans — the "what IS the boilerplate" companion
+    * to [[substringDedup]]: the [[SpanGramN]]-token grams shared by
+    * the most documents, each with a representative text. Where the
+    * per-document report says HOW MUCH of each document is duplicated,
+    * this says WHAT keeps getting duplicated (license headers,
+    * navigation chrome, templated disclaimers) — the list a curation
+    * pipeline turns into a strip-filter.
+    *
+    * Two-phase so text never rides the hot path: phase 1 aggregates
+    * 8-byte gram hashes (map-side partial) and takes the top-N by
+    * `(n_docs DESC, n_occ DESC, gh)` — a TakeOrdered, no global sort;
+    * phase 2 joins the bounded top-N set back to the gram rows for one
+    * representative occurrence per gram (min `(doc_id, pos)` — a
+    * deterministic choice both engines reproduce) and slices the
+    * representative's token array to reconstruct the text. Both
+    * phase-2 joins carry at most topN rows on the small side; at
+    * 100 TB only phase 1 touches the corpus, and it shuffles hashes.
+    */
+  def substringHotspots(spark: SparkSession, dir: String,
+                        topN: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val (grams, _) = graft.Caches.trackedCheckpoint(spanGramRowsFrom(docs))
+    val top = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("gh"))
+      .limit(topN)
+    val byFirstSeen = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    val rep = grams.join(top, Seq("gh"))
+      .withColumn("rn", row_number().over(byFirstSeen))
+      .filter(col("rn") === 1)
+      .select(col("gh"), col("n_docs"), col("n_occ"), col("doc_id"), col("pos"))
+    rep.join(docs.select(col("doc_id"), split(col("text"), " ").as("toks")), Seq("doc_id"))
+      .select(col("gh"),
+        array_join(slice(col("toks"), col("pos"), lit(SpanGramN)), " ").as("gram"),
+        col("n_docs"), col("n_occ"))
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("gh"))
   }
 
   /** Blocked n-gram Jaccard over an ALREADY-MATERIALIZED

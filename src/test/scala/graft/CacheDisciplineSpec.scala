@@ -44,7 +44,8 @@ class CacheDisciplineSpec extends SparkSuite {
       "clusterPurity"   -> (() => Similarity.clusterPurity(spark, sfDir)),
       "splitLeakage"    -> (() => CorpusOps.splitLeakage(spark, sfDir)),
       "langIdNgram"     -> (() => TextAnalysis.langIdNgram(spark, sfDir)),
-      "substringDedup"  -> (() => Dedup.substringDedup(spark, sfDir)))
+      "substringDedup"  -> (() => Dedup.substringDedup(spark, sfDir)),
+      "substringHotspots" -> (() => Dedup.substringHotspots(spark, sfDir)))
     persistingOps.foreach { case (name, mk) =>
       withClue(s"$name: ") {
         consume(mk())

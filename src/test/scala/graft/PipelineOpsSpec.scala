@@ -648,4 +648,21 @@ class PipelineOpsSpec extends SparkSuite {
       assert(math.abs(share - expect) < 1e-9, s"share drifted: $r")
     }
   }
+
+  test("substringHotspots: 8-token grams, descending reach, text rescans true") {
+    val rows = Dedup.substringHotspots(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "planted near-dups share spans")
+    assert(rows.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      "n_docs must descend")
+    val texts = Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    rows.foreach { case (_, gram, nDocs, nOcc) =>
+      assert(gram.split(" ").length == Dedup.SpanGramN, s"not 8 tokens: '$gram'")
+      assert(nDocs >= 2 && nOcc >= nDocs, s"reach books don't balance: $gram")
+      // substring containment is a superset of token-aligned occurrence
+      val containing = texts.count(_.contains(gram))
+      assert(containing >= nDocs, s"'$gram' claims $nDocs docs, found $containing")
+    }
+  }
 }

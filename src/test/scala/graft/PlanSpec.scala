@@ -88,6 +88,14 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("substring hotspots: top-N is a TakeOrdered, text joins are equi-joins") {
+    val plan = formatted(graft.operators.Dedup.substringHotspots(spark, sfDir))
+    // phase 1's top-N must not materialize a global sort of the gram
+    // vocabulary; phase 2's representative/text joins are hash joins
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("brand volume broadcasts the dimension side") {
     val plan = formatted(Analytics.brandVolume(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), plan)

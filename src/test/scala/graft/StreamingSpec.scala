@@ -347,6 +347,46 @@ class StreamingSpec extends SparkSuite {
     assert(afterReplay == got, "batch replay must not change the pair set")
   }
 
+  test("incremental substring index reproduces the batch duplicated-span report (stream==batch)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "substr-").toString
+    val (index, hits) = (s"$base/index", s"$base/hits")
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(graft.streaming.StreamingSubstring.hitSink(index, hits))
+      .start()
+    // OUT-OF-ORDER split: later-id docs arrive first, so retroactive
+    // emission (the first copy flagged when the second arrives) fires
+    // in both id directions
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (high, low) = docs.partition(_._1 >= 250)
+    try {
+      Seq(high.take(150), low, high.drop(150)).foreach { chunk =>
+        ms.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    val got = rows(graft.streaming.StreamingSubstring.report(spark, index, hits))
+    val want = rows(graft.operators.Dedup.substringDedup(spark, sfDir))
+    assert(want.nonEmpty, "corpus must actually contain duplicated spans")
+    assert(got == want, s"stream==batch: ${got.length} streamed vs ${want.length} batch rows")
+    // the index is the exact gram table: one row per gram position
+    val gramRows = graft.operators.Dedup.spanGramRows(spark, sfDir).count()
+    assert(graft.streaming.StreamingSubstring.readIndex(spark, index).count() == gramRows)
+    // replayed micro-batch (failure before checkpoint commit) must
+    // leave the report unchanged
+    graft.streaming.StreamingSubstring.hitSink(index, hits)(
+      high.drop(150).toDF("doc_id", "text"), 2L)
+    val afterReplay = rows(graft.streaming.StreamingSubstring.report(spark, index, hits))
+    assert(afterReplay == got, "batch replay must not change the span report")
+  }
+
   test("incremental domain cap equals the batch domainCap pass (stream==batch, out of order)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files
