@@ -168,6 +168,7 @@ object SparkEntry {
     "x_ngram_jaccard"      -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "x_substring_dedup"    -> ((s, dir) => Dedup.substringDedup(s, dir)),
     "x_substring_hotspots" -> ((s, dir) => Dedup.substringHotspots(s, dir)),
+    "x_substring_strip"    -> ((s, dir) => Dedup.substringStrip(s, dir)),
     "x_text_stats"         -> ((s, dir) => TextAnalysis.textStats(s, dir)),
     "x_text_quality_by_lang" -> ((s, dir) => TextAnalysis.qualityByLang(s, dir)),
     "x_repetition"         -> ((s, dir) => TextAnalysis.repetitionStats(s, dir)),
@@ -2934,6 +2935,58 @@ object SparkEntry {
         |  CAST(len(string_split(d.text,' ')) AS BIGINT) AS total_tokens,
         |  p.n_spans, p.dup_tokens,
         |  round(p.dup_tokens::DOUBLE / len(string_split(d.text,' ')), 6) AS dup_share
+        |FROM per_doc p JOIN documents d USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin,
+
+    // Strip plan: the canonical occurrence of each duplicated gram is
+    // its min (doc_id, pos) — ROW_NUMBER here, min(struct) Spark-side,
+    // the same deterministic choice; every other occurrence is removed
+    // and the removed positions run the identical island arithmetic
+    "x_substring_strip" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+        |), g0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)-6), i ->
+        |    {'i': i,
+        |     'gh': list_reduce(list_transform(range(1, len(array_to_string(t[i:i+7],' '))+1),
+        |            j -> ascii(substr(array_to_string(t[i:i+7],' '),j,1))::BIGINT),
+        |            (a,c)->(a*31+c)%1000000007)})) AS u
+        |  FROM tk WHERE len(t) >= 8
+        |), g AS (
+        |  SELECT doc_id, u.i AS pos, u.gh AS gh FROM g0
+        |), dup AS (
+        |  SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+        |), h AS (
+        |  SELECT g.doc_id, g.pos, g.gh FROM g JOIN dup USING (gh)
+        |), canon AS (
+        |  SELECT gh, doc_id AS c_doc, pos AS c_pos FROM (
+        |    SELECT gh, doc_id, pos,
+        |      ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+        |    FROM h) WHERE rn = 1
+        |), rem AS (
+        |  SELECT h.doc_id, h.pos FROM h JOIN canon USING (gh)
+        |  WHERE h.doc_id <> canon.c_doc OR h.pos <> canon.c_pos
+        |), brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN LAG(pos) OVER w IS NULL OR pos - LAG(pos) OVER w > 8
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM rem WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |), isl AS (
+        |  SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM brk
+        |), spans AS (
+        |  SELECT doc_id, island, MAX(pos) - MIN(pos) + 8 AS span_tokens
+        |  FROM isl GROUP BY doc_id, island
+        |), per_doc AS (
+        |  SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS removed
+        |  FROM spans GROUP BY doc_id
+        |)
+        |SELECT p.doc_id,
+        |  CAST(len(string_split(d.text,' ')) AS BIGINT) AS total_tokens,
+        |  p.removed AS removed_tokens,
+        |  CAST(len(string_split(d.text,' ')) AS BIGINT) - p.removed AS kept_tokens,
+        |  round(p.removed::DOUBLE / len(string_split(d.text,' ')), 6) AS removed_share
         |FROM per_doc p JOIN documents d USING (doc_id)
         |ORDER BY p.doc_id""".stripMargin,
 

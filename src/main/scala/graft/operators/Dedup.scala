@@ -1165,6 +1165,50 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Strip plan — the curation ACTION the [[substringDedup]] report
+    * prices: Lee et al. (2107.06499) deduplicate by REMOVING repeated
+    * substrings, keeping one copy. Position-level rule: a duplicated
+    * position is removed unless it is the canonical occurrence of its
+    * gram — the minimal `(doc_id, pos)` across all occurrences (a
+    * deterministic choice both engines reproduce), so exactly one
+    * copy of every duplicated gram survives the strip. Removed
+    * positions merge into maximal spans with the same gaps-and-islands
+    * arithmetic as the report, and the output prices the edit per
+    * affected document: `(doc_id, total_tokens, removed_tokens,
+    * kept_tokens, removed_share)`.
+    *
+    * 100 TB shape: everything [[substringDedup]] says, plus one more
+    * vocabulary-sized aggregate (the per-gram canonical occurrence,
+    * a min-struct hash agg over 16-byte rows) and one equi-join back
+    * on `gh` — the corpus still never pairs with itself.
+    */
+  def substringStrip(spark: SparkSession, dir: String): DataFrame =
+    substringStripFrom(Tables.documents(spark, dir))
+
+  def substringStripFrom(docs: DataFrame): DataFrame = {
+    val (grams, _) = graft.Caches.trackedCheckpoint(spanGramRowsFrom(docs))
+    val dupGrams = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gh")
+    val hits = grams.join(dupGrams, Seq("gh"))
+    // canonical occurrence per duplicated gram: min (doc_id, pos)
+    val canon = hits.groupBy("gh")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+      .select(col("gh"), col("c.doc_id").as("c_doc"), col("c.pos").as("c_pos"))
+    val removed = hits.join(canon, Seq("gh"))
+      .filter(col("doc_id") =!= col("c_doc") || col("pos") =!= col("c_pos"))
+      .select("doc_id", "pos")
+    val totals = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("total_tokens"))
+    spanReport(removed, totals)
+      .select(col("doc_id"), col("total_tokens"),
+        col("dup_tokens").as("removed_tokens"),
+        (col("total_tokens") - col("dup_tokens")).as("kept_tokens"),
+        col("dup_share").as("removed_share"))
+      .orderBy("doc_id")
+  }
+
   /** Top duplicated spans — the "what IS the boilerplate" companion
     * to [[substringDedup]]: the [[SpanGramN]]-token grams shared by
     * the most documents, each with a representative text. Where the

@@ -45,7 +45,8 @@ class CacheDisciplineSpec extends SparkSuite {
       "splitLeakage"    -> (() => CorpusOps.splitLeakage(spark, sfDir)),
       "langIdNgram"     -> (() => TextAnalysis.langIdNgram(spark, sfDir)),
       "substringDedup"  -> (() => Dedup.substringDedup(spark, sfDir)),
-      "substringHotspots" -> (() => Dedup.substringHotspots(spark, sfDir)))
+      "substringHotspots" -> (() => Dedup.substringHotspots(spark, sfDir)),
+      "substringStrip"  -> (() => Dedup.substringStrip(spark, sfDir)))
     persistingOps.foreach { case (name, mk) =>
       withClue(s"$name: ") {
         consume(mk())

@@ -649,6 +649,46 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("substringStrip: exactly one copy of every duplicated gram survives") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")
+    val a = toks("a", 8); val b = toks("b", 8); val u = toks("x", 9)
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "z z a b c d e f g h i j"),
+      (3L, "q w e r t y u i o p"),
+      (4L, (a ++ u ++ b).mkString(" ")),
+      (5L, (a ++ b).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringStripFrom(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // docs 1 and 4 hold every canonical (min doc_id) occurrence and
+    // keep all their tokens; docs 2 and 5 lose their whole shared span
+    assert(out.keySet == Set(2L, 5L), s"strip hit the canonicals: $out")
+    assert(out(2L) == ((12L, 10L, 2L, 0.833333)), s"doc2: ${out(2L)}")
+    assert(out(5L) == ((16L, 16L, 0L, 1.0)), s"doc5: ${out(5L)}")
+    // strip is priced within the report's coverage: removed <= dup'd
+    val report = Dedup.substringDedupFrom(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    out.foreach { case (d, (_, removed, _, _)) =>
+      assert(removed <= report(d), s"doc $d removes more than is duplicated")
+    }
+  }
+
+  test("substringStrip: corpus invariants — the edit books balance") {
+    val rows = Dedup.substringStrip(spark, sfDir).collect()
+    assert(rows.nonEmpty, "planted near-dups have non-canonical copies")
+    rows.foreach { r =>
+      val (total, removed, kept, share) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(removed >= Dedup.SpanGramN && removed + kept == total, s"books: $r")
+      val expect = BigDecimal(removed.toDouble / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(share - expect) < 1e-9, s"share drifted: $r")
+    }
+  }
+
   test("substringHotspots: 8-token grams, descending reach, text rescans true") {
     val rows = Dedup.substringHotspots(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))

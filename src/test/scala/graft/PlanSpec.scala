@@ -86,6 +86,10 @@ class PlanSpec extends SparkSuite {
     // k rows, so nothing in the plan may go quadratic
     val plan = formatted(graft.operators.Dedup.substringDedup(spark, sfDir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    // the strip adds the canonical-occurrence agg + one more gh join —
+    // still nothing pairwise
+    val strip = formatted(graft.operators.Dedup.substringStrip(spark, sfDir))
+    assert(!strip.contains("CartesianProduct") && !strip.contains("BroadcastNestedLoop"), strip)
   }
 
   test("substring hotspots: top-N is a TakeOrdered, text joins are equi-joins") {

@@ -64,6 +64,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_sessionize"        -> 1,
     // window-SUM island counter — GROUP BY key only, never projected
     "x_substring_dedup"   -> 1,
+    "x_substring_strip"   -> 1,
     // totals consumed only as ::DOUBLE division denominators
     "x_repetition"        -> 2,
     "x_heavy_hitters"     -> 1,
