@@ -330,28 +330,65 @@ object TextAnalysis {
   def langIdNgram(spark: SparkSession, dir: String,
                   profileK: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    def gramRows = Tables.documents(spark, dir)
-      .repartition(n, col("doc_id"))
-      .select(col("doc_id"), col("lang"),
-        explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("tok"))
-    val counts = gramRows.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
-    val profile = vocabHeadRanked(counts, profileK)
-      .select(col("lang").as("plang"), col("tok"))
-    val hits = gramRows.join(broadcast(profile), Seq("tok"))
-      .groupBy("doc_id", "lang", "plang")
-      .agg(count(lit(1)).as("hits"))
-    val pred = hits
-      .groupBy("doc_id", "lang")
-      .agg(min(struct((-col("hits")).as("nh"), col("plang"))).as("m"))
-      .select(col("doc_id"), col("m.plang").as("lang_pred"))
+    val profile = langIdProfile(spark, dir, profileK)
+    val pred = langIdPredict(Tables.documents(spark, dir), profile)
     Tables.documents(spark, dir).select("doc_id", "lang")
-      .join(pred, Seq("doc_id"), "left")
-      .withColumn("lang_pred", coalesce(col("lang_pred"), lit("und")))
+      .join(pred, Seq("doc_id"))
       .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
       .withColumn("lang_share",
         round(col("n_docs").cast("double") /
           sum(col("n_docs")).over(Window.partitionBy("lang")), 6))
       .orderBy("lang", "lang_pred")
+  }
+
+  /** Phase 1 of [[langIdNgram]]: the trained model — top-`profileK`
+    * character trigrams per language by document frequency, as
+    * `(plang, tok)` rows. langs x profileK-sized: publishable as an
+    * artifact (the streaming twin's store) and broadcastable into any
+    * scoring join.
+    */
+  def langIdProfile(spark: SparkSession, dir: String,
+                    profileK: Int = 40): DataFrame = {
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val gramRows = Tables.documents(spark, dir)
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("tok"))
+    val counts = gramRows.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    vocabHeadRanked(counts, profileK)
+      .select(col("lang").as("plang"), col("tok"))
+  }
+
+  /** Phase 2 of [[langIdNgram]]: score ANY `(doc_id, text, ...)`
+    * frame against a trained profile — each document votes for the
+    * language sharing the most trigrams (ties to the smallest code,
+    * no profile hit at all predicts 'und'). One `(doc_id, lang_pred)`
+    * row per input document. THE shared seam with the streaming twin
+    * ([[graft.streaming.StreamingLangId]]) — per-doc scoring is the
+    * same code path, so stream and batch cannot drift.
+    *
+    * The trigram explode here is the second of [[langIdNgram]]'s two
+    * deliberate scans (see the class note: the gram-row intermediate
+    * out-sizes the corpus, so re-running the narrow explode beats
+    * checkpointing it); the profile join broadcasts, per-(doc, lang)
+    * hit counts aggregate map-side, and the vote is an argmin over
+    * langs rows per doc.
+    */
+  def langIdPredict(docs: DataFrame, profile: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val gramRows = docs
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("tok"))
+    val pred = gramRows.join(broadcast(profile), Seq("tok"))
+      .groupBy("doc_id", "plang")
+      .agg(count(lit(1)).as("hits"))
+      .groupBy("doc_id")
+      .agg(min(struct((-col("hits")).as("nh"), col("plang"))).as("m"))
+      .select(col("doc_id"), col("m.plang").as("lang_pred"))
+    docs.select("doc_id")
+      .join(pred, Seq("doc_id"), "left")
+      .withColumn("lang_pred", coalesce(col("lang_pred"), lit("und")))
   }
 }

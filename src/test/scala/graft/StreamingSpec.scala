@@ -387,6 +387,42 @@ class StreamingSpec extends SparkSuite {
     assert(afterReplay == got, "batch replay must not change the span report")
   }
 
+  test("streaming language-ID over the published profile equals batch scoring") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "langid-").toString
+    val (profile, preds) = (s"$base/profile", s"$base/preds")
+    // train on the labeled corpus, publish the frozen model
+    graft.streaming.StreamingLangId.publishProfile(spark, sfDir, profile)
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(graft.streaming.StreamingLangId.predSink(profile, preds))
+      .start()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (high, low) = docs.partition(_._1 >= 250)
+    try {
+      Seq(high.take(150), low, high.drop(150)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = rows(graft.streaming.StreamingLangId.readPreds(spark, preds))
+    val want = rows(graft.operators.TextAnalysis.langIdPredict(
+      graft.Tables.documents(spark, sfDir),
+      graft.streaming.StreamingLangId.readProfile(spark, profile)))
+    assert(got == want, s"stream==batch: ${got.size} streamed vs ${want.size} batch preds")
+    assert(want.map(_._2).size > 0 && got.size == docs.length, "every doc classified")
+    // replayed micro-batch must be idempotent
+    graft.streaming.StreamingLangId.predSink(profile, preds)(
+      high.drop(150).toDF("doc_id", "text"), 2L)
+    assert(rows(graft.streaming.StreamingLangId.readPreds(spark, preds)) == got,
+      "batch replay must not change the prediction set")
+  }
+
   test("incremental domain cap equals the batch domainCap pass (stream==batch, out of order)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files
