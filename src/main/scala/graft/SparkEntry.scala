@@ -175,6 +175,7 @@ object SparkEntry {
     "x_heavy_hitters"      -> ((s, dir) => TextAnalysis.heavyHitterTokens(s, dir)),
     "x_lang_confusion"     -> ((s, dir) => TextAnalysis.langConfusion(s, dir)),
     "x_langid_ngram"       -> ((s, dir) => TextAnalysis.langIdNgram(s, dir)),
+    "x_langid_holdout"     -> ((s, dir) => TextAnalysis.langIdHoldout(s, dir)),
     "x_vocab_coverage"     -> ((s, dir) => TextAnalysis.vocabCoverage(s, dir)),
     "x_vocab_overlap"      -> ((s, dir) => TextAnalysis.vocabOverlap(s, dir)),
     "x_quality_deciles"    -> ((s, dir) => CorpusOps.qualityDeciles(s, dir)),
@@ -2785,6 +2786,44 @@ object SparkEntry {
         |j AS (
         |  SELECT d.lang, COALESCE(p.lang_pred, 'und') AS lang_pred
         |  FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id)
+        |SELECT lang, lang_pred, COUNT(*)::BIGINT AS n_docs,
+        |  round(COUNT(*)::DOUBLE / SUM(COUNT(*)::BIGINT) OVER (PARTITION BY lang), 6) AS lang_share
+        |FROM j GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+
+    // Held-out langid evaluation: profile trains ONLY on the 80%
+    // train split (PolyHash(doc_id) % 10 < 8 — x_split_leakage's
+    // by-doc arithmetic), confusion is over the held-out 20% only
+    "x_langid_holdout" ->
+      """WITH ph AS (
+        |  SELECT doc_id, lang, text,
+        |    list_reduce(list_transform(range(1, len(CAST(doc_id AS VARCHAR))+1),
+        |      i -> ascii(substr(CAST(doc_id AS VARCHAR), i, 1))::BIGINT),
+        |      (acc,c) -> (acc*31+c)%1000000007) % 10 AS b
+        |  FROM documents),
+        |g_train AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(text)-2, 1)+1), i -> substr(text, i, 3)))) AS tok
+        |  FROM ph WHERE b < 8),
+        |c AS (SELECT lang, tok, COUNT(*) AS c FROM g_train GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT lang AS plang, tok FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rk
+        |    FROM c) WHERE rk <= 40),
+        |g_test AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(text)-2, 1)+1), i -> substr(text, i, 3)))) AS tok
+        |  FROM ph WHERE b >= 8),
+        |hits AS (
+        |  SELECT g.doc_id, p.plang, COUNT(*) AS hits
+        |  FROM g_test g JOIN prof p ON g.tok = p.tok GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT doc_id, plang AS lang_pred FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang) AS rk
+        |    FROM hits) WHERE rk = 1),
+        |j AS (
+        |  SELECT d.lang, COALESCE(p.lang_pred, 'und') AS lang_pred
+        |  FROM ph d LEFT JOIN pred p ON d.doc_id = p.doc_id
+        |  WHERE d.b >= 8)
         |SELECT lang, lang_pred, COUNT(*)::BIGINT AS n_docs,
         |  round(COUNT(*)::DOUBLE / SUM(COUNT(*)::BIGINT) OVER (PARTITION BY lang), 6) AS lang_share
         |FROM j GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,

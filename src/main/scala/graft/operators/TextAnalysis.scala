@@ -348,15 +348,54 @@ object TextAnalysis {
     * scoring join.
     */
   def langIdProfile(spark: SparkSession, dir: String,
-                    profileK: Int = 40): DataFrame = {
+                    profileK: Int = 40): DataFrame =
+    langIdProfileFrom(Tables.documents(spark, dir), profileK)
+
+  /** Profile training over ANY labeled `(doc_id, lang, text, ...)`
+    * frame — the seam [[langIdHoldout]] uses to train on a split.
+    */
+  def langIdProfileFrom(docs: DataFrame, profileK: Int = 40): DataFrame = {
+    val spark = docs.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val gramRows = Tables.documents(spark, dir)
+    val gramRows = docs
       .repartition(n, col("doc_id"))
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("tok"))
     val counts = gramRows.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
     vocabHeadRanked(counts, profileK)
       .select(col("lang").as("plang"), col("tok"))
+  }
+
+  /** Held-out evaluation of the trigram classifier — the measurement
+    * [[langIdNgram]] (training-set fit) cannot give: train the profile
+    * on the 80% train split and score ONLY the held-out 20%, so the
+    * confusion matrix measures GENERALIZATION. The split is the same
+    * deterministic content-independent assignment as
+    * [[CorpusOps.splitLeakage]]'s by-doc scheme (PolyHash(doc_id) mod
+    * 10: 0-7 train, 8-9 held out) — reproducible across engines, runs
+    * and layouts, so the oracle trains on the identical split.
+    *
+    * Scale shape: [[langIdNgram]]'s exactly — the split predicate is a
+    * narrow filter on both scans, training collapses to vocabulary
+    * size, the model broadcasts into held-out scoring.
+    */
+  def langIdHoldout(spark: SparkSession, dir: String,
+                    profileK: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.PolyHash.register(spark)
+    def bucket = pmod(call_function(graft.functions.PolyHash.Name,
+      col("doc_id").cast("string")), lit(10))
+    val docs = Tables.documents(spark, dir)
+    val profile = langIdProfileFrom(docs.filter(bucket < 8), profileK)
+    val heldOut = docs.filter(bucket >= 8)
+    val pred = langIdPredict(heldOut, profile)
+    heldOut.select("doc_id", "lang")
+      .join(pred, Seq("doc_id"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
+      .withColumn("lang_share",
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy("lang")), 6))
+      .orderBy("lang", "lang_pred")
   }
 
   /** Phase 2 of [[langIdNgram]]: score ANY `(doc_id, text, ...)`

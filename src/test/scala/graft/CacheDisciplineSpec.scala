@@ -46,7 +46,8 @@ class CacheDisciplineSpec extends SparkSuite {
       "langIdNgram"     -> (() => TextAnalysis.langIdNgram(spark, sfDir)),
       "substringDedup"  -> (() => Dedup.substringDedup(spark, sfDir)),
       "substringHotspots" -> (() => Dedup.substringHotspots(spark, sfDir)),
-      "substringStrip"  -> (() => Dedup.substringStrip(spark, sfDir)))
+      "substringStrip"  -> (() => Dedup.substringStrip(spark, sfDir)),
+      "langIdHoldout"   -> (() => TextAnalysis.langIdHoldout(spark, sfDir)))
     persistingOps.foreach { case (name, mk) =>
       withClue(s"$name: ") {
         consume(mk())

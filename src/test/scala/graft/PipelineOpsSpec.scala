@@ -649,6 +649,24 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("langIdHoldout: cells partition the held-out split, shares sum to 1") {
+    import org.apache.spark.sql.functions.{call_function, col, lit, pmod}
+    val rows = TextAnalysis.langIdHoldout(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    graft.functions.PolyHash.register(spark)
+    val heldOut = Tables.documents(spark, sfDir)
+      .filter(pmod(call_function(graft.functions.PolyHash.Name,
+        col("doc_id").cast("string")), lit(10)) >= 8)
+      .count()
+    assert(rows.map(_._3).sum == heldOut,
+      s"confusion cells must partition the ${heldOut}-doc held-out split")
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      val s = cells.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$lang shares sum to $s")
+    }
+  }
+
   test("substringStrip: exactly one copy of every duplicated gram survives") {
     import spark.implicits._
     def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")

@@ -73,6 +73,7 @@ class SparkEntrySpec extends AnyFunSuite {
     // window-SUM share denominator, consumed only as ::DOUBLE (the
     // x_lang_confusion class)
     "x_langid_ngram"      -> 1,
+    "x_langid_holdout"    -> 1,
     // window sums: escape via MAX(total)::BIGINT / ratio / comparison
     "x_vocab_coverage"    -> 2,
     // running-token window, escapes via a cast bin expression
