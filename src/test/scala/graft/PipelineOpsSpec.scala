@@ -707,6 +707,43 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("spanReport island arithmetic matches a pure-Scala interval merge (randomized)") {
+    import spark.implicits._
+    // reference: merge [p, p+7] coverage, islands break when the
+    // position gap exceeds 8 (touching regions merge)
+    def ref(positions: Seq[Int]): (Long, Long) = {
+      val sorted = positions.distinct.sorted
+      val islands = sorted.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p - e <= Dedup.SpanGramN => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }
+      (islands.size.toLong,
+       islands.map { case (s, e) => (e - s + Dedup.SpanGramN).toLong }.sum)
+    }
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 200L).map { d =>
+      val n = 1 + rnd.nextInt(12)
+      d -> Seq.fill(n)(1 + rnd.nextInt(60)).distinct
+    }
+    val hits = docs.flatMap { case (d, ps) => ps.map(p => (d, p)) }
+      .toDF("doc_id", "pos")
+    val totals = docs.map { case (d, ps) => (d, (ps.max + 100).toLong) }
+      .toDF("doc_id", "total_tokens")
+    val got = Dedup.spanReport(hits, totals).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    docs.foreach { case (d, ps) =>
+      assert(got(d) == ref(ps), s"doc $d positions ${ps.sorted}: ${got(d)} vs ${ref(ps)}")
+    }
+    // pinned edges: touch merges (gap 8), gap 9 breaks
+    val edge = Seq((900L, 1), (900L, 9), (901L, 1), (901L, 10))
+      .toDF("doc_id", "pos")
+    val edgeTotals = Seq((900L, 50L), (901L, 50L)).toDF("doc_id", "total_tokens")
+    val e = Dedup.spanReport(edge, edgeTotals).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(e(900L) == ((1L, 16L)), s"touching regions must merge: ${e(900L)}")
+    assert(e(901L) == ((2L, 16L)), s"gap 9 must break: ${e(901L)}")
+  }
+
   test("substringHotspots: 8-token grams, descending reach, text rescans true") {
     val rows = Dedup.substringHotspots(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
