@@ -1181,6 +1181,15 @@ object Dedup {
     * vocabulary-sized aggregate (the per-gram canonical occurrence,
     * a min-struct hash agg over 16-byte rows) and one equi-join back
     * on `gh` — the corpus still never pairs with itself.
+    *
+    * Deliberately NO streaming twin: canonicality is a GLOBAL minimum,
+    * so a streamed strip would have to retract an earlier doc's
+    * removal when a smaller (doc_id, pos) bearer arrives late —
+    * retroactive UN-removal, which no append-only store expresses.
+    * The production pattern is the one the twins already support:
+    * stream the duplicated-position discovery
+    * ([[graft.streaming.StreamingSubstring]]), run the strip as a
+    * periodic batch pass over the accumulated stores.
     */
   def substringStrip(spark: SparkSession, dir: String): DataFrame =
     substringStripFrom(Tables.documents(spark, dir))
