@@ -6,7 +6,9 @@ import org.apache.spark.sql.SparkSession
   * (default 3) and reports its per-query MEDIAN — single-shot numbers
   * on a co-tenant box swing 5x (r2 observed 47-270 s for the same
   * binary), and the median is the stable center the baseline compare
-  * needs. The session cache is cleared between runs so every run pays
+  * needs. Before the timed runs, `SPARK_GRAFT_BENCH_WARMUP` (default 1)
+  * discarded warm-up runs pay first-touch codegen + JIT so the median
+  * measures steady state. The session cache is cleared between runs so every run pays
   * full cost (no warm-cache flattery) and per-query persisted
   * intermediates can't accumulate across the ~55-query session.
   *
@@ -20,6 +22,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Discarded warm-up runs per query (default 1): the first execution
+    // of a plan pays whole-stage codegen compilation + JIT, which r7
+    // measured at up to 8.6 s first-touch vs 1.0 s steady-state on the
+    // simhash family. The bench's job is steady-state throughput, so
+    // run 0 is executed and thrown away; the median is over the
+    // subsequent nRuns. A warm-up failure still poisons the query.
+    val nWarm = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -55,17 +64,18 @@ object Bench {
       // and a slow failure (broadcast timeout, OOM) must not be paid
       // nRuns times.
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var i = 0
+      var i = -nWarm // negative indices are discarded warm-up runs
       while (i < nRuns && !times.lastOption.exists(_ < 0)) {
         Caches.releaseAll(spark) // cached Datasets AND checkpoint blocks
         val t0 = System.nanoTime()
-        times += (try {
+        val t = try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
           diagnostics += s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}"
           -1.0
-        })
+        }
+        if (i >= 0 || t < 0) times += t // warm-up times dropped; failures kept
         i += 1
       }
       val ok = times.forall(_ >= 0)

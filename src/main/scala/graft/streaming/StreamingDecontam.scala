@@ -37,12 +37,7 @@ object StreamingDecontam {
 
   /** All contamination reports emitted so far. */
   def readReport(spark: SparkSession, reportPath: String): DataFrame =
-    if (new java.io.File(reportPath).exists())
-      spark.read.schema(ReportSchema).parquet(reportPath)
-        .select("doc_id", "n_grams", "n_shared", "contamination")
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(ReportSchema))
+    StoreIO.readOrEmpty(spark, reportPath, ReportSchema)
       .select("doc_id", "n_grams", "n_shared", "contamination")
 
   /** Build the benchmark index at `benchPath` from the benchmark

@@ -37,11 +37,7 @@ object StreamingDedup {
     * first batch commits).
     */
   def readStore(spark: SparkSession, storePath: String): DataFrame =
-    if (new java.io.File(storePath).exists())
-      spark.read.schema(StoreSchema).parquet(storePath)
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(StoreSchema))
+    StoreIO.readOrEmpty(spark, storePath, StoreSchema)
 
   /** foreachBatch body: fold one micro-batch of `(doc_id, text, ...)`
     * rows into the survivor store at `storePath`. Within-batch dups

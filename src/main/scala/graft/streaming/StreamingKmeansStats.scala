@@ -37,11 +37,7 @@ object StreamingKmeansStats {
     "cid BIGINT, pos BIGINT, sum_vq BIGINT, n BIGINT, batch_id BIGINT"
 
   private def readStats(spark: SparkSession, statsPath: String): DataFrame =
-    if (new java.io.File(statsPath).exists())
-      spark.read.schema(StatsSchema).parquet(statsPath)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(StatsSchema))
+    StoreIO.readOrEmpty(spark, statsPath, StatsSchema)
 
   /** Explode `(vec_id, embedding, ...)` rows to the trainer's integer
     * micro-unit coordinates — the identical arithmetic of

@@ -32,9 +32,7 @@ object StreamingLangId {
   private val PredSchema = "doc_id BIGINT, lang_pred STRING, batch_id BIGINT"
 
   private def read(spark: SparkSession, path: String, schema: String): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.schema(schema).parquet(path)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(schema))
+    StoreIO.readOrEmpty(spark, path, schema)
 
   /** Train on the labeled corpus at `dir` and publish the model. */
   def publishProfile(spark: SparkSession, dir: String, profilePath: String,

@@ -39,9 +39,7 @@ object StreamingNearDup {
   private val PairSchema  = "doc_a BIGINT, doc_b BIGINT, hamming BIGINT, batch_id BIGINT"
 
   private def read(spark: SparkSession, path: String, schema: String): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.schema(schema).parquet(path)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(schema))
+    StoreIO.readOrEmpty(spark, path, schema)
 
   /** The fingerprint index `(doc_id, sim_lo, sim_hi)` seen so far. */
   def readIndex(spark: SparkSession, indexPath: String): DataFrame =

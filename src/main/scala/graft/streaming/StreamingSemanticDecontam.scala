@@ -41,12 +41,8 @@ object StreamingSemanticDecontam {
 
   /** All flags emitted so far. */
   def readReport(spark: SparkSession, reportPath: String): DataFrame =
-    if (new java.io.File(reportPath).exists())
-      spark.read.schema(ReportSchema).parquet(reportPath)
-        .select("vec_id", "bench_id", "d2")
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(ReportSchema))
+    StoreIO.readOrEmpty(spark, reportPath, ReportSchema)
+      .select("vec_id", "bench_id", "d2")
       .select("vec_id", "bench_id", "d2")
 
   /** Publish the benchmark index at `benchPath` from the benchmark

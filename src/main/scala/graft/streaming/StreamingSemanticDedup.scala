@@ -39,12 +39,7 @@ object StreamingSemanticDedup {
 
   private def readStore(spark: SparkSession, path: String, schema: String,
                         cols: Seq[String]): DataFrame =
-    if (new java.io.File(path).exists())
-      spark.read.schema(schema).parquet(path).select(cols.map(col): _*)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(schema))
-      .select(cols.map(col): _*)
+    StoreIO.readOrEmpty(spark, path, schema).select(cols.map(col): _*)
 
   /** All routed micro-unit rows `(vec_id, cid, pos, vq)` so far. */
   def readVectors(spark: SparkSession, vecPath: String): DataFrame =

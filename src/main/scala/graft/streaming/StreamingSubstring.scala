@@ -44,9 +44,7 @@ object StreamingSubstring {
   private val HitSchema   = "doc_id BIGINT, pos INT, batch_id BIGINT"
 
   private def read(spark: SparkSession, path: String, schema: String): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.schema(schema).parquet(path)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(schema))
+    StoreIO.readOrEmpty(spark, path, schema)
 
   /** The gram index `(doc_id, pos, gh)` of every document seen so far. */
   def readIndex(spark: SparkSession, indexPath: String): DataFrame =

@@ -33,11 +33,7 @@ object StreamingTokenCounts {
   private val StoreSchema = "tok STRING, n_occ BIGINT, n_docs BIGINT, batch_id BIGINT"
 
   private def readStore(spark: SparkSession, storePath: String): DataFrame =
-    if (new java.io.File(storePath).exists())
-      spark.read.schema(StoreSchema).parquet(storePath)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(StoreSchema))
+    StoreIO.readOrEmpty(spark, storePath, StoreSchema)
 
   /** foreachBatch body: fold one micro-batch of `(doc_id, text, ...)`
     * rows into the partial-count store.
