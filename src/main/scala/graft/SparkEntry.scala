@@ -176,6 +176,8 @@ object SparkEntry {
     "x_lang_confusion"     -> ((s, dir) => TextAnalysis.langConfusion(s, dir)),
     "x_langid_ngram"       -> ((s, dir) => TextAnalysis.langIdNgram(s, dir)),
     "x_langid_holdout"     -> ((s, dir) => TextAnalysis.langIdHoldout(s, dir)),
+    "x_bpe_train"          -> ((s, dir) => TextAnalysis.bpeTrain(s, dir)),
+    "x_bpe_tokens"         -> ((s, dir) => TextAnalysis.bpeTokenCounts(s, dir)),
     "x_vocab_coverage"     -> ((s, dir) => TextAnalysis.vocabCoverage(s, dir)),
     "x_vocab_overlap"      -> ((s, dir) => TextAnalysis.vocabOverlap(s, dir)),
     "x_quality_deciles"    -> ((s, dir) => CorpusOps.qualityDeciles(s, dir)),
@@ -234,6 +236,57 @@ object SparkEntry {
       |        FROM vq v JOIN c1 c USING (pos) GROUP BY 1, 2)) WHERE rk = 1),
       |c2 AS (SELECT a2.cid, vq.pos, round(SUM(vq.vq)::DOUBLE / COUNT(*))::BIGINT AS cq
       |       FROM a2 JOIN vq USING (vec_id) GROUP BY 1, 2)""".stripMargin
+
+  /** Merge rounds for the BPE oracle pair — must equal the Scala
+    * default in `TextAnalysis.bpeTrain`/`bpeTokenCounts`.
+    */
+  private val BpeRounds = 8
+
+  /** Unrolled BPE trainer CTE chain (one block per merge round, the
+    * kmeans-oracle move): from the weighted word table and the
+    * char+`</w>` initial state `s0`, each round r computes pair counts
+    * `p_r`, the winning pair `b_r` (max count, lexical tie-break), the
+    * greedily-merged positions `m_r` (gaps-and-islands: a run of
+    * overlapping matches merges at even offsets), and the next state
+    * `s_r`. Every round CTE is MATERIALIZED: each references the
+    * previous state three times, so default inlining would expand the
+    * plan 3^rounds-fold.
+    */
+  private def bpeRoundCte(r: Int): String = {
+    val p = r - 1
+    s"""p$r AS MATERIALIZED (
+       |  SELECT sym AS sa, nsym AS sb, SUM(wfreq)::BIGINT AS cnt FROM (
+       |    SELECT word, wfreq, sym, LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym FROM s$p)
+       |  WHERE nsym IS NOT NULL GROUP BY 1, 2),
+       |b$r AS MATERIALIZED (SELECT sa, sb, cnt FROM p$r ORDER BY cnt DESC, sa, sb LIMIT 1),
+       |m$r AS MATERIALIZED (
+       |  SELECT word, pos FROM (
+       |    SELECT word, pos, (pos - MIN(pos) OVER (PARTITION BY word, grp)) % 2 = 0 AS merged FROM (
+       |      SELECT word, pos, pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp FROM (
+       |        SELECT s.word, s.pos FROM
+       |          (SELECT word, pos, sym, LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym FROM s$p) s
+       |          CROSS JOIN b$r
+       |        WHERE s.sym = b$r.sa AND s.nsym = b$r.sb)))
+       |  WHERE merged),
+       |s$r AS MATERIALIZED (
+       |  SELECT s.word, s.wfreq,
+       |         ROW_NUMBER() OVER (PARTITION BY s.word ORDER BY s.pos)::BIGINT AS pos,
+       |         CASE WHEN m1.pos IS NOT NULL THEN (SELECT sa || sb FROM b$r) ELSE s.sym END AS sym
+       |  FROM s$p s
+       |  LEFT JOIN m$r m1 ON m1.word = s.word AND m1.pos = s.pos
+       |  LEFT JOIN m$r m0 ON m0.word = s.word AND m0.pos = s.pos - 1
+       |  WHERE m0.pos IS NULL)""".stripMargin
+  }
+
+  private val bpeCtes: String =
+    """WITH words AS MATERIALIZED (
+      |  SELECT w AS word, COUNT(*)::BIGINT AS wfreq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1),
+      |s0 AS MATERIALIZED (
+      |  SELECT word, wfreq, i::BIGINT AS pos,
+      |         CASE WHEN i <= len(word) THEN substr(word, i, 1) ELSE '</w>' END AS sym
+      |  FROM (SELECT word, wfreq, unnest(range(1, len(word)+2)) AS i FROM words)),""".stripMargin +
+    "\n" + (1 to BpeRounds).map(bpeRoundCte).mkString(",\n") + ","
 
   /** Deployment routing over the trained cells: every vector assigned
     * against the FINAL `c2` centroids (a FAISS index add() assigns
@@ -2672,6 +2725,25 @@ object SparkEntry {
         |FROM (SELECT ROW_NUMBER() OVER (ORDER BY n_occ DESC, tok) AS rk,
         |             tok, n_occ, n_docs FROM c), t
         |WHERE rk <= 20 ORDER BY rk""".stripMargin,
+
+    "x_bpe_train" ->
+      (bpeCtes + "\n" +
+       s"""mm AS (${(1 to BpeRounds).map(r =>
+            s"SELECT ${r}::BIGINT AS round, sa AS sym_a, sb AS sym_b, cnt AS pair_count FROM b$r")
+            .mkString(" UNION ALL ")})
+          |SELECT round, sym_a, sym_b, sym_a || sym_b AS merged, pair_count
+          |FROM mm ORDER BY round""".stripMargin),
+
+    "x_bpe_tokens" ->
+      (bpeCtes + "\n" +
+       s"""wl AS (SELECT word, COUNT(*)::BIGINT AS n_syms FROM s$BpeRounds GROUP BY 1)
+          |SELECT doc_id,
+          |  COUNT(*) AS n_tokens,
+          |  SUM(wl.n_syms)::BIGINT AS n_bpe_tokens,
+          |  ceil(MAX(len(text))/4.0)::BIGINT AS est_bpe_tokens
+          |FROM (SELECT doc_id, text, unnest(string_split(text, ' ')) AS word FROM documents) d
+          |JOIN wl USING (word)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     "x_vocab_coverage" ->
       """WITH tk AS (

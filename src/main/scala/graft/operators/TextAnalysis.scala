@@ -23,6 +23,7 @@ object TextAnalysis {
     *  - ttr: type-token ratio (distinct/total tokens) — repetition signal
     *  - stop_ratio: stopword fraction — fluency/language signal
     *  - est_bpe_tokens: ceil(chars/4), the classic BPE-size estimate
+    *    (the real trained counter is [[bpeTokenCounts]])
     *  - lang_guess: n-gram-free heuristic language id (stopword-driven;
     *    the real n-gram profile model is [[langIdNgram]])
     *  - quality: weighted score in [0,1] of length, diversity, fluency
@@ -396,6 +397,153 @@ object TextAnalysis {
         round(col("n_docs").cast("double") /
           sum(col("n_docs")).over(Window.partitionBy("lang")), 6))
       .orderBy("lang", "lang_pred")
+  }
+
+  /** Trained byte-pair-encoding merge table (Sennrich et al. 2016,
+    * arXiv:1508.07909 — the subword tokenizer trainer): `rounds`
+    * iterations of "count adjacent symbol pairs, merge the most
+    * frequent", starting from characters plus a `</w>` end-of-word
+    * marker. Output is the merge table `(round, sym_a, sym_b, merged,
+    * pair_count)` — the artifact a tokenizer deployment publishes.
+    * Replaces [[textStats]]'s `est_bpe_tokens` ceil(chars/4) estimate
+    * with a real trained counter (see [[bpeTokenCounts]]).
+    *
+    * Determinism: merge selection is max pair count with (sym_a,
+    * sym_b) lexical tie-break; merge application is the reference
+    * greedy left-to-right scan, expressed as gaps-and-islands over
+    * matched positions (a run of k overlapping matches — only possible
+    * when sym_a == sym_b — merges at even offsets 0, 2, 4, ... within
+    * the run, exactly the single-pass greedy result). Both rules are
+    * plain SQL, so the oracle replays training round by round.
+    *
+    * Scale shape: training state is VOCABULARY-sized (distinct words x
+    * symbols-per-word rows), never corpus-sized — the corpus is
+    * scanned ONCE for word frequencies and every subsequent round
+    * works on the weighted word table (the standard BPE trainer
+    * formulation). Pair counting is a hash aggregate with map-side
+    * partials; per-round driver traffic is ONE collected row (the
+    * winning pair — the [[graft.operators.Similarity]] kmeans
+    * discipline); merge application is window functions over per-word
+    * groups (tiny partitions, one exchange on `word` reused by every
+    * window in the round); each round's state is checkpointed and the
+    * superseded generation released, so round r+1 plans against
+    * materialized blocks, not r rounds of window lineage.
+    */
+  def bpeTrain(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame =
+    bpeTrainFrom(Tables.documents(spark, dir), rounds)
+
+  /** [[bpeTrain]] over ANY `(doc_id, text, ...)` frame — the spec seam. */
+  private[graft] def bpeTrainFrom(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fit = bpeFit(docs, rounds)
+    graft.Caches.release(spark, fit.stateIds) // merges alone answer this query
+    fit.merges
+      .map { case (r, sa, sb, cnt) => (r.toLong, sa, sb, sa + sb, cnt) }
+      .toDF("round", "sym_a", "sym_b", "merged", "pair_count")
+      .orderBy("round")
+  }
+
+  /** Real BPE token counts per document under the [[bpeTrain]]ed
+    * merges — the number that drives pretraining budget decisions,
+    * next to the whitespace count and the chars/4 estimate it
+    * replaces. A word's token count is its final symbol count in the
+    * trained state; every corpus word is in the training vocabulary
+    * by construction, so the join is total.
+    *
+    * Scale shape: the corpus explodes to word occurrences ONCE and
+    * equi-joins the vocabulary-sized symbol-count table (AQE sizes
+    * the join — the vocabulary of a 100 TB corpus is itself large
+    * enough that a hard broadcast hint would be wrong); the per-doc
+    * rollup aggregates on doc_id with map-side partials.
+    */
+  def bpeTokenCounts(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame =
+    bpeTokenCountsFrom(Tables.documents(spark, dir), rounds)
+
+  /** [[bpeTokenCounts]] over ANY `(doc_id, text, ...)` frame. */
+  private[graft] def bpeTokenCountsFrom(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val fit = bpeFit(docs, rounds)
+    val wl = fit.state.groupBy("word").agg(count(lit(1)).as("n_syms"))
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    docs
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"), col("text"), explode(toks).as("word"))
+      .join(wl, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(col("n_syms")).as("n_bpe_tokens"),
+           ceil(max(length(col("text"))) / lit(4.0)).cast("bigint").as("est_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** A completed BPE fit: the merge sequence (1-based round, pair,
+    * weighted count at selection time) and the checkpointed final
+    * `(word, wfreq, pos, sym)` state with its block ids.
+    */
+  private case class BpeFit(merges: Seq[(Int, String, String, Long)],
+                            state: DataFrame, stateIds: Set[Int])
+
+  /** The shared trainer loop behind [[bpeTrain]] / [[bpeTokenCounts]] —
+    * see [[bpeTrain]]'s scaladoc for the determinism and scale story.
+    */
+  private def bpeFit(docs: DataFrame, rounds: Int): BpeFit = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, "bpe needs at least one merge round")
+    val spark = docs.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val words = docs
+      .repartition(n, col("doc_id"))
+      .select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wfreq"))
+    // initial state: one row per character plus the </w> marker
+    val s0 = words
+      .select(col("word"), col("wfreq"),
+        explode(sequence(lit(1L), length(col("word")).cast("bigint") + 1L)).as("pos"))
+      .withColumn("sym",
+        when(col("pos") <= length(col("word")),
+          col("word").substr(col("pos").cast("int"), lit(1)))
+        .otherwise(lit("</w>")))
+    val w = Window.partitionBy("word").orderBy("pos")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var (state, stateIds) = graft.Caches.trackedCheckpoint(s0)
+    var merges = Vector.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val withNext = state.withColumn("nsym", lead(col("sym"), 1).over(w))
+      // ONE row crosses the driver per round — the winning pair
+      val best = withNext.filter(col("nsym").isNotNull)
+        .groupBy("sym", "nsym").agg(sum(col("wfreq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym"), col("nsym"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (sa, sb, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges :+= ((r, sa, sb, cnt))
+        // greedy left-to-right application: islands of consecutive
+        // matches merge at even offsets (overlap needs sym_a == sym_b)
+        val flagged = withNext
+          .withColumn("mt", col("sym") === sa && col("nsym") === sb)
+          .withColumn("grp", when(col("mt"),
+            col("pos") - sum(when(col("mt"), 1L).otherwise(0L)).over(cum)))
+          .withColumn("off", when(col("mt"),
+            col("pos") - min(col("pos")).over(Window.partitionBy("word", "grp"))))
+          .withColumn("merged", col("mt") && pmod(col("off"), lit(2L)) === 0)
+          .withColumn("gone", coalesce(lag(col("merged"), 1).over(w), lit(false)))
+        val (next, nextIds) = graft.Caches.trackedCheckpoint(
+          flagged.filter(!col("gone"))
+            .select(col("word"), col("wfreq"),
+              row_number().over(w).cast("bigint").as("pos"),
+              when(col("merged"), lit(sa + sb)).otherwise(col("sym")).as("sym")))
+        graft.Caches.release(spark, stateIds)
+        state = next
+        stateIds = nextIds
+        r += 1
+      }
+    }
+    BpeFit(merges, state, stateIds)
   }
 
   /** Phase 2 of [[langIdNgram]]: score ANY `(doc_id, text, ...)`
