@@ -168,6 +168,8 @@ object SparkEntry {
     "x_ngram_jaccard"      -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "x_substring_dedup"    -> ((s, dir) => Dedup.substringDedup(s, dir)),
     "x_substring_hotspots" -> ((s, dir) => Dedup.substringHotspots(s, dir)),
+    "x_substring_hotspots50" -> ((s, dir) => Dedup.substringHotspots(s, dir, gramN = 50)),
+    "x_substring_sweep"    -> ((s, dir) => Dedup.substringSweep(s, dir)),
     "x_substring_strip"    -> ((s, dir) => Dedup.substringStrip(s, dir)),
     "x_text_stats"         -> ((s, dir) => TextAnalysis.textStats(s, dir)),
     "x_text_quality_by_lang" -> ((s, dir) => TextAnalysis.qualityByLang(s, dir)),
@@ -236,6 +238,47 @@ object SparkEntry {
       |        FROM vq v JOIN c1 c USING (pos) GROUP BY 1, 2)) WHERE rk = 1),
       |c2 AS (SELECT a2.cid, vq.pos, round(SUM(vq.vq)::DOUBLE / COUNT(*))::BIGINT AS cq
       |       FROM a2 JOIN vq USING (vec_id) GROUP BY 1, 2)""".stripMargin
+
+  /** Span-gram CTE for gram size `g` with name suffix `sx`: `g$sx` is
+    * the `(doc_id, pos, gh)` position-gram table (PolyHash of the
+    * space-joined g-token slice — the exact Spark hash, collisions
+    * included). MATERIALIZED: each consumer pair (dup set + membership
+    * probe) references it twice, and the sweep stacks four sizes.
+    */
+  private def spanGramCte(g: Int, sx: String): String =
+    s"""g$sx AS MATERIALIZED (
+       |  SELECT doc_id, u.i AS pos, u.gh AS gh FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(t)-${g - 2}), i ->
+       |      {'i': i,
+       |       'gh': list_reduce(list_transform(range(1, len(array_to_string(t[i:i+${g - 1}],' '))+1),
+       |              j -> ascii(substr(array_to_string(t[i:i+${g - 1}],' '),j,1))::BIGINT),
+       |              (a,c)->(a*31+c)%1000000007)})) AS u
+       |    FROM tk WHERE len(t) >= $g))""".stripMargin
+
+  /** One sweep point for [[Dedup.substringSweep]]'s oracle: the gram
+    * table, duplicated-gram set, hit positions, gaps-and-islands
+    * spans, and the one-row corpus rollup `roll$g`.
+    */
+  private def sweepPointCtes(g: Int): String =
+    s"""${spanGramCte(g, g.toString)},
+       |dup$g AS (SELECT gh FROM g$g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+       |hit$g AS (SELECT g.doc_id, g.pos FROM g$g g JOIN dup$g USING (gh)),
+       |isl$g AS (
+       |  SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM (SELECT doc_id, pos,
+       |          CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |                 OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $g
+       |               THEN 1 ELSE 0 END AS b
+       |        FROM hit$g)),
+       |spans$g AS (
+       |  SELECT doc_id, island, MAX(pos) - MIN(pos) + $g AS span_tokens
+       |  FROM isl$g GROUP BY doc_id, island),
+       |roll$g AS (
+       |  SELECT $g::BIGINT AS gram_n, COUNT(DISTINCT doc_id) AS n_docs,
+       |         COUNT(*) AS n_spans,
+       |         CAST(COALESCE(SUM(span_tokens), 0) AS BIGINT) AS dup_tokens
+       |  FROM spans$g)""".stripMargin
 
   /** Merge rounds for the BPE oracle pair — must equal the Scala
     * default in `TextAnalysis.bpeTrain`/`bpeTokenCounts`.
@@ -3132,6 +3175,38 @@ object SparkEntry {
         |  r.n_docs, r.n_occ
         |FROM rep r JOIN documents d USING (doc_id)
         |ORDER BY r.n_docs DESC, r.n_occ DESC, r.gh""".stripMargin,
+
+    "x_substring_hotspots50" ->
+      ("""WITH tk AS (
+         |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |""".stripMargin + spanGramCte(50, "50") + ",\n" +
+       """top AS (
+         |  SELECT gh, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+         |  FROM g50 GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+         |  ORDER BY n_docs DESC, n_occ DESC, gh LIMIT 15
+         |), rep AS (
+         |  SELECT gh, n_docs, n_occ, doc_id, pos FROM (
+         |    SELECT t.gh, t.n_docs, t.n_occ, g.doc_id, g.pos,
+         |      ROW_NUMBER() OVER (PARTITION BY t.gh ORDER BY g.doc_id, g.pos) AS rn
+         |    FROM top t JOIN g50 g ON g.gh = t.gh) WHERE rn = 1
+         |)
+         |SELECT r.gh,
+         |  array_to_string((string_split(d.text,' '))[r.pos:r.pos+49], ' ') AS gram,
+         |  r.n_docs, r.n_occ
+         |FROM rep r JOIN documents d USING (doc_id)
+         |ORDER BY r.n_docs DESC, r.n_occ DESC, r.gh""".stripMargin),
+
+    "x_substring_sweep" ->
+      ("""WITH tk AS (
+         |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |c AS (SELECT SUM(len(t))::BIGINT AS corpus_tokens FROM tk),
+         |""".stripMargin +
+       graft.operators.Dedup.SpanSweepSizes.map(sweepPointCtes).mkString(",\n") + "\n" +
+       s"""SELECT gram_n, n_docs, n_spans, dup_tokens,
+          |  round(dup_tokens::DOUBLE / corpus_tokens, 6) AS dup_share
+          |FROM (${graft.operators.Dedup.SpanSweepSizes.map(g => s"SELECT * FROM roll$g")
+                    .mkString(" UNION ALL ")}), c
+          |ORDER BY gram_n""".stripMargin),
 
     "x_text_stats" ->
       """WITH tk AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)

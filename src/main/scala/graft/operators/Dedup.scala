@@ -1075,19 +1075,19 @@ object Dedup {
     * of a cross-doc duplicated gram is part of the duplicated-span
     * area being measured.
     */
-  def spanGramRowsFrom(docs: DataFrame): DataFrame = {
+  def spanGramRowsFrom(docs: DataFrame, gramN: Int = SpanGramN): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.PolyHash.register(spark)
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val toks = split(col("text"), " ")
     docs
-      .filter(size(toks) >= SpanGramN)
+      .filter(size(toks) >= gramN)
       .repartition(n, col("doc_id"))  // see shingleHashRows: pre-explode, one shuffle, AQE-coalesce-proof
       .select(col("doc_id"), toks.as("toks"),
-        explode(sequence(lit(1), size(toks) - (SpanGramN - 1))).as("pos"))
+        explode(sequence(lit(1), size(toks) - (gramN - 1))).as("pos"))
       .select(col("doc_id"), col("pos"),
         call_function(graft.functions.PolyHash.Name,
-          array_join(slice(col("toks"), col("pos"), lit(SpanGramN)), " ")).as("gh"))
+          array_join(slice(col("toks"), col("pos"), lit(gramN)), " ")).as("gh"))
   }
 
   def spanGramRows(spark: SparkSession, dir: String): DataFrame =
@@ -1146,23 +1146,85 @@ object Dedup {
     * `(total_tokens, n_spans, dup_tokens, dup_share)`.
     */
   private[graft] def spanReport(hits: DataFrame, totals: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val spans = hits
-      .withColumn("brk",
-        when(lag(col("pos"), 1).over(byPos).isNull ||
-             col("pos") - lag(col("pos"), 1).over(byPos) > SpanGramN, 1)
-          .otherwise(0))
-      .withColumn("island", sum(col("brk")).over(
-        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("doc_id", "island")
-      .agg((max(col("pos")) - min(col("pos")) + SpanGramN).as("span_tokens"))
-    val perDoc = spans.groupBy("doc_id")
+    val perDoc = dupSpans(hits, SpanGramN).groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("dup_tokens"))
     perDoc.join(totals, Seq("doc_id"))
       .select(col("doc_id"), col("total_tokens"), col("n_spans"), col("dup_tokens"),
         round(col("dup_tokens").cast("double") / col("total_tokens"), 6).as("dup_share"))
       .orderBy("doc_id")
+  }
+
+  /** The gaps-and-islands maximal-span arithmetic over a `(doc_id,
+    * pos)` duplicated-position set, parameterized by the gram size
+    * that defines interval coverage — shared by [[spanReport]] (and
+    * through it the streaming twin) and the [[substringSweep]].
+    * One `(doc_id, island, span_tokens)` row per maximal span.
+    */
+  private def dupSpans(hits: DataFrame, gramN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(byPos).isNull ||
+             col("pos") - lag(col("pos"), 1).over(byPos) > gramN, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg((max(col("pos")) - min(col("pos")) + gramN).as("span_tokens"))
+  }
+
+  /** Gram sizes the [[substringSweep]] measures: the repo's default
+    * 8-token operating point up through Lee et al. (2107.06499)'s
+    * ~50-token minimum-match threshold.
+    */
+  val SpanSweepSizes: Seq[Int] = Seq(8, 16, 32, 50)
+
+  /** Span-length sweep over the ExactSubstr family — the missing knob
+    * on [[substringDedup]]'s fixed gram size: the SAME duplicated-span
+    * measurement at each [[SpanSweepSizes]] minimum-match length,
+    * rolled up corpus-wide. The report answers "where does the
+    * dup-mass live by span length": a corpus whose dup-mass collapses
+    * between 8 and 50 tokens is dominated by short boilerplate (strip
+    * at a short threshold); one that holds its mass to 50 tokens
+    * carries whole duplicated passages (Lee et al.'s operating point —
+    * dedup aggressively). One row per gram size:
+    * `(gram_n, n_docs, n_spans, dup_tokens, dup_share)` where
+    * dup_share is against total corpus tokens.
+    *
+    * 100 TB shape: one [[substringDedup]]-shaped pass per sweep point
+    * (gram hashes are not composable across sizes — PolyHash of the
+    * joined text — so each length is an honest re-scan; the sweep is
+    * a fixed small set). Every pass keeps the family's guarantees:
+    * 8-byte hash shuffles, equi-joins only, k rows per gram shared by
+    * k docs (never k^2), map-side-partial aggregates; the per-size
+    * rollup is one row, and the corpus-token total is a 1-row
+    * broadcast into the final projection.
+    */
+  def substringSweep(spark: SparkSession, dir: String): DataFrame =
+    substringSweepFrom(Tables.documents(spark, dir))
+
+  def substringSweepFrom(docs: DataFrame): DataFrame = {
+    val corpus = docs.agg(
+      sum(size(split(col("text"), " ")).cast("long")).as("corpus_tokens"))
+    val perSize = SpanSweepSizes.map { g =>
+      val (grams, _) = graft.Caches.trackedCheckpoint(spanGramRowsFrom(docs, g))
+      val dupGrams = grams.groupBy("gh")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select("gh")
+      val hits = grams.join(dupGrams, Seq("gh")).select("doc_id", "pos")
+      dupSpans(hits, g)
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+             count(lit(1)).as("n_spans"),
+             coalesce(sum(col("span_tokens")), lit(0L)).as("dup_tokens"))
+        .select(lit(g.toLong).as("gram_n"),
+          col("n_docs"), col("n_spans"), col("dup_tokens"))
+    }.reduce(_ unionByName _)
+    perSize.crossJoin(broadcast(corpus))
+      .select(col("gram_n"), col("n_docs"), col("n_spans"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("corpus_tokens"), 6).as("dup_share"))
+      .orderBy("gram_n")
   }
 
   /** Strip plan — the curation ACTION the [[substringDedup]] report
@@ -1237,10 +1299,10 @@ object Dedup {
     * 100 TB only phase 1 touches the corpus, and it shuffles hashes.
     */
   def substringHotspots(spark: SparkSession, dir: String,
-                        topN: Int = 15): DataFrame = {
+                        topN: Int = 15, gramN: Int = SpanGramN): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val (grams, _) = graft.Caches.trackedCheckpoint(spanGramRowsFrom(docs))
+    val (grams, _) = graft.Caches.trackedCheckpoint(spanGramRowsFrom(docs, gramN))
     val top = grams.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= 2)
@@ -1253,7 +1315,7 @@ object Dedup {
       .select(col("gh"), col("n_docs"), col("n_occ"), col("doc_id"), col("pos"))
     rep.join(docs.select(col("doc_id"), split(col("text"), " ").as("toks")), Seq("doc_id"))
       .select(col("gh"),
-        array_join(slice(col("toks"), col("pos"), lit(SpanGramN)), " ").as("gram"),
+        array_join(slice(col("toks"), col("pos"), lit(gramN)), " ").as("gram"),
         col("n_docs"), col("n_occ"))
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("gh"))
   }

@@ -92,6 +92,15 @@ class PlanSpec extends SparkSuite {
     assert(!strip.contains("CartesianProduct") && !strip.contains("BroadcastNestedLoop"), strip)
   }
 
+  test("substring sweep: four sweep points, still no doc-pair products") {
+    // each gram-size pass keeps the family's shape — gram-hash
+    // equi-joins only; the corpus-token total is the single allowed
+    // 1-row broadcast (a nested-loop join over one row is fine, a
+    // cartesian over corpus rows is not)
+    val plan = formatted(graft.operators.Dedup.substringSweep(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("substring hotspots: top-N is a TakeOrdered, text joins are equi-joins") {
     val plan = formatted(graft.operators.Dedup.substringHotspots(spark, sfDir))
     // phase 1's top-N must not materialize a global sort of the gram
