@@ -210,6 +210,7 @@ object SparkEntry {
     "x_banded_recall"      -> ((s, dir) => Similarity.knnLshBandedRecall(s, dir)),
     "x_multimodal_meta"    -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "x_media_knn"          -> ((s, dir) => Similarity.mediaIvfKnn(s, dir)),
+    "x_media_knn_real"     -> ((s, dir) => Similarity.mediaIvfKnnReal(s, dir)),
     "x_frame_sample"       -> ((s, dir) => Multimodal.frameSample(s, dir)),
     "x_frame_dedup"        -> ((s, dir) => Multimodal.frameDedup(s, dir))
   )
@@ -3425,6 +3426,53 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rk, cos FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rk
         |  FROM scored
-        |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+        |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // Predicts the REAL BMP decode: pixel i of the 4x1 fixture image is
+    // the text's byte triple (B,G,R) = chars 3i+1..3i+3 (space-padded),
+    // and the feature is the packed 24-bit RGB over 2^24 — what a
+    // correct javax.imageio round-trip must return. Same IVF tail as
+    // x_media_knn.
+    "x_media_knn_real" ->
+      ("""WITH f AS (
+         |  SELECT doc_id AS vec_id,
+         |    [""".stripMargin +
+       (0 until 4).map(i =>
+         s"""      (ascii(substr(rpad(text,12,' '),${3 * i + 3},1))*65536
+            |       + ascii(substr(rpad(text,12,' '),${3 * i + 2},1))*256
+            |       + ascii(substr(rpad(text,12,' '),${3 * i + 1},1)))/16777216.0""".stripMargin)
+         .mkString(",\n") + """ ] AS emb
+         |  FROM documents
+         |), e AS (
+         |  SELECT vec_id, emb,
+         |    sqrt(list_reduce(list_transform(emb, x -> x*x), (a,b)->a+b)) AS nrm
+         |  FROM f
+         |), cents AS (
+         |  SELECT vec_id AS centroid_id, emb AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < 8
+         |), ranked AS (
+         |  SELECT e.vec_id, e.emb, e.nrm, c.centroid_id,
+         |    round(list_reduce(list_transform(range(1,5),
+         |      i -> e.emb[i] * c.c_emb[i]), (a,b)->a+b)/(e.nrm*c.c_nrm), 6) AS c_sim
+         |  FROM e, cents c
+         |), cells AS (
+         |  SELECT vec_id, emb, nrm, centroid_id AS cell FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rk
+         |    FROM ranked
+         |  ) WHERE rk = 1
+         |), qcells AS (
+         |  SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, centroid_id AS cell FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rk
+         |    FROM ranked WHERE vec_id < 10
+         |  ) WHERE rk <= 2
+         |), scored AS (
+         |  SELECT DISTINCT q.query_id, c2.vec_id AS neighbor_id,
+         |    round(list_reduce(list_transform(range(1,5),
+         |      i -> c2.emb[i] * q.q_emb[i]), (a,b)->a+b)/(c2.nrm*q.q_nrm), 6) AS cos
+         |  FROM cells c2 JOIN qcells q ON c2.cell = q.cell AND c2.vec_id <> q.query_id
+         |)
+         |SELECT query_id, neighbor_id, rk, cos FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rk
+         |  FROM scored
+         |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)
   )
 }

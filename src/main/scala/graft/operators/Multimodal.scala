@@ -9,13 +9,16 @@ import graft.Tables
   * opaque BINARY payload column plus typed metadata, the way a 100 TB
   * training corpus stores it (bytes in parquet, decode on demand).
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * STUB — [[stubFeatures]] derives deterministic pseudo-features from
-  * the raw bytes (header sniff + byte arithmetic), keeping every piece
-  * of Spark-side plumbing real and testable: binary schema, byte
-  * slicing, hex sniffing, fixed-width feature vectors, partition-
-  * parallel execution. A real decoder replaces ONE function
-  * ([[decodePayload]]) without touching the pipeline shape.
+  * Image decode is REAL: [[imageBatchDecoder]] routes payloads
+  * through `javax.imageio` (the JDK ships BMP/PNG/GIF readers), and
+  * [[withBmpPayload]] builds valid deterministic BMP containers so
+  * the codec round-trip is oracle-checkable end to end. Formats the
+  * JDK lacks (JPEG2000, video/audio codecs) keep the STUB path —
+  * [[stubFeatures]] derives deterministic pseudo-features from the
+  * raw bytes (header sniff + byte arithmetic), keeping the Spark-side
+  * plumbing (binary schema, byte slicing, batch shape, partition
+  * parallelism) testable; a real codec replaces one function without
+  * touching the pipeline shape.
   */
 object Multimodal {
 
@@ -30,15 +33,13 @@ object Multimodal {
   def withPayload(df: DataFrame): DataFrame =
     df.withColumn("payload", encode(col("text"), "UTF-8"))
 
-  /** REAL DECODER GOES HERE. Deliberately unimplemented: the
-    * environment ships no codecs. Callers use [[stubFeatures]], which
-    * has the same signature shape (payload bytes → fixed-width
-    * features) and is deterministic for the oracle.
+  /** The real per-payload decoder: `javax.imageio` (BMP/PNG/GIF ship
+    * in the JDK). Formats the JDK lacks (JPEG2000, video codecs)
+    * still need [[stubFeatures]]; image payloads are end-to-end real
+    * via [[imageBatchDecoder]] / [[withBmpPayload]].
     */
   def decodePayload(payload: Array[Byte]): Array[Float] =
-    throw new NotImplementedError(
-      "media decode stub: no codec libraries in this environment; " +
-      "use Multimodal.stubFeatures for the deterministic fake")
+    imageBatchDecoder(Seq(payload)).head
 
   /** Deterministic fake "decoded features": f_i derives from the byte
     * length and the i-th payload byte (sliced from the BINARY column —
@@ -156,6 +157,58 @@ object Multimodal {
         ((bytes.length * (2 * i + 1) + b) % 1000) / 1024.0f
       }
     }
+
+  /** Width in pixels of the [[withBmpPayload]] fixture image. */
+  val BmpWidth = 4
+
+  /** Constant 54-byte header of a 4x1 24bpp bottom-up BI_RGB BMP
+    * (14-byte file header + 40-byte BITMAPINFOHEADER): file size 66,
+    * pixel data at offset 54, one 12-byte row (already 4-aligned, no
+    * padding). Pixel bytes follow as B,G,R triples.
+    */
+  private val BmpHeaderHex: String =
+    "424d420000000000000036000000" +                    // BM, size 66, reserved, offset 54
+    "2800000004000000010000000100180000000000" +        // dib 40, w 4, h 1, planes 1, bpp 24, BI_RGB
+    "0c00000000000000000000000000000000000000"          // image size 12, ppm 0, colors 0
+
+  /** Attach a REAL image payload: a valid 4x1 24-bit BMP whose 12
+    * pixel bytes are the first 12 bytes of the (space-padded) text —
+    * deterministic, so an oracle can predict the decoded pixels from
+    * the text alone, yet a genuine codec round-trip: the bytes carry a
+    * real BMP container that [[imageBatchDecoder]] decodes with
+    * `javax.imageio`, not a header sniff. Narrow projection, no
+    * shuffle. (ASCII-corpus contract as in [[frameSample]]: text
+    * characters are payload bytes only while 1 char == 1 byte.)
+    */
+  def withBmpPayload(df: DataFrame): DataFrame =
+    df.withColumn("payload",
+      concat(unhex(lit(BmpHeaderHex)),
+        encode(substring(rpad(col("text"), 3 * BmpWidth, " "), 1, 3 * BmpWidth), "UTF-8")))
+
+  /** REAL batched image decoder over [[decodeBatched]]'s seam — the
+    * decoder [[decodePayload]]'s scaladoc promised: each payload goes
+    * through `javax.imageio` (BMP/PNG/GIF readers ship in the JDK —
+    * no external codec needed after all for these formats), and each
+    * decoded pixel yields one feature: its packed 24-bit RGB value
+    * normalized by 2^24 — a dyadic rational, exactly representable in
+    * FLOAT, so downstream cosine arithmetic stays bit-identical to a
+    * double-precision oracle (the [[exactBatchDecoder]] discipline).
+    * Pixels walk row-major and wrap when NFeatures exceeds the pixel
+    * count. In-memory decode only (`setUseCache(false)`) — executors
+    * never touch a scratch directory.
+    */
+  def imageBatchDecoder(batch: Seq[Array[Byte]]): Seq[Array[Float]] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    batch.map { bytes =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"payload is not a decodable image (${bytes.length} bytes)")
+      val n = img.getWidth * img.getHeight
+      Array.tabulate(NFeatures) { i =>
+        val p = i % n
+        (img.getRGB(p % img.getWidth, p / img.getWidth) & 0xffffff) / 16777216.0f
+      }
+    }
+  }
 
   /** Oracle-checkable projection of [[sampleFrames]]: per sampled
     * frame, its byte length and a 4-byte header sniff — the metadata a

@@ -269,11 +269,40 @@ object Similarity {
     * broadcast centroid table).
     */
   def mediaIvfKnn(spark: SparkSession, dir: String, k: Int = 5,
-                  nQueries: Int = 10, nCells: Int = 8, nProbe: Int = 2): DataFrame = {
-    graft.functions.DotProduct.register(spark)
-    val decoded = Multimodal.decodeBatched(
-      Multimodal.withPayload(Tables.documents(spark, dir)),
-      decoder = Multimodal.exactBatchDecoder)
+                  nQueries: Int = 10, nCells: Int = 8, nProbe: Int = 2): DataFrame =
+    mediaIvfFrom(
+      Multimodal.decodeBatched(
+        Multimodal.withPayload(Tables.documents(spark, dir)),
+        decoder = Multimodal.exactBatchDecoder),
+      k, nQueries, nCells, nProbe)
+
+  /** [[mediaIvfKnn]] with the decode step REAL end to end: payloads
+    * are valid BMP containers ([[Multimodal.withBmpPayload]]) and the
+    * features come out of an actual `javax.imageio` decode
+    * ([[Multimodal.imageBatchDecoder]]) — pixels in, pixels out, then
+    * the identical IVF cell-equi-join pipeline. Oracle-checkable
+    * because the fixture pixels derive deterministically from the
+    * text bytes and each decoded feature is a dyadic rational: the
+    * oracle predicts the decode, so a codec regression (wrong channel
+    * order, row flip, padding error) fails CORRECTNESS, not just a
+    * unit test.
+    */
+  def mediaIvfKnnReal(spark: SparkSession, dir: String, k: Int = 5,
+                      nQueries: Int = 10, nCells: Int = 8, nProbe: Int = 2): DataFrame =
+    mediaIvfFrom(
+      Multimodal.decodeBatched(
+        Multimodal.withBmpPayload(Tables.documents(spark, dir)),
+        decoder = Multimodal.imageBatchDecoder),
+      k, nQueries, nCells, nProbe)
+
+  /** Shared decode→index→query tail of the media ANN pair: decoded
+    * features become the ANN corpus for the SAME IVF pipeline as
+    * [[knnIvf]]; the decoded corpus is checkpointed once and feeds
+    * the centroid, cell, and query subtrees.
+    */
+  private def mediaIvfFrom(decoded: DataFrame, k: Int, nQueries: Int,
+                           nCells: Int, nProbe: Int): DataFrame = {
+    graft.functions.DotProduct.register(decoded.sparkSession)
     val c = decoded.select(col("doc_id").as("vec_id"),
         col("features").as("embedding"))
       .withColumn("nrm", sqrt(dotN(col("embedding"), col("embedding"))))

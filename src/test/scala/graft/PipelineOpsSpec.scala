@@ -388,6 +388,30 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("BMP payloads survive a real javax.imageio round-trip pixel-exactly") {
+    val docs = Multimodal.withBmpPayload(Tables.documents(spark, sfDir))
+    // every payload is a valid 66-byte BMP container
+    val p = docs.orderBy("doc_id").select("doc_id", "text", "payload").head()
+    val (text, payload) = (p.getString(1), p.getAs[Array[Byte]](2))
+    assert(payload.length == 66)
+    assert(payload(0) == 'B'.toByte && payload(1) == 'M'.toByte)
+    // the REAL decoder: pixels back out of the codec, packed RGB / 2^24,
+    // with the BMP's B,G,R byte order correctly unscrambled
+    val feats = Multimodal.imageBatchDecoder(Seq(payload)).head
+    val padded = text.padTo(12, ' ')
+    (0 until Multimodal.NFeatures).foreach { i =>
+      val (b, g, r) = (padded(3 * i).toInt, padded(3 * i + 1).toInt, padded(3 * i + 2).toInt)
+      assert(feats(i) == ((r << 16 | g << 8 | b) / 16777216.0f),
+        s"pixel $i channel order or row orientation wrong")
+    }
+    // non-image payloads fail loudly, not as silent zero features
+    intercept[IllegalArgumentException] {
+      Multimodal.imageBatchDecoder(Seq("not an image".getBytes("UTF-8")))
+    }
+    // decodePayload is the same real decoder, single-payload form
+    assert(Multimodal.decodePayload(payload).toSeq == feats.toSeq)
+  }
+
   test("frame sampling slices the binary payload into strided fixed-size frames") {
     val docs = Multimodal.withPayload(Tables.documents(spark, sfDir))
     val doc = docs.orderBy("doc_id").select("doc_id", "text").head()
