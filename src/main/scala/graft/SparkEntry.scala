@@ -78,14 +78,14 @@ object SparkEntry {
     "x_running_spend"      -> ((s, dir) => Analytics.runningCustomerSpend(s, dir)),
     "x_value_bands"        -> ((s, dir) => Analytics.valueBandJoin(s, dir)),
     "x_value_bands_arith"  -> ((s, dir) => Analytics.valueBandArithmetic(s, dir)),
-    "x_approx_distinct"    -> ((s, dir) => Analytics.approxDistinctParts(s, dir)),
+    "x_hll_error"          -> ((s, dir) => Analytics.hllErrorAudit(s, dir)),
     "x_distinct_exact"     -> ((s, dir) => Analytics.distinctPartsExact(s, dir)),
     "x_join_left_outer"    -> ((s, dir) => Analytics.customerOrderSummary(s, dir)),
     "x_intersect"          -> ((s, dir) => Analytics.usersViewAndClick(s, dir)),
     "x_except"             -> ((s, dir) => Analytics.usersViewNoPurchase(s, dir)),
     "x_lead_lag"           -> ((s, dir) => Analytics.eventValueSteps(s, dir)),
     "x_percentiles"        -> ((s, dir) => Analytics.quantityPercentiles(s, dir)),
-    "x_approx_percentiles" -> ((s, dir) => Analytics.approxQuantityPercentiles(s, dir)),
+    "x_tdigest_error"      -> ((s, dir) => Analytics.tdigestErrorAudit(s, dir)),
     "x_orders_by_month"    -> ((s, dir) => Analytics.ordersByMonth(s, dir)),
     "x_salted_agg"         -> ((s, dir) => Analytics.saltedEventAgg(s, dir)),
     "x_skew_join"          -> ((s, dir) => Analytics.skewedJoinAgg(s, dir)),
@@ -777,6 +777,20 @@ object SparkEntry {
 
     "x_distinct_exact" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // The exact side is fully oracle-computed; the sketch side is
+    // checked as a verified GUARANTEE (the boolean claim), which is
+    // deterministic even though the sketch internals are not portable.
+    "x_hll_error" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows,
+        |  TRUE AS within_2rsd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "x_tdigest_error" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_exact,
+        |  TRUE AS within_rank_eps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "x_value_bands_arith" ->

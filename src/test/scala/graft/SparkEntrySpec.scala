@@ -8,10 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SparkEntrySpec extends AnyFunSuite {
 
-  /** The only queries allowed to ship without a DuckDB oracle: the
-    * engine-specific sketches whose exact output is not portable.
+  /** Queries allowed to ship without a DuckDB oracle: NONE since r8 —
+    * the engine-specific sketches (x_hll_error, x_tdigest_error) are
+    * checked as exact values plus verified accuracy-guarantee booleans.
     */
-  private val rowsOnlyByDesign = Set("x_approx_distinct", "x_approx_percentiles")
+  private val rowsOnlyByDesign = Set.empty[String]
 
   test("every oracle key names a registered query (no orphaned oracles)") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -65,6 +66,10 @@ class SparkEntrySpec extends AnyFunSuite {
     // window-SUM island counter — GROUP BY key only, never projected
     "x_substring_dedup"   -> 1,
     "x_substring_strip"   -> 1,
+    // 4 sweep points x (island counter [GROUP BY-only] +
+    // CAST(COALESCE(SUM(..)) AS BIGINT) — cast outside the coalesce,
+    // so the scanner misses it, but nothing escapes uncast)
+    "x_substring_sweep"   -> 8,
     // totals consumed only as ::DOUBLE division denominators
     "x_repetition"        -> 2,
     "x_heavy_hitters"     -> 1,
