@@ -663,8 +663,9 @@ object Dedup {
     * components via distributed min-label propagation over the
     * [[nearDupMinhash]] edges — the step that turns pairwise matches
     * into dedup groups (keep one survivor per component). Each
-    * iteration is one shuffle join + aggregate; components of diameter
-    * d converge in <= d rounds, and near-dup clusters are tiny by
+    * iteration is one shuffle join + aggregate; pointer jumping makes
+    * components of diameter d converge in ~log2(d) rounds (see
+    * [[labelPropagation]]), and near-dup clusters are tiny by
     * construction, so the loop is short. The driver-side loop only
     * checks CONVERGENCE (a count of changed labels per round — a
     * scalar, not data); all label math runs distributed, the standard
@@ -723,8 +724,10 @@ object Dedup {
     math.max(1L, math.min(200L, (nPairs + 499999L) / 500000L)).toInt
 
   /** (doc_id, lbl): per-node component label (lbl = smallest doc_id
-    * reachable) via distributed min-label propagation — the primitive
-    * behind [[componentsFromPairs]] and [[dedupSurvivors]].
+    * reachable) via distributed min-label propagation WITH pointer
+    * jumping (convergence in ~log2(diameter) rounds, so the default
+    * maxIters covers diameters past 2^13) — the primitive behind
+    * [[componentsFromPairs]] and [[dedupSurvivors]].
     */
   def labelPropagation(pairs0: DataFrame, maxIters: Int = 15): DataFrame = {
     // localCheckpoint (eager): materializes the whole upstream pair
@@ -774,12 +777,29 @@ object Dedup {
     // fake a fixpoint. No initial sum action: every component has an
     // edge, so round 1 always changes some label — the first
     // comparison that can signal convergence is round 2's.
-    // One propagation hop: min over own label and every neighbor's.
+    // One propagation round: min over (a) own label, (b) every
+    // neighbor's label — the hop, and (c) the label's own label
+    // lbl(lbl(v)) — the POINTER JUMP (hash-to-min doubling, Rastogi et
+    // al. 2012's family): the reach of a label doubles per round
+    // instead of growing by one edge, so a chain component of diameter
+    // d converges in ~log2(d) rounds, not d (a 100 TB near-dup graph
+    // with one long chain no longer exhausts maxIters). Both jump
+    // sides read the MATERIALIZED label blocks from the previous
+    // round's checkpoint — deliberately NOT a jump over the current
+    // round's hop output, which would feed an un-materialized subtree
+    // to two consumers and evaluate it twice (the fused-two-hops
+    // lesson below). The jump stays correct for the label-sum
+    // convergence test: lbl(x) <= x, so lbl(lbl(v)) <= lbl(v) and
+    // labels still only ever decrease; lbl(v) is reachable from v and
+    // lbl(lbl(v)) from lbl(v), so reachability is preserved.
     def hop(l: DataFrame): DataFrame = {
       val incoming = edges
         .join(l.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
         .select(col("doc_b").as("doc_id"), col("lbl"))
-      l.union(incoming)
+      val jumped = l.select(col("doc_id"), col("lbl").as("ptr"))
+        .join(l.select(col("doc_id").as("ptr"), col("lbl").as("jlbl")), Seq("ptr"))
+        .select(col("doc_id"), col("jlbl").as("lbl"))
+      l.union(incoming).union(jumped)
         .repartition(graphParts, col("doc_id")) // keep every loop exchange graph-sized
         .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
     }

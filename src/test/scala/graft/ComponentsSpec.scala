@@ -33,6 +33,19 @@ class ComponentsSpec extends SparkSuite {
     assert(comps == Map(1L -> (3L, 3L)), s"got $comps")
   }
 
+  test("a 1000-node chain converges within 12 rounds (pointer jumping)") {
+    // diameter 999: plain min-hop needs 999 rounds (the pre-r8 code
+    // threw at maxIters=15); hash-to-min doubling reaches the root in
+    // ~log2(999) = 10-11 improvement rounds, +1 to observe the fixed
+    // label sum. maxIters=12 is the bound the scaladoc sells.
+    val chain = (1L until 1000L).map(i => (i, i + 1))
+    val comps = run(chain) // run() applies the default maxIters
+    assert(comps == Map(1L -> (1000L, 1000L)), s"got $comps")
+    val tight = Dedup.componentsFromPairs(
+      chain.toDF("doc_a", "doc_b"), maxIters = 12).collect()
+    assert(tight.length == 1 && tight.head.getLong(1) == 1000L)
+  }
+
   test("an empty pair graph short-circuits to an empty result (no iteration)") {
     // Regression (r3 ADVICE): with zero edges the per-round label sum
     // was NULL every round, the sum-comparison convergence test never
