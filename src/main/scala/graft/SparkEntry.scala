@@ -221,12 +221,18 @@ object SparkEntry {
     * trained-IVF queries so the trainer definition cannot drift
     * between oracles.
     */
-  private val kmeansCtes: String =
-    """vq AS (
+  private val kmeansCtes: String = kmeansCtesK("8")
+
+  /** [[kmeansCtes]] with the centroid count as a SQL expression —
+    * `x_semantic_dedup` derives k = round(sqrt(n)) (the
+    * `Similarity.semanticK` rule) instead of the fixed 8.
+    */
+  private def kmeansCtesK(kExpr: String): String =
+    s"""vq AS (
       |  SELECT vec_id, (i-1)::BIGINT AS pos,
       |         round(embedding[i]::DOUBLE * 1000000)::BIGINT AS vq
       |  FROM embeddings, range(1, 65) t(i)),
-      |c0 AS (SELECT vec_id::BIGINT AS cid, pos, vq AS cq FROM vq WHERE vec_id < 8),
+      |c0 AS (SELECT vec_id::BIGINT AS cid, pos, vq AS cq FROM vq WHERE vec_id < ($kExpr)),
       |a1 AS (SELECT vec_id, cid FROM (
       |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
       |  FROM (SELECT v.vec_id, c.cid, SUM((v.vq-c.cq)*(v.vq-c.cq)) AS d2
@@ -1563,7 +1569,7 @@ object SparkEntry {
     // its centroid — (cent_d2, vec_id) row comparison is the same
     // lexicographic tie-break both engines order structs/rows by
     "x_semantic_dedup" ->
-      s"""WITH $kmeansCtes,
+      s"""WITH ${kmeansCtesK("SELECT CAST(round(sqrt(COUNT(*))) AS BIGINT) FROM embeddings")},
         |$routeCte,
         |cent AS (SELECT a3.vec_id, a3.cid, SUM((v.vq - c.cq)*(v.vq - c.cq)) AS cent_d2
         |         FROM a3 JOIN vq v USING (vec_id) JOIN c2 c ON c.cid = a3.cid AND c.pos = v.pos

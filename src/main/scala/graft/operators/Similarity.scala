@@ -553,8 +553,8 @@ object Similarity {
     * corpus is no longer referenced; `lastGenIds` back the returned
     * frames and normally live until session cache cleanup).
     */
-  private case class KmeansFit(vq: DataFrame, assignment: DataFrame,
-                               cents: DataFrame, vqIds: Set[Int], lastGenIds: Set[Int])
+  private[graft] case class KmeansFit(vq: DataFrame, assignment: DataFrame,
+                                      cents: DataFrame, vqIds: Set[Int], lastGenIds: Set[Int])
 
   /** The Lloyd loop shared by [[kmeansCentroids]] (which reports the
     * trained centroids) and [[kmeansInertia]] (which scores the fit):
@@ -564,12 +564,20 @@ object Similarity {
     * rationale.
     */
   private def kmeansFit(spark: SparkSession, dir: String,
-                        k: Int, iters: Int): KmeansFit = {
+                        k: Int, iters: Int): KmeansFit =
+    kmeansFitFrom(Tables.embeddings(spark, dir), k, iters)
+
+  /** [[kmeansFit]] over ANY `(vec_id, embedding, ...)` frame — the
+    * seam the SemanticDedupSpec fixture trains through.
+    */
+  private[graft] def kmeansFitFrom(embs: DataFrame,
+                                   k: Int, iters: Int): KmeansFit = {
     require(k >= 1, "kmeans needs at least one centroid")
     require(iters >= 1, "kmeans needs at least one assign/update round")
+    val spark = embs.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val (vq, vqIds) = graft.Caches.trackedCheckpoint(
-      Tables.embeddings(spark, dir)
+      embs
         .repartition(n, col("vec_id")) // parallelize the explode — see corpus()
         .select(col("vec_id"), posexplode(col("embedding")))
         .select(col("vec_id"), col("pos").cast("bigint").as("pos"),
@@ -615,17 +623,25 @@ object Similarity {
     *
     * Scale shape: the candidate-pair join is CELL-SCOPED (equi-join
     * on cid, never corpus-wide) — the quadratic term is (n/k)^2 per
-    * cell, bounded by cluster granularity; production runs k ~
-    * sqrt(n) so cells stay ~sqrt(n) wide (the banded-LSH family is
-    * the non-clustered alternative at the same scale). Centrality is
+    * cell, and k is DERIVED as round(sqrt(n)) ([[semanticK]]) so
+    * cells stay ~sqrt(n) wide at any corpus size (the banded-LSH
+    * family is the non-clustered alternative at the same scale);
+    * SemanticDedupSpec pins the cell-width bound on a skewed
+    * fixture. Centrality is
     * one broadcast-centroid join over the SAME exploded-corpus
     * checkpoint the training used. Everything stays BIGINT
     * micro-units → the whole scheme (training included) is
     * oracle-checked end to end.
     */
   def semanticDedup(spark: SparkSession, dir: String,
-                    maxD2: Long = 1400000000000L): DataFrame = {
-    val fit = kmeansFit(spark, dir, k = 8, iters = 2)
+                    maxD2: Long = 1400000000000L): DataFrame =
+    semanticDedupFrom(Tables.embeddings(spark, dir), maxD2)
+
+  /** [[semanticDedup]] over ANY `(vec_id, embedding, ...)` frame —
+    * the spec seam for skewed fixtures; k is always the sqrt-n rule.
+    */
+  private[graft] def semanticDedupFrom(embs: DataFrame, maxD2: Long): DataFrame = {
+    val fit = kmeansFitFrom(embs, k = coarseK(embs.count()), iters = 2)
     // membership by routing against the FINAL cells (the paper
     // clusters with the finished fit; also the only membership a
     // streaming ingest can reproduce — the in-loop assignment is vs
@@ -636,14 +652,33 @@ object Similarity {
     semanticYield(rows, fit.cents, semanticPairs(rows, maxD2))
   }
 
+  /** SemDeDup cluster granularity: k = round(sqrt(n)) over the corpus
+    * — the production operating point the scaladoc's (n/k)^2 scale
+    * claim REQUIRES (with k ~ sqrt(n), cells stay ~sqrt(n) wide and
+    * the per-cell quadratic term is linear in n overall; a fixed k
+    * would let cell width — and the pair join — grow linearly with
+    * the corpus). One bounded 1-row count action; both the batch
+    * operator and [[coarseCells]] (the streaming twin's published
+    * artifact) derive k HERE, so batch and stream granularity cannot
+    * drift.
+    */
+  def semanticK(spark: SparkSession, dir: String): Int =
+    coarseK(Tables.embeddings(spark, dir).count())
+
+  /** k = max(1, round(sqrt(n))) — the [[semanticK]] rule over any
+    * corpus size. */
+  def coarseK(n: Long): Int =
+    math.max(1L, math.round(math.sqrt(n.toDouble))).toInt
+
   /** The trained final cells `(cid, pos, cq)` in raw micro-units —
     * the routing artifact a deployment publishes (ivfPqModel bundles
     * the same frame; this accessor trains only the coarse fit, for
     * consumers that need no PQ side — e.g. the streaming SemDeDup
-    * ingest).
+    * ingest). Granularity is [[semanticK]]'s sqrt-n rule — the same k
+    * the batch dedup trains with.
     */
   def coarseCells(spark: SparkSession, dir: String): DataFrame =
-    kmeansFit(spark, dir, k = 8, iters = 2).cents
+    kmeansFit(spark, dir, k = semanticK(spark, dir), iters = 2).cents
 
   /** Cell-scoped candidate pairs `(cid, u, v)` of `rows`
     * `(vec_id, cid, pos, vq)` under the `maxD2` squared-distance
