@@ -829,6 +829,69 @@ class StreamingSpec extends SparkSuite {
     assert(gotPairs == wantPairs, "streamed near-dup pairs == brute truth over gated docs")
   }
 
+  test("composed curation survives a mid-stream kill + checkpoint restart exactly-once") {
+    // the per-family twins prove replay idempotence in isolation; this
+    // pins the COMPOSITE's end-to-end exactly-once story: kill the
+    // query between batches, re-run the next batch's sink by hand (a
+    // crash after the store writes but before the checkpoint commit —
+    // the worst-case partial state), then restart from the SAME
+    // checkpoint and require the final stores to equal the batch truth
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "curate-restart-").toString
+    val sink = () => graft.streaming.StreamingCuration.curateSink(
+      s"$base/surv", s"$base/index", s"$base/pairs")
+    def newQuery(ms: MemoryStream[(Long, String)]) =
+      ms.toDF().toDF("doc_id", "text").writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch(sink())
+        .start()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (chunk1, chunk2, chunk3) =
+      (docs.take(150), docs.slice(150, 350), docs.drop(350))
+    val ms = MemoryStream[(Long, String)]
+    val q1 = newQuery(ms)
+    try { ms.addData(chunk1); q1.processAllAvailable() } finally q1.stop() // the kill
+    // crashed batch 1: stores written, checkpoint never committed
+    sink()(chunk2.toDF("doc_id", "text"), 1L)
+    // restart from the checkpoint; the engine re-delivers chunk2 as
+    // batch 1 (dynamic partition overwrite absorbs the crashed write),
+    // then chunk3 continues as batch 2
+    ms.addData(chunk2)
+    val q2 = newQuery(ms)
+    try {
+      q2.processAllAvailable()
+      ms.addData(chunk3)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // stream == batch, end to end across the kill
+    val passed = graft.Tables.documents(spark, sfDir)
+      .filter(graft.operators.CorpusOps.qualityKeep)
+    val wantSurv = passed
+      .groupBy(md5(encode(col("text"), "UTF-8"))).agg(min("doc_id").as("k"))
+      .select("k").as[Long].collect().sorted.toSeq
+    val gotSurv = graft.streaming.StreamingDedup.survivors(spark, s"$base/surv")
+      .select("keep_id").as[Long].collect().sorted.toSeq
+    assert(gotSurv == wantSurv, "restart must not lose or duplicate survivors")
+    val prints = graft.operators.Dedup.simhashDocs64From(passed).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    val wantPairs = (for {
+      (a, (la, ha)) <- prints; (b, (lb, hb)) <- prints
+      if a < b &&
+        java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val gotPairs = graft.streaming.StreamingNearDup.readPairs(spark, s"$base/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs == wantPairs, "restart must not lose or duplicate near-dup pairs")
+    // the crashed batch really was re-delivered under the same id:
+    // exactly one store partition per processed batch (0, 1, 2)
+    val survParts = graft.streaming.StreamingDedup.readStore(spark, s"$base/surv")
+      .select("batch_id").distinct().as[Long].collect().sorted.toSeq
+    assert(survParts == Seq(0L, 1L, 2L), s"got partitions $survParts")
+  }
+
   test("parquet file sink delivers each row exactly once under checkpointing") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files
