@@ -426,8 +426,10 @@ class PipelineOpsSpec extends SparkSuite {
     assert(f0.toSeq == bytes.take(64).toSeq, "frame 0 is the first 64 payload bytes")
   }
 
-  test("decodePayload is an explicit stub (no codecs in this environment)") {
-    intercept[NotImplementedError] { Multimodal.decodePayload(Array[Byte](1, 2)) }
+  test("decodePayload rejects non-image bytes loudly (real codec, no silent zeros)") {
+    // since r8 decodePayload is the REAL javax.imageio path (see the
+    // BMP round-trip test); undecodable bytes must fail, not fake
+    intercept[IllegalArgumentException] { Multimodal.decodePayload(Array[Byte](1, 2)) }
   }
 
   test("frameDedup conserves counts: dups == sampled frames minus distinct fingerprints") {
