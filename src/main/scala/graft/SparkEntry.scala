@@ -180,6 +180,9 @@ object SparkEntry {
     "x_langid_holdout"     -> ((s, dir) => TextAnalysis.langIdHoldout(s, dir)),
     "x_bpe_train"          -> ((s, dir) => TextAnalysis.bpeTrain(s, dir)),
     "x_bpe_tokens"         -> ((s, dir) => TextAnalysis.bpeTokenCounts(s, dir)),
+    "x_bigram_ppl"         -> ((s, dir) => TextAnalysis.bigramPerplexity(s, dir)),
+    "x_char_entropy"       -> ((s, dir) => TextAnalysis.charEntropy(s, dir)),
+    "x_cms_error"          -> ((s, dir) => TextAnalysis.cmsError(s, dir)),
     "x_vocab_coverage"     -> ((s, dir) => TextAnalysis.vocabCoverage(s, dir)),
     "x_vocab_overlap"      -> ((s, dir) => TextAnalysis.vocabOverlap(s, dir)),
     "x_quality_deciles"    -> ((s, dir) => CorpusOps.qualityDeciles(s, dir)),
@@ -2789,6 +2792,74 @@ object SparkEntry {
         |FROM (SELECT ROW_NUMBER() OVER (ORDER BY n_occ DESC, tok) AS rk,
         |             tok, n_occ, n_docs FROM c), t
         |WHERE rk <= 20 ORDER BY rk""".stripMargin,
+
+    // add-1-smoothed word-bigram LM perplexity (CCNet-style quality
+    // signal); nll per distinct bigram rounded to 6dp then decimal-
+    // summed so the per-doc mean is order-independent in both engines
+    "x_bigram_ppl" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)+1),
+        |    i -> {'prev': CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END,
+        |          'cur': toks[i]})) AS pr
+        |  FROM d),
+        |p2 AS (SELECT doc_id, pr.prev AS prev, pr.cur AS cur FROM p),
+        |dpc AS (SELECT doc_id, prev, cur, COUNT(*) AS c FROM p2
+        |        GROUP BY doc_id, prev, cur),
+        |cb AS (SELECT prev, cur, SUM(c)::BIGINT AS cb FROM dpc GROUP BY prev, cur),
+        |cu AS (SELECT prev, SUM(cb)::BIGINT AS cu FROM cb GROUP BY prev),
+        |v AS (SELECT COUNT(DISTINCT cur) AS v FROM cb),
+        |m AS (SELECT prev, cur,
+        |        CAST(round(-ln((cb + 1.0) / (cu + v)), 6) AS DECIMAL(18,6)) AS nll
+        |      FROM cb JOIN cu USING (prev), v),
+        |s AS (SELECT doc_id, SUM(c)::BIGINT AS n_scored,
+        |        SUM(nll * CAST(c AS DECIMAL(8,0))) AS sn
+        |      FROM dpc JOIN m USING (prev, cur) GROUP BY doc_id),
+        |a AS (SELECT doc_id, n_scored, round(sn::DOUBLE / n_scored, 6) AS avg_nll FROM s)
+        |SELECT doc_id, n_scored, avg_nll, round(exp(avg_nll), 6) AS ppl
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    // per-doc character Shannon entropy (compression-proxy quality
+    // signal); same rounded-term decimal-sum determinism discipline
+    "x_char_entropy" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= 1),
+        |c0 AS (SELECT doc_id, unnest(list_transform(range(1, len(text)+1),
+        |         i -> substr(text, i, 1))) AS ch FROM d),
+        |cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM c0 GROUP BY doc_id, ch),
+        |s AS (SELECT doc_id, SUM(c)::BIGINT AS n_chars, COUNT(*) AS n_distinct_chars,
+        |        SUM(CAST(round(c * ln(c), 6) AS DECIMAL(18,6))) AS sc
+        |      FROM cc GROUP BY doc_id)
+        |SELECT doc_id, n_chars, n_distinct_chars,
+        |  round((ln(n_chars) - sc::DOUBLE / n_chars) / ln(2.0), 6) AS entropy_bits
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // count-min sketch (4 x 256, minhash-style hash family) audited
+    // against the exact top-20 heavy hitters: estimate, overestimate,
+    // the deterministic est >= exact contract, and eps*N-form share
+    "x_cms_error" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |e AS (SELECT tok, COUNT(*) AS exact FROM tk GROUP BY tok),
+        |h AS (SELECT tok, exact,
+        |        list_reduce(list_transform(range(1, len(tok)+1),
+        |          i -> ascii(substr(tok, i, 1))::BIGINT),
+        |          (acc, c) -> (acc*31 + c) % 1000000007) AS th
+        |      FROM e),
+        |cdim AS (SELECT unnest(range(0, 4)) AS i),
+        |ctr AS (SELECT i, ((2*i+1)*th + (5*i+3)) % 1000000007 % 256 AS bucket,
+        |          SUM(exact)::BIGINT AS cnt
+        |        FROM h, cdim GROUP BY i, bucket),
+        |tot AS (SELECT SUM(exact)::BIGINT AS n_total FROM e),
+        |t AS (SELECT ROW_NUMBER() OVER (ORDER BY exact DESC, tok) AS rk, tok, exact, th
+        |      FROM h QUALIFY rk <= 20),
+        |pe AS (SELECT rk, tok, exact, i,
+        |         ((2*i+1)*th + (5*i+3)) % 1000000007 % 256 AS bucket
+        |       FROM t, cdim),
+        |est AS (SELECT rk, tok, exact, MIN(cnt) AS est FROM pe
+        |        JOIN ctr USING (i, bucket) GROUP BY rk, tok, exact)
+        |SELECT rk, tok, exact, est, est - exact AS overestimate,
+        |  est >= exact AS guarantee_ok,
+        |  round((est - exact)::DOUBLE / n_total, 6) AS over_share
+        |FROM est, tot ORDER BY rk""".stripMargin,
 
     "x_bpe_train" ->
       (bpeCtes + "\n" +

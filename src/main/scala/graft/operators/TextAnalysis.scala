@@ -546,6 +546,180 @@ object TextAnalysis {
     BpeFit(merges, state, stateIds)
   }
 
+  /** CCNet-style bigram language-model perplexity per document (Wenzek
+    * et al. 2019, arXiv:1911.00359 — the quality signal CCNet filters
+    * CommonCrawl with: score each document under an LM trained on the
+    * corpus and rank by perplexity; gibberish and boilerplate land in
+    * the high tail). The model is an add-1-smoothed word-bigram LM
+    * trained on the corpus itself:
+    *   P(cur | prev) = (c(prev,cur) + 1) / (c(prev,·) + V)
+    * with a `<s>` sentinel as the first context of every document and
+    * V = distinct word count. Per doc: n_scored scored positions,
+    * avg_nll = mean −ln P, ppl = exp(avg_nll).
+    *
+    * Determinism: counts are exact integers; each distinct bigram's
+    * −ln P is rounded to 6 dp ONCE (vocabulary-sized set of log
+    * evaluations, not corpus-sized) and carried as DECIMAL so the
+    * per-doc sum is order-independent exact — the [[qualityByLang]]
+    * mean discipline applied to log-likelihoods.
+    *
+    * Scale shape: the corpus is scanned ONCE into per-(doc, bigram)
+    * counts (one shuffle, partial-aggregated map-side after the
+    * doc_id repartition); everything model-side derives from the
+    * checkpointed VOCABULARY-sized bigram table (context counts and V
+    * are rollups of it, no second corpus scan); scoring equi-joins
+    * doc-bigrams to the model on the bigram key (AQE-sized — a 100 TB
+    * corpus's bigram vocabulary is too big to hint broadcast), and
+    * the per-doc rollup aggregates on doc_id.
+    */
+  def bigramPerplexity(spark: SparkSession, dir: String): DataFrame =
+    bigramPerplexityFrom(Tables.documents(spark, dir))
+
+  /** [[bigramPerplexity]] over ANY `(doc_id, text, ...)` frame — the
+    * spec seam. */
+  private[graft] def bigramPerplexityFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pairs = docs
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")))).as("i"), col("toks"))
+      .select(col("doc_id"),
+        when(col("i") === 1, lit("<s>"))
+          .otherwise(element_at(col("toks"), col("i") - 1)).as("prev"),
+        element_at(col("toks"), col("i")).as("cur"))
+    // one corpus pass -> per-doc bigram counts; model tables are rollups
+    val dpc = pairs.groupBy("doc_id", "prev", "cur")
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val cb = dpc.groupBy("prev", "cur").agg(sum(col("c")).as("cb")).localCheckpoint()
+    val cu = cb.groupBy("prev").agg(sum(col("cb")).as("cu"))
+    val vRow = cb.agg(countDistinct(col("cur")).as("v"))
+    val model = cb.join(cu, Seq("prev")).crossJoin(broadcast(vRow))
+      .select(col("prev"), col("cur"),
+        round(-log((col("cb") + lit(1.0)) / (col("cu") + col("v"))), 6)
+          .cast("decimal(18,6)").as("nll"))
+    dpc.join(model, Seq("prev", "cur"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_scored"),
+           sum(col("nll") * col("c").cast("decimal(8,0)")).as("sn"))
+      .select(col("doc_id"), col("n_scored"),
+        round(col("sn").cast("double") / col("n_scored"), 6).as("avg_nll"))
+      .withColumn("ppl", round(exp(col("avg_nll")), 6))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document character-level Shannon entropy in bits — the
+    * compression-ratio proxy quality filters use (Gopher/RefinedWeb
+    * drop documents whose bytes compress too well; entropy is the
+    * deterministic, dependency-free form of the same signal: looping
+    * or single-character junk scores near 0, diverse text near the
+    * alphabet's log2). H = (ln n − Σ c·ln c / n) / ln 2 over the
+    * per-character counts c — algebraically −Σ p·log2 p without ever
+    * forming the per-character ratios.
+    *
+    * Determinism: one ln evaluation per distinct (doc, char) count,
+    * rounded to 6 dp and summed as DECIMAL (order-independent); the
+    * closing ln(n)/ln(2) arithmetic is a single expression over the
+    * exact aggregates.
+    *
+    * Scale shape: the char explode is [[langIdNgram]]'s shingle shape
+    * (narrow, codegen'd); the (doc, char) aggregate partial-aggregates
+    * map-side after the doc_id repartition (each doc's ≤alphabet-size
+    * distinct chars collapse before the exchange), and the per-doc
+    * rollup clusters on doc_id.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    charEntropyFrom(Tables.documents(spark, dir))
+
+  /** [[charEntropy]] over ANY `(doc_id, text, ...)` frame — the spec
+    * seam. */
+  private[graft] def charEntropyFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    docs
+      .filter(length(col("text")) >= 1)
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("text"))),
+          i => col("text").substr(i, lit(1)))).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_chars"),
+           count(lit(1)).as("n_distinct_chars"),
+           sum(round(col("c") * log(col("c")), 6).cast("decimal(18,6)")).as("sc"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        round((log(col("n_chars")) - col("sc").cast("double") / col("n_chars"))
+          / log(lit(2.0)), 6).as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
+  /** Count-min sketch depth (independent hash rows). */
+  val CmsDepth = 4
+  /** Count-min sketch width (counters per row). */
+  val CmsWidth = 256
+
+  /** Count-min sketch accuracy audit against the exact heavy hitters —
+    * the measured version of the scale path [[heavyHitterTokens]]'s
+    * scaladoc promises: at 100 TB the vocabulary itself stops fitting
+    * a shuffle, and the per-token aggregate gives way to a fixed-size
+    * sketch (Cormode-Muthukrishnan 2005). The sketch here is
+    * [[CmsDepth]] x [[CmsWidth]] counters with the minhash-style hash
+    * family h_i(t) = ((2i+1)·polyhash(t) + (5i+3)) mod P mod width;
+    * the audit takes the exact top-`k` tokens and reports, per token,
+    * the sketch estimate (min over rows of the hashed counter), the
+    * overestimate, the CMS CONTRACT bit est >= exact (a deterministic
+    * guarantee — counters only ever add mass), and the overestimate
+    * as a share of total stream mass (the ε·N form of the error
+    * bound). The same one-sided-error-made-measurable move as the KMV
+    * and HLL audits.
+    *
+    * Scale shape: counters derive from the VOCABULARY-sized exact
+    * count table (sum of token counts per bucket — no second corpus
+    * scan, and at true scale the sketch absorbs the stream without
+    * the exact table: the audit is what licenses that swap); the
+    * counter table is depth x width rows and BROADCASTS into the
+    * estimate join; the top-k is TakeOrdered over vocabulary-sized
+    * input.
+    */
+  def cmsError(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.PolyHash.register(spark)
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val P = graft.functions.TextFunctions.P
+    def bucketOf(i: Column, th: Column): Column =
+      ((i * 2 + 1) * th + (i * 5 + 3)) % P % CmsWidth
+    val exact = Tables.documents(spark, dir)
+      .repartition(n, col("doc_id"))
+      .select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("exact"))
+      .withColumn("th", call_function(graft.functions.PolyHash.Name, col("tok")))
+      .localCheckpoint() // three consumers: counters, total, top-k
+    val counters = exact
+      .select(col("exact"), col("th"),
+        explode(sequence(lit(0L), lit((CmsDepth - 1).toLong))).as("i"))
+      .groupBy(col("i"), bucketOf(col("i"), col("th")).as("bucket"))
+      .agg(sum(col("exact")).as("cnt"))
+    val totalRow = exact.agg(sum(col("exact")).as("n_total"))
+    val topk = exact.orderBy(col("exact").desc, col("tok")).limit(k)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("exact").desc, col("tok"))).cast("bigint"))
+    topk
+      .select(col("rk"), col("tok"), col("exact"),
+        explode(sequence(lit(0L), lit((CmsDepth - 1).toLong))).as("i"), col("th"))
+      .withColumn("bucket", bucketOf(col("i"), col("th")))
+      .join(broadcast(counters), Seq("i", "bucket"))
+      .groupBy("rk", "tok", "exact")
+      .agg(min(col("cnt")).as("est"))
+      .crossJoin(broadcast(totalRow))
+      .select(col("rk"), col("tok"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overestimate"),
+        (col("est") >= col("exact")).as("guarantee_ok"),
+        round((col("est") - col("exact")).cast("double") / col("n_total"), 6)
+          .as("over_share"))
+      .orderBy("rk")
+  }
+
   /** Phase 2 of [[langIdNgram]]: score ANY `(doc_id, text, ...)`
     * frame against a trained profile — each document votes for the
     * language sharing the most trigrams (ties to the smallest code,

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Hand-computed coverage for the r8 quality-signal wave: bigram LM
+  * perplexity, character entropy, count-min error audit. The oracle
+  * pins engine-vs-DuckDB determinism on the real corpus; these pin the
+  * MATH on crafted inputs where the expected value is known in closed
+  * form.
+  */
+class QualitySignalsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("bigramPerplexity: hand-computed add-1 LM on a two-doc corpus") {
+    // docs: "a b a", "b b".
+    // pairs: (<s>,a)(a,b)(b,a) | (<s>,b)(b,b); V = |{a,b}| = 2
+    // cu: <s>=2, a=1, b=2
+    // P(<s>→a) = (1+1)/(2+2) = .5        nll = ln 2      = 0.693147
+    // P(a→b)   = (1+1)/(1+2) = 2/3       nll = ln 1.5    = 0.405465
+    // P(b→a)   = (1+1)/(2+2) = .5        nll = 0.693147
+    // P(<s>→b) = (1+1)/(2+2) = .5        nll = 0.693147
+    // P(b→b)   = (1+1)/(2+2) = .5        nll = 0.693147
+    val got = TextAnalysis.bigramPerplexityFrom(docs("a b a", "b b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val avg1 = BigDecimal((0.693147 + 0.405465 + 0.693147) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val avg2 = 0.693147
+    def pplOf(a: Double) = BigDecimal(math.exp(a))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(
+      (0L, 3L, avg1, pplOf(avg1)),
+      (1L, 2L, avg2, pplOf(avg2))))
+  }
+
+  test("bigramPerplexity: every token position is scored (join totality)") {
+    val df = TextAnalysis.bigramPerplexity(spark, sfDir)
+    val both = TextAnalysis.textStats(spark, sfDir).select("doc_id", "n_tokens")
+      .join(df, Seq("doc_id"), "full_outer")
+    assert(both.filter(col("n_tokens").isNull || col("n_scored").isNull ||
+      col("n_tokens") =!= col("n_scored")).count() == 0)
+    // add-1 smoothing caps any conditional at < 1 → nll > 0 → ppl > 1
+    assert(df.filter(col("avg_nll") <= 0 || col("ppl") <= 1).count() == 0)
+  }
+
+  test("charEntropy: closed-form values for uniform, skewed and degenerate docs") {
+    val got = TextAnalysis.charEntropyFrom(docs("ab", "aab", "aaaa"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // "ab": uniform over 2 symbols → exactly 1 bit
+    // "aab": (ln 3 − (2 ln 2)/3)/ln 2 = 0.918296 (6dp)
+    // "aaaa": single symbol → 0 bits
+    assert(got.toSeq == Seq(
+      (0L, 2L, 2L, 1.0),
+      (1L, 3L, 2L, 0.918296),
+      (2L, 4L, 1L, 0.0)))
+  }
+
+  test("cmsError: the one-sided contract holds and ranks cover the exact top-k") {
+    val rows = TextAnalysis.cmsError(spark, sfDir, k = 10).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("rk")).toSeq == (1L to 10L))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("guarantee_ok"),
+        s"CMS under-estimated ${r.getAs[String]("tok")}")
+      assert(r.getAs[Long]("overestimate") >= 0)
+      assert(r.getAs[Double]("over_share") >= 0.0)
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("exact"))
+    }
+    // exact counts descend with rank (the audit targets really are the
+    // heavy hitters, same tie-break as x_heavy_hitters)
+    val ex = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("exact"))
+    assert(ex.zip(ex.tail).forall { case (a, b) => a >= b })
+  }
+}
