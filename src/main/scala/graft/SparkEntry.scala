@@ -181,6 +181,7 @@ object SparkEntry {
     "x_bpe_train"          -> ((s, dir) => TextAnalysis.bpeTrain(s, dir)),
     "x_bpe_tokens"         -> ((s, dir) => TextAnalysis.bpeTokenCounts(s, dir)),
     "x_bigram_ppl"         -> ((s, dir) => TextAnalysis.bigramPerplexity(s, dir)),
+    "x_ppl_holdout"        -> ((s, dir) => TextAnalysis.pplHoldout(s, dir)),
     "x_char_entropy"       -> ((s, dir) => TextAnalysis.charEntropy(s, dir)),
     "x_cms_error"          -> ((s, dir) => TextAnalysis.cmsError(s, dir)),
     "x_vocab_coverage"     -> ((s, dir) => TextAnalysis.vocabCoverage(s, dir)),
@@ -2817,6 +2818,47 @@ object SparkEntry {
         |      FROM dpc JOIN m USING (prev, cur) GROUP BY doc_id),
         |a AS (SELECT doc_id, n_scored, round(sn::DOUBLE / n_scored, 6) AS avg_nll FROM s)
         |SELECT doc_id, n_scored, avg_nll, round(exp(avg_nll), 6) AS ppl
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    // held-out perplexity: LM trained on the 80% PolyHash(doc_id)
+    // split, the held-out 20% scored through the frozen model with
+    // add-1 unseen fallbacks (ctx: ln(cu+V); und: ln(V))
+    "x_ppl_holdout" ->
+      """WITH ph AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    list_reduce(list_transform(range(1, len(CAST(doc_id AS VARCHAR))+1),
+        |      i -> ascii(substr(CAST(doc_id AS VARCHAR), i, 1))::BIGINT),
+        |      (acc,c) -> (acc*31+c)%1000000007) % 10 AS b
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, b, unnest(list_transform(range(1, len(toks)+1),
+        |    i -> {'prev': CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END,
+        |          'cur': toks[i]})) AS pr
+        |  FROM ph),
+        |p2 AS (SELECT doc_id, b, pr.prev AS prev, pr.cur AS cur FROM p),
+        |cb AS (SELECT prev, cur, COUNT(*) AS cb FROM p2 WHERE b < 8
+        |       GROUP BY prev, cur),
+        |cu AS (SELECT prev, SUM(cb)::BIGINT AS cu FROM cb GROUP BY prev),
+        |v AS (SELECT COUNT(DISTINCT cur) AS v FROM cb),
+        |bi AS (SELECT prev, cur,
+        |         CAST(round(-ln((cb + 1.0) / (cu + v)), 6) AS DECIMAL(18,6)) AS nll
+        |       FROM cb JOIN cu USING (prev), v),
+        |ctx AS (SELECT prev, CAST(round(ln(cu + v), 6) AS DECIMAL(18,6)) AS nll
+        |        FROM cu, v),
+        |und AS (SELECT CAST(round(ln(v), 6) AS DECIMAL(18,6)) AS nll FROM v),
+        |dpc AS (SELECT doc_id, prev, cur, COUNT(*) AS c FROM p2 WHERE b >= 8
+        |        GROUP BY doc_id, prev, cur),
+        |sc AS (SELECT d.doc_id, d.c,
+        |         COALESCE(bi.nll, ctx.nll, (SELECT nll FROM und)) AS nll,
+        |         bi.nll IS NULL AS unseen
+        |       FROM dpc d LEFT JOIN bi USING (prev, cur) LEFT JOIN ctx USING (prev)),
+        |s AS (SELECT doc_id, SUM(c)::BIGINT AS n_scored,
+        |        SUM(CASE WHEN unseen THEN c ELSE 0 END)::BIGINT AS n_unseen,
+        |        SUM(nll * CAST(c AS DECIMAL(8,0))) AS sn
+        |      FROM sc GROUP BY doc_id),
+        |a AS (SELECT doc_id, n_scored, n_unseen,
+        |        round(sn::DOUBLE / n_scored, 6) AS avg_nll FROM s)
+        |SELECT doc_id, n_scored, n_unseen, avg_nll, round(exp(avg_nll), 6) AS ppl
         |FROM a ORDER BY doc_id""".stripMargin,
 
     // per-doc character Shannon entropy (compression-proxy quality

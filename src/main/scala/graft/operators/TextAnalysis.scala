@@ -578,17 +578,7 @@ object TextAnalysis {
   /** [[bigramPerplexity]] over ANY `(doc_id, text, ...)` frame — the
     * spec seam. */
   private[graft] def bigramPerplexityFrom(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val pairs = docs
-      .repartition(n, col("doc_id"))
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"),
-        explode(sequence(lit(1), size(col("toks")))).as("i"), col("toks"))
-      .select(col("doc_id"),
-        when(col("i") === 1, lit("<s>"))
-          .otherwise(element_at(col("toks"), col("i") - 1)).as("prev"),
-        element_at(col("toks"), col("i")).as("cur"))
+    val pairs = bigramPairs(docs)
     // one corpus pass -> per-doc bigram counts; model tables are rollups
     val dpc = pairs.groupBy("doc_id", "prev", "cur")
       .agg(count(lit(1)).as("c")).localCheckpoint()
@@ -607,6 +597,115 @@ object TextAnalysis {
         round(col("sn").cast("double") / col("n_scored"), 6).as("avg_nll"))
       .withColumn("ppl", round(exp(col("avg_nll")), 6))
       .orderBy("doc_id")
+  }
+
+  /** The `(doc_id, prev, cur)` bigram-position stream every LM phase
+    * reads: a `<s>` sentinel as the first context, then each adjacent
+    * token pair. Narrow explode after the doc_id repartition.
+    */
+  private def bigramPairs(docs: DataFrame): DataFrame = {
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    docs
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")))).as("i"), col("toks"))
+      .select(col("doc_id"),
+        when(col("i") === 1, lit("<s>"))
+          .otherwise(element_at(col("toks"), col("i") - 1)).as("prev"),
+        element_at(col("toks"), col("i")).as("cur"))
+  }
+
+  /** The trained bigram LM as ONE publishable artifact — the
+    * deployment form of [[bigramPerplexity]]'s model, with the
+    * out-of-vocabulary mass a frozen model needs when scoring text it
+    * was not trained on (the train==score fast path never hits it).
+    * One table, three row kinds:
+    *   - `bi`  (prev, cur): −ln P of a TRAINING bigram;
+    *   - `ctx` (prev): the unseen-bigram fallback for a known context,
+    *     −ln(1/(c(prev,·)+V)) = ln(c(prev,·)+V);
+    *   - `und`: the unseen-context fallback ln(V).
+    * The add-1 unseen mass 1/(c(prev,·)+V) is charged to ANY unseen
+    * next word, vocabulary member or not — the standard open-vocab
+    * reading of Laplace smoothing for a scoring (not sampling) model.
+    *
+    * Scale shape: training is [[bigramPerplexity]]'s — one corpus
+    * pass into the vocabulary-sized bigram aggregate, everything else
+    * rollups of it.
+    */
+  def bigramModel(spark: SparkSession, dir: String): DataFrame =
+    bigramModelFrom(Tables.documents(spark, dir))
+
+  /** [[bigramModel]] over ANY `(doc_id, text, ...)` frame. */
+  private[graft] def bigramModelFrom(docs: DataFrame): DataFrame = {
+    val cb = bigramPairs(docs)
+      .groupBy("prev", "cur").agg(count(lit(1)).as("cb")).localCheckpoint()
+    val cu = cb.groupBy("prev").agg(sum(col("cb")).as("cu")).localCheckpoint()
+    val vRow = cb.agg(countDistinct(col("cur")).as("v"))
+    val bi = cb.join(cu, Seq("prev")).crossJoin(broadcast(vRow))
+      .select(lit("bi").as("kind"), col("prev"), col("cur"),
+        round(-log((col("cb") + lit(1.0)) / (col("cu") + col("v"))), 6)
+          .cast("decimal(18,6)").as("nll"))
+    val ctx = cu.crossJoin(broadcast(vRow))
+      .select(lit("ctx").as("kind"), col("prev"), lit(null).cast("string").as("cur"),
+        round(log(col("cu") + col("v")), 6).cast("decimal(18,6)").as("nll"))
+    val und = vRow
+      .select(lit("und").as("kind"), lit(null).cast("string").as("prev"),
+        lit(null).cast("string").as("cur"),
+        round(log(col("v")), 6).cast("decimal(18,6)").as("nll"))
+    bi.unionByName(ctx).unionByName(und)
+  }
+
+  /** Score ANY `(doc_id, text, ...)` frame against a published
+    * [[bigramModel]] — per doc: scored positions, positions charged
+    * the unseen fallback (the OOV-mass measure), avg −ln P,
+    * perplexity. THE shared seam with the streaming twin
+    * ([[graft.streaming.StreamingPerplexity]]), so stream and batch
+    * cannot drift.
+    *
+    * Scale shape: doc-bigram counts equi-join the seen-bigram table
+    * (AQE-sized), then the vocabulary-sized context fallback, then
+    * the one-row default broadcasts; the per-doc rollup aggregates on
+    * doc_id.
+    */
+  def bigramScore(docs: DataFrame, model: DataFrame): DataFrame = {
+    val bi = model.filter(col("kind") === "bi")
+      .select(col("prev"), col("cur"), col("nll").as("nll_bi"))
+    val ctx = model.filter(col("kind") === "ctx")
+      .select(col("prev"), col("nll").as("nll_ctx"))
+    val und = model.filter(col("kind") === "und")
+      .select(col("nll").as("nll_und"))
+    bigramPairs(docs)
+      .groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("c"))
+      .join(bi, Seq("prev", "cur"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .crossJoin(broadcast(und))
+      .withColumn("nll", coalesce(col("nll_bi"), col("nll_ctx"), col("nll_und")))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_scored"),
+           sum(when(col("nll_bi").isNull, col("c")).otherwise(lit(0L))).as("n_unseen"),
+           sum(col("nll") * col("c").cast("decimal(8,0)")).as("sn"))
+      .select(col("doc_id"), col("n_scored"), col("n_unseen"),
+        round(col("sn").cast("double") / col("n_scored"), 6).as("avg_nll"))
+      .withColumn("ppl", round(exp(col("avg_nll")), 6))
+  }
+
+  /** Held-out perplexity evaluation — the measurement
+    * [[bigramPerplexity]] (training-set fit) cannot give: train the
+    * bigram LM on the 80% [[CorpusOps.splitLeakage]]-style
+    * PolyHash(doc_id) split, score ONLY the held-out 20% through the
+    * frozen [[bigramModel]], so avg_nll measures GENERALIZATION and
+    * n_unseen measures the OOV mass the fallback absorbed — the same
+    * train/evaluate discipline as [[langIdHoldout]].
+    */
+  def pplHoldout(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyHash.register(spark)
+    def bucket = pmod(call_function(graft.functions.PolyHash.Name,
+      col("doc_id").cast("string")), lit(10))
+    val docs = Tables.documents(spark, dir)
+    // three consumers (the bi/ctx/und splits) of one trained artifact
+    val model = bigramModelFrom(docs.filter(bucket < 8)).localCheckpoint()
+    bigramScore(docs.filter(bucket >= 8), model).orderBy("doc_id")
   }
 
   /** Per-document character-level Shannon entropy in bits — the

@@ -47,6 +47,47 @@ class QualitySignalsSpec extends SparkSuite {
     assert(df.filter(col("avg_nll") <= 0 || col("ppl") <= 1).count() == 0)
   }
 
+  test("bigramScore against the self-trained model equals bigramPerplexity") {
+    // train == score corpus: the frozen-model path must reproduce the
+    // fast path exactly and never touch the unseen fallbacks
+    val d = docs("a b a", "b b", "c a b c")
+    val model = TextAnalysis.bigramModelFrom(d)
+    val scored = TextAnalysis.bigramScore(d, model).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val fast = TextAnalysis.bigramPerplexityFrom(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(scored.map(t => (t._1, t._2, t._4, t._5)).toSeq == fast.toSeq)
+    assert(scored.forall(_._3 == 0L), "self-scoring hit an unseen fallback")
+  }
+
+  test("bigramScore: unseen bigrams charge the add-1 fallback mass") {
+    // model trained on "a b"; scoring "a c x y" hits every fallback:
+    // pairs (<s>,a)(a,c)(c,x)(x,y).
+    // train pairs: (<s>,a)(a,b); V=2; cu: <s>=1, a=1
+    //   (<s>,a): seen  nll = -ln(2/3)          = 0.405465
+    //   (a,c):   ctx   nll = ln(1+2) = ln 3    = 1.098612
+    //   (c,x):   und   nll = ln 2              = 0.693147
+    //   (x,y):   und   nll = 0.693147
+    val model = TextAnalysis.bigramModelFrom(docs("a b"))
+    val got = TextAnalysis.bigramScore(docs("a c x y"), model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val avg = BigDecimal((0.405465 + 1.098612 + 0.693147 + 0.693147) / 4)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((0L, 4L, 3L, avg)))
+  }
+
+  test("pplHoldout: held-out docs only, OOV mass measured") {
+    val df = TextAnalysis.pplHoldout(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length < 500, "holdout must be a strict subset")
+    // the 20% split by PolyHash(doc_id) — every scored doc is in it
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_unseen") >= 0 &&
+        r.getAs[Long]("n_unseen") <= r.getAs[Long]("n_scored"))
+      assert(r.getAs[Double]("ppl") > 1.0)
+    }
+  }
+
   test("charEntropy: closed-form values for uniform, skewed and degenerate docs") {
     val got = TextAnalysis.charEntropyFrom(docs("ab", "aab", "aaaa"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -423,6 +423,46 @@ class StreamingSpec extends SparkSuite {
       "batch replay must not change the prediction set")
   }
 
+  test("streaming perplexity over the published bigram LM equals batch scoring") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ppl-").toString
+    val (model, scores) = (s"$base/model", s"$base/scores")
+    // train on the corpus, publish the frozen LM artifact
+    graft.streaming.StreamingPerplexity.publishModel(spark, sfDir, model)
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(graft.streaming.StreamingPerplexity.scoreSink(model, scores))
+      .start()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (high, low) = docs.partition(_._1 >= 250)
+    try {
+      Seq(high.take(150), low, high.drop(150)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    val got = rows(graft.streaming.StreamingPerplexity.readScores(spark, scores))
+    val want = rows(graft.operators.TextAnalysis.bigramScore(
+      graft.Tables.documents(spark, sfDir),
+      graft.streaming.StreamingPerplexity.readModel(spark, model))
+      .select("doc_id", "n_scored", "n_unseen", "avg_nll", "ppl"))
+    assert(got == want, s"stream==batch: ${got.size} streamed vs ${want.size} batch scores")
+    assert(got.size == docs.length, "every doc scored")
+    // the model was trained on this same corpus, so no position is OOV
+    assert(got.forall(_._3 == 0L), "self-scoring must never hit the unseen fallback")
+    // replayed micro-batch must be idempotent
+    graft.streaming.StreamingPerplexity.scoreSink(model, scores)(
+      high.drop(150).toDF("doc_id", "text"), 2L)
+    assert(rows(graft.streaming.StreamingPerplexity.readScores(spark, scores)) == got,
+      "batch replay must not change the score set")
+  }
+
   test("incremental domain cap equals the batch domainCap pass (stream==batch, out of order)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files
