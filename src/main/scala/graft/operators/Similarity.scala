@@ -411,6 +411,70 @@ object Similarity {
     recallVsBrute(brute, rankTopK(scored, k), k)
   }
 
+  /** Johnson-Lindenstrauss sign-projection recall audit — the
+    * DIMENSIONALITY-REDUCTION scale path beside bucketing (LSH/IVF)
+    * and code compression (int8/PQ): project 64-dim embeddings to
+    * `jlDim` coordinates with the Achlioptas ±1 random-sign matrix
+    * (Achlioptas 2001 — the database-friendly JL variant; signs here
+    * are the [[VectorFunctions.planeWeight]] LCG signs, so the
+    * "random" matrix is deterministic and oracle-replayable), then
+    * run brute-force cosine top-k IN THE REDUCED SPACE and measure
+    * recall against full-dimension brute truth. At 100 TB the reduced
+    * store is jlDim/64 of the memory and each candidate score is
+    * jlDim/64 of the FLOPs — this audit prices what that buys.
+    *
+    * Exactness: components quantize to micro-units BEFORE projecting
+    * (round(x·1e6), the [[labelCentroids]] convention), so every
+    * reduced coordinate is an exact BIGINT ±sum, every reduced dot
+    * product and squared norm is an exact BIGINT sum (|r_j| <= 64·2^31
+    * keeps products inside int64), and the only doubles are the final
+    * sqrt/divide over identical integer inputs in both engines.
+    *
+    * Scale shape: the projection is ONE narrow aggregate per vector
+    * (jlDim conditional sums — no per-plane corpus scans); the scoring
+    * join broadcasts the nQueries-bounded reduced query side and
+    * fans out jlDim rows per (query, vector) pair map-side; exchanges
+    * carry (query, vector, dot) aggregates, never embedding
+    * components.
+    */
+  def knnJlRecall(spark: SparkSession, dir: String, k: Int = 5,
+                  nQueries: Int = 10, jlDim: Int = 16): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val c = corpus(spark, dir)
+    val brute = knnBruteFrom(c, k, nQueries).localCheckpoint()
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val rows = Tables.embeddings(spark, dir)
+      .repartition(n, col("vec_id"))
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("bigint").as("pos"),
+        round(col("col").cast("double") * 1e6).cast("bigint").as("vq"))
+    def sgn(j: Int): Column =
+      when(VectorFunctions.planeWeight(lit(j), col("pos")) >= 0, lit(1L))
+        .otherwise(lit(-1L))
+    val aggs = (0 until jlDim).map(j => sum(col("vq") * sgn(j)).as(s"r$j"))
+    // consumers: norms + both scoring sides — one materialization
+    val reduced = rows.groupBy("vec_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until jlDim).map(j => col(s"r$j")): _*)))
+      .select(col("vec_id"), col("pos").cast("bigint").as("j"), col("col").as("r"))
+      .localCheckpoint()
+    val norms = reduced.groupBy("vec_id").agg(sum(col("r") * col("r")).as("n2"))
+    val rc = reduced.join(norms, Seq("vec_id"))
+    val q = rc.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("j"),
+        col("r").as("qr"), col("n2").as("qn2"))
+    val approx = rc.join(broadcast(q), Seq("j"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id", "n2", "qn2")
+      .agg(sum(col("r") * col("qr")).as("dot"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("dot").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))), 6)
+          .as("cos"))
+    recallVsBrute(brute, rankTopK(approx, k), k)
+  }
+
   /** Sign-LSH (single 8-plane bucket) recall audit. */
   def knnLshRecall(spark: SparkSession, dir: String,
                    k: Int = 5, nQueries: Int = 10): DataFrame = {

@@ -781,13 +781,38 @@ object TextAnalysis {
     * estimate join; the top-k is TakeOrdered over vocabulary-sized
     * input.
     */
+  /** CMS row-`i` counter index of a polyhashed token — the
+    * minhash-style family ((2i+1)·th + (5i+3)) mod P mod width,
+    * shared by the audit, the partial builder and the streaming twin
+    * so no two sites can drift.
+    */
+  private[graft] def cmsBucket(i: Column, th: Column): Column =
+    ((i * 2 + 1) * th + (i * 5 + 3)) % graft.functions.TextFunctions.P % CmsWidth
+
+  /** One CMS partial: the depth x width counter table over ANY
+    * `(text, ...)` frame's token stream. Counters are SUMS, so
+    * partials over disjoint frames merge by per-cell addition — the
+    * sketch-mergeability property every distributed/streaming use of
+    * CMS rests on ([[graft.streaming.StreamingCms]] is built on this
+    * seam; [[cmsError]] is the accuracy audit that licenses serving
+    * from the merged sketch).
+    */
+  private[graft] def cmsCountersFrom(docs: DataFrame): DataFrame = {
+    graft.functions.PolyHash.register(docs.sparkSession)
+    docs
+      .select(explode(toks).as("tok"))
+      .withColumn("th", call_function(graft.functions.PolyHash.Name, col("tok")))
+      .select(col("th"),
+        explode(sequence(lit(0L), lit((CmsDepth - 1).toLong))).as("i"))
+      .groupBy(col("i"), cmsBucket(col("i"), col("th")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   def cmsError(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.PolyHash.register(spark)
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val P = graft.functions.TextFunctions.P
-    def bucketOf(i: Column, th: Column): Column =
-      ((i * 2 + 1) * th + (i * 5 + 3)) % P % CmsWidth
+    def bucketOf(i: Column, th: Column): Column = cmsBucket(i, th)
     val exact = Tables.documents(spark, dir)
       .repartition(n, col("doc_id"))
       .select(explode(toks).as("tok"))

@@ -463,6 +463,48 @@ class StreamingSpec extends SparkSuite {
       "batch replay must not change the score set")
   }
 
+  test("streaming CMS partials merge to the batch sketch (mergeability, out of order)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, count, explode, lit, split}
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "cms-").toString
+    val ctr = s"$base/counters"
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(graft.streaming.StreamingCms.counterSink(ctr))
+      .start()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (high, low) = docs.partition(_._1 >= 250)
+    try {
+      Seq(high.take(150), low, high.drop(150)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("bucket"), r.getAs[Long]("cnt"))).toSet
+    val got = cells(graft.streaming.StreamingCms.readCounters(spark, ctr))
+    val want = cells(graft.operators.TextAnalysis.cmsCountersFrom(
+      graft.Tables.documents(spark, sfDir)))
+    assert(got == want, s"merged partials != batch sketch (${got.size} vs ${want.size} cells)")
+    // a replayed micro-batch must overwrite, not double-count — the
+    // failure mode additive state silently corrupts on at-least-once
+    graft.streaming.StreamingCms.counterSink(ctr)(
+      high.drop(150).toDF("doc_id", "text"), 2L)
+    assert(cells(graft.streaming.StreamingCms.readCounters(spark, ctr)) == got,
+      "batch replay double-counted the sketch")
+    // served estimates keep the one-sided contract for every token
+    val exact = graft.Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("exact"))
+    val est = graft.streaming.StreamingCms.estimates(
+      exact.select("tok"), graft.streaming.StreamingCms.readCounters(spark, ctr))
+    assert(exact.join(est, "tok").filter(col("est") < col("exact")).count() == 0,
+      "a served estimate under-counted")
+  }
+
   test("incremental domain cap equals the batch domainCap pass (stream==batch, out of order)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files
