@@ -205,7 +205,7 @@ object SparkEntry {
     "x_unified_survivors"  -> ((s, dir) => Dedup.dedupSurvivorsUnified(s, dir)),
     "x_knn_recall"         -> ((s, dir) => Similarity.knnLshRecall(s, dir)),
     "x_quantized_recall"   -> ((s, dir) => Similarity.knnQuantizedRecall(s, dir)),
-    "x_jl_recall"          -> ((s, dir) => Similarity.knnJlRecall(s, dir)),
+    "x_jl_sweep"           -> ((s, dir) => Similarity.knnJlSweep(s, dir)),
     "x_pq_recall"          -> ((s, dir) => Similarity.pqRecall(s, dir)),
     "x_pq_rerank"          -> ((s, dir) => Similarity.pqRerankRecall(s, dir)),
     "x_ivfpq"              -> ((s, dir) => Similarity.ivfPqRecall(s, dir)),
@@ -291,6 +291,41 @@ object SparkEntry {
        |         COUNT(*) AS n_spans,
        |         CAST(COALESCE(SUM(span_tokens), 0) AS BIGINT) AS dup_tokens
        |  FROM spans$g)""".stripMargin
+
+  /** Sweep dimensions for the JL oracle — must equal the Scala
+    * default in `Similarity.knnJlSweep`.
+    */
+  private val JlDims = Seq(8, 16, 32, 48)
+
+  /** Per-dimension CTE block of the JL sweep oracle: the shared
+    * `red` reduced table's `j < d` prefix scores reduced-space brute
+    * top-5, which joins the full-dimension truth `top_b` into a
+    * per-query recall row stamped with the dimension.
+    */
+  private def jlDimCte(d: Int): String =
+    s"""rq$d AS (SELECT vec_id AS query_id, j, r FROM red WHERE vec_id < 10 AND j < $d),
+       |nr$d AS (SELECT vec_id, SUM(r*r)::BIGINT AS n2 FROM red WHERE j < $d GROUP BY vec_id),
+       |sc0_$d AS (
+       |  SELECT q.query_id, red.vec_id AS neighbor_id, SUM(red.r * q.r)::BIGINT AS dot
+       |  FROM red JOIN rq$d q USING (j) WHERE red.vec_id <> q.query_id
+       |  GROUP BY q.query_id, red.vec_id),
+       |sc$d AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(dot::DOUBLE / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)), 6) AS cos
+       |  FROM sc0_$d JOIN nr$d a ON a.vec_id = neighbor_id
+       |              JOIN nr$d b ON b.vec_id = query_id),
+       |ap$d AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+       |    FROM sc$d) WHERE rk <= 5),
+       |hits$d AS (
+       |  SELECT b.query_id, COUNT(*) AS n_hits
+       |  FROM top_b b JOIN ap$d l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+       |  GROUP BY b.query_id),
+       |res$d AS (
+       |  SELECT $d::BIGINT AS jl_dim, qq.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+       |    round(COALESCE(h.n_hits, 0)::DOUBLE/5, 6) AS recall
+       |  FROM (SELECT DISTINCT query_id FROM top_b) qq LEFT JOIN hits$d h USING (query_id))""".stripMargin
 
   /** Merge rounds for the BPE oracle pair — must equal the Scala
     * default in `TextAnalysis.bpeTrain`/`bpeTokenCounts`.
@@ -2720,36 +2755,22 @@ object SparkEntry {
         |GROUP BY a.blk ORDER BY a.blk""".stripMargin,
 
     // Johnson-Lindenstrauss ±1 sign-projection (Achlioptas) recall
-    // audit: micro-unit integer reduced vectors, exact BIGINT dots,
-    // reduced-space brute top-k vs full-dimension brute truth
-    "x_jl_recall" ->
-      """WITH m0 AS (
+    // sweep: micro-unit integer reduced vectors (one shared 48-wide
+    // projection, each level reads the j < d prefix), exact BIGINT
+    // dots, reduced-space brute top-k vs full-dimension brute truth
+    "x_jl_sweep" ->
+      ("""WITH m0 AS (
         |  SELECT vec_id, unnest(list_transform(range(0, len(embedding)),
         |    i -> {'pos': i,
         |          'vq': CAST(round(embedding[i+1]::DOUBLE * 1e6) AS BIGINT)})) AS pv
         |  FROM embeddings),
         |m AS (SELECT vec_id, pv.pos AS pos, pv.vq AS vq FROM m0),
-        |jdim AS (SELECT unnest(range(0, 16)) AS j),
-        |red AS (
+        |jdim AS (SELECT unnest(range(0, 48)) AS j),
+        |red AS MATERIALIZED (
         |  SELECT vec_id, j,
         |    SUM(vq * CASE WHEN ((j*64+pos)*1103515245 + 12345) % 65536 - 32768 >= 0
         |             THEN 1 ELSE -1 END)::BIGINT AS r
         |  FROM m, jdim GROUP BY vec_id, j),
-        |nr AS (SELECT vec_id, SUM(r*r)::BIGINT AS n2 FROM red GROUP BY vec_id),
-        |rq AS (SELECT vec_id AS query_id, j, r AS qr FROM red WHERE vec_id < 10),
-        |sc0 AS (
-        |  SELECT q.query_id, red.vec_id AS neighbor_id, SUM(red.r * q.qr)::BIGINT AS dot
-        |  FROM red JOIN rq q USING (j) WHERE red.vec_id <> q.query_id
-        |  GROUP BY q.query_id, red.vec_id),
-        |sc AS (
-        |  SELECT query_id, neighbor_id,
-        |    round(dot::DOUBLE / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)), 6) AS cos
-        |  FROM sc0 JOIN nr a ON a.vec_id = neighbor_id
-        |           JOIN nr b ON b.vec_id = query_id),
-        |ap AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
-        |    FROM sc) WHERE rk <= 5),
         |e AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE), (a,b)->a+b)) AS nrm
@@ -2762,18 +2783,14 @@ object SparkEntry {
         |    round(list_reduce(list_transform(range(1,65),
         |      i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*q.q_nrm), 6) AS cos
         |  FROM e, q WHERE e.vec_id <> q.query_id),
-        |top_b AS (
+        |top_b AS MATERIALIZED (
         |  SELECT query_id, neighbor_id FROM (
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
         |    FROM scored_b) WHERE rk <= 5),
-        |hits AS (
-        |  SELECT b.query_id, COUNT(*) AS n_hits
-        |  FROM top_b b JOIN ap l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
-        |  GROUP BY b.query_id)
-        |SELECT qq.query_id, COALESCE(h.n_hits, 0) AS n_hits,
-        |  round(COALESCE(h.n_hits, 0)::DOUBLE/5, 6) AS recall
-        |FROM (SELECT DISTINCT query_id FROM top_b) qq LEFT JOIN hits h USING (query_id)
-        |ORDER BY query_id""".stripMargin,
+        |""".stripMargin +
+       JlDims.map(jlDimCte).mkString(",\n") + "\n" +
+       JlDims.map(d => s"SELECT * FROM res$d").mkString(" UNION ALL ") +
+       " ORDER BY jl_dim, query_id"),
 
     "x_knn_recall" ->
       """WITH e AS (

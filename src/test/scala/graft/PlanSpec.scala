@@ -146,6 +146,15 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("JL sweep scores through a hash join on the reduced coordinate — no cartesian") {
+    // brute truth deliberately broadcasts the 10-query side as a BNL
+    // (the knnBruteForce shape); the reduced-space scoring itself must
+    // be the j-keyed BroadcastHashJoin, and nothing may cross-product
+    val plan = formatted(Similarity.knnJlSweep(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("embedding near-dup self-join is bucket-keyed — never a cross product") {
     val plan = formatted(Similarity.embeddingNearDup(spark, sfDir))
     assert(!plan.contains("CartesianProduct") &&

@@ -102,7 +102,14 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_semantic_dedup"    -> 5,
     // kmeansCtes (2) + routeCte (ORDER BY-only) + one SUM(n) consumed
     // only as the ::DOUBLE purity denominator
-    "x_cluster_purity"    -> 4
+    "x_cluster_purity"    -> 4,
+    // the DECIMAL nll sum `sn` is consumed only as sn::DOUBLE in the
+    // avg_nll projection — never escapes as a DECIMAL output column
+    "x_bigram_ppl"        -> 1,
+    "x_ppl_holdout"       -> 1,
+    // the DECIMAL c·ln(c) sum `sc` is consumed only as sc::DOUBLE in
+    // the entropy projection
+    "x_char_entropy"      -> 1
   )
 
   /** Count SUM( occurrences whose result is not immediately cast. */
