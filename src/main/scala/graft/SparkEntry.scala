@@ -74,6 +74,8 @@ object SparkEntry {
     "x_rollup"             -> ((s, dir) => Analytics.returnFlagRollup(s, dir)),
     "x_cube"               -> ((s, dir) => Analytics.orderStatusCube(s, dir)),
     "x_hourly_events"      -> ((s, dir) => Analytics.hourlyEventAgg(s, dir)),
+    "x_cohort_retention"   -> ((s, dir) => Analytics.cohortRetention(s, dir)),
+    "x_event_funnel"       -> ((s, dir) => Analytics.eventFunnel(s, dir)),
     "x_json_props"         -> ((s, dir) => Analytics.jsonPropsAgg(s, dir)),
     "x_running_spend"      -> ((s, dir) => Analytics.runningCustomerSpend(s, dir)),
     "x_value_bands"        -> ((s, dir) => Analytics.valueBandJoin(s, dir)),
@@ -771,6 +773,49 @@ object SparkEntry {
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY bucket_s, event_type
         |ORDER BY bucket_s, event_type""".stripMargin,
+
+    // first-seen-day cohort x day-offset retention matrix; day buckets
+    // bridged as epoch seconds (the x_hourly_events convention)
+    "x_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts))//1000000 AS day_s
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(day_s) AS cohort_s FROM a GROUP BY user_id),
+        |s AS (SELECT cohort_s, COUNT(DISTINCT user_id) AS cohort_size FROM f GROUP BY cohort_s),
+        |r AS (
+        |  SELECT f.cohort_s, (a.day_s - f.cohort_s)//86400 AS offset_days,
+        |    COUNT(DISTINCT a.user_id) AS n_users
+        |  FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT r.cohort_s, r.offset_days, r.n_users, s.cohort_size,
+        |  round(r.n_users::DOUBLE / s.cohort_size, 6) AS retention
+        |FROM r JOIN s USING (cohort_s) ORDER BY cohort_s, offset_days""".stripMargin,
+
+    // ordered signup -> click -> purchase funnel: each step's clock
+    // starts at the previous step's event and must land within 24h of
+    // it; counts + shares only (no timestamps escape)
+    "x_event_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup'
+        |  GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= t1.t1
+        |    AND e.ts <= t1.t1 + INTERVAL 24 HOURS
+        |  GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= t2.t2
+        |    AND e.ts <= t2.t2 + INTERVAL 24 HOURS
+        |  GROUP BY e.user_id),
+        |u AS (
+        |  SELECT 1::BIGINT AS step_no, 'signup' AS step, COUNT(*) AS n_users FROM t1
+        |  UNION ALL
+        |  SELECT 2::BIGINT, 'click_after_signup', COUNT(*) FROM t2
+        |  UNION ALL
+        |  SELECT 3::BIGINT, 'purchase_after_click', COUNT(*) FROM t3),
+        |n0 AS (SELECT COUNT(*) AS n0 FROM t1)
+        |SELECT step_no, step, n_users, round(n_users::DOUBLE / n0, 6) AS share
+        |FROM u, n0 ORDER BY step_no""".stripMargin,
 
     "x_json_props" ->
       """SELECT event_type, COUNT(*) AS n,

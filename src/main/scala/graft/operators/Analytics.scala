@@ -1396,4 +1396,78 @@ object Analytics {
         Seq(col("zval"), col("l_orderkey"), col("l_linenumber"))))
       .orderBy("layout")
   }
+
+  /** Cohort retention matrix over the event stream — the classic
+    * product-analytics rollup: users cohorted by FIRST-seen day, each
+    * cohort's distinct active users counted at every day offset, and
+    * the share retained. Day buckets ride the [[hourlyEventAgg]] epoch
+    * convention (session-zoned truncation cast to epoch seconds) so
+    * both engines compare integers, never timestamps.
+    *
+    * Scale shape: the (user, day) activity grid is ONE distinct over a
+    * narrow projection (the only corpus-sized shuffle); first-seen and
+    * cohort sizes are user-count-sized rollups of it; the retention
+    * cell count is bounded by days² regardless of event volume.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(spark, dir)
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).cast("long").as("day_s"))
+      .distinct()
+      .localCheckpoint() // consumers: first-seen rollup + the cell join
+    val firstDay = grid.groupBy("user_id").agg(min(col("day_s")).as("cohort_s"))
+    val sizes = firstDay.groupBy("cohort_s")
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    grid.join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort_s"),
+        ((col("day_s") - col("cohort_s")) / 86400).cast("bigint").as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .join(sizes, Seq("cohort_s"))
+      .select(col("cohort_s"), col("offset_days"), col("n_users"), col("cohort_size"),
+        round(col("n_users").cast("double") / col("cohort_size"), 6).as("retention"))
+      .orderBy("cohort_s", "offset_days")
+  }
+
+  /** Ordered three-step event funnel (signup → first click within
+    * `windowHours` of the signup → first purchase within
+    * `windowHours` of that click) with per-step user counts and
+    * conversion vs step 1 — the sequential-pattern rollup
+    * [[hourlyEventAgg]]-style bucket aggs cannot express, because each
+    * step's clock starts at the PREVIOUS step's event and the window
+    * constrains the gap, not the absolute time. Output is steps-sized;
+    * no timestamps escape (counts and shares only), so the oracle
+    * compares integers and one rounded ratio.
+    *
+    * Scale shape: three narrow type-filtered passes, each aggregated
+    * per user then equi-joined on user_id (step n+1 only scans its
+    * own event type against the step-n user table); no windows over
+    * the full stream, no cross products; the final union is
+    * steps-sized and the step-1 denominator broadcasts.
+    */
+  def eventFunnel(spark: SparkSession, dir: String,
+                  windowHours: Int = 24): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val w = expr(s"INTERVAL $windowHours HOURS")
+    val t1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, Seq("user_id"))
+      .filter(col("ts") >= col("t1") && col("ts") <= col("t1") + w)
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id"))
+      .filter(col("ts") >= col("t2") && col("ts") <= col("t2") + w)
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    def level(df: DataFrame, no: Long, name: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(no).as("step_no"), lit(name).as("step"), col("n_users"))
+    val steps = level(t1, 1L, "signup")
+      .unionByName(level(t2, 2L, "click_after_signup"))
+      .unionByName(level(t3, 3L, "purchase_after_click"))
+    steps
+      .crossJoin(broadcast(t1.agg(count(lit(1)).as("n0"))))
+      .select(col("step_no"), col("step"), col("n_users"),
+        round(col("n_users").cast("double") / col("n0"), 6).as("share"))
+      .orderBy("step_no")
+  }
 }
