@@ -180,6 +180,7 @@ object SparkEntry {
     "x_lang_confusion"     -> ((s, dir) => TextAnalysis.langConfusion(s, dir)),
     "x_langid_ngram"       -> ((s, dir) => TextAnalysis.langIdNgram(s, dir)),
     "x_langid_holdout"     -> ((s, dir) => TextAnalysis.langIdHoldout(s, dir)),
+    "x_nb_holdout"         -> ((s, dir) => TextAnalysis.nbHoldout(s, dir)),
     "x_bpe_train"          -> ((s, dir) => TextAnalysis.bpeTrain(s, dir)),
     "x_bpe_tokens"         -> ((s, dir) => TextAnalysis.bpeTokenCounts(s, dir)),
     "x_bigram_ppl"         -> ((s, dir) => TextAnalysis.bigramPerplexity(s, dir)),
@@ -2938,6 +2939,49 @@ object SparkEntry {
         |a AS (SELECT doc_id, n_scored, round(sn::DOUBLE / n_scored, 6) AS avg_nll FROM s)
         |SELECT doc_id, n_scored, avg_nll, round(exp(avg_nll), 6) AS ppl
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // held-out multinomial Naive Bayes language classification:
+    // add-1 word likelihoods + class priors in negative log space,
+    // per-class unseen-word fallback, argmin with lexical tie-break
+    "x_nb_holdout" ->
+      """WITH ph AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+        |    list_reduce(list_transform(range(1, len(CAST(doc_id AS VARCHAR))+1),
+        |      i -> ascii(substr(CAST(doc_id AS VARCHAR), i, 1))::BIGINT),
+        |      (acc,c) -> (acc*31+c)%1000000007) % 10 AS b
+        |  FROM documents),
+        |w_tr AS (SELECT lang, unnest(toks) AS word FROM ph WHERE b < 8),
+        |clw AS (SELECT lang, word, COUNT(*) AS c FROM w_tr GROUP BY lang, word),
+        |tl AS (SELECT lang, SUM(c)::BIGINT AS t FROM clw GROUP BY lang),
+        |v AS (SELECT COUNT(DISTINCT word) AS v FROM clw),
+        |dl AS (SELECT lang, COUNT(*) AS d FROM ph WHERE b < 8 GROUP BY lang),
+        |dt AS (SELECT SUM(d)::BIGINT AS dt FROM dl),
+        |cls AS (
+        |  SELECT tl.lang AS plang,
+        |    CAST(round(-ln(dl.d::DOUBLE / dt), 6) AS DECIMAL(18,6)) AS prior_nll,
+        |    CAST(round(ln(tl.t + v), 6) AS DECIMAL(18,6)) AS unseen_nll
+        |  FROM tl JOIN dl USING (lang), v, dt),
+        |m AS (
+        |  SELECT lang AS plang, word,
+        |    CAST(round(-ln((c + 1.0) / (t + v)), 6) AS DECIMAL(18,6)) AS nll
+        |  FROM clw JOIN tl USING (lang), v),
+        |w_ho AS (SELECT doc_id, unnest(toks) AS word FROM ph WHERE b >= 8),
+        |dwc AS (SELECT doc_id, word, COUNT(*) AS c FROM w_ho GROUP BY doc_id, word),
+        |sc AS (
+        |  SELECT d.doc_id, cls.plang,
+        |    cls.prior_nll + SUM(COALESCE(m.nll, cls.unseen_nll)
+        |      * CAST(d.c AS DECIMAL(8,0))) AS score
+        |  FROM dwc d CROSS JOIN cls
+        |  LEFT JOIN m ON m.plang = cls.plang AND m.word = d.word
+        |  GROUP BY d.doc_id, cls.plang, cls.prior_nll),
+        |pred AS (
+        |  SELECT doc_id, plang AS lang_pred FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score ASC, plang) AS rk
+        |    FROM sc) WHERE rk = 1),
+        |j AS (SELECT ph.lang, p.lang_pred FROM ph JOIN pred p USING (doc_id) WHERE ph.b >= 8)
+        |SELECT lang, lang_pred, COUNT(*) AS n_docs,
+        |  round(COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS lang_share
+        |FROM j GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
 
     // held-out perplexity: LM trained on the 80% PolyHash(doc_id)
     // split, the held-out 20% scored through the frozen model with

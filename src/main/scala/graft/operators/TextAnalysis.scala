@@ -399,6 +399,87 @@ object TextAnalysis {
       .orderBy("lang", "lang_pred")
   }
 
+  /** Held-out multinomial Naive Bayes language classification — the
+    * PROBABILISTIC classifier family beside [[langIdHoldout]]'s
+    * profile voter (McCallum-Nigam 1998: word-count features, add-1
+    * likelihoods, log-space scoring with class priors — the fastText
+    * -shaped linear baseline every text-classification pipeline
+    * starts from). Trains on the 80% PolyHash(doc_id) split
+    * ([[langIdHoldout]]'s assignment, so the two classifiers are
+    * evaluated on the identical held-out 20%), scores each held-out
+    * document by total negative log-likelihood
+    *   nll(doc, l) = −ln P(l) + Σ_w c_w · −ln P(w|l),
+    * P(w|l) = (c_lw + 1)/(T_l + V), with the per-class unseen-word
+    * fallback −ln(1/(T_l+V)) (the [[bigramModel]] ctx-row move), and
+    * predicts argmin nll (ties to the smallest language code).
+    * Output is the held-out confusion matrix with within-label
+    * shares.
+    *
+    * Determinism: one −ln P evaluation per distinct (lang, word) —
+    * vocabulary-sized — rounded to 6 dp and carried as DECIMAL; the
+    * per-(doc, lang) score is prior + an order-independent exact
+    * DECIMAL sum, and the argmin compares DECIMALs via min(struct).
+    *
+    * Scale shape: training collapses to the (lang, word) vocabulary
+    * aggregate (one corpus pass, map-side partials); scoring
+    * equi-joins held-out doc-word counts to the langs x vocab model
+    * on the word key (AQE-sized — the model grows with vocabulary),
+    * the langs-sized fallback/prior table broadcasts, and everything
+    * after the per-doc argmin is langs²-sized.
+    */
+  def nbHoldout(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.PolyHash.register(spark)
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def bucket = pmod(call_function(graft.functions.PolyHash.Name,
+      col("doc_id").cast("string")), lit(10))
+    val docs = Tables.documents(spark, dir)
+    def words(d: DataFrame) = d
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"), col("lang"), explode(toks).as("word"))
+    // train: per-(lang, word) counts, class totals, vocab, doc priors
+    val clw = words(docs.filter(bucket < 8))
+      .groupBy("lang", "word").agg(count(lit(1)).as("c")).localCheckpoint()
+    val tl = clw.groupBy("lang").agg(sum(col("c")).as("t"))
+    val vRow = clw.agg(countDistinct(col("word")).as("v"))
+    val dl = docs.filter(bucket < 8).groupBy("lang").agg(count(lit(1)).as("d"))
+    val dTot = dl.agg(sum(col("d")).as("dt"))
+    // langs-sized head: prior nll + unseen-word fallback per class
+    val classes = tl.join(dl, Seq("lang")).crossJoin(broadcast(vRow))
+      .crossJoin(broadcast(dTot))
+      .select(col("lang").as("plang"),
+        round(-log(col("d").cast("double") / col("dt")), 6)
+          .cast("decimal(18,6)").as("prior_nll"),
+        round(log(col("t") + col("v")), 6)
+          .cast("decimal(18,6)").as("unseen_nll"))
+      .localCheckpoint()
+    val model = clw.join(tl, Seq("lang")).crossJoin(broadcast(vRow))
+      .select(col("lang").as("plang"), col("word"),
+        round(-log((col("c") + lit(1.0)) / (col("t") + col("v"))), 6)
+          .cast("decimal(18,6)").as("nll"))
+    // score the held-out 20%: every (doc-word, class) pair
+    val heldOut = docs.filter(bucket >= 8)
+    val dwc = words(heldOut).groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val pred = dwc
+      .crossJoin(broadcast(classes))
+      .join(model, Seq("plang", "word"), "left")
+      .groupBy("doc_id", "plang", "prior_nll")
+      .agg(sum(coalesce(col("nll"), col("unseen_nll"))
+        * col("c").cast("decimal(8,0)")).as("wsum"))
+      .select(col("doc_id"), col("plang"),
+        (col("prior_nll") + col("wsum")).as("score"))
+      .groupBy("doc_id")
+      .agg(min(struct(col("score"), col("plang"))).as("m"))
+      .select(col("doc_id"), col("m.plang").as("lang_pred"))
+    heldOut.select("doc_id", "lang")
+      .join(pred, Seq("doc_id"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
+      .withColumn("lang_share",
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy("lang")), 6))
+      .orderBy("lang", "lang_pred")
+  }
+
   /** Trained byte-pair-encoding merge table (Sennrich et al. 2016,
     * arXiv:1508.07909 — the subword tokenizer trainer): `rounds`
     * iterations of "count adjacent symbol pairs, merge the most

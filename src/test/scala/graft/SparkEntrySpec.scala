@@ -109,7 +109,10 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_ppl_holdout"       -> 1,
     // the DECIMAL c·ln(c) sum `sc` is consumed only as sc::DOUBLE in
     // the entropy projection
-    "x_char_entropy"      -> 1
+    "x_char_entropy"      -> 1,
+    // the DECIMAL score sum is consumed only by the argmin ORDER BY;
+    // the confusion-share window SUM is the ::DOUBLE denominator
+    "x_nb_holdout"        -> 2
   )
 
   /** Count SUM( occurrences whose result is not immediately cast. */
