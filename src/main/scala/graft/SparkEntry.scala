@@ -181,6 +181,7 @@ object SparkEntry {
     "x_langid_ngram"       -> ((s, dir) => TextAnalysis.langIdNgram(s, dir)),
     "x_langid_holdout"     -> ((s, dir) => TextAnalysis.langIdHoldout(s, dir)),
     "x_nb_holdout"         -> ((s, dir) => TextAnalysis.nbHoldout(s, dir)),
+    "x_dsir_select"        -> ((s, dir) => TextAnalysis.dsirSelect(s, dir)),
     "x_bpe_train"          -> ((s, dir) => TextAnalysis.bpeTrain(s, dir)),
     "x_bpe_tokens"         -> ((s, dir) => TextAnalysis.bpeTokenCounts(s, dir)),
     "x_bigram_ppl"         -> ((s, dir) => TextAnalysis.bigramPerplexity(s, dir)),
@@ -329,6 +330,30 @@ object SparkEntry {
        |  SELECT $d::BIGINT AS jl_dim, qq.query_id, COALESCE(h.n_hits, 0) AS n_hits,
        |    round(COALESCE(h.n_hits, 0)::DOUBLE/5, 6) AS recall
        |  FROM (SELECT DISTINCT query_id FROM top_b) qq LEFT JOIN hits$d h USING (query_id))""".stripMargin
+
+  /** One trained-and-scored bigram LM for the DSIR oracle: train on
+    * the `filterSql` slice of the shared `p2` pair stream (the
+    * x_ppl_holdout CTE shapes, suffixed by `tag`), then score EVERY
+    * document's `dpc` counts through the frozen model with the
+    * ctx/und fallbacks.
+    */
+  private def dsirLmCtes(tag: String, filterSql: String): String =
+    s"""cb_$tag AS (SELECT prev, cur, COUNT(*) AS cb FROM p2 WHERE $filterSql
+       |        GROUP BY prev, cur),
+       |cu_$tag AS (SELECT prev, SUM(cb)::BIGINT AS cu FROM cb_$tag GROUP BY prev),
+       |v_$tag AS (SELECT COUNT(DISTINCT cur) AS v FROM cb_$tag),
+       |bi_$tag AS (SELECT prev, cur,
+       |    CAST(round(-ln((cb + 1.0) / (cu + v)), 6) AS DECIMAL(18,6)) AS nll
+       |  FROM cb_$tag JOIN cu_$tag USING (prev), v_$tag),
+       |ctx_$tag AS (SELECT prev, CAST(round(ln(cu + v), 6) AS DECIMAL(18,6)) AS nll
+       |  FROM cu_$tag, v_$tag),
+       |und_$tag AS (SELECT CAST(round(ln(v), 6) AS DECIMAL(18,6)) AS nll FROM v_$tag),
+       |sc_$tag AS (SELECT d.doc_id, d.c,
+       |    COALESCE(bi_$tag.nll, ctx_$tag.nll, (SELECT nll FROM und_$tag)) AS nll
+       |  FROM dpc d LEFT JOIN bi_$tag USING (prev, cur) LEFT JOIN ctx_$tag USING (prev)),
+       |a_$tag AS (SELECT doc_id,
+       |    round(SUM(nll * CAST(c AS DECIMAL(8,0)))::DOUBLE / SUM(c), 6) AS avg_nll
+       |  FROM sc_$tag GROUP BY doc_id)""".stripMargin
 
   /** Merge rounds for the BPE oracle pair — must equal the Scala
     * default in `TextAnalysis.bpeTrain`/`bpeTokenCounts`.
@@ -2939,6 +2964,32 @@ object SparkEntry {
         |a AS (SELECT doc_id, n_scored, round(sn::DOUBLE / n_scored, 6) AS avg_nll FROM s)
         |SELECT doc_id, n_scored, avg_nll, round(exp(avg_nll), 6) AS ppl
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // DSIR importance selection: two bigram LMs (target = lang 'en'
+    // slice, raw = whole corpus) over the SHARED pair stream; top-50
+    // docs by log importance ratio nll_raw - nll_target
+    "x_dsir_select" ->
+      ("""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)+1),
+        |    i -> {'prev': CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END,
+        |          'cur': toks[i]})) AS pr
+        |  FROM d),
+        |p2 AS (SELECT doc_id, lang, pr.prev AS prev, pr.cur AS cur FROM p),
+        |dpc AS (SELECT doc_id, prev, cur, COUNT(*) AS c FROM p2
+        |        GROUP BY doc_id, prev, cur),
+        |""".stripMargin +
+       dsirLmCtes("t", "lang = 'en'") + ",\n" +
+       dsirLmCtes("r", "TRUE") + ",\n" +
+       """j AS (
+         |  SELECT a_t.doc_id, a_t.avg_nll AS nll_target, a_r.avg_nll AS nll_raw
+         |  FROM a_t JOIN a_r USING (doc_id))
+         |SELECT rk, doc_id, lang, nll_target, nll_raw, log_ratio FROM (
+         |  SELECT j.doc_id, d0.lang, j.nll_target, j.nll_raw,
+         |    round(j.nll_raw - j.nll_target, 6) AS log_ratio,
+         |    ROW_NUMBER() OVER (ORDER BY round(j.nll_raw - j.nll_target, 6) DESC, j.doc_id)::BIGINT AS rk
+         |  FROM j JOIN (SELECT doc_id, lang FROM documents) d0 USING (doc_id))
+         |WHERE rk <= 50 ORDER BY rk""".stripMargin),
 
     // held-out multinomial Naive Bayes language classification:
     // add-1 word likelihoods + class priors in negative log space,

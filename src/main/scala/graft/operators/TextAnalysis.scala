@@ -399,6 +399,44 @@ object TextAnalysis {
       .orderBy("lang", "lang_pred")
   }
 
+  /** DSIR-style importance selection (Xie et al. 2023,
+    * arXiv:2302.03169 — Data Selection for LMs via Importance
+    * Resampling): score every document under a TARGET-domain LM and a
+    * RAW-corpus LM, and select the documents with the highest log
+    * importance ratio log p_target(x) − log p_raw(x) = avg_nll_raw −
+    * avg_nll_target — the principled "keep what looks like the data I
+    * want" filter, where both "looks like" measures are the SAME
+    * trained [[bigramModel]] seam (DSIR's hashed-ngram LM is a bigram
+    * LM here; the target stand-in is the `lang = 'en'` slice the way
+    * the decontamination family stands in its benchmark). Deterministic
+    * top-`k` selection (ratio desc, doc_id) replaces Gumbel sampling —
+    * reproducibility over sampling noise, same move as
+    * [[CorpusOps.domainCap]]'s hash-rank.
+    *
+    * Scale shape: two vocabulary-sized LM trainings + two frozen-model
+    * scoring passes over the SAME per-(doc, bigram) counts
+    * ([[bigramScore]]'s shape, AQE-sized equi-joins); the ranked
+    * output is TakeOrdered, never a global sort.
+    */
+  def dsirSelect(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val mt = bigramModelFrom(docs.filter(col("lang") === "en"))
+    val mr = bigramModelFrom(docs)
+    val st = bigramScore(docs, mt)
+      .select(col("doc_id"), col("avg_nll").as("nll_target"))
+    val sr = bigramScore(docs, mr)
+      .select(col("doc_id"), col("avg_nll").as("nll_raw"))
+    st.join(sr, Seq("doc_id"))
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("log_ratio", round(col("nll_raw") - col("nll_target"), 6))
+      .orderBy(col("log_ratio").desc, col("doc_id")).limit(k)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("log_ratio").desc, col("doc_id"))).cast("bigint"))
+      .select("rk", "doc_id", "lang", "nll_target", "nll_raw", "log_ratio")
+      .orderBy("rk")
+  }
+
   /** Held-out multinomial Naive Bayes language classification — the
     * PROBABILISTIC classifier family beside [[langIdHoldout]]'s
     * profile voter (McCallum-Nigam 1998: word-count features, add-1

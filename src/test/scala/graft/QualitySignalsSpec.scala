@@ -88,6 +88,23 @@ class QualitySignalsSpec extends SparkSuite {
     }
   }
 
+  test("dsirSelect: the importance ratio recovers the target domain") {
+    val rows = TextAnalysis.dsirSelect(spark, sfDir, k = 20).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Long]("rk")).toSeq == (1L to 20L))
+    // log ratios descend with rank (the selection really is top-k)
+    val lr = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("log_ratio"))
+    assert(lr.zip(lr.tail).forall { case (a, b) => a >= b })
+    // the target-LM/raw-LM ratio should over-select the target slice
+    // relative to its corpus share
+    val docs = graft.Tables.documents(spark, sfDir)
+    val enCorpusShare = docs.filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .count().toDouble / docs.count()
+    val enSelShare = rows.count(_.getAs[String]("lang") == "en").toDouble / 20
+    assert(enSelShare > enCorpusShare,
+      s"selection share $enSelShare must beat corpus share $enCorpusShare")
+  }
+
   test("charEntropy: closed-form values for uniform, skewed and degenerate docs") {
     val got = TextAnalysis.charEntropyFrom(docs("ab", "aab", "aaaa"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

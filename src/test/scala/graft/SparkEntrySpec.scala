@@ -112,7 +112,10 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_char_entropy"      -> 1,
     // the DECIMAL score sum is consumed only by the argmin ORDER BY;
     // the confusion-share window SUM is the ::DOUBLE denominator
-    "x_nb_holdout"        -> 2
+    "x_nb_holdout"        -> 2,
+    // per LM (target + raw): SUM(c) is consumed only as the avg_nll
+    // division's denominator (the nll sum itself is ::DOUBLE-cast)
+    "x_dsir_select"       -> 2
   )
 
   /** Count SUM( occurrences whose result is not immediately cast. */
