@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
 
-import graft.operators.{Analytics, Dedup, Similarity}
+import graft.operators.{Analytics, Dedup, Similarity, TextAnalysis}
 
 /** Physical-plan shape assertions — the properties the 100 TB design
   * depends on (filter/column pushdown into the scan, broadcast of
@@ -144,6 +144,27 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") &&
            !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("bigram LM scoring joins on the bigram key — the only BNLs are 1-row broadcasts") {
+    // model derivation crossJoins the 1-row V aggregate (intended);
+    // the corpus-sized scoring join must be the (prev, cur) hash join
+    val plan = formatted(TextAnalysis.bigramPerplexity(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("cohort retention joins are user/cohort-keyed — never a cross product") {
+    val plan = formatted(Analytics.cohortRetention(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("NB scoring fans out over the broadcast class head, model join stays hashed") {
+    // the langs-sized class head broadcasts (BNL against 5 rows is the
+    // intended fan-out); the vocab-sized model join must never cartesian
+    val plan = formatted(TextAnalysis.nbHoldout(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("JL sweep scores through a hash join on the reduced coordinate — no cartesian") {
