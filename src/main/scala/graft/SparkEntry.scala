@@ -76,6 +76,8 @@ object SparkEntry {
     "x_hourly_events"      -> ((s, dir) => Analytics.hourlyEventAgg(s, dir)),
     "x_cohort_retention"   -> ((s, dir) => Analytics.cohortRetention(s, dir)),
     "x_event_funnel"       -> ((s, dir) => Analytics.eventFunnel(s, dir)),
+    "x_kanon"              -> ((s, dir) => Analytics.kAnonSuppression(s, dir)),
+    "x_ema"                -> ((s, dir) => Analytics.emaPerUser(s, dir)),
     "x_json_props"         -> ((s, dir) => Analytics.jsonPropsAgg(s, dir)),
     "x_running_spend"      -> ((s, dir) => Analytics.runningCustomerSpend(s, dir)),
     "x_value_bands"        -> ((s, dir) => Analytics.valueBandJoin(s, dir)),
@@ -354,6 +356,16 @@ object SparkEntry {
        |a_$tag AS (SELECT doc_id,
        |    round(SUM(nll * CAST(c AS DECIMAL(8,0)))::DOUBLE / SUM(c), 6) AS avg_nll
        |  FROM sc_$tag GROUP BY doc_id)""".stripMargin
+
+  /** Unrolled 16-tap EMA terms for the x_ema oracle — coefficients
+    * 2^(15-j) over integer cents, must mirror `Analytics.emaPerUser`.
+    */
+  private val emaNumSql: String = (0 until 16)
+    .map(j => s"COALESCE(lag(m, $j) OVER w * ${1L << (15 - j)}, 0)")
+    .mkString(" + ")
+  private val emaDenSql: String = (0 until 16)
+    .map(j => s"CASE WHEN lag(m, $j) OVER w IS NOT NULL THEN ${1L << (15 - j)} ELSE 0 END")
+    .mkString(" + ")
 
   /** Merge rounds for the BPE oracle pair — must equal the Scala
     * default in `TextAnalysis.bpeTrain`/`bpeTokenCounts`.
@@ -2964,6 +2976,33 @@ object SparkEntry {
         |a AS (SELECT doc_id, n_scored, round(sn::DOUBLE / n_scored, 6) AS avg_nll FROM s)
         |SELECT doc_id, n_scored, avg_nll, round(exp(avg_nll), 6) AS ppl
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // k-anonymity suppression audit: (event_type, hour) cells with
+    // fewer than 5 distinct users must be suppressed before export;
+    // the audit prices what that costs per event type
+    "x_kanon" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts))//1000000 AS hour_s,
+        |    COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, COUNT(*) AS n_cells,
+        |  SUM(CASE WHEN n_users < 5 THEN 1 ELSE 0 END)::BIGINT AS n_suppressed,
+        |  SUM(n_events)::BIGINT AS n_events_total,
+        |  SUM(CASE WHEN n_users < 5 THEN n_events ELSE 0 END)::BIGINT AS n_events_suppressed,
+        |  round(SUM(CASE WHEN n_users < 5 THEN n_events ELSE 0 END)::DOUBLE
+        |        / SUM(n_events), 6) AS suppressed_share
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // 16-tap truncated EMA (alpha = 1/2): power-of-two coefficients
+    // over exact integer cents make the smoothing engine-exact
+    "x_ema" ->
+      (s"""WITH e AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CAST(round(value * 100) AS BIGINT) AS m FROM events)
+         |SELECT user_id, event_id, value,
+         |  round(($emaNumSql)::DOUBLE / (($emaDenSql) * 100), 6) AS ema
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY event_id""".stripMargin),
 
     // DSIR importance selection: two bigram LMs (target = lang 'en'
     // slice, raw = whole corpus) over the SHARED pair stream; top-50

@@ -1409,12 +1409,20 @@ object Analytics {
     * cohort sizes are user-count-sized rollups of it; the retention
     * cell count is bounded by days² regardless of event volume.
     */
-  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
-    val grid = Tables.events(spark, dir)
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    retentionFrom(Tables.events(spark, dir)
       .select(col("user_id"),
         date_trunc("day", col("ts")).cast("long").as("day_s"))
       .distinct()
-      .localCheckpoint() // consumers: first-seen rollup + the cell join
+      .localCheckpoint()) // consumers: first-seen rollup + the cell join
+
+  /** [[cohortRetention]] over ANY already-distinct `(user_id, day_s)`
+    * activity grid — THE shared seam with the streaming twin
+    * ([[graft.streaming.StreamingRetention]]), so stream-served and
+    * batch matrices cannot drift. Callers materialize the grid (two
+    * consumers).
+    */
+  private[graft] def retentionFrom(grid: DataFrame): DataFrame = {
     val firstDay = grid.groupBy("user_id").agg(min(col("day_s")).as("cohort_s"))
     val sizes = firstDay.groupBy("cohort_s")
       .agg(countDistinct(col("user_id")).as("cohort_size"))
@@ -1426,6 +1434,77 @@ object Analytics {
       .select(col("cohort_s"), col("offset_days"), col("n_users"), col("cohort_size"),
         round(col("n_users").cast("double") / col("cohort_size"), 6).as("retention"))
       .orderBy("cohort_s", "offset_days")
+  }
+
+  /** k-anonymity suppression audit over the event export surface —
+    * the privacy gate a telemetry rollup passes before leaving the
+    * trust boundary (Sweeney 2002): any (event_type, hour) cell whose
+    * distinct-user count is below `k` re-identifies its members, so
+    * it must be suppressed; this audit prices that suppression per
+    * event type (cells lost, events lost, share of the stream).
+    * Suppression here is the MEASUREMENT; the action is the same
+    * filter applied before export.
+    *
+    * Scale shape: one cell aggregate (the distinct-user count rides
+    * the same shuffle as the event count), then an event-type-sized
+    * rollup — nothing after the first aggregate is corpus-sized.
+    */
+  def kAnonSuppression(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).cast("long").as("hour_s"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"))
+    cells.groupBy("event_type")
+      .agg(count(lit(1)).as("n_cells"),
+           sum(when(col("n_users") < k, 1L).otherwise(0L)).as("n_suppressed"),
+           sum(col("n_events")).as("n_events_total"),
+           sum(when(col("n_users") < k, col("n_events")).otherwise(0L))
+             .as("n_events_suppressed"))
+      .withColumn("suppressed_share",
+        round(col("n_events_suppressed").cast("double") / col("n_events_total"), 6))
+      .orderBy("event_type")
+  }
+
+  /** Taps of the truncated EMA window (coefficients 2^-j, j < EmaTaps). */
+  val EmaTaps = 16
+
+  /** Exponentially weighted moving average of `value` per user — the
+    * financial-smoothing sibling of the reference's SMA
+    * (`financial_engine.py:293-312` computes the simple form; EMA is
+    * what production quote pipelines actually smooth with), in the
+    * adjusted form ema_t = Σ_j (1-α)^j x_{t-j} / Σ_j (1-α)^j,
+    * truncated at [[EmaTaps]] taps. α = 1/2 ON PURPOSE: every
+    * coefficient is a power of two, and values quantize to exact
+    * integer cents (round(value·100)), so numerator and denominator
+    * are exact BIGINT sums — the whole smoothing is engine-exact
+    * integer arithmetic with ONE final double division (the
+    * [[graft.operators.Similarity]] micro-unit discipline applied to
+    * time-series smoothing). The 16-tap truncation costs < 2^-16 of
+    * the mass — below the 6 dp output rounding.
+    *
+    * Scale shape: one window per user (ordered by ts with event_id
+    * tie-break), 16 unrolled codegen'd lag terms — no self-joins, no
+    * UDFs, one exchange on user_id.
+    */
+  def emaPerUser(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val m = round(col("value") * 100).cast("bigint")
+    val terms = (0 until EmaTaps).map { j =>
+      val weight = 1L << (EmaTaps - 1 - j)
+      val lagM = lag(col("m"), j).over(w)
+      (coalesce(lagM * weight, lit(0L)),
+       when(lagM.isNotNull, lit(weight)).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("m", m)
+      .select(col("user_id"), col("event_id"), col("value"),
+        round(num.cast("double") / (den * 100L), 6).as("ema"))
+      .orderBy("event_id")
   }
 
   /** Ordered three-step event funnel (signup → first click within

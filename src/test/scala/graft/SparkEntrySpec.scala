@@ -115,7 +115,10 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_nb_holdout"        -> 2,
     // per LM (target + raw): SUM(c) is consumed only as the avg_nll
     // division's denominator (the nll sum itself is ::DOUBLE-cast)
-    "x_dsir_select"       -> 2
+    "x_dsir_select"       -> 2,
+    // SUM(n_events) is consumed only as the suppressed-share
+    // division's denominator
+    "x_kanon"             -> 1
   )
 
   /** Count SUM( occurrences whose result is not immediately cast. */

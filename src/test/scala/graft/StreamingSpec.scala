@@ -505,6 +505,38 @@ class StreamingSpec extends SparkSuite {
       "a served estimate under-counted")
   }
 
+  test("streaming retention grid serves the batch cohort matrix (late history arrives last)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ret-").toString
+    val grid = s"$base/grid"
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = ms.toDF().toDF("user_id", "ts").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(graft.streaming.StreamingRetention.gridSink(grid))
+      .start()
+    val ev = graft.Tables.events(spark, sfDir).select("user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+    val minMs = ev.map(_._2.getTime).min
+    // OUT-OF-ORDER: the month's second half arrives BEFORE the first —
+    // cohort assignments must move earlier when old history lands
+    val (early, late) = ev.partition(_._2.getTime < minMs + 15L * 86400 * 1000)
+    try {
+      Seq(late, early).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    val got = rows(graft.streaming.StreamingRetention.matrix(spark, grid))
+    val want = rows(graft.operators.Analytics.cohortRetention(spark, sfDir))
+    assert(want.nonEmpty && got == want,
+      s"stream==batch: ${got.length} streamed vs ${want.length} batch cells")
+    // replayed micro-batch must be idempotent (overwrite, not append)
+    graft.streaming.StreamingRetention.gridSink(grid)(early.toDF("user_id", "ts"), 1L)
+    assert(rows(graft.streaming.StreamingRetention.matrix(spark, grid)) == got,
+      "batch replay must not change the matrix")
+  }
+
   test("incremental domain cap equals the batch domainCap pass (stream==batch, out of order)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files
