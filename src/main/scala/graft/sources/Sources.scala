@@ -107,4 +107,24 @@ object Sources {
   /** S5 multiplexing: N sources, one pipeline (financial_engine.py:388-391). */
   def multiplex(sources: DataFrame*): DataFrame =
     sources.reduce(_ unionByName _)
+
+  /** JSON-lines adapter for feeds that publish the unified schema
+    * directly (one JSON object per line — the wire format most tick
+    * archives and Kafka topics land as). Same discipline as [[csv]]:
+    * explicit string-typed schema (no schema inference pass at
+    * scale), try_cast-on-read so a malformed numeric becomes a null
+    * for the cleaner instead of an ANSI job failure.
+    */
+  def jsonLines(spark: SparkSession, path: String): DataFrame =
+    normalizeCsv(spark.read.schema(csvRawSchema).json(path))
+      .withColumn("source", lit("JsonLines"))
+
+  /** ORC adapter — the columnar format beside parquet that warehouse
+    * exports actually arrive in; Spark bundles the reader, and the
+    * cast-on-read projection is [[csv]]'s, so all three batch
+    * adapters share one normalization seam.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    normalizeCsv(spark.read.schema(csvRawSchema).orc(path))
+      .withColumn("source", lit("OrcExport"))
 }

@@ -44,6 +44,32 @@ class SourcesSpec extends SparkSuite {
     assert(out(1).isNullAt(out(1).fieldIndex("price")), "API-limit payload -> null price (dropped downstream)")
   }
 
+  test("JSON-lines adapter: unified-schema objects, try_cast drops malformed (S4)") {
+    val f = tmp.resolve("ticks.jsonl")
+    Files.writeString(f,
+      """{"id":"j1","symbol":"IBM","price":"101.5","volume":"900","ts_epoch":"1700000000"}
+        |{"id":"j2","symbol":"MSFT","price":"oops","volume":"10","ts_epoch":"1700000001"}
+        |""".stripMargin)
+    val out = Sources.jsonLines(spark, f.toString).orderBy("id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("price") == 101.5)
+    assert(out(1).isNullAt(out(1).fieldIndex("price")), "bad numeric -> null, cleaner drops it")
+    assert(out.forall(_.getAs[String]("source") == "JsonLines"))
+  }
+
+  test("ORC adapter: columnar round-trip through the shared normalization (S4)") {
+    val d = tmp.resolve("ticks-orc").toString
+    Seq(("o1", "IBM", "101.5", "900", "1700000000"),
+        ("o2", "AAPL", "188.0", "nope", "1700000001"))
+      .toDF("id", "symbol", "price", "volume", "ts_epoch")
+      .write.mode("overwrite").orc(d)
+    val out = Sources.orc(spark, d).orderBy("id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("price") == 101.5 && out(0).getAs[Long]("volume") == 900L)
+    assert(out(1).isNullAt(out(1).fieldIndex("volume")), "bad numeric -> null, cleaner drops it")
+    assert(out.forall(_.getAs[String]("source") == "OrcExport"))
+  }
+
   test("rate normalization produces the unified schema deterministically (S3)") {
     val raw = Seq((new java.sql.Timestamp(1700000000000L), 0L),
                   (new java.sql.Timestamp(1700000001000L), 1L))
