@@ -223,7 +223,8 @@ object SparkEntry {
     "x_media_knn"          -> ((s, dir) => Similarity.mediaIvfKnn(s, dir)),
     "x_media_knn_real"     -> ((s, dir) => Similarity.mediaIvfKnnReal(s, dir)),
     "x_frame_sample"       -> ((s, dir) => Multimodal.frameSample(s, dir)),
-    "x_frame_dedup"        -> ((s, dir) => Multimodal.frameDedup(s, dir))
+    "x_frame_dedup"        -> ((s, dir) => Multimodal.frameDedup(s, dir)),
+    "x_media_ahash"        -> ((s, dir) => Multimodal.ahashNearDup(s, dir))
   )
 
   /** Shared CTE prefix: 2 unrolled Lloyd k-means rounds (k=8, 64 dims,
@@ -3741,6 +3742,38 @@ object SparkEntry {
     // frame-level dedup: md5 over the UTF-8 frame bytes; DuckDB's
     // md5(VARCHAR) hashes the same bytes the Spark BINARY substring
     // carries (the corpus is ASCII — the documented payload contract)
+    // perceptual-hash near-dup over REAL decoded 16-px BMPs: the
+    // oracle predicts the decoded pixel luminances from the text
+    // (B,G,R = the padded text's bytes), rebuilds the 16-bit aHash
+    // with the exact gray*16 > total comparison, and re-runs the
+    // banded candidate join + exact hamming verify
+    "x_media_ahash" ->
+      """WITH px AS (SELECT doc_id, rpad(text, 48, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, 16),
+        |    p -> {'p': p, 'gray': ascii(substr(t, 3*p+1, 1)) + ascii(substr(t, 3*p+2, 1))
+        |                          + ascii(substr(t, 3*p+3, 1))})) AS pg
+        |  FROM px),
+        |g2 AS (SELECT doc_id, pg.p AS p, pg.gray AS gray FROM g),
+        |h AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN gray*16 > tot THEN (1::BIGINT)<<p ELSE 0 END)::BIGINT AS ahash
+        |  FROM (SELECT doc_id, p, gray, SUM(gray) OVER (PARTITION BY doc_id) AS tot FROM g2)
+        |  GROUP BY doc_id),
+        |b AS (SELECT doc_id, ahash, 0 AS band, ahash % 256 AS key FROM h
+        |      UNION ALL SELECT doc_id, ahash, 1, ahash // 256 FROM h),
+        |pr AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b2,
+        |    bit_count(xor(x.ahash, y.ahash))::BIGINT AS hamming
+        |  FROM b x JOIN b y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+        |f AS (SELECT * FROM pr WHERE hamming <= 1),
+        |np AS (SELECT hamming, COUNT(*) AS n_pairs FROM f GROUP BY hamming),
+        |nd AS (SELECT hamming, COUNT(DISTINCT d) AS n_docs FROM (
+        |        SELECT hamming, a AS d FROM f
+        |        UNION ALL SELECT hamming, b2 FROM f) GROUP BY hamming)
+        |SELECT hamming, n_pairs, n_docs FROM np JOIN nd USING (hamming)
+        |ORDER BY hamming""".stripMargin,
+
     "x_frame_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents

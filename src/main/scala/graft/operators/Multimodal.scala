@@ -161,29 +161,36 @@ object Multimodal {
   /** Width in pixels of the [[withBmpPayload]] fixture image. */
   val BmpWidth = 4
 
-  /** Constant 54-byte header of a 4x1 24bpp bottom-up BI_RGB BMP
-    * (14-byte file header + 40-byte BITMAPINFOHEADER): file size 66,
-    * pixel data at offset 54, one 12-byte row (already 4-aligned, no
-    * padding). Pixel bytes follow as B,G,R triples.
-    */
-  private val BmpHeaderHex: String =
-    "424d420000000000000036000000" +                    // BM, size 66, reserved, offset 54
-    "2800000004000000010000000100180000000000" +        // dib 40, w 4, h 1, planes 1, bpp 24, BI_RGB
-    "0c00000000000000000000000000000000000000"          // image size 12, ppm 0, colors 0
+  private def le32(v: Int): String =
+    f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x${(v >> 16) & 0xff}%02x${(v >> 24) & 0xff}%02x"
 
-  /** Attach a REAL image payload: a valid 4x1 24-bit BMP whose 12
-    * pixel bytes are the first 12 bytes of the (space-padded) text —
-    * deterministic, so an oracle can predict the decoded pixels from
-    * the text alone, yet a genuine codec round-trip: the bytes carry a
-    * real BMP container that [[imageBatchDecoder]] decodes with
-    * `javax.imageio`, not a header sniff. Narrow projection, no
-    * shuffle. (ASCII-corpus contract as in [[frameSample]]: text
-    * characters are payload bytes only while 1 char == 1 byte.)
+  /** 54-byte header of a `width`x1 24bpp bottom-up BI_RGB BMP (14-byte
+    * file header + 40-byte BITMAPINFOHEADER). The single pixel row
+    * must already be 4-byte aligned (3·width % 4 == 0) so no padding
+    * bytes complicate the text↦pixel mapping. Pixel bytes follow the
+    * header as B,G,R triples.
     */
-  def withBmpPayload(df: DataFrame): DataFrame =
+  private[graft] def bmpHeaderHex(width: Int): String = {
+    require(3 * width % 4 == 0, s"row of $width 24bpp pixels needs padding")
+    "424d" + le32(54 + 3 * width) + "00000000" + le32(54) +
+      le32(40) + le32(width) + le32(1) + "0100" + "1800" + le32(0) +
+      le32(3 * width) + le32(0) + le32(0) + le32(0) + le32(0)
+  }
+
+  /** Attach a REAL image payload: a valid `width`x1 24-bit BMP whose
+    * 3·width pixel bytes are the first 3·width bytes of the
+    * (space-padded) text — deterministic, so an oracle can predict the
+    * decoded pixels from the text alone, yet a genuine codec
+    * round-trip: the bytes carry a real BMP container that
+    * [[imageBatchDecoder]] decodes with `javax.imageio`, not a header
+    * sniff. Narrow projection, no shuffle. (ASCII-corpus contract as
+    * in [[frameSample]]: text characters are payload bytes only while
+    * 1 char == 1 byte.)
+    */
+  def withBmpPayload(df: DataFrame, width: Int = BmpWidth): DataFrame =
     df.withColumn("payload",
-      concat(unhex(lit(BmpHeaderHex)),
-        encode(substring(rpad(col("text"), 3 * BmpWidth, " "), 1, 3 * BmpWidth), "UTF-8")))
+      concat(unhex(lit(bmpHeaderHex(width))),
+        encode(substring(rpad(col("text"), 3 * width, " "), 1, 3 * width), "UTF-8")))
 
   /** REAL batched image decoder over [[decodeBatched]]'s seam — the
     * decoder [[decodePayload]]'s scaladoc promised: each payload goes
@@ -208,6 +215,82 @@ object Multimodal {
         (img.getRGB(p % img.getWidth, p / img.getWidth) & 0xffffff) / 16777216.0f
       }
     }
+  }
+
+  /** Pixels per image of the [[ahashNearDup]] fixture (16-bit hash). */
+  val AhashWidth = 16
+
+  /** Per-image 16-bit AVERAGE HASH from REAL decoded pixels — the
+    * standard perceptual fingerprint (aHash): bit p is set iff pixel
+    * p's luminance exceeds the image mean, here as the exact integer
+    * comparison gray_p · n > Σ gray (no division, engine-exact).
+    * Decode is a genuine `javax.imageio` round-trip per payload
+    * ([[imageBatchDecoder]]'s codec path); the `mapPartitions` is the
+    * imperative-decode seam [[decodeBatched]] documents.
+    */
+  def ahashFrom(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"payload is not a decodable image (${bytes.length} bytes)")
+          val n = img.getWidth * img.getHeight
+          val grays = Array.tabulate(n) { p =>
+            val rgb = img.getRGB(p % img.getWidth, p / img.getWidth)
+            ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          }
+          val tot = grays.map(_.toLong).sum
+          val h = grays.zipWithIndex
+            .map { case (g, p) => if (g.toLong * n > tot) 1L << p else 0L }.sum
+          (id, h)
+        }
+      }
+      .toDF("doc_id", "ahash")
+  }
+
+  /** Perceptual near-dup audit over REAL decoded images — the
+    * multimodal twin of the SimHash near-dup: every document carries a
+    * [[AhashWidth]]x1 BMP ([[withBmpPayload]]), its 16-bit
+    * [[ahashFrom]] fingerprint is computed from the `javax.imageio`
+    * decode, and near-duplicate pairs (hamming <= `maxHamming`) are
+    * found with the pigeonhole band join (two 8-bit bands — a pair
+    * within hamming 1 must agree on at least one band), then verified
+    * by exact `bit_count(xor)`. Output is the bounded per-distance
+    * audit (pair count, documents involved), not the raw pair list —
+    * the shape that stays small however hot the hash space gets.
+    *
+    * Scale shape: candidates come from band equi-joins (never
+    * all-pairs, the [[Dedup]] discipline); everything shuffled is
+    * (doc_id, 8-byte hash) — pixels and payloads never cross an
+    * exchange after the narrow hash projection.
+    */
+  def ahashNearDup(spark: SparkSession, dir: String,
+                   maxHamming: Int = 1): DataFrame = {
+    val hashed = ahashFrom(
+      withBmpPayload(Tables.documents(spark, dir), AhashWidth))
+      .localCheckpoint() // consumers: both self-join sides
+    val banded = hashed.select(col("doc_id"), col("ahash"),
+        explode(array(
+          struct(lit(0L).as("band"), (col("ahash") % 256).as("key")),
+          struct(lit(1L).as("band"), (col("ahash") / 256).cast("bigint").as("key"))))
+          .as("b"))
+      .select(col("doc_id"), col("ahash"), col("b.band").as("band"), col("b.key").as("key"))
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("bit_count(x.ahash ^ y.ahash)").cast("bigint").as("hamming"))
+      .distinct() // a pair agreeing on both bands matches twice
+      .filter(col("hamming") <= maxHamming)
+      .localCheckpoint() // consumers: pair count + doc count
+    val np = pairs.groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+    val nd = pairs.select(col("hamming"), explode(array(col("a"), col("b"))).as("d"))
+      .groupBy("hamming").agg(countDistinct(col("d")).as("n_docs"))
+    np.join(nd, Seq("hamming")).orderBy("hamming")
   }
 
   /** Oracle-checkable projection of [[sampleFrames]]: per sampled

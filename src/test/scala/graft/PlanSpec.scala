@@ -176,6 +176,12 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("aHash near-dup candidates come from the band equi-join — never a cross product") {
+    val plan = formatted(graft.operators.Multimodal.ahashNearDup(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("embedding near-dup self-join is bucket-keyed — never a cross product") {
     val plan = formatted(Similarity.embeddingNearDup(spark, sfDir))
     assert(!plan.contains("CartesianProduct") &&
