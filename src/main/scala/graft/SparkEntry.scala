@@ -77,6 +77,7 @@ object SparkEntry {
     "x_cohort_retention"   -> ((s, dir) => Analytics.cohortRetention(s, dir)),
     "x_event_funnel"       -> ((s, dir) => Analytics.eventFunnel(s, dir)),
     "x_kanon"              -> ((s, dir) => Analytics.kAnonSuppression(s, dir)),
+    "x_regional_revenue"   -> ((s, dir) => Analytics.regionalRevenue(s, dir)),
     "x_ema"                -> ((s, dir) => Analytics.emaPerUser(s, dir)),
     "x_json_props"         -> ((s, dir) => Analytics.jsonPropsAgg(s, dir)),
     "x_running_spend"      -> ((s, dir) => Analytics.runningCustomerSpend(s, dir)),
@@ -2977,6 +2978,21 @@ object SparkEntry {
         |a AS (SELECT doc_id, n_scored, round(sn::DOUBLE / n_scored, 6) AS avg_nll FROM s)
         |SELECT doc_id, n_scored, avg_nll, round(exp(avg_nll), 6) AS ppl
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // TPC-H Q5-class regional revenue: six-table star join with the
+    // local-supply condition, decimal-exact money, per-nation rollup
+    "x_regional_revenue" ->
+      """SELECT n_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |       (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     // k-anonymity suppression audit: (event_type, hour) cells with
     // fewer than 5 distinct users must be suppressed before export;

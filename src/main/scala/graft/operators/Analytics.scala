@@ -1436,6 +1436,43 @@ object Analytics {
       .orderBy("cohort_s", "offset_days")
   }
 
+  /** TPC-H Q5-class regional revenue: the six-table star join
+    * (region→nation gating both ends of the customer/supplier pair,
+    * the LOCAL-supply condition c_nationkey = s_nationkey that makes
+    * Q5 a join-order benchmark) with a one-year order window, revenue
+    * per nation. The money discipline is [[topRevenueOrders]]'s
+    * (DECIMAL-exact sums, double at the boundary).
+    *
+    * Scale shape: lineitem never shuffles for the dimensions —
+    * region/nation broadcast (5/25 rows), customer and supplier
+    * shuffle on their keys once, the date filter prunes orders before
+    * its join, and the final aggregate is nations-sized. Join order
+    * is Catalyst's to pick: every predicate is declarative, so the
+    * optimizer (with AQE) reorders as stats dictate — the reason to
+    * express Q5 relationally instead of hand-pipelining it.
+    */
+  def regionalRevenue(spark: SparkSession, dir: String,
+                      region: String = "ASIA"): DataFrame = {
+    val reg = Tables.region(spark, dir).filter(col("r_name") === region)
+    val nat = Tables.nation(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+              col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+    Tables.lineitem(spark, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,6)") *
+               (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+             .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** k-anonymity suppression audit over the event export surface —
     * the privacy gate a telemetry rollup passes before leaving the
     * trust boundary (Sweeney 2002): any (event_type, hour) cell whose
