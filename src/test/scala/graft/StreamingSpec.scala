@@ -505,6 +505,44 @@ class StreamingSpec extends SparkSuite {
       "a served estimate under-counted")
   }
 
+  test("streaming EMA state equals the batch 16-tap smoothing (in-order splits)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ms = MemoryStream[graft.streaming.StreamingEma.Ev]
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double)]
+    val q = graft.streaming.StreamingEma.withEma(ms.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingEma.EmaOut], _: Long) =>
+        collected.synchronized {
+          collected ++= b.collect().map(o => (o.user_id, o.event_id, o.ema))
+        }
+        ()
+      }
+      .start()
+    // EMA is sequential state: splits are event-time-ordered (the
+    // documented ordering contract), out-of-orderness exercised only
+    // WITHIN each batch via the (ts, event_id) sort
+    val ev = graft.Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "value")
+      .collect()
+      .map(r => graft.streaming.StreamingEma.Ev(
+        r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val chunks = ev.grouped(math.max(1, ev.length / 3 + 1)).toSeq
+    try {
+      chunks.foreach { c =>
+        ms.addData(scala.util.Random.shuffle(c.toSeq)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = collected.toSet
+    val want = graft.operators.Analytics.emaPerUser(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ema"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.size == ev.length, s"every event must emit exactly once (${got.size}/${ev.length})")
+    assert(got == want, "stream==batch EMA drift")
+  }
+
   test("streaming retention grid serves the batch cohort matrix (late history arrives last)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files
