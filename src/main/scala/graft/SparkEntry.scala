@@ -78,6 +78,7 @@ object SparkEntry {
     "x_event_funnel"       -> ((s, dir) => Analytics.eventFunnel(s, dir)),
     "x_kanon"              -> ((s, dir) => Analytics.kAnonSuppression(s, dir)),
     "x_regional_revenue"   -> ((s, dir) => Analytics.regionalRevenue(s, dir)),
+    "x_market_basket"      -> ((s, dir) => Analytics.marketBasket(s, dir)),
     "x_ema"                -> ((s, dir) => Analytics.emaPerUser(s, dir)),
     "x_json_props"         -> ((s, dir) => Analytics.jsonPropsAgg(s, dir)),
     "x_running_spend"      -> ((s, dir) => Analytics.runningCustomerSpend(s, dir)),
@@ -187,6 +188,7 @@ object SparkEntry {
     "x_dsir_select"        -> ((s, dir) => TextAnalysis.dsirSelect(s, dir)),
     "x_bpe_train"          -> ((s, dir) => TextAnalysis.bpeTrain(s, dir)),
     "x_bpe_tokens"         -> ((s, dir) => TextAnalysis.bpeTokenCounts(s, dir)),
+    "x_bpe_fertility"      -> ((s, dir) => TextAnalysis.bpeFertility(s, dir)),
     "x_bigram_ppl"         -> ((s, dir) => TextAnalysis.bigramPerplexity(s, dir)),
     "x_ppl_holdout"        -> ((s, dir) => TextAnalysis.pplHoldout(s, dir)),
     "x_char_entropy"       -> ((s, dir) => TextAnalysis.charEntropy(s, dir)),
@@ -2979,6 +2981,23 @@ object SparkEntry {
         |SELECT doc_id, n_scored, avg_nll, round(exp(avg_nll), 6) AS ppl
         |FROM a ORDER BY doc_id""".stripMargin,
 
+    // market-basket co-occurrence: top part pairs by co-order count
+    // with exact-integer lift n_co*N/(n_a*n_b)
+    "x_market_basket" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |no AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+        |freq AS (SELECT pk, COUNT(*) AS cnt FROM items GROUP BY pk),
+        |co AS (SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n_co
+        |       FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY 1, 2),
+        |top AS (SELECT pa, pb, n_co,
+        |          ROW_NUMBER() OVER (ORDER BY n_co DESC, pa, pb)::BIGINT AS rk
+        |        FROM co QUALIFY rk <= 20)
+        |SELECT rk, pa, pb, n_co, fa.cnt AS n_a, fb.cnt AS n_b,
+        |  round((n_co * n_orders)::DOUBLE / (fa.cnt * fb.cnt), 6) AS lift
+        |FROM top JOIN freq fa ON fa.pk = top.pa JOIN freq fb ON fb.pk = top.pb, no
+        |ORDER BY rk""".stripMargin,
+
     // TPC-H Q5-class regional revenue: six-table star join with the
     // local-supply condition, decimal-exact money, per-nation rollup
     "x_regional_revenue" ->
@@ -3191,6 +3210,20 @@ object SparkEntry {
           |FROM (SELECT doc_id, text, unnest(string_split(text, ' ')) AS word FROM documents) d
           |JOIN wl USING (word)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // tokenizer fertility per language under the trained merges:
+    // BPE tokens per whitespace word, chars per BPE token
+    "x_bpe_fertility" ->
+      (bpeCtes + "\n" +
+       s"""wl AS (SELECT word, COUNT(*)::BIGINT AS n_syms FROM s$BpeRounds GROUP BY 1)
+          |SELECT lang,
+          |  COUNT(*) AS n_words,
+          |  SUM(wl.n_syms)::BIGINT AS n_bpe_tokens,
+          |  round(SUM(wl.n_syms)::DOUBLE / COUNT(*), 6) AS fertility,
+          |  round(SUM(len(word))::DOUBLE / SUM(wl.n_syms), 6) AS chars_per_token
+          |FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents) d
+          |JOIN wl USING (word)
+          |GROUP BY lang ORDER BY lang""".stripMargin),
 
     "x_vocab_coverage" ->
       """WITH tk AS (

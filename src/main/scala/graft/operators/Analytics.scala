@@ -1473,6 +1473,47 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Market-basket co-occurrence (the a-priori first step, Agrawal-
+    * Srikant 1994): the top part pairs by number of orders containing
+    * both, with per-pair LIFT = P(ab)/(P(a)P(b)) — computed as the
+    * exact integer ratio n_co·N / (n_a·n_b) so both engines divide
+    * identical operands. Pairs come from the per-order self-join —
+    * fan-out bounded by basket size squared (baskets are small by
+    * domain; a mega-basket guard would cap or salt them), NEVER an
+    * all-parts cross product.
+    *
+    * Scale shape: the distinct (order, part) projection is the only
+    * corpus-sized shuffle; pair counts aggregate on 8-byte key pairs
+    * with map-side partials; the top-k is TakeOrdered; frequency and
+    * the 1-row order count broadcast into the k-row result.
+    */
+  def marketBasket(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint() // consumers: order count, frequencies, both join sides
+    val nOrders = items.agg(countDistinct(col("ok")).as("n_orders"))
+    val freq = items.groupBy("pk").agg(count(lit(1)).as("cnt"))
+    val top = items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("n_co"))
+      .orderBy(col("n_co").desc, col("pa"), col("pb")).limit(topK)
+    // the k-row top side broadcasts into the parts-sized frequency
+    // table (never the reverse: freq grows with the corpus)
+    broadcast(top)
+      .join(freq.select(col("pk").as("pa"), col("cnt").as("n_a")), Seq("pa"))
+      .join(freq.select(col("pk").as("pb"), col("cnt").as("n_b")), Seq("pb"))
+      .crossJoin(broadcast(nOrders))
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("n_co").desc, col("pa"), col("pb"))).cast("bigint"))
+      .select(col("rk"), col("pa"), col("pb"), col("n_co"), col("n_a"), col("n_b"),
+        round((col("n_co") * col("n_orders")).cast("double") / (col("n_a") * col("n_b")), 6)
+          .as("lift"))
+      .orderBy("rk")
+  }
+
   /** k-anonymity suppression audit over the event export surface —
     * the privacy gate a telemetry rollup passes before leaving the
     * trust boundary (Sweeney 2002): any (event_type, hour) cell whose

@@ -596,6 +596,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer FERTILITY per language — BPE tokens per whitespace
+    * word and characters per BPE token under the [[bpeTrain]]ed
+    * merges, the standard multilingual-tokenizer equity audit (a
+    * language with high fertility pays more of its context window per
+    * word; the number that drives per-language vocab-size and
+    * merge-budget decisions). Integer sums of per-word symbol counts
+    * → both ratios divide identical exact operands.
+    *
+    * Scale shape: [[bpeTokenCounts]]'s — one corpus explode
+    * equi-joined to the vocabulary-sized trained symbol table, rolled
+    * up langs-sized.
+    */
+  def bpeFertility(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fit = bpeFit(docs, rounds)
+    val wl = fit.state.groupBy("word").agg(count(lit(1)).as("n_syms"))
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    docs
+      .repartition(n, col("doc_id"))
+      .select(col("lang"), explode(toks).as("word"))
+      .join(wl, Seq("word"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+           sum(col("n_syms")).as("n_bpe_tokens"),
+           sum(length(col("word")).cast("bigint")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 6).as("fertility"),
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   /** A completed BPE fit: the merge sequence (1-based round, pair,
     * weighted count at selection time) and the checkpointed final
     * `(word, wfreq, pos, sym)` state with its block ids.

@@ -118,7 +118,10 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_dsir_select"       -> 2,
     // SUM(n_events) is consumed only as the suppressed-share
     // division's denominator
-    "x_kanon"             -> 1
+    "x_kanon"             -> 1,
+    // SUM(wl.n_syms) is consumed only as the chars_per_token
+    // division's denominator
+    "x_bpe_fertility"     -> 1
   )
 
   /** Count SUM( occurrences whose result is not immediately cast. */
