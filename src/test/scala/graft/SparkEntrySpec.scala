@@ -121,7 +121,10 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_kanon"             -> 1,
     // SUM(wl.n_syms) is consumed only as the chars_per_token
     // division's denominator
-    "x_bpe_fertility"     -> 1
+    "x_bpe_fertility"     -> 1,
+    // the per-image SUM(gray) OVER window is consumed only inside the
+    // exact integer bit comparison gray*16 > tot
+    "x_media_ahash"       -> 1
   )
 
   /** Count SUM( occurrences whose result is not immediately cast. */
