@@ -189,6 +189,7 @@ object SparkEntry {
     "x_bpe_train"          -> ((s, dir) => TextAnalysis.bpeTrain(s, dir)),
     "x_bpe_tokens"         -> ((s, dir) => TextAnalysis.bpeTokenCounts(s, dir)),
     "x_bpe_fertility"      -> ((s, dir) => TextAnalysis.bpeFertility(s, dir)),
+    "x_bm25"               -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     "x_bigram_ppl"         -> ((s, dir) => TextAnalysis.bigramPerplexity(s, dir)),
     "x_ppl_holdout"        -> ((s, dir) => TextAnalysis.pplHoldout(s, dir)),
     "x_char_entropy"       -> ((s, dir) => TextAnalysis.charEntropy(s, dir)),
@@ -3210,6 +3211,32 @@ object SparkEntry {
           |FROM (SELECT doc_id, text, unnest(string_split(text, ' ')) AS word FROM documents) d
           |JOIN wl USING (word)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // BM25 top-20 retrieval for a fixed query-term set; every float
+    // literal pinned ::DOUBLE so DuckDB's DECIMAL-literal arithmetic
+    // cannot diverge from Spark's double semantics
+    "x_bm25" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY doc_id),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(dl)::BIGINT AS total_len FROM dl),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w
+        |       WHERE word IN ('spark', 'query', 'window') GROUP BY doc_id, word),
+        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(
+        |      round(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)), 6)
+        |      * (tf * (1.2::DOUBLE + 1)) /
+        |      (tf + 1.2::DOUBLE * ((1 - 0.75::DOUBLE)
+        |         + 0.75::DOUBLE * (dl.dl * n_docs) / total_len)), 6)
+        |      AS DECIMAL(18,6)) AS ts
+        |  FROM tf JOIN df USING (word) JOIN dl USING (doc_id), st),
+        |agg AS (SELECT doc_id, SUM(ts)::DOUBLE AS score, COUNT(*) AS n_terms_hit
+        |        FROM sc GROUP BY doc_id),
+        |top AS (SELECT doc_id, n_terms_hit, score,
+        |          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rk
+        |        FROM agg QUALIFY rk <= 20)
+        |SELECT rk, doc_id, n_terms_hit, score FROM top ORDER BY rk""".stripMargin,
 
     // tokenizer fertility per language under the trained merges:
     // BPE tokens per whitespace word, chars per BPE token

@@ -399,6 +399,59 @@ object TextAnalysis {
       .orderBy("lang", "lang_pred")
   }
 
+  /** BM25 top-k retrieval (Robertson et al., Okapi TREC-3) — the
+    * lexical ranking function every corpus-exploration and
+    * query-based curation flow runs before anything neural: score
+    * every document against a fixed query-term set with
+    *   Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)), and return the
+    * top-`k` documents. Per-(doc, term) scores are rounded once and
+    * DECIMAL-summed (the [[bigramPerplexity]] discipline); dl/avgdl
+    * is computed as dl·N/totalLen so both engines divide identical
+    * integer-derived operands (the oracle pins every float literal to
+    * DOUBLE — DuckDB's DECIMAL literal arithmetic would silently
+    * diverge from Spark's double semantics).
+    *
+    * Scale shape: the term filter prunes the posting explode to
+    * query-term rows BEFORE any shuffle; document lengths are one
+    * corpus-sized aggregate reused via checkpoint; df and the corpus
+    * scalars broadcast; the top-k is TakeOrdered.
+    */
+  def bm25TopK(spark: SparkSession, dir: String,
+               terms: Seq[String] = Seq("spark", "query", "window"),
+               k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val words = Tables.documents(spark, dir)
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"), explode(toks).as("word"))
+    // consumers: the corpus scalars + the per-doc length join
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl")).localCheckpoint()
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val tf = words.filter(col("word").isInCollection(terms))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        round(log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
+      .withColumn("ts",
+        round(col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) +
+            lit(b) * (col("dl") * col("n_docs")) / col("total_len"))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(sum(col("ts")).cast("double").as("score"),
+           count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("bigint"))
+      .select("rk", "doc_id", "n_terms_hit", "score")
+      .orderBy("rk")
+  }
+
   /** DSIR-style importance selection (Xie et al. 2023,
     * arXiv:2302.03169 — Data Selection for LMs via Importance
     * Resampling): score every document under a TARGET-domain LM and a
