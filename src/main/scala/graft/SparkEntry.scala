@@ -212,6 +212,7 @@ object SparkEntry {
     "x_shard_skew"         -> ((s, dir) => CorpusOps.shardSkew(s, dir)),
     "x_dedup_survivors"    -> ((s, dir) => Dedup.dedupSurvivors(s, dir)),
     "x_dedup_unified"      -> ((s, dir) => Dedup.dedupUnified(s, dir)),
+    "x_source_overlap"     -> ((s, dir) => Dedup.sourceOverlap(s, dir)),
     "x_unified_survivors"  -> ((s, dir) => Dedup.dedupSurvivorsUnified(s, dir)),
     "x_knn_recall"         -> ((s, dir) => Similarity.knnLshRecall(s, dir)),
     "x_quantized_recall"   -> ((s, dir) => Similarity.knnQuantizedRecall(s, dir)),
@@ -2532,6 +2533,24 @@ object SparkEntry {
 
     // components over the UNION of all three near-dup families — same
     // WITH RECURSIVE reachability as x_dup_components, over `dup`
+    // cross-source duplication matrix over the unified pair graph:
+    // within-source vs cross-source near-dup mass per source pair
+    "x_source_overlap" ->
+      s"""WITH RECURSIVE $unifiedDupCtes,
+        |pd AS (
+        |  -- explicit re-dedup: DuckDB 1.0's chained UNION leaves a pair
+        |  -- present in two branches duplicated; the pair GRAPH consumers
+        |  -- are insensitive to edge multiplicity but this COUNT is not
+        |  SELECT DISTINCT doc_a, doc_b FROM dup),
+        |ss AS (
+        |  SELECT least(da.source, db.source) AS src_a,
+        |         greatest(da.source, db.source) AS src_b
+        |  FROM pd JOIN documents da ON da.doc_id = pd.doc_a
+        |          JOIN documents db ON db.doc_id = pd.doc_b)
+        |SELECT src_a, src_b, COUNT(*) AS n_dup_pairs,
+        |  src_a <> src_b AS cross_source
+        |FROM ss GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
+
     "x_dedup_unified" ->
       s"""WITH RECURSIVE $unifiedDupCtes,
         |edges AS (

@@ -909,6 +909,31 @@ object Dedup {
   def dedupUnified(spark: SparkSession, dir: String): DataFrame =
     componentsFromPairs(unifiedPairs(spark, dir))
 
+  /** Cross-source duplication audit over the [[unifiedPairs]] graph —
+    * the provenance question a multi-source corpus has to answer
+    * before weighting sources: how many near-dup pairs live WITHIN
+    * each source vs ACROSS each source pair (a hot cross-source cell
+    * means two feeds republish each other, and per-source domain caps
+    * or mixture weights double-count that mass). Source pairs are
+    * canonicalized (least, greatest) so the matrix is triangular.
+    *
+    * Scale shape: the pair graph joins the sources-projection twice on
+    * doc_id (AQE-sized equi-joins carrying an 8-byte id and a short
+    * source string); output is bounded by sources².
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = unifiedPairs(spark, dir)
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+              greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_dup_pairs"))
+      .withColumn("cross_source", col("src_a") =!= col("src_b"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Per-language survivor counts with the exact-dedup pass AND the
     * unified (all-families) near-dup pass applied — [[dedupSurvivors]]
     * with the union graph's non-roots removed instead of MinHash-only.
