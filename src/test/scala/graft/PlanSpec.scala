@@ -167,6 +167,20 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("market-basket pairs come from the per-order equi-join — never all-parts") {
+    // the 1-row order-count broadcast is the only BNL-shaped node
+    val plan = formatted(Analytics.marketBasket(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("BM25 prunes the posting explode to query terms before any exchange") {
+    val plan = formatted(TextAnalysis.bm25TopK(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the term filter must sit under the tf aggregate's exchange: the
+    // filtered posting list, not the whole corpus explode, shuffles
+    assert(plan.contains("word IN") || plan.contains("word#"), plan)
+  }
+
   test("JL sweep scores through a hash join on the reduced coordinate — no cartesian") {
     // brute truth deliberately broadcasts the 10-query side as a BNL
     // (the knnBruteForce shape); the reduced-space scoring itself must
