@@ -80,6 +80,12 @@ object SparkEntry {
     "x_regional_revenue"   -> ((s, dir) => Analytics.regionalRevenue(s, dir)),
     "x_market_basket"      -> ((s, dir) => Analytics.marketBasket(s, dir)),
     "x_ema"                -> ((s, dir) => Analytics.emaPerUser(s, dir)),
+    "x_ohlc_bars"          -> ((s, dir) => Finance.ohlcBars(s, dir)),
+    "x_vwap"               -> ((s, dir) => Finance.vwap(s, dir)),
+    "x_volatility"         -> ((s, dir) => Finance.logReturnVolatility(s, dir)),
+    "x_drawdown"           -> ((s, dir) => Finance.maxDrawdown(s, dir)),
+    "x_rsi"                -> ((s, dir) => Finance.rsi(s, dir)),
+    "x_benford"            -> ((s, dir) => Finance.benfordDigits(s, dir)),
     "x_json_props"         -> ((s, dir) => Analytics.jsonPropsAgg(s, dir)),
     "x_running_spend"      -> ((s, dir) => Analytics.runningCustomerSpend(s, dir)),
     "x_value_bands"        -> ((s, dir) => Analytics.valueBandJoin(s, dir)),
@@ -366,6 +372,16 @@ object SparkEntry {
   /** Unrolled 16-tap EMA terms for the x_ema oracle — coefficients
     * 2^(15-j) over integer cents, must mirror `Analytics.emaPerUser`.
     */
+  /** Shared normalized-quote CTE for the finance family (mirrors
+    * Finance.quotes: symbol from the entity id, JSON-side-channel
+    * volume, second-resolution epoch, session-UTC calendar day). */
+  private val finQuoteCte: String =
+    """WITH q AS (
+      |  SELECT event_id AS id, 'u' || CAST(user_id AS VARCHAR) AS symbol,
+      |         value AS price, CAST(props->>'$.k' AS BIGINT) AS volume,
+      |         epoch_us(ts)//1000000 AS ts_epoch, CAST(ts AS DATE) AS day
+      |  FROM events)""".stripMargin
+
   private val emaNumSql: String = (0 until 16)
     .map(j => s"COALESCE(lag(m, $j) OVER w * ${1L << (15 - j)}, 0)")
     .mkString(" + ")
@@ -3059,6 +3075,96 @@ object SparkEntry {
          |  round(($emaNumSql)::DOUBLE / (($emaDenSql) * 100), 6) AS ema
          |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          |ORDER BY event_id""".stripMargin),
+
+    // daily OHLC candlestick bars: first/last by total tick order
+    // (ts_epoch, id) via the same two-row_number trick as the Spark plan
+    "x_ohlc_bars" ->
+      (finQuoteCte + """,
+        |r AS (
+        |  SELECT symbol, day, price, volume,
+        |    ROW_NUMBER() OVER (PARTITION BY symbol, day ORDER BY ts_epoch, id) AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY symbol, day ORDER BY ts_epoch DESC, id DESC) AS rn_d
+        |  FROM q)
+        |SELECT symbol, day,
+        |  MAX(CASE WHEN rn_a = 1 THEN price END) AS open_price,
+        |  MAX(price) AS high_price,
+        |  MIN(price) AS low_price,
+        |  MAX(CASE WHEN rn_d = 1 THEN price END) AS close_price,
+        |  SUM(volume)::BIGINT AS bar_volume,
+        |  COUNT(*) AS n_ticks
+        |FROM r GROUP BY symbol, day ORDER BY symbol, day""".stripMargin),
+
+    "x_vwap" ->
+      (finQuoteCte + """
+        |SELECT symbol, day,
+        |  ROUND(CAST(CAST(SUM(CAST(price AS DECIMAL(18,6)) * CAST(volume AS DECIMAL(18,6)))
+        |    AS VARCHAR) AS DOUBLE) / SUM(volume), 6) AS vwap,
+        |  SUM(volume)::BIGINT AS day_volume,
+        |  COUNT(*) AS n_ticks
+        |FROM q GROUP BY symbol, day HAVING SUM(volume) > 0
+        |ORDER BY symbol, day""".stripMargin),
+
+    "x_volatility" ->
+      (finQuoteCte + """,
+        |r AS (
+        |  SELECT symbol,
+        |    ln(price / LAG(price) OVER (PARTITION BY symbol ORDER BY ts_epoch, id)) AS ret
+        |  FROM q WHERE price > 0)
+        |SELECT symbol, COUNT(ret) AS n_returns,
+        |  ROUND(stddev_samp(ret), 6) AS vol,
+        |  ROUND(AVG(ret), 6) AS mean_ret
+        |FROM r GROUP BY symbol HAVING COUNT(ret) >= 2 ORDER BY symbol""".stripMargin),
+
+    "x_drawdown" ->
+      (finQuoteCte + """,
+        |r AS (
+        |  SELECT symbol, price,
+        |    MAX(price) OVER (PARTITION BY symbol ORDER BY ts_epoch, id
+        |                     ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM q WHERE price > 0)
+        |SELECT symbol,
+        |  ROUND(MAX((peak - price) / peak), 6) AS max_drawdown,
+        |  ROUND(MAX(peak), 6) AS peak_price,
+        |  COUNT(*) AS n_ticks
+        |FROM r GROUP BY symbol ORDER BY symbol""".stripMargin),
+
+    // Cutler's 14-period RSI (SMA form). Emitted rows (rn >= 15) have a
+    // full NULL-free delta frame, so GREATEST-vs-NULL semantics never
+    // reach the output in either engine.
+    "x_rsi" ->
+      (finQuoteCte + """,
+        |d AS (
+        |  SELECT symbol, id, price,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    price - LAG(price) OVER w AS delta
+        |  FROM q WINDOW w AS (PARTITION BY symbol ORDER BY ts_epoch, id)),
+        |g AS (
+        |  SELECT symbol, id, price, rn,
+        |    AVG(GREATEST(delta, 0)) OVER f AS avg_gain,
+        |    AVG(GREATEST(-delta, 0)) OVER f AS avg_loss
+        |  FROM d WINDOW f AS (PARTITION BY symbol ORDER BY rn
+        |                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, id, price,
+        |  ROUND(CASE WHEN avg_gain + avg_loss = 0 THEN 50.0
+        |        ELSE 100.0 * avg_gain / (avg_gain + avg_loss) END, 6) AS rsi14
+        |FROM g WHERE rn >= 15 ORDER BY symbol, id""".stripMargin),
+
+    // Benford first-significant-digit audit: the digit comes from the
+    // integer-cents STRING (exact binning, no float log10 boundaries)
+    "x_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(SUBSTRING(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |c AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY digit),
+        |f AS (
+        |  SELECT digit, n_orders,
+        |    ROUND(n_orders / SUM(n_orders) OVER (), 6) AS obs_freq,
+        |    ROUND(log10(1.0 + 1.0 / digit), 6) AS exp_freq
+        |  FROM c)
+        |SELECT digit, n_orders, obs_freq, exp_freq,
+        |  ROUND(ABS(obs_freq - exp_freq), 6) AS abs_dev
+        |FROM f ORDER BY digit""".stripMargin,
 
     // DSIR importance selection: two bigram LMs (target = lang 'en'
     // slice, raw = whole corpus) over the SHARED pair stream; top-50
