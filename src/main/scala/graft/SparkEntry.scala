@@ -86,6 +86,9 @@ object SparkEntry {
     "x_drawdown"           -> ((s, dir) => Finance.maxDrawdown(s, dir)),
     "x_rsi"                -> ((s, dir) => Finance.rsi(s, dir)),
     "x_benford"            -> ((s, dir) => Finance.benfordDigits(s, dir)),
+    "x_rfm"                -> ((s, dir) => Analytics.rfmSegments(s, dir)),
+    "x_attribution"        -> ((s, dir) => Analytics.lastTouchAttribution(s, dir)),
+    "x_profile"            -> ((s, dir) => Analytics.columnProfile(s, dir)),
     "x_json_props"         -> ((s, dir) => Analytics.jsonPropsAgg(s, dir)),
     "x_running_spend"      -> ((s, dir) => Analytics.runningCustomerSpend(s, dir)),
     "x_value_bands"        -> ((s, dir) => Analytics.valueBandJoin(s, dir)),
@@ -3165,6 +3168,65 @@ object SparkEntry {
         |SELECT digit, n_orders, obs_freq, exp_freq,
         |  ROUND(ABS(obs_freq - exp_freq), 6) AS abs_dev
         |FROM f ORDER BY digit""".stripMargin,
+
+    // RFM segmentation: the band formula mirrors the Spark side's
+    // ((rank-1)·k) div total + 1 with ROW_NUMBER (NOT NTILE — its
+    // remainder distribution differs); floor vs truncating integer
+    // division agree because every term is non-negative
+    "x_rfm" ->
+      """WITH b AS (
+        |  SELECT o_custkey, MAX(o_orderdate) AS last_order, COUNT(*) AS freq,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS mon
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (SELECT COUNT(*) AS total FROM b),
+        |r AS (
+        |  SELECT freq, mon,
+        |    ROW_NUMBER() OVER (ORDER BY last_order DESC, o_custkey) AS rr,
+        |    ROW_NUMBER() OVER (ORDER BY freq DESC, o_custkey) AS rf,
+        |    ROW_NUMBER() OVER (ORDER BY mon DESC, o_custkey) AS rm
+        |  FROM b),
+        |g AS (
+        |  SELECT ((rr - 1) * 4) // total + 1 AS r_band,
+        |         ((rf - 1) * 4) // total + 1 AS f_band,
+        |         ((rm - 1) * 4) // total + 1 AS m_band,
+        |         freq, mon
+        |  FROM r, t)
+        |SELECT r_band, f_band, m_band, COUNT(*) AS n_customers,
+        |  SUM(freq)::BIGINT AS total_orders,
+        |  CAST(CAST(SUM(mon) AS VARCHAR) AS DOUBLE) AS total_spend
+        |FROM g GROUP BY r_band, f_band, m_band
+        |ORDER BY r_band, f_band, m_band""".stripMargin,
+
+    // last-touch attribution: the event type immediately before each
+    // user's first purchase in (ts, id) tick order, 'none' if first
+    "x_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts)//1000000, event_id) AS rn
+        |  FROM events),
+        |fp AS (SELECT user_id, MIN(rn) AS fp_rn FROM e
+        |       WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT COALESCE(p.event_type, 'none') AS touch_type,
+        |  COUNT(*) AS n_users
+        |FROM fp LEFT JOIN e p
+        |  ON p.user_id = fp.user_id AND p.rn = fp.fp_rn - 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // column-profiling sweep (string-space: exact for keys/flags and
+    // the explicitly formatted date; doubles excluded by design)
+    "x_profile" ->
+      """WITH s AS (
+        |  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+        |  UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+        |  UNION ALL SELECT 'l_shipdate', strftime(l_shipdate, '%Y-%m-%d') FROM lineitem)
+        |SELECT col_name, COUNT(*) AS n_rows, COUNT(v) AS n_present,
+        |  COUNT(DISTINCT v) AS n_distinct, MIN(v) AS min_v, MAX(v) AS max_v
+        |FROM s GROUP BY col_name ORDER BY col_name""".stripMargin,
 
     // DSIR importance selection: two bigram LMs (target = lang 'en'
     // slice, raw = whole corpus) over the SHARED pair stream; top-50

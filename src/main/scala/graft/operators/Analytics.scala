@@ -1627,4 +1627,99 @@ object Analytics {
         round(col("n_users").cast("double") / col("n0"), 6).as("share"))
       .orderBy("step_no")
   }
+
+  /** RFM customer segmentation: recency (latest order date), frequency
+    * (order count), monetary (exact-decimal spend) per customer, each
+    * split into `k` equal bands by DISTRIBUTED global rank
+    * ([[CorpusOps.withGlobalRank]]: range partition + bounded
+    * partition-count collect — never a single-reducer ROW_NUMBER).
+    * Ties break on custkey, so the banding is a total order and
+    * engine-exact; band = ((rank-1)·k) div total + 1, identical under
+    * floor and truncating integer division since all terms are
+    * non-negative. Output is the k³-row segment grid — bounded at any
+    * scale.
+    */
+  def rfmSegments(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("mon"))
+    val (r1, total) = CorpusOps.withGlobalRank(base,
+      Seq(col("last_order").desc, col("o_custkey")), "rr")
+    val (r2, _) = CorpusOps.withGlobalRank(r1,
+      Seq(col("freq").desc, col("o_custkey")), "rf")
+    val (r3, _) = CorpusOps.withGlobalRank(r2,
+      Seq(col("mon").desc, col("o_custkey")), "rm")
+    def band(c: String) = (expr(s"(($c - 1) * $k) div $total") + 1).cast("bigint")
+    r3
+      .withColumn("r_band", band("rr"))
+      .withColumn("f_band", band("rf"))
+      .withColumn("m_band", band("rm"))
+      .groupBy("r_band", "f_band", "m_band")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("freq")).as("total_orders"),
+        sum(col("mon")).cast("double").as("total_spend"))
+      .orderBy("r_band", "f_band", "m_band")
+  }
+
+  /** Last-touch attribution: for each user's FIRST purchase, the event
+    * type immediately preceding it in the user's (ts, id) tick order
+    * ('none' when the purchase opens the stream). The window and both
+    * aggregations partition by user — no global ordering; the final
+    * rollup is #event_types rows.
+    */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("ts_epoch").asc, col("event_id").asc)
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_epoch"))
+      .withColumn("rn", row_number().over(ord))
+    val fp = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("rn")).as("fp_rn"))
+    val prev = e.select(col("user_id").as("puid"), col("rn").as("prn"),
+      col("event_type").as("prev_type"))
+    fp.join(prev,
+        col("puid") === col("user_id") && col("prn") === col("fp_rn") - 1,
+        "left")
+      .select(coalesce(col("prev_type"), lit("none")).as("touch_type"))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("touch_type")
+  }
+
+  /** Data-profiling sweep over lineitem's key/dimension columns: one
+    * stack (unpivot) pass producing (column, value-string) rows, then a
+    * two-phase grouped profile — row count, non-null count, EXACT
+    * distinct, lexicographic min/max. The unpivot is a narrow map (no
+    * shuffle until the 7-group aggregate); exact distinct shuffles
+    * (col_name, value) — at 100 TB swap `countDistinct` for
+    * `approx_count_distinct` (HLL), same plan shape minus the expand.
+    * Doubles are deliberately excluded: their string rendering is
+    * engine-specific; keys, flags, and an explicitly formatted date
+    * profile exactly.
+    */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(expr(
+        """stack(7,
+          |  'l_orderkey',   cast(l_orderkey as string),
+          |  'l_partkey',    cast(l_partkey as string),
+          |  'l_suppkey',    cast(l_suppkey as string),
+          |  'l_linenumber', cast(l_linenumber as string),
+          |  'l_returnflag', l_returnflag,
+          |  'l_linestatus', l_linestatus,
+          |  'l_shipdate',   date_format(l_shipdate, 'yyyy-MM-dd')
+          |) as (col_name, v)""".stripMargin))
+      .groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_present"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .orderBy("col_name")
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.operators.Analytics
+
+/** Segmentation + profiling family: conservation invariants on the
+  * driver corpus and the no-single-reducer plan shapes.
+  */
+class ProfilingSpec extends SparkSuite {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("RFM: every banded customer accounted for, bands within [1, k]") {
+    val seg = Analytics.rfmSegments(spark, sfDir).cache()
+    try {
+      val custs = Tables.orders(spark, sfDir).select("o_custkey").distinct().count()
+      assert(seg.agg(sum("n_customers")).head.getLong(0) === custs)
+      assert(seg.agg(sum("total_orders")).head.getLong(0) ===
+        Tables.orders(spark, sfDir).count())
+      val bad = seg.filter(
+        col("r_band") < 1 || col("r_band") > 4 ||
+        col("f_band") < 1 || col("f_band") > 4 ||
+        col("m_band") < 1 || col("m_band") > 4).count()
+      assert(bad === 0)
+    } finally seg.unpersist()
+  }
+
+  test("RFM plan: banding never funnels through one reducer") {
+    // the distributed-rank helper uses range partitioning + a window
+    // keyed by partition id — a global ROW_NUMBER would show a
+    // SinglePartition exchange feeding a Window over the customer set
+    val plan = formatted(Analytics.rfmSegments(spark, sfDir))
+    val winIdx = plan.linesIterator.zipWithIndex
+      .filter(_._1.contains("Window (")).map(_._2).toSeq
+    assert(winIdx.nonEmpty, plan)
+    assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"global-window single partition found:\n$plan")
+  }
+
+  test("attribution: one row per purchasing user, 'none' only for stream-opening purchases") {
+    val att = Analytics.lastTouchAttribution(spark, sfDir).cache()
+    try {
+      val purchasers = Tables.events(spark, sfDir)
+        .filter(col("event_type") === "purchase")
+        .select("user_id").distinct().count()
+      assert(att.agg(sum("n_users")).head.getLong(0) === purchasers)
+      val types = Tables.events(spark, sfDir)
+        .select("event_type").distinct().collect().map(_.getString(0)).toSet + "none"
+      val bad = att.collect().map(_.getString(0)).filterNot(types.contains)
+      assert(bad.isEmpty, bad.mkString(","))
+    } finally att.unpersist()
+  }
+
+  test("profile: 7 columns, counts conserved, distincts bounded by presents") {
+    val p = Analytics.columnProfile(spark, sfDir).cache()
+    try {
+      assert(p.count() === 7)
+      val n = Tables.lineitem(spark, sfDir).count()
+      assert(p.filter(col("n_rows") =!= n).count() === 0)
+      assert(p.filter(col("n_present") > col("n_rows") ||
+                      col("n_distinct") > col("n_present") ||
+                      col("min_v") > col("max_v")).count() === 0)
+      // spot-check one column against a direct computation
+      val flag = p.filter(col("col_name") === "l_returnflag").head()
+      val direct = Tables.lineitem(spark, sfDir)
+        .agg(countDistinct("l_returnflag"), min("l_returnflag"), max("l_returnflag")).head()
+      assert(flag.getAs[Long]("n_distinct") === direct.getLong(0))
+      assert(flag.getAs[String]("min_v") === direct.getString(1))
+      assert(flag.getAs[String]("max_v") === direct.getString(2))
+    } finally p.unpersist()
+  }
+
+  test("profile plan: the unpivot is a narrow map — no join, first shuffle is the grouped profile") {
+    val plan = formatted(Analytics.columnProfile(spark, sfDir))
+    assert(!plan.contains("Join"), plan)
+    // expand (exact-distinct rewrite) + two-phase agg + output sort:
+    // at most 3 exchanges, none SinglePartition
+    assert(plan.linesIterator.count(_.contains("Exchange (")) <= 3, plan)
+  }
+}
