@@ -79,6 +79,8 @@ object SparkEntry {
     "x_kanon"              -> ((s, dir) => Analytics.kAnonSuppression(s, dir)),
     "x_regional_revenue"   -> ((s, dir) => Analytics.regionalRevenue(s, dir)),
     "x_market_basket"      -> ((s, dir) => Analytics.marketBasket(s, dir)),
+    "x_triangles"          -> ((s, dir) => Graphs.triangleCount(s, dir)),
+    "x_pagerank"           -> ((s, dir) => Graphs.pageRank(s, dir)),
     "x_ema"                -> ((s, dir) => Analytics.emaPerUser(s, dir)),
     "x_ohlc_bars"          -> ((s, dir) => Finance.ohlcBars(s, dir)),
     "x_vwap"               -> ((s, dir) => Finance.vwap(s, dir)),
@@ -384,6 +386,21 @@ object SparkEntry {
       |         value AS price, CAST(props->>'$.k' AS BIGINT) AS volume,
       |         epoch_us(ts)//1000000 AS ts_epoch, CAST(ts AS DATE) AS day
       |  FROM events)""".stripMargin
+
+  /** Shared co-purchase graph CTEs (mirrors Graphs.coEdges at
+    * minSupport=2 plus the symmetrized adjacency / degree / uniform
+    * initial rank the PageRank oracle unrolls from). Unreferenced CTEs
+    * are pruned by DuckDB, so x_triangles can share the prefix. */
+  private val graphCoCte: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |co AS (
+      |  SELECT a.pk AS pa, b.pk AS pb FROM items a
+      |  JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |adj AS (SELECT pa AS u, pb AS v FROM co UNION ALL SELECT pb, pa FROM co),
+      |degu AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY u),
+      |n AS (SELECT COUNT(*)::DOUBLE AS nn FROM degu),
+      |r0 AS (SELECT u AS node, 1.0::DOUBLE/nn AS r FROM degu, n)""".stripMargin
 
   private val emaNumSql: String = (0 until 16)
     .map(j => s"COALESCE(lag(m, $j) OVER w * ${1L << (15 - j)}, 0)")
@@ -3168,6 +3185,46 @@ object SparkEntry {
         |SELECT digit, n_orders, obs_freq, exp_freq,
         |  ROUND(ABS(obs_freq - exp_freq), 6) AS abs_dev
         |FROM f ORDER BY digit""".stripMargin,
+
+    // exact triangle count by degree orientation: each triangle counted
+    // once at its (degree, id)-lowest vertex; wedge lists bounded by
+    // oriented out-degree. Same thresholded co-purchase edge set as
+    // x_market_basket.
+    "x_triangles" ->
+      (graphCoCte + """,
+        |degv AS (SELECT v, COUNT(*) AS d FROM
+        |  (SELECT pa AS v FROM co UNION ALL SELECT pb FROM co) GROUP BY v),
+        |o AS (
+        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND pa < pb) THEN pa ELSE pb END AS src,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND pa < pb) THEN pb ELSE pa END AS dst
+        |  FROM co JOIN degv da ON da.v = co.pa JOIN degv db ON db.v = co.pb),
+        |w AS (SELECT e1.dst AS w1, e2.dst AS w2 FROM o e1
+        |      JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+        |c AS (SELECT COUNT(*) AS n_triangles FROM w JOIN o
+        |      ON (w.w1 = o.src AND w.w2 = o.dst) OR (w.w2 = o.src AND w.w1 = o.dst)),
+        |s AS (SELECT (SELECT COUNT(*) FROM o) AS n_edges,
+        |             (SELECT COUNT(*) FROM w) AS n_wedges, n_triangles FROM c)
+        |SELECT n_edges, n_wedges, n_triangles,
+        |  CASE WHEN n_wedges = 0 THEN 0.0
+        |       ELSE ROUND(n_triangles::DOUBLE / n_wedges, 6) END AS clustering
+        |FROM s""".stripMargin),
+
+    // 5 unrolled PageRank rounds over the symmetrized edge set;
+    // (1.0 - 0.85) is computed in double on BOTH engines so the
+    // teleport term is the identical binary value
+    "x_pagerank" ->
+      (graphCoCte + ",\n" + (1 to 5).map(i =>
+        s"""r$i AS (
+           |  SELECT adj.v AS node, (1.0::DOUBLE - 0.85::DOUBLE)/nn + 0.85::DOUBLE * SUM(r${i-1}.r / degu.d) AS r
+           |  FROM adj JOIN r${i-1} ON r${i-1}.node = adj.u
+           |  JOIN degu ON degu.u = adj.u, n GROUP BY adj.v, nn)""".stripMargin)
+        .mkString(",\n") + """,
+        |top AS (SELECT node, ROUND(r, 6) AS rank FROM r5
+        |        ORDER BY rank DESC, node LIMIT 20)
+        |SELECT ROW_NUMBER() OVER (ORDER BY rank DESC, node)::BIGINT AS rk,
+        |  node, d AS degree, rank
+        |FROM top JOIN degu ON degu.u = top.node
+        |ORDER BY rk""".stripMargin),
 
     // RFM segmentation: the band formula mirrors the Spark side's
     // ((rank-1)·k) div total + 1 with ROW_NUMBER (NOT NTILE — its

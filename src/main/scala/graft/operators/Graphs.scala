@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed graph analytics over the co-purchase graph (parts
+  * connected when >= `minSupport` orders contain both — the same edge
+  * derivation as [[Analytics.marketBasket]], thresholded instead of
+  * top-k). Complements the dedup-graph machinery (label propagation /
+  * pointer jumping in Dedup.scala) with the two classic whole-graph
+  * measures: triangle counting and PageRank.
+  *
+  * Scale shape: the only corpus-sized work is the distinct
+  * (order, part) projection; everything downstream operates on the
+  * thresholded edge list (8-byte key equi-joins, map-side partial
+  * aggregation, no all-pairs anywhere). The support threshold is what
+  * keeps the pair space sparse — the per-order self-join fan-out is
+  * basket-size-squared, never #parts-squared.
+  */
+object Graphs {
+
+  /** Undirected support-thresholded co-purchase edges (pa < pb). */
+  private[graft] def coEdges(spark: SparkSession, dir: String,
+                             minSupport: Int): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minSupport)
+      .select("pa", "pb")
+  }
+
+  /** Exact triangle count via degree orientation (Chiba-Nishizeki /
+    * the MapReduce formulation of Suri-Vassilvitskii 2011): orient
+    * every edge from the (degree, id)-smaller endpoint to the larger,
+    * so each triangle is counted exactly once at its lowest-rank
+    * vertex and every wedge list is bounded by the oriented
+    * out-degree (O(sqrt m)) — the skew rescue that makes the wedge
+    * join feasible on a power-law graph. Output is the 1-row graph
+    * summary: edges, wedges, triangles, global clustering coefficient.
+    */
+  def triangleCount(spark: SparkSession, dir: String,
+                    minSupport: Int = 2): DataFrame = {
+    val e = coEdges(spark, dir, minSupport).localCheckpoint()
+    // symmetric degree
+    val deg = e.select(col("pa").as("v")).unionAll(e.select(col("pb").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): src = smaller endpoint under that rank
+    val withDeg = e
+      .join(deg.select(col("v").as("pa"), col("d").as("da")), "pa")
+      .join(deg.select(col("v").as("pb"), col("d").as("db")), "pb")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+           (col("da") === col("db") && col("pa") < col("pb")), col("pa"))
+        .otherwise(col("pb")).as("src"),
+      when(col("da") < col("db") ||
+           (col("da") === col("db") && col("pa") < col("pb")), col("pb"))
+        .otherwise(col("pa")).as("dst"))
+      .localCheckpoint()
+    // wedges at the lowest-rank vertex; close each against an oriented edge
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("w1"), col("e2.dst").as("w2"))
+    val nWedges = wedges.count()
+    // the closing edge may be oriented either way between w1 and w2 —
+    // two DISJOINT equi-joins (an OR'd condition would plan as a
+    // nested loop), summed
+    val closures =
+      wedges.join(oriented,
+        col("w1") === col("src") && col("w2") === col("dst")).count() +
+      wedges.join(oriented,
+        col("w2") === col("src") && col("w1") === col("dst")).count()
+    val nEdges = oriented.count()
+    val spk = spark
+    import spk.implicits._
+    Seq((nEdges, nWedges, closures)).toDF("n_edges", "n_wedges", "n_triangles")
+      .withColumn("clustering",
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(round(col("n_triangles").cast("double") / col("n_wedges"), 6)))
+  }
+
+  /** PageRank (Brin-Page 1998) on the symmetrized co-purchase graph:
+    * `iters` driver-paced rounds of
+    * r'(v) = (1-d)/N + d * sum over in-neighbors u of r(u)/deg(u),
+    * top-k nodes by final rank. No dangling mass: symmetrization
+    * gives every node out-degree >= 1.
+    *
+    * Scale shape: each round is one equi-join of the edge list with
+    * the rank vector (both keyed by node) plus a node-keyed
+    * aggregation — the canonical iterative-analytics pattern; the
+    * degree table rides the same key. Rounds are localCheckpointed so
+    * the lineage stays O(1) like kmeansCentroids / labelPropagation;
+    * N is the single bounded driver value.
+    */
+  def pageRank(spark: SparkSession, dir: String, iters: Int = 5,
+               damping: Double = 0.85, topK: Int = 20,
+               minSupport: Int = 2): DataFrame = {
+    val e0 = coEdges(spark, dir, minSupport)
+    // symmetric adjacency (u -> v both ways)
+    val adj = e0.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e0.select(col("pb").as("u"), col("pa").as("v")))
+      .localCheckpoint()
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint()
+    val n = deg.count()
+    val base = lit(1.0 - damping) / lit(n.toDouble)
+    var ranks = deg.select(col("u").as("node"),
+      (lit(1.0) / lit(n.toDouble)).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = adj
+        .join(ranks.withColumnRenamed("node", "u"), "u")
+        .join(deg, "u")
+        .select(col("v").as("node"), (col("r") / col("d")).as("c"))
+      ranks = contrib.groupBy("node")
+        .agg((base + lit(damping) * sum(col("c"))).as("r"))
+        .localCheckpoint()
+    }
+    // top-k via TakeOrdered (never a global single-partition window
+    // over the corpus-growing node set); the k-row result re-ranks and
+    // broadcasts into the degree join
+    val top = ranks
+      .select(col("node"), round(col("r"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("node")).limit(topK)
+    broadcast(top)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("rank").desc, col("node"))).cast("bigint"))
+      .join(deg.select(col("u").as("node"), col("d").as("degree")), "node")
+      .select("rk", "node", "degree", "rank")
+      .orderBy("rk")
+  }
+}
