@@ -156,6 +156,7 @@ object SparkEntry {
     "x_split_leakage"      -> ((s, dir) => CorpusOps.splitLeakage(s, dir)),
     "x_quality_filter"     -> ((s, dir) => CorpusOps.qualityFilter(s, dir)),
     "x_decontaminate"      -> ((s, dir) => CorpusOps.decontaminate(s, dir)),
+    "x_contam_sweep"       -> ((s, dir) => CorpusOps.contaminationSweep(s, dir)),
     "x_contam_by_bench"    -> ((s, dir) => CorpusOps.contaminationByBench(s, dir)),
     "x_tfidf_top_terms"    -> ((s, dir) => CorpusOps.tfidfTopTerms(s, dir)),
     "x_curation_pipeline"  -> ((s, dir) => CorpusOps.curationPipeline(s, dir)),
@@ -218,6 +219,7 @@ object SparkEntry {
     "x_simhash_clusters64" -> ((s, dir) => Dedup.simhashClusters64(s, dir)),
     "x_simhash_neardup"    -> ((s, dir) => Dedup.simhashNearDup(s, dir)),
     "x_fuzzy_dedup"        -> ((s, dir) => Dedup.fuzzyNameDedup(s, dir)),
+    "x_prefix_jaccard"     -> ((s, dir) => Dedup.prefixJaccardJoin(s, dir)),
     "x_dup_components"     -> ((s, dir) => Dedup.dupComponents(s, dir)),
     "x_delete_cascade"     -> ((s, dir) => Dedup.deleteCascade(s, dir)),
     "x_shard_skew"         -> ((s, dir) => CorpusOps.shardSkew(s, dir)),
@@ -386,6 +388,34 @@ object SparkEntry {
       |         value AS price, CAST(props->>'$.k' AS BIGINT) AS volume,
       |         epoch_us(ts)//1000000 AS ts_epoch, CAST(ts AS DATE) AS day
       |  FROM events)""".stripMargin
+
+  /** Per-gram-size CTE block for the contamination sweep oracle —
+    * the same PolyHash replication as x_decontaminate, parameterized
+    * by gram width `n`. */
+  private def contamSweepCtes(n: Int): String = {
+    val gram = (0 until n).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
+      .mkString("||' '||")
+    s"""g$n AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    list_transform(range(1, len(toks)-${n - 2}), i -> $gram),
+       |    s -> list_reduce(list_transform(range(1,len(s)+1),
+       |           i2 -> ascii(substr(s,i2,1))::BIGINT),
+       |           (acc,c)->(acc*31+c)%1000000007)))) AS gh
+       |  FROM tk WHERE len(toks) >= $n),
+       |s$n AS (SELECT doc_id, COUNT(*) AS n_grams FROM g$n
+       |        WHERE doc_id >= 20 GROUP BY doc_id),
+       |h$n AS (SELECT c.doc_id, COUNT(*) AS n_shared
+       |        FROM (SELECT * FROM g$n WHERE doc_id >= 20) c
+       |        JOIN (SELECT DISTINCT gh FROM g$n WHERE doc_id < 20) b USING (gh)
+       |        GROUP BY c.doc_id),
+       |b$n AS (SELECT LEAST(FLOOR(COALESCE(h$n.n_shared, 0)::DOUBLE / s$n.n_grams * 10), 9)::BIGINT AS band,
+       |               COALESCE(h$n.n_shared, 0) AS n_shared, s$n.n_grams AS n_grams
+       |        FROM s$n LEFT JOIN h$n USING (doc_id)),
+       |a$n AS (SELECT $n::BIGINT AS gram_n, band, COUNT(*) AS n_docs,
+       |               SUM(n_shared)::BIGINT AS total_shared,
+       |               SUM(n_grams)::BIGINT AS total_grams
+       |        FROM b$n GROUP BY band)""".stripMargin
+  }
 
   /** Shared co-purchase graph CTEs (mirrors Graphs.coEdges at
     * minSupport=2 plus the symmetrized adjacency / degree / uniform
@@ -1603,6 +1633,39 @@ object SparkEntry {
         |SELECT lang, source, COUNT(*) AS n_docs, SUM(keep)::BIGINT AS n_kept,
         |  round(SUM(keep)::DOUBLE/COUNT(*), 6) AS keep_rate
         |FROM f GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // exact Jaccard >= 4/5 similarity join. The oracle runs the FULL
+    // inverted-index pair join; the Spark side prunes candidates by
+    // PPJoin prefix filtering — the prefix theorem guarantees equality
+    "x_prefix_jaccard" ->
+      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    list_transform(range(1, len(toks)-1), i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]),
+        |    s -> list_reduce(list_transform(range(1,len(s)+1),
+        |           i2 -> ascii(substr(s,i2,1))::BIGINT),
+        |           (acc,c)->(acc*31+c)%1000000007)))) AS gh
+        |  FROM tk WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, c AS n_common, sa.n AS na, sb.n AS nb,
+        |  ROUND(c::DOUBLE/(sa.n + sb.n - c), 6) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |WHERE 9*c >= 4*(sa.n + sb.n)
+        |ORDER BY da, db""".stripMargin,
+
+    // contamination overlap-fraction sweep across 4/8/13-gram
+    // operating points; bands are tenth-wide on the exact shared/total
+    // ratio, clamped to 9
+    "x_contam_sweep" ->
+      ("WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),\n" +
+       Seq(4, 8, 13).map(contamSweepCtes).mkString(",\n") + "\n" +
+       """SELECT * FROM (SELECT * FROM a4 UNION ALL SELECT * FROM a8
+         |               UNION ALL SELECT * FROM a13)
+         |ORDER BY gram_n, band""".stripMargin),
 
     "x_decontaminate" ->
       """WITH tk AS (

@@ -666,4 +666,62 @@ object CorpusOps {
       .join(crossing, Seq("scheme"))
       .orderBy("scheme")
   }
+
+  /** Contamination OVERLAP-FRACTION sweep: [[decontaminate]] answers
+    * "how contaminated is each doc at one gram size"; this answers the
+    * calibration question underneath — how does measured overlap mass
+    * move as the n-gram operating point hardens from loose 4-grams to
+    * the GPT-3 appendix-C 13-gram point (Brown et al. 2005.14165).
+    * Per gram size, every corpus doc (zero-hit docs included, unlike
+    * the hit-only decontaminate view) lands in a tenth-wide
+    * contamination band; the output is the (gram_n × band) grid with
+    * doc counts and shared/total gram mass.
+    *
+    * Scale shape: tokenization is materialized ONCE (localCheckpoint)
+    * and each gram size re-explodes it — the same shared-scan
+    * amortization as the substring span sweep; per size, the bench
+    * side is benchmark-sized (broadcast semi-join) and everything
+    * after the per-doc aggregate is banded (≤ 10·|sizes| rows).
+    * Band = floor(10·shared/total) on the SAME exact int ratio in
+    * both engines, clamped to 9 so full overlap joins the top band.
+    */
+  def contaminationSweep(spark: SparkSession, dir: String,
+                         benchDocs: Int = 20,
+                         gramSizes: Seq[Int] = Seq(4, 8, 13)): DataFrame = {
+    graft.functions.PolyHash.register(spark)
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .repartition(nPart, col("doc_id"))
+      .localCheckpoint()
+    gramSizes.map { n =>
+      val grams = toks
+        .filter(size(col("toks")) >= n)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"),
+          col("toks"))
+        .select(col("doc_id"),
+          call_function(graft.functions.PolyHash.Name,
+            concat_ws(" ", (0 until n).map(j =>
+              element_at(col("toks"), col("i") + j)): _*)).as("gh"))
+        .dropDuplicates("doc_id", "gh")
+        .localCheckpoint()
+      val bench = grams.filter(col("doc_id") < benchDocs).select("gh").distinct()
+      val corpus = grams.filter(col("doc_id") >= benchDocs)
+      val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val hits = corpus.join(broadcast(bench), Seq("gh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      sizes.join(hits, Seq("doc_id"), "left")
+        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        .withColumn("band",
+          least(floor(col("n_shared") / col("n_grams") * 10), lit(9L)).cast("bigint"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_shared")).as("total_shared"),
+             sum(col("n_grams")).as("total_grams"))
+        .withColumn("gram_n", lit(n.toLong))
+    }.reduce(_ unionByName _)
+      .select("gram_n", "band", "n_docs", "total_shared", "total_grams")
+      .orderBy("gram_n", "band")
+  }
 }

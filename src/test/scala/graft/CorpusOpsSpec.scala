@@ -307,4 +307,23 @@ class CorpusOpsSpec extends SparkSuite {
     assert(byDoc._2 == all.count(split(_) == "train"), "by_doc train size")
     assert(byDoc._3 == all.count(split(_) == "val"), "by_doc val size")
   }
+
+  test("contamination sweep: bands within [0,9], per-size doc accounting, monotone hardening") {
+    import org.apache.spark.sql.functions._
+    val sweep = graft.operators.CorpusOps.contaminationSweep(spark, sfDir).collect()
+    assert(sweep.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 9))
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).as("nt"), col("doc_id"))
+      .filter(col("doc_id") >= 20)
+    for (n <- Seq(4, 8, 13)) {
+      val expected = docs.filter(col("nt") >= n).count()
+      val got = sweep.filter(_.getLong(0) == n).map(_.getLong(2)).sum
+      assert(got === expected, s"gram_n=$n doc accounting")
+    }
+    // hardening the operating point cannot RAISE total shared mass:
+    // every shared 13-gram contains shared 8-grams and 4-grams
+    def mass(n: Int) = sweep.filter(_.getLong(0) == n).map(_.getLong(3)).sum
+    assert(mass(13) <= mass(8) && mass(8) <= mass(4),
+      s"shared-gram mass should shrink as grams harden: ${mass(4)}/${mass(8)}/${mass(13)}")
+  }
 }
