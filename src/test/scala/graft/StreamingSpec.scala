@@ -1382,4 +1382,58 @@ class StreamingSpec extends SparkSuite {
       assert(streamed.map(_._3).sum == data.length * 4L)
     } finally q.stop()
   }
+
+  test("streaming OHLC bars equal batch bars on identical out-of-order rows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Double, Long, Timestamp, Long, Long)]
+    val cols = Seq("symbol", "price", "volume", "ts", "ts_epoch", "id")
+    val stream = ms.toDF().toDF(cols: _*)
+    val q = graft.streaming.StreamingOhlc.streamingBars(stream)
+      .writeStream.format("memory").queryName("ohlc_stream")
+      .outputMode("complete").start()
+    try {
+      val d = 86_400_000L
+      def tick(sym: String, p: Double, v: Long, ms0: Long, id: Long) =
+        (sym, p, v, new Timestamp(ms0), ms0 / 1000, id)
+      // day 1 for two symbols, out of order WITHIN the batch; then a
+      // second micro-batch appends day 2 plus a same-second tie on
+      // day 1 ordered only by id
+      ms.addData(
+        tick("a", 10.0, 5L, d + 7_000, 3),
+        tick("a", 12.0, 2L, d + 1_000, 1),
+        tick("b", 50.0, 1L, d + 2_000, 2),
+        tick("a", 8.0, 4L, d + 3_000, 4))
+      ms.addData(
+        tick("a", 11.0, 9L, 2 * d + 1_000, 6),
+        tick("a", 9.5, 3L, d + 1_000, 0)) // same second as id=1, lower id -> the true open
+      q.processAllAvailable()
+      val all = Seq(
+        tick("a", 10.0, 5L, d + 7_000, 3), tick("a", 12.0, 2L, d + 1_000, 1),
+        tick("b", 50.0, 1L, d + 2_000, 2), tick("a", 8.0, 4L, d + 3_000, 4),
+        tick("a", 11.0, 9L, 2 * d + 1_000, 6), tick("a", 9.5, 3L, d + 1_000, 0))
+      def norm(df: org.apache.spark.sql.DataFrame) = df
+        .select("symbol", "day", "open_price", "high_price", "low_price",
+          "close_price", "bar_volume", "n_ticks")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val streamed = norm(spark.table("ohlc_stream"))
+      val batch = norm(graft.streaming.StreamingOhlc.bars(all.toDF(cols: _*)))
+      assert(streamed.toSeq == batch.toSeq, s"stream != batch:\n$streamed\n$batch")
+      // the same-second tie resolved by id: open of (a, day1) is 9.5
+      val aday1 = spark.table("ohlc_stream")
+        .filter(col("symbol") === "a" && col("n_ticks") === 4).head()
+      assert(aday1.getAs[Double]("open_price") == 9.5)
+      assert(aday1.getAs[Double]("close_price") == 10.0)
+    } finally q.stop()
+  }
+
+  test("min_by/max_by OHLC formulation equals the shipped row_number form on the corpus") {
+    val viaAgg = graft.streaming.StreamingOhlc.bars(
+        graft.operators.Finance.quotes(spark, sfDir))
+      .orderBy("symbol", "day").collect().map(_.toSeq)
+    val viaRank = graft.operators.Finance.ohlcBars(spark, sfDir)
+      .select("symbol", "day", "open_price", "high_price", "low_price",
+        "close_price", "bar_volume", "n_ticks")
+      .collect().map(_.toSeq)
+    assert(viaAgg.toSeq == viaRank.toSeq)
+  }
 }
