@@ -78,6 +78,7 @@ object SparkEntry {
     "x_event_funnel"       -> ((s, dir) => Analytics.eventFunnel(s, dir)),
     "x_kanon"              -> ((s, dir) => Analytics.kAnonSuppression(s, dir)),
     "x_regional_revenue"   -> ((s, dir) => Analytics.regionalRevenue(s, dir)),
+    "x_nation_trade"       -> ((s, dir) => Analytics.nationTrade(s, dir)),
     "x_market_basket"      -> ((s, dir) => Analytics.marketBasket(s, dir)),
     "x_triangles"          -> ((s, dir) => Graphs.triangleCount(s, dir)),
     "x_pagerank"           -> ((s, dir) => Graphs.pageRank(s, dir)),
@@ -91,6 +92,7 @@ object SparkEntry {
     "x_rfm"                -> ((s, dir) => Analytics.rfmSegments(s, dir)),
     "x_attribution"        -> ((s, dir) => Analytics.lastTouchAttribution(s, dir)),
     "x_profile"            -> ((s, dir) => Analytics.columnProfile(s, dir)),
+    "x_mad_outliers"       -> ((s, dir) => Analytics.madOutliers(s, dir)),
     "x_json_props"         -> ((s, dir) => Analytics.jsonPropsAgg(s, dir)),
     "x_running_spend"      -> ((s, dir) => Analytics.runningCustomerSpend(s, dir)),
     "x_value_bands"        -> ((s, dir) => Analytics.valueBandJoin(s, dir)),
@@ -157,6 +159,7 @@ object SparkEntry {
     "x_quality_filter"     -> ((s, dir) => CorpusOps.qualityFilter(s, dir)),
     "x_decontaminate"      -> ((s, dir) => CorpusOps.decontaminate(s, dir)),
     "x_contam_sweep"       -> ((s, dir) => CorpusOps.contaminationSweep(s, dir)),
+    "x_cdc_chunks"         -> ((s, dir) => CorpusOps.cdcChunks(s, dir)),
     "x_contam_by_bench"    -> ((s, dir) => CorpusOps.contaminationByBench(s, dir)),
     "x_tfidf_top_terms"    -> ((s, dir) => CorpusOps.tfidfTopTerms(s, dir)),
     "x_curation_pipeline"  -> ((s, dir) => CorpusOps.curationPipeline(s, dir)),
@@ -1633,6 +1636,42 @@ object SparkEntry {
         |SELECT lang, source, COUNT(*) AS n_docs, SUM(keep)::BIGINT AS n_kept,
         |  round(SUM(keep)::DOUBLE/COUNT(*), 6) AS keep_rate
         |FROM f GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // content-defined chunking census: boundary after token i when the
+    // trailing 4-gram hash is 0 mod 16; bands are 8-token-wide chunk
+    // lengths capped at 8, with the distinct-hash storage-dedup ratio
+    "x_cdc_chunks" ->
+      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i FROM tk),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i >= 4 THEN
+        |      list_reduce(list_transform(range(1, len(toks[i-3]||' '||toks[i-2]||' '||toks[i-1]||' '||toks[i])+1),
+        |        i2 -> ascii(substr(toks[i-3]||' '||toks[i-2]||' '||toks[i-1]||' '||toks[i], i2, 1))::BIGINT),
+        |        (acc,cc)->(acc*31+cc)%1000000007)
+        |    END AS gh
+        |  FROM p),
+        |b AS (SELECT doc_id, i,
+        |        CASE WHEN gh IS NOT NULL AND gh % 16 = 0 THEN 1 ELSE 0 END AS b
+        |      FROM g),
+        |c AS (SELECT doc_id, i,
+        |        1 + COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |      FROM b),
+        |ch AS (SELECT doc_id, chunk_id, MIN(i) AS st, COUNT(*) AS len
+        |       FROM c GROUP BY 1, 2),
+        |sl AS (SELECT ch.len,
+        |         array_to_string(tk.toks[ch.st : ch.st + ch.len - 1], ' ') AS cs
+        |       FROM ch JOIN tk USING (doc_id)),
+        |hh AS (SELECT len,
+        |         list_reduce(list_transform(range(1, len(cs)+1),
+        |           i2 -> ascii(substr(cs, i2, 1))::BIGINT),
+        |           (acc,cc)->(acc*31+cc)%1000000007) AS chash
+        |       FROM sl)
+        |SELECT LEAST(len // 8, 8)::BIGINT AS band, COUNT(*) AS n_chunks,
+        |  COUNT(DISTINCT chash) AS n_distinct, SUM(len)::BIGINT AS total_tokens,
+        |  ROUND(SUM(len)::DOUBLE / COUNT(*), 6) AS avg_len
+        |FROM hh GROUP BY band ORDER BY band""".stripMargin,
 
     // exact Jaccard >= 4/5 similarity join. The oracle runs the FULL
     // inverted-index pair join; the Spark side prunes candidates by
@@ -3132,6 +3171,26 @@ object SparkEntry {
         |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
+    // TPC-H Q7-class two-nation trade flow by ship year
+    "x_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |       (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_11', 'NATION_12')
+        |  AND n2.n_name IN ('NATION_11', 'NATION_12')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     // k-anonymity suppression audit: (event_type, hour) cells with
     // fewer than 5 distinct users must be suppressed before export;
     // the audit prices what that costs per event type
@@ -3288,6 +3347,32 @@ object SparkEntry {
         |  node, d AS degree, rank
         |FROM top JOIN degu ON degu.u = top.node
         |ORDER BY rk""".stripMargin),
+
+    // median/MAD robust outliers: the unrounded median feeds the
+    // deviation pass in both engines; 4.4478 (= 3·1.4826) is a single
+    // literal so the scaling double is identical
+    "x_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |dv AS (
+        |  SELECT e.event_type, ABS(e.value - med.med) AS dev, med.med
+        |  FROM events e JOIN med USING (event_type)),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n_events, MAX(med) AS med_raw,
+        |         quantile_cont(dev, 0.5) AS mad_raw
+        |  FROM dv GROUP BY event_type),
+        |o AS (
+        |  SELECT dv.event_type, COUNT(*) AS n_outliers
+        |  FROM dv JOIN st USING (event_type)
+        |  WHERE dv.dev > 4.4478::DOUBLE * st.mad_raw
+        |  GROUP BY dv.event_type)
+        |SELECT st.event_type, st.n_events,
+        |  ROUND(st.med_raw, 6) AS med, ROUND(st.mad_raw, 6) AS mad,
+        |  COALESCE(o.n_outliers, 0) AS n_outliers,
+        |  ROUND(COALESCE(o.n_outliers, 0) / st.n_events, 6) AS outlier_share
+        |FROM st LEFT JOIN o USING (event_type)
+        |ORDER BY st.event_type""".stripMargin,
 
     // RFM segmentation: the band formula mirrors the Spark side's
     // ((rank-1)·k) div total + 1 with ROW_NUMBER (NOT NTILE — its

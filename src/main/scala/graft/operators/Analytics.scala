@@ -1473,6 +1473,45 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q7-class two-nation trade flow: revenue shipped between a
+    * nation pair (both directions kept separate) by ship year. The
+    * nation filter is applied INSIDE the supplier/customer dimension
+    * joins — the classic Q7 rewrite — so the fact-side joins see only
+    * rows that can survive, and the residual pair filter merely drops
+    * the two same-nation combinations. Nation broadcasts from its
+    * size; supplier/customer keep size-based join selection (they grow
+    * with the corpus). The date filter reaches the parquet scan.
+    */
+  def nationTrade(spark: SparkSession, dir: String,
+                  nationA: String = "NATION_11",
+                  nationB: String = "NATION_12"): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(nationA, nationB))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+              col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("bigint").as("l_year"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,6)") *
+               (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** Market-basket co-occurrence (the a-priori first step, Agrawal-
     * Srikant 1994): the top part pairs by number of orders containing
     * both, with per-pair LIFT = P(ab)/(P(a)P(b)) — computed as the
@@ -1626,6 +1665,44 @@ object Analytics {
       .select(col("step_no"), col("step"), col("n_users"),
         round(col("n_users").cast("double") / col("n0"), 6).as("share"))
       .orderBy("step_no")
+  }
+
+  /** Robust outlier audit: median/MAD control limits per event type —
+    * the skew-immune twin of [[zscoreOutliers]] (a handful of extreme
+    * ticks cannot drag the center or the spread the way they drag
+    * mean/stddev). An event is an outlier when
+    * |v - median| > 4.4478 · MAD (3σ-equivalent under normality,
+    * 1.4826·3 written as ONE literal so both engines scale by the
+    * identical double). Exact medians via interpolated percentile;
+    * at 100 TB swap for approx_percentile (t-digest) — same two-pass
+    * shape, the pairing this repo uses for distinct/approx-distinct.
+    *
+    * Scale shape: two grouped aggregates over the fact stream with the
+    * event-type-sized stats table broadcast back between them; the
+    * output is event-type-sized.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_type", "value")
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val stats = dev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           max(col("med")).as("med_raw"),
+           expr("percentile(dev, 0.5)").as("mad_raw"))
+    val outliers = dev
+      .join(broadcast(stats.select("event_type", "mad_raw")), "event_type")
+      .filter(col("dev") > lit(4.4478) * col("mad_raw"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_outliers"))
+    stats.join(outliers, Seq("event_type"), "left")
+      .withColumn("n_outliers", coalesce(col("n_outliers"), lit(0L)))
+      .select(col("event_type"), col("n_events"),
+        round(col("med_raw"), 6).as("med"),
+        round(col("mad_raw"), 6).as("mad"),
+        col("n_outliers"),
+        round(col("n_outliers") / col("n_events"), 6).as("outlier_share"))
+      .orderBy("event_type")
   }
 
   /** RFM customer segmentation: recency (latest order date), frequency

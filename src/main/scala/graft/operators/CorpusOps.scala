@@ -685,6 +685,62 @@ object CorpusOps {
     * Band = floor(10·shared/total) on the SAME exact int ratio in
     * both engines, clamped to 9 so full overlap joins the top band.
     */
+  /** Content-defined chunking (the rolling-hash boundary rule of
+    * LBFS/rsync lineage, Muthitacharoen et al. SOSP'01): a chunk
+    * boundary falls AFTER token i whenever the hash of the trailing
+    * `window`-token gram is 0 mod `mask` — so boundaries move with the
+    * CONTENT, and an insertion early in a document re-aligns within
+    * one expected chunk instead of shifting every fixed-width chunk
+    * after it (the failure mode of [[docChunks]]' fixed windows, which
+    * this complements). Output: corpus chunk-census by length band —
+    * chunk count, DISTINCT chunk-content hashes (the storage-dedup
+    * ratio CDC exists to improve), token mass, mean length.
+    *
+    * Scale shape: boundary detection is a narrow per-token map over
+    * the doc-partitioned token explosion plus one per-doc cumulative
+    * window (doc-keyed, streaming frame); chunk assembly regroups on
+    * (doc, chunk) riding the same doc partitioning; the band census is
+    * a 10-row rollup. All hashes 8-byte; the only corpus-sized
+    * shuffles carry (doc_id, chunk_id, hash) triples.
+    */
+  def cdcChunks(spark: SparkSession, dir: String, window: Int = 4,
+                mask: Int = 16, bandWidth: Int = 8, maxBand: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.PolyHash.register(spark)
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .repartition(nPart, col("doc_id"))
+      .localCheckpoint()
+    val gram = concat_ws(" ", (0 until window).map(j =>
+      element_at(col("toks"), col("i") - (window - 1) + j)): _*)
+    val bounds = docs
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")))).as("i"))
+      .withColumn("b",
+        (col("i") >= window &&
+         pmod(call_function(graft.functions.PolyHash.Name, gram), lit(mask)) === 0)
+          .cast("int"))
+    val cum = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = bounds
+      .withColumn("chunk_id", coalesce(sum(col("b")).over(cum), lit(0)) + 1)
+      .groupBy("doc_id", "chunk_id")
+      .agg(min(col("i")).as("st"), count(lit(1)).as("len"))
+    val hashed = chunks.join(docs, "doc_id")
+      .select(col("len"),
+        call_function(graft.functions.PolyHash.Name,
+          concat_ws(" ", expr("slice(toks, st, len)"))).as("chash"))
+    hashed
+      .groupBy(least(expr(s"len div $bandWidth"), lit(maxBand.toLong))
+        .cast("bigint").as("band"))
+      .agg(count(lit(1)).as("n_chunks"),
+           countDistinct(col("chash")).as("n_distinct"),
+           sum(col("len")).as("total_tokens"),
+           round(sum(col("len")) / count(lit(1)), 6).as("avg_len"))
+      .orderBy("band")
+  }
+
   def contaminationSweep(spark: SparkSession, dir: String,
                          benchDocs: Int = 20,
                          gramSizes: Seq[Int] = Seq(4, 8, 13)): DataFrame = {

@@ -81,4 +81,42 @@ class ProfilingSpec extends SparkSuite {
     // at most 3 exchanges, none SinglePartition
     assert(plan.linesIterator.count(_.contains("Exchange (")) <= 3, plan)
   }
+
+  test("MAD outliers: robust stats accounted, outliers a strict minority per type") {
+    val m = Analytics.madOutliers(spark, sfDir).cache()
+    try {
+      assert(m.agg(sum("n_events")).head.getLong(0) ===
+        Tables.events(spark, sfDir).count())
+      assert(m.filter(col("mad") < 0 || col("med") < 0).count() === 0)
+      // by construction |v - med| > 4.4478*MAD can hold for at most
+      // half the group (MAD is the median deviation)
+      assert(m.filter(col("outlier_share") >= 0.5).count() === 0)
+    } finally m.unpersist()
+  }
+
+  test("nation trade: Q7 plan pushes the shipdate filter and broadcasts nation") {
+    val df = Analytics.nationTrade(spark, sfDir)
+    val plan = formatted(df)
+    assert(plan.contains("PushedFilters:") &&
+           plan.contains("GreaterThanOrEqual(l_shipdate"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // both directions separated, never a same-nation row
+    assert(df.filter(col("supp_nation") === col("cust_nation")).count() === 0)
+  }
+
+  test("CDC chunks: token mass conserved, distinct hashes bounded, bands ordered") {
+    val c = graft.operators.CorpusOps.cdcChunks(spark, sfDir).cache()
+    try {
+      val totalToks = Tables.documents(spark, sfDir)
+        .agg(sum(size(split(col("text"), " ")))).head.getLong(0)
+      assert(c.agg(sum("total_tokens")).head.getLong(0) === totalToks)
+      assert(c.filter(col("n_distinct") > col("n_chunks")).count() === 0)
+      // planted near-dup docs must make SOME chunks repeat verbatim
+      val rep = c.agg(sum("n_chunks"), sum("n_distinct")).head()
+      assert(rep.getLong(1) < rep.getLong(0),
+        "expected repeated chunk content across the near-dup corpus")
+      assert(c.filter(col("band") < 0 || col("band") > 8).count() === 0)
+    } finally c.unpersist()
+  }
 }
