@@ -93,6 +93,8 @@ object SparkEntry {
     "x_attribution"        -> ((s, dir) => Analytics.lastTouchAttribution(s, dir)),
     "x_profile"            -> ((s, dir) => Analytics.columnProfile(s, dir)),
     "x_mad_outliers"       -> ((s, dir) => Analytics.madOutliers(s, dir)),
+    "x_gini"               -> ((s, dir) => Analytics.giniSpend(s, dir)),
+    "x_mutual_info"        -> ((s, dir) => Analytics.mutualInfo(s, dir)),
     "x_json_props"         -> ((s, dir) => Analytics.jsonPropsAgg(s, dir)),
     "x_running_spend"      -> ((s, dir) => Analytics.runningCustomerSpend(s, dir)),
     "x_value_bands"        -> ((s, dir) => Analytics.valueBandJoin(s, dir)),
@@ -3347,6 +3349,44 @@ object SparkEntry {
         |  node, d AS degree, rank
         |FROM top JOIN degu ON degu.u = top.node
         |ORDER BY rk""".stripMargin),
+
+    // per-segment Gini of customer spend: exact integer cents, Lorenz
+    // rank by (cents, custkey), all-integer rank form with one final
+    // double division
+    "x_gini" ->
+      """WITH sp AS (
+        |  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (
+        |  SELECT c_mktsegment, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY cents, o_custkey) AS rn
+        |  FROM sp JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  SUM(cents)::BIGINT AS total_cents,
+        |  ROUND((2 * SUM(rn * cents) - (COUNT(*) + 1) * SUM(cents))::DOUBLE /
+        |        (COUNT(*) * SUM(cents)), 6) AS gini
+        |FROM j GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // mutual information between event type and the exact-cents value
+    // band; every log argument is the identical integer-ratio double
+    "x_mutual_info" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    (CAST(round(value * 100) AS BIGINT)
+        |      - ((CAST(round(value * 100) AS BIGINT) % 2000) + 2000) % 2000) // 2000 AS band,
+        |    COUNT(*) AS c_xy
+        |  FROM events GROUP BY 1, 2),
+        |cx AS (SELECT event_type, SUM(c_xy)::BIGINT AS c_x FROM c GROUP BY 1),
+        |cy AS (SELECT band, SUM(c_xy)::BIGINT AS c_y FROM c GROUP BY 1),
+        |t AS (SELECT SUM(c_xy)::BIGINT AS n FROM c),
+        |mi AS (
+        |  SELECT COUNT(*) AS n_cells,
+        |    ROUND(SUM(c_xy / n * ln((c_xy * n)::DOUBLE / (c_x * c_y))), 6) AS mi
+        |  FROM c JOIN cx USING (event_type) JOIN cy USING (band), t),
+        |hx AS (SELECT ROUND(-SUM(c_x / n * ln(c_x::DOUBLE / n)), 6) AS h_type FROM cx, t),
+        |hy AS (SELECT ROUND(-SUM(c_y / n * ln(c_y::DOUBLE / n)), 6) AS h_band FROM cy, t)
+        |SELECT n_cells, mi, h_type, h_band FROM mi, hx, hy""".stripMargin,
 
     // median/MAD robust outliers: the unrounded median feeds the
     // deviation pass in both engines; 4.4478 (= 3·1.4826) is a single

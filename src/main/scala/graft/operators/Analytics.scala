@@ -1473,6 +1473,82 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Per-segment Gini concentration of customer spend — the
+    * inequality audit (is revenue concentrated in a few whales?).
+    * Spend is exact integer CENTS; the Lorenz rank comes from ONE
+    * [[CorpusOps.withGlobalRank]] pass over (segment, cents, custkey)
+    * with per-segment rank recovered as grn - min(grn in segment) + 1
+    * (the segment-sized min table broadcasts back) — so no per-segment
+    * single-reducer window ever materializes, unlike the naive
+    * `ROW_NUMBER() OVER (PARTITION BY segment ...)` whose hot segment
+    * is one reducer at 100 TB. Gini is the all-integer rank form
+    * G = (2·Σ(rn·cents) - (n+1)·Σcents) / (n·Σcents): one double
+    * division of exact integers, engine-identical.
+    */
+  def giniSpend(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_custkey", "c_mktsegment", "cents")
+    val (ranked, _) = CorpusOps.withGlobalRank(spend,
+      Seq(col("c_mktsegment"), col("cents"), col("o_custkey")), "grn")
+    val segStart = ranked.groupBy(col("c_mktsegment").as("seg"))
+      .agg(min(col("grn")).as("rn0"))
+    ranked
+      .join(broadcast(segStart), col("c_mktsegment") === col("seg"))
+      .withColumn("rn", col("grn") - col("rn0") + 1)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+           sum(col("cents")).as("total_cents"),
+           sum(col("rn") * col("cents")).as("s1"))
+      .select(col("c_mktsegment"), col("n_customers"), col("total_cents"),
+        round((lit(2) * col("s1") - (col("n_customers") + 1) * col("total_cents"))
+                .cast("double") /
+              (col("n_customers") * col("total_cents")), 6).as("gini"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Mutual information between event type and value band — the
+    * dependence screen a feature-selection pass runs over categorical
+    * pairs. Bands reuse the histogram's exact integer-cents binning;
+    * MI and both entropies are sums over the BOUNDED cell table
+    * (types × bands), each term an exact-integer ratio pushed through
+    * ln as identical doubles. The fact stream is touched once (joint
+    * counts); marginals and the total derive from the cell table.
+    */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("""(cast(round(value * 100) as bigint)
+               | - ((cast(round(value * 100) as bigint) % 2000) + 2000) % 2000)
+               | div 2000""".stripMargin).as("band"))
+      .groupBy("event_type", "band")
+      .agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint() // bounded: |types| x |bands|
+    val cx = cells.groupBy("event_type").agg(sum("c_xy").as("c_x"))
+    val cy = cells.groupBy("band").agg(sum("c_xy").as("c_y"))
+    val n  = cells.agg(sum("c_xy").as("n"))
+    cells.join(broadcast(cx), "event_type").join(broadcast(cy), "band")
+      .crossJoin(broadcast(n))
+      .select(
+        (col("c_xy") / col("n") *
+          log((col("c_xy") * col("n")).cast("double") / (col("c_x") * col("c_y"))))
+          .as("mi_term"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        round(sum(col("mi_term")), 6).as("mi"))
+      .crossJoin(broadcast(
+        cx.crossJoin(n).agg(round(-sum(col("c_x") / col("n") *
+          log(col("c_x").cast("double") / col("n"))), 6).as("h_type"))))
+      .crossJoin(broadcast(
+        cy.crossJoin(n).agg(round(-sum(col("c_y") / col("n") *
+          log(col("c_y").cast("double") / col("n"))), 6).as("h_band"))))
+      .select("n_cells", "mi", "h_type", "h_band")
+  }
+
   /** TPC-H Q7-class two-nation trade flow: revenue shipped between a
     * nation pair (both directions kept separate) by ship year. The
     * nation filter is applied INSIDE the supplier/customer dimension

@@ -82,6 +82,27 @@ class ProfilingSpec extends SparkSuite {
     assert(plan.linesIterator.count(_.contains("Exchange (")) <= 3, plan)
   }
 
+  test("Gini: bounded in [0,1), every ordering customer banded, no per-segment single reducer") {
+    val g = Analytics.giniSpend(spark, sfDir)
+    val plan = formatted(g)
+    assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"per-segment window funneled through one reducer:\n$plan")
+    val rows = g.collect()
+    assert(rows.forall(r => r.getAs[Double]("gini") >= 0.0 &&
+                            r.getAs[Double]("gini") < 1.0))
+    assert(rows.map(_.getAs[Long]("n_customers")).sum ===
+      Tables.orders(spark, sfDir).select("o_custkey").distinct().count())
+  }
+
+  test("mutual information: non-negative and bounded by both marginal entropies") {
+    val r = Analytics.mutualInfo(spark, sfDir).head()
+    val (mi, hx, hy) = (r.getAs[Double]("mi"), r.getAs[Double]("h_type"),
+      r.getAs[Double]("h_band"))
+    assert(mi >= -1e-6, s"mi $mi")
+    assert(mi <= math.min(hx, hy) + 1e-6, s"mi $mi vs h($hx, $hy)")
+    assert(hx > 0 && hy > 0)
+  }
+
   test("MAD outliers: robust stats accounted, outliers a strict minority per type") {
     val m = Analytics.madOutliers(spark, sfDir).cache()
     try {
