@@ -124,6 +124,9 @@ object SparkEntry {
     "x_json_map"           -> ((s, dir) => Analytics.jsonMapAgg(s, dir)),
     "x_asof_join"          -> ((s, dir) => AsOfJoin.clickEnrichedWithLastView(s, dir)),
     "x_asof_forward"       -> ((s, dir) => AsOfJoin.clickEnrichedWithNextView(s, dir)),
+    "x_asof_tolerance"     -> ((s, dir) => AsOfJoin.clickEnrichedWithLastViewWithin(s, dir)),
+    "x_top_movers"         -> ((s, dir) => Finance.topMovers(s, dir)),
+    "x_pair_corr"          -> ((s, dir) => Finance.pairCorrelation(s, dir)),
 
     "x_range_frame"        -> ((s, dir) => Analytics.slidingHourValue(s, dir)),
     "x_latest_snapshot"    -> ((s, dir) => Analytics.latestSnapshot(s, dir)),
@@ -968,6 +971,60 @@ object SparkEntry {
         |                WHERE event_type = 'view') q
         |  ON t.user_id = q.user_id AND t.event_id >= q.view_event_id
         |ORDER BY t.event_id""".stripMargin,
+
+    // as-of with a max-staleness contract: matches older than 100 in
+    // the as-of ordering are masked to NULL on both engines
+    "x_asof_tolerance" ->
+      """SELECT t.event_id, t.user_id, t.value,
+        |  CASE WHEN t.event_id - q.view_event_id <= 100
+        |       THEN q.view_value END AS asof_view_value,
+        |  CASE WHEN t.event_id - q.view_event_id <= 100
+        |       THEN q.view_event_id END AS asof_view_event_id
+        |FROM (SELECT event_id, user_id, value FROM events
+        |      WHERE event_type = 'click') t
+        |ASOF LEFT JOIN (SELECT event_id AS view_event_id, user_id,
+        |                       value AS view_value FROM events
+        |                WHERE event_type = 'view') q
+        |  ON t.user_id = q.user_id AND t.event_id >= q.view_event_id
+        |ORDER BY t.event_id""".stripMargin,
+
+    // top day-over-day VWAP movers off the engine-exact round-6 dailies
+    "x_top_movers" ->
+      (finQuoteCte + """,
+        |v AS (
+        |  SELECT symbol, day,
+        |    ROUND(CAST(CAST(SUM(CAST(price AS DECIMAL(18,6)) * CAST(volume AS DECIMAL(18,6)))
+        |      AS VARCHAR) AS DOUBLE) / SUM(volume), 6) AS vwap
+        |  FROM q GROUP BY symbol, day HAVING SUM(volume) > 0),
+        |d AS (SELECT symbol, day, vwap,
+        |        LAG(vwap) OVER (PARTITION BY symbol ORDER BY day) AS prev_vwap
+        |      FROM v),
+        |f AS (SELECT symbol, day, prev_vwap, vwap,
+        |        ROUND((vwap - prev_vwap) / prev_vwap, 6) AS pct_change
+        |      FROM d WHERE prev_vwap IS NOT NULL AND prev_vwap <> 0),
+        |top AS (SELECT * FROM f
+        |        ORDER BY ABS(pct_change) DESC, symbol, day LIMIT 10)
+        |SELECT ROW_NUMBER() OVER (ORDER BY ABS(pct_change) DESC, symbol, day)::BIGINT AS rk,
+        |  symbol, day, prev_vwap, vwap, pct_change
+        |FROM top ORDER BY rk""".stripMargin),
+
+    // pairwise daily-mean-price correlation across the 10 most-traded
+    // symbols; exact-decimal daily means, shared-day alignment
+    "x_pair_corr" ->
+      (finQuoteCte + """,
+        |dm AS (
+        |  SELECT symbol, day,
+        |    CAST(CAST(SUM(CAST(price AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean_price,
+        |    COUNT(*) AS n_ticks
+        |  FROM q GROUP BY 1, 2),
+        |top AS (SELECT symbol FROM (
+        |          SELECT symbol, SUM(n_ticks) AS total FROM dm GROUP BY 1)
+        |        ORDER BY total DESC, symbol LIMIT 10),
+        |u AS (SELECT dm.symbol, day, mean_price FROM dm JOIN top USING (symbol))
+        |SELECT a.symbol AS sym_a, b.symbol AS sym_b, COUNT(*) AS n_days,
+        |  ROUND(corr(a.mean_price, b.mean_price), 6) AS price_corr
+        |FROM u a JOIN u b ON a.day = b.day AND a.symbol < b.symbol
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 10 ORDER BY 1, 2""".stripMargin),
 
     "x_asof_forward" ->
       """SELECT t.event_id, t.user_id, t.value,

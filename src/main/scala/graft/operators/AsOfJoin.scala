@@ -115,6 +115,31 @@ object AsOfJoin {
       .orderBy("event_id")
   }
 
+  /** Tolerance instance: as [[clickEnrichedWithLastView]], but a match
+    * staler than `tol` in the as-of ordering is MASKED to null — the
+    * max-staleness contract every production point-in-time join
+    * carries (a quote from last week must not price today's trade).
+    * Masking happens after the same one-shuffle union-sort join; no
+    * extra exchange.
+    */
+  def clickEnrichedWithLastViewWithin(spark: SparkSession, dir: String,
+                                      tol: Long = 100): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("value").as("view_value"),
+              col("event_id").as("view_event_id"))
+    val fresh = col("asof_view_event_id").isNotNull &&
+      col("event_id") - col("asof_view_event_id") <= tol
+    asOf(clicks, views, key = "user_id", ord = "event_id",
+         payload = Seq("view_value", "view_event_id"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        when(fresh, col("asof_view_value")).as("asof_view_value"),
+        when(fresh, col("asof_view_event_id")).as("asof_view_event_id"))
+      .orderBy("event_id")
+  }
+
   /** Forward instance: for every click, the same user's NEXT view. */
   def clickEnrichedWithNextView(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)

@@ -158,6 +158,63 @@ object Finance {
       .orderBy("symbol", "id")
   }
 
+  /** Top day-over-day VWAP movers: the market-screen query. Builds on
+    * [[vwap]]'s round-6 dailies (engine-exact, so the percent change
+    * divides identical doubles), lags within each symbol, and takes
+    * the global top-k by |change| via TakeOrdered — never a global
+    * window over the (symbol, day) matrix. Ties break on
+    * (symbol, day) so the cut is total-ordered.
+    */
+  def topMovers(spark: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("day")
+    val daily = vwap(spark, dir)
+      .select("symbol", "day", "vwap")
+      .withColumn("prev_vwap", lag(col("vwap"), 1).over(w))
+      .filter(col("prev_vwap").isNotNull && col("prev_vwap") =!= 0)
+      .withColumn("pct_change",
+        round((col("vwap") - col("prev_vwap")) / col("prev_vwap"), 6))
+    val top = daily
+      .orderBy(abs(col("pct_change")).desc, col("symbol"), col("day"))
+      .limit(topK)
+    broadcast(top)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(abs(col("pct_change")).desc, col("symbol"), col("day")))
+        .cast("bigint"))
+      .select("rk", "symbol", "day", "prev_vwap", "vwap", "pct_change")
+      .orderBy("rk")
+  }
+
+  /** Pairwise return correlation across the most-traded symbols — the
+    * co-movement screen. The symbol universe is capped at the top
+    * `nSymbols` by tick count (TakeOrdered, broadcast back), so the
+    * pair fan-out is nSymbols², a CONSTANT chosen by the analyst —
+    * never all-symbols². Daily means are exact-decimal averages
+    * (identical doubles in both engines); the self-join aligns pairs
+    * on shared days only.
+    */
+  def pairCorrelation(spark: SparkSession, dir: String,
+                      nSymbols: Int = 10, minDays: Int = 10): DataFrame = {
+    val daily = quotes(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("symbol", "day")
+      .agg((sum(col("price").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("mean_price"),
+           count(lit(1)).as("n_ticks"))
+      .localCheckpoint()
+    val top = daily.groupBy("symbol").agg(sum(col("n_ticks")).as("total"))
+      .orderBy(col("total").desc, col("symbol")).limit(nSymbols)
+      .select("symbol")
+    val universe = daily.join(broadcast(top), "symbol")
+      .select("symbol", "day", "mean_price")
+    universe.as("a").join(universe.as("b"),
+        col("a.day") === col("b.day") && col("a.symbol") < col("b.symbol"))
+      .groupBy(col("a.symbol").as("sym_a"), col("b.symbol").as("sym_b"))
+      .agg(count(lit(1)).as("n_days"),
+           round(corr(col("a.mean_price"), col("b.mean_price")), 6).as("price_corr"))
+      .filter(col("n_days") >= minDays)
+      .orderBy("sym_a", "sym_b")
+  }
+
   /** Benford first-significant-digit audit of order totals — the
     * classic fraud screen. The digit is extracted from the integer
     * cents STRING (no float log10 at bin boundaries), so binning is

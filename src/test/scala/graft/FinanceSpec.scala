@@ -81,6 +81,51 @@ class FinanceSpec extends SparkSuite {
     } finally r.unpersist()
   }
 
+  test("top movers: k rows, ranked by |pct change|, change consistent with vwaps") {
+    val m = Finance.topMovers(spark, sfDir).collect()
+    assert(m.length === 10)
+    assert(m.map(_.getAs[Long]("rk")).toSeq === (1L to 10L))
+    val mags = m.map(r => math.abs(r.getAs[Double]("pct_change")))
+    assert(mags.zip(mags.tail).forall { case (a, b) => a >= b })
+    m.foreach { r =>
+      val recomputed = BigDecimal((r.getAs[Double]("vwap") - r.getAs[Double]("prev_vwap")) /
+        r.getAs[Double]("prev_vwap")).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(recomputed === r.getAs[Double]("pct_change"))
+    }
+  }
+
+  test("pair correlation: bounded universe, correlations in [-1, 1], symmetric-free pairs") {
+    val p = Finance.pairCorrelation(spark, sfDir).collect()
+    assert(p.nonEmpty && p.length <= 45) // C(10, 2)
+    assert(p.forall(r => r.getAs[Double]("price_corr") >= -1.000001 &&
+                         r.getAs[Double]("price_corr") <= 1.000001))
+    assert(p.forall(r => r.getAs[String]("sym_a") < r.getAs[String]("sym_b")))
+    assert(p.forall(_.getAs[Long]("n_days") >= 10))
+  }
+
+  test("as-of tolerance masks stale matches but keeps fresh ones identical to the base join") {
+    import graft.operators.AsOfJoin
+    val base = AsOfJoin.clickEnrichedWithLastView(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Double]("asof_view_value")),
+         Option(r.getAs[java.lang.Long]("asof_view_event_id")))).toMap
+    val tol = AsOfJoin.clickEnrichedWithLastViewWithin(spark, sfDir).collect()
+    assert(tol.length === base.size)
+    var masked = 0
+    tol.foreach { r =>
+      val eid = r.getAs[Long]("event_id")
+      val (bv, bid) = base(eid)
+      val fresh = bid.exists(id => eid - id <= 100)
+      if (fresh) {
+        assert(Option(r.getAs[java.lang.Double]("asof_view_value")) === bv)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("asof_view_value")))
+        if (bid.isDefined) masked += 1
+      }
+    }
+    assert(masked > 0, "fixture should contain at least one stale match to mask")
+  }
+
   test("Benford digit audit: 9 digits, frequencies sum to ~1 on both axes") {
     // plan shape first — the window that computes the total runs over
     // the 9-row aggregate, never the fact table (checked before cache()
