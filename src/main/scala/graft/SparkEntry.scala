@@ -88,6 +88,7 @@ object SparkEntry {
     "x_volatility"         -> ((s, dir) => Finance.logReturnVolatility(s, dir)),
     "x_drawdown"           -> ((s, dir) => Finance.maxDrawdown(s, dir)),
     "x_rsi"                -> ((s, dir) => Finance.rsi(s, dir)),
+    "x_bollinger"          -> ((s, dir) => Finance.bollinger(s, dir)),
     "x_benford"            -> ((s, dir) => Finance.benfordDigits(s, dir)),
     "x_rfm"                -> ((s, dir) => Analytics.rfmSegments(s, dir)),
     "x_attribution"        -> ((s, dir) => Analytics.lastTouchAttribution(s, dir)),
@@ -165,6 +166,8 @@ object SparkEntry {
     "x_decontaminate"      -> ((s, dir) => CorpusOps.decontaminate(s, dir)),
     "x_contam_sweep"       -> ((s, dir) => CorpusOps.contaminationSweep(s, dir)),
     "x_cdc_chunks"         -> ((s, dir) => CorpusOps.cdcChunks(s, dir)),
+    "x_kl_sources"         -> ((s, dir) => CorpusOps.klBySources(s, dir)),
+    "x_emb_dim_stats"      -> ((s, dir) => Similarity.embDimStats(s, dir)),
     "x_contam_by_bench"    -> ((s, dir) => CorpusOps.contaminationByBench(s, dir)),
     "x_tfidf_top_terms"    -> ((s, dir) => CorpusOps.tfidfTopTerms(s, dir)),
     "x_curation_pipeline"  -> ((s, dir) => CorpusOps.curationPipeline(s, dir)),
@@ -3349,6 +3352,60 @@ object SparkEntry {
         |  ROUND(CASE WHEN avg_gain + avg_loss = 0 THEN 50.0
         |        ELSE 100.0 * avg_gain / (avg_gain + avg_loss) END, 6) AS rsi14
         |FROM g WHERE rn >= 15 ORDER BY symbol, id""".stripMargin),
+
+    // 20-tick Bollinger bands: band edges built from ROUNDED sma/sd so
+    // the breach comparisons test bit-identical doubles
+    "x_bollinger" ->
+      (finQuoteCte + """,
+        |d AS (
+        |  SELECT symbol, id, price,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    ROUND(AVG(price) OVER f, 6) AS sma20,
+        |    ROUND(stddev_samp(price) OVER f, 6) AS sd20
+        |  FROM q
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY ts_epoch, id),
+        |         f AS (PARTITION BY symbol ORDER BY ts_epoch, id
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |g AS (
+        |  SELECT symbol, id, price, sma20,
+        |    ROUND(sma20 + 2 * sd20, 6) AS upper_band,
+        |    ROUND(sma20 - 2 * sd20, 6) AS lower_band
+        |  FROM d WHERE rn >= 20)
+        |SELECT symbol, id, price, sma20, upper_band, lower_band,
+        |  price > upper_band AS breach_up,
+        |  price < lower_band AS breach_dn
+        |FROM g ORDER BY symbol, id""".stripMargin),
+
+    // per-source language-mix KL divergence from the corpus mix;
+    // exact integer cross-ratios inside ln
+    "x_kl_sources" ->
+      """WITH c AS (
+        |  SELECT source, lang, COUNT(*) AS c_ls FROM documents GROUP BY 1, 2),
+        |cs AS (SELECT source, SUM(c_ls)::BIGINT AS c_s FROM c GROUP BY 1),
+        |cl AS (SELECT lang, SUM(c_ls)::BIGINT AS c_l FROM c GROUP BY 1),
+        |t AS (SELECT SUM(c_ls)::BIGINT AS n FROM c)
+        |SELECT source, MAX(c_s)::BIGINT AS n_docs, COUNT(*) AS n_langs,
+        |  ROUND(SUM(c_ls / c_s * ln((c_ls * n)::DOUBLE / (c_s * c_l))), 6) AS kl_from_corpus
+        |FROM c JOIN cs USING (source) JOIN cl USING (lang), t
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // per-dimension embedding stats in exact integer micro-units;
+    // variance via n*S2 - S1^2 (bounded corpus contract documented)
+    "x_emb_dim_stats" ->
+      """WITH m AS (
+        |  SELECT (i-1)::BIGINT AS pos,
+        |    CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS m
+        |  FROM embeddings, range(1, 65) t(i)),
+        |g AS (
+        |  SELECT pos, COUNT(*) AS n, SUM(m)::BIGINT AS s1,
+        |    SUM(m*m)::BIGINT AS s2, MIN(m) AS mn, MAX(m) AS mx
+        |  FROM m GROUP BY pos)
+        |SELECT pos, n,
+        |  ROUND(s1::DOUBLE / (n * 1000000.0), 6) AS mean_v,
+        |  ROUND(sqrt((n*s2 - s1*s1)::DOUBLE / (n*(n-1))) / 1000000.0, 6) AS std_v,
+        |  ROUND(mn / 1000000.0, 6) AS min_v,
+        |  ROUND(mx / 1000000.0, 6) AS max_v
+        |FROM g ORDER BY pos""".stripMargin,
 
     // Benford first-significant-digit audit: the digit comes from the
     // integer-cents STRING (exact binning, no float log10 boundaries)

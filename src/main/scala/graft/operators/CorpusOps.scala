@@ -741,6 +741,32 @@ object CorpusOps {
       .orderBy("band")
   }
 
+  /** KL divergence of each source's language mix from the corpus mix —
+    * the drift screen a multi-source ingest runs per feed (a source
+    * whose language distribution diverges from the corpus needs a
+    * mixture re-weight or an investigation). Every log argument is the
+    * exact integer cross-ratio (c_ls·c)/(c_s·c_l) pushed through ln as
+    * identical doubles; the sum runs over the bounded
+    * (source × language) cell table.
+    */
+  def klBySources(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("c_ls"))
+      .localCheckpoint() // bounded: |sources| x |languages|
+    val cs = cells.groupBy("source").agg(sum("c_ls").as("c_s"))
+    val cl = cells.groupBy("lang").agg(sum("c_ls").as("c_l"))
+    val n  = cells.agg(sum("c_ls").as("c"))
+    cells.join(broadcast(cs), "source").join(broadcast(cl), "lang")
+      .crossJoin(broadcast(n))
+      .groupBy("source")
+      .agg(max(col("c_s")).as("n_docs"),
+           count(lit(1)).as("n_langs"),
+           round(sum(col("c_ls") / col("c_s") *
+             log((col("c_ls") * col("c")).cast("double") /
+                 (col("c_s") * col("c_l")))), 6).as("kl_from_corpus"))
+      .orderBy("source")
+  }
+
   def contaminationSweep(spark: SparkSession, dir: String,
                          benchDocs: Int = 20,
                          gramSizes: Seq[Int] = Seq(4, 8, 13)): DataFrame = {

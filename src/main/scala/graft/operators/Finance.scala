@@ -215,6 +215,30 @@ object Finance {
       .orderBy("sym_a", "sym_b")
   }
 
+  /** 20-tick Bollinger bands with breach flags. The band edges are
+    * built from the ROUNDED sma/stddev (round-6 first, then the ±2σ
+    * arithmetic, then round again), so the breach comparisons test
+    * price against bit-identical edges in both engines — no float
+    * boundary can flip a flag. Emitted only at a full 20-tick frame
+    * (rn >= 20). Same single (symbol) partitioning as the RSI family.
+    */
+  def bollinger(spark: SparkSession, dir: String, nTicks: Int = 20): DataFrame = {
+    val ord   = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    val frame = ord.rowsBetween(-(nTicks - 1), 0)
+    quotes(spark, dir)
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("sma20", round(avg(col("price")).over(frame), 6))
+      .withColumn("sd20", round(stddev_samp(col("price")).over(frame), 6))
+      .filter(col("rn") >= nTicks)
+      .withColumn("upper_band", round(col("sma20") + col("sd20") * 2, 6))
+      .withColumn("lower_band", round(col("sma20") - col("sd20") * 2, 6))
+      .select(col("symbol"), col("id"), col("price"), col("sma20"),
+        col("upper_band"), col("lower_band"),
+        (col("price") > col("upper_band")).as("breach_up"),
+        (col("price") < col("lower_band")).as("breach_dn"))
+      .orderBy("symbol", "id")
+  }
+
   /** Benford first-significant-digit audit of order totals — the
     * classic fraud screen. The digit is extracted from the integer
     * cents STRING (no float log10 at bin boundaries), so binning is

@@ -1545,4 +1545,36 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Per-dimension embedding statistics — the feature-drift /
+    * dead-dimension audit an embedding pipeline runs before trusting a
+    * new encoder drop (a collapsed dimension has ~zero variance; a
+    * shifted one moves its mean). Values quantize to exact integer
+    * MICRO-units (the semantic-dedup convention), so mean and variance
+    * are integer sums with one double division each — engine-exact.
+    * The exact-integer variance form n·Σm² - (Σm)² is safe to ~1e9
+    * rows per dimension at this value range; past that, switch to
+    * Welford moments (documented trade, same plan shape).
+    *
+    * Scale shape: one narrow posexplode (rows × dims) then a 64-group
+    * hash aggregate with map-side partials.
+    */
+  def embDimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos").cast("bigint").as("pos"),
+        round(col("v").cast("double") * 1000000).cast("bigint").as("m"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+           sum(col("m")).as("s1"),
+           sum(col("m") * col("m")).as("s2"),
+           min(col("m")).as("mn"),
+           max(col("m")).as("mx"))
+      .select(col("pos"), col("n"),
+        round(col("s1").cast("double") / (col("n") * lit(1000000.0)), 6).as("mean_v"),
+        round(sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+                   (col("n") * (col("n") - 1))) / 1000000.0, 6).as("std_v"),
+        round(col("mn") / lit(1000000.0), 6).as("min_v"),
+        round(col("mx") / lit(1000000.0), 6).as("max_v"))
+      .orderBy("pos")
 }

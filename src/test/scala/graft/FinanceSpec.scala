@@ -81,6 +81,25 @@ class FinanceSpec extends SparkSuite {
     } finally r.unpersist()
   }
 
+  test("Bollinger: ordered bands, full-frame warm-up, breach flags consistent") {
+    val b = Finance.bollinger(spark, sfDir).cache()
+    try {
+      assert(b.filter(col("upper_band") < col("sma20") ||
+                      col("lower_band") > col("sma20")).count() === 0)
+      val perSym = Finance.quotes(spark, sfDir)
+        .groupBy("symbol").agg(count(lit(1)).as("n"))
+      val emitted = b.groupBy("symbol").agg(count(lit(1)).as("m"))
+      val bad = perSym.join(emitted, Seq("symbol"), "left")
+        .filter(coalesce(col("m"), lit(0L)) =!= greatest(col("n") - 19, lit(0L)))
+        .count()
+      assert(bad === 0)
+      val flagBad = b.filter(
+        (col("breach_up") && col("price") <= col("upper_band")) ||
+        (col("breach_dn") && col("price") >= col("lower_band"))).count()
+      assert(flagBad === 0)
+    } finally b.unpersist()
+  }
+
   test("top movers: k rows, ranked by |pct change|, change consistent with vwaps") {
     val m = Finance.topMovers(spark, sfDir).collect()
     assert(m.length === 10)

@@ -103,6 +103,24 @@ class ProfilingSpec extends SparkSuite {
     assert(hx > 0 && hy > 0)
   }
 
+  test("KL by source: non-negative divergence, every doc accounted") {
+    val k = graft.operators.CorpusOps.klBySources(spark, sfDir).collect()
+    assert(k.forall(_.getAs[Double]("kl_from_corpus") >= -1e-6))
+    assert(k.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sfDir).count())
+  }
+
+  test("embedding dimension stats: 64 dims, min <= mean <= max, std finite and non-negative") {
+    val s = graft.operators.Similarity.embDimStats(spark, sfDir).collect()
+    assert(s.length === 64)
+    s.foreach { r =>
+      assert(r.getAs[Double]("min_v") <= r.getAs[Double]("mean_v") + 1e-6)
+      assert(r.getAs[Double]("mean_v") <= r.getAs[Double]("max_v") + 1e-6)
+      val sd = r.getAs[Double]("std_v")
+      assert(sd >= 0 && !sd.isNaN && !sd.isInfinite)
+    }
+  }
+
   test("MAD outliers: robust stats accounted, outliers a strict minority per type") {
     val m = Analytics.madOutliers(spark, sfDir).cache()
     try {
