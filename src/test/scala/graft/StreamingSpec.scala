@@ -1426,6 +1426,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming drawdown state aggregates to the batch per-symbol maxima (in-order splits)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingDrawdown.{DdOut, Tick}
+    val ms = MemoryStream[Tick]
+    val q = graft.streaming.StreamingDrawdown.withDrawdown(ms.toDS())
+      .writeStream.format("memory").queryName("dd_stream")
+      .outputMode("append").start()
+    try {
+      // the real corpus quote stream in global tick order, two batches
+      val ticks = graft.operators.Finance.quotes(spark, sfDir)
+        .orderBy("ts_epoch", "id")
+        .collect().map(r => Tick(r.getAs[String]("symbol"), r.getAs[Long]("id"),
+          r.getAs[java.sql.Timestamp]("ts"), r.getAs[Double]("price")))
+      val (b1, b2) = ticks.splitAt(ticks.length / 2)
+      ms.addData(b1.toIndexedSeq); q.processAllAvailable()
+      ms.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("dd_stream").as[DdOut].collect()
+        .groupBy(_.symbol).map { case (s, rows) =>
+          s -> (BigDecimal(rows.map(_.dd).max)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+                rows.length.toLong)
+        }
+      val batch = graft.operators.Finance.maxDrawdown(spark, sfDir).collect()
+        .map(r => r.getAs[String]("symbol") ->
+          (r.getAs[Double]("max_drawdown"), r.getAs[Long]("n_ticks"))).toMap
+      assert(streamed === batch, s"streamed drawdowns diverge from batch")
+    } finally q.stop()
+  }
+
   test("min_by/max_by OHLC formulation equals the shipped row_number form on the corpus") {
     val viaAgg = graft.streaming.StreamingOhlc.bars(
         graft.operators.Finance.quotes(spark, sfDir))
