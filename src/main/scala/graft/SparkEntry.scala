@@ -76,6 +76,10 @@ object SparkEntry {
     "x_hourly_events"      -> ((s, dir) => Analytics.hourlyEventAgg(s, dir)),
     "x_cohort_retention"   -> ((s, dir) => Analytics.cohortRetention(s, dir)),
     "x_event_funnel"       -> ((s, dir) => Analytics.eventFunnel(s, dir)),
+    "x_funnel_timing"      -> ((s, dir) => Analytics.funnelTiming(s, dir)),
+    "x_ship_delay"         -> ((s, dir) => Analytics.shipDelay(s, dir)),
+    "x_kcore_peel"         -> ((s, dir) => Graphs.kCorePeel(s, dir)),
+    "x_assortativity"      -> ((s, dir) => Graphs.assortativity(s, dir)),
     "x_kanon"              -> ((s, dir) => Analytics.kAnonSuppression(s, dir)),
     "x_regional_revenue"   -> ((s, dir) => Analytics.regionalRevenue(s, dir)),
     "x_nation_trade"       -> ((s, dir) => Analytics.nationTrade(s, dir)),
@@ -937,6 +941,84 @@ object SparkEntry {
         |n0 AS (SELECT COUNT(*) AS n0 FROM t1)
         |SELECT step_no, step, n_users, round(n_users::DOUBLE / n0, 6) AS share
         |FROM u, n0 ORDER BY step_no""".stripMargin,
+
+    // funnel step timing: same t1/t2/t3 derivation as x_event_funnel,
+    // exact epoch-second lags (each side truncated before subtracting)
+    "x_funnel_timing" ->
+      """WITH t1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup'
+        |  GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= t1.t1
+        |    AND e.ts <= t1.t1 + INTERVAL 24 HOURS
+        |  GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= t2.t2
+        |    AND e.ts <= t2.t2 + INTERVAL 24 HOURS
+        |  GROUP BY e.user_id),
+        |l12 AS (SELECT epoch_us(t2)//1000000 - epoch_us(t1)//1000000 AS lag_s
+        |        FROM t1 JOIN t2 USING (user_id)),
+        |l23 AS (SELECT epoch_us(t3)//1000000 - epoch_us(t2)//1000000 AS lag_s
+        |        FROM t2 JOIN t3 USING (user_id))
+        |SELECT * FROM (
+        |  SELECT 'signup_to_click' AS step, COUNT(*) AS n_users,
+        |    ROUND(SUM(lag_s) / COUNT(*), 6) AS mean_lag_s,
+        |    ROUND(quantile_cont(lag_s, 0.5), 6) AS p50_lag_s
+        |  FROM l12
+        |  UNION ALL
+        |  SELECT 'click_to_purchase', COUNT(*),
+        |    ROUND(SUM(lag_s) / COUNT(*), 6),
+        |    ROUND(quantile_cont(lag_s, 0.5), 6)
+        |  FROM l23)
+        |ORDER BY step""".stripMargin,
+
+    // shipping-delay SLA distribution per order priority, exact
+    // integer day counts
+    "x_ship_delay" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  MIN(dd) AS min_delay, MAX(dd) AS max_delay,
+        |  ROUND(SUM(dd) / COUNT(*), 6) AS mean_delay,
+        |  ROUND(quantile_cont(dd, 0.5), 6) AS p50_delay
+        |FROM (SELECT o_orderpriority,
+        |        date_diff('day', CAST(o_orderdate AS DATE),
+        |                  CAST(l_shipdate AS DATE))::BIGINT AS dd
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // 5 unrolled k-core peel rounds at k=3 over the co-purchase edges.
+    // Every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and
+    // each round references its predecessor three times — unmaterialized,
+    // the base self-join would re-expand 3^5 times (measured: timeout
+    // vs 0.13 s materialized).
+    "x_kcore_peel" ->
+      ("""WITH items AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |co AS MATERIALIZED (
+         |  SELECT a.pk AS pa, b.pk AS pb FROM items a
+         |  JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e0 AS MATERIALIZED (SELECT pa AS u, pb AS v FROM co),""".stripMargin + "\n" +
+       (1 to 5).map(i =>
+         s"""d$i AS MATERIALIZED (SELECT x, COUNT(*) AS d FROM
+            |  (SELECT u AS x FROM e${i-1} UNION ALL SELECT v FROM e${i-1}) GROUP BY x),
+            |k$i AS MATERIALIZED (SELECT x FROM d$i WHERE d >= 3),
+            |e$i AS MATERIALIZED (SELECT u, v FROM e${i-1}
+            |        WHERE u IN (SELECT x FROM k$i) AND v IN (SELECT x FROM k$i))""".stripMargin)
+         .mkString(",\n") + "\n" +
+       (1 to 5).map(i =>
+         s"SELECT $i::BIGINT AS round, (SELECT COUNT(*) FROM k$i) AS n_nodes, " +
+         s"(SELECT COUNT(*) FROM e$i) AS n_edges")
+         .mkString(" UNION ALL ") + " ORDER BY round"),
+
+    // degree assortativity over the symmetrized co-purchase adjacency
+    "x_assortativity" ->
+      (graphCoCte + """
+        |SELECT COUNT(*) AS n_directed_edges,
+        |  ROUND(corr(du.d, dv.d), 6) AS assortativity
+        |FROM adj JOIN degu du ON du.u = adj.u
+        |JOIN degu dv ON dv.u = adj.v""".stripMargin),
 
     "x_json_props" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -1473,6 +1473,59 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Shipping-delay distribution per order priority: the fulfilment
+    * SLA audit (days between order placement and line shipment).
+    * Delays are exact integer day counts, so min/max/mean are integer
+    * arithmetic with one double division; the median is the exact
+    * interpolated percentile (t-digest at 100 TB, as everywhere).
+    * One big-big equi-join on orderkey, then a priority-sized rollup.
+    */
+  def shipDelay(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_days",
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).cast("bigint"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+           min(col("delay_days")).as("min_delay"),
+           max(col("delay_days")).as("max_delay"),
+           round(sum(col("delay_days")) / count(lit(1)), 6).as("mean_delay"),
+           round(expr("percentile(delay_days, 0.5)"), 6).as("p50_delay"))
+      .orderBy("o_orderpriority")
+
+  /** Funnel step timing: [[eventFunnel]] counts who converts; this
+    * measures HOW LONG each conversion step takes (median and mean
+    * seconds between step completions). Epoch-second lags are exact
+    * integers; the same windowed step derivation as the funnel, so the
+    * two views reconcile.
+    */
+  def funnelTiming(spark: SparkSession, dir: String,
+                   windowHours: Int = 24): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val w = expr(s"INTERVAL $windowHours HOURS")
+    val t1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, Seq("user_id"))
+      .filter(col("ts") >= col("t1") && col("ts") <= col("t1") + w)
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id"))
+      .filter(col("ts") >= col("t2") && col("ts") <= col("t2") + w)
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    def lagOf(df: DataFrame, from: String, to: String, name: String) =
+      df.select((unix_timestamp(col(to)) - unix_timestamp(col(from))).as("lag_s"))
+        .agg(count(lit(1)).as("n_users"),
+             round(sum(col("lag_s")) / count(lit(1)), 6).as("mean_lag_s"),
+             round(expr("percentile(lag_s, 0.5)"), 6).as("p50_lag_s"))
+        .select(lit(name).as("step"), col("n_users"), col("mean_lag_s"), col("p50_lag_s"))
+    lagOf(t1.join(t2, "user_id"), "t1", "t2", "signup_to_click")
+      .unionByName(lagOf(t2.join(t3, "user_id"), "t2", "t3", "click_to_purchase"))
+      .orderBy("step")
+  }
+
   /** Per-segment Gini concentration of customer spend — the
     * inequality audit (is revenue concentrated in a few whales?).
     * Spend is exact integer CENTS; the Lorenz rank comes from ONE

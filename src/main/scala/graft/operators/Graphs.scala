@@ -85,6 +85,58 @@ object Graphs {
           .otherwise(round(col("n_triangles").cast("double") / col("n_wedges"), 6)))
   }
 
+  /** Fixed-round k-core peeling (Seidman 1983; the distributed
+    * peel-per-round formulation): each round drops every node whose
+    * CURRENT degree is below k, then every edge touching a dropped
+    * node, and reports the shrinking graph — the density-screen that
+    * separates a connected core from tendrils. Rounds are fixed (not
+    * run-to-fixpoint) so the oracle unrolls them as CTEs; the
+    * remaining-nodes curve converging flat is the fixpoint signal the
+    * analyst reads off the output.
+    *
+    * Scale shape: per round one degree aggregate + two semi-joins on
+    * 8-byte endpoints, localCheckpointed like every driver-paced loop
+    * here.
+    */
+  def kCorePeel(spark: SparkSession, dir: String, k: Int = 3,
+                rounds: Int = 5, minSupport: Int = 2): DataFrame = {
+    val spk = spark
+    import spk.implicits._
+    var edges = coEdges(spark, dir, minSupport)
+      .select(col("pa").as("u"), col("pb").as("v")).localCheckpoint()
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val deg = edges.select(col("u").as("x")).unionAll(edges.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("x").localCheckpoint()
+      edges = edges
+        .join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
+        .localCheckpoint()
+      out += ((r.toLong, keep.count(), edges.count()))
+    }
+    out.result().toDF("round", "n_nodes", "n_edges").orderBy("round")
+  }
+
+  /** Degree assortativity: Pearson correlation of endpoint degrees
+    * over the symmetrized edge list — one number saying whether hubs
+    * link to hubs (positive) or to leaves (negative). One degree
+    * aggregate + two endpoint joins + corr.
+    */
+  def assortativity(spark: SparkSession, dir: String,
+                    minSupport: Int = 2): DataFrame = {
+    val e0 = coEdges(spark, dir, minSupport)
+    val adj = e0.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e0.select(col("pb").as("u"), col("pa").as("v")))
+      .localCheckpoint()
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("d"))
+    adj
+      .join(deg, "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+      .agg(count(lit(1)).as("n_directed_edges"),
+           round(corr(col("d"), col("dv")), 6).as("assortativity"))
+  }
+
   /** PageRank (Brin-Page 1998) on the symmetrized co-purchase graph:
     * `iters` driver-paced rounds of
     * r'(v) = (1-d)/N + d * sum over in-neighbors u of r(u)/deg(u),

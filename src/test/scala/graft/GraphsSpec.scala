@@ -45,6 +45,27 @@ class GraphsSpec extends SparkSuite {
     assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b }, ranks.mkString(","))
   }
 
+  test("k-core peeling: monotone shrinking graph, survivors meet the degree bar") {
+    val rounds = Graphs.kCorePeel(spark, sfDir).collect()
+    assert(rounds.length === 5)
+    val nodes = rounds.map(_.getAs[Long]("n_nodes"))
+    val edges = rounds.map(_.getAs[Long]("n_edges"))
+    assert(nodes.zip(nodes.tail).forall { case (a, b) => b <= a }, nodes.mkString(","))
+    assert(edges.zip(edges.tail).forall { case (a, b) => b <= a }, edges.mkString(","))
+    // peeling never grows the graph (at sf0.001 the whole graph is
+    // already a 3-core, so equality is legitimate)
+    val e0 = Graphs.coEdges(spark, sfDir, minSupport = 2).count()
+    assert(edges.head <= e0 && nodes.head > 0, s"round 1: ${edges.head} vs $e0")
+  }
+
+  test("assortativity is a correlation in [-1, 1] over the directed edge count") {
+    val r = Graphs.assortativity(spark, sfDir).head()
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.000001 && a <= 1.000001, a.toString)
+    val e = Graphs.coEdges(spark, sfDir, minSupport = 2).count()
+    assert(r.getAs[Long]("n_directed_edges") === 2 * e)
+  }
+
   test("graph plans: rank iteration and wedge closure are equi-joins, never cross products") {
     val plan = Graphs.pageRank(spark, sfDir)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -103,6 +103,33 @@ class ProfilingSpec extends SparkSuite {
     assert(hx > 0 && hy > 0)
   }
 
+  test("ship delay: ordered percentiles, delays bounded by min/max, all lines accounted") {
+    val d = Analytics.shipDelay(spark, sfDir).collect()
+    assert(d.map(_.getAs[Long]("n_lines")).sum ===
+      Tables.lineitem(spark, sfDir).count())
+    d.foreach { r =>
+      assert(r.getAs[Long]("min_delay") <= r.getAs[Double]("p50_delay"))
+      assert(r.getAs[Double]("p50_delay") <= r.getAs[Long]("max_delay"))
+      assert(r.getAs[Double]("mean_delay") >= r.getAs[Long]("min_delay"))
+      assert(r.getAs[Double]("mean_delay") <= r.getAs[Long]("max_delay"))
+    }
+  }
+
+  test("funnel timing: lags within the funnel window, user counts match the funnel steps") {
+    val t = Analytics.funnelTiming(spark, sfDir).collect()
+      .map(r => r.getAs[String]("step") -> r).toMap
+    val funnel = Analytics.eventFunnel(spark, sfDir).collect()
+      .map(r => r.getAs[String]("step") -> r.getAs[Long]("n_users")).toMap
+    assert(t("signup_to_click").getAs[Long]("n_users") === funnel("click_after_signup"))
+    assert(t("click_to_purchase").getAs[Long]("n_users") === funnel("purchase_after_click"))
+    t.values.foreach { r =>
+      val mean = r.getAs[Double]("mean_lag_s")
+      val p50  = r.getAs[Double]("p50_lag_s")
+      assert(mean >= 0 && mean <= 24 * 3600, mean.toString)
+      assert(p50 >= 0 && p50 <= 24 * 3600, p50.toString)
+    }
+  }
+
   test("KL by source: non-negative divergence, every doc accounted") {
     val k = graft.operators.CorpusOps.klBySources(spark, sfDir).collect()
     assert(k.forall(_.getAs[Double]("kl_from_corpus") >= -1e-6))

@@ -110,6 +110,38 @@ class SparkEntrySpec extends AnyFunSuite {
     // the DECIMAL c·ln(c) sum `sc` is consumed only as sc::DOUBLE in
     // the entropy projection
     "x_char_entropy"      -> 1,
+    // vwap family: SUM(volume) as the ROUND(...)::DOUBLE division
+    // denominator + the HAVING comparison — the projected copy is
+    // SUM(volume)::BIGINT (cast, not counted)
+    "x_vwap"              -> 2,
+    "x_top_movers"        -> 2,
+    // SUM(n_orders) OVER () — obs_freq denominator inside ROUND only
+    "x_benford"           -> 1,
+    // SUM(n_ticks) in the symbol-universe CTE — ORDER BY/LIMIT only
+    "x_pair_corr"         -> 1,
+    // SUM(CAST(.. AS DECIMAL)) AS mon — rank ORDER BY + VARCHAR
+    // bridge; never escapes uncast to the output
+    "x_rfm"               -> 1,
+    // sp's HUGEINT cents (rank key + arithmetic only) + the three
+    // SUMs inside the gini ROUND(...)::DOUBLE expression; the
+    // projected total is SUM(cents)::BIGINT (cast)
+    "x_gini"              -> 4,
+    // the MI term sum and both entropy sums, each inside ROUND — the
+    // projected marginals are SUM(c_xy)::BIGINT (cast)
+    "x_mutual_info"       -> 3,
+    // the KL term sum inside ROUND; marginal CTEs are ::BIGINT-cast
+    "x_kl_sources"        -> 1,
+    // window-SUM boundary counter — chunk_id is a GROUP BY key only,
+    // never projected (the substring-island-counter class)
+    "x_cdc_chunks"        -> 1,
+    // SUM(dd)/COUNT inside ROUND (mean_delay)
+    "x_ship_delay"        -> 1,
+    // two SUM(lag_s)/COUNT inside ROUND (mean lag per step)
+    "x_funnel_timing"     -> 2,
+    // five unrolled rounds of SUM(r/d): a DOUBLE sum (never HUGEINT),
+    // consumed in the next round's rank arithmetic and finally
+    // ROUND(r, 6)
+    "x_pagerank"          -> 5,
     // the DECIMAL score sum is consumed only by the argmin ORDER BY;
     // the confusion-share window SUM is the ::DOUBLE denominator
     "x_nb_holdout"        -> 2,
