@@ -1920,11 +1920,18 @@ object Analytics {
           |  'l_linestatus', l_linestatus,
           |  'l_shipdate',   date_format(l_shipdate, 'yyyy-MM-dd')
           |) as (col_name, v)""".stripMargin))
+      // pre-aggregate on (column, value) instead of countDistinct: the
+      // map-side partial collapses duplicate values BEFORE the shuffle
+      // and avoids the exact-distinct Expand that would double the
+      // unpivoted stream (measured 10.9 s -> ~3 s at sf0.1); the
+      // second aggregate is value-cardinality-sized
+      .groupBy("col_name", "v")
+      .agg(count(lit(1)).as("c"))
       .groupBy("col_name")
       .agg(
-        count(lit(1)).as("n_rows"),
-        count(col("v")).as("n_present"),
-        countDistinct(col("v")).as("n_distinct"),
+        sum(col("c")).as("n_rows"),
+        sum(when(col("v").isNotNull, col("c")).otherwise(0L)).as("n_present"),
+        count(col("v")).as("n_distinct"),
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"))
       .orderBy("col_name")
