@@ -99,6 +99,8 @@ object SparkEntry {
     "x_profile"            -> ((s, dir) => Analytics.columnProfile(s, dir)),
     "x_mad_outliers"       -> ((s, dir) => Analytics.madOutliers(s, dir)),
     "x_gini"               -> ((s, dir) => Analytics.giniSpend(s, dir)),
+    "x_skyline"            -> ((s, dir) => Analytics.customerSkyline(s, dir)),
+    "x_weighted_sample"    -> ((s, dir) => CorpusOps.weightedSample(s, dir)),
     "x_mutual_info"        -> ((s, dir) => Analytics.mutualInfo(s, dir)),
     "x_json_props"         -> ((s, dir) => Analytics.jsonPropsAgg(s, dir)),
     "x_running_spend"      -> ((s, dir) => Analytics.runningCustomerSpend(s, dir)),
@@ -3545,6 +3547,47 @@ object SparkEntry {
         |  node, d AS degree, rank
         |FROM top JOIN degu ON degu.u = top.node
         |ORDER BY rk""".stripMargin),
+
+    // skyline (Pareto frontier) of customers over (order count, cent
+    // spend) — the oracle is the INDEPENDENT NOT EXISTS dominance
+    // formulation, so the Spark side's bounded-window reduction is
+    // what's being checked
+    "x_skyline" ->
+      """WITH fm AS (
+        |  SELECT o_custkey, COUNT(*) AS freq,
+        |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, freq, spend_cents::BIGINT AS spend_cents
+        |FROM fm a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM fm b
+        |  WHERE b.freq >= a.freq AND b.spend_cents >= a.spend_cents
+        |    AND (b.freq > a.freq OR b.spend_cents > a.spend_cents))
+        |ORDER BY o_custkey""".stripMargin,
+
+    // quality-weighted deterministic sampling: per-doc continuous
+    // keep-rate gated by the stratified-sample hash
+    "x_weighted_sample" ->
+      """WITH tk AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, len(toks)::BIGINT AS n_tokens,
+        |    round(least(1.0, len(toks)/50.0)*0.4
+        |        + (len(list_distinct(toks))::DOUBLE/len(toks))*0.3
+        |        + least(1.0, (len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t)))::DOUBLE/len(toks))*5.0)*0.3, 6) AS quality
+        |  FROM tk),
+        |g AS (
+        |  SELECT lang, n_tokens, quality,
+        |    (list_reduce(list_transform(range(1, len(CAST(doc_id AS VARCHAR))+1),
+        |       i -> ascii(substr(CAST(doc_id AS VARCHAR),i,1))::BIGINT),
+        |       (acc,c)->(acc*31+c)%1000000007) % 1000000
+        |     < CAST(round(quality * 1000000) AS BIGINT)) AS keep
+        |  FROM s)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  SUM(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+        |  SUM(CASE WHEN keep THEN n_tokens ELSE 0 END)::BIGINT AS sampled_tokens,
+        |  ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END) / COUNT(*), 6) AS accept_rate,
+        |  CAST(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean_quality
+        |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
 
     // per-segment Gini of customer spend: exact integer cents, Lorenz
     // rank by (cents, custkey), all-integer rank form with one final

@@ -1473,6 +1473,35 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Skyline (Pareto frontier) of customers over (order count, exact
+    * cent spend): a customer is dominated when another is >= on both
+    * axes and strictly better on one. The 2-D skyline reduces to a
+    * per-frequency max-spend table (bounded by the distinct frequency
+    * count) with a prefix-max over strictly-higher frequencies — so
+    * the only window runs over that BOUNDED table, never the customer
+    * set, and the frontier membership test is one broadcast join back.
+    * The oracle deliberately uses the independent NOT EXISTS dominance
+    * formulation, so the reduction itself is what's being checked.
+    * All-integer axes: no float boundary anywhere.
+    */
+  def customerSkyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fm = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("freq"),
+           sum(round(col("o_totalprice") * 100).cast("bigint")).as("spend_cents"))
+    val fmax = fm.groupBy("freq").agg(max(col("spend_cents")).as("mx"))
+    // bounded: one row per distinct order count
+    val wf = Window.orderBy(col("freq").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = fmax.withColumn("hi", max(col("mx")).over(wf))
+    fm.join(broadcast(pref), "freq")
+      .filter(col("spend_cents") === col("mx") &&
+              (col("hi").isNull || col("spend_cents") > col("hi")))
+      .select("o_custkey", "freq", "spend_cents")
+      .orderBy("o_custkey")
+  }
+
   /** Shipping-delay distribution per order priority: the fulfilment
     * SLA audit (days between order placement and line shipment).
     * Delays are exact integer day counts, so min/max/mean are integer

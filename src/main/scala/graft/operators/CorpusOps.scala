@@ -741,6 +741,40 @@ object CorpusOps {
       .orderBy("band")
   }
 
+  /** Quality-weighted deterministic sampling: each document keeps with
+    * probability equal to its [[TextAnalysis.textStats]] quality score,
+    * gated by hash — keep iff polyhash(doc_id) mod 1e6 < quality·1e6 —
+    * so the "random" draw is reproducible across engines, runs, and
+    * partition layouts (the [[stratifiedSample]] gate with a per-DOC
+    * continuous rate instead of a per-stratum constant; the soft
+    * importance-sampling knob between hard quality filtering and
+    * keep-everything). Output: per-language acceptance audit.
+    *
+    * Scale shape: the gate is a narrow filter expression; one
+    * language-sized rollup after a doc-keyed join of two projections
+    * of the same scan.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyHash.register(spark)
+    val st = TextAnalysis.textStats(spark, dir)
+      .select("doc_id", "quality", "n_tokens")
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang")
+    st.join(docs, "doc_id")
+      .withColumn("keep",
+        pmod(call_function(graft.functions.PolyHash.Name,
+          col("doc_id").cast("string")), lit(1000000L)) <
+        round(col("quality") * 1000000).cast("bigint"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+           sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("sampled_tokens"),
+           round(sum(when(col("keep"), 1L).otherwise(0L)) / count(lit(1)), 6)
+             .as("accept_rate"),
+           (sum(col("quality").cast("decimal(18,6)")).cast("double") /
+             count(lit(1))).as("mean_quality"))
+      .orderBy("lang")
+  }
+
   /** KL divergence of each source's language mix from the corpus mix —
     * the drift screen a multi-source ingest runs per feed (a source
     * whose language distribution diverges from the corpus needs a

@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.functions._
 
 import graft.operators.Analytics
+import graft.functions.PolyHash
 
 /** Segmentation + profiling family: conservation invariants on the
   * driver corpus and the no-single-reducer plan shapes.
@@ -128,6 +129,49 @@ class ProfilingSpec extends SparkSuite {
       assert(mean >= 0 && mean <= 24 * 3600, mean.toString)
       assert(p50 >= 0 && p50 <= 24 * 3600, p50.toString)
     }
+  }
+
+  test("skyline: members mutually non-dominated, everyone else dominated by some member") {
+    val fm = Tables.orders(spark, sfDir).groupBy("o_custkey")
+      .agg(count(lit(1)).as("freq"),
+           sum(round(col("o_totalprice") * 100).cast("bigint")).as("spend_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sky = Analytics.customerSkyline(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sky.nonEmpty)
+    def dominates(a: (Long, Long, Long), b: (Long, Long, Long)) =
+      a._2 >= b._2 && a._3 >= b._3 && (a._2 > b._2 || a._3 > b._3)
+    for (s <- sky; o <- fm if o._1 != s._1)
+      assert(!dominates(o, s), s"$o dominates skyline member $s")
+    val skySet = sky.map(_._1).toSet
+    for (o <- fm if !skySet.contains(o._1))
+      assert(sky.exists(s => dominates(s, o)), s"$o undominated but not on frontier")
+  }
+
+  test("weighted sample: acceptance bounded, quality-monotone in aggregate") {
+    val w = graft.operators.CorpusOps.weightedSample(spark, sfDir).collect()
+    assert(w.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sfDir).count())
+    w.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs"))
+      val rate = r.getAs[Double]("accept_rate")
+      val q = r.getAs[Double]("mean_quality")
+      assert(rate >= 0 && rate <= 1)
+      assert(q > 0 && q <= 1)
+    }
+    // the gate is per-doc deterministic: recompute one language bucket
+    // locally from the same hash rule
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val qual = graft.operators.TextAnalysis.textStats(spark, sfDir)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lang0 = docs.head._2
+    val expect = docs.filter(_._2 == lang0).count { case (id, _) =>
+      PolyHash.hash(id.toString) % 1000000 < math.round(qual(id) * 1000000)
+    }
+    val got = w.find(_.getAs[String]("lang") == lang0).get.getAs[Long]("n_sampled")
+    assert(got === expect.toLong, s"lang $lang0 sampled $got vs local $expect")
   }
 
   test("KL by source: non-negative divergence, every doc accounted") {

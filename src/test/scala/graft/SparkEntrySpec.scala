@@ -138,6 +138,12 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_ship_delay"        -> 1,
     // two SUM(lag_s)/COUNT inside ROUND (mean lag per step)
     "x_funnel_timing"     -> 2,
+    // fm's HUGEINT cents — dominance comparisons + a ::BIGINT-cast
+    // output projection only
+    "x_skyline"           -> 1,
+    // accept-rate SUM inside ROUND; the counters are ::BIGINT-cast and
+    // the quality sum goes through the VARCHAR bridge
+    "x_weighted_sample"   -> 1,
     // five unrolled rounds of SUM(r/d): a DOUBLE sum (never HUGEINT),
     // consumed in the next round's rank arithmetic and finally
     // ROUND(r, 6)
