@@ -100,6 +100,7 @@ object SparkEntry {
     "x_mad_outliers"       -> ((s, dir) => Analytics.madOutliers(s, dir)),
     "x_gini"               -> ((s, dir) => Analytics.giniSpend(s, dir)),
     "x_skyline"            -> ((s, dir) => Analytics.customerSkyline(s, dir)),
+    "x_reorder_gap"        -> ((s, dir) => Analytics.reorderIntervals(s, dir)),
     "x_weighted_sample"    -> ((s, dir) => CorpusOps.weightedSample(s, dir)),
     "x_mutual_info"        -> ((s, dir) => Analytics.mutualInfo(s, dir)),
     "x_json_props"         -> ((s, dir) => Analytics.jsonPropsAgg(s, dir)),
@@ -3547,6 +3548,24 @@ object SparkEntry {
         |  node, d AS degree, rank
         |FROM top JOIN degu ON degu.u = top.node
         |ORDER BY rk""".stripMargin),
+
+    // repeat-purchase inter-arrival gaps per market segment, exact
+    // integer day counts over the (date, orderkey) total order
+    "x_reorder_gap" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    date_diff('day',
+        |      CAST(LAG(o_orderdate) OVER w AS DATE),
+        |      CAST(o_orderdate AS DATE))::BIGINT AS gap_days
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |SELECT c_mktsegment, COUNT(*) AS n_gaps,
+        |  MIN(gap_days) AS min_gap, MAX(gap_days) AS max_gap,
+        |  ROUND(SUM(gap_days) / COUNT(*), 6) AS mean_gap,
+        |  ROUND(quantile_cont(gap_days, 0.5), 6) AS p50_gap
+        |FROM g JOIN customer ON o_custkey = c_custkey
+        |WHERE gap_days IS NOT NULL
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // skyline (Pareto frontier) of customers over (order count, cent
     // spend) — the oracle is the INDEPENDENT NOT EXISTS dominance

@@ -1473,6 +1473,33 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Repeat-purchase intervals: days between consecutive orders of the
+    * same customer (lag over the (date, orderkey) total order), rolled
+    * up per market segment — the inter-arrival analysis behind churn
+    * and reorder-cadence models. Exact integer day gaps; the lag
+    * window partitions by customer and the rollup is segment-sized.
+    */
+  def reorderIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderdate", "o_orderkey")
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev_date").isNotNull)
+      .withColumn("gap_days",
+        datediff(to_date(col("o_orderdate")), to_date(col("prev_date"))).cast("bigint"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_gaps"),
+           min(col("gap_days")).as("min_gap"),
+           max(col("gap_days")).as("max_gap"),
+           round(sum(col("gap_days")) / count(lit(1)), 6).as("mean_gap"),
+           round(expr("percentile(gap_days, 0.5)"), 6).as("p50_gap"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Skyline (Pareto frontier) of customers over (order count, exact
     * cent spend): a customer is dominated when another is >= on both
     * axes and strictly better on one. The 2-D skyline reduces to a

@@ -131,6 +131,18 @@ class ProfilingSpec extends SparkSuite {
     }
   }
 
+  test("reorder gaps: one gap per order beyond each customer's first, ordered stats") {
+    val g = Analytics.reorderIntervals(spark, sfDir).collect()
+    val orders = Tables.orders(spark, sfDir).count()
+    val customers = Tables.orders(spark, sfDir).select("o_custkey").distinct().count()
+    assert(g.map(_.getAs[Long]("n_gaps")).sum === orders - customers)
+    g.foreach { r =>
+      assert(r.getAs[Long]("min_gap") >= 0)
+      assert(r.getAs[Long]("min_gap") <= r.getAs[Double]("p50_gap"))
+      assert(r.getAs[Double]("p50_gap") <= r.getAs[Long]("max_gap"))
+    }
+  }
+
   test("skyline: members mutually non-dominated, everyone else dominated by some member") {
     val fm = Tables.orders(spark, sfDir).groupBy("o_custkey")
       .agg(count(lit(1)).as("freq"),

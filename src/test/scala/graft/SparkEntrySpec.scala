@@ -138,6 +138,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_ship_delay"        -> 1,
     // two SUM(lag_s)/COUNT inside ROUND (mean lag per step)
     "x_funnel_timing"     -> 2,
+    // SUM(gap_days)/COUNT inside ROUND (mean_gap)
+    "x_reorder_gap"       -> 1,
     // fm's HUGEINT cents — dominance comparisons + a ::BIGINT-cast
     // output projection only
     "x_skyline"           -> 1,
