@@ -41,4 +41,26 @@ object StreamingOhlc {
     */
   def streamingBars(quotes: DataFrame, lateness: String = "1 hour"): DataFrame =
     bars(quotes.withWatermark("ts", lateness))
+
+  /** VWAP twin of [[graft.operators.Finance.vwap]] — the same
+    * exact-decimal price·volume sums as a windowed aggregation, legal
+    * on static frames and watermarked streams alike (order-free state:
+    * two decimal sums and a count per (symbol, day), so out-of-order
+    * arrival needs no sequencing contract at all).
+    */
+  def vwapBars(quotes: DataFrame): DataFrame =
+    quotes
+      .groupBy(col("symbol"), window(col("ts"), "1 day"))
+      .agg(
+        sum(col("price").cast("decimal(18,6)") * col("volume").cast("decimal(18,6)"))
+          .as("pv"),
+        sum(col("volume")).as("day_volume"),
+        count(lit(1)).as("n_ticks"))
+      .filter(col("day_volume") > 0)
+      .select(col("symbol"), to_date(col("window.start")).as("day"),
+        round(col("pv").cast("double") / col("day_volume"), 6).as("vwap"),
+        col("day_volume"), col("n_ticks"))
+
+  def streamingVwap(quotes: DataFrame, lateness: String = "1 hour"): DataFrame =
+    vwapBars(quotes.withWatermark("ts", lateness))
 }

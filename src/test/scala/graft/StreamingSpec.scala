@@ -1465,4 +1465,37 @@ class StreamingSpec extends SparkSuite {
       .collect().map(_.toSeq)
     assert(viaAgg.toSeq == viaRank.toSeq)
   }
+
+  test("streaming VWAP equals the batch VWAP on the corpus, order-free under splits") {
+    // formulation parity on the real corpus
+    val viaWindow = graft.streaming.StreamingOhlc.vwapBars(
+        graft.operators.Finance.quotes(spark, sfDir))
+      .orderBy("symbol", "day").collect().map(_.toSeq)
+    val batch = graft.operators.Finance.vwap(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(viaWindow.toSeq == batch.toSeq)
+    // streamed == batch on identical rows, fed in REVERSE order across
+    // two micro-batches (VWAP state is order-free)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Double, Long, Timestamp, Long, Long)]
+    val cols = Seq("symbol", "price", "volume", "ts", "ts_epoch", "id")
+    val q = graft.streaming.StreamingOhlc.streamingVwap(ms.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("vwap_stream")
+      .outputMode("complete").start()
+    try {
+      val d = 86_400_000L
+      def tick(sym: String, p: Double, v: Long, ms0: Long, id: Long) =
+        (sym, p, v, new Timestamp(ms0), ms0 / 1000, id)
+      val all = Seq(
+        tick("a", 10.0, 5L, d + 7_000, 3), tick("a", 12.0, 2L, d + 1_000, 1),
+        tick("b", 50.0, 1L, d + 2_000, 2), tick("a", 11.0, 9L, 2 * d + 1_000, 6))
+      ms.addData(all.reverse.take(2).toIndexedSeq); q.processAllAvailable()
+      ms.addData(all.reverse.drop(2).toIndexedSeq); q.processAllAvailable()
+      def norm(df: org.apache.spark.sql.DataFrame) = df
+        .select("symbol", "day", "vwap", "day_volume", "n_ticks")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(norm(spark.table("vwap_stream")).toSeq ==
+        norm(graft.streaming.StreamingOhlc.vwapBars(all.toDF(cols: _*))).toSeq)
+    } finally q.stop()
+  }
 }
