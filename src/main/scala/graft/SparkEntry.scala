@@ -101,6 +101,7 @@ object SparkEntry {
     "x_gini"               -> ((s, dir) => Analytics.giniSpend(s, dir)),
     "x_skyline"            -> ((s, dir) => Analytics.customerSkyline(s, dir)),
     "x_reorder_gap"        -> ((s, dir) => Analytics.reorderIntervals(s, dir)),
+    "x_transition_matrix"  -> ((s, dir) => Analytics.transitionMatrix(s, dir)),
     "x_weighted_sample"    -> ((s, dir) => CorpusOps.weightedSample(s, dir)),
     "x_mutual_info"        -> ((s, dir) => Analytics.mutualInfo(s, dir)),
     "x_json_props"         -> ((s, dir) => Analytics.jsonPropsAgg(s, dir)),
@@ -3548,6 +3549,21 @@ object SparkEntry {
         |  node, d AS degree, rank
         |FROM top JOIN degu ON degu.u = top.node
         |ORDER BY rk""".stripMargin),
+
+    // first-order Markov transition matrix over user event sequences;
+    // probabilities divide exact integer counts, normalization windows
+    // run over the bounded cell table
+    "x_transition_matrix" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts)//1000000, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n_transitions
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        |  ROUND(n_transitions / SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     // repeat-purchase inter-arrival gaps per market segment, exact
     // integer day counts over the (date, orderkey) total order

@@ -1473,6 +1473,30 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Event-type transition matrix: the first-order Markov estimate of
+    * user behavior — for each (from, to) pair of consecutive events in
+    * a user's (ts, id) tick order, the transition count and row
+    * probability. The lag window partitions by user; the probability
+    * normalization is a window over the BOUNDED from-type-sized cell
+    * table. Probabilities divide exact integer counts.
+    */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_timestamp(col("ts")).asc, col("event_id").asc)
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val wf = Window.partitionBy("from_type")
+    pairs
+      .withColumn("p",
+        round(col("n_transitions") / sum(col("n_transitions")).over(wf), 6))
+      .select("from_type", "to_type", "n_transitions", "p")
+      .orderBy("from_type", "to_type")
+  }
+
   /** Repeat-purchase intervals: days between consecutive orders of the
     * same customer (lag over the (date, orderkey) total order), rolled
     * up per market segment — the inter-arrival analysis behind churn

@@ -131,6 +131,19 @@ class ProfilingSpec extends SparkSuite {
     }
   }
 
+  test("transition matrix: rows are probability distributions, transitions conserved") {
+    val t = Analytics.transitionMatrix(spark, sfDir).collect()
+    val byFrom = t.groupBy(_.getAs[String]("from_type"))
+    byFrom.values.foreach { rows =>
+      val mass = rows.map(_.getAs[Double]("p")).sum
+      assert(math.abs(mass - 1.0) < 1e-4, s"row mass $mass")
+    }
+    // one transition per event beyond each user's last
+    val events = Tables.events(spark, sfDir).count()
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(t.map(_.getAs[Long]("n_transitions")).sum === events - users)
+  }
+
   test("reorder gaps: one gap per order beyond each customer's first, ordered stats") {
     val g = Analytics.reorderIntervals(spark, sfDir).collect()
     val orders = Tables.orders(spark, sfDir).count()

@@ -140,6 +140,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_funnel_timing"     -> 2,
     // SUM(gap_days)/COUNT inside ROUND (mean_gap)
     "x_reorder_gap"       -> 1,
+    // row-normalization window SUM inside ROUND (transition p)
+    "x_transition_matrix" -> 1,
     // fm's HUGEINT cents — dominance comparisons + a ::BIGINT-cast
     // output projection only
     "x_skyline"           -> 1,
