@@ -1,16 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Headline bench: time every SparkEntry query at SPARK_GRAFT_SF_DIR,
-  * print ONE JSON line. Each query runs `SPARK_GRAFT_BENCH_RUNS` times
-  * (default 3) and reports its per-query MEDIAN — single-shot numbers
-  * on a co-tenant box swing 5x (r2 observed 47-270 s for the same
-  * binary), and the median is the stable center the baseline compare
-  * needs. Before the timed runs, `SPARK_GRAFT_BENCH_WARMUP` (default 1)
-  * discarded warm-up runs pay first-touch codegen + JIT so the median
-  * measures steady state. The session cache is cleared between runs so every run pays
-  * full cost (no warm-cache flattery) and per-query persisted
-  * intermediates can't accumulate across the ~55-query session.
+/** Headline bench: time every SparkEntry query at SPARK_GRAFT_SF_DIR.
+  * Each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3) and
+  * reports its per-query MEDIAN — single-shot numbers on a co-tenant
+  * box swing 5x (r2 observed 47-270 s for the same binary), and the
+  * median is the stable center the baseline compare needs. Before the
+  * timed runs, `SPARK_GRAFT_BENCH_WARMUP` (default 1) discarded
+  * warm-up runs pay first-touch codegen + JIT so the median measures
+  * steady state. The session cache is cleared between runs so every
+  * run pays full cost (no warm-cache flattery) and per-query persisted
+  * intermediates can't accumulate across the ~200-query session.
+  *
+  * Output contract (r8 bench artifact failed to parse — the full line
+  * is ~6 KB and outran the driver's bounded TAIL capture, cutting the
+  * line's HEAD off):
+  *  1. the FULL line (per-query medians) prints FIRST on both streams
+  *     — if the driver keeps the head of the output, it survives;
+  *  2. the full detail (per-query min/median/max + raw runs) is
+  *     WRITTEN TO A FILE (`SPARK_GRAFT_BENCH_DETAIL`, default
+  *     ./bench_detail.json) the driver/judge can fetch;
+  *  3. a TINY total-only summary line prints LAST on both streams —
+  *     ~600 bytes, so the bounded tail capture always contains it
+  *     complete, and the headline number can never be lost again. It
+  *     carries the top-10 slowest queries' [min, median, max] so the
+  *     artifact alone distinguishes envelope noise from regression.
   *
   * Failures are NOT masked: a failed query is reported with time -1,
   * listed in "failures", and poisons the headline metric (one hour
@@ -29,6 +43,7 @@ object Bench {
     // run 0 is executed and thrown away; the median is over the
     // subsequent nRuns. A warm-up failure still poisons the query.
     val nWarm = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,15 +57,21 @@ object Bench {
     // optional comma-separated subset (local iteration aid; the driver
     // never sets it, so the committed bench always covers every query)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // optional reverse execution order (outlier reproduction aid —
+    // r8's driver tail showed two 38x outliers the canonical order
+    // never reproduces; running the suite backwards separates
+    // position-dependent envelope effects from per-query regressions)
+    val reverse = sys.env.get("SPARK_GRAFT_BENCH_REVERSE").contains("1")
     // Failure diagnostics are BUFFERED, not interleaved: every byte
     // printed between the runs and the JSON line is budget stolen from
     // the driver's bounded output capture (r5's tail kept only 82 of
     // 121 queries of the line). The line must be the first thing
-    // printed once results exist AND the last thing printed overall.
+    // printed once results exist; the TINY line the last.
     val diagnostics = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq
+    val ordered0 = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val ordered = if (reverse) ordered0.reverse else ordered0
+    val results: Seq[(String, Seq[Double], Boolean)] = ordered.map { case (name, fn) =>
       // noop sink, NOT count(): count() lets Catalyst prune every
       // unused projection, so a narrow query's expensive columns
       // (simhash votes, text stats) were never computed — r2's
@@ -79,19 +100,28 @@ object Bench {
         i += 1
       }
       val ok = times.forall(_ >= 0)
-      (name, if (ok) median(times.toSeq) else -1.0, ok)
+      (name, times.toSeq, ok)
     }
-    val line = renderJson(results, nRuns, sfDir)
-    // The line prints FIRST (the instant results exist, before any
-    // diagnostics) and again LAST after the session is down — whether
-    // the driver's bounded capture keeps the head or the tail of the
-    // output, a complete copy survives, on both streams.
-    println(line)
-    System.err.println(line)
+    val medians = results.map { case (n, ts, ok) =>
+      (n, if (ok) median(ts) else -1.0, ok) }
+    val fullLine = renderJson(medians, nRuns, sfDir)
+    val tinyLine = renderSummaryJson(results, nRuns, sfDir, detailPath)
+    // print order: full line FIRST (head capture), detail to file,
+    // diagnostics, then the tiny line LAST on both streams (tail
+    // capture) — whichever window the driver keeps, a complete
+    // parseable line with the headline total survives.
+    println(fullLine)
+    System.err.println(fullLine)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        renderDetailJson(results, nRuns, sfDir).getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      diagnostics += s"[bench] detail write FAILED: ${e.getMessage}"
+    }
     diagnostics.foreach(System.err.println)
     spark.stop() // before the final copy: shutdown logs can't trail it
-    println(line)
-    System.err.println(line)
+    println(tinyLine)
+    System.err.println(tinyLine)
   }
 
   /** True median: mean of the two middle samples for even run counts
@@ -104,22 +134,60 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
-  /** The ONE line the driver parses — kept as a pure function so the
-    * contract (shape, failure poisoning, -1 markers) is unit-tested;
-    * a formatting regression here would zero a whole round's bench.
-    */
   /** Millisecond precision: full double digits tripled the line's
     * length for noise below timer jitter, and line length is budget
     * against the driver's bounded output capture.
     */
   private def ms(v: Double): Double = math.rint(v * 1000) / 1000
 
+  /** The full line (per-query medians) — kept as a pure function so
+    * the contract (shape, failure poisoning, -1 markers) is
+    * unit-tested; a formatting regression here would zero a whole
+    * round's bench.
+    */
   def renderJson(results: Seq[(String, Double, Boolean)],
                  nRuns: Int, sfDir: String): String = {
     val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) ms(v) else -1.0) }
       .mkString("{", ",", "}")
     val failures = results.filterNot(_._3).map(_._1)
     val total = ms(results.filter(_._3).map(_._2).sum + 3600.0 * failures.size)
+    val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$nRuns,"failures":$failJson,"sf":"$sfDir"}"""
+  }
+
+  /** The TINY summary line printed LAST: total + failure list + the
+    * top-10 slowest queries' [min, median, max]. Bounded at ~10
+    * entries so the line stays well under any plausible tail-capture
+    * window regardless of how many queries the suite grows to.
+    */
+  def renderSummaryJson(results: Seq[(String, Seq[Double], Boolean)],
+                        nRuns: Int, sfDir: String,
+                        detailPath: String): String = {
+    val failures = results.filterNot(_._3).map(_._1)
+    val meds = results.filter(_._3).map { case (n, ts, _) => (n, ts) }
+    val total = ms(meds.map(t => median(t._2)).sum + 3600.0 * failures.size)
+    val slow = meds.sortBy { case (_, ts) => -median(ts) }.take(10)
+      .map { case (n, ts) =>
+        s"\"" + n + s"\":[${ms(ts.min)},${ms(median(ts))},${ms(ts.max)}]" }
+      .mkString("{", ",", "}")
+    val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,"n_queries":${results.size},"failures":$failJson,"sf":"$sfDir","detail":"$detailPath","slowest":$slow}"""
+  }
+
+  /** The full detail artifact (written to a file, never printed):
+    * every query's [min, median, max] plus the raw run samples — the
+    * variance record that lets a verdict separate envelope noise from
+    * regression without re-running anything.
+    */
+  def renderDetailJson(results: Seq[(String, Seq[Double], Boolean)],
+                       nRuns: Int, sfDir: String): String = {
+    val qs = results.map { case (n, ts, ok) =>
+      if (ok && ts.nonEmpty)
+        s"\"" + n + s"\":{\"min\":${ms(ts.min)},\"median\":${ms(median(ts))},\"max\":${ms(ts.max)},\"runs\":[${ts.map(ms).mkString(",")}]}"
+      else s"\"" + n + "\":{\"min\":-1.0,\"median\":-1.0,\"max\":-1.0,\"runs\":[]}"
+    }.mkString("{", ",", "}")
+    val failures = results.filterNot(_._3).map(_._1)
+    val total = ms(results.filter(_._3).map(t => median(t._2)).sum + 3600.0 * failures.size)
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$nRuns,"failures":$failJson,"sf":"$sfDir"}"""
   }

@@ -3535,11 +3535,13 @@ object SparkEntry {
 
     // 5 unrolled PageRank rounds over the symmetrized edge set;
     // (1.0 - 0.85) is computed in double on BOTH engines so the
-    // teleport term is the identical binary value
+    // teleport term is the identical binary value; each round's rank
+    // quantizes to 12 decimals on BOTH engines so summation-order
+    // last-ulp drift cannot compound across rounds
     "x_pagerank" ->
       (graphCoCte + ",\n" + (1 to 5).map(i =>
         s"""r$i AS (
-           |  SELECT adj.v AS node, (1.0::DOUBLE - 0.85::DOUBLE)/nn + 0.85::DOUBLE * SUM(r${i-1}.r / degu.d) AS r
+           |  SELECT adj.v AS node, ROUND((1.0::DOUBLE - 0.85::DOUBLE)/nn + 0.85::DOUBLE * SUM(r${i-1}.r / degu.d), 12) AS r
            |  FROM adj JOIN r${i-1} ON r${i-1}.node = adj.u
            |  JOIN degu ON degu.u = adj.u, n GROUP BY adj.v, nn)""".stripMargin)
         .mkString(",\n") + """,

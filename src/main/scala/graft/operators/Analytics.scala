@@ -1533,7 +1533,9 @@ object Analytics {
     * set, and the frontier membership test is one broadcast join back.
     * The oracle deliberately uses the independent NOT EXISTS dominance
     * formulation, so the reduction itself is what's being checked.
-    * All-integer axes: no float boundary anywhere.
+    * All-integer axes: no float boundary anywhere. Headroom: spend is
+    * a PER-CUSTOMER cent sum (never corpus-sized), so LongType holds
+    * to ~9e16 dollars per single customer — not a practical ceiling.
     */
   def customerSkyline(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1616,7 +1618,11 @@ object Analytics {
     * `ROW_NUMBER() OVER (PARTITION BY segment ...)` whose hot segment
     * is one reducer at 100 TB. Gini is the all-integer rank form
     * G = (2·Σ(rn·cents) - (n+1)·Σcents) / (n·Σcents): one double
-    * division of exact integers, engine-identical.
+    * division of exact integers, engine-identical. Σ(rn·cents)
+    * accumulates as decimal(38,0) — matching DuckDB's silent
+    * SUM→HUGEINT promotion — so the form stays exact (no Long
+    * overflow, no ANSI failure) to ~1e9 customers per segment at
+    * whale-scale cent totals.
     */
   def giniSpend(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(spark, dir)
@@ -1636,11 +1642,14 @@ object Analytics {
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_customers"),
            sum(col("cents")).as("total_cents"),
-           sum(col("rn") * col("cents")).as("s1"))
+           sum((col("rn").cast("decimal(19,0)") *
+                col("cents").cast("decimal(19,0)")).cast("decimal(38,0)")).as("s1"))
       .select(col("c_mktsegment"), col("n_customers"), col("total_cents"),
-        round((lit(2) * col("s1") - (col("n_customers") + 1) * col("total_cents"))
-                .cast("double") /
-              (col("n_customers") * col("total_cents")), 6).as("gini"))
+        round((lit(2).cast("decimal(38,0)") * col("s1") -
+               (col("n_customers") + 1).cast("decimal(38,0)") *
+                 col("total_cents").cast("decimal(38,0)")).cast("double") /
+              (col("n_customers").cast("double") *
+               col("total_cents").cast("double")), 6).as("gini"))
       .orderBy("c_mktsegment")
   }
 

@@ -63,19 +63,26 @@ object Graphs {
            (col("da") === col("db") && col("pa") < col("pb")), col("pb"))
         .otherwise(col("pa")).as("dst"))
       .localCheckpoint()
-    // wedges at the lowest-rank vertex; close each against an oriented edge
+    // wedges at the lowest-rank vertex; close each against an oriented
+    // edge. The wedge list is the O(m^1.5) term of the whole algorithm,
+    // so it is checkpointed and built exactly ONCE — the three
+    // consumers below (wedge count + both closure orientations) read
+    // the materialized partitions, never the join lineage.
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
       .select(col("e1.dst").as("w1"), col("e2.dst").as("w2"))
+      .localCheckpoint()
     val nWedges = wedges.count()
     // the closing edge may be oriented either way between w1 and w2 —
     // two DISJOINT equi-joins (an OR'd condition would plan as a
-    // nested loop), summed
-    val closures =
-      wedges.join(oriented,
-        col("w1") === col("src") && col("w2") === col("dst")).count() +
-      wedges.join(oriented,
-        col("w2") === col("src") && col("w1") === col("dst")).count()
+    // nested loop), unioned and counted in ONE action
+    val closures = wedges.join(oriented,
+        col("w1") === col("src") && col("w2") === col("dst"))
+      .select(lit(1).as("one"))
+      .unionAll(wedges.join(oriented,
+          col("w2") === col("src") && col("w1") === col("dst"))
+        .select(lit(1).as("one")))
+      .count()
     val nEdges = oriented.count()
     val spk = spark
     import spk.implicits._
@@ -163,13 +170,17 @@ object Graphs {
     val base = lit(1.0 - damping) / lit(n.toDouble)
     var ranks = deg.select(col("u").as("node"),
       (lit(1.0) / lit(n.toDouble)).as("r"))
+    // per-round ranks quantize to 12 decimals (both engines): sum(r/d)
+    // is an order-dependent double summation, and without the per-round
+    // clamp the last-ulp drift between Spark's partial-agg order and
+    // the oracle's compounds over the iterations
     for (_ <- 1 to iters) {
       val contrib = adj
         .join(ranks.withColumnRenamed("node", "u"), "u")
         .join(deg, "u")
         .select(col("v").as("node"), (col("r") / col("d")).as("c"))
       ranks = contrib.groupBy("node")
-        .agg((base + lit(damping) * sum(col("c"))).as("r"))
+        .agg(round(base + lit(damping) * sum(col("c")), 12).as("r"))
         .localCheckpoint()
     }
     // top-k via TakeOrdered (never a global single-partition window

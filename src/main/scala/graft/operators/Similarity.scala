@@ -1552,9 +1552,11 @@ object Similarity {
     * shifted one moves its mean). Values quantize to exact integer
     * MICRO-units (the semantic-dedup convention), so mean and variance
     * are integer sums with one double division each — engine-exact.
-    * The exact-integer variance form n·Σm² - (Σm)² is safe to ~1e9
-    * rows per dimension at this value range; past that, switch to
-    * Welford moments (documented trade, same plan shape).
+    * Both Σm and Σm² accumulate as decimal(38,0) (matching DuckDB's
+    * silent SUM(BIGINT)→HUGEINT promotion), so the exact-integer
+    * variance form n·Σm² - (Σm)² holds to ~1e12 rows per dimension at
+    * |m| ≤ 1e6 (n·Σm² ≈ 1e36 < 1e38); past that, switch to Welford
+    * moments (documented trade, same plan shape).
     *
     * Scale shape: one narrow posexplode (rows × dims) then a 64-group
     * hash aggregate with map-side partials.
@@ -1566,13 +1568,14 @@ object Similarity {
         round(col("v").cast("double") * 1000000).cast("bigint").as("m"))
       .groupBy("pos")
       .agg(count(lit(1)).as("n"),
-           sum(col("m")).as("s1"),
-           sum(col("m") * col("m")).as("s2"),
+           sum(col("m").cast("decimal(38,0)")).as("s1"),
+           sum((col("m") * col("m")).cast("decimal(38,0)")).as("s2"),
            min(col("m")).as("mn"),
            max(col("m")).as("mx"))
       .select(col("pos"), col("n"),
         round(col("s1").cast("double") / (col("n") * lit(1000000.0)), 6).as("mean_v"),
-        round(sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+        round(sqrt((col("n").cast("decimal(18,0)") * col("s2") -
+                    col("s1") * col("s1")).cast("double") /
                    (col("n") * (col("n") - 1))) / 1000000.0, 6).as("std_v"),
         round(col("mn") / lit(1000000.0), 6).as("min_v"),
         round(col("mx") / lit(1000000.0), 6).as("max_v"))

@@ -40,4 +40,39 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(math.abs(node.get("value").asDouble() - 3602.0) < 1e-9,
       "one failure must add a full hour so a broken query can never look fast")
   }
+
+  test("tiny summary line is short, parseable, and carries top-10 spreads") {
+    // 50 queries: the tiny line must stay bounded (top-10 only) and
+    // still report the same poisoned total as the full line
+    val results = (1 to 50).map(i =>
+      (s"q$i", Seq(i * 0.1, i * 0.1 + 0.05, i * 0.1 - 0.05), true)) :+
+      (("bad", Seq(-1.0), false))
+    val line = Bench.renderSummaryJson(results, 3, "/data/sf0.1", "bench_detail.json")
+    val node = mapper.readTree(line)
+    assert(node.get("metric").asText() == "total")
+    assert(node.get("n_queries").asInt() == 51)
+    assert(node.get("failures").get(0).asText() == "bad")
+    assert(node.get("slowest").size() == 10)
+    // slowest entry is q50: [min, median, max] ordered
+    val q50 = node.get("slowest").get("q50")
+    assert(q50.get(0).asDouble() <= q50.get(1).asDouble())
+    assert(q50.get(1).asDouble() <= q50.get(2).asDouble())
+    val expectedTotal = (1 to 50).map(_ * 0.1).sum + 3600.0
+    assert(math.abs(node.get("value").asDouble() - expectedTotal) < 1e-6)
+    assert(line.length < 1200,
+      s"tiny line must survive a bounded tail capture, got ${line.length} bytes")
+  }
+
+  test("detail JSON records min/median/max and raw runs per query") {
+    val line = Bench.renderDetailJson(
+      Seq(("a", Seq(1.0, 3.0, 2.0), true), ("bad", Seq(-1.0), false)), 3, "sf")
+    val node = mapper.readTree(line)
+    val a = node.get("queries").get("a")
+    assert(a.get("min").asDouble() == 1.0)
+    assert(a.get("median").asDouble() == 2.0)
+    assert(a.get("max").asDouble() == 3.0)
+    assert(a.get("runs").size() == 3)
+    assert(node.get("queries").get("bad").get("median").asDouble() == -1.0)
+    assert(math.abs(node.get("value").asDouble() - 3602.0) < 1e-9)
+  }
 }
