@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus amplifier for the empirical scale probe:
+  * replicates an sf directory N times with re-keyed ids, so the
+  * scaling exponent of every headline query can be MEASURED (t ~
+  * C·N^alpha) instead of argued from plan shape.
+  *
+  * `runMain graft.Amplify <srcDir> <dstDir> <N>`
+  *
+  * Design constraints (all three are load-bearing for a fair probe):
+  *
+  *  1. JOIN CARDINALITIES PRESERVED. Every int64 key domain is offset
+  *     by `copy * 10^10` (all base keys are far below 10^10), so each
+  *     copy is a disjoint island: orders still join their own
+  *     lineitems, customers their own orders, documents their own
+  *     embeddings-by-id. Fact/dim fan-outs per copy are identical to
+  *     the base corpus; the tiny shared dims (region, nation) are NOT
+  *     replicated, exactly like a real corpus growing under a fixed
+  *     reference taxonomy.
+  *
+  *  2. SIMILARITY WORKLOAD LINEAR IN N. Verbatim replication would
+  *     make every near-dup/similarity query quadratic BY CONSTRUCTION
+  *     (N identical texts are mutual near-dups: N(N-1)/2 pairs per
+  *     group), and no engine can be linear on a quadratically growing
+  *     OUTPUT — the probe would measure the workload, not the engine.
+  *     So copy c > 0 perturbs content deterministically:
+  *       - documents: every whitespace token gets a per-copy suffix
+  *         (`the` -> `the_c3`), which changes every shingle/gram →
+  *         cross-copy Jaccard = 0, while WITHIN a copy the shingle
+  *         multiset structure (and hence the pair graph) is isomorphic
+  *         to the base corpus. `n_chars` is recomputed to match.
+  *       - embeddings: elementwise multiplication by a per-copy ±1
+  *         sign pattern (hash(copy, dim) parity). A fixed sign flip is
+  *         an exact ISOMETRY within the copy — (s⊙a)·(s⊙b) = a·b and
+  *         norms are unchanged, so every within-copy cosine, cluster,
+  *         and PQ cell is bit-identical in structure to the base —
+  *         while cross-copy cosines decorrelate to ~0.
+  *
+  *  3. DETERMINISTIC. Offsets are arithmetic; perturbations key off
+  *     (copy, position) through xxhash64 — same input dir + N always
+  *     produces the same output corpus (as a row set).
+  *
+  * Copy 0 is the unmodified base corpus, so amplified(N=1) == base.
+  *
+  * Scale shape of the amplifier itself: one broadcast-range fan-out
+  * per table (scan × N rows out, no shuffle until the write
+  * repartition), so amplification cost is linear in output size.
+  */
+object Amplify {
+  val KeyOffset = 10000000000L
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: Amplify <srcDir> <dstDir> <N>")
+    val (src, dst, n) = (args(0), args(1), args(2).toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    amplifyAll(spark, src, dst, n)
+    spark.stop()
+  }
+
+  def amplifyAll(spark: SparkSession, src: String, dst: String, n: Int): Unit = {
+    val cpus = spark.sparkContext.defaultParallelism
+    def write(df: DataFrame, name: String): Unit =
+      df.repartition(cpus).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+
+    // tiny shared dims: copied once, unmodified
+    write(Tables.region(spark, src), "region")
+    write(Tables.nation(spark, src), "nation")
+
+    write(amplifyKeyed(spark, Tables.customer(spark, src), n, Seq("c_custkey")), "customer")
+    write(amplifyKeyed(spark, Tables.supplier(spark, src), n, Seq("s_suppkey")), "supplier")
+    write(amplifyKeyed(spark, Tables.part(spark, src), n, Seq("p_partkey")), "part")
+    write(amplifyKeyed(spark, Tables.orders(spark, src), n,
+      Seq("o_orderkey", "o_custkey")), "orders")
+    write(amplifyKeyed(spark, Tables.lineitem(spark, src), n,
+      Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    write(amplifyKeyed(spark, Tables.events(spark, src), n,
+      Seq("event_id", "user_id")), "events")
+    write(amplifyDocuments(spark, Tables.documents(spark, src), n), "documents")
+    write(amplifyEmbeddings(spark, Tables.embeddings(spark, src), n), "embeddings")
+  }
+
+  /** Cross the base rows with copies 0..n-1 (broadcast nested loop
+    * over an n-row range — no shuffle) and offset the named int64
+    * keys by copy * 10^10.
+    */
+  private[graft] def withCopies(spark: SparkSession, base: DataFrame, n: Int): DataFrame =
+    base.crossJoin(broadcast(spark.range(n).toDF("amp_copy")))
+
+  private[graft] def amplifyKeyed(spark: SparkSession, base: DataFrame, n: Int,
+                                  keys: Seq[String]): DataFrame = {
+    val out = keys.foldLeft(withCopies(spark, base, n)) { (df, k) =>
+      df.withColumn(k, col(k) + col("amp_copy") * lit(KeyOffset))
+    }
+    out.drop("amp_copy")
+  }
+
+  /** Per-copy token suffix: copy 0 keeps the original text; copy c
+    * appends `_c<c>` to every whitespace token, changing every
+    * shingle (cross-copy Jaccard 0) while keeping the within-copy
+    * token-count/duplication structure isomorphic to the base.
+    */
+  private[graft] def amplifyDocuments(spark: SparkSession, base: DataFrame, n: Int): DataFrame =
+    withCopies(spark, base, n)
+      .withColumn("doc_id", col("doc_id") + col("amp_copy") * lit(KeyOffset))
+      .withColumn("text",
+        when(col("amp_copy") === 0, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "),
+              t => concat(t, lit("_c"), col("amp_copy"))), " ")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("amp_copy")
+
+  /** Per-copy ±1 sign pattern over dimensions: an exact within-copy
+    * isometry (all cosines/norms preserved bit-for-bit in structure)
+    * that decorrelates cross-copy cosines to ~0. Copy 0 is identity.
+    */
+  private[graft] def amplifyEmbeddings(spark: SparkSession, base: DataFrame, n: Int): DataFrame = {
+    val sign: (Column, Column) => Column = (c, i) =>
+      (pmod(xxhash64(lit("amp"), c, i), lit(2)) * 2 - 1).cast("float")
+    withCopies(spark, base, n)
+      .withColumn("vec_id", col("vec_id") + col("amp_copy") * lit(KeyOffset))
+      .withColumn("embedding",
+        when(col("amp_copy") === 0, col("embedding"))
+          .otherwise(zip_with(
+            col("embedding"),
+            transform(col("embedding"), (_, i) => sign(col("amp_copy"), i)),
+            (v, s) => v * s)))
+      .drop("amp_copy")
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The scale-probe amplifier's three contracts: join cardinalities
+  * scale exactly linearly, lexical content never collides across
+  * copies, and the embedding perturbation is an exact within-copy
+  * isometry. A violation of any of these would make the measured
+  * scaling exponents meaningless (the probe would be timing a
+  * different workload shape, not a bigger corpus).
+  */
+class AmplifySpec extends SparkSuite {
+  private lazy val dst = {
+    val d = java.nio.file.Files.createTempDirectory("amp").toString
+    Amplify.amplifyAll(spark, sfDir, d, 3)
+    d
+  }
+
+  test("row counts and join fan-out scale exactly linearly") {
+    val baseOrders = Tables.orders(spark, sfDir).count()
+    val ampOrders = Tables.orders(spark, dst).count()
+    assert(ampOrders == 3 * baseOrders)
+
+    def joined(dir: String): Long =
+      Tables.orders(spark, dir).join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey")).count()
+    assert(joined(dst) == 3 * joined(sfDir),
+      "per-copy key offsets must preserve the orders->lineitem fan-out exactly")
+
+    // shared dims are NOT replicated
+    assert(Tables.nation(spark, dst).count() ==
+           Tables.nation(spark, sfDir).count())
+  }
+
+  test("documents: within-copy duplicate structure isomorphic, zero cross-copy collisions") {
+    val base = Tables.documents(spark, sfDir)
+    val amp = Tables.documents(spark, dst)
+    // every text belongs to exactly one copy (no cross-copy collisions):
+    // total distinct = 3x base distinct
+    val dBase = base.select("text").distinct().count()
+    assert(amp.select("text").distinct().count() == 3 * dBase)
+    // the exact-dup group-size histogram is identical per copy
+    val hBase = base.groupBy("text").count()
+      .groupBy("count").agg(count(lit(1)).as("n_groups"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hAmp = amp.groupBy("text").count()
+      .groupBy("count").agg(count(lit(1)).as("n_groups"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hAmp == hBase.map { case (sz, ng) => (sz, ng * 3) },
+      "each copy must reproduce the base duplicate-group histogram")
+    // n_chars stays consistent with the perturbed text
+    assert(amp.filter(length(col("text")) =!= col("n_chars")).count() == 0)
+  }
+
+  test("embeddings: sign perturbation is an exact within-copy isometry") {
+    val dot = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+    val e = Tables.embeddings(spark, dst)
+    def pair(c: Long) = e.filter(col("vec_id") === c * Amplify.KeyOffset)
+      .select(col("embedding").as("ea"))
+      .crossJoin(e.filter(col("vec_id") === c * Amplify.KeyOffset + 1)
+        .select(col("embedding").as("eb")))
+      .select(dot("ea", "eb").as("d"),
+        sqrt(dot("ea", "ea")).as("na"), sqrt(dot("eb", "eb")).as("nb"))
+      .collect().head
+    val b = pair(0) // copy 0 == base
+    val p = pair(1)
+    // bit-exact: (s.a).(s.b) multiplies each elementwise product by s^2 = 1
+    assert(p.getDouble(0) == b.getDouble(0), "dot products must be bit-identical")
+    assert(p.getDouble(1) == b.getDouble(1) && p.getDouble(2) == b.getDouble(2),
+      "norms must be bit-identical")
+
+    // cross-copy cosine decorrelates: same base vector, two copies
+    val x = e.filter(col("vec_id") === 5L)
+      .select(col("embedding").as("ea"))
+      .crossJoin(e.filter(col("vec_id") === Amplify.KeyOffset + 5L)
+        .select(col("embedding").as("eb")))
+      .select((dot("ea", "eb") / (sqrt(dot("ea", "ea")) * sqrt(dot("eb", "eb")))).as("cos"))
+      .collect().head.getDouble(0)
+    assert(math.abs(x) < 0.5, s"cross-copy cosine should decorrelate, got $x")
+  }
+}
