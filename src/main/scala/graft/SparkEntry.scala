@@ -218,6 +218,9 @@ object SparkEntry {
     "x_nb_holdout"         -> ((s, dir) => TextAnalysis.nbHoldout(s, dir)),
     "x_dsir_select"        -> ((s, dir) => TextAnalysis.dsirSelect(s, dir)),
     "x_bpe_train"          -> ((s, dir) => TextAnalysis.bpeTrain(s, dir)),
+    "x_bpe_batched"        -> ((s, dir) => TextAnalysis.bpeTrainBatched(s, dir,
+                                 totalMerges = 12, batchM = 4, topK = 16,
+                                 maxRounds = 3)),
     "x_bpe_tokens"         -> ((s, dir) => TextAnalysis.bpeTokenCounts(s, dir)),
     "x_bpe_fertility"      -> ((s, dir) => TextAnalysis.bpeFertility(s, dir)),
     "x_bm25"               -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
@@ -508,6 +511,77 @@ object SparkEntry {
       |         CASE WHEN i <= len(word) THEN substr(word, i, 1) ELSE '</w>' END AS sym
       |  FROM (SELECT word, wfreq, unnest(range(1, len(word)+2)) AS i FROM words)),""".stripMargin +
     "\n" + (1 to BpeRounds).map(bpeRoundCte).mkString(",\n") + ","
+
+  /** Batched-trainer oracle parameters — must equal the Scala call in
+    * the `x_bpe_batched` queries entry.
+    */
+  private val BpeBatchRounds = 3
+  private val BpeBatchM = 4
+  private val BpeBatchK = 16
+
+  /** One unrolled BATCHED round: pair counts `p_r`, ranked top-K
+    * candidates `c_r`, then the greedy symbol-disjoint scan unrolled
+    * one CTE per keep — `g_r_i` is the first candidate ranked after
+    * the last keep whose symbols avoid the kept set `k_r_{i-1}`
+    * (greedy keeps have strictly increasing ranks and a skipped
+    * candidate never re-qualifies, so no recursion is needed), `kk_r`
+    * the round's selection with sel_rank, `m_r`/`s_r` the same
+    * gaps-and-islands application as the exact trainer with the
+    * matched pair's merged symbol carried through the join.
+    */
+  private def bpeBatchedRoundCte(r: Int): String = {
+    val p = r - 1
+    val steps = (1 to BpeBatchM).map { i =>
+      if (i == 1)
+        s"""g${r}_1 AS MATERIALIZED (SELECT rk, sa, sb, cnt FROM c$r ORDER BY rk LIMIT 1),
+           |k${r}_1 AS MATERIALIZED (SELECT * FROM g${r}_1)""".stripMargin
+      else
+        s"""g${r}_$i AS MATERIALIZED (
+           |  SELECT rk, sa, sb, cnt FROM c$r
+           |  WHERE rk > (SELECT MAX(rk) FROM k${r}_${i - 1})
+           |    AND sa NOT IN (SELECT sa FROM k${r}_${i - 1} UNION ALL SELECT sb FROM k${r}_${i - 1})
+           |    AND sb NOT IN (SELECT sa FROM k${r}_${i - 1} UNION ALL SELECT sb FROM k${r}_${i - 1})
+           |  ORDER BY rk LIMIT 1),
+           |k${r}_$i AS MATERIALIZED (SELECT * FROM k${r}_${i - 1} UNION ALL SELECT * FROM g${r}_$i)""".stripMargin
+    }.mkString(",\n")
+    s"""p$r AS MATERIALIZED (
+       |  SELECT sym AS sa, nsym AS sb, SUM(wfreq)::BIGINT AS cnt FROM (
+       |    SELECT word, wfreq, sym, LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym FROM s$p)
+       |  WHERE nsym IS NOT NULL GROUP BY 1, 2),
+       |c$r AS MATERIALIZED (
+       |  SELECT sa, sb, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, sa, sb) AS rk
+       |  FROM p$r QUALIFY rk <= $BpeBatchK),
+       |$steps,
+       |kk$r AS MATERIALIZED (
+       |  SELECT sa, sb, cnt, ROW_NUMBER() OVER (ORDER BY rk)::BIGINT AS sel_rank
+       |  FROM k${r}_$BpeBatchM),
+       |m$r AS MATERIALIZED (
+       |  SELECT word, pos, merged FROM (
+       |    SELECT word, pos, merged, (pos - MIN(pos) OVER (PARTITION BY word, grp)) % 2 = 0 AS mok FROM (
+       |      SELECT word, pos, merged, pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp FROM (
+       |        SELECT s.word, s.pos, k.sa || k.sb AS merged FROM
+       |          (SELECT word, pos, sym, LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym FROM s$p) s
+       |          JOIN kk$r k ON s.sym = k.sa AND s.nsym = k.sb)))
+       |  WHERE mok),
+       |s$r AS MATERIALIZED (
+       |  SELECT s.word, s.wfreq,
+       |         ROW_NUMBER() OVER (PARTITION BY s.word ORDER BY s.pos)::BIGINT AS pos,
+       |         CASE WHEN m1.pos IS NOT NULL THEN m1.merged ELSE s.sym END AS sym
+       |  FROM s$p s
+       |  LEFT JOIN m$r m1 ON m1.word = s.word AND m1.pos = s.pos
+       |  LEFT JOIN m$r m0 ON m0.word = s.word AND m0.pos = s.pos - 1
+       |  WHERE m0.pos IS NULL)""".stripMargin
+  }
+
+  private val bpeBatchedCtes: String =
+    """WITH words AS MATERIALIZED (
+      |  SELECT w AS word, COUNT(*)::BIGINT AS wfreq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1),
+      |s0 AS MATERIALIZED (
+      |  SELECT word, wfreq, i::BIGINT AS pos,
+      |         CASE WHEN i <= len(word) THEN substr(word, i, 1) ELSE '</w>' END AS sym
+      |  FROM (SELECT word, wfreq, unnest(range(1, len(word)+2)) AS i FROM words)),""".stripMargin +
+    "\n" + (1 to BpeBatchRounds).map(bpeBatchedRoundCte).mkString(",\n") + ","
 
   /** Deployment routing over the trained cells: every vector assigned
     * against the FINAL `c2` centroids (a FAISS index add() assigns
@@ -3908,6 +3982,17 @@ object SparkEntry {
             .mkString(" UNION ALL ")})
           |SELECT round, sym_a, sym_b, sym_a || sym_b AS merged, pair_count
           |FROM mm ORDER BY round""".stripMargin),
+
+    // batched BPE trainer: per round, the greedy symbol-disjoint
+    // top-M selection from the ranked top-K candidates (the greedy
+    // scan unrolled one CTE per keep), merges applied simultaneously
+    "x_bpe_batched" ->
+      (bpeBatchedCtes + "\n" +
+       s"""mm AS (${(1 to BpeBatchRounds).map(r =>
+            s"SELECT ${r}::BIGINT AS round, sel_rank, sa AS sym_a, sb AS sym_b, cnt AS pair_count FROM kk$r")
+            .mkString(" UNION ALL ")})
+          |SELECT round, sel_rank, sym_a, sym_b, sym_a || sym_b AS merged, pair_count
+          |FROM mm ORDER BY round, sel_rank""".stripMargin),
 
     "x_bpe_tokens" ->
       (bpeCtes + "\n" +

@@ -687,6 +687,166 @@ object TextAnalysis {
   private case class BpeFit(merges: Seq[(Int, String, String, Long)],
                             state: DataFrame, stateIds: Set[Int])
 
+  /** A batched BPE fit: merges carry (round, sel_rank-within-round,
+    * sym_a, sym_b, weighted count at selection time).
+    */
+  private case class BpeBatchFit(merges: Seq[(Int, Int, String, String, Long)],
+                                 state: DataFrame, stateIds: Set[Int])
+
+  /** BATCHED BPE trainer (the SentencePiece-style production move):
+    * per round, select up to `batchM` SYMBOL-DISJOINT merges from the
+    * top-`topK` pair candidates in ONE action, instead of one merge
+    * per round — the step that turns the driver-paced exact trainer
+    * ([[bpeTrain]]: one collected row and one Spark job chain per
+    * merge, a scale-killer at a 32k production vocabulary) into a
+    * usable trainer with ~`vocab/batchM` rounds.
+    *
+    * Selection rule (deterministic and SQL-expressible, so the oracle
+    * replays it): rank candidate pairs by (count DESC, sym_a, sym_b)
+    * and scan in rank order, GREEDILY keeping a candidate iff it
+    * shares no symbol with any already-KEPT pair this round, stopping
+    * at `batchM` keeps. Because the used-symbol set only grows, keeps
+    * have strictly increasing ranks and a skipped candidate never
+    * re-qualifies — so the oracle unrolls the greedy scan as one
+    * small CTE per keep ("first candidate ranked after the last keep
+    * whose symbols avoid the used set"), no recursion needed at small
+    * `batchM`. The rank-1 pair is always kept, so every round makes
+    * progress and `batchM = 1, topK = 1` degenerates EXACTLY to
+    * [[bpeTrain]]'s argmax (pinned by `BpeSpec`).
+    *
+    * Why simultaneous application is well-defined: two kept pairs
+    * share no symbols, so their match sites can never be adjacent in
+    * any word (site i matching (a,b) and site i+1 matching (c,d)
+    * forces b = c — a shared symbol). Every run of consecutive
+    * matched positions therefore belongs to ONE pair, and the
+    * existing gaps-and-islands greedy (merge at even offsets within a
+    * run) applies verbatim with the matched pair's merged symbol
+    * carried through the broadcast join. Applying the batch
+    * simultaneously against the round-start state equals applying the
+    * kept pairs sequentially in rank order.
+    *
+    * Semantic trade vs exact BPE (documented, inherent to batching):
+    * exact BPE would recount pairs after EVERY merge, so a batched
+    * round can miss a pair that only becomes frequent mid-batch
+    * (e.g. (x, ab) right after (a,b) merges). The merges within one
+    * round are each individually the highest-count pair among those
+    * disjoint from all higher-ranked candidates at round start — the
+    * standard production approximation.
+    *
+    * Scale shape: identical to [[bpeTrain]] (vocabulary-sized state,
+    * one pair-count hash aggregate per round, per-word window
+    * application, checkpoint-and-release generations) except driver
+    * traffic is `topK` bounded rows per round and the round count
+    * drops ~`batchM`-fold.
+    */
+  def bpeTrainBatched(spark: SparkSession, dir: String,
+                      totalMerges: Int = 12, batchM: Int = 4,
+                      topK: Int = 16, maxRounds: Int = Int.MaxValue): DataFrame =
+    bpeTrainBatchedFrom(Tables.documents(spark, dir), totalMerges, batchM, topK,
+      maxRounds)
+
+  /** [[bpeTrainBatched]] over ANY `(doc_id, text, ...)` frame — the
+    * spec seam. `maxRounds` exists for the oracle query (a SQL oracle
+    * unrolls a FIXED number of round CTEs, so the Spark side must
+    * stop at the same round even when conflict-starved rounds
+    * under-fill their batch). */
+  private[graft] def bpeTrainBatchedFrom(docs: DataFrame, totalMerges: Int = 12,
+                                         batchM: Int = 4, topK: Int = 16,
+                                         maxRounds: Int = Int.MaxValue): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fit = bpeFitBatched(docs, totalMerges, batchM, topK, maxRounds)
+    graft.Caches.release(spark, fit.stateIds) // merges alone answer this query
+    fit.merges
+      .map { case (r, sr, sa, sb, cnt) =>
+        (r.toLong, sr.toLong, sa, sb, sa + sb, cnt) }
+      .toDF("round", "sel_rank", "sym_a", "sym_b", "merged", "pair_count")
+      .orderBy("round", "sel_rank")
+  }
+
+  /** The batched trainer loop behind [[bpeTrainBatched]] — see its
+    * scaladoc for the selection rule and the simultaneity argument.
+    */
+  private def bpeFitBatched(docs: DataFrame, totalMerges: Int, batchM: Int,
+                            topK: Int, maxRounds: Int = Int.MaxValue): BpeBatchFit = {
+    import org.apache.spark.sql.expressions.Window
+    require(totalMerges >= 1 && batchM >= 1 && topK >= batchM,
+      "need totalMerges >= 1 and topK >= batchM >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val words = docs
+      .repartition(n, col("doc_id"))
+      .select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wfreq"))
+    val s0 = words
+      .select(col("word"), col("wfreq"),
+        explode(sequence(lit(1L), length(col("word")).cast("bigint") + 1L)).as("pos"))
+      .withColumn("sym",
+        when(col("pos") <= length(col("word")),
+          col("word").substr(col("pos").cast("int"), lit(1)))
+        .otherwise(lit("</w>")))
+    val w = Window.partitionBy("word").orderBy("pos")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var (state, stateIds) = graft.Caches.trackedCheckpoint(s0)
+    var merges = Vector.empty[(Int, Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (merges.size < totalMerges && r <= maxRounds && !exhausted) {
+      val withNext = state.withColumn("nsym", lead(col("sym"), 1).over(w))
+      // ONE bounded action per round: the topK candidate pairs in
+      // (count DESC, sym, nsym) rank order — TakeOrdered, never a
+      // global sort
+      val cands = withNext.filter(col("nsym").isNotNull)
+        .groupBy("sym", "nsym").agg(sum(col("wfreq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym"), col("nsym"))
+        .limit(topK).collect()
+      if (cands.isEmpty) exhausted = true // every word fully merged
+      else {
+        val cap = math.min(batchM, totalMerges - merges.size)
+        // greedy scan in rank order: keep iff disjoint from the
+        // symbols of already-KEPT pairs; the used set only grows, so
+        // a skipped candidate never re-qualifies
+        val kept = Vector.newBuilder[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var nKept = 0
+        for (i <- cands.indices if nKept < cap) {
+          val (sa, sb) = (cands(i).getString(0), cands(i).getString(1))
+          if (!used(sa) && !used(sb)) {
+            kept += ((sa, sb, cands(i).getLong(2)))
+            used += sa; used += sb
+            nKept += 1
+          }
+        }
+        val sel = kept.result()
+        merges ++= sel.zipWithIndex.map { case ((sa, sb, c), idx) =>
+          (r, idx + 1, sa, sb, c) }
+        val mdf = broadcast(
+          sel.map { case (sa, sb, _) => (sa, sb, sa + sb) }
+            .toDF("msa", "msb", "mmerged"))
+        val flagged = withNext
+          .join(mdf, col("sym") === col("msa") && col("nsym") === col("msb"), "left")
+          .withColumn("mt", col("mmerged").isNotNull)
+          .withColumn("grp", when(col("mt"),
+            col("pos") - sum(when(col("mt"), 1L).otherwise(0L)).over(cum)))
+          .withColumn("off", when(col("mt"),
+            col("pos") - min(col("pos")).over(Window.partitionBy("word", "grp"))))
+          .withColumn("mok", col("mt") && pmod(col("off"), lit(2L)) === 0)
+          .withColumn("gone", coalesce(lag(col("mok"), 1).over(w), lit(false)))
+        val (next, nextIds) = graft.Caches.trackedCheckpoint(
+          flagged.filter(!col("gone"))
+            .select(col("word"), col("wfreq"),
+              row_number().over(w).cast("bigint").as("pos"),
+              when(col("mok"), col("mmerged")).otherwise(col("sym")).as("sym")))
+        graft.Caches.release(spark, stateIds)
+        state = next
+        stateIds = nextIds
+        r += 1
+      }
+    }
+    BpeBatchFit(merges, state, stateIds)
+  }
+
   /** The shared trainer loop behind [[bpeTrain]] / [[bpeTokenCounts]] —
     * see [[bpeTrain]]'s scaladoc for the determinism and scale story.
     */

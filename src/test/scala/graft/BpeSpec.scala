@@ -74,4 +74,97 @@ class BpeSpec extends SparkSuite {
     // driver-side); nothing should survive the query
     assert(Caches.isEmpty(spark))
   }
+
+  private def batchedMerges(df: org.apache.spark.sql.DataFrame) =
+    df.select("round", "sel_rank", "sym_a", "sym_b", "pair_count").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+
+  test("batched trainer with batchM=1, topK=1 is EXACTLY the one-merge-per-round trainer") {
+    // the M=1 equivalence property on the real corpus: same 8 merges,
+    // same order, same selection-time counts
+    val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val exact = merges(TextAnalysis.bpeTrainFrom(d, rounds = 8))
+    val batched = batchedMerges(
+      TextAnalysis.bpeTrainBatchedFrom(d, totalMerges = 8, batchM = 1, topK = 1))
+    assert(batched.map(m => (m._1, m._3, m._4, m._5)) ==
+           exact.map(m => (m._1, m._2, m._3, m._4)))
+    assert(batched.forall(_._2 == 1L), "every round selects exactly one merge")
+  }
+
+  test("batched rounds select symbol-disjoint pairs, rank-1 always kept") {
+    val d = docs("ab ab ab cd cd cd ef ef xy")
+    // (a,b),(c,d),(e,f) count 3 or 2 and pairwise disjoint -> one round
+    // can take all of the top disjoint set
+    val m = batchedMerges(TextAnalysis.bpeTrainBatchedFrom(d,
+      totalMerges = 3, batchM = 4, topK = 16))
+    assert(m.forall(_._1 == 1L), s"all three merges should land in round 1, got $m")
+    val syms = m.flatMap(x => Seq(x._3, x._4))
+    assert(syms.distinct.size == syms.size, "within-round merges must be symbol-disjoint")
+    assert(m.head._3 == "a" && m.head._4 == "b", "rank-1 pair is always kept first")
+  }
+
+  test("greedy scan skips conflicting pairs but keeps later disjoint ones") {
+    // "abc" x3: candidates (a,b), (b,c), (c,</w>) all count 3, lexical
+    // rank order. Greedy: keep (a,b); skip (b,c) (shares b with a
+    // KEPT pair); keep (c,</w>) (disjoint from {a,b} — a skipped
+    // candidate does NOT block later ones)
+    val d = docs("abc abc abc")
+    val m = batchedMerges(TextAnalysis.bpeTrainBatchedFrom(d,
+      totalMerges = 2, batchM = 4, topK = 16))
+    assert(m == Seq((1L, 1L, "a", "b", 3L), (1L, 2L, "c", "</w>", 3L)), s"got $m")
+  }
+
+  test("simultaneous batch application follows the full hand-computed evolution") {
+    // "abcd" x2: round 1 candidates (all count 2, lexical rank order):
+    // (a,b), (b,c), (c,d), (d,</w>). Keeps: (a,b); (b,c) conflicts on
+    // b; (c,d) disjoint -> kept; (d,</w>) conflicts on d.
+    // State after round 1: [ab, cd, </w>].
+    // Round 2: (ab,cd) then (cd,</w>) -> keeps (ab,cd) only.
+    // Round 3: (abcd,</w>).
+    val m = batchedMerges(TextAnalysis.bpeTrainBatchedFrom(docs("abcd abcd"),
+      totalMerges = 4, batchM = 4, topK = 16))
+    assert(m == Seq(
+      (1L, 1L, "a", "b", 2L), (1L, 2L, "c", "d", 2L),
+      (2L, 1L, "ab", "cd", 2L), (3L, 1L, "abcd", "</w>", 2L)), s"got $m")
+  }
+
+  /** Seeded diverse corpus: the driver testdata's word generator uses
+    * a few dozen distinct words (the whole corpus exhausts at ~105
+    * merges), so the production-vocabulary demo needs a corpus whose
+    * symbol space actually supports one. 3000 seeded random words,
+    * 500 docs — deterministic across runs.
+    */
+  private def diverseDocs = {
+    val rnd = new scala.util.Random(42)
+    val vocab = (1 to 3000).map { _ =>
+      val len = 4 + rnd.nextInt(7)
+      (1 to len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    (0 until 500).map { i =>
+      val nw = 30 + rnd.nextInt(40)
+      (i.toLong, (1 to nw).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("256-merge vocabulary trains in >=10x fewer rounds than one-merge-per-round") {
+    // the production operating point the r8 verdict asked for:
+    // batchM=32 over topK=256 candidates; round count must come in at
+    // least 10x under the 256 rounds the exact trainer would need
+    val m = batchedMerges(TextAnalysis.bpeTrainBatchedFrom(diverseDocs,
+      totalMerges = 256, batchM = 32, topK = 256))
+    assert(m.size == 256, s"corpus must support a 256-merge vocabulary, got ${m.size}")
+    val rounds = m.map(_._1).max
+    assert(rounds <= 25,
+      s"need >=10x round reduction vs 256 single-merge rounds, used $rounds")
+    // the merge table is a usable artifact: all merges distinct
+    assert(m.map(x => (x._3, x._4)).distinct.size == 256)
+  }
+
+  test("batched trainer leaves no persisted blocks behind after release") {
+    Caches.releaseAll(spark)
+    TextAnalysis.bpeTrainBatchedFrom(docs("abc abd abc"), totalMerges = 4,
+      batchM = 2, topK = 8).collect()
+    assert(Caches.isEmpty(spark))
+  }
 }
