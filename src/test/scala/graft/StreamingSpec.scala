@@ -543,6 +543,82 @@ class StreamingSpec extends SparkSuite {
     assert(got == want, "stream==batch EMA drift")
   }
 
+  /** Collect the sf0.001 quote stream as Ticks in event-time order —
+    * the documented sequential-state ordering contract for the
+    * sliding-frame indicator twins.
+    */
+  private def orderedTicks = graft.operators.Finance.quotes(spark, sfDir)
+    .select("symbol", "id", "ts", "price")
+    .collect()
+    .map(r => graft.streaming.StreamingIndicators.Tick(
+      r.getString(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+    .sortBy(t => (t.ts.getTime, t.id))
+
+  test("streaming RSI ring state equals the batch 14-period window (in-order splits)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ms = MemoryStream[graft.streaming.StreamingIndicators.Tick]
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Double, Double)]
+    val q = graft.streaming.StreamingIndicators.withRsi(ms.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingIndicators.RsiOut], _: Long) =>
+        collected.synchronized {
+          collected ++= b.collect().map(o => (o.symbol, o.id, o.price, o.rsi14))
+        }
+        ()
+      }
+      .start()
+    val ev = orderedTicks
+    val chunks = ev.grouped(math.max(1, ev.length / 3 + 1)).toSeq
+    try {
+      chunks.foreach { c =>
+        // out-of-orderness WITHIN each batch only (the ordering contract)
+        ms.addData(scala.util.Random.shuffle(c.toSeq)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val want = graft.operators.Finance.rsi(spark, sfDir)
+      .select(col("symbol"), col("id"), col("price"), col("rsi14"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(want.nonEmpty, "batch RSI must emit at sf0.001")
+    assert(collected.toSet == want, "stream==batch RSI drift")
+  }
+
+  test("streaming Bollinger ring state equals the batch 20-tick bands (in-order splits)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ms = MemoryStream[graft.streaming.StreamingIndicators.Tick]
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Double, Double, Double, Double, Boolean, Boolean)]
+    val q = graft.streaming.StreamingIndicators.withBollinger(ms.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingIndicators.BollOut], _: Long) =>
+        collected.synchronized {
+          collected ++= b.collect().map(o => (o.symbol, o.id, o.price,
+            o.sma20, o.upper_band, o.lower_band, o.breach_up, o.breach_dn))
+        }
+        ()
+      }
+      .start()
+    val ev = orderedTicks
+    val chunks = ev.grouped(math.max(1, ev.length / 4 + 1)).toSeq
+    try {
+      chunks.foreach { c =>
+        ms.addData(scala.util.Random.shuffle(c.toSeq)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val want = graft.operators.Finance.bollinger(spark, sfDir)
+      .select(col("symbol"), col("id"), col("price"), col("sma20"),
+        col("upper_band"), col("lower_band"), col("breach_up"), col("breach_dn"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6), r.getBoolean(7)))
+      .toSet
+    assert(want.nonEmpty, "batch Bollinger must emit at sf0.001")
+    assert(collected.toSet == want,
+      "stream==batch Bollinger drift (band edges must be bit-identical)")
+  }
+
   test("streaming retention grid serves the batch cohort matrix (late history arrives last)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files
