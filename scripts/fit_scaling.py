@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Fit per-query scaling exponents from the amplified-corpus probe.
+
+Usage: python3 scripts/fit_scaling.py <out.json> <N1>:<bench1.json> ...
+
+Each bench file is a graft.Bench detail JSON ({"queries": {name:
+{"median": sec, ...}}}) measured on a corpus amplified N-fold by
+graft.Amplify (join cardinalities preserved, similarity workload kept
+LINEAR in N by construction — see Amplify's scaladoc).
+
+Two exponents per query:
+  - alpha_fit:  least-squares slope of log t vs log N over ALL points.
+    Fixed per-query overhead (session, planning, codegen) biases this
+    LOW at small N, so it is the optimistic headline.
+  - alpha_tail: log(t_max / t_prev) / log(N_max / N_prev) over the two
+    LARGEST corpora — the asymptotically honest local exponent the
+    100 TB claim actually rests on.
+
+A query passes when alpha_tail <= threshold (default 1.30, covering
+measurement noise over near-linear) OR it carries a documented
+super-linear bound in EXPECTED below.
+"""
+import json, math, sys
+
+# Documented intrinsic workload bounds (not engine defects): queries
+# whose ALGORITHM is super-linear by design, with the bound and why.
+EXPECTED = {
+    "x_semantic_dedup": (1.5, "SemDeDup with k = round(sqrt(n)) derived "
+        "granularity: assign cost n*k and cell-pair cost n^2/k are both "
+        "Theta(n^1.5) by construction (Similarity.scala semanticDedup)"),
+}
+THRESHOLD = 1.30
+
+def main():
+    out_path = sys.argv[1]
+    points = []
+    for arg in sys.argv[2:]:
+        n, path = arg.split(":", 1)
+        with open(path) as f:
+            d = json.load(f)
+        meds = {q: v["median"] for q, v in d["queries"].items()}
+        points.append((float(n), meds))
+    points.sort()
+    queries = sorted(points[0][1])
+    results = {}
+    worst = 0.0
+    for q in queries:
+        xs = [math.log(n) for n, m in points]
+        ys = [math.log(m[q]) for n, m in points]
+        nn = len(xs)
+        mx, my = sum(xs) / nn, sum(ys) / nn
+        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / \
+                sum((x - mx) ** 2 for x in xs)
+        (n_hi, m_hi), (n_lo, m_lo) = points[-1], points[-2]
+        tail = math.log(m_hi[q] / m_lo[q]) / math.log(n_hi / n_lo)
+        bound, why = EXPECTED.get(q, (THRESHOLD, None))
+        ok = tail <= bound + 1e-9
+        results[q] = {
+            "seconds": {str(int(n)): m[q] for n, m in points},
+            "alpha_fit": round(slope, 3),
+            "alpha_tail": round(tail, 3),
+            "bound": bound,
+            "pass": ok,
+        }
+        if why:
+            results[q]["documented_bound"] = why
+        worst = max(worst, tail - bound)
+    artifact = {
+        "method": "graft.Amplify replicates sf0.1 N-fold with re-keyed ids "
+                  "(join cardinalities preserved; per-copy token suffixes and "
+                  "embedding sign-isometries keep similarity workloads linear "
+                  "in N); graft.Bench times each query per N; exponents fit "
+                  "log t vs log N",
+        "corpus": "sf0.1 amplified",
+        "n_points": [int(n) for n, _ in points],
+        "threshold_default": THRESHOLD,
+        "all_pass": all(r["pass"] for r in results.values()),
+        "queries": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    for q, r in sorted(results.items(), key=lambda kv: -kv[1]["alpha_tail"]):
+        print(f"{'PASS' if r['pass'] else 'FAIL':4s} {q:24s} "
+              f"alpha_fit={r['alpha_fit']:+.3f} alpha_tail={r['alpha_tail']:+.3f} "
+              f"bound={r['bound']}")
+    print(f"\nall_pass={artifact['all_pass']}")
+
+if __name__ == "__main__":
+    main()

@@ -127,4 +127,45 @@ object Sources {
   def orc(spark: SparkSession, path: String): DataFrame =
     normalizeCsv(spark.read.schema(csvRawSchema).orc(path))
       .withColumn("source", lit("OrcExport"))
+
+  /** Avro adapter — the Kafka wire format a migrating stream user
+    * actually carries. This environment ships Avro CORE
+    * (avro-1.12.1.jar) but not the `spark-avro` DataSource module, so
+    * the adapter reads Avro OBJECT CONTAINER FILES with the public
+    * `DataFileStream` API inside a distributed `binaryFiles` scan:
+    * one task decodes one container file (the unsplittable-container
+    * trade — sync-marker splitting is what spark-avro adds; at scale
+    * you get parallelism from many files, which is how Kafka
+    * connectors land them anyway). Field access is BY NAME with
+    * missing-field and null tolerance, values surface as strings into
+    * the SAME try_cast normalization seam as CSV/JSON-lines/ORC —
+    * a malformed numeric becomes a null for the cleaner, never an
+    * ANSI job failure.
+    */
+  def avro(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.avro.file.DataFileStream
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val fields = csvRawSchema.fieldNames
+    val rows = spark.sparkContext.binaryFiles(path)
+      .flatMap { case (_, pds) =>
+        val in = pds.open()
+        try {
+          val reader = new DataFileStream[GenericRecord](
+            in, new GenericDatumReader[GenericRecord]())
+          try {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+            while (reader.hasNext) {
+              val rec = reader.next()
+              buf += org.apache.spark.sql.Row.fromSeq(fields.map { f =>
+                if (rec.getSchema.getField(f) == null) null
+                else Option(rec.get(f)).map(_.toString).orNull
+              }.toSeq)
+            }
+            buf
+          } finally reader.close()
+        } finally in.close()
+      }
+    normalizeCsv(spark.createDataFrame(rows, csvRawSchema))
+      .withColumn("source", lit("AvroExport"))
+  }
 }

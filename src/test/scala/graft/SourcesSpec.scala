@@ -70,6 +70,38 @@ class SourcesSpec extends SparkSuite {
     assert(out.forall(_.getAs[String]("source") == "OrcExport"))
   }
 
+  test("Avro adapter: container-file round-trip, malformed and missing fields -> null (S4)") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    // the Kafka-connector landing shape: string-typed fields, volume
+    // nullable, and NO ts_epoch field at all (a drifted producer) —
+    // the adapter must surface missing fields as null, not throw
+    val schema: Schema = SchemaBuilder.record("tick").fields()
+      .requiredString("id").requiredString("symbol")
+      .requiredString("price").optionalString("volume")
+      .endRecord()
+    val f = tmp.resolve("ticks.avro").toFile
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    val r1 = new GenericData.Record(schema)
+    r1.put("id", "a1"); r1.put("symbol", "IBM")
+    r1.put("price", "101.5"); r1.put("volume", "900")
+    w.append(r1)
+    val r2 = new GenericData.Record(schema)
+    r2.put("id", "a2"); r2.put("symbol", "AAPL")
+    r2.put("price", "not_a_number"); r2.put("volume", null)
+    w.append(r2)
+    w.close()
+    val out = Sources.avro(spark, f.toString).orderBy("id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("price") == 101.5 && out(0).getAs[Long]("volume") == 900L)
+    assert(out(1).isNullAt(out(1).fieldIndex("price")), "bad numeric -> null, cleaner drops it")
+    assert(out(1).isNullAt(out(1).fieldIndex("volume")), "avro null -> sql null")
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("ts_epoch"))), "missing field -> null column")
+    assert(out.forall(_.getAs[String]("source") == "AvroExport"))
+  }
+
   test("rate normalization produces the unified schema deterministically (S3)") {
     val raw = Seq((new java.sql.Timestamp(1700000000000L), 0L),
                   (new java.sql.Timestamp(1700000001000L), 1L))
