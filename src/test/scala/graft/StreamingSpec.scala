@@ -619,6 +619,50 @@ class StreamingSpec extends SparkSuite {
       "stream==batch Bollinger drift (band edges must be bit-identical)")
   }
 
+  test("streaming co-purchase edge store equals batch coEdges (order-spanning splits + replay)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "graph-").toString
+    val (itemPath, pairPath) = (s"$base/items", s"$base/pairs")
+    val ms = MemoryStream[(Long, Long)]
+    val q = ms.toDF().toDF("l_orderkey", "l_partkey").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(graft.streaming.StreamingGraph.edgeSink(itemPath, pairPath))
+      .start()
+    val rows = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // shuffled chunks: an order's basket SPANS micro-batches, the case
+    // the new-vs-stored pairing logic exists for
+    val chunks = new scala.util.Random(7).shuffle(rows)
+      .grouped(math.max(1, rows.size / 3 + 1)).toSeq
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("pa", "pb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = edgeSet(graft.streaming.StreamingGraph.edges(spark, pairPath))
+    val want = edgeSet(graft.operators.Graphs.coEdges(spark, sfDir, minSupport = 2))
+    assert(want.nonEmpty, "batch edge set must be non-empty at sf0.001")
+    assert(got == want, s"stream==batch edge drift (${got.size} vs ${want.size})")
+    // degrees reconcile through the same store
+    val gotDeg = graft.streaming.StreamingGraph.degrees(spark, pairPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = graft.operators.Graphs.coEdges(spark, sfDir, minSupport = 2)
+    val wantDeg = e.select(col("pa").as("v")).unionAll(e.select(col("pb").as("v")))
+      .groupBy("v").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotDeg == wantDeg, "stream==batch degree drift")
+    // a replayed micro-batch must overwrite, not double-count
+    import spark.implicits._
+    graft.streaming.StreamingGraph.edgeSink(itemPath, pairPath)(
+      chunks.last.toDF("l_orderkey", "l_partkey"), (chunks.size - 1).toLong)
+    assert(edgeSet(graft.streaming.StreamingGraph.edges(spark, pairPath)) == want,
+      "batch replay corrupted the pair-delta store")
+  }
+
   test("streaming retention grid serves the batch cohort matrix (late history arrives last)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files
