@@ -221,6 +221,7 @@ object SparkEntry {
     "x_bpe_batched"        -> ((s, dir) => TextAnalysis.bpeTrainBatched(s, dir,
                                  totalMerges = 12, batchM = 4, topK = 16,
                                  maxRounds = 3)),
+    "x_bpe_segments"       -> ((s, dir) => TextAnalysis.bpeSegments(s, dir)),
     "x_bpe_tokens"         -> ((s, dir) => TextAnalysis.bpeTokenCounts(s, dir)),
     "x_bpe_fertility"      -> ((s, dir) => TextAnalysis.bpeFertility(s, dir)),
     "x_bm25"               -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
@@ -3982,6 +3983,15 @@ object SparkEntry {
             .mkString(" UNION ALL ")})
           |SELECT round, sym_a, sym_b, sym_a || sym_b AS merged, pair_count
           |FROM mm ORDER BY round""".stripMargin),
+
+    // the trained tokenizer's serve-side artifact: each vocabulary
+    // word's final segmentation under the 8-round merges
+    "x_bpe_segments" ->
+      (bpeCtes + "\n" +
+       s"""fin AS (SELECT word, wfreq, COUNT(*)::BIGINT AS n_syms,
+          |          string_agg(sym, ' ' ORDER BY pos) AS segmentation
+          |        FROM s$BpeRounds GROUP BY word, wfreq)
+          |SELECT word, wfreq, n_syms, segmentation FROM fin ORDER BY word""".stripMargin),
 
     // batched BPE trainer: per round, the greedy symbol-disjoint
     // top-M selection from the ranked top-K candidates (the greedy

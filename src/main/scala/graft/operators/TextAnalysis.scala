@@ -680,6 +680,31 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** The trained tokenizer's SERVE-side artifact: each vocabulary
+    * word's final segmentation under the [[bpeTrain]]ed merges — what
+    * an encoder ships to production next to the merge table (the
+    * merge table says how training evolved; the segment table is the
+    * O(1) word → subwords lookup inference actually uses).
+    *
+    * Scale shape: one vocabulary-sized rollup of the trainer's final
+    * state (group by word, sort the ≤word-length symbol list inside
+    * the group) — no corpus scan beyond the trainer's own.
+    */
+  def bpeSegments(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame =
+    bpeSegmentsFrom(Tables.documents(spark, dir), rounds)
+
+  /** [[bpeSegments]] over ANY `(doc_id, text, ...)` frame. */
+  private[graft] def bpeSegmentsFrom(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    val fit = bpeFit(docs, rounds)
+    fit.state
+      .groupBy("word", "wfreq")
+      .agg(count(lit(1)).as("n_syms"),
+           array_join(
+             transform(array_sort(collect_list(struct(col("pos"), col("sym")))),
+               x => x.getField("sym")), " ").as("segmentation"))
+      .orderBy("word")
+  }
+
   /** A completed BPE fit: the merge sequence (1-based round, pair,
     * weighted count at selection time) and the checkpointed final
     * `(word, wfreq, pos, sym)` state with its block ids.
