@@ -222,6 +222,7 @@ object SparkEntry {
                                  totalMerges = 12, batchM = 4, topK = 16,
                                  maxRounds = 3)),
     "x_bpe_segments"       -> ((s, dir) => TextAnalysis.bpeSegments(s, dir)),
+    "x_zipf"               -> ((s, dir) => TextAnalysis.zipfFit(s, dir)),
     "x_bpe_tokens"         -> ((s, dir) => TextAnalysis.bpeTokenCounts(s, dir)),
     "x_bpe_fertility"      -> ((s, dir) => TextAnalysis.bpeFertility(s, dir)),
     "x_bm25"               -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
@@ -3983,6 +3984,23 @@ object SparkEntry {
             .mkString(" UNION ALL ")})
           |SELECT round, sym_a, sym_b, sym_a || sym_b AS merged, pair_count
           |FROM mm ORDER BY round""".stripMargin),
+
+    // Zipf-law OLS fit over the top-100 token ranks; (ln rank, ln
+    // freq) terms rounded once then decimal-summed so both engines
+    // regress over bit-identical sums
+    "x_zipf" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT tok, COUNT(*)::BIGINT AS freq FROM tk GROUP BY tok),
+        |st AS (SELECT SUM(freq)::BIGINT AS n_tokens, COUNT(*) AS vocab FROM f),
+        |top AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok)::BIGINT AS rk
+        |        FROM f ORDER BY freq DESC, tok LIMIT 100),
+        |t AS (SELECT CAST(round(ln(rk), 6) AS DECIMAL(18,6)) AS x,
+        |             CAST(round(ln(freq), 6) AS DECIMAL(18,6)) AS y FROM top),
+        |fit AS (SELECT COUNT(*) AS r_used, SUM(x) AS sx, SUM(y) AS sy,
+        |               SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM t)
+        |SELECT n_tokens, vocab, r_used,
+        |  round((r_used*sxy - sx*sy)::DOUBLE / (r_used*sxx - sx*sx)::DOUBLE, 6) AS zipf_slope
+        |FROM st, fit""".stripMargin,
 
     // the trained tokenizer's serve-side artifact: each vocabulary
     // word's final segmentation under the 8-round merges

@@ -1264,4 +1264,44 @@ object TextAnalysis {
       .join(pred, Seq("doc_id"), "left")
       .withColumn("lang_pred", coalesce(col("lang_pred"), lit("und")))
   }
+
+  /** Zipf-law fit of the token frequency distribution — the corpus
+    * health check that catches generator artifacts and boilerplate
+    * floods (natural language sits near slope −1 on log rank vs log
+    * freq; a synthetic or template-heavy corpus bends visibly). OLS
+    * slope/intercept over the top `topR` ranks: ranks and frequencies
+    * are exact integers; each rank's (ln rank, ln freq) terms are
+    * rounded to 6 dp ONCE and summed as DECIMAL (the rounded-term
+    * discipline), so both engines regress over bit-identical sums.
+    *
+    * Scale shape: one token-count aggregate (map-side partials), a
+    * TakeOrdered top-R cut (never a global window over the
+    * vocabulary), then arithmetic over the R-row table.
+    */
+  def zipfFit(spark: SparkSession, dir: String, topR: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freqs = Tables.documents(spark, dir)
+      .select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val stats = freqs.agg(sum(col("freq")).as("n_tokens"),
+                          count(lit(1)).as("vocab"))
+    val top = freqs.orderBy(col("freq").desc, col("tok")).limit(topR)
+    // the window ranks the R-row broadcast cut, not the vocabulary
+    val ranked = broadcast(top)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("freq").desc, col("tok"))).cast("bigint"))
+      .select(
+        round(log(col("rk").cast("double")), 6).cast("decimal(18,6)").as("x"),
+        round(log(col("freq").cast("double")), 6).cast("decimal(18,6)").as("y"))
+    val fit = ranked.agg(
+        count(lit(1)).as("r_used"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("r_used"),
+        round((col("r_used") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("r_used") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("zipf_slope"))
+    stats.crossJoin(fit)
+      .select(col("n_tokens"), col("vocab"), col("r_used"), col("zipf_slope"))
+  }
 }
