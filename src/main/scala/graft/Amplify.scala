@@ -76,7 +76,7 @@ object Amplify {
     write(Tables.region(spark, src), "region")
     write(Tables.nation(spark, src), "nation")
 
-    write(amplifyKeyed(spark, Tables.customer(spark, src), n, Seq("c_custkey")), "customer")
+    write(amplifyCustomer(spark, Tables.customer(spark, src), n), "customer")
     write(amplifyKeyed(spark, Tables.supplier(spark, src), n, Seq("s_suppkey")), "supplier")
     write(amplifyKeyed(spark, Tables.part(spark, src), n, Seq("p_partkey")), "part")
     write(amplifyKeyed(spark, Tables.orders(spark, src), n,
@@ -102,6 +102,33 @@ object Amplify {
       df.withColumn(k, col(k) + col("amp_copy") * lit(KeyOffset))
     }
     out.drop("amp_copy")
+  }
+
+  /** Customer rows re-key c_custkey AND cipher the digits of c_name —
+    * the name is derived content (`Customer#%09d`), and replicating it
+    * verbatim merges the fuzzy-name blocking of every copy into one
+    * block (block sizes × N → pair counts × N², measured as a 2.0
+    * scaling exponent on x_fuzzy_dedup before this fix — the probe
+    * timing an amplifier artifact, not the engine). The cipher maps
+    * digit d to alphabet[(d + 7·copy) mod 36] over [0-9a-z]:
+    * position-independent bijection, so within a copy every substring
+    * equality (and hence the block histogram and Hamming structure)
+    * is EXACTLY the base corpus's; across copies the image of every
+    * digit differs for any copy pair with distinct (7·copy mod 36) —
+    * all pairs at N ≤ 36 — so blocks never merge. Copy 0 is the
+    * identity map, preserving amplified(1) == base.
+    */
+  private[graft] def amplifyCustomer(spark: SparkSession, base: DataFrame, n: Int): DataFrame = {
+    val ciphered = array_join(
+      transform(split(col("c_name"), ""),
+        ch => when(ch >= "0" && ch <= "9",
+          lit("0123456789abcdefghijklmnopqrstuvwxyz")
+            .substr((pmod(ascii(ch) - 48 + col("amp_copy") * 7, lit(36)) + 1).cast("int"),
+                    lit(1))).otherwise(ch)), "")
+    withCopies(spark, base, n)
+      .withColumn("c_custkey", col("c_custkey") + col("amp_copy") * lit(KeyOffset))
+      .withColumn("c_name", ciphered)
+      .drop("amp_copy")
   }
 
   /** Per-copy token suffix: copy 0 keeps the original text; copy c

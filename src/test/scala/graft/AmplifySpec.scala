@@ -52,6 +52,29 @@ class AmplifySpec extends SparkSuite {
     assert(amp.filter(length(col("text")) =!= col("n_chars")).count() == 0)
   }
 
+  test("customer names: digit cipher keeps within-copy block structure, separates copies") {
+    val amp = Tables.customer(spark, dst)
+    val base = Tables.customer(spark, sfDir)
+    // copy 0 is the identity cipher
+    assert(amp.filter(col("c_custkey") < Amplify.KeyOffset)
+      .select("c_name").collect().map(_.getString(0)).toSet ==
+      base.select("c_name").collect().map(_.getString(0)).toSet)
+    // the fuzzy-dedup block key: per-copy histograms must equal the
+    // base histogram (workload isomorphism), and block keys must be
+    // DISJOINT across copies (else pair counts grow quadratically)
+    def blocks(df: org.apache.spark.sql.DataFrame, lo: Long, hi: Long) =
+      df.filter(col("c_custkey") >= lo && col("c_custkey") < hi)
+        .groupBy(substring(col("c_name"), 10, 7).as("blk"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    val b0 = blocks(amp, 0L, Amplify.KeyOffset)
+    val b1 = blocks(amp, Amplify.KeyOffset, 2 * Amplify.KeyOffset)
+    assert(b0.map(_._2).sorted.toSeq == b1.map(_._2).sorted.toSeq,
+      "per-copy block-size histograms must be identical")
+    assert(b0.map(_._1).toSet.intersect(b1.map(_._1).toSet).isEmpty,
+      "block keys must never merge across copies")
+  }
+
   test("embeddings: sign perturbation is an exact within-copy isometry") {
     val dot = (a: String, b: String) =>
       expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
