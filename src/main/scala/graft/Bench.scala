@@ -44,9 +44,17 @@ object Bench {
     // subsequent nRuns. A warm-up failure still poisons the query.
     val nWarm = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    // Shuffle-partition override for scale-probe runs: the canonical
+    // bench keeps partitions = cores (the driver contract), but a
+    // probe on an N-fold amplified corpus must SIZE partitions to the
+    // data (the spill-aware rule) — pinning 32 reducers under 100x
+    // the corpus measures sort spill, not the algorithm. Partition
+    // count and core count are independent in Spark; excess
+    // partitions queue over the same cores.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: the driver captures a bounded window of output,

@@ -1516,9 +1516,21 @@ object Similarity {
     * (band, code) over the exploded band rows — both sides
     * hash-partition on the band key, no cross product), then exact
     * cosine re-checks every candidate. This is the embedding-space
-    * analog of MinHash-banded text dedup, and the banding keeps bucket
-    * occupancy sub-linear in corpus size where a single short code
-    * would degenerate toward per-bucket all-pairs.
+    * analog of MinHash-banded text dedup.
+    *
+    * SCALE CONTRACT (measured, r9 probe): the band space is FIXED
+    * (2 × 4096 buckets), so random collisions put a quadratic floor
+    * under the candidate count — E[pairs] ≈ n²·bands·2^-12 — and the
+    * amplified-corpus probe measures a ~2 scaling exponent, exactly
+    * as that floor predicts. This operator is the fixed-precision
+    * BASELINE of the family (the north-star brief's "LSH-bucketed
+    * variant" next to brute force); the measured-at-scale paths are
+    * [[semanticDedup]] (√n-derived cells, exponent 1.24 ≤ its Θ(n^1.5)
+    * bound) and the IVF family (exponent ≤ 0.4 at probe range).
+    * Production operation of THIS shape scales PlanesPerBand with
+    * log₂(n) to hold occupancy constant (and band count with the
+    * recall target) — a parameterization, not a plan change; the
+    * oracle pins the 12-bit operating point.
     */
   def embeddingNearDup(spark: SparkSession, dir: String,
                        threshold: Double = 0.35): DataFrame = {
