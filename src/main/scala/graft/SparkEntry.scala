@@ -90,6 +90,7 @@ object SparkEntry {
     "x_ohlc_bars"          -> ((s, dir) => Finance.ohlcBars(s, dir)),
     "x_vwap"               -> ((s, dir) => Finance.vwap(s, dir)),
     "x_volatility"         -> ((s, dir) => Finance.logReturnVolatility(s, dir)),
+    "x_autocorr"           -> ((s, dir) => Finance.autocorr(s, dir)),
     "x_drawdown"           -> ((s, dir) => Finance.maxDrawdown(s, dir)),
     "x_rsi"                -> ((s, dir) => Finance.rsi(s, dir)),
     "x_bollinger"          -> ((s, dir) => Finance.bollinger(s, dir)),
@@ -202,6 +203,9 @@ object SparkEntry {
     "x_dedup_simhash"      -> ((s, dir) => Dedup.simhashDocs(s, dir)),
     "x_dedup_simhash64"    -> ((s, dir) => Dedup.simhashDocs64(s, dir)),
     "x_doc_fingerprint"    -> ((s, dir) => Dedup.docFingerprint(s, dir)),
+    "x_winnowing"          -> ((s, dir) => Dedup.winnowStats(s, dir)),
+    "x_winnow_overlap"     -> ((s, dir) => Dedup.winnowOverlap(s, dir)),
+    "x_winnow_audit"       -> ((s, dir) => Dedup.winnowGuaranteeAudit(s, dir)),
     "x_ngram_jaccard"      -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "x_substring_dedup"    -> ((s, dir) => Dedup.substringDedup(s, dir)),
     "x_substring_hotspots" -> ((s, dir) => Dedup.substringHotspots(s, dir)),
@@ -223,6 +227,7 @@ object SparkEntry {
                                  maxRounds = 3)),
     "x_bpe_segments"       -> ((s, dir) => TextAnalysis.bpeSegments(s, dir)),
     "x_zipf"               -> ((s, dir) => TextAnalysis.zipfFit(s, dir)),
+    "x_token_pmi"          -> ((s, dir) => TextAnalysis.tokenPmi(s, dir)),
     "x_bpe_tokens"         -> ((s, dir) => TextAnalysis.bpeTokenCounts(s, dir)),
     "x_bpe_fertility"      -> ((s, dir) => TextAnalysis.bpeFertility(s, dir)),
     "x_bm25"               -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
@@ -3481,6 +3486,21 @@ object SparkEntry {
         |  ROUND(AVG(ret), 6) AS mean_ret
         |FROM r GROUP BY symbol HAVING COUNT(ret) >= 2 ORDER BY symbol""".stripMargin),
 
+    "x_autocorr" ->
+      (finQuoteCte + """,
+        |r AS (
+        |  SELECT symbol, ts_epoch, id,
+        |    ln(price / LAG(price) OVER (PARTITION BY symbol ORDER BY ts_epoch, id)) AS ret
+        |  FROM q WHERE price > 0),
+        |p AS (
+        |  SELECT symbol, ret,
+        |    LAG(ret) OVER (PARTITION BY symbol ORDER BY ts_epoch, id) AS ret_lag
+        |  FROM r)
+        |SELECT symbol, COUNT(*)::BIGINT AS n_pairs,
+        |  ROUND(corr(ret, ret_lag), 6) AS acf1
+        |FROM p WHERE ret IS NOT NULL AND ret_lag IS NOT NULL
+        |GROUP BY symbol HAVING COUNT(*) >= 3 ORDER BY symbol""".stripMargin),
+
     "x_drawdown" ->
       (finQuoteCte + """,
         |r AS (
@@ -4033,6 +4053,27 @@ object SparkEntry {
           |JOIN wl USING (word)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // Adjacent-bigram PMI: one double expression over exact BIGINT
+    // counts, identical association order on both engines
+    "x_token_pmi" ->
+      """WITH tk AS (SELECT string_split(text,' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT t[i] AS a, t[i+1] AS b
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tk WHERE len(t) >= 2)
+        |), big AS (SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY a, b),
+        |unic AS (SELECT tok, COUNT(*) AS c
+        |         FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY tok),
+        |tot AS (SELECT (SELECT SUM(c) FROM unic) AS n_uni,
+        |               (SELECT SUM(c_ab) FROM big) AS n_big)
+        |SELECT big.a, big.b, c_ab,
+        |  ROUND(ln(c_ab::DOUBLE * n_uni * n_uni /
+        |           (n_big::DOUBLE * ua.c * ub.c)), 6) AS pmi
+        |FROM big
+        |CROSS JOIN tot
+        |JOIN unic ua ON ua.tok = big.a
+        |JOIN unic ub ON ub.tok = big.b
+        |WHERE c_ab >= 5 ORDER BY a, b""".stripMargin,
+
     // BM25 top-20 retrieval for a fixed query-term set; every float
     // literal pinned ::DOUBLE so DuckDB's DECIMAL-literal arithmetic
     // cannot diverge from Spark's double semantics
@@ -4296,6 +4337,107 @@ object SparkEntry {
         |  list_reduce(list_transform(range(1,len(text)+1), i -> ascii(substr(text,i,1))::BIGINT),
         |    (acc,c) -> (acc*31+c)%1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Winnowing (Schleimer et al. SIGMOD'03): 4-token gram hashes,
+    // window-8 min selection, RIGHTMOST tie via the single packed
+    // BIGINT gh*2^21 + (2^21 - pos) — identical pack on both engines,
+    // so the argmin needs no engine-specific tie-break semantics.
+    "x_winnowing" ->
+      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)-2), i ->
+        |    {'pos': i,
+        |     'gh': list_reduce(list_transform(range(1, len(array_to_string(t[i:i+3],' '))+1),
+        |            j -> ascii(substr(array_to_string(t[i:i+3],' '),j,1))::BIGINT),
+        |            (a,c)->(a*31+c)%1000000007)})) AS u
+        |  FROM tk WHERE len(t) >= 4
+        |), g2 AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM g),
+        |n AS (SELECT doc_id, COUNT(*) AS ng FROM g2 GROUP BY doc_id),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    min(gh*2097152 + (2097152 - pos)) OVER
+        |      (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS packed
+        |  FROM g2
+        |), sel AS (
+        |  SELECT DISTINCT m.doc_id, ng, packed FROM m JOIN n USING (doc_id)
+        |  WHERE pos = 1 OR pos <= ng - 7
+        |)
+        |SELECT doc_id, ng AS n_grams, COUNT(*)::BIGINT AS n_fp,
+        |  round(COUNT(*)::DOUBLE / greatest(ng - 7, 1), 6) AS density
+        |FROM sel GROUP BY doc_id, ng ORDER BY doc_id""".stripMargin,
+
+    // The winnowing guarantee, measured: truth = pairs sharing an
+    // 11-token gram; detected = pairs sharing an UNCAPPED winnowed
+    // fingerprint; recall must be exactly 1.0 (the SIGMOD'03 theorem)
+    "x_winnow_audit" ->
+      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g11 AS (
+        |  SELECT DISTINCT doc_id, gh FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t)-9), i ->
+        |      list_reduce(list_transform(range(1, len(array_to_string(t[i:i+10],' '))+1),
+        |        j -> ascii(substr(array_to_string(t[i:i+10],' '),j,1))::BIGINT),
+        |        (a,c)->(a*31+c)%1000000007))) AS gh
+        |    FROM tk WHERE len(t) >= 11)
+        |), truth AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM g11 a JOIN g11 b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)-2), i ->
+        |    {'pos': i,
+        |     'gh': list_reduce(list_transform(range(1, len(array_to_string(t[i:i+3],' '))+1),
+        |            j -> ascii(substr(array_to_string(t[i:i+3],' '),j,1))::BIGINT),
+        |            (a,c)->(a*31+c)%1000000007)})) AS u
+        |  FROM tk WHERE len(t) >= 4
+        |), g2 AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM g),
+        |n AS (SELECT doc_id, COUNT(*) AS ng FROM g2 GROUP BY doc_id),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    min(gh*2097152 + (2097152 - pos)) OVER
+        |      (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS packed
+        |  FROM g2
+        |), sel AS (
+        |  SELECT DISTINCT doc_id, packed // 2097152 AS gh
+        |  FROM m JOIN n USING (doc_id) WHERE pos = 1 OR pos <= ng - 7
+        |), det AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM sel a JOIN sel b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        |)
+        |, counts AS (
+        |  SELECT (SELECT COUNT(*) FROM truth)::BIGINT AS n_truth_pairs,
+        |    (SELECT COUNT(*) FROM truth t
+        |     WHERE EXISTS (SELECT 1 FROM det d WHERE d.da = t.da AND d.db = t.db))::BIGINT AS n_detected
+        |)
+        |SELECT n_truth_pairs, n_detected,
+        |  round(n_detected::DOUBLE / greatest(n_truth_pairs, 1), 6) AS recall
+        |FROM counts""".stripMargin,
+
+    "x_winnow_overlap" ->
+      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)-2), i ->
+        |    {'pos': i,
+        |     'gh': list_reduce(list_transform(range(1, len(array_to_string(t[i:i+3],' '))+1),
+        |            j -> ascii(substr(array_to_string(t[i:i+3],' '),j,1))::BIGINT),
+        |            (a,c)->(a*31+c)%1000000007)})) AS u
+        |  FROM tk WHERE len(t) >= 4
+        |), g2 AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM g),
+        |n AS (SELECT doc_id, COUNT(*) AS ng FROM g2 GROUP BY doc_id),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    min(gh*2097152 + (2097152 - pos)) OVER
+        |      (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS packed
+        |  FROM g2
+        |), sel AS (
+        |  SELECT DISTINCT doc_id, packed // 2097152 AS gh
+        |  FROM m JOIN n USING (doc_id) WHERE pos = 1 OR pos <= ng - 7
+        |), kept AS (
+        |  SELECT s.* FROM sel s JOIN (
+        |    SELECT gh FROM sel GROUP BY gh HAVING COUNT(*) <= 64
+        |  ) k USING (gh)
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_shared
+        |FROM kept a JOIN kept b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        |GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2 ORDER BY doc_a, doc_b""".stripMargin,
 
     "x_ngram_jaccard" ->
       """WITH tk AS (

@@ -261,4 +261,30 @@ object Finance {
       .select("digit", "n_orders", "obs_freq", "exp_freq", "abs_dev")
       .orderBy("digit")
   }
+
+  /** Lag-1 autocorrelation of per-symbol tick log-returns — the
+    * mean-reversion/momentum diagnostic (negative ACF(1) = reverting
+    * series, positive = trending) that completes the volatility/
+    * drawdown/RSI risk panel. Returns derive exactly as in
+    * [[logReturnVolatility]]; the lagged pair shares the SAME (symbol)
+    * window partitioning, so the lag, the second lag, and the final
+    * rollup ride one exchange. `corr` is the order-sensitive double
+    * pair of the panel — rounded at 6 like x_stats_corr (the tracked
+    * tolerance class). Symbols with <3 return pairs are dropped
+    * (corr undefined / degenerate) — deterministic across engines.
+    */
+  def autocorr(spark: SparkSession, dir: String, lagN: Int = 1): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    quotes(spark, dir)
+      .filter(col("price") > 0)
+      .withColumn("prev_price", lag(col("price"), 1).over(w))
+      .withColumn("ret", log(col("price") / col("prev_price")))
+      .withColumn("ret_lag", lag(col("ret"), lagN).over(w))
+      .filter(col("ret").isNotNull && col("ret_lag").isNotNull)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_pairs"),
+           round(corr(col("ret"), col("ret_lag")), 6).as("acf1"))
+      .filter(col("n_pairs") >= 3)
+      .orderBy("symbol")
+  }
 }

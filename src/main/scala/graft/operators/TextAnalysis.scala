@@ -1304,4 +1304,45 @@ object TextAnalysis {
     stats.crossJoin(fit)
       .select(col("n_tokens"), col("vocab"), col("r_used"), col("zipf_slope"))
   }
+
+  /** Pointwise mutual information of adjacent token bigrams (Church &
+    * Hanks 1990) — the collocation score that separates real word
+    * association from chance co-occurrence:
+    * pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ), probabilities estimated by
+    * corpus counts. Computed as ONE double expression
+    * ln( (c_ab · N_uni · N_uni) / (N_big · c_a · c_b) ) written with
+    * identical association on both engines, so no aggregation-order
+    * float drift exists — every input is an exact BIGINT count.
+    *
+    * Scale shape: bigram and unigram aggregates are linear map-side
+    * combines; both land vocabulary-bounded (vocab² and vocab rows)
+    * and are checkpointed once for their two consumers (totals +
+    * join). The unigram sides broadcast into the bigram table; the
+    * 1-row totals cross-join is a constant. Low-count pairs
+    * (c_ab < `minCount`) are dropped — PMI of rare pairs is noise by
+    * construction (Church & Hanks' own caveat).
+    */
+  def tokenPmi(spark: SparkSession, dir: String, minCount: Long = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = docs.filter(size(toks) >= 2)
+      .select(toks.as("t"), explode(sequence(lit(1), size(toks) - 1)).as("i"))
+      .select(element_at(col("t"), col("i")).as("a"),
+              element_at(col("t"), col("i") + 1).as("b"))
+    val big = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint()
+    val uni = docs.select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val totals = uni.agg(sum(col("c")).as("n_uni"))
+      .crossJoin(big.agg(sum(col("c_ab")).as("n_big")))
+    big.filter(col("c_ab") >= minCount)
+      .join(broadcast(uni.select(col("tok").as("a"), col("c").as("c_a"))), "a")
+      .join(broadcast(uni.select(col("tok").as("b"), col("c").as("c_b"))), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("c_ab"),
+        round(log(
+          col("c_ab").cast("double") * col("n_uni") * col("n_uni") /
+          (col("n_big").cast("double") * col("c_a") * col("c_b"))), 6).as("pmi"))
+      .orderBy("a", "b")
+  }
 }
