@@ -65,6 +65,7 @@ object SparkEntry {
     // ---- Extended analytics (SURVEY §2.3-2.7 absent categories, §7 step 3) ----
     "x_pricing_summary"    -> ((s, dir) => Analytics.pricingSummary(s, dir)),
     "x_top_revenue_orders" -> ((s, dir) => Analytics.topRevenueOrders(s, dir)),
+    "x_disjunctive_rev"    -> ((s, dir) => Analytics.disjunctiveRevenue(s, dir)),
     "x_brand_volume"       -> ((s, dir) => Analytics.brandVolume(s, dir)),
     "x_order_priority"     -> ((s, dir) => Analytics.orderPriorityCount(s, dir)),
     "x_join_semi"          -> ((s, dir) => Analytics.customersWithOrders(s, dir)),
@@ -908,6 +909,16 @@ object SparkEntry {
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // TPC-H Q19-class disjunctive (brand, size, quantity) branches
+    "x_disjunctive_rev" ->
+      """SELECT COUNT(*)::BIGINT AS n_items,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |    (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "x_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,

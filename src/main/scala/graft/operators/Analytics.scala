@@ -77,6 +77,34 @@ object Analytics {
       .limit(10)
   }
 
+  /** TPC-H Q19-class disjunctive-predicate revenue: three OR'd
+    * (brand, size-range, quantity-range) branches over part⋈lineitem.
+    * The join stays a pure partkey equi-join with the disjunction as
+    * the join filter; Catalyst extracts the part-only disjunction
+    * ((brand∧size) ∨ (brand∧size) ∨ (brand∧size)) and pushes it INTO
+    * the part scan as an Or PushedFilter (pinned in PlanSpec) — the
+    * classic Q19 planner exercise: at 100 TB the part side arrives
+    * pre-filtered at the row-group level, and the quantity branches
+    * prune lineitem rows before the aggregate. Revenue is the
+    * decimal-exact sum of the Q3/Q5 family; one row out.
+    */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    val branches =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    li.join(p, li("l_partkey") === p("p_partkey") && branches)
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,6)") *
+            (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+          .cast("double").as("revenue"))
+  }
+
   /** Broadcast-join: fact ⋈ small dim — no shuffle of the 100 TB
     * side, each task streams its lineitem split against an in-memory
     * hash of part. The broadcast is SIZE-CHOSEN (planner stats + AQE),

@@ -115,6 +115,16 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("Q19 disjunction is pushed into the part scan as an Or filter") {
+    val plan = formatted(Analytics.disjunctiveRevenue(spark, sfDir))
+    // the part-only (brand AND size) disjunction must reach the scan —
+    // the Q19 planner exercise: row groups prune before the join
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(l => l.contains("Or(") && l.contains("p_brand")),
+      s"part-side Or not pushed:\n${pushed.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("order priority join degrades to a shuffle join when neither side is broadcastable") {
     // at sf0.001 orders fits under the broadcast threshold (broadcasting
     // it is the RIGHT plan); disable broadcast to verify the shape the

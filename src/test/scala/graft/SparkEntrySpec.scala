@@ -110,6 +110,13 @@ class SparkEntrySpec extends AnyFunSuite {
     // the DECIMAL c·ln(c) sum `sc` is consumed only as sc::DOUBLE in
     // the entropy projection
     "x_char_entropy"      -> 1,
+    // zipf OLS: sx/sy/sxy/sxx are DECIMAL(18,6) sums consumed only
+    // inside the slope's ::DOUBLE-cast numerator/denominator — the
+    // projected columns are r_used (COUNT) and the rounded slope
+    "x_zipf"              -> 4,
+    // PMI totals n_uni/n_big are consumed only as factors of the
+    // ::DOUBLE log expression — never projected
+    "x_token_pmi"         -> 2,
     // vwap family: SUM(volume) as the ROUND(...)::DOUBLE division
     // denominator + the HAVING comparison — the projected copy is
     // SUM(volume)::BIGINT (cast, not counted)
