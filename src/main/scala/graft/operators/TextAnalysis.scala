@@ -1324,15 +1324,36 @@ object TextAnalysis {
     */
   def tokenPmi(spark: SparkSession, dir: String, minCount: Long = 5): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = docs.filter(size(toks) >= 2)
+    tokenPmiFromCounts(
+      bigramRowsFrom(docs).groupBy("a", "b").agg(count(lit(1)).as("c_ab")),
+      unigramRowsFrom(docs).groupBy("tok").agg(count(lit(1)).as("c")),
+      minCount)
+  }
+
+  /** Adjacent-bigram rows `(a, b)` over ANY `(text, ...)` frame — the
+    * tokenization seam [[graft.streaming.StreamingPmi]] shares with
+    * the batch operator (one code path for the gram unit).
+    */
+  def bigramRowsFrom(docs: DataFrame): DataFrame =
+    docs.filter(size(toks) >= 2)
       .select(toks.as("t"), explode(sequence(lit(1), size(toks) - 1)).as("i"))
       .select(element_at(col("t"), col("i")).as("a"),
               element_at(col("t"), col("i") + 1).as("b"))
-    val big = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-      .localCheckpoint()
-    val uni = docs.select(explode(toks).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+
+  /** Unigram rows `(tok)` over ANY `(text, ...)` frame. */
+  def unigramRowsFrom(docs: DataFrame): DataFrame =
+    docs.select(explode(toks).as("tok"))
+
+  /** The PMI projection over ANY `(a, b, c_ab)` bigram-count and
+    * `(tok, c)` unigram-count frames — the scoring seam the streaming
+    * twin serves from its count stores (bigram/unigram counts are
+    * ADDITIVE across batches, so the streamed store sums to exactly
+    * the batch counts; stream and batch cannot drift).
+    */
+  def tokenPmiFromCounts(big0: DataFrame, uni0: DataFrame,
+                         minCount: Long = 5): DataFrame = {
+    val big = big0.localCheckpoint()
+    val uni = uni0.localCheckpoint()
     val totals = uni.agg(sum(col("c")).as("n_uni"))
       .crossJoin(big.agg(sum(col("c_ab")).as("n_big")))
     big.filter(col("c_ab") >= minCount)
