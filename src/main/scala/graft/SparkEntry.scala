@@ -207,6 +207,7 @@ object SparkEntry {
     "x_winnowing"          -> ((s, dir) => Dedup.winnowStats(s, dir)),
     "x_winnow_overlap"     -> ((s, dir) => Dedup.winnowOverlap(s, dir)),
     "x_winnow_audit"       -> ((s, dir) => Dedup.winnowGuaranteeAudit(s, dir)),
+    "x_winnow_sweep"       -> ((s, dir) => Dedup.winnowSweep(s, dir)),
     "x_ngram_jaccard"      -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "x_substring_dedup"    -> ((s, dir) => Dedup.substringDedup(s, dir)),
     "x_substring_hotspots" -> ((s, dir) => Dedup.substringHotspots(s, dir)),
@@ -4376,6 +4377,49 @@ object SparkEntry {
         |SELECT doc_id, ng AS n_grams, COUNT(*)::BIGINT AS n_fp,
         |  round(COUNT(*)::DOUBLE / greatest(ng - 7, 1), 6) AS density
         |FROM sel GROUP BY doc_id, ng ORDER BY doc_id""".stripMargin,
+
+    // Winnowing density sweep: per window size w in {4,8,16} the
+    // corpus-wide measured density vs the paper's 2/(w+1) expectation
+    "x_winnow_sweep" ->
+      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)-2), i ->
+        |    {'pos': i,
+        |     'gh': list_reduce(list_transform(range(1, len(array_to_string(t[i:i+3],' '))+1),
+        |            j -> ascii(substr(array_to_string(t[i:i+3],' '),j,1))::BIGINT),
+        |            (a,c)->(a*31+c)%1000000007)})) AS u
+        |  FROM tk WHERE len(t) >= 4
+        |), g2 AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM g),
+        |n AS (SELECT doc_id, COUNT(*) AS ng FROM g2 GROUP BY doc_id),
+        |m4 AS (SELECT doc_id, pos, min(gh*2097152 + (2097152 - pos)) OVER
+        |  (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS packed FROM g2),
+        |s4 AS (SELECT DISTINCT m4.doc_id, ng, packed FROM m4 JOIN n USING (doc_id)
+        |       WHERE pos = 1 OR pos <= ng - 3),
+        |d4 AS (SELECT doc_id, ng, COUNT(*) AS fp FROM s4 GROUP BY doc_id, ng),
+        |r4 AS (SELECT 4::BIGINT AS w, COUNT(*) AS n_docs, SUM(ng)::BIGINT AS n_grams,
+        |       SUM(fp)::BIGINT AS n_fp,
+        |       round(SUM(fp)::DOUBLE / SUM(greatest(ng-3,1)), 6) AS density,
+        |       0.4::DOUBLE AS expected_density FROM d4),
+        |m8 AS (SELECT doc_id, pos, min(gh*2097152 + (2097152 - pos)) OVER
+        |  (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS packed FROM g2),
+        |s8 AS (SELECT DISTINCT m8.doc_id, ng, packed FROM m8 JOIN n USING (doc_id)
+        |       WHERE pos = 1 OR pos <= ng - 7),
+        |d8 AS (SELECT doc_id, ng, COUNT(*) AS fp FROM s8 GROUP BY doc_id, ng),
+        |r8 AS (SELECT 8::BIGINT AS w, COUNT(*) AS n_docs, SUM(ng)::BIGINT AS n_grams,
+        |       SUM(fp)::BIGINT AS n_fp,
+        |       round(SUM(fp)::DOUBLE / SUM(greatest(ng-7,1)), 6) AS density,
+        |       0.222222::DOUBLE AS expected_density FROM d8),
+        |m16 AS (SELECT doc_id, pos, min(gh*2097152 + (2097152 - pos)) OVER
+        |  (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS packed FROM g2),
+        |s16 AS (SELECT DISTINCT m16.doc_id, ng, packed FROM m16 JOIN n USING (doc_id)
+        |        WHERE pos = 1 OR pos <= ng - 15),
+        |d16 AS (SELECT doc_id, ng, COUNT(*) AS fp FROM s16 GROUP BY doc_id, ng),
+        |r16 AS (SELECT 16::BIGINT AS w, COUNT(*) AS n_docs, SUM(ng)::BIGINT AS n_grams,
+        |        SUM(fp)::BIGINT AS n_fp,
+        |        round(SUM(fp)::DOUBLE / SUM(greatest(ng-15,1)), 6) AS density,
+        |        0.117647::DOUBLE AS expected_density FROM d16)
+        |SELECT * FROM r4 UNION ALL SELECT * FROM r8 UNION ALL SELECT * FROM r16
+        |ORDER BY w""".stripMargin,
 
     // The winnowing guarantee, measured: truth = pairs sharing an
     // 11-token gram; detected = pairs sharing an UNCAPPED winnowed

@@ -1520,6 +1520,37 @@ object Dedup {
     * other gram family here, bounding the self-join fan-out at
     * df-cap x selections — linear in corpus size.
     */
+  /** Winnowing density sweep across window sizes w ∈ {4, 8, 16} —
+    * the operating-point sweep of this family (the minhash-threshold /
+    * substring-gram-size discipline applied to the winnowing window):
+    * per w, the corpus-wide measured fingerprint density against the
+    * paper's 2/(w+1) expectation. The trade the sweep prices: larger
+    * w stores fewer fingerprints but guarantees detection only of
+    * longer shared runs (w + k − 1 tokens). One row per w.
+    *
+    * Scale shape: three independent [[winnowSelectedFrom]] passes
+    * (window sizes are not composable — each is an honest re-scan,
+    * like [[substringSweep]]'s gram sizes), each collapsing to a
+    * per-doc count then a 1-row corpus rollup.
+    */
+  def winnowSweep(spark: SparkSession, dir: String,
+                  ws: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    ws.map { w =>
+      winnowSelectedFrom(docs, WinnowK, w)
+        .groupBy("doc_id", "ng").agg(count(lit(1)).as("fp"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("ng")).as("n_grams"),
+             sum(col("fp")).as("n_fp"),
+             sum(greatest(col("ng") - (w - 1), lit(1L))).as("n_windows"))
+        .select(lit(w.toLong).as("w"), col("n_docs"), col("n_grams"),
+          col("n_fp"),
+          round(col("n_fp").cast("double") / col("n_windows"), 6)
+            .as("density"),
+          round(lit(2.0 / (w + 1)), 6).as("expected_density"))
+    }.reduce(_ unionByName _).orderBy("w")
+  }
+
   /** Corpus-wide audit of the winnowing detection GUARANTEE (the
     * Schleimer et al. theorem, measured in this repo's
     * "measure, don't claim" discipline): every document pair sharing

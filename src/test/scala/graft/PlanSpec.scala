@@ -115,6 +115,16 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("winnowing windows are doc-partitioned — never a single-reducer window") {
+    val plan = Dedup.winnowStats(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    // every windowspecdefinition must carry the doc_id partition key;
+    // an empty partition spec would funnel the corpus through one task
+    val specs = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty)
+    assert(specs.forall(_.contains("doc_id")), specs.mkString("\n"))
+  }
+
   test("Q19 disjunction is pushed into the part scan as an Or filter") {
     val plan = formatted(Analytics.disjunctiveRevenue(spark, sfDir))
     // the part-only (brand AND size) disjunction must reach the scan —

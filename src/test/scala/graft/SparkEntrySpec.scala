@@ -117,6 +117,9 @@ class SparkEntrySpec extends AnyFunSuite {
     // PMI totals n_uni/n_big are consumed only as factors of the
     // ::DOUBLE log expression — never projected
     "x_token_pmi"         -> 2,
+    // 3× SUM(greatest(ng-.., 1)) window-count denominators, consumed
+    // only under the ::DOUBLE density division
+    "x_winnow_sweep"      -> 3,
     // vwap family: SUM(volume) as the ROUND(...)::DOUBLE division
     // denominator + the HAVING comparison — the projected copy is
     // SUM(volume)::BIGINT (cast, not counted)
