@@ -20,7 +20,16 @@ class LayoutInvarianceSpec extends SparkSuite {
     // independence IS its correctness claim
     ("x_quality_deciles", () => graft.operators.CorpusOps.qualityDeciles(spark, sfDir)),
     // k-th smallest via salted two-level rank — same claim
-    ("x_kmv_distinct",   () => graft.operators.Dedup.kmvDistinctShingles(spark, sfDir)))
+    ("x_kmv_distinct",   () => graft.operators.Dedup.kmvDistinctShingles(spark, sfDir)),
+    // winnowing: the packed-BIGINT argmin is order-independent and
+    // windows are doc-partitioned — layout independence is the
+    // fingerprint-set determinism claim
+    ("x_winnowing",      () => graft.operators.Dedup.winnowStats(spark, sfDir)),
+    ("x_winnow_overlap", () => graft.operators.Dedup.winnowOverlap(spark, sfDir)),
+    // PMI: exact BIGINT counts through one fixed double expression
+    ("x_token_pmi",      () => graft.operators.TextAnalysis.tokenPmi(spark, sfDir)),
+    // Q19: decimal-exact revenue sum
+    ("x_disjunctive_rev", () => graft.operators.Analytics.disjunctiveRevenue(spark, sfDir)))
 
   test("order-sensitive operators return identical rows under different shuffle layouts") {
     val key = "spark.sql.shuffle.partitions"
