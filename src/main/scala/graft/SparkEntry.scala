@@ -66,6 +66,7 @@ object SparkEntry {
     "x_pricing_summary"    -> ((s, dir) => Analytics.pricingSummary(s, dir)),
     "x_top_revenue_orders" -> ((s, dir) => Analytics.topRevenueOrders(s, dir)),
     "x_disjunctive_rev"    -> ((s, dir) => Analytics.disjunctiveRevenue(s, dir)),
+    "x_equidepth_hist"     -> ((s, dir) => Analytics.equidepthHistogram(s, dir)),
     "x_brand_volume"       -> ((s, dir) => Analytics.brandVolume(s, dir)),
     "x_order_priority"     -> ((s, dir) => Analytics.orderPriorityCount(s, dir)),
     "x_join_semi"          -> ((s, dir) => Analytics.customersWithOrders(s, dir)),
@@ -910,6 +911,19 @@ object SparkEntry {
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // exact equi-depth histogram: ((rank-1)*B) div n over the unique
+    // (price, orderkey, linenumber) total order
+    "x_equidepth_hist" ->
+      """WITH r AS (
+        |  SELECT l_extendedprice AS v,
+        |    ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk,
+        |    COUNT(*) OVER () AS n
+        |  FROM lineitem
+        |)
+        |SELECT ((rk - 1) * 16) // n AS bucket, COUNT(*)::BIGINT AS n_rows,
+        |  MIN(v) AS lo, MAX(v) AS hi
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // TPC-H Q19-class disjunctive (brand, size, quantity) branches
     "x_disjunctive_rev" ->

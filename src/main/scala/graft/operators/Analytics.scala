@@ -77,6 +77,33 @@ object Analytics {
       .limit(10)
   }
 
+  /** Exact equi-depth histogram over lineitem price — the
+    * optimizer-statistics primitive (equal ROW MASS per bucket;
+    * equi-width histograms starve under skew, which is why engine
+    * cost models ship equi-depth). Ranking rides the distributed
+    * global-rank backbone ([[CorpusOps.withGlobalRank]]:
+    * per-partition row_number + collected per-partition offsets —
+    * never a single-reducer window), with ties broken by the
+    * (orderkey, linenumber) unique key so the binning is a total
+    * order both engines reproduce exactly; bucket = ((rank−1)·B)
+    * div n. Output per bucket: row count and [lo, hi] value bounds —
+    * the boundary table a cost model consumes.
+    */
+  def equidepthHistogram(spark: SparkSession, dir: String,
+                         buckets: Int = 16): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").as("v"),
+              col("l_orderkey"), col("l_linenumber"))
+    val (ranked, total) = CorpusOps.withGlobalRank(
+      li, Seq(col("v"), col("l_orderkey"), col("l_linenumber")), "rk")
+    ranked
+      .withColumn("bucket", expr(s"((rk - 1) * $buckets) div $total"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+           min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy("bucket")
+  }
+
   /** TPC-H Q19-class disjunctive-predicate revenue: three OR'd
     * (brand, size-range, quantity-range) branches over part⋈lineitem.
     * The join stays a pure partkey equi-join with the disjunction as

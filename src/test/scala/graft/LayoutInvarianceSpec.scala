@@ -29,7 +29,10 @@ class LayoutInvarianceSpec extends SparkSuite {
     // PMI: exact BIGINT counts through one fixed double expression
     ("x_token_pmi",      () => graft.operators.TextAnalysis.tokenPmi(spark, sfDir)),
     // Q19: decimal-exact revenue sum
-    ("x_disjunctive_rev", () => graft.operators.Analytics.disjunctiveRevenue(spark, sfDir)))
+    ("x_disjunctive_rev", () => graft.operators.Analytics.disjunctiveRevenue(spark, sfDir)),
+    // equi-depth binning on the global-rank backbone — layout
+    // independence is the backbone's correctness claim
+    ("x_equidepth_hist", () => graft.operators.Analytics.equidepthHistogram(spark, sfDir)))
 
   test("order-sensitive operators return identical rows under different shuffle layouts") {
     val key = "spark.sql.shuffle.partitions"
