@@ -99,6 +99,7 @@ object SparkEntry {
     "x_benford"            -> ((s, dir) => Finance.benfordDigits(s, dir)),
     "x_rfm"                -> ((s, dir) => Analytics.rfmSegments(s, dir)),
     "x_attribution"        -> ((s, dir) => Analytics.lastTouchAttribution(s, dir)),
+    "x_attribution_linear" -> ((s, dir) => Analytics.linearAttribution(s, dir)),
     "x_profile"            -> ((s, dir) => Analytics.columnProfile(s, dir)),
     "x_mad_outliers"       -> ((s, dir) => Analytics.madOutliers(s, dir)),
     "x_gini"               -> ((s, dir) => Analytics.giniSpend(s, dir)),
@@ -3854,6 +3855,24 @@ object SparkEntry {
         |  COUNT(*) AS n_users
         |FROM fp LEFT JOIN e p
         |  ON p.user_id = fp.user_id AND p.rn = fp.fp_rn - 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // linear multi-touch: every pre-first-purchase event shares
+    // 1/path_len credit, quantized at 6 decimals then decimal-summed
+    "x_attribution_linear" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts)//1000000, event_id) AS rn
+        |  FROM events),
+        |fp AS (SELECT user_id, MIN(rn) AS fp_rn FROM e
+        |       WHERE event_type = 'purchase' GROUP BY user_id),
+        |path AS (SELECT e.* FROM e JOIN fp USING (user_id) WHERE rn < fp_rn),
+        |sz AS (SELECT user_id, COUNT(*) AS path_len FROM path GROUP BY user_id)
+        |SELECT p.event_type AS touch_type, COUNT(*)::BIGINT AS n_events,
+        |  CAST(CAST(SUM(CAST(round(1::DOUBLE / sz.path_len, 6) AS DECIMAL(18,6)))
+        |    AS VARCHAR) AS DOUBLE) AS credit
+        |FROM path p JOIN sz USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // column-profiling sweep (string-space: exact for keys/flags and

@@ -2041,6 +2041,43 @@ object Analytics {
       .orderBy("touch_type")
   }
 
+  /** Linear multi-touch attribution — the complement of
+    * [[lastTouchAttribution]]: every event on a user's path BEFORE
+    * their first purchase shares the conversion credit equally
+    * (credit = 1/n per touch, the "linear" model of marketing
+    * attribution). Credit is QUANTIZED at 6 decimals per touch and
+    * summed as DECIMAL — the model definition both engines reproduce
+    * bit-exactly regardless of aggregation order (a raw double sum of
+    * 1/n terms would drift). Users whose first event is the purchase
+    * have an empty path and appear in no row — the model scores
+    * touches, not conversions.
+    *
+    * Scale shape: one (user_id) window for the path order (shared
+    * with the purchase argmin), one user-keyed size join, one
+    * event_type-sized rollup — same single-exchange family as
+    * last-touch.
+    */
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("ts_epoch").asc, col("event_id").asc)
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_epoch"))
+      .withColumn("rn", row_number().over(ord))
+    val fp = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("rn")).as("fp_rn"))
+    val path = e.join(fp, "user_id").filter(col("rn") < col("fp_rn"))
+      .localCheckpoint() // two consumers: sizes + the credit rollup
+    val sizes = path.groupBy("user_id").agg(count(lit(1)).as("path_len"))
+    path.join(sizes, "user_id")
+      .select(col("event_type").as("touch_type"),
+        round(lit(1.0) / col("path_len"), 6).cast("decimal(18,6)").as("credit"))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("credit")).cast("double").as("credit"))
+      .orderBy("touch_type")
+  }
+
   /** Data-profiling sweep over lineitem's key/dimension columns: one
     * stack (unpivot) pass producing (column, value-string) rows, then a
     * two-phase grouped profile — row count, non-null count, EXACT
