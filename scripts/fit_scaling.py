@@ -40,6 +40,13 @@ EXPECTED = {
         "shuffle spill adds to the floor; the measured scale paths of the "
         "family are x_semantic_dedup and the IVF queries - see "
         "embeddingNearDup's SCALE CONTRACT scaladoc)"),
+    "x_equidepth_hist": (1.6, "the only query that GLOBAL-RANKS the fact "
+        "table itself (60M rows at N=100 vs the ~40x-smaller customer "
+        "rankings of x_rfm/x_gini, which tail <= 0.8 on the same "
+        "backbone): the range-sort + full ranked-table checkpoint "
+        "crosses its materialization/spill onset inside the probe's "
+        "largest decade; n log n floor, measured 1.54 (both 96- and "
+        "320-partition configs probed; 96 wins)"),
     "x_zorder_skipping": (1.5, "layout AUDIT, not a pipeline operator: "
         "three full-corpus global sorts (natural / by-part / z-order) are "
         "the query's purpose; n log n x 3 plus block-store spill onset at "
