@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr through RAW instead of routing
+// them through sbt's logger: the logger prefixes every line with
+// "[info] ", which is why no round's bench JSON line ever parsed on
+// the driver side (BENCH_r01..r09 all have "parsed": null — the line
+// was always intact in the tail but never started with '{').
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

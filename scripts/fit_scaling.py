@@ -76,8 +76,14 @@ def main():
                 # the other for part of any mixed suite)
                 s[float(n)] = min(s.get(float(n), v["median"]), v["median"])
     results = {}
+    skipped = []
     for q in sorted(series):
         pts = sorted(series[q].items())
+        if len(pts) < 2:
+            # A single N point (e.g. a query probed only in one decade)
+            # has no slope; skip it instead of crashing the whole fit.
+            skipped.append(q)
+            continue
         xs = [math.log(n) for n, _ in pts]
         ys = [math.log(t) for _, t in pts]
         nn = len(xs)
@@ -115,6 +121,7 @@ def main():
         "n_points": sorted({int(n) for s in series.values() for n in s}),
         "threshold_default": THRESHOLD,
         "all_pass": all(r["pass"] for r in results.values()),
+        "skipped_single_point": skipped,
         "queries": results,
     }
     with open(out_path, "w") as f:

@@ -117,13 +117,35 @@ object Amplify {
     * digit differs for any copy pair with distinct (7·copy mod 36) —
     * all pairs at N ≤ 36 — so blocks never merge. Copy 0 is the
     * identity map, preserving amplified(1) == base.
+    *
+    * Keyspace extension past 36 copies (the 7·copy term alone repeats
+    * at copy+36, which would re-merge blocks and reintroduce the N²
+    * pair artifact): odd character positions additionally shift by
+    * 11·(copy div 36). Per POSITION the map is still a digit
+    * bijection, so within a copy block-key equality (fixed-format
+    * names put digits at fixed positions) and equal-length
+    * substitution distance — which for the 9-digit tail IS
+    * levenshtein ≤ 1, since equal-length strings at edit distance 1
+    * admit only a substitution — are exactly the base corpus's.
+    * Across copies c != c': if c mod 36 differs, even positions
+    * differ (7 invertible mod 36); else if c div 36 differs, odd
+    * positions differ (11 invertible mod 36); the digit region
+    * (positions 9..17, and the 7-char block slice 9..15) contains
+    * both parities. Distinct maps for all pairs up to N = 36² =
+    * 1296 copies — enforced by the require. At N ≤ 36 the odd-
+    * position term is 0, so the cipher is bit-identical to the
+    * pre-extension one (r9 probe artifacts remain comparable).
     */
   private[graft] def amplifyCustomer(spark: SparkSession, base: DataFrame, n: Int): DataFrame = {
+    require(n <= 1296,
+      s"amplifyCustomer cipher keyspace is 36^2 = 1296 copies; got $n")
     val ciphered = array_join(
       transform(split(col("c_name"), ""),
-        ch => when(ch >= "0" && ch <= "9",
+        (ch, i) => when(ch >= "0" && ch <= "9",
           lit("0123456789abcdefghijklmnopqrstuvwxyz")
-            .substr((pmod(ascii(ch) - 48 + col("amp_copy") * 7, lit(36)) + 1).cast("int"),
+            .substr((pmod(ascii(ch) - 48 + pmod(col("amp_copy"), lit(36)) * 7
+                       + expr("amp_copy div 36") * 11 * pmod(i, lit(2)),
+                     lit(36)) + 1).cast("int"),
                     lit(1))).otherwise(ch)), "")
     withCopies(spark, base, n)
       .withColumn("c_custkey", col("c_custkey") + col("amp_copy") * lit(KeyOffset))

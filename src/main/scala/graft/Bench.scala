@@ -148,6 +148,18 @@ object Bench {
     */
   private def ms(v: Double): Double = math.rint(v * 1000) / 1000
 
+  /** JSON string escape for interpolated values (paths, names): a
+    * quote or backslash in sfDir/detailPath would otherwise make the
+    * headline summary line unparseable.
+    */
+  private[graft] def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c    => c.toString
+    } + "\""
+
   /** The full line (per-query medians) — kept as a pure function so
     * the contract (shape, failure poisoning, -1 markers) is
     * unit-tested; a formatting regression here would zero a whole
@@ -160,7 +172,7 @@ object Bench {
     val failures = results.filterNot(_._3).map(_._1)
     val total = ms(results.filter(_._3).map(_._2).sum + 3600.0 * failures.size)
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$nRuns,"failures":$failJson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$nRuns,"failures":$failJson,"sf":${jstr(sfDir)}}"""
   }
 
   /** The TINY summary line printed LAST: total + failure list + the
@@ -179,7 +191,7 @@ object Bench {
         s"\"" + n + s"\":[${ms(ts.min)},${ms(median(ts))},${ms(ts.max)}]" }
       .mkString("{", ",", "}")
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,"n_queries":${results.size},"failures":$failJson,"sf":"$sfDir","detail":"$detailPath","slowest":$slow}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,"n_queries":${results.size},"failures":$failJson,"sf":${jstr(sfDir)},"detail":${jstr(detailPath)},"slowest":$slow}"""
   }
 
   /** The full detail artifact (written to a file, never printed):
@@ -197,6 +209,6 @@ object Bench {
     val failures = results.filterNot(_._3).map(_._1)
     val total = ms(results.filter(_._3).map(t => median(t._2)).sum + 3600.0 * failures.size)
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$nRuns,"failures":$failJson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$nRuns,"failures":$failJson,"sf":${jstr(sfDir)}}"""
   }
 }

@@ -3526,7 +3526,9 @@ object SparkEntry {
         |SELECT symbol, COUNT(*)::BIGINT AS n_pairs,
         |  ROUND(corr(ret, ret_lag), 6) AS acf1
         |FROM p WHERE ret IS NOT NULL AND ret_lag IS NOT NULL
-        |GROUP BY symbol HAVING COUNT(*) >= 3 ORDER BY symbol""".stripMargin),
+        |GROUP BY symbol
+        |HAVING COUNT(*) >= 3 AND stddev_samp(ret) > 0 AND stddev_samp(ret_lag) > 0
+        |ORDER BY symbol""".stripMargin),
 
     "x_drawdown" ->
       (finQuoteCte + """,
@@ -4400,7 +4402,7 @@ object SparkEntry {
         |n AS (SELECT doc_id, COUNT(*) AS ng FROM g2 GROUP BY doc_id),
         |m AS (
         |  SELECT doc_id, pos,
-        |    min(gh*2097152 + (2097152 - pos)) OVER
+        |    min(gh*8589934592 + (8589934592 - pos)) OVER
         |      (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS packed
         |  FROM g2
         |), sel AS (
@@ -4424,7 +4426,7 @@ object SparkEntry {
         |  FROM tk WHERE len(t) >= 4
         |), g2 AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM g),
         |n AS (SELECT doc_id, COUNT(*) AS ng FROM g2 GROUP BY doc_id),
-        |m4 AS (SELECT doc_id, pos, min(gh*2097152 + (2097152 - pos)) OVER
+        |m4 AS (SELECT doc_id, pos, min(gh*8589934592 + (8589934592 - pos)) OVER
         |  (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS packed FROM g2),
         |s4 AS (SELECT DISTINCT m4.doc_id, ng, packed FROM m4 JOIN n USING (doc_id)
         |       WHERE pos = 1 OR pos <= ng - 3),
@@ -4433,7 +4435,7 @@ object SparkEntry {
         |       SUM(fp)::BIGINT AS n_fp,
         |       round(SUM(fp)::DOUBLE / SUM(greatest(ng-3,1)), 6) AS density,
         |       0.4::DOUBLE AS expected_density FROM d4),
-        |m8 AS (SELECT doc_id, pos, min(gh*2097152 + (2097152 - pos)) OVER
+        |m8 AS (SELECT doc_id, pos, min(gh*8589934592 + (8589934592 - pos)) OVER
         |  (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS packed FROM g2),
         |s8 AS (SELECT DISTINCT m8.doc_id, ng, packed FROM m8 JOIN n USING (doc_id)
         |       WHERE pos = 1 OR pos <= ng - 7),
@@ -4442,7 +4444,7 @@ object SparkEntry {
         |       SUM(fp)::BIGINT AS n_fp,
         |       round(SUM(fp)::DOUBLE / SUM(greatest(ng-7,1)), 6) AS density,
         |       0.222222::DOUBLE AS expected_density FROM d8),
-        |m16 AS (SELECT doc_id, pos, min(gh*2097152 + (2097152 - pos)) OVER
+        |m16 AS (SELECT doc_id, pos, min(gh*8589934592 + (8589934592 - pos)) OVER
         |  (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS packed FROM g2),
         |s16 AS (SELECT DISTINCT m16.doc_id, ng, packed FROM m16 JOIN n USING (doc_id)
         |        WHERE pos = 1 OR pos <= ng - 15),
@@ -4480,11 +4482,11 @@ object SparkEntry {
         |n AS (SELECT doc_id, COUNT(*) AS ng FROM g2 GROUP BY doc_id),
         |m AS (
         |  SELECT doc_id, pos,
-        |    min(gh*2097152 + (2097152 - pos)) OVER
+        |    min(gh*8589934592 + (8589934592 - pos)) OVER
         |      (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS packed
         |  FROM g2
         |), sel AS (
-        |  SELECT DISTINCT doc_id, packed // 2097152 AS gh
+        |  SELECT DISTINCT doc_id, packed // 8589934592 AS gh
         |  FROM m JOIN n USING (doc_id) WHERE pos = 1 OR pos <= ng - 7
         |), det AS (
         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
@@ -4512,11 +4514,11 @@ object SparkEntry {
         |n AS (SELECT doc_id, COUNT(*) AS ng FROM g2 GROUP BY doc_id),
         |m AS (
         |  SELECT doc_id, pos,
-        |    min(gh*2097152 + (2097152 - pos)) OVER
+        |    min(gh*8589934592 + (8589934592 - pos)) OVER
         |      (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS packed
         |  FROM g2
         |), sel AS (
-        |  SELECT DISTINCT doc_id, packed // 2097152 AS gh
+        |  SELECT DISTINCT doc_id, packed // 8589934592 AS gh
         |  FROM m JOIN n USING (doc_id) WHERE pos = 1 OR pos <= ng - 7
         |), kept AS (
         |  SELECT s.* FROM sel s JOIN (

@@ -1467,8 +1467,11 @@ object Dedup {
     * `gh * 2^21 + (2^21 - pos)` — so a plain `min()` resolves the
     * minimum hash AND the rightmost tie in a single order-independent
     * aggregate, and both engines decode (gh, pos) from the same
-    * integer (PolyHash < 2^30, pos < 2^21: the pack stays ~2^51,
-    * inside Long). Documents with fewer than w grams winnow their
+    * integer (PolyHash < 2^30, pos < 2^33: the pack tops out at
+    * (10^9+6)*2^33 + 2^33 - 1 ~ 8.6e18, inside Long; 2^33 positions
+    * covers ~8.6B tokens per document, far past any real web
+    * document, where the earlier 2^21 pack silently corrupted past
+    * ~2M tokens). Documents with fewer than w grams winnow their
     * single short window (pos = 1 survives the full-window filter).
     *
     * Scale shape: gram rows explode narrowly ([[spanGramRowsFrom]]),
@@ -1487,14 +1490,14 @@ object Dedup {
     grams
       .withColumn("ng", count(lit(1)).over(perDoc))
       .withColumn("packed",
-        min(col("gh") * lit(1L << 21) + (lit(1L << 21) - col("pos")))
+        min(col("gh") * lit(1L << 33) + (lit(1L << 33) - col("pos")))
           .over(slide))
       .filter(col("pos") === 1 || col("pos") <= col("ng") - (w - 1))
       .select(col("doc_id"), col("ng"), col("packed"))
       .distinct()
       .select(col("doc_id"), col("ng"),
-        expr(s"packed div ${1L << 21}").as("gh"),
-        (lit(1L << 21) - expr(s"packed % ${1L << 21}")).as("pos"))
+        expr(s"packed div ${1L << 33}").as("gh"),
+        (lit(1L << 33) - expr(s"packed % ${1L << 33}")).as("pos"))
   }
 
   /** Per-document winnowing yield: gram count, selected-fingerprint

@@ -283,8 +283,15 @@ object Finance {
       .filter(col("ret").isNotNull && col("ret_lag").isNotNull)
       .groupBy("symbol")
       .agg(count(lit(1)).as("n_pairs"),
-           round(corr(col("ret"), col("ret_lag")), 6).as("acf1"))
-      .filter(col("n_pairs") >= 3)
+           round(corr(col("ret"), col("ret_lag")), 6).as("acf1"),
+           stddev_samp(col("ret")).as("sd_ret"),
+           stddev_samp(col("ret_lag")).as("sd_lag"))
+      // Zero-variance groups (constant price) are degenerate: Spark's
+      // corr yields NaN where DuckDB yields NULL, so the engines would
+      // diverge on exactly that input. Drop them on BOTH sides — the
+      // same determinism contract as the n_pairs >= 3 floor.
+      .filter(col("n_pairs") >= 3 && col("sd_ret") > 0 && col("sd_lag") > 0)
+      .drop("sd_ret", "sd_lag")
       .orderBy("symbol")
   }
 }

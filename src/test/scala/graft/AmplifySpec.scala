@@ -75,6 +75,31 @@ class AmplifySpec extends SparkSuite {
       "block keys must never merge across copies")
   }
 
+  test("customer cipher keyspace extends past 36 copies (supercopy odd-position term)") {
+    // Pre-extension, copy c and c+36 shared the digit map (7c mod 36),
+    // re-merging blocks at N > 36 and reintroducing the quadratic
+    // pair-count artifact. The odd-position 11·(copy div 36) term must
+    // keep the maps distinct across supercopies while preserving the
+    // within-copy block histogram.
+    val amp = Amplify.amplifyCustomer(spark, Tables.customer(spark, sfDir), 73)
+    def blocks(c: Long): Seq[String] =
+      amp.filter(col("c_custkey") >= c * Amplify.KeyOffset &&
+                 col("c_custkey") < c * Amplify.KeyOffset + Amplify.KeyOffset)
+        .select(substring(col("c_name"), 10, 7))
+        .collect().map(_.getString(0)).toSeq
+    val b0 = blocks(0); val b36 = blocks(36); val b72 = blocks(72)
+    assert(b0.toSet.intersect(b36.toSet).isEmpty,
+      "copy 36 must not reuse copy 0's digit map")
+    assert(b36.toSet.intersect(b72.toSet).isEmpty)
+    assert(b0.toSet.intersect(b72.toSet).isEmpty)
+    assert(b36.groupBy(identity).map(_._2.size).toSeq.sorted ==
+           b0.groupBy(identity).map(_._2.size).toSeq.sorted,
+      "block-size histogram must be isomorphic in the extended range")
+    intercept[IllegalArgumentException] {
+      Amplify.amplifyCustomer(spark, Tables.customer(spark, sfDir), 1297)
+    }
+  }
+
   test("embeddings: sign perturbation is an exact within-copy isometry") {
     val dot = (a: String, b: String) =>
       expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")

@@ -63,6 +63,16 @@ class BenchJsonSpec extends AnyFunSuite {
       s"tiny line must survive a bounded tail capture, got ${line.length} bytes")
   }
 
+  test("paths with quotes/backslashes/control chars stay parseable") {
+    val nasty = "/tmp/we\"ird\\dir\n"
+    val tiny = Bench.renderSummaryJson(
+      Seq(("a", Seq(1.0), true)), 1, nasty, nasty)
+    assert(mapper.readTree(tiny).get("sf").asText() == nasty)
+    assert(mapper.readTree(tiny).get("detail").asText() == nasty)
+    val full = Bench.renderJson(Seq(("a", 1.0, true)), 1, nasty)
+    assert(mapper.readTree(full).get("sf").asText() == nasty)
+  }
+
   test("detail JSON records min/median/max and raw runs per query") {
     val line = Bench.renderDetailJson(
       Seq(("a", Seq(1.0, 3.0, 2.0), true), ("bad", Seq(-1.0), false)), 3, "sf")
