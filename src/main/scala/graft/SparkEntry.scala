@@ -96,6 +96,16 @@ object SparkEntry {
     "x_drawdown"           -> ((s, dir) => Finance.maxDrawdown(s, dir)),
     "x_rsi"                -> ((s, dir) => Finance.rsi(s, dir)),
     "x_bollinger"          -> ((s, dir) => Finance.bollinger(s, dir)),
+    "x_macd"               -> ((s, dir) => Finance.macd(s, dir)),
+    "x_stochastic"         -> ((s, dir) => Finance.stochastic(s, dir)),
+    "x_sharpe"             -> ((s, dir) => Finance.sharpe(s, dir)),
+    "x_beta"               -> ((s, dir) => Finance.beta(s, dir)),
+    "x_obv"                -> ((s, dir) => Finance.obv(s, dir)),
+    "x_regr_trend"         -> ((s, dir) => Finance.regrTrend(s, dir)),
+    "x_cusum"              -> ((s, dir) => Finance.cusum(s, dir)),
+    "x_kaplan_meier"       -> ((s, dir) => Analytics.kaplanMeier(s, dir)),
+    "x_local_cc"           -> ((s, dir) => Graphs.localClustering(s, dir)),
+    "x_link_predict"       -> ((s, dir) => Graphs.linkPrediction(s, dir)),
     "x_benford"            -> ((s, dir) => Finance.benfordDigits(s, dir)),
     "x_rfm"                -> ((s, dir) => Analytics.rfmSegments(s, dir)),
     "x_attribution"        -> ((s, dir) => Analytics.lastTouchAttribution(s, dir)),
@@ -464,6 +474,20 @@ object SparkEntry {
       |degu AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY u),
       |n AS (SELECT COUNT(*)::DOUBLE AS nn FROM degu),
       |r0 AS (SELECT u AS node, 1.0::DOUBLE/nn AS r FROM degu, n)""".stripMargin
+
+  /** Truncated-EMA weighted-sum SQL (the MACD family): numerator /
+    * present-weight denominator chains over `Finance.Macd*W`. The
+    * Double coefficients print via toString (shortest round-trip
+    * repr), so DuckDB parses back the bit-identical binary the Spark
+    * plan multiplies as `lit`s — every product and the left-assoc sum
+    * chain is the same IEEE arithmetic in both engines.
+    */
+  private def wsumNumSql(src: String, coefs: Seq[Double]): String =
+    coefs.zipWithIndex.map { case (w, j) =>
+      s"COALESCE(lag($src, $j) OVER w * $w, 0)" }.mkString(" + ")
+  private def wsumDenSql(src: String, coefs: Seq[Double]): String =
+    coefs.zipWithIndex.map { case (w, j) =>
+      s"CASE WHEN lag($src, $j) OVER w IS NOT NULL THEN $w ELSE 0 END" }.mkString(" + ")
 
   private val emaNumSql: String = (0 until 16)
     .map(j => s"COALESCE(lag(m, $j) OVER w * ${1L << (15 - j)}, 0)")
@@ -3529,6 +3553,205 @@ object SparkEntry {
         |GROUP BY symbol
         |HAVING COUNT(*) >= 3 AND stddev_samp(ret) > 0 AND stddev_samp(ret_lag) > 0
         |ORDER BY symbol""".stripMargin),
+
+    // MACD(12,26,9) as truncated explicit-weight EMAs — the weight
+    // doubles come from Finance.Macd*W via toString, so both engines
+    // run the identical IEEE chain (see wsumNumSql)
+    "x_macd" ->
+      (finQuoteCte + s""",
+        |e AS (SELECT symbol, id, price, ts_epoch,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |f AS (SELECT symbol, id, price, ts_epoch,
+        |        (${wsumNumSql("m", graft.operators.Finance.MacdFastW)})
+        |          / (${wsumDenSql("m", graft.operators.Finance.MacdFastW)})
+        |        - (${wsumNumSql("m", graft.operators.Finance.MacdSlowW)})
+        |          / (${wsumDenSql("m", graft.operators.Finance.MacdSlowW)}) AS macd_raw
+        |      FROM e WINDOW w AS (PARTITION BY symbol ORDER BY ts_epoch, id)),
+        |g AS (SELECT symbol, id, price, macd_raw,
+        |        (${wsumNumSql("macd_raw", graft.operators.Finance.MacdSignalW)})
+        |          / (${wsumDenSql("macd_raw", graft.operators.Finance.MacdSignalW)}) AS signal_raw
+        |      FROM f WINDOW w AS (PARTITION BY symbol ORDER BY ts_epoch, id))
+        |SELECT symbol, id, price,
+        |  round(macd_raw / 100, 6) AS macd,
+        |  round(signal_raw / 100, 6) AS signal_line,
+        |  round((macd_raw - signal_raw) / 100, 6) AS histogram
+        |FROM g ORDER BY symbol, id""".stripMargin),
+
+    "x_stochastic" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, price, ts_epoch,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |k AS (SELECT symbol, id, price, ts_epoch, m,
+        |        ROW_NUMBER() OVER w AS rn, MIN(m) OVER f AS mn, MAX(m) OVER f AS mx
+        |      FROM e WINDOW
+        |        w AS (PARTITION BY symbol ORDER BY ts_epoch, id),
+        |        f AS (PARTITION BY symbol ORDER BY ts_epoch, id
+        |              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |p AS (SELECT symbol, id, price, ts_epoch, rn,
+        |        CASE WHEN mx = mn THEN 50.0
+        |             ELSE round(100.0 * (m - mn) / (mx - mn), 6) END AS pct_k
+        |      FROM k),
+        |d AS (SELECT symbol, id, price, rn, pct_k,
+        |        round((pct_k + lag(pct_k, 1) OVER w + lag(pct_k, 2) OVER w) / 3, 6) AS pct_d
+        |      FROM p WINDOW w AS (PARTITION BY symbol ORDER BY ts_epoch, id))
+        |SELECT symbol, id, price, pct_k, pct_d FROM d
+        |WHERE rn >= 16 ORDER BY symbol, id""".stripMargin),
+
+    "x_sharpe" ->
+      (finQuoteCte + """,
+        |r AS (SELECT symbol,
+        |        ln(price / LAG(price) OVER (PARTITION BY symbol ORDER BY ts_epoch, id)) AS ret
+        |      FROM q WHERE price > 0)
+        |SELECT symbol, COUNT(*)::BIGINT AS n_returns,
+        |  round(avg(ret) / stddev_samp(ret), 6) AS sharpe
+        |FROM r WHERE ret IS NOT NULL
+        |GROUP BY symbol
+        |HAVING COUNT(*) >= 3 AND stddev_samp(ret) > 0
+        |ORDER BY symbol""".stripMargin),
+
+    "x_beta" ->
+      (finQuoteCte + """,
+        |dm AS (SELECT symbol, day,
+        |         CAST(CAST(SUM(CAST(price AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |           / COUNT(*) AS mean_price
+        |       FROM q GROUP BY 1, 2),
+        |r AS (SELECT symbol, day, mean_price,
+        |        lag(mean_price, 1) OVER (PARTITION BY symbol ORDER BY day) AS prev
+        |      FROM dm),
+        |rr AS (SELECT symbol, day, round(ln(mean_price / prev), 6) AS ret
+        |       FROM r WHERE prev IS NOT NULL AND prev > 0 AND mean_price > 0),
+        |mkt AS (SELECT day,
+        |          CAST(CAST(SUM(CAST(ret AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |            / COUNT(*) AS mkt_ret
+        |        FROM rr GROUP BY day)
+        |SELECT symbol, COUNT(*)::BIGINT AS n_days,
+        |  round(covar_samp(ret, mkt_ret) / var_samp(mkt_ret), 6) AS beta
+        |FROM rr JOIN mkt USING (day)
+        |GROUP BY symbol
+        |HAVING COUNT(*) >= 10 AND var_samp(mkt_ret) > 0
+        |ORDER BY symbol""".stripMargin),
+
+    "x_obv" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, price, volume, ts_epoch,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |s AS (SELECT symbol, id, price, ts_epoch,
+        |        CASE WHEN m - lag(m, 1) OVER w > 0 THEN volume
+        |             WHEN m - lag(m, 1) OVER w < 0 THEN -volume
+        |             ELSE 0 END AS sv
+        |      FROM e WINDOW w AS (PARTITION BY symbol ORDER BY ts_epoch, id))
+        |SELECT symbol, id, price,
+        |  (SUM(sv) OVER (PARTITION BY symbol ORDER BY ts_epoch, id
+        |                 ROWS UNBOUNDED PRECEDING))::BIGINT AS obv
+        |FROM s ORDER BY symbol, id""".stripMargin),
+
+    "x_regr_trend" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, CAST(round(price * 100) AS BIGINT) AS m,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY ts_epoch, id) AS BIGINT) AS x
+        |      FROM q),
+        |s AS (SELECT symbol, COUNT(*)::BIGINT AS n_ticks,
+        |        CAST(SUM(x) AS DECIMAL(19,0)) AS sx, CAST(SUM(m) AS DECIMAL(19,0)) AS sy,
+        |        CAST(SUM(x * x) AS DECIMAL(19,0)) AS sxx, CAST(SUM(x * m) AS DECIMAL(19,0)) AS sxy
+        |      FROM e GROUP BY symbol),
+        |t AS (SELECT symbol, n_ticks, sx, sy, sxy,
+        |        CAST(n_ticks AS DECIMAL(19,0)) * sxx - sx * sx AS den
+        |      FROM s)
+        |SELECT symbol, n_ticks,
+        |  round(CAST(CAST(CAST(n_ticks AS DECIMAL(19,0)) * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+        |        / CAST(CAST(den AS VARCHAR) AS DOUBLE) / 100, 6) AS slope_per_tick,
+        |  round((CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+        |         - CAST(CAST(CAST(n_ticks AS DECIMAL(19,0)) * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+        |           / CAST(CAST(den AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+        |        / n_ticks / 100, 6) AS intercept
+        |FROM t WHERE n_ticks >= 3 AND den <> 0 ORDER BY symbol""".stripMargin),
+
+    "x_cusum" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cw AS (SELECT symbol, id,
+        |         CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+        |         (SUM(m) OVER (PARTITION BY symbol ORDER BY ts_epoch, id
+        |                       ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
+        |         (COUNT(*) OVER (PARTITION BY symbol))::BIGINT AS n,
+        |         (SUM(m) OVER (PARTITION BY symbol))::BIGINT AS total
+        |       FROM e WINDOW w AS (PARTITION BY symbol ORDER BY ts_epoch, id)),
+        |d AS (SELECT symbol, id, t, n, n * cum - t * total AS dev FROM cw),
+        |r AS (SELECT symbol, id, t, n, dev,
+        |        ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY abs(dev) DESC, t) AS rk
+        |      FROM d)
+        |SELECT symbol, n AS n_ticks, t AS cp_tick, id AS cp_id, abs(dev)::BIGINT AS abs_dev,
+        |  round(CAST(abs(dev) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 100, 6)
+        |    AS cusum_stat
+        |FROM r WHERE rk = 1 AND n >= 3 ORDER BY symbol""".stripMargin),
+
+    "x_kaplan_meier" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey FROM orders),
+        |r AS (SELECT o_custkey, d,
+        |        ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS rn FROM o),
+        |f AS (SELECT o_custkey, d AS d0 FROM r WHERE rn = 1),
+        |s AS (SELECT o_custkey, d AS d1 FROM r WHERE rn = 2),
+        |mx AS (SELECT MAX(d) AS dmax FROM o),
+        |dur AS (SELECT CAST(CASE WHEN s.d1 IS NOT NULL THEN date_diff('day', f.d0, s.d1)
+        |                         ELSE date_diff('day', f.d0, mx.dmax) END AS BIGINT) AS t,
+        |               CASE WHEN s.d1 IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |        FROM f LEFT JOIN s USING (o_custkey), mx),
+        |byt AS (SELECT t, SUM(ev)::BIGINT AS d_events, SUM(1 - ev)::BIGINT AS c_censored,
+        |               COUNT(*)::BIGINT AS n_at FROM dur GROUP BY t),
+        |rsk AS (SELECT t, d_events, c_censored,
+        |          (SUM(n_at) OVER ()
+        |           - COALESCE(SUM(n_at) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                      AND 1 PRECEDING), 0))::BIGINT AS n_risk
+        |        FROM byt),
+        |evt AS (SELECT t, n_risk, d_events, c_censored,
+        |          CASE WHEN d_events < n_risk
+        |               THEN CAST(round(ln(1 - d_events / CAST(n_risk AS DOUBLE)), 12)
+        |                         AS DECIMAL(18,12)) END AS factor
+        |        FROM rsk WHERE d_events > 0),
+        |km AS (SELECT t, n_risk, d_events, c_censored,
+        |         SUM(factor) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum FROM evt)
+        |SELECT t AS t_days, n_risk, d_events, c_censored,
+        |  round(exp(CAST(cum AS DOUBLE)), 6) AS km_survival
+        |FROM km ORDER BY t_days""".stripMargin,
+
+    "x_local_cc" ->
+      (graphCoCte + """,
+        |degv AS (SELECT v, COUNT(*) AS d FROM
+        |  (SELECT pa AS v FROM co UNION ALL SELECT pb FROM co) GROUP BY v),
+        |o AS (
+        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND pa < pb) THEN pa ELSE pb END AS src,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND pa < pb) THEN pb ELSE pa END AS dst
+        |  FROM co JOIN degv da ON da.v = co.pa JOIN degv db ON db.v = co.pb),
+        |w AS (SELECT e1.src AS ctr, e1.dst AS w1, e2.dst AS w2 FROM o e1
+        |      JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+        |cl AS (SELECT ctr, w1, w2 FROM w JOIN o ON w.w1 = o.src AND w.w2 = o.dst
+        |       UNION ALL
+        |       SELECT ctr, w1, w2 FROM w JOIN o ON w.w2 = o.src AND w.w1 = o.dst),
+        |tri AS (SELECT v, COUNT(*) AS t FROM (
+        |          SELECT ctr AS v FROM cl UNION ALL SELECT w1 FROM cl
+        |          UNION ALL SELECT w2 FROM cl)
+        |        GROUP BY v)
+        |SELECT degv.v AS node, degv.d::BIGINT AS degree,
+        |  COALESCE(tri.t, 0)::BIGINT AS n_triangles,
+        |  round(2.0 * COALESCE(tri.t, 0) / (degv.d * (degv.d - 1)), 6) AS local_cc
+        |FROM degv LEFT JOIN tri ON tri.v = degv.v
+        |WHERE degv.d >= 2 ORDER BY node""".stripMargin),
+
+    "x_link_predict" ->
+      (graphCoCte + """,
+        |c AS (SELECT u AS z, v AS x,
+        |        CAST(round(1.0 / ln(CAST(d AS DOUBLE)), 12) AS DECIMAL(18,12)) AS wgt
+        |      FROM adj JOIN degu USING (u) WHERE d >= 2 AND d <= 200),
+        |p AS (SELECT l.x AS a, r.x AS b, COUNT(*)::BIGINT AS n_common,
+        |        CAST(SUM(l.wgt) AS DECIMAL(20,12)) AS aa_score
+        |      FROM c l JOIN c r ON l.z = r.z AND l.x < r.x
+        |      GROUP BY 1, 2),
+        |cand AS (SELECT a, b, n_common, aa_score FROM p
+        |         WHERE NOT EXISTS (SELECT 1 FROM co WHERE co.pa = p.a AND co.pb = p.b)),
+        |top AS (SELECT * FROM cand ORDER BY aa_score DESC, a, b LIMIT 50)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY aa_score DESC, a, b) AS BIGINT) AS rk,
+        |  a AS node_a, b AS node_b, n_common, aa_score
+        |FROM top ORDER BY rk""".stripMargin),
 
     "x_drawdown" ->
       (finQuoteCte + """,

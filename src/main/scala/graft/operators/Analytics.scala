@@ -2116,4 +2116,64 @@ object Analytics {
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"))
       .orderBy("col_name")
+
+  /** Kaplan-Meier estimator of repeat-purchase survival: duration =
+    * days from a customer's first order to their second (event), or
+    * to the last observed order date (right-censored). One row per
+    * event time with the risk set, event/censor counts, and the
+    * product-limit survival estimate — the churn-analysis primitive
+    * (how long until a customer comes back, honestly accounting for
+    * the ones who haven't yet).
+    *
+    * Determinism: counts are integers; each hazard factor
+    * ln(1 - d/n) is round-12 then DECIMAL(18,12) so the cumulative
+    * log-survival is an exact decimal sum (the x_bigram_ppl
+    * discipline), and the final exp/round-6 maps identical decimals
+    * through identical doubles. A terminal time with d = n (risk set
+    * exhausted) yields NULL survival on both engines (S = 0, outside
+    * log space).
+    *
+    * Scale shape: the corpus-sized work is one (customer) window for
+    * first/second orders and one groupBy(t); the KM recursion then
+    * runs over the DURATION-DISTINCT table, bounded by the calendar
+    * span like Benford's 9-row rollup — a global window over it is
+    * bounded at any corpus scale.
+    */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"), col("o_orderkey"))
+    val byCust = Window.partitionBy("o_custkey").orderBy(col("d").asc, col("o_orderkey").asc)
+    val ranked = o.withColumn("rn", row_number().over(byCust))
+      .filter(col("rn") <= 2)
+      .localCheckpoint()
+    val first  = ranked.filter(col("rn") === 1).select(col("o_custkey"), col("d").as("d0"))
+    val second = ranked.filter(col("rn") === 2).select(col("o_custkey"), col("d").as("d1"))
+    val dmax = o.agg(max(col("d")).as("dmax")) // 1-row bound
+    val dur = first.join(second, Seq("o_custkey"), "left")
+      .crossJoin(broadcast(dmax))
+      .select(
+        when(col("d1").isNotNull, datediff(col("d1"), col("d0")))
+          .otherwise(datediff(col("dmax"), col("d0"))).cast("long").as("t"),
+        when(col("d1").isNotNull, lit(1L)).otherwise(lit(0L)).as("ev"))
+    val byT = dur.groupBy("t")
+      .agg(sum(col("ev")).as("d_events"),
+           sum(lit(1L) - col("ev")).as("c_censored"),
+           count(lit(1)).as("n_at"))
+    val ordT = Window.orderBy(col("t").asc)
+    byT
+      .withColumn("n_risk",
+        sum(col("n_at")).over(ordT.rowsBetween(Window.unboundedPreceding,
+                                               Window.unboundedFollowing)) -
+        coalesce(sum(col("n_at")).over(ordT.rowsBetween(Window.unboundedPreceding, -1)),
+                 lit(0L)))
+      .filter(col("d_events") > 0)
+      .withColumn("factor",
+        when(col("d_events") < col("n_risk"),
+          round(log(lit(1.0) - col("d_events").cast("double") / col("n_risk")), 12)
+            .cast("decimal(18,12)")))
+      .withColumn("cum", sum(col("factor")).over(ordT.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("t").as("t_days"), col("n_risk"), col("d_events"), col("c_censored"),
+        round(exp(col("cum").cast("double")), 6).as("km_survival"))
+      .orderBy("t_days")
+  }
 }

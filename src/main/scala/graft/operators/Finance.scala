@@ -294,4 +294,242 @@ object Finance {
       .drop("sd_ret", "sd_lag")
       .orderBy("symbol")
   }
+
+  /** Truncation depth for the explicit-weight EMA family ([[macd]]):
+    * 40 lags keeps the largest dropped weight below 2.3e-3 of the
+    * slow EMA's mass while the weighted sum stays a flat, codegen'd
+    * expression chain — the non-recursive formulation Spark windows
+    * can evaluate (a true recursive EMA needs per-row state; the
+    * streaming twin has it, batch uses the same truncated weights in
+    * BOTH engines so the oracle is engine-exact by construction).
+    */
+  val MacdLags = 40
+
+  /** MACD(12, 26, 9) weight ladders, alpha = 2/(span+1). These Doubles
+    * are THE shared contract: the DataFrame plan multiplies them as
+    * `lit`s and the oracle SQL prints them via `toString` (shortest
+    * round-trip repr, so DuckDB parses back the identical binary) —
+    * every product, the left-associated sum chain, and the final
+    * divide run the same IEEE ops on the same bits in both engines.
+    */
+  private[graft] val MacdFastW: Seq[Double] =
+    (0 until MacdLags).map(j => (2.0 / 13) * math.pow(11.0 / 13, j))
+  private[graft] val MacdSlowW: Seq[Double] =
+    (0 until MacdLags).map(j => (2.0 / 27) * math.pow(25.0 / 27, j))
+  private[graft] val MacdSignalW: Seq[Double] =
+    (0 until MacdLags).map(j => (2.0 / 10) * math.pow(8.0 / 10, j))
+
+  /** Warm-up-adaptive truncated EMA: weighted sum over the available
+    * lags normalized by the weight actually present (the x_ema
+    * convention, so early rows are defined instead of NULL-poisoned).
+    */
+  private def truncEma(src: Column, ord: org.apache.spark.sql.expressions.WindowSpec,
+                       coefs: Seq[Double]): Column = {
+    val num = coefs.zipWithIndex.map { case (w, j) =>
+      coalesce(lag(src, j).over(ord) * lit(w), lit(0.0)) }.reduce(_ + _)
+    val den = coefs.zipWithIndex.map { case (w, j) =>
+      when(lag(src, j).over(ord).isNotNull, lit(w)).otherwise(lit(0.0)) }.reduce(_ + _)
+    num / den
+  }
+
+  /** MACD(12, 26, 9) per symbol per tick: fast EMA minus slow EMA,
+    * a signal EMA of the MACD line, and the histogram — the standard
+    * momentum triple on top of [[rsi]]/[[bollinger]]. All three EMAs
+    * are the [[MacdLags]]-truncated explicit-weight form over integer
+    * cents, so the whole computation is deterministic double
+    * arithmetic shared bit-for-bit with the oracle.
+    *
+    * Scale shape: ONE (symbol) exchange serves all three window
+    * layers (same partitioning, Catalyst reuses the sort); the lag
+    * chains are flat projections inside whole-stage codegen — no
+    * joins, no state, millions of symbols in parallel.
+    */
+  def macd(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    quotes(spark, dir)
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+      .withColumn("macd_raw",
+        truncEma(col("m"), ord, MacdFastW) - truncEma(col("m"), ord, MacdSlowW))
+      .withColumn("signal_raw", truncEma(col("macd_raw"), ord, MacdSignalW))
+      .select(col("symbol"), col("id"), col("price"),
+        round(col("macd_raw") / 100, 6).as("macd"),
+        round(col("signal_raw") / 100, 6).as("signal_line"),
+        round((col("macd_raw") - col("signal_raw")) / 100, 6).as("histogram"))
+      .orderBy("symbol", "id")
+  }
+
+  /** Stochastic oscillator %K(14) / %D(3) per symbol per tick. %K is
+    * exact integer arithmetic until one divide (cents vs the rolling
+    * 14-tick min/max); a flat window (max = min) is the conventional
+    * 50. %D is the explicit 3-lag mean of the ROUNDED %K — lag chain,
+    * not avg(), so the summation order is pinned in both engines.
+    * Emitted once both frames are full (rn >= 16). Same single
+    * (symbol) exchange as the RSI family.
+    */
+  def stochastic(spark: SparkSession, dir: String): DataFrame = {
+    val ord   = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    val frame = ord.rowsBetween(-13, 0)
+    quotes(spark, dir)
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("mn", min(col("m")).over(frame))
+      .withColumn("mx", max(col("m")).over(frame))
+      .withColumn("pct_k",
+        when(col("mx") === col("mn"), lit(50.0))
+          .otherwise(round(lit(100.0) * (col("m") - col("mn")) / (col("mx") - col("mn")), 6)))
+      .withColumn("pct_d",
+        round((col("pct_k") + lag(col("pct_k"), 1).over(ord) +
+               lag(col("pct_k"), 2).over(ord)) / 3, 6))
+      .filter(col("rn") >= 16)
+      .select("symbol", "id", "price", "pct_k", "pct_d")
+      .orderBy("symbol", "id")
+  }
+
+  /** Per-symbol Sharpe ratio on per-tick log returns (risk-free rate
+    * 0): mean/stddev, the scale-free risk screen beside [[logReturnVolatility]].
+    * Same degenerate-group discipline as [[autocorr]]: constant-price
+    * symbols (sd = 0) are dropped on both engines. round-6 is the
+    * tracked tolerance class for moment aggregates (summation order).
+    */
+  def sharpe(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    quotes(spark, dir)
+      .filter(col("price") > 0)
+      .withColumn("ret", log(col("price") / lag(col("price"), 1).over(w)))
+      .filter(col("ret").isNotNull)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_returns"),
+           round(avg(col("ret")) / stddev_samp(col("ret")), 6).as("sharpe"),
+           stddev_samp(col("ret")).as("sd"))
+      .filter(col("n_returns") >= 3 && col("sd") > 0)
+      .drop("sd")
+      .orderBy("symbol")
+  }
+
+  /** Per-symbol market beta: covariance of the symbol's daily return
+    * with the equal-weight market return over the shared days, over
+    * the market variance. Daily returns are round-6 BEFORE the
+    * market average (identical doubles in), the market mean is an
+    * exact decimal-sum divide, and the final moment ratio is round-6
+    * (tolerance class).
+    *
+    * Scale shape: the fact-table work is one (symbol, day) aggregate;
+    * the market table is one row per DAY — bounded by the calendar,
+    * not the corpus — so it broadcasts to the per-symbol join at any
+    * scale. No symbol x symbol pairing anywhere (contrast
+    * [[pairCorrelation]], which caps its universe instead).
+    */
+  def beta(spark: SparkSession, dir: String, minDays: Int = 10): DataFrame = {
+    val byDay = Window.partitionBy("symbol").orderBy("day")
+    val daily = quotes(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("symbol", "day")
+      .agg((sum(col("price").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("mean_price"))
+      .withColumn("prev", lag(col("mean_price"), 1).over(byDay))
+      .filter(col("prev").isNotNull && col("prev") > 0 && col("mean_price") > 0)
+      .withColumn("ret", round(log(col("mean_price") / col("prev")), 6))
+      .select("symbol", "day", "ret")
+      .localCheckpoint()
+    val market = daily.groupBy("day")
+      .agg((sum(col("ret").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("mkt_ret"))
+    daily.join(broadcast(market), "day")
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"),
+           round(covar_samp(col("ret"), col("mkt_ret")) /
+                 var_samp(col("mkt_ret")), 6).as("beta"),
+           var_samp(col("mkt_ret")).as("v"))
+      .filter(col("n_days") >= minDays && col("v") > 0)
+      .drop("v")
+      .orderBy("symbol")
+  }
+
+  /** On-balance volume per symbol per tick: the running sum of
+    * sign(price change) x volume — all integer arithmetic on cents
+    * and volumes, exact at any scale. One (symbol) exchange serves
+    * the lag, the sign, and the running sum.
+    */
+  def obv(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    quotes(spark, dir)
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+      .withColumn("delta", col("m") - lag(col("m"), 1).over(ord))
+      .withColumn("signed_vol",
+        when(col("delta") > 0, col("volume"))
+          .when(col("delta") < 0, -col("volume"))
+          .otherwise(lit(0L)))
+      .withColumn("obv", sum(col("signed_vol")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("symbol", "id", "price", "obv")
+      .orderBy("symbol", "id")
+  }
+
+  /** Per-symbol OLS price trend: slope/intercept of cents against the
+    * tick index, from the closed-form normal equations on BIGINT
+    * power sums promoted to DECIMAL(19,0) (n*Sxy overflows int64 at
+    * ~1e5-tick series; 19-digit operands keep every product inside
+    * the 38-digit decimal both engines share, exact through ~1e6-tick
+    * series at 6-digit prices). The only doubles are
+    * the two final divides of identical decimals — engine-exact, with
+    * round-6 for presentation only.
+    *
+    * Scale shape: one (symbol) exchange for the row_number, then a
+    * plain per-symbol hash aggregate of 5 sums — the textbook
+    * map-side-combine shape, no window over the full series needed
+    * beyond the index.
+    */
+  def regrTrend(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    val dec = "decimal(19,0)"
+    quotes(spark, dir)
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+      .withColumn("x", row_number().over(ord).cast("long"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_ticks"),
+           sum(col("x")).cast(dec).as("sx"),
+           sum(col("m")).cast(dec).as("sy"),
+           sum(col("x") * col("x")).cast(dec).as("sxx"),
+           sum(col("x") * col("m")).cast(dec).as("sxy"))
+      .withColumn("den", col("n_ticks").cast(dec) * col("sxx") - col("sx") * col("sx"))
+      .filter(col("n_ticks") >= 3 && col("den") =!= 0)
+      .select(col("symbol"), col("n_ticks"),
+        round((col("n_ticks").cast(dec) * col("sxy") - col("sx") * col("sy")).cast("double") /
+              col("den").cast("double") / 100, 6).as("slope_per_tick"),
+        round((col("sy").cast("double") -
+               (col("n_ticks").cast(dec) * col("sxy") - col("sx") * col("sy")).cast("double") /
+               col("den").cast("double") * col("sx").cast("double")) /
+              col("n_ticks") / 100, 6).as("intercept"))
+      .orderBy("symbol")
+  }
+
+  /** Per-symbol CUSUM changepoint screen: the tick index t maximizing
+    * |n*S_t - t*S_n| (the mean-shift CUSUM statistic scaled through
+    * by n to stay in INTEGER cents — no mean subtraction, no floats
+    * anywhere). Reports the changepoint tick and the normalized
+    * statistic. Ties on |dev| break to the earliest tick. One
+    * (symbol) exchange serves the cumulative sum, the totals, and the
+    * argmax row_number.
+    */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    val ord  = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byDev = Window.partitionBy("symbol")
+      .orderBy(abs(col("dev")).desc, col("t").asc)
+    quotes(spark, dir)
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+      .withColumn("t", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum(col("m")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("total", sum(col("m")).over(full))
+      .withColumn("dev", col("n") * col("cum") - col("t") * col("total"))
+      .withColumn("rk", row_number().over(byDev))
+      .filter(col("rk") === 1 && col("n") >= 3)
+      .select(col("symbol"), col("n").as("n_ticks"),
+        col("t").as("cp_tick"), col("id").as("cp_id"),
+        abs(col("dev")).as("abs_dev"),
+        round(abs(col("dev")).cast("double") /
+              (col("n").cast("double") * col("n").cast("double")) / 100, 6)
+          .as("cusum_stat"))
+      .orderBy("symbol")
+  }
 }

@@ -196,4 +196,105 @@ object Graphs {
       .select("rk", "node", "degree", "rank")
       .orderBy("rk")
   }
+
+  /** Per-node local clustering coefficient (Watts-Strogatz): closed
+    * wedges at each vertex over its (d choose 2) possible wedges —
+    * the node-level refinement of [[triangleCount]]'s one global
+    * ratio. Reuses the degree-orientation machinery: each triangle is
+    * FOUND once at its lowest-rank vertex, then credited to all three
+    * corners, so the per-node counts come from the same O(m^1.5)
+    * wedge join, never from per-node neighborhood intersections.
+    * Integer triangle/degree counts make the coefficient divide
+    * engine-exact; round-6 for presentation.
+    *
+    * Scale shape: identical to triangleCount (checkpointed oriented
+    * edges + wedge list, equi-joins only) plus one 8-byte-key
+    * groupBy; output is one row per node with degree >= 2.
+    */
+  def localClustering(spark: SparkSession, dir: String,
+                      minSupport: Int = 2): DataFrame = {
+    val e = coEdges(spark, dir, minSupport).localCheckpoint()
+    val deg = e.select(col("pa").as("v")).unionAll(e.select(col("pb").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("v").as("pa"), col("d").as("da")), "pa")
+      .join(deg.select(col("v").as("pb"), col("d").as("db")), "pb")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+           (col("da") === col("db") && col("pa") < col("pb")), col("pa"))
+        .otherwise(col("pb")).as("src"),
+      when(col("da") < col("db") ||
+           (col("da") === col("db") && col("pa") < col("pb")), col("pb"))
+        .otherwise(col("pa")).as("dst"))
+      .localCheckpoint()
+    // wedges KEEP the center vertex here: a closed wedge credits a
+    // triangle to ctr, w1, AND w2
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("ctr"), col("e1.dst").as("w1"), col("e2.dst").as("w2"))
+      .localCheckpoint()
+    val closed = wedges.join(oriented,
+        col("w1") === col("src") && col("w2") === col("dst"))
+      .select("ctr", "w1", "w2")
+      .unionAll(wedges.join(oriented,
+          col("w2") === col("src") && col("w1") === col("dst"))
+        .select("ctr", "w1", "w2"))
+    val perNode = closed.select(col("ctr").as("v"))
+      .unionAll(closed.select(col("w1").as("v")))
+      .unionAll(closed.select(col("w2").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("v"), "left")
+      .filter(col("d") >= 2)
+      .select(col("v").as("node"), col("d").as("degree"),
+        coalesce(col("tri"), lit(0L)).as("n_triangles"),
+        round(lit(2.0) * coalesce(col("tri"), lit(0L)) /
+              (col("d") * (col("d") - 1)), 6).as("local_cc"))
+      .orderBy("node")
+  }
+
+  /** Adamic-Adar link prediction over the co-purchase graph: for each
+    * non-adjacent pair sharing >= 1 neighbor, score = sum over common
+    * neighbors z of 1/ln(deg z), top-k candidates — the classic
+    * "parts bought together next" recommender signal.
+    *
+    * Determinism: each 1/ln(d) term is round-12 then DECIMAL(18,12),
+    * so the per-pair sum is an exact decimal regardless of join
+    * order (the x_bigram_ppl discipline); deg >= 2 holds for every
+    * common neighbor by construction, so ln(d) > 0.
+    *
+    * Scale shape: the pair generation is the wedge join keyed by the
+    * CENTER vertex, with hub centers capped at `degCap` (the GramDFCap
+    * move — a z with degree 10^5 would fan out 10^10 pairs while
+    * contributing 1/ln(10^5) ~ 0.09 to each; the cap is the
+    * analyst-facing recall/cost dial and the oracle mirrors it).
+    * Existing edges leave via an 8-byte-key anti-join; the top-k cut
+    * is TakeOrdered, never a global window.
+    */
+  def linkPrediction(spark: SparkSession, dir: String, minSupport: Int = 2,
+                     degCap: Int = 200, topK: Int = 50): DataFrame = {
+    val e = coEdges(spark, dir, minSupport).localCheckpoint()
+    val adj = e.select(col("pa").as("z"), col("pb").as("x"))
+      .unionAll(e.select(col("pb").as("z"), col("pa").as("x")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("d"))
+    // d >= 2: a degree-1 center can never be a COMMON neighbor, and
+    // ln(1) = 0 would poison the weight projection under ANSI mode
+    val centers = adj.join(deg.filter(col("d") >= 2 && col("d") <= degCap), "z")
+      .withColumn("w", round(lit(1.0) / log(col("d").cast("double")), 12)
+        .cast("decimal(18,12)"))
+    val pairs = centers.as("l").join(centers.as("r"),
+        col("l.z") === col("r.z") && col("l.x") < col("r.x"))
+      .groupBy(col("l.x").as("a"), col("r.x").as("b"))
+      .agg(count(lit(1)).as("n_common"),
+           sum(col("l.w")).cast("decimal(20,12)").as("aa_score"))
+    val candidates = pairs.join(e,
+        col("a") === col("pa") && col("b") === col("pb"), "left_anti")
+    val top = candidates
+      .orderBy(col("aa_score").desc, col("a"), col("b")).limit(topK)
+    broadcast(top)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("aa_score").desc, col("a"), col("b"))).cast("bigint"))
+      .select(col("rk"), col("a").as("node_a"), col("b").as("node_b"),
+        col("n_common"), col("aa_score"))
+      .orderBy("rk")
+  }
 }

@@ -162,4 +162,93 @@ class FinanceSpec extends SparkSuite {
       assert(math.abs(exp - 1.0) < 1e-4, s"exp mass $exp")
     } finally b.unpersist()
   }
+
+  test("MACD: histogram = macd - signal, one exchange, truncated weights normalize to 1") {
+    val m = Finance.macd(spark, sfDir).cache()
+    try {
+      // histogram is the rounded difference of the (unrounded) lines —
+      // it must sit within a rounding ulp of the rounded lines' diff
+      val bad = m.filter(
+        abs(col("histogram") - (col("macd") - col("signal_line"))) > 2e-6).count()
+      assert(bad === 0)
+      assert(m.count() === Tables.events(spark, sfDir).count(),
+        "adaptive warm-up normalization defines MACD from the first tick")
+    } finally m.unpersist()
+    // after unpersist: the cached InMemoryRelation would otherwise
+    // double-print the exchange in the explain
+    assert(hashExchanges(Finance.macd(spark, sfDir)) === 1)
+    // the weight ladders are geometric alpha*(1-alpha)^j, sum < 1,
+    // and the 40-lag truncation loss is the documented bound
+    Seq(Finance.MacdFastW -> (2.0 / 13), Finance.MacdSlowW -> (2.0 / 27),
+        Finance.MacdSignalW -> (2.0 / 10)).foreach { case (w, alpha) =>
+      assert(math.abs(w.head - alpha) < 1e-15)
+      assert(w.sum < 1.0 && w.sum > 1.0 - math.pow(1 - alpha, Finance.MacdLags) - 1e-12)
+    }
+  }
+
+  test("stochastic: %K in [0,100], flat windows read 50, warm-up drops 15 rows per symbol") {
+    val s = Finance.stochastic(spark, sfDir).cache()
+    try {
+      assert(s.filter(col("pct_k") < 0 || col("pct_k") > 100).count() === 0)
+      assert(s.filter(col("pct_d") < 0 || col("pct_d") > 100).count() === 0)
+      val perSym = s.groupBy("symbol").count()
+        .join(Finance.quotes(spark, sfDir).groupBy("symbol").count()
+          .withColumnRenamed("count", "n_ticks"), "symbol")
+        .filter(col("count") =!= greatest(col("n_ticks") - 15, lit(0L))).count()
+      assert(perSym === 0)
+    } finally s.unpersist()
+  }
+
+  test("sharpe/beta drop degenerate groups; obv conserves signed volume") {
+    val sh = Finance.sharpe(spark, sfDir)
+    assert(sh.filter(col("n_returns") < 3).count() === 0)
+    val b = Finance.beta(spark, sfDir)
+    assert(b.filter(col("n_days") < 10).count() === 0)
+    // OBV final value per symbol == the direct signed-volume sum
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    val direct = Finance.quotes(spark, sfDir)
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+      .withColumn("delta", col("m") - lag(col("m"), 1).over(ord))
+      .withColumn("sv", when(col("delta") > 0, col("volume"))
+        .when(col("delta") < 0, -col("volume")).otherwise(lit(0L)))
+      .groupBy("symbol").agg(sum(col("sv")).as("expected"))
+    val byLast = org.apache.spark.sql.expressions.Window
+      .partitionBy("symbol").orderBy(col("id").desc)
+    val last = Finance.obv(spark, sfDir)
+      .withColumn("rn", row_number().over(byLast))
+      .filter(col("rn") === 1)
+    assert(last.join(direct, "symbol")
+      .filter(col("obv") =!= col("expected")).count() === 0)
+  }
+
+  test("regr_trend recovers an exact synthetic line; cusum pins a mean shift") {
+    import spark.implicits._
+    // y = 300 + 7x cents over 50 ticks: slope exactly 0.07 dollars/tick
+    val line = (1 to 50).map(i => (i.toLong, 3.0 + 0.07 * i))
+      .toDF("event_id", "value")
+      .withColumn("user_id", lit(1L))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("event_id")))
+      .withColumn("event_type", lit("tick"))
+      .withColumn("props", lit("""{"k": 10}"""))
+    val dir = java.nio.file.Files.createTempDirectory("trend").toString
+    line.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val t = Finance.regrTrend(spark, dir).head()
+    assert(t.getAs[Double]("slope_per_tick") === 0.07)
+    assert(t.getAs[Double]("intercept") === 3.0)
+    // step series: 100 ticks at 1.00 then 100 at 2.00 — CUSUM changepoint
+    // is the boundary (tick 100), where |n*S_t - t*S_n| peaks
+    val step = (1 to 200).map(i => (i.toLong, if (i <= 100) 1.0 else 2.0))
+      .toDF("event_id", "value")
+      .withColumn("user_id", lit(1L))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("event_id")))
+      .withColumn("event_type", lit("tick"))
+      .withColumn("props", lit("""{"k": 10}"""))
+    val dir2 = java.nio.file.Files.createTempDirectory("cusum").toString
+    step.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val c = Finance.cusum(spark, dir2).head()
+    assert(c.getAs[Long]("cp_tick") === 100L)
+  }
 }

@@ -29,6 +29,38 @@ class GraphsSpec extends SparkSuite {
     } finally e.unpersist()
   }
 
+  test("local clustering: per-node triangle credits sum to 3x the global count, cc in [0,1]") {
+    val cc = Graphs.localClustering(spark, sfDir).cache()
+    try {
+      val global = Graphs.triangleCount(spark, sfDir).head().getAs[Long]("n_triangles")
+      // every triangle credits its three corners exactly once each
+      assert(cc.agg(sum("n_triangles")).head().getLong(0) === 3 * global)
+      assert(cc.filter(col("local_cc") < 0 || col("local_cc") > 1).count() === 0)
+      // a node's triangles cannot exceed its (d choose 2) wedge capacity
+      assert(cc.filter(col("n_triangles") >
+        col("degree") * (col("degree") - 1) / 2).count() === 0)
+    } finally cc.unpersist()
+  }
+
+  test("link prediction: candidates are non-edges, scores positive and rank-ordered") {
+    val lp = Graphs.linkPrediction(spark, sfDir).cache()
+    try {
+      assert(lp.count() <= 50)
+      val e = Graphs.coEdges(spark, sfDir, minSupport = 2)
+      assert(lp.join(e, col("node_a") === col("pa") && col("node_b") === col("pb"))
+        .count() === 0, "a predicted link must not already be an edge")
+      assert(lp.filter(col("aa_score") <= 0 || col("n_common") < 1).count() === 0)
+      // rk order is (score desc, a, b): no later row outscores an earlier one
+      val rows = lp.orderBy("rk").collect()
+      rows.sliding(2).foreach { case Array(hi, lo) =>
+        val sHi = hi.getAs[java.math.BigDecimal]("aa_score")
+        val sLo = lo.getAs[java.math.BigDecimal]("aa_score")
+        assert(sHi.compareTo(sLo) >= 0)
+      case _ => ()
+      }
+    } finally lp.unpersist()
+  }
+
   test("pagerank: full vector is a probability distribution, top-k ordered and positive") {
     // topK large enough to surface every node -> mass must be ~1
     // (tolerance covers the round-6 per-node rounding)

@@ -254,4 +254,32 @@ class ProfilingSpec extends SparkSuite {
       assert(c.filter(col("band") < 0 || col("band") > 8).count() === 0)
     } finally c.unpersist()
   }
+
+  test("Kaplan-Meier: risk sets shrink, survival is non-increasing in (0, 1]") {
+    val km = Analytics.kaplanMeier(spark, sfDir).orderBy("t_days").collect()
+    assert(km.nonEmpty)
+    // population accounting: the first risk set carries every customer
+    // with at least one order minus those censored/evented strictly
+    // earlier; d <= n always
+    km.foreach { r =>
+      assert(r.getAs[Long]("d_events") >= 1)
+      assert(r.getAs[Long]("d_events") <= r.getAs[Long]("n_risk"))
+    }
+    // n_risk strictly decreases across event times (each event time
+    // removes at least its own d_events from the risk set)
+    km.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_risk") <
+               a.getAs[Long]("n_risk"), s"risk set must shrink: $a -> $b")
+        // km_survival is NULL only at a terminal d = n event time
+        if (!a.isNullAt(a.fieldIndex("km_survival")) &&
+            !b.isNullAt(b.fieldIndex("km_survival")))
+          assert(b.getAs[Double]("km_survival") <=
+                 a.getAs[Double]("km_survival") + 1e-9,
+            "survival must be non-increasing")
+      case _ => ()
+    }
+    val s0 = km.head.getAs[Double]("km_survival")
+    assert(s0 > 0.0 && s0 <= 1.0)
+  }
 }
