@@ -131,4 +131,153 @@ object StreamingIndicators {
           out.result().iterator
       }
   }
+
+  /** Spark's `round(x, 0)` on a double then bigint cast — the batch
+    * cents projection `round(price * 100).cast("bigint")`.
+    */
+  private def cents(price: Double): Long =
+    BigDecimal(price * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** The batch truncated-EMA chain ([[graft.operators.Finance.macd]]):
+    * sum_j COALESCE(lag_j * w_j, 0) / sum_j (w_j if lag_j present) —
+    * folded in ascending j (left-associated, exactly the generated
+    * expression order). `ring` is oldest-first; lag j reads from the
+    * newest end.
+    */
+  private def truncEma(ring: IndexedSeq[Double], coefs: Seq[Double]): Double = {
+    var num = 0.0; var den = 0.0
+    var j = 0
+    while (j < coefs.length) {
+      val idx = ring.length - 1 - j
+      if (idx >= 0) { num += ring(idx) * coefs(j); den += coefs(j) }
+      else { num += 0.0; den += 0.0 }
+      j += 1
+    }
+    num / den
+  }
+
+  /** ring of the last ≤[[graft.operators.Finance.MacdLags]] cents and
+    * of the last ≤MacdLags macd_raw values, both oldest-first. */
+  final case class MacdState(ms: List[Double], macds: List[Double])
+
+  final case class MacdOut(symbol: String, id: Long, price: Double,
+                           macd: Double, signal_line: Double, histogram: Double)
+
+  /** Streaming twin of [[graft.operators.Finance.macd]]: the same
+    * truncated-weight chains over per-symbol rings — adaptive warm-up
+    * normalization means every tick emits, from the first. Same
+    * sequential-state ordering contract as the RSI/Bollinger twins.
+    * State per live symbol: two rings of ≤40 doubles.
+    */
+  def withMacd(ticks: Dataset[Tick]): Dataset[MacdOut] = {
+    import ticks.sparkSession.implicits._
+    val lags = graft.operators.Finance.MacdLags
+    val fastW = graft.operators.Finance.MacdFastW
+    val slowW = graft.operators.Finance.MacdSlowW
+    val sigW  = graft.operators.Finance.MacdSignalW
+    ticks
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[MacdState, MacdOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Tick], state: GroupState[MacdState]) =>
+          val ordered = rows.toSeq.sortBy(t => (t.ts.getTime, t.id))
+          var st = state.getOption.getOrElse(MacdState(Nil, Nil))
+          val out = Seq.newBuilder[MacdOut]
+          ordered.foreach { t =>
+            val ms = (st.ms :+ cents(t.price).toDouble).takeRight(lags)
+            val ring = ms.toIndexedSeq
+            val macdRaw = truncEma(ring, fastW) - truncEma(ring, slowW)
+            val macds = (st.macds :+ macdRaw).takeRight(lags)
+            val signal = truncEma(macds.toIndexedSeq, sigW)
+            st = MacdState(ms, macds)
+            out += MacdOut(t.symbol, t.id, t.price,
+              round6(macdRaw / 100), round6(signal / 100),
+              round6((macdRaw - signal) / 100))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** ring of the last ≤14 cents and the last ≤3 %K values (both
+    * oldest-first), ticks seen. */
+  final case class StochState(ms: List[Long], ks: List[Double], n: Long)
+
+  final case class StochOut(symbol: String, id: Long, price: Double,
+                            pct_k: Double, pct_d: Double)
+
+  /** Streaming twin of [[graft.operators.Finance.stochastic]]: %K from
+    * the integer min/max of the cents ring (partial frames at warm-up
+    * exactly like the batch 13-PRECEDING frame), %D as the explicit
+    * current + lag1 + lag2 mean in the batch's association order.
+    * Emits once both frames are full (n >= 16).
+    */
+  def withStochastic(ticks: Dataset[Tick], period: Int = 14): Dataset[StochOut] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[StochState, StochOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Tick], state: GroupState[StochState]) =>
+          val ordered = rows.toSeq.sortBy(t => (t.ts.getTime, t.id))
+          var st = state.getOption.getOrElse(StochState(Nil, Nil, 0L))
+          val out = Seq.newBuilder[StochOut]
+          ordered.foreach { t =>
+            val m = cents(t.price)
+            val ms = (st.ms :+ m).takeRight(period)
+            val mn = ms.min; val mx = ms.max
+            val k =
+              if (mx == mn) 50.0
+              else round6(100.0 * (m - mn) / (mx - mn))
+            val ks = (st.ks :+ k).takeRight(3)
+            val n = st.n + 1
+            st = StochState(ms, ks, n)
+            if (n >= period + 2) {
+              // batch order: (current + lag1 + lag2) / 3
+              val d = round6((ks(2) + ks(1) + ks(0)) / 3)
+              out += StochOut(t.symbol, t.id, t.price, k, d)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  final case class VTick(symbol: String, id: Long,
+                         ts: java.sql.Timestamp, price: Double, volume: Long)
+
+  /** prev cents (for the next delta) and the running OBV. */
+  final case class ObvState(prev: Long, hasPrev: Boolean, obv: Long)
+
+  final case class ObvOut(symbol: String, id: Long, price: Double, obv: Long)
+
+  /** Streaming twin of [[graft.operators.Finance.obv]]: pure integer
+    * running state (prev cents + the on-balance volume), one row out
+    * per tick from the first (the batch's first-row NULL delta takes
+    * the 0 branch). State per live symbol: two longs.
+    */
+  def withObv(ticks: Dataset[VTick]): Dataset[ObvOut] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[ObvState, ObvOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[VTick], state: GroupState[ObvState]) =>
+          val ordered = rows.toSeq.sortBy(t => (t.ts.getTime, t.id))
+          var st = state.getOption.getOrElse(ObvState(0L, false, 0L))
+          val out = Seq.newBuilder[ObvOut]
+          ordered.foreach { t =>
+            val m = cents(t.price)
+            val sv =
+              if (!st.hasPrev) 0L
+              else if (m > st.prev) t.volume
+              else if (m < st.prev) -t.volume
+              else 0L
+            st = ObvState(m, true, st.obv + sv)
+            out += ObvOut(t.symbol, t.id, t.price, st.obv)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

@@ -141,6 +141,15 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_mutual_info"       -> 3,
     // the KL term sum inside ROUND; marginal CTEs are ::BIGINT-cast
     "x_kl_sources"        -> 1,
+    // (SUM(sv) OVER ...)::BIGINT — cast OUTSIDE the paren, scanner
+    // misses it, nothing escapes uncast
+    "x_obv"               -> 1,
+    // cum + total: both (SUM(m) OVER ...)::BIGINT parenthesized-cast
+    "x_cusum"             -> 2,
+    // the two n_at window sums escape through the outer (a - b)::BIGINT
+    // risk-set cast; the DECIMAL factor sum `cum` is consumed only as
+    // CAST(cum AS DOUBLE) inside exp() — the x_bigram_ppl class
+    "x_kaplan_meier"      -> 3,
     // window-SUM boundary counter — chunk_id is a GROUP BY key only,
     // never projected (the substring-island-counter class)
     "x_cdc_chunks"        -> 1,

@@ -619,6 +619,105 @@ class StreamingSpec extends SparkSuite {
       "stream==batch Bollinger drift (band edges must be bit-identical)")
   }
 
+  test("streaming MACD ring state equals the batch truncated-weight lines (in-order splits)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ms = MemoryStream[graft.streaming.StreamingIndicators.Tick]
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Double, Double, Double, Double)]
+    val q = graft.streaming.StreamingIndicators.withMacd(ms.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingIndicators.MacdOut], _: Long) =>
+        collected.synchronized {
+          collected ++= b.collect().map(o =>
+            (o.symbol, o.id, o.price, o.macd, o.signal_line, o.histogram))
+        }
+        ()
+      }
+      .start()
+    val ev = orderedTicks
+    val chunks = ev.grouped(math.max(1, ev.length / 4 + 1)).toSeq
+    try {
+      chunks.foreach { c =>
+        ms.addData(scala.util.Random.shuffle(c.toSeq)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val want = graft.operators.Finance.macd(spark, sfDir)
+      .select(col("symbol"), col("id"), col("price"),
+        col("macd"), col("signal_line"), col("histogram"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toSet
+    assert(want.nonEmpty, "batch MACD must emit at sf0.001")
+    assert(collected.toSet == want,
+      "stream==batch MACD drift (the weight chains must be bit-identical)")
+  }
+
+  test("streaming stochastic ring state equals the batch %K/%D (in-order splits)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ms = MemoryStream[graft.streaming.StreamingIndicators.Tick]
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Double, Double, Double)]
+    val q = graft.streaming.StreamingIndicators.withStochastic(ms.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingIndicators.StochOut], _: Long) =>
+        collected.synchronized {
+          collected ++= b.collect().map(o => (o.symbol, o.id, o.price, o.pct_k, o.pct_d))
+        }
+        ()
+      }
+      .start()
+    val ev = orderedTicks
+    val chunks = ev.grouped(math.max(1, ev.length / 3 + 1)).toSeq
+    try {
+      chunks.foreach { c =>
+        ms.addData(scala.util.Random.shuffle(c.toSeq)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val want = graft.operators.Finance.stochastic(spark, sfDir)
+      .select(col("symbol"), col("id"), col("price"), col("pct_k"), col("pct_d"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(want.nonEmpty, "batch stochastic must emit at sf0.001")
+    assert(collected.toSet == want, "stream==batch stochastic drift")
+  }
+
+  test("streaming OBV integer state equals the batch running sum (in-order splits)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ms = MemoryStream[graft.streaming.StreamingIndicators.VTick]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double, Long)]
+    val q = graft.streaming.StreamingIndicators.withObv(ms.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingIndicators.ObvOut], _: Long) =>
+        collected.synchronized {
+          collected ++= b.collect().map(o => (o.symbol, o.id, o.price, o.obv))
+        }
+        ()
+      }
+      .start()
+    val ev = graft.operators.Finance.quotes(spark, sfDir)
+      .select("symbol", "id", "ts", "price", "volume")
+      .collect()
+      .map(r => graft.streaming.StreamingIndicators.VTick(
+        r.getString(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3), r.getLong(4)))
+      .sortBy(t => (t.ts.getTime, t.id))
+    val chunks = ev.grouped(math.max(1, ev.length / 5 + 1)).toSeq
+    try {
+      chunks.foreach { c =>
+        ms.addData(scala.util.Random.shuffle(c.toSeq)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val want = graft.operators.Finance.obv(spark, sfDir)
+      .select(col("symbol"), col("id"), col("price"), col("obv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(want.nonEmpty)
+    assert(collected.toSet == want, "stream==batch OBV drift")
+  }
+
   test("streaming co-purchase edge store equals batch coEdges (order-spanning splits + replay)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.functions.col
