@@ -7,7 +7,7 @@
 # medians over SPARK_GRAFT_BENCH_RUNS.
 set -e -o pipefail
 cd "$(dirname "$0")/.."
-QUERIES=${PROBE_QUERIES:-x_macd,x_stochastic,x_sharpe,x_beta,x_obv,x_regr_trend,x_cusum,x_kaplan_meier,x_local_cc,x_link_predict}
+QUERIES=${PROBE_QUERIES:-x_macd,x_stochastic,x_sharpe,x_beta,x_obv,x_regr_trend,x_cusum,x_kaplan_meier,x_local_cc,x_link_predict,x_moments,x_eigencentrality,x_waiting_suppliers}
 NS=${PROBE_NS:-"3 10 30 100"}
 RUNS=${PROBE_RUNS:-2}
 OUT=${PROBE_OUT:-SCALING_r10.json}

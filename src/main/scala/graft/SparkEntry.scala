@@ -106,6 +106,9 @@ object SparkEntry {
     "x_kaplan_meier"       -> ((s, dir) => Analytics.kaplanMeier(s, dir)),
     "x_local_cc"           -> ((s, dir) => Graphs.localClustering(s, dir)),
     "x_link_predict"       -> ((s, dir) => Graphs.linkPrediction(s, dir)),
+    "x_moments"            -> ((s, dir) => Finance.moments(s, dir)),
+    "x_eigencentrality"    -> ((s, dir) => Graphs.eigenCentrality(s, dir)),
+    "x_waiting_suppliers"  -> ((s, dir) => Analytics.waitingSuppliers(s, dir)),
     "x_benford"            -> ((s, dir) => Finance.benfordDigits(s, dir)),
     "x_rfm"                -> ((s, dir) => Analytics.rfmSegments(s, dir)),
     "x_attribution"        -> ((s, dir) => Analytics.lastTouchAttribution(s, dir)),
@@ -3713,6 +3716,83 @@ object SparkEntry {
         |SELECT t AS t_days, n_risk, d_events, c_censored,
         |  round(exp(CAST(cum AS DOUBLE)), 6) AS km_survival
         |FROM km ORDER BY t_days""".stripMargin,
+
+    // higher moments from exact power sums: the built-in skewness/
+    // kurtosis aggregates define DIFFERENT statistics per engine
+    // (population vs bias-corrected), so the definition here is the
+    // operator's own; all decimal sums bridge to double via VARCHAR
+    // (scale-0 decimals convert correctly-rounded on both sides)
+    "x_moments" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |e2 AS (SELECT symbol, m, m * m AS m2 FROM e),
+        |s AS (SELECT symbol, COUNT(*)::BIGINT AS n_ticks,
+        |        CAST(SUM(m) AS DECIMAL(19,0)) AS s1,
+        |        CAST(SUM(m2) AS DECIMAL(19,0)) AS s2,
+        |        CAST(SUM(CAST(CAST(m2 AS DECIMAL(19,0)) * CAST(m AS DECIMAL(19,0))
+        |                 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s3,
+        |        CAST(SUM(CAST(CAST(m2 AS DECIMAL(19,0)) * CAST(m2 AS DECIMAL(19,0))
+        |                 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s4
+        |      FROM e2 GROUP BY symbol),
+        |d AS (SELECT symbol, n_ticks, CAST(n_ticks AS DOUBLE) AS dn,
+        |        CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS ds1,
+        |        CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS ds2,
+        |        CAST(CAST(s3 AS VARCHAR) AS DOUBLE) AS ds3,
+        |        CAST(CAST(s4 AS VARCHAR) AS DOUBLE) AS ds4
+        |      FROM s),
+        |mm AS (SELECT symbol, n_ticks, dn, ds2, ds3, ds4, ds1 / dn AS mean FROM d),
+        |mom AS (SELECT symbol, n_ticks, mean,
+        |          ds2 / dn - mean * mean AS m2,
+        |          ds3 / dn - 3.0 * mean * (ds2 / dn) + 2.0 * mean * mean * mean AS m3,
+        |          ds4 / dn - 4.0 * mean * (ds3 / dn) + 6.0 * mean * mean * (ds2 / dn)
+        |            - 3.0 * mean * mean * mean * mean AS m4
+        |        FROM mm)
+        |SELECT symbol, n_ticks, round(mean / 100, 6) AS mean_price,
+        |  round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+        |  round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
+        |FROM mom WHERE n_ticks >= 3 AND m2 > 0 ORDER BY symbol""".stripMargin),
+
+    // power-iteration eigenvector centrality, PageRank's unrolled-CTE
+    // discipline: per-round ROUND(sum,12) then ROUND(s/max,12)
+    "x_eigencentrality" ->
+      (graphCoCte + ",\n" +
+       "c0 AS (SELECT u AS node, 1.0::DOUBLE AS r FROM degu),\n" +
+       (1 to 5).map(i =>
+         s"""s$i AS (SELECT adj.v AS node, ROUND(SUM(c${i - 1}.r), 12) AS s
+            |  FROM adj JOIN c${i - 1} ON c${i - 1}.node = adj.u GROUP BY adj.v),
+            |m$i AS (SELECT MAX(s) AS mx FROM s$i),
+            |c$i AS (SELECT node, ROUND(s / mx, 12) AS r FROM s$i, m$i)""".stripMargin)
+         .mkString(",\n") + """,
+        |top AS (SELECT node, ROUND(r, 6) AS centrality FROM c5
+        |        ORDER BY centrality DESC, node LIMIT 20)
+        |SELECT ROW_NUMBER() OVER (ORDER BY centrality DESC, node)::BIGINT AS rk,
+        |  node, d AS degree, centrality
+        |FROM top JOIN degu ON degu.u = top.node
+        |ORDER BY rk""".stripMargin),
+
+    // TPC-H Q21-class: the oracle keeps the textbook correlated
+    // EXISTS / NOT-EXISTS form as an independent derivation of the
+    // Spark side's per-order aggregate rewrite (skyline discipline)
+    "x_waiting_suppliers" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey, CAST(l_shipdate AS DATE) AS sd FROM lineitem),
+        |o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders),
+        |late AS (SELECT l.l_orderkey, l.l_suppkey
+        |         FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+        |         WHERE date_diff('day', od, sd) > 60 GROUP BY 1, 2),
+        |supp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l),
+        |w AS (SELECT s1.l_suppkey AS suppkey, COUNT(*)::BIGINT AS numwait
+        |      FROM late s1
+        |      WHERE EXISTS (SELECT 1 FROM supp s2
+        |                    WHERE s2.l_orderkey = s1.l_orderkey
+        |                      AND s2.l_suppkey <> s1.l_suppkey)
+        |        AND NOT EXISTS (SELECT 1 FROM late s3
+        |                        WHERE s3.l_orderkey = s1.l_orderkey
+        |                          AND s3.l_suppkey <> s1.l_suppkey)
+        |      GROUP BY 1),
+        |top AS (SELECT suppkey, numwait FROM w ORDER BY numwait DESC, suppkey LIMIT 20)
+        |SELECT ROW_NUMBER() OVER (ORDER BY numwait DESC, suppkey)::BIGINT AS rk,
+        |  suppkey, numwait
+        |FROM top ORDER BY rk""".stripMargin,
 
     "x_local_cc" ->
       (graphCoCte + """,

@@ -2117,6 +2117,47 @@ object Analytics {
         max(col("v")).as("max_v"))
       .orderBy("col_name")
 
+  /** TPC-H Q21-class "suppliers who kept an order waiting": suppliers
+    * whose line shipped more than `lateDays` after the order date in
+    * a MULTI-supplier order where no other supplier was late — the
+    * classic double-EXISTS decorrelation exercise. The oracle states
+    * it in the textbook EXISTS / NOT-EXISTS form (an independent
+    * derivation, the customer-skyline discipline); the Spark plan
+    * rewrites both correlated subqueries into ONE per-order aggregate:
+    * EXISTS(other supplier) ⟺ n_suppliers > 1, NOT EXISTS(other late
+    * supplier) ⟺ n_late_suppliers = 1 given this supplier is late.
+    *
+    * Scale shape: one lineitem-orders equi-join, one per-order
+    * aggregate (map-side combined), one 8-byte-key join back, a
+    * per-supplier count, TakeOrdered top-k — no correlated-subquery
+    * re-scans, no row-per-row probes.
+    */
+  def waitingSuppliers(spark: SparkSession, dir: String,
+                       lateDays: Int = 60, topK: Int = 20): DataFrame = {
+    val j = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), to_date(col("l_shipdate")).as("sd"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late", datediff(col("sd"), col("od")) > lateDays)
+      .localCheckpoint()
+    val perOrder = j.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+           countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
+    val lateSup = j.filter(col("is_late"))
+      .select("l_orderkey", "l_suppkey").distinct()
+    val counts = lateSup
+      .join(perOrder.filter(col("n_supp") > 1 && col("n_late") === 1), "l_orderkey")
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+    val top = counts.orderBy(col("numwait").desc, col("suppkey")).limit(topK)
+    broadcast(top)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("numwait").desc, col("suppkey"))).cast("bigint"))
+      .select("rk", "suppkey", "numwait")
+      .orderBy("rk")
+  }
+
   /** Kaplan-Meier estimator of repeat-purchase survival: duration =
     * days from a customer's first order to their second (event), or
     * to the last observed order date (right-censored). One row per

@@ -502,6 +502,54 @@ object Finance {
       .orderBy("symbol")
   }
 
+  /** Per-symbol higher moments (skewness, excess kurtosis) computed
+    * from EXACT power sums, not the engines' built-in skewness/
+    * kurtosis aggregates — Spark's are population moments and
+    * DuckDB's are bias-corrected sample moments, so the built-ins
+    * can never agree; the power-sum route makes the definition the
+    * operator's own and the arithmetic engine-exact: integer cents →
+    * s1..s4 as DECIMAL sums (per-term m² stays in int64; m³/m⁴ are
+    * promoted through DECIMAL(19,0) products so nothing overflows
+    * through ~$10k prices and billion-tick series), then ONE shared
+    * double expression per moment. m2^1.5 is spelled m2·sqrt(m2)
+    * (sqrt is correctly rounded IEEE in both engines; pow is not
+    * guaranteed to be).
+    *
+    * Scale shape: a pure per-symbol hash aggregate of five sums —
+    * map-side combine, one exchange, no windows at all.
+    */
+  def moments(spark: SparkSession, dir: String): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val d38 = "decimal(38,0)"
+    val q = quotes(spark, dir)
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+      .withColumn("m2", col("m") * col("m"))
+      .withColumn("m3d", (col("m2").cast(d19) * col("m").cast(d19)).cast(d38))
+      .withColumn("m4d", (col("m2").cast(d19) * col("m2").cast(d19)).cast(d38))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_ticks"),
+           sum(col("m")).cast(d19).as("s1"),
+           sum(col("m2")).cast(d19).as("s2"),
+           sum(col("m3d")).cast(d38).as("s3"),
+           sum(col("m4d")).cast(d38).as("s4"))
+    val n  = col("n_ticks").cast("double")
+    val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
+    val s3 = col("s3").cast("double"); val s4 = col("s4").cast("double")
+    val mean = s1 / n
+    val m2 = s2 / n - mean * mean
+    val m3 = s3 / n - lit(3.0) * mean * (s2 / n) + lit(2.0) * mean * mean * mean
+    val m4 = s4 / n - lit(4.0) * mean * (s3 / n) +
+             lit(6.0) * mean * mean * (s2 / n) -
+             lit(3.0) * mean * mean * mean * mean
+    q.withColumn("v", m2)
+      .filter(col("n_ticks") >= 3 && col("v") > 0)
+      .select(col("symbol"), col("n_ticks"),
+        round(mean / 100, 6).as("mean_price"),
+        round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
+        round(m4 / (m2 * m2) - 3, 6).as("excess_kurtosis"))
+      .orderBy("symbol")
+  }
+
   /** Per-symbol CUSUM changepoint screen: the tick index t maximizing
     * |n*S_t - t*S_n| (the mean-shift CUSUM statistic scaled through
     * by n to stay in INTEGER cents — no mean subtraction, no floats

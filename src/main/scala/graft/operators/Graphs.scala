@@ -197,6 +197,49 @@ object Graphs {
       .orderBy("rk")
   }
 
+  /** Power-iteration eigenvector centrality (Bonacich) over the
+    * co-purchase graph — the influence measure PageRank approximates
+    * with damping removed: r ← A·r, max-normalized per round, fixed
+    * [[pageRank]]-style driver-paced rounds with an unrolled-CTE
+    * oracle. Per-round quantization is TWO-stage: the neighbor sum
+    * rounds at 12 (clamping summation-order ulps while values sit in
+    * [0, max-degree]) and the max-normalized ratio rounds at 12 again
+    * — both engines then iterate on identical doubles, the PageRank
+    * discipline.
+    *
+    * Scale shape: identical to pageRank — 8-byte-key equi-joins per
+    * round over localCheckpointed state, one 1-row max broadcast per
+    * round, TakeOrdered final cut.
+    */
+  def eigenCentrality(spark: SparkSession, dir: String, iters: Int = 5,
+                      topK: Int = 20, minSupport: Int = 2): DataFrame = {
+    val e0 = coEdges(spark, dir, minSupport)
+    val adj = e0.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e0.select(col("pb").as("u"), col("pa").as("v")))
+      .localCheckpoint()
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint()
+    var ranks = deg.select(col("u").as("node"), lit(1.0).as("r"))
+    for (_ <- 1 to iters) {
+      val s = adj
+        .join(ranks.withColumnRenamed("node", "u"), "u")
+        .groupBy(col("v").as("node"))
+        .agg(round(sum(col("r")), 12).as("s"))
+      val mx = s.agg(max(col("s")).as("mx"))
+      ranks = s.crossJoin(broadcast(mx))
+        .select(col("node"), round(col("s") / col("mx"), 12).as("r"))
+        .localCheckpoint()
+    }
+    val top = ranks
+      .select(col("node"), round(col("r"), 6).as("centrality"))
+      .orderBy(col("centrality").desc, col("node")).limit(topK)
+    broadcast(top)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("centrality").desc, col("node"))).cast("bigint"))
+      .join(deg.select(col("u").as("node"), col("d").as("degree")), "node")
+      .select("rk", "node", "degree", "centrality")
+      .orderBy("rk")
+  }
+
   /** Per-node local clustering coefficient (Watts-Strogatz): closed
     * wedges at each vertex over its (d choose 2) possible wedges —
     * the node-level refinement of [[triangleCount]]'s one global

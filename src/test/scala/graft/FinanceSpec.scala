@@ -222,6 +222,25 @@ class FinanceSpec extends SparkSuite {
       .filter(col("obv") =!= col("expected")).count() === 0)
   }
 
+  test("moments: symmetric two-point series has zero skew and kurtosis -2") {
+    import spark.implicits._
+    // alternating 1.00 / 3.00: mean 2.00, symmetric -> skewness 0;
+    // two-point distribution -> excess kurtosis exactly -2
+    val alt = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) 1.0 else 3.0))
+      .toDF("event_id", "value")
+      .withColumn("user_id", lit(1L))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("event_id")))
+      .withColumn("event_type", lit("tick"))
+      .withColumn("props", lit("""{"k": 10}"""))
+    val dir = java.nio.file.Files.createTempDirectory("mom").toString
+    alt.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val m = Finance.moments(spark, dir).head()
+    assert(m.getAs[Double]("mean_price") === 2.0)
+    assert(m.getAs[Double]("skewness") === 0.0)
+    assert(m.getAs[Double]("excess_kurtosis") === -2.0)
+  }
+
   test("regr_trend recovers an exact synthetic line; cusum pins a mean shift") {
     import spark.implicits._
     // y = 300 + 7x cents over 50 ticks: slope exactly 0.07 dollars/tick

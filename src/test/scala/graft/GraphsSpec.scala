@@ -61,6 +61,24 @@ class GraphsSpec extends SparkSuite {
     } finally lp.unpersist()
   }
 
+  test("eigencentrality: scores in (0, 1], the max-normalized round reaches 1 somewhere") {
+    val ec = Graphs.eigenCentrality(spark, sfDir).collect()
+    assert(ec.nonEmpty && ec.length <= 20)
+    ec.foreach { r =>
+      val c = r.getAs[Double]("centrality")
+      assert(c > 0.0 && c <= 1.0)
+    }
+    // per-round max normalization makes the top score exactly 1.0
+    // whenever the argmax node is inside the top-k cut
+    assert(ec.map(_.getAs[Double]("centrality")).max === 1.0)
+    // rank order is (centrality desc, node)
+    ec.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("centrality") >= b.getAs[Double]("centrality"))
+      case _ => ()
+    }
+  }
+
   test("pagerank: full vector is a probability distribution, top-k ordered and positive") {
     // topK large enough to surface every node -> mass must be ~1
     // (tolerance covers the round-6 per-node rounding)

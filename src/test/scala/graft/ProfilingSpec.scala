@@ -255,6 +255,31 @@ class ProfilingSpec extends SparkSuite {
     } finally c.unpersist()
   }
 
+  test("waiting suppliers: the aggregate rewrite equals the correlated-EXISTS brute force") {
+    val got = Analytics.waitingSuppliers(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("suppkey"), r.getAs[Long]("numwait"))).toSeq
+    // brute force: materialize (order, supplier, late) then apply the
+    // EXISTS / NOT-EXISTS conditions literally per late pair
+    val j = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), to_date(col("l_shipdate")).as("sd"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late", datediff(col("sd"), col("od")) > 60)
+      .select("l_orderkey", "l_suppkey", "late").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byOrder = j.groupBy(_._1)
+    val want = j.filter(_._3).map { case (ok, sk, _) => (ok, sk) }.distinct
+      .filter { case (ok, sk) =>
+        val rows = byOrder(ok)
+        rows.exists(r => r._2 != sk) &&
+        !rows.exists(r => r._2 != sk && r._3)
+      }
+      .groupBy(_._2).map { case (sk, v) => (sk, v.size.toLong) }.toSeq
+      .sortBy { case (sk, n) => (-n, sk) }.take(20)
+    assert(got === want)
+  }
+
   test("Kaplan-Meier: risk sets shrink, survival is non-increasing in (0, 1]") {
     val km = Analytics.kaplanMeier(spark, sfDir).orderBy("t_days").collect()
     assert(km.nonEmpty)
