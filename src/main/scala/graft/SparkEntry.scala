@@ -107,6 +107,8 @@ object SparkEntry {
     "x_local_cc"           -> ((s, dir) => Graphs.localClustering(s, dir)),
     "x_link_predict"       -> ((s, dir) => Graphs.linkPrediction(s, dir)),
     "x_moments"            -> ((s, dir) => Finance.moments(s, dir)),
+    "x_ewma_vol"           -> ((s, dir) => Finance.ewmaVolatility(s, dir)),
+    "x_var_hist"           -> ((s, dir) => Finance.historicalVar(s, dir)),
     "x_eigencentrality"    -> ((s, dir) => Graphs.eigenCentrality(s, dir)),
     "x_waiting_suppliers"  -> ((s, dir) => Analytics.waitingSuppliers(s, dir)),
     "x_benford"            -> ((s, dir) => Finance.benfordDigits(s, dir)),
@@ -3716,6 +3718,47 @@ object SparkEntry {
         |SELECT t AS t_days, n_risk, d_events, c_censored,
         |  round(exp(CAST(cum AS DOUBLE)), 6) AS km_survival
         |FROM km ORDER BY t_days""".stripMargin,
+
+    // RiskMetrics EWMA volatility: the MACD weight-chain discipline
+    // over squared log returns (shared Doubles via toString)
+    "x_ewma_vol" ->
+      (finQuoteCte + s""",
+        |r AS (SELECT symbol, id, price, ts_epoch,
+        |        ln(price / LAG(price) OVER (PARTITION BY symbol ORDER BY ts_epoch, id)) AS ret
+        |      FROM q WHERE price > 0),
+        |r2 AS (SELECT symbol, id, price, ts_epoch, ret * ret AS rsq
+        |       FROM r WHERE ret IS NOT NULL)
+        |SELECT symbol, id, price,
+        |  round(sqrt((${wsumNumSql("rsq", graft.operators.Finance.EwmaVolW)})
+        |             / (${wsumDenSql("rsq", graft.operators.Finance.EwmaVolW)})), 6) AS ewma_vol
+        |FROM r2 WINDOW w AS (PARTITION BY symbol ORDER BY ts_epoch, id)
+        |ORDER BY symbol, id""".stripMargin),
+
+    // order-statistic VaR/ES: k = ceil(n/20) in pure integer
+    // arithmetic; no percentile interpolation (engine-divergent)
+    "x_var_hist" ->
+      (finQuoteCte + """,
+        |r AS (SELECT symbol, id, ts_epoch,
+        |        ln(price / LAG(price) OVER (PARTITION BY symbol ORDER BY ts_epoch, id)) AS ret
+        |      FROM q WHERE price > 0),
+        |rr AS (SELECT symbol, id, ret FROM r WHERE ret IS NOT NULL),
+        |kt AS (SELECT symbol, id, ret,
+        |         COUNT(*) OVER (PARTITION BY symbol)::BIGINT AS n,
+        |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY ret, id) AS rn
+        |       FROM rr),
+        |k2 AS (SELECT symbol, ret, n, rn,
+        |         GREATEST((n + 19) // 20, 1)::BIGINT AS kk FROM kt),
+        |g AS (SELECT symbol, MAX(n) AS n_returns, MAX(kk) AS k_tail,
+        |        round(MAX(CASE WHEN rn = kk THEN ret END), 6) AS var95,
+        |        CAST(SUM(CAST(round(ret, 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS num
+        |      FROM k2 WHERE rn <= kk AND n >= 20 GROUP BY symbol),
+        |e AS (SELECT symbol, n_returns, k_tail, var95,
+        |        CASE WHEN num >= 0 THEN (2 * num + k_tail) // (2 * k_tail)
+        |             ELSE -((2 * -num + k_tail) // (2 * k_tail)) END AS es_micro
+        |      FROM g)
+        |SELECT symbol, n_returns, k_tail, var95,
+        |  CAST(es_micro AS DOUBLE) / 1000000 AS es95
+        |FROM e ORDER BY symbol""".stripMargin),
 
     // higher moments from exact power sums: the built-in skewness/
     // kurtosis aggregates define DIFFERENT statistics per engine

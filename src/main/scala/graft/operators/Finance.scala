@@ -522,6 +522,81 @@ object Finance {
       .orderBy("symbol")
   }
 
+  /** RiskMetrics EWMA weight ladder (lambda = 0.94): the J.P. Morgan
+    * volatility standard. Shared Doubles, the [[MacdFastW]] contract.
+    */
+  private[graft] val EwmaVolW: Seq[Double] =
+    (0 until MacdLags).map(j => 0.06 * math.pow(0.94, j))
+
+  /** RiskMetrics EWMA volatility per symbol per tick:
+    * sigma_t = sqrt((1-lambda) * sum_j lambda^j * r^2_{t-j}), the
+    * [[MacdLags]]-truncated explicit-weight form over squared log
+    * returns with adaptive warm-up normalization — the same machinery
+    * as [[macd]], so the whole chain is engine-exact double
+    * arithmetic (each symbol's FIRST tick has no return and is
+    * dropped before the window, keeping the weight denominator
+    * strictly positive).
+    *
+    * Scale shape: one (symbol) exchange serves the return lag and the
+    * 40 weight lags; flat codegen'd projections otherwise.
+    */
+  def ewmaVolatility(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    val base = quotes(spark, dir)
+      .filter(col("price") > 0)
+      .withColumn("ret", log(col("price") / lag(col("price"), 1).over(ord)))
+      .filter(col("ret").isNotNull)
+      .withColumn("rsq", col("ret") * col("ret"))
+    val (withR, rLags) = withLagCols(base, col("rsq"), "lr", ord)
+    withR
+      .select(col("symbol"), col("id"), col("price"),
+        round(sqrt(truncEma(rLags, EwmaVolW)), 6).as("ewma_vol"))
+      .orderBy("symbol", "id")
+  }
+
+  /** Historical 95% VaR and expected shortfall per symbol, as ORDER
+    * STATISTICS: k = ceil(n/20) picked with pure integer arithmetic
+    * ((n+19) div 20), VaR = the k-th smallest return, ES = the mean of
+    * the k smallest — no percentile interpolation, whose formula
+    * differs between engines. The tail mean sums round-6 DECIMAL
+    * returns (order-independent), then rounds the mean to 6 decimals
+    * IN INTEGER MICRO-UNITS — `round(sum/k, 6)` on the double
+    * quotient hit an exact half boundary at sf0.01 (-16.715538/4 =
+    * -4.1788845) where Spark's decimal-string HALF_UP and DuckDB's
+    * binary-value rounding disagree; (2|num| + k) div 2k with the
+    * sign re-applied is the same half-away-from-zero rule with no
+    * float in sight.
+    *
+    * Scale shape: one (symbol) exchange for the return lag, the rank,
+    * and both aggregates; the tail filter drops 95% of rows before
+    * the final rollup.
+    */
+  def historicalVar(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    val byRet = Window.partitionBy("symbol").orderBy(col("ret").asc, col("id").asc)
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    quotes(spark, dir)
+      .filter(col("price") > 0)
+      .withColumn("ret", log(col("price") / lag(col("price"), 1).over(ord)))
+      .filter(col("ret").isNotNull)
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("k", greatest(expr("(n + 19) div 20"), lit(1L)))
+      .withColumn("rn", row_number().over(byRet))
+      .filter(col("rn") <= col("k") && col("n") >= 20)
+      .groupBy("symbol")
+      .agg(max(col("n")).as("n_returns"),
+           max(col("k")).as("k_tail"),
+           round(max(when(col("rn") === col("k"), col("ret"))), 6).as("var95"),
+           (sum(round(col("ret"), 6).cast("decimal(18,6)")) * 1000000)
+             .cast("long").as("num"))
+      .withColumn("es_micro",
+        expr("""CASE WHEN num >= 0 THEN (2 * num + k_tail) div (2 * k_tail)
+               |     ELSE -((2 * -num + k_tail) div (2 * k_tail)) END""".stripMargin))
+      .select(col("symbol"), col("n_returns"), col("k_tail"), col("var95"),
+        (col("es_micro").cast("double") / 1000000).as("es95"))
+      .orderBy("symbol")
+  }
+
   /** Per-symbol higher moments (skewness, excess kurtosis) computed
     * from EXACT power sums, not the engines' built-in skewness/
     * kurtosis aggregates — Spark's are population moments and

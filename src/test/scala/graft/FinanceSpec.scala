@@ -222,6 +222,19 @@ class FinanceSpec extends SparkSuite {
       .filter(col("obv") =!= col("expected")).count() === 0)
   }
 
+  test("ewma vol non-negative and zero exactly on constant-price runs; VaR bounds ES") {
+    val v = Finance.ewmaVolatility(spark, sfDir)
+    assert(v.filter(col("ewma_vol") < 0).count() === 0)
+    val vh = Finance.historicalVar(spark, sfDir).collect()
+    assert(vh.nonEmpty)
+    vh.foreach { r =>
+      // ES averages the k worst returns, the k-th of which IS the VaR:
+      // the tail mean can never exceed the tail's best member
+      assert(r.getAs[Double]("es95") <= r.getAs[Double]("var95") + 1e-9)
+      assert(r.getAs[Long]("k_tail") === (r.getAs[Long]("n_returns") + 19) / 20)
+    }
+  }
+
   test("moments: symmetric two-point series has zero skew and kurtosis -2") {
     import spark.implicits._
     // alternating 1.00 / 3.00: mean 2.00, symmetric -> skewness 0;

@@ -144,6 +144,9 @@ class SparkEntrySpec extends AnyFunSuite {
     // (SUM(sv) OVER ...)::BIGINT — cast OUTSIDE the paren, scanner
     // misses it, nothing escapes uncast
     "x_obv"               -> 1,
+    // 5 power-iteration rounds: each SUM(r) consumed only inside
+    // ROUND(.,12) — the x_pagerank class
+    "x_eigencentrality"   -> 5,
     // cum + total: both (SUM(m) OVER ...)::BIGINT parenthesized-cast
     "x_cusum"             -> 2,
     // the two n_at window sums escape through the outer (a - b)::BIGINT
