@@ -243,6 +243,48 @@ object StreamingIndicators {
       }
   }
 
+  /** prev price (for the next return) and the ring of the last
+    * ≤MacdLags squared returns, oldest-first. */
+  final case class EwmaVolState(prev: Double, hasPrev: Boolean, rsqs: List[Double])
+
+  final case class EwmaVolOut(symbol: String, id: Long, price: Double, ewma_vol: Double)
+
+  /** Streaming twin of [[graft.operators.Finance.ewmaVolatility]]:
+    * the RiskMetrics truncated weight chain over a per-symbol ring of
+    * squared log returns — emission starts at each symbol's SECOND
+    * tick (the first has no return), matching the batch pre-window
+    * filter. State per live symbol: one double + a ring of ≤40.
+    */
+  def withEwmaVol(ticks: Dataset[Tick]): Dataset[EwmaVolOut] = {
+    import ticks.sparkSession.implicits._
+    val w = graft.operators.Finance.EwmaVolW
+    ticks
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[EwmaVolState, EwmaVolOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Tick], state: GroupState[EwmaVolState]) =>
+          val ordered = rows.toSeq.sortBy(t => (t.ts.getTime, t.id))
+          var st = state.getOption.getOrElse(EwmaVolState(Double.NaN, false, Nil))
+          val out = Seq.newBuilder[EwmaVolOut]
+          ordered.foreach { t =>
+            if (t.price > 0) {
+              if (st.hasPrev) {
+                val ret = math.log(t.price / st.prev)
+                val rsqs = (st.rsqs :+ ret * ret)
+                  .takeRight(graft.operators.Finance.MacdLags)
+                st = EwmaVolState(t.price, true, rsqs)
+                out += EwmaVolOut(t.symbol, t.id, t.price,
+                  round6(math.sqrt(truncEma(rsqs.toIndexedSeq, w))))
+              } else st = EwmaVolState(t.price, true, Nil)
+            }
+            // price <= 0 ticks are dropped BEFORE the return lag in
+            // batch, so they neither emit nor advance prev
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class VTick(symbol: String, id: Long,
                          ts: java.sql.Timestamp, price: Double, volume: Long)
 

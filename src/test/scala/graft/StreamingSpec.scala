@@ -684,6 +684,35 @@ class StreamingSpec extends SparkSuite {
     assert(collected.toSet == want, "stream==batch stochastic drift")
   }
 
+  test("streaming EWMA volatility ring equals the batch RiskMetrics chain (in-order splits)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ms = MemoryStream[graft.streaming.StreamingIndicators.Tick]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double, Double)]
+    val q = graft.streaming.StreamingIndicators.withEwmaVol(ms.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingIndicators.EwmaVolOut], _: Long) =>
+        collected.synchronized {
+          collected ++= b.collect().map(o => (o.symbol, o.id, o.price, o.ewma_vol))
+        }
+        ()
+      }
+      .start()
+    val ev = orderedTicks
+    val chunks = ev.grouped(math.max(1, ev.length / 4 + 1)).toSeq
+    try {
+      chunks.foreach { c =>
+        ms.addData(scala.util.Random.shuffle(c.toSeq)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val want = graft.operators.Finance.ewmaVolatility(spark, sfDir)
+      .select(col("symbol"), col("id"), col("price"), col("ewma_vol"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(want.nonEmpty)
+    assert(collected.toSet == want, "stream==batch EWMA volatility drift")
+  }
+
   test("streaming OBV integer state equals the batch running sum (in-order splits)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.functions.col
