@@ -32,7 +32,23 @@ class LayoutInvarianceSpec extends SparkSuite {
     ("x_disjunctive_rev", () => graft.operators.Analytics.disjunctiveRevenue(spark, sfDir)),
     // equi-depth binning on the global-rank backbone — layout
     // independence is the backbone's correctness claim
-    ("x_equidepth_hist", () => graft.operators.Analytics.equidepthHistogram(spark, sfDir)))
+    ("x_equidepth_hist", () => graft.operators.Analytics.equidepthHistogram(spark, sfDir)),
+    // r10: the weight-chain indicators are per-symbol windows over a
+    // total tick order — layout independence is the ordering claim
+    ("x_macd",           () => graft.operators.Finance.macd(spark, sfDir)),
+    ("x_ewma_vol",       () => graft.operators.Finance.ewmaVolatility(spark, sfDir)),
+    // order-statistic tail: rank ties broken by id, ES decimal-summed
+    // then integer-rounded — no float aggregation order anywhere
+    ("x_var_hist",       () => graft.operators.Finance.historicalVar(spark, sfDir)),
+    // CUSUM argmax: integer statistic, (|dev| desc, t) tie-break
+    ("x_cusum",          () => graft.operators.Finance.cusum(spark, sfDir)),
+    // KM: decimal log-space sums over the bounded event-time table
+    ("x_kaplan_meier",   () => graft.operators.Analytics.kaplanMeier(spark, sfDir)),
+    // eigencentrality: per-round two-stage round-12 quantization is
+    // exactly the mechanism that makes the iteration layout-proof
+    ("x_eigencentrality", () => graft.operators.Graphs.eigenCentrality(spark, sfDir)),
+    // Adamic-Adar: round-12 decimal term sums, (score, a, b) cut order
+    ("x_link_predict",   () => graft.operators.Graphs.linkPrediction(spark, sfDir)))
 
   test("order-sensitive operators return identical rows under different shuffle layouts") {
     val key = "spark.sql.shuffle.partitions"

@@ -637,4 +637,46 @@ class PlanSpec extends SparkSuite {
         s"exploded trigram rows cross a shuffle with text attached: $input")
     }
   }
+
+  test("beta joins per-symbol returns against the BROADCAST calendar-bounded market") {
+    val plan = formatted(graft.operators.Finance.beta(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"market table not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("link prediction and local clustering pair only through equi-joins") {
+    Seq(graft.operators.Graphs.linkPrediction(spark, sfDir),
+        graft.operators.Graphs.localClustering(spark, sfDir)).foreach { df =>
+      val plan = formatted(df)
+      assert(!plan.contains("CartesianProduct"), plan)
+      // the only nested-loop joins allowed are 1-row broadcasts
+      // (TakeOrdered re-rank) — the pair generation must be hashed
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+             plan.contains("BroadcastHashJoin"), plan)
+    }
+  }
+
+  test("waiting suppliers decorrelates to ONE lineitem-orders join, no subquery re-scans") {
+    val plan = formatted(graft.operators.Analytics.waitingSuppliers(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoop"), plan)
+    // one scan each: the correlated-EXISTS form would re-scan lineitem
+    // per subquery; the aggregate rewrite reads it once (plus the
+    // localCheckpoint materialization)
+    val liScans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(liScans <= 1, s"lineitem scanned $liScans times:\n$plan")
+  }
+
+  test("MACD / EWMA-vol: lag projection keeps one window block per layer, one exchange") {
+    Seq(graft.operators.Finance.macd(spark, sfDir) -> 2,
+        graft.operators.Finance.ewmaVolatility(spark, sfDir) -> 2).foreach {
+      case (df, maxWindows) =>
+        val plan = formatted(df)
+        val windows = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Window.*"))
+        assert(windows <= maxWindows, s"$windows window nodes (lag fan-out regressed):\n$plan")
+        val hashEx = plan.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+        assert(hashEx == 1, s"$hashEx hash exchanges:\n$plan")
+    }
+  }
 }
