@@ -109,6 +109,8 @@ object SparkEntry {
     "x_moments"            -> ((s, dir) => Finance.moments(s, dir)),
     "x_ewma_vol"           -> ((s, dir) => Finance.ewmaVolatility(s, dir)),
     "x_var_hist"           -> ((s, dir) => Finance.historicalVar(s, dir)),
+    "x_amihud"             -> ((s, dir) => Finance.amihudIlliquidity(s, dir)),
+    "x_underwater"         -> ((s, dir) => Finance.underwaterSpells(s, dir)),
     "x_eigencentrality"    -> ((s, dir) => Graphs.eigenCentrality(s, dir)),
     "x_waiting_suppliers"  -> ((s, dir) => Analytics.waitingSuppliers(s, dir)),
     "x_benford"            -> ((s, dir) => Finance.benfordDigits(s, dir)),
@@ -3759,6 +3761,49 @@ object SparkEntry {
         |SELECT symbol, n_returns, k_tail, var95,
         |  CAST(es_micro AS DOUBLE) / 1000000 AS es95
         |FROM e ORDER BY symbol""".stripMargin),
+
+    // Amihud illiquidity: 1e9-scaled |ret|/dollar-volume terms
+    // quantized at 6 into a decimal sum, mean in integer micro-units
+    // (the x_var_hist ES discipline)
+    "x_amihud" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, price, volume, ts_epoch,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q
+        |      WHERE price > 0 AND volume > 0),
+        |r AS (SELECT symbol, m, volume,
+        |        ln(price / LAG(price) OVER (PARTITION BY symbol ORDER BY ts_epoch, id)) AS ret
+        |      FROM e),
+        |t AS (SELECT symbol,
+        |        CAST(round(1e9 * abs(ret) / (m * volume), 6) AS DECIMAL(18,6)) AS term
+        |      FROM r WHERE ret IS NOT NULL),
+        |g AS (SELECT symbol, COUNT(*)::BIGINT AS n_returns,
+        |        CAST(SUM(term) * 1000000 AS BIGINT) AS num
+        |      FROM t GROUP BY symbol HAVING COUNT(*) >= 3),
+        |mi AS (SELECT symbol, n_returns,
+        |         CASE WHEN num >= 0 THEN (2 * num + n_returns) // (2 * n_returns)
+        |              ELSE -((2 * -num + n_returns) // (2 * n_returns)) END AS micro
+        |       FROM g)
+        |SELECT symbol, n_returns, CAST(micro AS DOUBLE) / 1000000 AS amihud_x1e9
+        |FROM mi ORDER BY symbol""".stripMargin),
+
+    // longest underwater spell: integer gaps-and-islands under the
+    // running peak
+    "x_underwater" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |p AS (SELECT symbol, id, ts_epoch, m,
+        |        MAX(m) OVER (PARTITION BY symbol ORDER BY ts_epoch, id
+        |                     ROWS UNBOUNDED PRECEDING) AS peak
+        |      FROM e),
+        |u AS (SELECT symbol, id, ts_epoch, m < peak AS uw FROM p),
+        |gg AS (SELECT symbol, uw,
+        |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY ts_epoch, id)
+        |         - ROW_NUMBER() OVER (PARTITION BY symbol, uw ORDER BY ts_epoch, id) AS grp
+        |       FROM u),
+        |i AS (SELECT symbol, grp, COUNT(*)::BIGINT AS len FROM gg WHERE uw GROUP BY symbol, grp)
+        |SELECT symbol, COUNT(*)::BIGINT AS n_spells, MAX(len)::BIGINT AS max_underwater_ticks,
+        |  SUM(len)::BIGINT AS total_underwater_ticks
+        |FROM i GROUP BY symbol ORDER BY symbol""".stripMargin),
 
     // higher moments from exact power sums: the built-in skewness/
     // kurtosis aggregates define DIFFERENT statistics per engine

@@ -597,6 +597,64 @@ object Finance {
       .orderBy("symbol")
   }
 
+  /** Amihud (2002) illiquidity per symbol: mean of |return| per unit
+    * of dollar volume, the standard price-impact proxy. Each term is
+    * scaled by 1e9 (the literature's convention for readable
+    * magnitudes) and quantized at 6 decimals into an exact DECIMAL
+    * sum; the mean then rounds in integer micro-units — the
+    * [[historicalVar]] ES discipline, so no float aggregation order
+    * and no round-half divergence anywhere. (Scale 6, not 9: the
+    * decimal x 10^k widening must keep p <= 38 AFTER Spark's
+    * precision-cap rules, which silently shave scale — and therefore
+    * exactness — past it.) Dollar volume is integer cents x volume.
+    */
+  def amihudIlliquidity(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    quotes(spark, dir)
+      .filter(col("price") > 0 && col("volume") > 0)
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+      .withColumn("ret", log(col("price") / lag(col("price"), 1).over(ord)))
+      .filter(col("ret").isNotNull)
+      .withColumn("term",
+        round(lit(1.0e9) * abs(col("ret")) / (col("m") * col("volume")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_returns"),
+           (sum(col("term")) * 1000000).cast("long").as("num"))
+      .filter(col("n_returns") >= 3)
+      .withColumn("micro",
+        expr("""CASE WHEN num >= 0 THEN (2 * num + n_returns) div (2 * n_returns)
+               |     ELSE -((2 * -num + n_returns) div (2 * n_returns)) END""".stripMargin))
+      .select(col("symbol"), col("n_returns"),
+        (col("micro").cast("double") / 1000000).as("amihud_x1e9"))
+      .orderBy("symbol")
+  }
+
+  /** Longest underwater spell per symbol: the maximum run of
+    * consecutive ticks strictly below the running peak — drawdown
+    * DURATION beside [[maxDrawdown]]'s depth. Pure integer
+    * gaps-and-islands (island id = global rn minus per-state rn) on
+    * cents; one (symbol) exchange serves the peak window, both
+    * row_numbers, and the rollup.
+    */
+  def underwaterSpells(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    val byState = Window.partitionBy("symbol", "uw").orderBy(col("ts_epoch").asc, col("id").asc)
+    quotes(spark, dir)
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+      .withColumn("peak", max(col("m")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("uw", col("m") < col("peak"))
+      .withColumn("grp", row_number().over(ord) - row_number().over(byState))
+      .filter(col("uw"))
+      .groupBy(col("symbol"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_spells"),
+           max(col("len")).as("max_underwater_ticks"),
+           sum(col("len")).as("total_underwater_ticks"))
+      .orderBy("symbol")
+  }
+
   /** Per-symbol higher moments (skewness, excess kurtosis) computed
     * from EXACT power sums, not the engines' built-in skewness/
     * kurtosis aggregates — Spark's are population moments and

@@ -235,6 +235,23 @@ class FinanceSpec extends SparkSuite {
     }
   }
 
+  test("amihud positive; underwater spells consistent with drawdown depth") {
+    val am = Finance.amihudIlliquidity(spark, sfDir)
+    assert(am.filter(col("amihud_x1e9") < 0).count() === 0)
+    val uw = Finance.underwaterSpells(spark, sfDir).cache()
+    try {
+      assert(uw.filter(col("max_underwater_ticks") >
+        col("total_underwater_ticks")).count() === 0)
+      // a symbol with a strictly positive max drawdown must spend at
+      // least one tick underwater, and vice versa
+      val dd = Finance.maxDrawdown(spark, sfDir)
+        .select(col("symbol"), col("max_drawdown"))
+      val joined = dd.join(uw, Seq("symbol"), "left")
+      assert(joined.filter(col("max_drawdown") > 0 &&
+        col("total_underwater_ticks").isNull).count() === 0)
+    } finally uw.unpersist()
+  }
+
   test("moments: symmetric two-point series has zero skew and kurtosis -2") {
     import spark.implicits._
     // alternating 1.00 / 3.00: mean 2.00, symmetric -> skewness 0;
