@@ -113,6 +113,14 @@ object SparkEntry {
     "x_underwater"         -> ((s, dir) => Finance.underwaterSpells(s, dir)),
     "x_eigencentrality"    -> ((s, dir) => Graphs.eigenCentrality(s, dir)),
     "x_waiting_suppliers"  -> ((s, dir) => Analytics.waitingSuppliers(s, dir)),
+    "x_custdist"           -> ((s, dir) => Analytics.custDistribution(s, dir)),
+    "x_promo_share"        -> ((s, dir) => Analytics.promoRevenueShare(s, dir)),
+    "x_returned_customers" -> ((s, dir) => Analytics.returnedItemCustomers(s, dir)),
+    "x_top_supplier"       -> ((s, dir) => Analytics.topRevenueSupplier(s, dir)),
+    "x_min_cost_supplier"  -> ((s, dir) => Analytics.minCostSupplier(s, dir)),
+    "x_small_qty_revenue"  -> ((s, dir) => Analytics.smallQtyBrandRevenue(s, dir)),
+    "x_balance_no_orders"  -> ((s, dir) => Analytics.balanceNoOrders(s, dir)),
+    "x_market_share"       -> ((s, dir) => Analytics.nationMarketShare(s, dir)),
     "x_benford"            -> ((s, dir) => Finance.benfordDigits(s, dir)),
     "x_rfm"                -> ((s, dir) => Analytics.rfmSegments(s, dir)),
     "x_attribution"        -> ((s, dir) => Analytics.lastTouchAttribution(s, dir)),
@@ -3881,6 +3889,144 @@ object SparkEntry {
         |SELECT ROW_NUMBER() OVER (ORDER BY numwait DESC, suppkey)::BIGINT AS rk,
         |  suppkey, numwait
         |FROM top ORDER BY rk""".stripMargin,
+
+    // TPC-H Q13-class: order-count distribution incl. zero-order customers
+    "x_custdist" ->
+      """SELECT c_count, COUNT(*)::BIGINT AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // TPC-H Q14-class: promo revenue share per ship month
+    "x_promo_share" ->
+      """WITH j AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS mon, p_type,
+        |    CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |      (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |a AS (SELECT mon,
+        |        SUM(CASE WHEN p_type = 'PROMO' THEN rev
+        |                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS promod,
+        |        SUM(rev) AS totald
+        |      FROM j GROUP BY mon)
+        |SELECT mon,
+        |  round(100.0 * CAST(CAST(promod AS VARCHAR) AS DOUBLE)
+        |        / CAST(CAST(totald AS VARCHAR) AS DOUBLE), 6) AS promo_share,
+        |  CAST(CAST(totald AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM a ORDER BY mon""".stripMargin,
+
+    // TPC-H Q10-class: top-20 customers by returned revenue (exact-decimal cut)
+    "x_returned_customers" ->
+      """WITH a AS (
+        |  SELECT c_custkey, c_name, c_acctbal, n_name,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |        (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS revd
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+        |  GROUP BY 1, 2, 3, 4
+        |  ORDER BY revd DESC, c_custkey LIMIT 20)
+        |SELECT c_custkey, c_name, CAST(CAST(revd AS VARCHAR) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM a""".stripMargin,
+
+    // TPC-H Q15-class: tie-preserving max-revenue supplier over one quarter
+    "x_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |        (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS revd
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(CAST(revd AS VARCHAR) AS DOUBLE) AS total_revenue
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE revd = (SELECT MAX(revd) FROM r)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // TPC-H Q2-class: cheapest observed unit price per part (cents-exact)
+    "x_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)) AS cost_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |best AS (SELECT l_partkey, MIN(cost_cents) AS best_cents FROM ps GROUP BY 1),
+        |win AS (SELECT ps.l_partkey, best_cents, MIN(ps.l_suppkey) AS suppkey
+        |        FROM ps JOIN best ON ps.l_partkey = best.l_partkey
+        |                         AND ps.cost_cents = best.best_cents
+        |        GROUP BY 1, 2)
+        |SELECT p_partkey, p_brand, suppkey, s_name, n_name,
+        |  CAST(best_cents AS DOUBLE) / 100.0 AS unit_cost
+        |FROM win
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY p_partkey""".stripMargin,
+
+    // TPC-H Q17-class: small-quantity revenue per brand (integer avg gate)
+    "x_small_qty_revenue" ->
+      """WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |              l_extendedprice FROM lineitem),
+        |pa AS (SELECT l_partkey, SUM(qty)::BIGINT AS qsum, COUNT(*)::BIGINT AS qcnt
+        |       FROM li GROUP BY 1)
+        |SELECT p_brand, COUNT(*)::BIGINT AS n_lines,
+        |  round(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR)
+        |        AS DOUBLE) / 7.0, 6) AS avg_yearly
+        |FROM li
+        |JOIN pa USING (l_partkey)
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE qty * 5 * qcnt < qsum
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // TPC-H Q22-class: dormant above-average-balance customers per nation
+    "x_balance_no_orders" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |           FROM customer),
+        |st AS (SELECT SUM(bal_cents)::BIGINT AS tot, COUNT(*)::BIGINT AS n
+        |       FROM c WHERE bal_cents > 0)
+        |SELECT n_name, COUNT(*)::BIGINT AS numcust,
+        |  CAST(SUM(bal_cents) AS DOUBLE) / 100.0 AS totacctbal
+        |FROM c
+        |JOIN nation ON c_nationkey = n_nationkey
+        |CROSS JOIN st
+        |WHERE bal_cents * n > tot
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // TPC-H Q8-class: one nation's yearly share of a region's revenue
+    "x_market_share" ->
+      """WITH j AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    ns.n_name AS supp_nation,
+        |    CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |      (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region ON nc.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  WHERE r_name = 'ASIA'),
+        |a AS (SELECT o_year,
+        |        SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev
+        |                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS natd,
+        |        SUM(rev) AS totald
+        |      FROM j GROUP BY o_year)
+        |SELECT o_year,
+        |  round(CAST(CAST(natd AS VARCHAR) AS DOUBLE)
+        |        / CAST(CAST(totald AS VARCHAR) AS DOUBLE), 6) AS mkt_share,
+        |  CAST(CAST(totald AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM a ORDER BY o_year""".stripMargin,
 
     "x_local_cc" ->
       (graphCoCte + """,

@@ -2217,4 +2217,241 @@ object Analytics {
         round(exp(col("cum").cast("double")), 6).as("km_survival"))
       .orderBy("t_days")
   }
+
+  /** TPC-H Q13-class customer order-count distribution: how many
+    * customers placed exactly k (non-urgent) orders, INCLUDING the
+    * zero-order customers the left join keeps — the histogram behind
+    * engagement/churn cohorts. Two hash aggregations; the second runs
+    * over the order-count-DISTINCT table (bounded by the max order
+    * count, not the customer count). All-integer output.
+    */
+  def custDistribution(spark: SparkSession, dir: String,
+                       excludePriority: String = "1-URGENT"): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= excludePriority)
+      .select("o_custkey", "o_orderkey")
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q14-class promotion revenue share per ship month: the
+    * percent of discounted revenue from PROMO-type parts. The part dim
+    * broadcasts (parts ≪ lineitems at every scale); revenue terms are
+    * exact DECIMAL(18,6) sums per month, and the share divides the two
+    * decimal sums through the correctly-rounded decimal→double cast
+    * (identical doubles in both engines) before the round-6.
+    */
+  def promoRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_shipdate"), rev.as("rev"))
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("mon", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy("mon")
+      .agg(sum(when(col("p_type") === "PROMO", col("rev"))
+             .otherwise(lit(0).cast("decimal(18,6)"))).as("promod"),
+           sum(col("rev")).as("totald"))
+      .select(col("mon"),
+        round(lit(100.0) * col("promod").cast("double") / col("totald").cast("double"), 6)
+          .as("promo_share"),
+        col("totald").cast("double").as("revenue"))
+      .orderBy("mon")
+  }
+
+  /** TPC-H Q10-class returned-item ranking: the topK customers by
+    * revenue lost to returns (l_returnflag = 'R') in a half-year
+    * window, with nation names. Revenue is the exact DECIMAL(18,6)
+    * sum, so the top-K cut (revenue DESC, custkey) has no float-tie
+    * ambiguity; the double cast happens after the cut. One (custkey)
+    * aggregation, then TakeOrdered — never a global sort at scale.
+    */
+  def returnedItemCustomers(spark: SparkSession, dir: String,
+                            topK: Int = 20): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+              col("o_orderdate") < to_timestamp(lit("1997-07-01 00:00:00")))
+      .select("o_orderkey", "o_custkey")
+    val rev = col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), rev.as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(col("rev")).as("revd"))
+      .orderBy(col("revd").desc, col("c_custkey").asc)
+      .limit(topK)
+      .select(col("c_custkey"), col("c_name"),
+        col("revd").cast("double").as("revenue"), col("c_acctbal"), col("n_name"))
+  }
+
+  /** TPC-H Q15-class top supplier: the supplier(s) whose discounted
+    * revenue over one quarter equals the maximum — tie-PRESERVING, the
+    * point of Q15's view-with-max formulation. The per-supplier
+    * aggregate is exact decimal, the 1-row max broadcasts back, and
+    * equality compares exact decimals (no float max ambiguity).
+    */
+  def topRevenueSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
+    val perSupp = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+              col("l_shipdate") < to_timestamp(lit("1997-04-01 00:00:00")))
+      .select(col("l_suppkey"), rev.as("rev"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("rev")).as("revd"))
+    val mx = perSupp.agg(max(col("revd")).as("mx")) // 1-row bound
+    perSupp.crossJoin(broadcast(mx))
+      .filter(col("revd") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("revd").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q2-class minimum-cost supplier per part, adapted to this
+    * schema: the "catalog" is the observed lineitem unit price
+    * (extendedprice/quantity in integer cents — IEEE division then the
+    * house round, identical in both engines). Per (part, supplier) the
+    * best offer is min cents; per part the winner is the cheapest
+    * offer, smallest suppkey on ties. Two hash aggregations on the
+    * part key plus broadcast dim joins — no correlated per-row
+    * subquery survives into the plan (the Q2 decorrelation done by
+    * hand). Supplier/nation/part dims broadcast at any scale.
+    */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") / col("l_quantity") * 100).cast("bigint")
+          .as("unit_cents"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("unit_cents")).as("cost_cents"))
+    val best = ps.groupBy("l_partkey").agg(min(col("cost_cents")).as("best_cents"))
+      .withColumnRenamed("l_partkey", "b_partkey")
+    ps.join(best,
+        col("l_partkey") === col("b_partkey") &&
+        col("cost_cents") === col("best_cents"))
+      .groupBy("l_partkey", "best_cents")
+      .agg(min(col("l_suppkey")).as("suppkey"))
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select("s_suppkey", "s_name", "s_nationkey")),
+        col("suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_brand"), col("suppkey"), col("s_name"),
+        col("n_name"), (col("best_cents").cast("double") / 100.0).as("unit_cost"))
+      .orderBy("p_partkey")
+  }
+
+  /** TPC-H Q17-class small-quantity revenue per brand: lines whose
+    * quantity is below 20% of their part's average quantity, total
+    * extendedprice / 7 ("yearly loss to small orders"). Quantities are
+    * integral, so the correlated avg comparison is EXACT integer
+    * arithmetic (5·qty·n < Σqty — no float avg anywhere); the revenue
+    * is a decimal sum. The per-part aggregate joins back on the part
+    * key — one shuffle each side, decorrelated by construction.
+    */
+  def smallQtyBrandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("bigint").as("qty"),
+        col("l_extendedprice"))
+    val pa = li.groupBy("l_partkey")
+      .agg(sum(col("qty")).as("qsum"), count(lit(1)).as("qcnt"))
+    li.join(pa, "l_partkey")
+      .filter(col("qty") * 5 * col("qcnt") < col("qsum"))
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0, 6)
+          .as("avg_yearly"))
+      .orderBy("p_brand")
+  }
+
+  /** TPC-H Q22-class lapsed high-balance customers: per nation, the
+    * count and total balance of customers with above-average positive
+    * balance and NO order on/after the cutoff (this corpus has no
+    * order-free customers, so Q22's "never ordered" becomes "lapsed" —
+    * same anti-join shape with a pushed date filter). The global
+    * average gate is exact integer cents (bal·n > Σbal over the 1-row
+    * broadcast stats), the lapse test is a left-anti join (null-safe,
+    * never IN), and the rollup is nation-sized. Cent sums divide by
+    * 100.0 once.
+    */
+  def balanceNoOrders(spark: SparkSession, dir: String,
+                      cutoff: String = "1999-01-01 00:00:00"): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("bigint").as("bal_cents"))
+    val stats = c.filter(col("bal_cents") > 0)
+      .agg(sum(col("bal_cents")).as("tot"), count(lit(1)).as("n")) // 1-row bound
+    c.crossJoin(broadcast(stats))
+      .filter(col("bal_cents") * col("n") > col("tot"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit(cutoff)))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"),
+        (sum(col("bal_cents")).cast("double") / 100.0).as("totacctbal"))
+      .orderBy("n_name")
+  }
+
+  /** TPC-H Q8-class national market share: within one region's
+    * customer market, the yearly share of discounted revenue supplied
+    * by one nation's suppliers. Numerator and denominator are exact
+    * decimal sums per year; the share divides their correctly-rounded
+    * double images. Dims broadcast; the fact work is one (year)
+    * aggregate after the usual star joins.
+    */
+  def nationMarketShare(spark: SparkSession, dir: String,
+                        region: String = "ASIA",
+                        nation: String = "NATION_5"): DataFrame = {
+    val reg = Tables.region(spark, dir).filter(col("r_name") === region)
+    val natC = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val natS = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val rev = col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), rev.as("rev"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("bigint").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+      .groupBy("o_year")
+      .agg(sum(when(col("supp_nation") === nation, col("rev"))
+             .otherwise(lit(0).cast("decimal(18,6)"))).as("natd"),
+           sum(col("rev")).as("totald"))
+      .select(col("o_year"),
+        round(col("natd").cast("double") / col("totald").cast("double"), 6)
+          .as("mkt_share"),
+        col("totald").cast("double").as("revenue"))
+      .orderBy("o_year")
+  }
 }

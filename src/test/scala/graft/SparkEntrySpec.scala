@@ -61,6 +61,13 @@ class SparkEntrySpec extends AnyFunSuite {
     // SUM(DECIMAL) (not HUGEINT) escaping through the VARCHAR bridge
     "x_join_left_outer"   -> 1,
     "x_scalar_subquery"   -> 1,
+    // r10 TPC-H wave: CTE SUM(DECIMAL)s consumed only through the
+    // VARCHAR bridge (promo/market-share ratios, Q10 revenue cut,
+    // Q15 max-equality on exact decimals)
+    "x_promo_share"       -> 2,
+    "x_returned_customers"-> 1,
+    "x_top_supplier"      -> 1,
+    "x_market_share"      -> 2,
     // window-SUM session counter, escapes via CAST(session_idx AS BIGINT)
     "x_sessionize"        -> 1,
     // window-SUM island counter — GROUP BY key only, never projected
