@@ -114,6 +114,14 @@ object SparkEntry {
     "x_eigencentrality"    -> ((s, dir) => Graphs.eigenCentrality(s, dir)),
     "x_waiting_suppliers"  -> ((s, dir) => Analytics.waitingSuppliers(s, dir)),
     "x_custdist"           -> ((s, dir) => Analytics.custDistribution(s, dir)),
+    "x_atr"                -> ((s, dir) => Finance.atr(s, dir)),
+    "x_donchian"           -> ((s, dir) => Finance.donchianBreakouts(s, dir)),
+    "x_aroon"              -> ((s, dir) => Finance.aroon(s, dir)),
+    "x_sortino"            -> ((s, dir) => Finance.sortino(s, dir)),
+    "x_ulcer"              -> ((s, dir) => Finance.ulcerIndex(s, dir)),
+    "x_parkinson"          -> ((s, dir) => Finance.parkinson(s, dir)),
+    "x_streaks"            -> ((s, dir) => Finance.directionStreaks(s, dir)),
+    "x_hhi"                -> ((s, dir) => Analytics.revenueConcentration(s, dir)),
     "x_promo_share"        -> ((s, dir) => Analytics.promoRevenueShare(s, dir)),
     "x_returned_customers" -> ((s, dir) => Analytics.returnedItemCustomers(s, dir)),
     "x_top_supplier"       -> ((s, dir) => Analytics.topRevenueSupplier(s, dir)),
@@ -3889,6 +3897,159 @@ object SparkEntry {
         |SELECT ROW_NUMBER() OVER (ORDER BY numwait DESC, suppkey)::BIGINT AS rk,
         |  suppkey, numwait
         |FROM top ORDER BY rk""".stripMargin,
+
+    // ATR(14) over daily cent bars — integer TR, one final divide
+    "x_atr" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, day,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cb AS (SELECT symbol, day, MAX(m) AS hi, MIN(m) AS lo,
+        |         MAX(CASE WHEN rn_d = 1 THEN m END) AS cl
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol, day
+        |                        ORDER BY ts_epoch DESC, id DESC) AS rn_d FROM e)
+        |       GROUP BY symbol, day),
+        |t AS (SELECT symbol, day, hi, lo, cl,
+        |        lag(cl, 1) OVER w AS prev_cl, ROW_NUMBER() OVER w AS rn
+        |      FROM cb WINDOW w AS (PARTITION BY symbol ORDER BY day)),
+        |u AS (SELECT symbol, day, rn,
+        |        CASE WHEN prev_cl IS NULL THEN hi - lo
+        |             ELSE greatest(hi - lo, abs(hi - prev_cl), abs(lo - prev_cl))
+        |        END AS tr
+        |      FROM t),
+        |v AS (SELECT symbol, day, rn, tr,
+        |        CAST(SUM(tr) OVER (PARTITION BY symbol ORDER BY day
+        |          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS DOUBLE) AS tr_sum
+        |      FROM u)
+        |SELECT symbol, day, tr::BIGINT AS tr_cents,
+        |  round(tr_sum / 14 / 100.0, 6) AS atr
+        |FROM v WHERE rn >= 14 ORDER BY symbol, day""".stripMargin),
+
+    // Donchian(20) breakout census — prev-frame max/min, integer cents
+    "x_donchian" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |k AS (SELECT symbol, id, m,
+        |        ROW_NUMBER() OVER w AS rn,
+        |        MAX(m) OVER (PARTITION BY symbol ORDER BY ts_epoch, id
+        |          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS ch_hi,
+        |        MIN(m) OVER (PARTITION BY symbol ORDER BY ts_epoch, id
+        |          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS ch_lo
+        |      FROM e WINDOW w AS (PARTITION BY symbol ORDER BY ts_epoch, id))
+        |SELECT symbol, COUNT(*)::BIGINT AS n_eval,
+        |  CAST(SUM(CASE WHEN m > ch_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_breakout_up,
+        |  CAST(SUM(CASE WHEN m < ch_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_breakout_down,
+        |  MAX(CASE WHEN m > ch_hi THEN id END) AS last_up_id
+        |FROM k WHERE rn > 20 GROUP BY symbol ORDER BY symbol""".stripMargin),
+
+    // Aroon(25) — packed argmax/argmin (m*2^33 + rn), exact integers
+    "x_aroon" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |k AS (SELECT symbol, id, ts_epoch, m,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY ts_epoch, id)
+        |          AS BIGINT) AS rn
+        |      FROM e),
+        |p AS (SELECT symbol, id, rn,
+        |        MAX(m * 8589934592 + rn) OVER f AS pack_hi,
+        |        MIN(m * 8589934592 + (8589934591 - rn)) OVER f AS pack_lo
+        |      FROM k WINDOW f AS (PARTITION BY symbol ORDER BY rn
+        |        ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)),
+        |a AS (SELECT symbol, id,
+        |        4 * (25 - (rn - (pack_hi % 8589934592))) AS aroon_up,
+        |        4 * (25 - (rn - (8589934591 - (pack_lo % 8589934592)))) AS aroon_down
+        |      FROM p WHERE rn >= 25)
+        |SELECT symbol, id, aroon_up, aroon_down,
+        |  aroon_up - aroon_down AS oscillator
+        |FROM a ORDER BY symbol, id""".stripMargin),
+
+    // Sortino ratio — downside deviation, round-6 tolerance class
+    "x_sortino" ->
+      (finQuoteCte + """,
+        |r AS (SELECT symbol,
+        |        ln(price / LAG(price) OVER (PARTITION BY symbol ORDER BY ts_epoch, id)) AS ret
+        |      FROM q WHERE price > 0)
+        |SELECT symbol, COUNT(*)::BIGINT AS n_returns,
+        |  round(avg(ret) / sqrt(avg(CASE WHEN ret < 0 THEN ret * ret ELSE 0.0 END)), 6)
+        |    AS sortino
+        |FROM r WHERE ret IS NOT NULL
+        |GROUP BY symbol
+        |HAVING COUNT(*) >= 3
+        |   AND avg(CASE WHEN ret < 0 THEN ret * ret ELSE 0.0 END) > 0
+        |ORDER BY symbol""".stripMargin),
+
+    // Ulcer index — round-6 drawdown pct locked into DECIMAL before squaring
+    "x_ulcer" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |p AS (SELECT symbol, m,
+        |        MAX(m) OVER (PARTITION BY symbol ORDER BY ts_epoch, id
+        |          ROWS UNBOUNDED PRECEDING) AS peak
+        |      FROM e),
+        |d AS (SELECT symbol,
+        |        CAST(round(100.0 * CAST(peak - m AS DOUBLE) / peak, 6)
+        |          AS DECIMAL(12,6)) AS dd6
+        |      FROM p WHERE peak > 0)
+        |SELECT symbol, COUNT(*)::BIGINT AS n_ticks,
+        |  round(sqrt(CAST(CAST(SUM(dd6 * dd6) AS VARCHAR) AS DOUBLE) / COUNT(*)), 6)
+        |    AS ulcer_index
+        |FROM d GROUP BY symbol ORDER BY symbol""".stripMargin),
+
+    // Parkinson range volatility — round-12 decimal-summed ln² per bar
+    "x_parkinson" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, day,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cb AS (SELECT symbol, day, MAX(m) AS hi, MIN(m) AS lo
+        |       FROM e GROUP BY symbol, day),
+        |d AS (SELECT symbol,
+        |        CAST(round(ln(CAST(hi AS DOUBLE) / lo) * ln(CAST(hi AS DOUBLE) / lo), 12)
+        |          AS DECIMAL(18,12)) AS l2
+        |      FROM cb WHERE lo > 0)
+        |SELECT symbol, COUNT(*)::BIGINT AS n_days,
+        |  round(sqrt(CAST(CAST(SUM(l2) AS VARCHAR) AS DOUBLE)
+        |        / (CAST(2.772588722239781 AS DOUBLE) * COUNT(*))), 6) AS parkinson_vol
+        |FROM d GROUP BY symbol HAVING COUNT(*) >= 2 ORDER BY symbol""".stripMargin),
+
+    // Tick-direction streaks — gaps-and-islands on the move sign
+    "x_streaks" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |s AS (SELECT symbol, id, ts_epoch,
+        |        CAST(sign(m - lag(m, 1) OVER w) AS BIGINT) AS dir
+        |      FROM e WINDOW w AS (PARTITION BY symbol ORDER BY ts_epoch, id)),
+        |f AS (SELECT * FROM s WHERE dir IS NOT NULL),
+        |g AS (SELECT symbol, dir,
+        |        ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY ts_epoch, id)
+        |        - ROW_NUMBER() OVER (PARTITION BY symbol, dir ORDER BY ts_epoch, id)
+        |          AS grp
+        |      FROM f),
+        |r AS (SELECT symbol, dir, grp, COUNT(*) AS len FROM g GROUP BY 1, 2, 3)
+        |SELECT symbol, dir, COUNT(*)::BIGINT AS n_runs, MAX(len)::BIGINT AS max_run,
+        |  CAST(SUM(len) AS BIGINT) AS total_ticks
+        |FROM r GROUP BY symbol, dir ORDER BY symbol, dir""".stripMargin),
+
+    // HHI supplier-revenue concentration per nation — exact-decimal squares
+    "x_hhi" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |        (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS revd
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT n_name, revd FROM r
+        |      JOIN supplier ON l_suppkey = s_suppkey
+        |      JOIN nation ON s_nationkey = n_nationkey),
+        |w AS (SELECT n_name,
+        |        CAST(round(100.0 * CAST(CAST(revd AS VARCHAR) AS DOUBLE)
+        |          / CAST(CAST(SUM(revd) OVER (PARTITION BY n_name) AS VARCHAR) AS DOUBLE),
+        |          6) AS DECIMAL(12,6)) AS share6
+        |      FROM j)
+        |SELECT n_name, COUNT(*)::BIGINT AS n_suppliers,
+        |  round(CAST(CAST(SUM(share6 * share6) AS VARCHAR) AS DOUBLE), 6) AS hhi
+        |FROM w GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     // TPC-H Q13-class: order-count distribution incl. zero-order customers
     "x_custdist" ->

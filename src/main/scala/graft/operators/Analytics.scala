@@ -2414,6 +2414,42 @@ object Analytics {
       .orderBy("n_name")
   }
 
+  /** Herfindahl–Hirschman revenue concentration per supplier nation:
+    * HHI = Σ (100·share)² over each nation's suppliers — the market-
+    * structure screen beside [[nationMarketShare]]. Per-supplier
+    * revenue is an exact decimal sum; shares divide the correctly-
+    * rounded double images, are rounded to 6 and LOCKED into
+    * DECIMAL(12,6) before squaring, so the square and the final sum
+    * are exact decimal arithmetic (no float summation order). The
+    * outer rollup and its window are supplier-nation-sized (bounded
+    * by the dims, not the corpus).
+    */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
+    val perSupp = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), rev.as("rev"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("rev")).as("revd"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("revd"))
+    val wNat = Window.partitionBy("n_name")
+    perSupp
+      .withColumn("totd", sum(col("revd")).over(wNat)) // exact decimal window sum
+      .withColumn("share6",
+        round(lit(100.0) * col("revd").cast("double") / col("totd").cast("double"), 6)
+          .cast("decimal(12,6)"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+           sum(col("share6") * col("share6")).as("hhid")) // exact decimal sum
+      .select(col("n_name"), col("n_suppliers"),
+        round(col("hhid").cast("double"), 6).as("hhi"))
+      .orderBy("n_name")
+  }
+
   /** TPC-H Q8-class national market share: within one region's
     * customer market, the yearly share of discounted revenue supplied
     * by one nation's suppliers. Numerator and denominator are exact

@@ -733,4 +733,197 @@ object Finance {
           .as("cusum_stat"))
       .orderBy("symbol")
   }
+
+  /** Daily bars in integer cents — the shared base for the range
+    * indicators ([[atr]], [[parkinson]]): hi/lo/close per (symbol,
+    * day) from the cent-rounded tick stream, close picked by the
+    * descending row_number trick from [[ohlcBars]] (no min_by tie
+    * divergence). One (symbol, day) exchange serves the window AND
+    * the aggregation. */
+  private def centBars(spark: SparkSession, dir: String): DataFrame = {
+    val desc = Window.partitionBy("symbol", "day")
+      .orderBy(col("ts_epoch").desc, col("id").desc)
+    quotes(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy("symbol", "day")
+      .agg(max(col("m")).as("hi"),
+           min(col("m")).as("lo"),
+           max(when(col("rn_d") === 1, col("m"))).as("cl"),
+           count(lit(1)).as("n_ticks"))
+  }
+
+  /** Average True Range over daily bars: TR = max(hi−lo, |hi−prevCl|,
+    * |lo−prevCl|) in EXACT integer cents (first bar falls back to
+    * hi−lo), ATR = the `period`-bar simple mean of TR (the SMA
+    * variant — Wilder's recursive smoothing would force a running
+    * state; the SMA form stays one window frame and is the
+    * documented operating point). Integer until the single final
+    * divide. Emitted once the frame is full.
+    */
+  def atr(spark: SparkSession, dir: String, period: Int = 14): DataFrame = {
+    val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
+    val frame = byDay.rowsBetween(-(period - 1), 0)
+    centBars(spark, dir)
+      .withColumn("prev_cl", lag(col("cl"), 1).over(byDay))
+      .withColumn("tr",
+        when(col("prev_cl").isNull, col("hi") - col("lo"))
+          .otherwise(greatest(col("hi") - col("lo"),
+            abs(col("hi") - col("prev_cl")), abs(col("lo") - col("prev_cl")))))
+      .withColumn("rn", row_number().over(byDay))
+      .withColumn("tr_sum", sum(col("tr")).over(frame))
+      .filter(col("rn") >= period)
+      .select(col("symbol"), col("day"), col("tr").as("tr_cents"),
+        round(col("tr_sum").cast("double") / period / 100.0, 6).as("atr"))
+      .orderBy("symbol", "day")
+  }
+
+  /** Donchian-channel breakout census: a tick breaks out when it
+    * exceeds the max (falls below the min) of the PREVIOUS `period`
+    * ticks — the frame ends at -1, so the comparison never sees the
+    * current tick. All-integer cents; per symbol the count of up/down
+    * breakouts and the last up-breakout tick id. One (symbol)
+    * exchange for the window and the rollup.
+    */
+  def donchianBreakouts(spark: SparkSession, dir: String,
+                        period: Int = 20): DataFrame = {
+    val ord  = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    val prev = ord.rowsBetween(-period, -1)
+    quotes(spark, dir)
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("ch_hi", max(col("m")).over(prev))
+      .withColumn("ch_lo", min(col("m")).over(prev))
+      .filter(col("rn") > period)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_eval"),
+           sum(when(col("m") > col("ch_hi"), 1L).otherwise(0L)).as("n_breakout_up"),
+           sum(when(col("m") < col("ch_lo"), 1L).otherwise(0L)).as("n_breakout_down"),
+           max(when(col("m") > col("ch_hi"), col("id"))).as("last_up_id"))
+      .orderBy("symbol")
+  }
+
+  /** Aroon(25) indicator per tick: 100·(period − ticksSinceHigh)/period,
+    * EXACT in integers because period = 25 divides 100 (the score is
+    * 4·(25 − age)). The "last position of the frame max" is a packed
+    * argmax — m·2^33 + rn under max() picks the highest price, most
+    * RECENT tick on ties; the min side packs (2^33−1−rn) so min()
+    * picks lowest price, most recent tick. Same pack discipline as
+    * the winnowing fingerprints (order-independent, decode by mod).
+    * Headroom: cents < 2^30 (~$10M) as in [[moments]].
+    */
+  def aroon(spark: SparkSession, dir: String, period: Int = 25): DataFrame = {
+    val B = 8589934592L // 2^33
+    val ord   = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    val frame = ord.rowsBetween(-(period - 1), 0)
+    quotes(spark, dir)
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("pack_hi", max(col("m") * B + col("rn")).over(frame))
+      .withColumn("pack_lo", min(col("m") * B + (lit(B - 1) - col("rn"))).over(frame))
+      .filter(col("rn") >= period)
+      .select(col("symbol"), col("id"),
+        (lit(4L) * (lit(period.toLong) - (col("rn") - col("pack_hi") % B)))
+          .as("aroon_up"),
+        (lit(4L) * (lit(period.toLong) -
+          (col("rn") - (lit(B - 1) - col("pack_lo") % B)))).as("aroon_down"))
+      .withColumn("oscillator", col("aroon_up") - col("aroon_down"))
+      .orderBy("symbol", "id")
+  }
+
+  /** Per-symbol Sortino ratio: mean log return over DOWNSIDE
+    * deviation (root mean square of the negative returns only, zeros
+    * for up ticks) — the risk screen that does not punish upside,
+    * beside [[sharpe]]. Moment aggregates are the round-6 tolerance
+    * class; symbols with no down tick are dropped on both engines.
+    */
+  def sortino(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    quotes(spark, dir)
+      .filter(col("price") > 0)
+      .withColumn("ret", log(col("price") / lag(col("price"), 1).over(w)))
+      .filter(col("ret").isNotNull)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_returns"),
+           avg(col("ret")).as("mean_ret"),
+           avg(when(col("ret") < 0, col("ret") * col("ret")).otherwise(lit(0.0)))
+             .as("dvar"))
+      .filter(col("n_returns") >= 3 && col("dvar") > 0)
+      .select(col("symbol"), col("n_returns"),
+        round(col("mean_ret") / sqrt(col("dvar")), 6).as("sortino"))
+      .orderBy("symbol")
+  }
+
+  /** Per-symbol Ulcer index: root-mean-square percent drawdown below
+    * the running peak. Each tick's drawdown percent is rounded to 6
+    * BEFORE squaring (identical doubles in), the square is EXACT
+    * decimal arithmetic, and the sum is an exact decimal sum — so the
+    * only engine-shared float ops are one divide and one sqrt. Peak
+    * is the integer running max (the [[maxDrawdown]] discipline).
+    */
+  def ulcerIndex(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    quotes(spark, dir)
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+      .withColumn("peak", max(col("m")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("peak") > 0)
+      .withColumn("dd6",
+        round(lit(100.0) * (col("peak") - col("m")).cast("double") / col("peak"), 6)
+          .cast("decimal(12,6)"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_ticks"),
+           sum(col("dd6") * col("dd6")).as("sq")) // exact decimal(24,12) sum
+      .select(col("symbol"), col("n_ticks"),
+        round(sqrt(col("sq").cast("double") / col("n_ticks")), 6).as("ulcer_index"))
+      .orderBy("symbol")
+  }
+
+  /** Parkinson range volatility over daily bars:
+    * sqrt(Σ ln(hi/lo)² / (4·ln2·n)). The per-bar ln² is IEEE-identical
+    * (integer-cent ratio through one ln and one multiply), rounded to
+    * 12 and summed as EXACT decimals (the bigram-ppl discipline);
+    * 4·ln2 is a hardcoded double literal so neither engine's ln(2)
+    * rounding enters. Bars with hi = lo contribute exactly 0.
+    */
+  def parkinson(spark: SparkSession, dir: String): DataFrame = {
+    val ln2x4 = 2.772588722239781 // 4 * ln(2), fixed literal in both engines
+    centBars(spark, dir)
+      .filter(col("lo") > 0)
+      .withColumn("l", log(col("hi").cast("double") / col("lo")))
+      .withColumn("l2", round(col("l") * col("l"), 12).cast("decimal(18,12)"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"),
+           sum(col("l2")).as("s")) // exact decimal sum
+      .filter(col("n_days") >= 2)
+      .select(col("symbol"), col("n_days"),
+        round(sqrt(col("s").cast("double") / (lit(ln2x4) * col("n_days"))), 6)
+          .as("parkinson_vol"))
+      .orderBy("symbol")
+  }
+
+  /** Tick-direction streaks per symbol: maximal runs of consecutive
+    * up (+1), down (−1), or flat (0) tick-to-tick moves — the
+    * gaps-and-islands twin of [[underwaterSpells]] keyed on move
+    * direction instead of drawdown state. All-integer; one (symbol)
+    * exchange serves both row_numbers and the rollups.
+    */
+  def directionStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    val byDir = Window.partitionBy("symbol", "dir")
+      .orderBy(col("ts_epoch").asc, col("id").asc)
+    quotes(spark, dir)
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+      .withColumn("dir", signum((col("m") - lag(col("m"), 1).over(ord)).cast("double"))
+        .cast("bigint"))
+      .filter(col("dir").isNotNull)
+      .withColumn("grp", row_number().over(ord) - row_number().over(byDir))
+      .groupBy(col("symbol"), col("dir"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy("symbol", "dir")
+      .agg(count(lit(1)).as("n_runs"),
+           max(col("len")).as("max_run"),
+           sum(col("len")).as("total_ticks"))
+      .orderBy("symbol", "dir")
+  }
 }

@@ -68,6 +68,9 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_returned_customers"-> 1,
     "x_top_supplier"      -> 1,
     "x_market_share"      -> 2,
+    // r10 indicator wave: per-supplier SUM(DECIMAL) consumed only
+    // through the VARCHAR bridge (HHI shares)
+    "x_hhi"               -> 1,
     // window-SUM session counter, escapes via CAST(session_idx AS BIGINT)
     "x_sessionize"        -> 1,
     // window-SUM island counter — GROUP BY key only, never projected
