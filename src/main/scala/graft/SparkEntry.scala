@@ -122,6 +122,11 @@ object SparkEntry {
     "x_parkinson"          -> ((s, dir) => Finance.parkinson(s, dir)),
     "x_streaks"            -> ((s, dir) => Finance.directionStreaks(s, dir)),
     "x_hhi"                -> ((s, dir) => Analytics.revenueConcentration(s, dir)),
+    "x_jaccard_link"       -> ((s, dir) => Graphs.jaccardLink(s, dir)),
+    "x_hits"               -> ((s, dir) => Graphs.hits(s, dir)),
+    "x_bfs_hops"           -> ((s, dir) => Graphs.bfsLevels(s, dir)),
+    "x_lexical_profile"    -> ((s, dir) => TextAnalysis.lexicalProfile(s, dir)),
+    "x_bloom_audit"        -> ((s, dir) => Analytics.bloomAudit(s, dir)),
     "x_promo_share"        -> ((s, dir) => Analytics.promoRevenueShare(s, dir)),
     "x_returned_customers" -> ((s, dir) => Analytics.returnedItemCustomers(s, dir)),
     "x_top_supplier"       -> ((s, dir) => Analytics.topRevenueSupplier(s, dir)),
@@ -3897,6 +3902,131 @@ object SparkEntry {
         |SELECT ROW_NUMBER() OVER (ORDER BY numwait DESC, suppkey)::BIGINT AS rk,
         |  suppkey, numwait
         |FROM top ORDER BY rk""".stripMargin,
+
+    // Jaccard link prediction — exact integer common/union counts
+    "x_jaccard_link" ->
+      (graphCoCte + """,
+        |c AS (SELECT u AS z, v AS x FROM adj JOIN degu USING (u)
+        |      WHERE d >= 2 AND d <= 200),
+        |p AS (SELECT l.x AS a, r.x AS b, COUNT(*)::BIGINT AS n_common
+        |      FROM c l JOIN c r ON l.z = r.z AND l.x < r.x GROUP BY 1, 2),
+        |cand AS (SELECT a, b, n_common,
+        |          round(CAST(n_common AS DOUBLE) / (da.d + db.d - n_common), 6)
+        |            AS jaccard
+        |         FROM p JOIN degu da ON da.u = p.a JOIN degu db ON db.u = p.b
+        |         WHERE NOT EXISTS (SELECT 1 FROM co
+        |                           WHERE co.pa = p.a AND co.pb = p.b)),
+        |top AS (SELECT * FROM cand ORDER BY jaccard DESC, a, b LIMIT 50)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY jaccard DESC, a, b) AS BIGINT) AS rk,
+        |  a AS node_a, b AS node_b, n_common, jaccard
+        |FROM top ORDER BY rk""".stripMargin),
+
+    // HITS authorities over the directed sequential-purchase graph,
+    // 3 unrolled rounds with round-12 quantization at both stages
+    "x_hits" ->
+      ("""WITH fp AS (SELECT o_custkey AS c, l_partkey AS p,
+        |             MIN(CAST(o_orderdate AS DATE)) AS d0
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |sz AS (SELECT c FROM fp GROUP BY c HAVING COUNT(*) <= 100),
+        |fpc AS (SELECT fp.c, fp.p, fp.d0 FROM fp JOIN sz USING (c)),
+        |e AS (SELECT a.p AS src, b.p AS dst FROM fpc a JOIN fpc b
+        |      ON a.c = b.c AND a.d0 < b.d0 GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |h0 AS (SELECT node, 1.0::DOUBLE AS h
+        |       FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+        |""".stripMargin
+        + (1 to 3).map { i =>
+          val hPrev = if (i == 1) "h0" else s"h${i - 1}"
+          s"""a${i}r AS (SELECT dst AS node, ROUND(SUM(h), 12) AS s
+             |  FROM e JOIN $hPrev ON $hPrev.node = e.src GROUP BY dst),
+             |a$i AS (SELECT node, ROUND(s / (SELECT MAX(s) FROM a${i}r), 12) AS a
+             |  FROM a${i}r)""".stripMargin +
+          (if (i < 3)
+            s""",
+               |h${i}r AS (SELECT src AS node, ROUND(SUM(a), 12) AS s
+               |  FROM e JOIN a$i ON a$i.node = e.dst GROUP BY src),
+               |h$i AS (SELECT node, ROUND(s / (SELECT MAX(s) FROM h${i}r), 12) AS h
+               |  FROM h${i}r)""".stripMargin
+           else "")
+        }.mkString(",\n")
+        + """,
+        |ind AS (SELECT dst AS node, COUNT(*)::BIGINT AS in_degree FROM e GROUP BY 1),
+        |top AS (SELECT node, ROUND(a, 6) AS authority FROM a3
+        |        ORDER BY authority DESC, node LIMIT 20)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY authority DESC, node) AS BIGINT) AS rk,
+        |  node, in_degree, authority
+        |FROM top JOIN ind USING (node) ORDER BY rk""".stripMargin),
+
+    // BFS hop census from the max-degree node, 4 unrolled levels
+    "x_bfs_hops" ->
+      (graphCoCte + """,
+        |src AS (SELECT u AS node FROM degu ORDER BY d DESC, u LIMIT 1),
+        |l0 AS (SELECT node, CAST(0 AS BIGINT) AS lvl FROM src),
+        |v0 AS (SELECT node FROM l0),
+        |""".stripMargin
+        + (1 to 4).map { i =>
+          s"""f$i AS (SELECT DISTINCT adj.v AS node
+             |  FROM adj JOIN l${i - 1} ON adj.u = l${i - 1}.node
+             |  WHERE adj.v NOT IN (SELECT node FROM v${i - 1})),
+             |l$i AS (SELECT node, CAST($i AS BIGINT) AS lvl FROM f$i),
+             |v$i AS (SELECT node FROM v${i - 1} UNION SELECT node FROM l$i)""".stripMargin
+        }.mkString(",\n")
+        + """,
+        |allv AS (SELECT lvl FROM l0 UNION ALL SELECT lvl FROM l1
+        |         UNION ALL SELECT lvl FROM l2 UNION ALL SELECT lvl FROM l3
+        |         UNION ALL SELECT lvl FROM l4)
+        |SELECT lvl, COUNT(*)::BIGINT AS n_nodes
+        |FROM allv GROUP BY lvl ORDER BY lvl""".stripMargin),
+
+    // per-language lexical profile — vocabulary-sized exact rollup
+    "x_lexical_profile" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |t AS (SELECT lang, tok, COUNT(*)::BIGINT AS cnt FROM tok
+        |      WHERE len(tok) > 0 GROUP BY 1, 2),
+        |a AS (SELECT lang,
+        |        CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |        COUNT(*)::BIGINT AS n_types,
+        |        CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |        CAST(SUM(len(tok) * cnt) AS BIGINT) AS n_chars,
+        |        CAST(SUM(greatest(1, len(regexp_extract_all(tok, '[aeiouy]+'))) * cnt)
+        |          AS BIGINT) AS n_syllables
+        |      FROM t GROUP BY lang),
+        |d AS (SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY lang)
+        |SELECT lang, n_docs, n_tokens, n_types,
+        |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+        |  round(CAST(hapax AS DOUBLE) / n_types, 6) AS hapax_rate,
+        |  round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_chars,
+        |  round(CAST(n_syllables AS DOUBLE) / n_tokens, 6) AS avg_syllables
+        |FROM a JOIN d USING (lang) ORDER BY lang""".stripMargin,
+
+    // Bloom membership audit — integer slot arithmetic, measured FP rate
+    "x_bloom_audit" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment FROM customer),
+        |mem AS (SELECT c_custkey FROM cust WHERE c_mktsegment = 'BUILDING'),
+        |bits AS (SELECT DISTINCT pos FROM (
+        |  SELECT unnest(ARRAY[
+        |    (c_custkey * 31 + 7) % 1000000007 % 65536,
+        |    (c_custkey * 131 + 911) % 1000000007 % 65536,
+        |    (c_custkey * 8191 + 131071) % 1000000007 % 65536]) AS pos FROM mem)),
+        |nb AS (SELECT COUNT(*)::BIGINT AS bits_set FROM bits),
+        |pr AS (SELECT c_custkey, c_mktsegment, unnest(ARRAY[
+        |    (c_custkey * 31 + 7) % 1000000007 % 65536,
+        |    (c_custkey * 131 + 911) % 1000000007 % 65536,
+        |    (c_custkey * 8191 + 131071) % 1000000007 % 65536]) AS pos FROM cust),
+        |hk AS (SELECT c_custkey, COUNT(*)::BIGINT AS nhit
+        |       FROM pr JOIN bits USING (pos) GROUP BY 1),
+        |j AS (SELECT cust.c_custkey, c_mktsegment,
+        |        COALESCE(nhit, 0) = 3 AS predicted
+        |      FROM cust LEFT JOIN hk ON cust.c_custkey = hk.c_custkey)
+        |SELECT c_mktsegment AS segment,
+        |  c_mktsegment = 'BUILDING' AS is_member_segment,
+        |  COUNT(*)::BIGINT AS n_keys,
+        |  CAST(SUM(CASE WHEN predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_predicted,
+        |  round(CAST(SUM(CASE WHEN predicted THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS pred_rate,
+        |  bits_set, CAST(65536 AS BIGINT) AS m_bits
+        |FROM j CROSS JOIN nb
+        |GROUP BY c_mktsegment, bits_set ORDER BY segment""".stripMargin,
 
     // ATR(14) over daily cent bars — integer TR, one final divide
     "x_atr" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2412,6 +2412,52 @@ object Analytics {
       .agg(count(lit(1)).as("numcust"),
         (sum(col("bal_cents")).cast("double") / 100.0).as("totacctbal"))
       .orderBy("n_name")
+  }
+
+  /** Bloom-filter membership audit in EXACT integer bit arithmetic:
+    * build an m-bit, k=3 Bloom filter over one market segment's
+    * customer keys (positions hᵢ(key) = ((key·aᵢ+bᵢ) mod p) mod m),
+    * probe every customer, and report per segment how many keys the
+    * filter claims — the false-positive rate measured, not estimated
+    * (the HLL/t-digest "measure, don't claim" discipline applied to
+    * the classic membership sketch). A probe passes when ALL THREE of
+    * its hash slots are set; duplicate slot collisions within one key
+    * count per hash test, matching the k-probe semantics.
+    *
+    * Scale shape: the bit set is DISTINCT positions ≤ m (65536) — a
+    * bounded broadcast at any corpus scale; probes explode to 3 rows
+    * per key and equi-join the bit table; no floats anywhere until
+    * the final rate divides.
+    */
+  def bloomAudit(spark: SparkSession, dir: String, m: Int = 65536,
+                 segment: String = "BUILDING"): DataFrame = {
+    val P = 1000000007L
+    val hashes = Seq((31L, 7L), (131L, 911L), (8191L, 131071L))
+    def pos(key: Column, ab: (Long, Long)): Column =
+      (key * ab._1 + ab._2) % P % m
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val bits = cust.filter(col("c_mktsegment") === segment)
+      .select(explode(array(hashes.map(pos(col("c_custkey"), _)): _*)).as("pos"))
+      .distinct()
+      .localCheckpoint() // bounded by m — broadcastable at any scale
+    val nBits = bits.agg(count(lit(1)).as("bits_set")) // 1-row bound
+    val probes = cust
+      .select(col("c_custkey"), col("c_mktsegment"),
+        explode(array(hashes.map(pos(col("c_custkey"), _)): _*)).as("pos"))
+    val hitPerKey = probes.join(broadcast(bits), "pos")
+      .groupBy("c_custkey").agg(count(lit(1)).as("nhit"))
+    cust.join(hitPerKey, Seq("c_custkey"), "left")
+      .withColumn("predicted", coalesce(col("nhit"), lit(0L)) === 3)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_keys"),
+           sum(when(col("predicted"), 1L).otherwise(0L)).as("n_predicted"))
+      .crossJoin(broadcast(nBits))
+      .select(col("segment"),
+        (col("segment") === segment).as("is_member_segment"),
+        col("n_keys"), col("n_predicted"),
+        round(col("n_predicted").cast("double") / col("n_keys"), 6).as("pred_rate"),
+        col("bits_set"), lit(m.toLong).as("m_bits"))
+      .orderBy("segment")
   }
 
   /** Herfindahl–Hirschman revenue concentration per supplier nation:

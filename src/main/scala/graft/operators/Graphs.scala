@@ -340,4 +340,151 @@ object Graphs {
         col("n_common"), col("aa_score"))
       .orderBy("rk")
   }
+
+  /** Jaccard-coefficient link prediction beside [[linkPrediction]]'s
+    * Adamic-Adar: |N(a)∩N(b)| / |N(a)∪N(b)| = common/(dₐ+d_b−common)
+    * — EXACT integer counts through one final round-6 divide (no
+    * decimal weight projection needed at all). Same center-join
+    * shape: pairs meet only through shared neighbors (degree-capped
+    * centers, never all-pairs), existing edges anti-joined out,
+    * TakeOrdered cut on the rounded score with (a, b) tie-breaks.
+    */
+  def jaccardLink(spark: SparkSession, dir: String, minSupport: Int = 2,
+                  degCap: Int = 200, topK: Int = 50): DataFrame = {
+    val e = coEdges(spark, dir, minSupport).localCheckpoint()
+    val adj = e.select(col("pa").as("z"), col("pb").as("x"))
+      .unionAll(e.select(col("pb").as("z"), col("pa").as("x")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("d"))
+    val centers = adj.join(deg.filter(col("d") >= 2 && col("d") <= degCap), "z")
+      .select("z", "x")
+    val degN = deg.select(col("z").as("x"), col("d"))
+    val pairs = centers.as("l").join(centers.as("r"),
+        col("l.z") === col("r.z") && col("l.x") < col("r.x"))
+      .groupBy(col("l.x").as("a"), col("r.x").as("b"))
+      .agg(count(lit(1)).as("n_common"))
+    val scored = pairs
+      .join(degN.select(col("x").as("a"), col("d").as("da")), "a")
+      .join(degN.select(col("x").as("b"), col("d").as("db")), "b")
+      .join(e, col("a") === col("pa") && col("b") === col("pb"), "left_anti")
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+              (col("da") + col("db") - col("n_common")), 6))
+    val top = scored.orderBy(col("jaccard").desc, col("a"), col("b")).limit(topK)
+    broadcast(top)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("jaccard").desc, col("a"), col("b"))).cast("bigint"))
+      .select(col("rk"), col("a").as("node_a"), col("b").as("node_b"),
+        col("n_common"), col("jaccard"))
+      .orderBy("rk")
+  }
+
+  /** The directed sequential-purchase graph: part A → part B when the
+    * same customer first bought A strictly before B (first-purchase
+    * dates per (customer, part)), kept at `minSupport` distinct
+    * customers. Customers with more than `partCap` distinct parts are
+    * dropped BEFORE pairing (the documented fan-out bound — pairs per
+    * customer are then ≤ partCap², never corpus-quadratic).
+    */
+  private[graft] def seqEdges(spark: SparkSession, dir: String,
+                              minSupport: Int = 2,
+                              partCap: Int = 100): DataFrame = {
+    val fp = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey")
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("d")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .agg(min(col("d")).as("d0"))
+    val sz = fp.groupBy("c").agg(count(lit(1)).as("np"))
+      .filter(col("np") <= partCap).select("c")
+    val fpc = fp.join(sz, "c").localCheckpoint()
+    fpc.as("a").join(fpc.as("b"),
+        col("a.c") === col("b.c") && col("a.d0") < col("b.d0"))
+      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minSupport)
+      .select("src", "dst")
+  }
+
+  /** HITS hubs-and-authorities over the directed sequential-purchase
+    * graph ([[seqEdges]] — a DIRECTED relation, unlike the symmetric
+    * co-purchase graph where hubs ≡ authorities): a ← Aᵀh, h ← Aa,
+    * max-normalized and round-12 quantized at BOTH stages of every
+    * round (the [[eigenCentrality]] discipline), driver-paced with an
+    * unrolled-CTE oracle. Reports the topK authorities ("what gets
+    * bought downstream") with in-degrees.
+    *
+    * Scale shape: per round two 8-byte-key equi-joins over
+    * localCheckpointed state and one 1-row max broadcast; TakeOrdered
+    * final cut. Edge build is bounded by partCap² per customer.
+    */
+  def hits(spark: SparkSession, dir: String, iters: Int = 3,
+           topK: Int = 20): DataFrame = {
+    val e = seqEdges(spark, dir).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var h = nodes.withColumn("h", lit(1.0)).localCheckpoint()
+    var a: DataFrame = null
+    for (i <- 1 to iters) {
+      val ar = e.join(h.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(round(sum(col("h")), 12).as("s"))
+      val amx = ar.agg(max(col("s")).as("mx")) // 1-row bound
+      a = ar.crossJoin(broadcast(amx))
+        .select(col("node"), round(col("s") / col("mx"), 12).as("a"))
+        .localCheckpoint()
+      if (i < iters) {
+        val hr = e.join(a.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node"))
+          .agg(round(sum(col("a")), 12).as("s"))
+        val hmx = hr.agg(max(col("s")).as("mx"))
+        h = hr.crossJoin(broadcast(hmx))
+          .select(col("node"), round(col("s") / col("mx"), 12).as("h"))
+          .localCheckpoint()
+      }
+    }
+    val ind = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_degree"))
+    val top = a.select(col("node"), round(col("a"), 6).as("authority"))
+      .orderBy(col("authority").desc, col("node")).limit(topK)
+    broadcast(top)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("authority").desc, col("node"))).cast("bigint"))
+      .join(ind, "node")
+      .select("rk", "node", "in_degree", "authority")
+      .orderBy("rk")
+  }
+
+  /** BFS hop census from the highest-degree node of the co-purchase
+    * graph (ties to the smallest id): how many nodes sit at each hop
+    * distance 0..depth — the reachability/diameter probe behind
+    * "is this graph one ball or many islands". Driver-paced frontier
+    * expansion: each level is one equi-join (frontier × adjacency)
+    * and one anti-join against the visited set — 8-byte keys only,
+    * never the corpus rows; levels are localCheckpointed so round N
+    * does not recompute rounds 1..N−1. All-integer output.
+    */
+  def bfsLevels(spark: SparkSession, dir: String, depth: Int = 4,
+                minSupport: Int = 2): DataFrame = {
+    val e = coEdges(spark, dir, minSupport).localCheckpoint()
+    val adj = e.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
+      .localCheckpoint()
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("d"))
+    val src = deg.orderBy(col("d").desc, col("u").asc).limit(1)
+      .select(col("u").as("node"), lit(0L).as("lvl"))
+    var visited = src.localCheckpoint()
+    var frontier = visited
+    for (i <- 1 to depth) {
+      val next = adj
+        .join(frontier.select(col("node").as("u")), "u")
+        .select(col("v").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("lvl", lit(i.toLong))
+        .localCheckpoint()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next
+    }
+    visited.groupBy("lvl").agg(count(lit(1)).as("n_nodes")).orderBy("lvl")
+  }
 }

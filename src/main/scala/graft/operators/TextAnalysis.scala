@@ -1366,4 +1366,42 @@ object TextAnalysis {
           (col("n_big").cast("double") * col("c_a") * col("c_b"))), 6).as("pmi"))
       .orderBy("a", "b")
   }
+
+  /** Per-language lexical profile: token/type/hapax counts, type-token
+    * ratio, hapax share of the vocabulary, mean word length and mean
+    * syllables per word (vowel-group runs, min 1 — the deterministic
+    * syllable heuristic behind readability formulas). The corpus-sized
+    * work is one (lang, token) hash aggregation; every downstream
+    * number rolls up from the VOCABULARY-sized count table in exact
+    * integers (chars/syllables multiply per-type, never per-token),
+    * with four final round-6 divides.
+    */
+  def lexicalProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("lang"), col("text"))
+    val perTok = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("lang", "tok")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("chars", length(col("tok")).cast("bigint") * col("cnt"))
+      .withColumn("syl",
+        greatest(lit(1),
+          size(regexp_extract_all(col("tok"), lit("[aeiouy]+"), lit(0))))
+          .cast("bigint") * col("cnt"))
+    val docCounts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    perTok.groupBy("lang")
+      .agg(sum(col("cnt")).as("n_tokens"),
+           count(lit(1)).as("n_types"),
+           sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"),
+           sum(col("chars")).as("n_chars"),
+           sum(col("syl")).as("n_syllables"))
+      .join(broadcast(docCounts), "lang")
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("hapax").cast("double") / col("n_types"), 6).as("hapax_rate"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 6).as("avg_chars"),
+        round(col("n_syllables").cast("double") / col("n_tokens"), 6)
+          .as("avg_syllables"))
+      .orderBy("lang")
+  }
 }

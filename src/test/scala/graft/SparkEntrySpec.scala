@@ -71,6 +71,10 @@ class SparkEntrySpec extends AnyFunSuite {
     // r10 indicator wave: per-supplier SUM(DECIMAL) consumed only
     // through the VARCHAR bridge (HHI shares)
     "x_hhi"               -> 1,
+    // HITS unrolled rounds: ROUND(SUM(double), 12) per stage — double
+    // sums quantized per round (the pageRank discipline), never
+    // HUGEINT, never projected raw
+    "x_hits"              -> 5,
     // window-SUM session counter, escapes via CAST(session_idx AS BIGINT)
     "x_sessionize"        -> 1,
     // window-SUM island counter — GROUP BY key only, never projected
