@@ -48,7 +48,23 @@ class LayoutInvarianceSpec extends SparkSuite {
     // exactly the mechanism that makes the iteration layout-proof
     ("x_eigencentrality", () => graft.operators.Graphs.eigenCentrality(spark, sfDir)),
     // Adamic-Adar: round-12 decimal term sums, (score, a, b) cut order
-    ("x_link_predict",   () => graft.operators.Graphs.linkPrediction(spark, sfDir)))
+    ("x_link_predict",   () => graft.operators.Graphs.linkPrediction(spark, sfDir)),
+    // r10b: Aroon's packed argmax/argmin is order-independent by
+    // construction — layout independence is that pack's claim
+    ("x_aroon",          () => graft.operators.Finance.aroon(spark, sfDir)),
+    // Q10's top-k cut orders by the EXACT decimal revenue sum
+    ("x_returned_customers",
+                         () => graft.operators.Analytics.returnedItemCustomers(spark, sfDir)),
+    // Q2's per-part argmin: integer cents, suppkey tie-break
+    ("x_min_cost_supplier",
+                         () => graft.operators.Analytics.minCostSupplier(spark, sfDir)),
+    // HHI: decimal window total + locked-decimal share squares
+    ("x_hhi",            () => graft.operators.Analytics.revenueConcentration(spark, sfDir)),
+    // Parkinson: round-12 decimal ln² sums (the bigram-ppl mechanism)
+    ("x_parkinson",      () => graft.operators.Finance.parkinson(spark, sfDir)),
+    // HITS: per-round two-stage round-12 quantization over a DIRECTED
+    // graph — the eigencentrality claim on the new edge set
+    ("x_hits",           () => graft.operators.Graphs.hits(spark, sfDir)))
 
   test("order-sensitive operators return identical rows under different shuffle layouts") {
     val key = "spark.sql.shuffle.partitions"

@@ -679,4 +679,52 @@ class PlanSpec extends SparkSuite {
         assert(hashEx == 1, s"$hashEx hash exchanges:\n$plan")
     }
   }
+
+  test("TPC-H wave: dims broadcast, no cartesians, no nested-loop fallbacks") {
+    // the 1-row stats/max broadcasts (Q15/Q22) are the only
+    // nested-loop joins allowed; everything else must hash
+    Seq(Analytics.returnedItemCustomers(spark, sfDir),
+        Analytics.minCostSupplier(spark, sfDir),
+        Analytics.smallQtyBrandRevenue(spark, sfDir),
+        Analytics.nationMarketShare(spark, sfDir),
+        Analytics.promoRevenueShare(spark, sfDir)).foreach { df =>
+      val plan = formatted(df)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(plan.contains("BroadcastHashJoin"), s"no broadcast dim join in:\n$plan")
+    }
+  }
+
+  test("bloom audit probes join the BROADCAST bounded bit set") {
+    val plan = formatted(Analytics.bloomAudit(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"bit set not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("range indicators share one (symbol) or (symbol, day) exchange layer") {
+    // ATR: bars aggregate + day window; aroon/ulcer: one symbol
+    // exchange feeding windows — never an extra repartition
+    Seq(graft.operators.Finance.atr(spark, sfDir) -> 3,
+        graft.operators.Finance.aroon(spark, sfDir) -> 1,
+        graft.operators.Finance.ulcerIndex(spark, sfDir) -> 2).foreach {
+      case (df, maxHashEx) =>
+        val plan = formatted(df)
+        val hashEx = plan.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+        assert(hashEx <= maxHashEx, s"$hashEx hash exchanges:\n$plan")
+        assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
+
+  test("sequential-purchase graph (HITS) pairs only through equi-joins") {
+    val plan = formatted(graft.operators.Graphs.seqEdges(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+           plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("lexical profile: corpus work is the (lang, token) aggregate, doc counts broadcast") {
+    val plan = formatted(graft.operators.TextAnalysis.lexicalProfile(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"doc counts not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
