@@ -322,4 +322,176 @@ object StreamingIndicators {
           out.result().iterator
       }
   }
+
+  /** ring of the last ≤25 (cents, absolute tick index), oldest-first. */
+  final case class AroonState(ms: List[Long], rns: List[Long], n: Long)
+
+  final case class AroonOut(symbol: String, id: Long,
+                            aroon_up: Long, aroon_down: Long, oscillator: Long)
+
+  /** Streaming twin of [[graft.operators.Finance.aroon]]: the batch
+    * packed argmax (max price, most recent on ties) and argmin (min
+    * price, most recent on ties) over the 25-tick frame become plain
+    * ring scans — exact integers end to end, emission once the frame
+    * is full. State per live symbol: ≤25 (long, long) pairs.
+    */
+  def withAroon(ticks: Dataset[Tick], period: Int = 25): Dataset[AroonOut] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[AroonState, AroonOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Tick], state: GroupState[AroonState]) =>
+          val ordered = rows.toSeq.sortBy(t => (t.ts.getTime, t.id))
+          var st = state.getOption.getOrElse(AroonState(Nil, Nil, 0L))
+          val out = Seq.newBuilder[AroonOut]
+          ordered.foreach { t =>
+            val n = st.n + 1
+            val ms = (st.ms :+ cents(t.price)).takeRight(period)
+            val rns = (st.rns :+ n).takeRight(period)
+            st = AroonState(ms, rns, n)
+            if (n >= period) {
+              val pairs = ms.zip(rns)
+              // batch pack max(m·2^33 + rn): highest price, latest tick
+              val (_, rnHi) = pairs.maxBy { case (m0, rn0) => (m0, rn0) }
+              // batch pack min(m·2^33 + (2^33−1−rn)): lowest, latest
+              val (_, rnLo) = pairs.minBy { case (m0, rn0) => (m0, -rn0) }
+              val up = 4L * (period - (n - rnHi))
+              val dn = 4L * (period - (n - rnLo))
+              out += AroonOut(t.symbol, t.id, up, dn, up - dn)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** prev cents, current run direction and length. */
+  final case class StreakState(prev: Long, hasPrev: Boolean,
+                               dir: Long, len: Long)
+
+  final case class StreakOut(symbol: String, id: Long, dir: Long, run_len: Long)
+
+  /** Streaming twin of [[graft.operators.Finance.directionStreaks]]'
+    * per-tick layer: each tick after the first emits its move
+    * direction (−1/0/+1 on cents) and the current run length — the
+    * batch gaps-and-islands groups are exactly the rows sharing a
+    * (symbol, dir, run start), so the batch per-direction rollups
+    * (n_runs = rows with run_len 1, max_run, total_ticks) aggregate
+    * the emitted rows bit-exactly (StreamingSpec pins it). State per
+    * live symbol: three longs.
+    */
+  def withStreaks(ticks: Dataset[Tick]): Dataset[StreakOut] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[StreakState, StreakOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Tick], state: GroupState[StreakState]) =>
+          val ordered = rows.toSeq.sortBy(t => (t.ts.getTime, t.id))
+          var st = state.getOption.getOrElse(StreakState(0L, false, 2L, 0L))
+          val out = Seq.newBuilder[StreakOut]
+          ordered.foreach { t =>
+            val m = cents(t.price)
+            if (st.hasPrev) {
+              val d = java.lang.Long.signum(m - st.prev).toLong
+              val len = if (st.len > 0 && d == st.dir) st.len + 1 else 1L
+              st = StreakState(m, true, d, len)
+              out += StreakOut(t.symbol, t.id, d, len)
+            } else st = StreakState(m, true, st.dir, 0L)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  final case class UlcerDdOut(symbol: String, id: Long, dd6: Double)
+
+  /** Streaming twin of [[graft.operators.Finance.ulcerIndex]]'s
+    * per-tick layer: integer running peak in cents, each tick emitting
+    * the batch expression's round-6 drawdown percent
+    * (100.0 · (peak − m) / peak). The batch Ulcer index is the RMS of
+    * exactly these rounded values through exact decimal squares, so
+    * aggregating the stream reproduces it bit for bit (StreamingSpec).
+    * State per live symbol: one long.
+    */
+  def withUlcerDd(ticks: Dataset[Tick]): Dataset[UlcerDdOut] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[Long, UlcerDdOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Tick], state: GroupState[Long]) =>
+          val ordered = rows.toSeq.sortBy(t => (t.ts.getTime, t.id))
+          var peak = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[UlcerDdOut]
+          ordered.foreach { t =>
+            val m = cents(t.price)
+            peak = math.max(peak, m)
+            if (peak > 0)
+              out += UlcerDdOut(t.symbol, t.id,
+                round6(100.0 * (peak - m).toDouble / peak))
+          }
+          state.update(peak)
+          out.result().iterator
+      }
+  }
+
+  /** Open bar (epoch day, hi, lo, close cents), previous close, TR
+    * ring oldest-first, closed-day count. */
+  final case class AtrState(day: Long, hi: Long, lo: Long, cl: Long,
+                            prevCl: Long, hasPrev: Boolean,
+                            trs: List[Long], nDays: Long)
+
+  final case class AtrOut(symbol: String, day: java.sql.Date,
+                          tr_cents: Long, atr: Double)
+
+  /** Streaming twin of [[graft.operators.Finance.atr]]: per-symbol
+    * open-bar state folds hi/lo/close in tick order; a tick on a NEW
+    * day closes the previous bar — its true range (exact integer
+    * cents, same greatest/abs arithmetic) joins the ≤period TR ring
+    * and, once `period` bars have closed, emits that day's ATR with
+    * the batch's single divide. The stream never closes its LAST open
+    * bar (no end-of-stream in Append mode) — the documented
+    * difference from batch, which sees the corpus end; parity tests
+    * compare on the closed days.
+    */
+  def withAtr(ticks: Dataset[Tick], period: Int = 14): Dataset[AtrOut] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[AtrState, AtrOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sym: String, rows: Iterator[Tick], state: GroupState[AtrState]) =>
+          val ordered = rows.toSeq.sortBy(t => (t.ts.getTime, t.id))
+          var st = state.getOption.getOrElse(
+            AtrState(Long.MinValue, 0L, 0L, 0L, 0L, false, Nil, 0L))
+          val out = Seq.newBuilder[AtrOut]
+          def closeBar(): Unit = if (st.day != Long.MinValue) {
+            val tr =
+              if (!st.hasPrev) st.hi - st.lo
+              else math.max(st.hi - st.lo,
+                math.max(math.abs(st.hi - st.prevCl), math.abs(st.lo - st.prevCl)))
+            val trs = (st.trs :+ tr).takeRight(period)
+            val nDays = st.nDays + 1
+            if (nDays >= period)
+              out += AtrOut(sym,
+                java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(st.day)),
+                tr, round6(trs.sum.toDouble / period / 100.0))
+            st = st.copy(prevCl = st.cl, hasPrev = true, trs = trs, nDays = nDays)
+          }
+          ordered.foreach { t =>
+            val m = cents(t.price)
+            val day = t.ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+              .toLocalDate.toEpochDay
+            if (day != st.day) {
+              closeBar()
+              st = st.copy(day = day, hi = m, lo = m, cl = m)
+            } else
+              st = st.copy(hi = math.max(st.hi, m), lo = math.min(st.lo, m), cl = m)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

@@ -747,6 +747,148 @@ class StreamingSpec extends SparkSuite {
     assert(collected.toSet == want, "stream==batch OBV drift")
   }
 
+  test("streaming Aroon ring equals the batch packed-argmax window (in-order splits)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ms = MemoryStream[graft.streaming.StreamingIndicators.Tick]
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long, Long)]
+    val q = graft.streaming.StreamingIndicators.withAroon(ms.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingIndicators.AroonOut], _: Long) =>
+        collected.synchronized {
+          collected ++= b.collect().map(o =>
+            (o.symbol, o.id, o.aroon_up, o.aroon_down, o.oscillator))
+        }
+        ()
+      }
+      .start()
+    val ev = orderedTicks
+    val chunks = ev.grouped(math.max(1, ev.length / 3 + 1)).toSeq
+    try {
+      chunks.foreach { c =>
+        ms.addData(scala.util.Random.shuffle(c.toSeq)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val want = graft.operators.Finance.aroon(spark, sfDir)
+      .select(col("symbol"), col("id"), col("aroon_up"), col("aroon_down"),
+        col("oscillator"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(want.nonEmpty, "batch aroon must emit at sf0.001")
+    assert(collected.toSet == want, "stream==batch aroon drift")
+  }
+
+  test("streaming direction streaks aggregate to the batch gaps-and-islands rollup") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ms = MemoryStream[graft.streaming.StreamingIndicators.Tick]
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long)] // (symbol, id, dir, run_len)
+    val q = graft.streaming.StreamingIndicators.withStreaks(ms.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingIndicators.StreakOut], _: Long) =>
+        collected.synchronized {
+          collected ++= b.collect().map(o => (o.symbol, o.id, o.dir, o.run_len))
+        }
+        ()
+      }
+      .start()
+    val ev = orderedTicks
+    val chunks = ev.grouped(math.max(1, ev.length / 4 + 1)).toSeq
+    try {
+      chunks.foreach { c =>
+        ms.addData(scala.util.Random.shuffle(c.toSeq)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // a run of length L emits rows with run_len 1..L — the batch
+    // rollup is recovered as (#len==1, max len, #rows) per (sym, dir)
+    val got = collected.groupBy(r => (r._1, r._3)).map { case ((s, d), rows) =>
+      (s, d, rows.count(_._4 == 1L).toLong,
+        rows.map(_._4).max, rows.size.toLong)
+    }.toSet
+    val want = graft.operators.Finance.directionStreaks(spark, sfDir)
+      .select(col("symbol"), col("dir"), col("n_runs"), col("max_run"),
+        col("total_ticks"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(want.nonEmpty, "batch streaks must emit at sf0.001")
+    assert(got == want, "stream==batch streaks drift")
+  }
+
+  test("streaming ulcer drawdowns square-sum to the batch Ulcer index") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ms = MemoryStream[graft.streaming.StreamingIndicators.Tick]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val q = graft.streaming.StreamingIndicators.withUlcerDd(ms.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingIndicators.UlcerDdOut], _: Long) =>
+        collected.synchronized { collected ++= b.collect().map(o => (o.symbol, o.dd6)) }
+        ()
+      }
+      .start()
+    val ev = orderedTicks
+    val chunks = ev.grouped(math.max(1, ev.length / 3 + 1)).toSeq
+    try {
+      chunks.foreach { c =>
+        ms.addData(scala.util.Random.shuffle(c.toSeq)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // batch: exact decimal Σdd6², correctly-rounded double bridge,
+    // one divide + sqrt + round-6
+    val got = collected.groupBy(_._1).map { case (s, rows) =>
+      val sq = rows.map(r => BigDecimal(r._2) * BigDecimal(r._2)).sum
+      val n = rows.size
+      (s, n.toLong,
+        BigDecimal(math.sqrt(sq.toDouble / n))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val want = graft.operators.Finance.ulcerIndex(spark, sfDir)
+      .select(col("symbol"), col("n_ticks"), col("ulcer_index"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(want.nonEmpty, "batch ulcer must emit at sf0.001")
+    assert(got == want, "stream==batch ulcer drift")
+  }
+
+  test("streaming ATR bar state equals batch on every CLOSED day (in-order splits)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ms = MemoryStream[graft.streaming.StreamingIndicators.Tick]
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, Double)]
+    val q = graft.streaming.StreamingIndicators.withAtr(ms.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingIndicators.AtrOut], _: Long) =>
+        collected.synchronized {
+          collected ++= b.collect().map(o => (o.symbol, o.day.toString, o.tr_cents, o.atr))
+        }
+        ()
+      }
+      .start()
+    val ev = orderedTicks
+    val chunks = ev.grouped(math.max(1, ev.length / 4 + 1)).toSeq
+    try {
+      chunks.foreach { c =>
+        ms.addData(scala.util.Random.shuffle(c.toSeq)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the stream never closes the final open bar — compare batch rows
+    // with each symbol's LAST day dropped
+    val batch = graft.operators.Finance.atr(spark, sfDir)
+      .select(col("symbol"), col("day"), col("tr_cents"), col("atr"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getDouble(3)))
+    val lastDay = batch.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.map(_._2).max }
+    val want = batch.filterNot(r => lastDay(r._1) == r._2).toSet
+    assert(want.nonEmpty, "batch ATR must emit closed days at sf0.001")
+    assert(collected.toSet == want, "stream==batch ATR drift on closed days")
+  }
+
   test("streaming co-purchase edge store equals batch coEdges (order-spanning splits + replay)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.functions.col
