@@ -134,6 +134,11 @@ object SparkEntry {
     "x_small_qty_revenue"  -> ((s, dir) => Analytics.smallQtyBrandRevenue(s, dir)),
     "x_balance_no_orders"  -> ((s, dir) => Analytics.balanceNoOrders(s, dir)),
     "x_market_share"       -> ((s, dir) => Analytics.nationMarketShare(s, dir)),
+    "x_profit_by_nation"   -> ((s, dir) => Analytics.profitByNation(s, dir)),
+    "x_important_stock"    -> ((s, dir) => Analytics.importantStock(s, dir)),
+    "x_supplier_parts"     -> ((s, dir) => Analytics.supplierPartCounts(s, dir)),
+    "x_large_orders"       -> ((s, dir) => Analytics.largeQtyOrders(s, dir)),
+    "x_dominant_suppliers" -> ((s, dir) => Analytics.dominantSuppliers(s, dir)),
     "x_benford"            -> ((s, dir) => Finance.benfordDigits(s, dir)),
     "x_rfm"                -> ((s, dir) => Analytics.rfmSegments(s, dir)),
     "x_attribution"        -> ((s, dir) => Analytics.lastTouchAttribution(s, dir)),
@@ -4318,6 +4323,84 @@ object SparkEntry {
         |        / CAST(CAST(totald AS VARCHAR) AS DOUBLE), 6) AS mkt_share,
         |  CAST(CAST(totald AS VARCHAR) AS DOUBLE) AS revenue
         |FROM a ORDER BY o_year""".stripMargin,
+
+    // TPC-H Q9-class: profit by supplier nation x year (integer 1e-4-dollar units)
+    "x_profit_by_nation" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  COUNT(*)::BIGINT AS n_lines,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT)) -
+        |           60 * CAST(round(p_retailprice * 100) AS BIGINT) *
+        |           CAST(l_quantity AS BIGINT)) AS DOUBLE) / 10000.0 AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    // TPC-H Q11-class: important parts by one region's trade value (decimal gate)
+    "x_important_stock" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |        (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS vald
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  GROUP BY 1),
+        |t AS (SELECT SUM(vald) AS totd FROM v)
+        |SELECT l_partkey AS p_partkey,
+        |  CAST(CAST(vald AS VARCHAR) AS DOUBLE) AS value,
+        |  round(CAST(CAST(vald AS VARCHAR) AS DOUBLE)
+        |        / CAST(CAST(totd AS VARCHAR) AS DOUBLE), 6) AS share
+        |FROM v CROSS JOIN t
+        |WHERE vald * 1000 > totd
+        |ORDER BY p_partkey""".stripMargin,
+
+    // TPC-H Q16-class: distinct-supplier census per part config, blacklist excluded
+    "x_supplier_parts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // TPC-H Q18-class: top-100 large-quantity orders (integer cents cut)
+    "x_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 200)
+        |SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  o_totalprice AS total_price, sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    // TPC-H Q20-class: suppliers shipping >1/8 of a part's quantity (integer gate)
+    "x_dominant_suppliers" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'),
+        |ps AS (SELECT l_partkey, l_suppkey, SUM(qty)::BIGINT AS q_ps
+        |       FROM li GROUP BY 1, 2),
+        |pa AS (SELECT l_partkey, SUM(qty)::BIGINT AS q_part FROM li GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name,
+        |  COUNT(*)::BIGINT AS n_parts_dominated, SUM(q_ps)::BIGINT AS qty_shipped
+        |FROM ps
+        |JOIN pa USING (l_partkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE q_ps * 8 > q_part
+        |GROUP BY 1, 2, 3 ORDER BY s_suppkey""".stripMargin,
 
     "x_local_cc" ->
       (graphCoCte + """,

@@ -2536,4 +2536,185 @@ object Analytics {
         col("totald").cast("double").as("revenue"))
       .orderBy("o_year")
   }
+
+  /** TPC-H Q9-class product-line profit by supplier nation and order
+    * year, adapted to this schema: with no partsupp supply cost, the
+    * cost model is 60% of the part's retail price per unit (a fixed,
+    * documented margin assumption — the query SHAPE, a 4-way star join
+    * feeding a (nation, year) rollup, is what Q9 exercises). Profit is
+    * EXACT INTEGER arithmetic in 10^-4-dollar units:
+    * e·(100−d) − 60·r·q with e = extended-price cents, d = discount
+    * hundredths, r = retail cents, q = integral quantity — no decimal
+    * tower, no float sum. Part filter (name word) broadcasts pruned;
+    * supplier/nation broadcast; the one big-big join is
+    * lineitem⋈orders on the order key. Headroom: a single (nation,
+    * year) cell holds ~9e18/1e9 ≈ 9e9 max-priced lines — beyond any
+    * yearly corpus; past it the same query rides dsum.
+    */
+  def profitByNation(spark: SparkSession, dir: String,
+                     nameWord: String = "red"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("e"),
+        round(col("l_discount") * 100).cast("bigint").as("d"),
+        col("l_quantity").cast("bigint").as("q"))
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_name").contains(nameWord))
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("bigint").as("r"))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("bigint").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(count(lit(1)).as("n_lines"),
+           sum(col("e") * (lit(100L) - col("d")) - lit(60L) * col("r") * col("q"))
+             .as("p4"))
+      .select(col("nation"), col("o_year"), col("n_lines"),
+        (col("p4").cast("double") / 10000.0).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11-class important stock, adapted: with no partsupp
+    * availqty, "stock value" is the observed trade value (exact
+    * decimal revenue sum) of each part supplied by ONE REGION's
+    * suppliers (region, not Q11's single nation: this corpus's small
+    * SFs leave some nations supplier-less, while every region is
+    * populated at every scale); a part is important when its value
+    * exceeds 0.1% of the region's total — the gate compares
+    * value·1000 > total in EXACT DECIMALS (Q11's HAVING-vs-scalar-
+    * subquery decorrelated to a 1-row broadcast). Share-based, so the
+    * same parameters work at every scale factor. Per-part aggregate =
+    * one (partkey) exchange; dims broadcast.
+    */
+  def importantStock(spark: SparkSession, dir: String,
+                     region: String = "EUROPE"): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === region).select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey")
+    val rev = col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
+    val perPart = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), rev.as("rev"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(col("rev")).as("vald"))
+    val tot = perPart.agg(sum(col("vald")).as("totd")) // 1-row bound
+    perPart.crossJoin(broadcast(tot))
+      .filter(col("vald") * 1000 > col("totd"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("vald").cast("double").as("value"),
+        round(col("vald").cast("double") / col("totd").cast("double"), 6)
+          .as("share"))
+      .orderBy("p_partkey")
+  }
+
+  /** TPC-H Q16-class supplier-count census per (brand, type, size):
+    * how many distinct suppliers offer each part configuration,
+    * excluding a supplier blacklist (Q16's complaints filter adapted
+    * to negative account balance — same NOT-IN-decorrelated-to-
+    * anti-join shape). The "catalog" is the DISTINCT observed
+    * (part, supplier) pairs from lineitem — the partsupp proxy this
+    * schema offers; part-config filters are Q16's (brand excluded,
+    * one type excluded, size whitelist). Count-distinct rides the
+    * (brand, type, size) exchange; part/blacklist broadcast.
+    */
+  def supplierPartCounts(spark: SparkSession, dir: String,
+                         excludeBrand: String = "Brand#1",
+                         excludeType: String = "PROMO",
+                         sizes: Seq[Int] = Seq(1, 5, 10, 15, 20, 25, 30, 35)): DataFrame = {
+    val bad = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= excludeBrand &&
+              col("p_type") =!= excludeType &&
+              col("p_size").isin(sizes.map(Integer.valueOf): _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q18-class large-volume orders: orders whose total quantity
+    * exceeds the threshold, with customer identity — top 100 by order
+    * price. Quantities are integral so the HAVING gate is exact; the
+    * top-K cut orders by INTEGER price cents (then order key), so no
+    * float-tie ambiguity reaches the TakeOrdered. One (orderkey)
+    * aggregate on the fact, then joins against orders/customer —
+    * the pre-aggregate side is order-distinct, far smaller than the
+    * fact at every scale.
+    */
+  def largeQtyOrders(spark: SparkSession, dir: String,
+                     minQty: Long = 200L, topK: Int = 100): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    big.join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice"),
+            round(col("o_totalprice") * 100).cast("bigint").as("price_cents")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+      .limit(topK)
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_date"),
+        col("o_totalprice").as("total_price"), col("sum_qty"))
+  }
+
+  /** TPC-H Q20-class dominant suppliers, adapted: with no partsupp
+    * availqty, Q20's "availqty > half the shipped quantity" becomes
+    * "this supplier shipped MORE than 1/denom of the part's total" —
+    * the same nested-aggregate-gate shape in EXACT integer quantities
+    * (qty_ps·denom > qty_part). The default denom 8 (a 12.5% share,
+    * ~12× the uniform 1/|suppliers| expectation on this corpus) fires
+    * at every scale factor where Q20's literal 1/2 never does against
+    * uniformly-spread synthetic flows. Over the name-prefixed part
+    * family, each qualifying supplier reports how many parts it
+    * dominates. Two (partkey[, suppkey]) aggregates joined on the
+    * part key; part filter and dims broadcast.
+    */
+  def dominantSuppliers(spark: SparkSession, dir: String,
+                        namePrefix: String = "small",
+                        shareDenom: Int = 8): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith(namePrefix)).select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("bigint").as("qty"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+    val ps = li.groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("qty")).as("q_ps"))
+    val pa = li.groupBy("l_partkey").agg(sum(col("qty")).as("q_part"))
+      .withColumnRenamed("l_partkey", "a_partkey")
+    ps.join(pa, col("l_partkey") === col("a_partkey"))
+      .filter(col("q_ps") * shareDenom > col("q_part"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_parts_dominated"),
+           sum(col("q_ps")).as("qty_shipped"))
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select("s_suppkey", "s_name", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("n_parts_dominated"), col("qty_shipped"))
+      .orderBy("s_suppkey")
+  }
 }
