@@ -122,6 +122,9 @@ object SparkEntry {
     "x_parkinson"          -> ((s, dir) => Finance.parkinson(s, dir)),
     "x_streaks"            -> ((s, dir) => Finance.directionStreaks(s, dir)),
     "x_hhi"                -> ((s, dir) => Analytics.revenueConcentration(s, dir)),
+    "x_mfi"                -> ((s, dir) => Finance.mfi(s, dir)),
+    "x_cmf"                -> ((s, dir) => Finance.chaikinMoneyFlow(s, dir)),
+    "x_cci"                -> ((s, dir) => Finance.cci(s, dir)),
     "x_jaccard_link"       -> ((s, dir) => Graphs.jaccardLink(s, dir)),
     "x_hits"               -> ((s, dir) => Graphs.hits(s, dir)),
     "x_bfs_hops"           -> ((s, dir) => Graphs.bfsLevels(s, dir)),
@@ -4058,6 +4061,90 @@ object SparkEntry {
         |SELECT symbol, day, tr::BIGINT AS tr_cents,
         |  round(tr_sum / 14 / 100.0, 6) AS atr
         |FROM v WHERE rn >= 14 ORDER BY symbol, day""".stripMargin),
+
+    // MFI(14) — volume-weighted RSI over daily bars, integer 3·tp·vol flows
+    "x_mfi" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, day, volume,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cb AS (SELECT symbol, day, MAX(m) AS hi, MIN(m) AS lo,
+        |         MAX(CASE WHEN rn_d = 1 THEN m END) AS cl,
+        |         SUM(COALESCE(volume, 0))::BIGINT AS vol
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol, day
+        |                        ORDER BY ts_epoch DESC, id DESC) AS rn_d FROM e)
+        |       GROUP BY symbol, day),
+        |t AS (SELECT symbol, day, hi + lo + cl AS s, vol,
+        |        lag(hi + lo + cl, 1) OVER (PARTITION BY symbol ORDER BY day) AS prev_s
+        |      FROM cb),
+        |u AS (SELECT symbol, day, s, prev_s, s * vol AS f
+        |      FROM t WHERE prev_s IS NOT NULL),
+        |v AS (SELECT symbol, day,
+        |        SUM(CASE WHEN s > prev_s THEN f ELSE 0 END) OVER fr AS pos,
+        |        SUM(CASE WHEN s < prev_s THEN f ELSE 0 END) OVER fr AS neg,
+        |        ROW_NUMBER() OVER w AS rn
+        |      FROM u WINDOW w AS (PARTITION BY symbol ORDER BY day),
+        |        fr AS (PARTITION BY symbol ORDER BY day
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, day, pos::BIGINT AS pos_flow3, neg::BIGINT AS neg_flow3,
+        |  round(100.0 * CAST(pos AS DOUBLE) / CAST(pos + neg AS DOUBLE), 6) AS mfi
+        |FROM v WHERE rn >= 14 AND pos + neg > 0
+        |ORDER BY symbol, day""".stripMargin),
+
+    // CMF(20) — Chaikin money flow, round-12 decimal mfv sums / integer volume
+    "x_cmf" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, day, volume,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cb AS (SELECT symbol, day, MAX(m) AS hi, MIN(m) AS lo,
+        |         MAX(CASE WHEN rn_d = 1 THEN m END) AS cl,
+        |         SUM(COALESCE(volume, 0))::BIGINT AS vol
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol, day
+        |                        ORDER BY ts_epoch DESC, id DESC) AS rn_d FROM e)
+        |       GROUP BY symbol, day),
+        |t AS (SELECT symbol, day, vol,
+        |        CASE WHEN hi = lo THEN CAST(0 AS DECIMAL(18,12))
+        |             ELSE CAST(round(CAST((2 * cl - lo - hi) * vol AS DOUBLE)
+        |                    / CAST(hi - lo AS DOUBLE), 12) AS DECIMAL(18,12))
+        |        END AS mfv
+        |      FROM cb),
+        |v AS (SELECT symbol, day,
+        |        SUM(mfv) OVER fr AS mfv_sum,
+        |        SUM(vol) OVER fr AS vol_sum,
+        |        ROW_NUMBER() OVER w AS rn
+        |      FROM t WINDOW w AS (PARTITION BY symbol ORDER BY day),
+        |        fr AS (PARTITION BY symbol ORDER BY day
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, day, vol_sum::BIGINT AS frame_volume,
+        |  round(CAST(CAST(mfv_sum AS VARCHAR) AS DOUBLE)
+        |        / CAST(vol_sum AS DOUBLE), 6) AS cmf
+        |FROM v WHERE rn >= 20 AND vol_sum > 0
+        |ORDER BY symbol, day""".stripMargin),
+
+    // CCI(20) — integer numerator/denominator via the banded bar self-join
+    "x_cci" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, day,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cb AS (SELECT symbol, day, MAX(m) AS hi, MIN(m) AS lo,
+        |         MAX(CASE WHEN rn_d = 1 THEN m END) AS cl
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol, day
+        |                        ORDER BY ts_epoch DESC, id DESC) AS rn_d FROM e)
+        |       GROUP BY symbol, day),
+        |b AS (SELECT symbol, day, hi + lo + cl AS s,
+        |        ROW_NUMBER() OVER w AS rn,
+        |        SUM(hi + lo + cl) OVER (PARTITION BY symbol ORDER BY day
+        |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ssum
+        |      FROM cb WINDOW w AS (PARTITION BY symbol ORDER BY day)),
+        |a AS (SELECT i.symbol, i.day, i.s, i.ssum,
+        |        SUM(ABS(20 * j.s - i.ssum)) AS adev
+        |      FROM (SELECT * FROM b WHERE rn >= 20) i
+        |      JOIN b j ON i.symbol = j.symbol
+        |              AND j.rn BETWEEN i.rn - 19 AND i.rn
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT symbol, day,
+        |  round(CAST((20 * s - ssum) * 4000 AS DOUBLE)
+        |        / CAST(3 * adev AS DOUBLE), 6) AS cci
+        |FROM a WHERE adev > 0 ORDER BY symbol, day""".stripMargin),
 
     // Donchian(20) breakout census — prev-frame max/min, integer cents
     "x_donchian" ->

@@ -751,7 +751,107 @@ object Finance {
       .agg(max(col("m")).as("hi"),
            min(col("m")).as("lo"),
            max(when(col("rn_d") === 1, col("m"))).as("cl"),
-           count(lit(1)).as("n_ticks"))
+           count(lit(1)).as("n_ticks"),
+           sum(coalesce(col("volume"), lit(0L))).as("vol"))
+  }
+
+  /** Money Flow Index over daily bars: volume-weighted RSI. The raw
+    * flow rides 3·typicalPrice·volume = (hi+lo+cl)·vol — EXACT
+    * integers (the 3 cancels in the ratio); a bar is positive or
+    * negative by the sign of the typical-price move (flat bars join
+    * neither side, the standard convention). Over the `period`-bar
+    * frame MFI = 100·pos/(pos+neg) — one divide at the end, integer
+    * everywhere else. Frames with zero total flow drop on both
+    * engines. One (symbol) exchange serves the bar lag, the frame
+    * sums, and the row_number gate.
+    */
+  def mfi(spark: SparkSession, dir: String, period: Int = 14): DataFrame = {
+    val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
+    val frame = byDay.rowsBetween(-(period - 1), 0)
+    centBars(spark, dir)
+      .withColumn("s", col("hi") + col("lo") + col("cl"))
+      .withColumn("prev_s", lag(col("s"), 1).over(byDay))
+      .filter(col("prev_s").isNotNull)
+      .withColumn("f", col("s") * col("vol"))
+      .withColumn("pos", sum(when(col("s") > col("prev_s"), col("f"))
+        .otherwise(lit(0L))).over(frame))
+      .withColumn("neg", sum(when(col("s") < col("prev_s"), col("f"))
+        .otherwise(lit(0L))).over(frame))
+      .withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") >= period && col("pos") + col("neg") > 0)
+      .select(col("symbol"), col("day"), col("pos").as("pos_flow3"),
+        col("neg").as("neg_flow3"),
+        round(lit(100.0) * col("pos").cast("double") /
+              (col("pos") + col("neg")).cast("double"), 6).as("mfi"))
+      .orderBy("symbol", "day")
+  }
+
+  /** Chaikin Money Flow over daily bars: Σ(mfm·vol)/Σvol on the
+    * `period`-bar frame, mfm = ((cl−lo)−(hi−cl))/(hi−lo). The per-bar
+    * money-flow volume is one IEEE divide of integer terms, rounded
+    * to 12 and LOCKED into DECIMAL(18,12) so the frame sum is exact
+    * decimal arithmetic (the Parkinson ln² discipline); the volume
+    * sum is integer. Bars with hi = lo contribute exactly 0 (the
+    * standard degenerate-range convention). Emitted once the frame
+    * is full; zero-volume frames drop on both engines.
+    */
+  def chaikinMoneyFlow(spark: SparkSession, dir: String,
+                       period: Int = 20): DataFrame = {
+    val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
+    val frame = byDay.rowsBetween(-(period - 1), 0)
+    centBars(spark, dir)
+      .withColumn("mfv",
+        when(col("hi") === col("lo"), lit(0.0).cast("decimal(18,12)"))
+          .otherwise(round(
+            ((lit(2L) * col("cl") - col("lo") - col("hi")) * col("vol"))
+              .cast("double") / (col("hi") - col("lo")).cast("double"), 12)
+            .cast("decimal(18,12)")))
+      .withColumn("mfv_sum", sum(col("mfv")).over(frame)) // exact decimal sum
+      .withColumn("vol_sum", sum(col("vol")).over(frame))
+      .withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") >= period && col("vol_sum") > 0)
+      .select(col("symbol"), col("day"), col("vol_sum").as("frame_volume"),
+        round(col("mfv_sum").cast("double") / col("vol_sum").cast("double"), 6)
+          .as("cmf"))
+      .orderBy("symbol", "day")
+  }
+
+  /** Commodity Channel Index over daily bars, in EXACT integer
+    * arithmetic until one final divide: with s = hi+lo+cl (3·typical
+    * price — the 3 cancels in CCI's scale-free ratio) and
+    * S = Σ_frame s, CCI = (s−mean)/(0.015·meandev) rewrites to
+    * (p·s_i − S_i)·200p / (3·Σ_j |p·s_j − S_i|) — numerator and
+    * denominator both integers, no float mean or deviation anywhere.
+    * The mean-absolute-deviation needs the frame against its OWN
+    * frame sum, which no single window expresses: the frame sum rides
+    * one (symbol) window, then a BOUNDED `period`-row band self-join
+    * on the bar table supplies Σ|20·s_j − S_i|. Bars are days ×
+    * symbols — many orders below the tick fact at every scale — so
+    * the ≤period-× fan-out is a dim-sized range join, not a fact
+    * blow-up. Constant frames (zero deviation) drop on both engines.
+    */
+  def cci(spark: SparkSession, dir: String, period: Int = 20): DataFrame = {
+    val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
+    val frame = byDay.rowsBetween(-(period - 1), 0)
+    val p = period.toLong
+    val bars = centBars(spark, dir)
+      .withColumn("s", col("hi") + col("lo") + col("cl"))
+      .withColumn("rn", row_number().over(byDay).cast("long"))
+      .withColumn("ssum", sum(col("s")).over(frame))
+      .localCheckpoint() // one bar pass serves both join sides
+    val i = bars.filter(col("rn") >= p)
+      .select(col("symbol"), col("day"), col("rn"), col("s"), col("ssum"))
+    val j = bars.select(col("symbol").as("j_symbol"), col("rn").as("j_rn"),
+      col("s").as("j_s"))
+    i.join(j, col("symbol") === col("j_symbol") &&
+            col("j_rn").between(col("rn") - (p - 1), col("rn")))
+      .groupBy(col("symbol"), col("day"), col("s"), col("ssum"))
+      .agg(sum(abs(lit(p) * col("j_s") - col("ssum"))).as("adev"))
+      .filter(col("adev") > 0)
+      .select(col("symbol"), col("day"),
+        round(((lit(p) * col("s") - col("ssum")) * lit(p * 200L)).cast("double") /
+              (lit(3L) * col("adev")).cast("double"), 6).as("cci"))
+      .orderBy("symbol", "day")
   }
 
   /** Average True Range over daily bars: TR = max(hi−lo, |hi−prevCl|,
