@@ -125,6 +125,10 @@ object SparkEntry {
     "x_mfi"                -> ((s, dir) => Finance.mfi(s, dir)),
     "x_cmf"                -> ((s, dir) => Finance.chaikinMoneyFlow(s, dir)),
     "x_cci"                -> ((s, dir) => Finance.cci(s, dir)),
+    "x_williams_r"         -> ((s, dir) => Finance.williamsR(s, dir)),
+    "x_ichimoku"           -> ((s, dir) => Finance.ichimoku(s, dir)),
+    "x_ols_pricing"        -> ((s, dir) => Analytics.olsPricing(s, dir)),
+    "x_communities"        -> ((s, dir) => Graphs.communities(s, dir)),
     "x_jaccard_link"       -> ((s, dir) => Graphs.jaccardLink(s, dir)),
     "x_hits"               -> ((s, dir) => Graphs.hits(s, dir)),
     "x_bfs_hops"           -> ((s, dir) => Graphs.bfsLevels(s, dir)),
@@ -4146,6 +4150,53 @@ object SparkEntry {
         |        / CAST(3 * adev AS DOUBLE), 6) AS cci
         |FROM a WHERE adev > 0 ORDER BY symbol, day""".stripMargin),
 
+    // Williams %R(14) — integer cents ratio over the daily-bar frame
+    "x_williams_r" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, day,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cb AS (SELECT symbol, day, MAX(m) AS hi, MIN(m) AS lo,
+        |         MAX(CASE WHEN rn_d = 1 THEN m END) AS cl
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol, day
+        |                        ORDER BY ts_epoch DESC, id DESC) AS rn_d FROM e)
+        |       GROUP BY symbol, day),
+        |v AS (SELECT symbol, day, cl,
+        |        MAX(hi) OVER fr AS fh, MIN(lo) OVER fr AS fl,
+        |        ROW_NUMBER() OVER w AS rn
+        |      FROM cb WINDOW w AS (PARTITION BY symbol ORDER BY day),
+        |        fr AS (PARTITION BY symbol ORDER BY day
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, day,
+        |  round(-100.0 * CAST(fh - cl AS DOUBLE) / CAST(fh - fl AS DOUBLE), 6)
+        |    AS williams_r
+        |FROM v WHERE rn >= 14 AND fh > fl ORDER BY symbol, day""".stripMargin),
+
+    // Ichimoku (5/10/20) — Donchian midpoints in exact half-cents
+    "x_ichimoku" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, day,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cb AS (SELECT symbol, day, MAX(m) AS hi, MIN(m) AS lo
+        |       FROM e GROUP BY symbol, day),
+        |v AS (SELECT symbol, day,
+        |        MAX(hi) OVER f1 + MIN(lo) OVER f1 AS t2,
+        |        MAX(hi) OVER f2 + MIN(lo) OVER f2 AS k2,
+        |        MAX(hi) OVER f3 + MIN(lo) OVER f3 AS b2,
+        |        ROW_NUMBER() OVER w AS rn
+        |      FROM cb WINDOW w AS (PARTITION BY symbol ORDER BY day),
+        |        f1 AS (PARTITION BY symbol ORDER BY day
+        |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        |        f2 AS (PARTITION BY symbol ORDER BY day
+        |               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+        |        f3 AS (PARTITION BY symbol ORDER BY day
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, day,
+        |  round(CAST(t2 AS DOUBLE) / 200.0, 6) AS tenkan,
+        |  round(CAST(k2 AS DOUBLE) / 200.0, 6) AS kijun,
+        |  round(CAST(t2 + k2 AS DOUBLE) / 400.0, 6) AS senkou_a,
+        |  round(CAST(b2 AS DOUBLE) / 200.0, 6) AS senkou_b
+        |FROM v WHERE rn >= 20 ORDER BY symbol, day""".stripMargin),
+
     // Donchian(20) breakout census — prev-frame max/min, integer cents
     "x_donchian" ->
       (finQuoteCte + """,
@@ -4411,6 +4462,52 @@ object SparkEntry {
         |  CAST(CAST(totald AS VARCHAR) AS DOUBLE) AS revenue
         |FROM a ORDER BY o_year""".stripMargin,
 
+    // Two-feature OLS per brand: exact integer moments, IEEE Cramer solve
+    "x_ols_pricing" ->
+      """WITH li AS (
+        |  SELECT p_brand, CAST(l_quantity AS BIGINT) AS x1,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS x2,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |a AS (SELECT p_brand, COUNT(*)::BIGINT AS n,
+        |        SUM(x1)::BIGINT AS s1, SUM(x2)::BIGINT AS s2,
+        |        SUM(x1 * x1)::BIGINT AS s11, SUM(x2 * x2)::BIGINT AS s22,
+        |        SUM(x1 * x2)::BIGINT AS s12, SUM(y)::BIGINT AS sy,
+        |        SUM(x1 * y)::BIGINT AS s1y, SUM(x2 * y)::BIGINT AS s2y,
+        |        CAST(SUM(y * y) AS DOUBLE) AS syy
+        |      FROM li GROUP BY p_brand),
+        |b AS (SELECT p_brand, n, sy, s1y, s2y, syy,
+        |        CAST(n AS DOUBLE) AS dn, CAST(s1 AS DOUBLE) AS d1,
+        |        CAST(s2 AS DOUBLE) AS d2, CAST(s11 AS DOUBLE) AS d11,
+        |        CAST(s22 AS DOUBLE) AS d22, CAST(s12 AS DOUBLE) AS d12,
+        |        CAST(sy AS DOUBLE) AS dy, CAST(s1y AS DOUBLE) AS d1y,
+        |        CAST(s2y AS DOUBLE) AS d2y
+        |      FROM a),
+        |c AS (SELECT p_brand, n, syy, dn, dy, d1y, d2y, d1, d2,
+        |        dn * (d11 * d22 - d12 * d12) -
+        |          d1 * (d1 * d22 - d2 * d12) +
+        |          d2 * (d1 * d12 - d2 * d11) AS det,
+        |        dy * (d11 * d22 - d12 * d12) -
+        |          d1 * (d1y * d22 - d2y * d12) +
+        |          d2 * (d1y * d12 - d2y * d11) AS det0,
+        |        dn * (d1y * d22 - d2y * d12) -
+        |          dy * (d1 * d22 - d2 * d12) +
+        |          d2 * (d1 * d2y - d2 * d1y) AS det1,
+        |        dn * (d11 * d2y - d12 * d1y) -
+        |          d1 * (d1 * d2y - d2 * d1y) +
+        |          dy * (d1 * d12 - d2 * d11) AS det2
+        |      FROM b),
+        |s AS (SELECT p_brand, n, syy, dn, dy, d1y, d2y,
+        |        det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+        |      FROM c WHERE det <> 0.0)
+        |SELECT p_brand, n AS n_lines,
+        |  round(b0, 6) AS b0_cents,
+        |  round(b1, 6) AS b1_cents_per_qty,
+        |  round(b2, 6) AS b2_cents_per_bp,
+        |  round(1.0 - (syy - b0 * dy - b1 * d1y - b2 * d2y)
+        |            / (syy - dy * dy / dn), 6) AS r2
+        |FROM s ORDER BY p_brand""".stripMargin,
+
     // TPC-H Q9-class: profit by supplier nation x year (integer 1e-4-dollar units)
     "x_profit_by_nation" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -4674,6 +4771,34 @@ object SparkEntry {
         |  node, d AS degree, rank
         |FROM top JOIN degu ON degu.u = top.node
         |ORDER BY rk""".stripMargin),
+
+    // LPA communities (3 sync rounds, packed-argmax ties) + exact modularity
+    "x_communities" ->
+      (graphCoCte + ",\n" +
+        "l0 AS (SELECT u AS node, u AS lab FROM degu),\n" +
+        (1 to 3).map(i =>
+          s"""c$i AS (SELECT adj.v AS v, l${i - 1}.lab AS lab, COUNT(*)::BIGINT AS cnt
+             |  FROM adj JOIN l${i - 1} ON l${i - 1}.node = adj.u GROUP BY 1, 2),
+             |l$i AS (SELECT v AS node,
+             |    8589934591 - (MAX(cnt * 8589934592 + (8589934591 - lab)) % 8589934592) AS lab
+             |  FROM c$i GROUP BY v)""".stripMargin).mkString(",\n") + """,
+        |mm AS (SELECT COUNT(*)::BIGINT AS m FROM co),
+        |ds AS (SELECT lab, SUM(d)::BIGINT AS d_c, COUNT(*)::BIGINT AS n_nodes
+        |       FROM degu JOIN l3 ON l3.node = degu.u GROUP BY lab),
+        |ei AS (SELECT la.lab AS lab, COUNT(*)::BIGINT AS e_c
+        |       FROM co JOIN l3 la ON la.node = co.pa
+        |       JOIN l3 lb ON lb.node = co.pb
+        |       WHERE la.lab = lb.lab GROUP BY 1),
+        |st AS (SELECT ds.lab, n_nodes, d_c, COALESCE(e_c, 0)::BIGINT AS e_c
+        |       FROM ds LEFT JOIN ei ON ds.lab = ei.lab),
+        |qq AS (SELECT round(CAST(SUM(4 * m * e_c - d_c * d_c) AS DOUBLE)
+        |               / (4.0 * m * m), 6) AS modularity
+        |       FROM st, mm GROUP BY m)
+        |SELECT lab AS community, n_nodes, e_c AS internal_edges,
+        |  d_c AS degree_sum, modularity
+        |FROM (SELECT * FROM st ORDER BY n_nodes DESC, lab LIMIT 50)
+        |CROSS JOIN qq
+        |ORDER BY n_nodes DESC, community""".stripMargin),
 
     // first-order Markov transition matrix over user event sequences;
     // probabilities divide exact integer counts, normalization windows

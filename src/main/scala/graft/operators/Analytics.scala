@@ -2537,6 +2537,69 @@ object Analytics {
       .orderBy("o_year")
   }
 
+  /** Two-feature OLS via normal equations, per brand: price_cents ~
+    * b0 + b1·quantity + b2·discount_bp, solved in closed form by
+    * Cramer's rule on the 3×3 normal matrix. ALL nine moment sums are
+    * EXACT integers (quantity and discount basis points are integral,
+    * price is cents; Σy² rides a decimal to dodge the BIGINT ceiling),
+    * so both engines enter the determinant arithmetic with identical
+    * values; the determinants themselves are IEEE doubles under an
+    * IDENTICAL parenthesization on both sides — the moments/skewness
+    * double-bridge discipline extended to a linear solve. One hash
+    * aggregation over the fact (map-side partial), brand-sized
+    * output, the regression math on 9 numbers per group. Degenerate
+    * groups (det = 0: constant feature) drop identically. Headroom:
+    * Σqty·y ≤ ~9e18 holds to ~10^12 max-priced lines per brand.
+    */
+  def olsPricing(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        col("l_quantity").cast("bigint").as("x1"),
+        round(col("l_discount") * 100).cast("bigint").as("x2"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("y"))
+    val agged = li.groupBy("p_brand").agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("y")).as("sy"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).cast("double").as("syy"))
+    val d = Seq("n", "s1", "s2", "s11", "s22", "s12", "sy", "s1y", "s2y")
+      .map(c => c -> col(c).cast("double")).toMap
+    val det = d("n") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+      d("s1") * (d("s1") * d("s22") - d("s2") * d("s12")) +
+      d("s2") * (d("s1") * d("s12") - d("s2") * d("s11"))
+    val det0 = d("sy") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+      d("s1") * (d("s1y") * d("s22") - d("s2y") * d("s12")) +
+      d("s2") * (d("s1y") * d("s12") - d("s2y") * d("s11"))
+    val det1 = d("n") * (d("s1y") * d("s22") - d("s2y") * d("s12")) -
+      d("sy") * (d("s1") * d("s22") - d("s2") * d("s12")) +
+      d("s2") * (d("s1") * d("s2y") - d("s2") * d("s1y"))
+    val det2 = d("n") * (d("s11") * d("s2y") - d("s12") * d("s1y")) -
+      d("s1") * (d("s1") * d("s2y") - d("s2") * d("s1y")) +
+      d("sy") * (d("s1") * d("s12") - d("s2") * d("s11"))
+    agged
+      .withColumn("det", det)
+      .filter(col("det") =!= 0.0)
+      .withColumn("b0", det0 / col("det"))
+      .withColumn("b1", det1 / col("det"))
+      .withColumn("b2", det2 / col("det"))
+      .select(col("p_brand"), col("n").as("n_lines"),
+        round(col("b0"), 6).as("b0_cents"),
+        round(col("b1"), 6).as("b1_cents_per_qty"),
+        round(col("b2"), 6).as("b2_cents_per_bp"),
+        round(lit(1.0) -
+          (col("syy") - col("b0") * d("sy") - col("b1") * d("s1y") -
+           col("b2") * d("s2y")) /
+          (col("syy") - d("sy") * d("sy") / d("n")), 6).as("r2"))
+      .orderBy("p_brand")
+  }
+
   /** TPC-H Q9-class product-line profit by supplier nation and order
     * year, adapted to this schema: with no partsupp supply cost, the
     * cost model is 60% of the part's retail price per unit (a fixed,

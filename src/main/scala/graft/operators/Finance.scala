@@ -816,6 +816,58 @@ object Finance {
       .orderBy("symbol", "day")
   }
 
+  /** Williams %R over daily bars: −100·(frameHigh − close)/(frameHigh
+    * − frameLow) — the inverted stochastic. Pure integer ratio (cents
+    * end to end), one divide, round-6; degenerate flat frames
+    * (hi = lo) drop on both engines. One (symbol) exchange.
+    */
+  def williamsR(spark: SparkSession, dir: String, period: Int = 14): DataFrame = {
+    val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
+    val frame = byDay.rowsBetween(-(period - 1), 0)
+    centBars(spark, dir)
+      .withColumn("fh", max(col("hi")).over(frame))
+      .withColumn("fl", min(col("lo")).over(frame))
+      .withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") >= period && col("fh") > col("fl"))
+      .select(col("symbol"), col("day"),
+        round(lit(-100.0) * (col("fh") - col("cl")).cast("double") /
+              (col("fh") - col("fl")).cast("double"), 6).as("williams_r"))
+      .orderBy("symbol", "day")
+  }
+
+  /** Ichimoku lines over daily bars, periods scaled to this corpus's
+    * ~25-bar symbol histories (5/10/20 for the classic 9/26/52; the
+    * ratios, not the absolute spans, carry the indicator's meaning).
+    * Each line is a Donchian midpoint — (frameHigh + frameLow)/2 —
+    * EXACT integer half-cents until one divide per line: tenkan (p1),
+    * kijun (p2), senkou B (p3), senkou A = (tenkan+kijun)/2 in
+    * quarter-cents. The chart-plot displacement (+p2 forward for the
+    * cloud, −p2 back for chikou) is a RENDERING offset, not a data
+    * transform — lines are emitted at their computation bar and the
+    * chikou line (a pure plot shift of close) is not duplicated.
+    * Emitted once the longest frame fills. One (symbol) exchange
+    * serves all three frames.
+    */
+  def ichimoku(spark: SparkSession, dir: String, p1: Int = 5,
+               p2: Int = 10, p3: Int = 20): DataFrame = {
+    val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
+    def mid2(p: Int) = // frameHigh + frameLow: integer double-midpoint
+      max(col("hi")).over(byDay.rowsBetween(-(p - 1), 0)) +
+        min(col("lo")).over(byDay.rowsBetween(-(p - 1), 0))
+    centBars(spark, dir)
+      .withColumn("t2", mid2(p1))
+      .withColumn("k2", mid2(p2))
+      .withColumn("b2", mid2(p3))
+      .withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") >= p3)
+      .select(col("symbol"), col("day"),
+        round(col("t2").cast("double") / 200.0, 6).as("tenkan"),
+        round(col("k2").cast("double") / 200.0, 6).as("kijun"),
+        round((col("t2") + col("k2")).cast("double") / 400.0, 6).as("senkou_a"),
+        round(col("b2").cast("double") / 200.0, 6).as("senkou_b"))
+      .orderBy("symbol", "day")
+  }
+
   /** Commodity Channel Index over daily bars, in EXACT integer
     * arithmetic until one final divide: with s = hi+lo+cl (3·typical
     * price — the 3 cancels in CCI's scale-free ratio) and

@@ -487,4 +487,72 @@ object Graphs {
     }
     visited.groupBy("lvl").agg(count(lit(1)).as("n_nodes")).orderBy("lvl")
   }
+
+  /** Synchronous label-propagation communities (Raghavan et al. 2007)
+    * with EXACT-rational modularity. Each node starts as its own
+    * label; per round every node adopts its neighbors' most frequent
+    * label, ties to the SMALLEST label — the argmax rides one packed
+    * BIGINT (cnt·2^33 + (2^33−1−label), the winnowing/aroon pack), so
+    * a plain max() resolves frequency AND tie in one order-independent
+    * aggregate and both engines decode identically. Rounds are FIXED
+    * (driver-paced, localCheckpointed, unrolled-CTE oracle — the
+    * pageRank discipline; sync LPA does not converge monotonically,
+    * so a fixed round count IS the spec, not an approximation of one).
+    *
+    * Modularity is exact integers end to end: with m undirected
+    * edges, e_c internal edges and d_c degree sum per community,
+    * Q = Σ_c (4m·e_c − d_c²) / (4m²) — one integer numerator sum, one
+    * final divide. Headroom: d_c² demands d_c < 3e9, i.e. ~1.5e9
+    * edges in ONE community — far past any support-thresholded
+    * co-purchase graph (the corpus-level fact table never enters).
+    *
+    * Scale shape: per round one 8-byte equi-join adjacency⋈labels and
+    * one (node, label) count — identical to a PageRank round; the
+    * rollup is community-sized; the final cut is TakeOrdered.
+    */
+  def communities(spark: SparkSession, dir: String, rounds: Int = 3,
+                  topK: Int = 50, minSupport: Int = 2): DataFrame = {
+    val B = 8589934592L // 2^33 > any partkey
+    val e = coEdges(spark, dir, minSupport).localCheckpoint()
+    val adj = e.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
+      .localCheckpoint()
+    var lab = adj.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      lab = adj
+        .join(lab.select(col("node").as("u"), col("lab")), "u")
+        .groupBy(col("v"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("v").as("node"))
+        .agg(max(col("cnt") * B + (lit(B - 1) - col("lab"))).as("pack"))
+        .select(col("node"), (lit(B - 1) - col("pack") % B).as("lab"))
+        .localCheckpoint()
+    }
+    val m = e.count() // scalar: undirected edge count
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("d"))
+    val dSum = deg.join(lab.withColumnRenamed("node", "u"), "u")
+      .groupBy("lab").agg(sum(col("d")).as("d_c"), count(lit(1)).as("n_nodes"))
+    val eIn = e
+      .join(lab.select(col("node").as("pa"), col("lab").as("la")), "pa")
+      .join(lab.select(col("node").as("pb"), col("lab").as("lb")), "pb")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lab")).agg(count(lit(1)).as("e_c"))
+    val stats = dSum.join(eIn, Seq("lab"), "left")
+      .select(col("lab"), col("n_nodes"), col("d_c"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"))
+      .localCheckpoint()
+    val q = stats
+      .agg(sum(lit(4L) * m * col("e_c") - col("d_c") * col("d_c")).as("num"))
+      .select(round(col("num").cast("double") /
+        (4.0 * m.toDouble * m.toDouble), 6).as("modularity")) // 1-row bound
+    stats
+      .orderBy(col("n_nodes").desc, col("lab").asc).limit(topK)
+      .crossJoin(broadcast(q))
+      .select(col("lab").as("community"), col("n_nodes"),
+        col("e_c").as("internal_edges"), col("d_c").as("degree_sum"),
+        col("modularity"))
+      .orderBy(col("n_nodes").desc, col("community").asc)
+  }
 }
