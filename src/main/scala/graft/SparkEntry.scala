@@ -127,6 +127,14 @@ object SparkEntry {
     "x_cci"                -> ((s, dir) => Finance.cci(s, dir)),
     "x_williams_r"         -> ((s, dir) => Finance.williamsR(s, dir)),
     "x_ichimoku"           -> ((s, dir) => Finance.ichimoku(s, dir)),
+    "x_keltner"            -> ((s, dir) => Finance.keltner(s, dir)),
+    "x_vortex"             -> ((s, dir) => Finance.vortex(s, dir)),
+    "x_cmo"                -> ((s, dir) => Finance.chandeMomentum(s, dir)),
+    "x_force_index"        -> ((s, dir) => Finance.forceIndex(s, dir)),
+    "x_calmar"             -> ((s, dir) => Finance.calmar(s, dir)),
+    "x_variance_ratio"     -> ((s, dir) => Finance.varianceRatio(s, dir)),
+    "x_ppr"                -> ((s, dir) => Graphs.personalizedPageRank(s, dir)),
+    "x_js_sources"         -> ((s, dir) => CorpusOps.jsBetweenSources(s, dir)),
     "x_ols_pricing"        -> ((s, dir) => Analytics.olsPricing(s, dir)),
     "x_communities"        -> ((s, dir) => Graphs.communities(s, dir)),
     "x_jaccard_link"       -> ((s, dir) => Graphs.jaccardLink(s, dir)),
@@ -4197,6 +4205,169 @@ object SparkEntry {
         |  round(CAST(b2 AS DOUBLE) / 200.0, 6) AS senkou_b
         |FROM v WHERE rn >= 20 ORDER BY symbol, day""".stripMargin),
 
+    // Keltner(10) original SMA form — all-integer channel numerators
+    "x_keltner" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, day,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cb AS (SELECT symbol, day, MAX(m) AS hi, MIN(m) AS lo,
+        |         MAX(CASE WHEN rn_d = 1 THEN m END) AS cl
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol, day
+        |                        ORDER BY ts_epoch DESC, id DESC) AS rn_d FROM e)
+        |       GROUP BY symbol, day),
+        |v AS (SELECT symbol, day,
+        |        SUM(hi + lo + cl) OVER fr AS ssum,
+        |        SUM(hi - lo) OVER fr AS rsum,
+        |        ROW_NUMBER() OVER w AS rn
+        |      FROM cb WINDOW w AS (PARTITION BY symbol ORDER BY day),
+        |        fr AS (PARTITION BY symbol ORDER BY day
+        |               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, day,
+        |  round(CAST(ssum AS DOUBLE) / 3000.0, 6) AS center,
+        |  round(CAST(ssum + 3 * rsum AS DOUBLE) / 3000.0, 6) AS upper_band,
+        |  round(CAST(ssum - 3 * rsum AS DOUBLE) / 3000.0, 6) AS lower_band
+        |FROM v WHERE rn >= 10 ORDER BY symbol, day""".stripMargin),
+
+    // Vortex(14) — integer VM/TR frame sums, two divides
+    "x_vortex" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, day,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cb AS (SELECT symbol, day, MAX(m) AS hi, MIN(m) AS lo,
+        |         MAX(CASE WHEN rn_d = 1 THEN m END) AS cl
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol, day
+        |                        ORDER BY ts_epoch DESC, id DESC) AS rn_d FROM e)
+        |       GROUP BY symbol, day),
+        |t AS (SELECT symbol, day, hi, lo,
+        |        lag(cl, 1) OVER w AS prev_cl,
+        |        lag(hi, 1) OVER w AS prev_hi,
+        |        lag(lo, 1) OVER w AS prev_lo
+        |      FROM cb WINDOW w AS (PARTITION BY symbol ORDER BY day)),
+        |u AS (SELECT symbol, day,
+        |        GREATEST(hi - lo, ABS(hi - prev_cl), ABS(lo - prev_cl)) AS tr,
+        |        ABS(hi - prev_lo) AS vmp, ABS(lo - prev_hi) AS vmm
+        |      FROM t WHERE prev_cl IS NOT NULL),
+        |v AS (SELECT symbol, day,
+        |        SUM(tr) OVER fr AS tr_sum,
+        |        SUM(vmp) OVER fr AS vmp_sum,
+        |        SUM(vmm) OVER fr AS vmm_sum,
+        |        ROW_NUMBER() OVER w AS rn
+        |      FROM u WINDOW w AS (PARTITION BY symbol ORDER BY day),
+        |        fr AS (PARTITION BY symbol ORDER BY day
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, day,
+        |  round(CAST(vmp_sum AS DOUBLE) / CAST(tr_sum AS DOUBLE), 6) AS vi_plus,
+        |  round(CAST(vmm_sum AS DOUBLE) / CAST(tr_sum AS DOUBLE), 6) AS vi_minus
+        |FROM v WHERE rn >= 14 AND tr_sum > 0 ORDER BY symbol, day""".stripMargin),
+
+    // CMO(14) — unsmoothed symmetric RSI, integer up/down frame sums
+    "x_cmo" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, day,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cb AS (SELECT symbol, day,
+        |         MAX(CASE WHEN rn_d = 1 THEN m END) AS cl
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol, day
+        |                        ORDER BY ts_epoch DESC, id DESC) AS rn_d FROM e)
+        |       GROUP BY symbol, day),
+        |t AS (SELECT symbol, day,
+        |        cl - lag(cl, 1) OVER (PARTITION BY symbol ORDER BY day) AS d
+        |      FROM cb),
+        |v AS (SELECT symbol, day,
+        |        SUM(CASE WHEN d > 0 THEN d ELSE 0 END) OVER fr AS up,
+        |        SUM(CASE WHEN d < 0 THEN -d ELSE 0 END) OVER fr AS dn,
+        |        ROW_NUMBER() OVER w AS rn
+        |      FROM (SELECT * FROM t WHERE d IS NOT NULL)
+        |      WINDOW w AS (PARTITION BY symbol ORDER BY day),
+        |        fr AS (PARTITION BY symbol ORDER BY day
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, day,
+        |  round(100.0 * CAST(up - dn AS DOUBLE) / CAST(up + dn AS DOUBLE), 6)
+        |    AS cmo
+        |FROM v WHERE rn >= 14 AND up + dn > 0 ORDER BY symbol, day""".stripMargin),
+
+    // Force index(13) — SMA of (Δclose·volume), integer cent·share sums
+    "x_force_index" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, day, volume,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cb AS (SELECT symbol, day,
+        |         MAX(CASE WHEN rn_d = 1 THEN m END) AS cl,
+        |         SUM(COALESCE(volume, 0))::BIGINT AS vol
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol, day
+        |                        ORDER BY ts_epoch DESC, id DESC) AS rn_d FROM e)
+        |       GROUP BY symbol, day),
+        |t AS (SELECT symbol, day, vol,
+        |        cl - lag(cl, 1) OVER (PARTITION BY symbol ORDER BY day) AS d
+        |      FROM cb),
+        |u AS (SELECT symbol, day, d * vol AS f FROM t WHERE d IS NOT NULL),
+        |v AS (SELECT symbol, day, f,
+        |        SUM(f) OVER fr AS fsum,
+        |        ROW_NUMBER() OVER w AS rn
+        |      FROM u WINDOW w AS (PARTITION BY symbol ORDER BY day),
+        |        fr AS (PARTITION BY symbol ORDER BY day
+        |               ROWS BETWEEN 12 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, day, f::BIGINT AS force_raw_centshares,
+        |  round(CAST(fsum AS DOUBLE) / 1300.0, 6) AS force_index
+        |FROM v WHERE rn >= 13 ORDER BY symbol, day""".stripMargin),
+
+    // Calmar-style ratio — total return / max drawdown, exact-int divides
+    "x_calmar" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, day,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cb AS (SELECT symbol, day,
+        |         MAX(CASE WHEN rn_d = 1 THEN m END) AS cl
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol, day
+        |                        ORDER BY ts_epoch DESC, id DESC) AS rn_d FROM e)
+        |       GROUP BY symbol, day),
+        |t AS (SELECT symbol, day, cl,
+        |        MAX(cl) OVER (PARTITION BY symbol ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |      FROM cb),
+        |u AS (SELECT symbol, cl,
+        |        CAST(peak - cl AS DOUBLE) / CAST(peak AS DOUBLE) AS dd,
+        |        ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+        |      FROM t WHERE peak > 0),
+        |g AS (SELECT symbol, COUNT(*) AS n_days,
+        |        MAX(CASE WHEN rn = 1 THEN cl END) AS first_cl,
+        |        MAX(rn * 8589934592 + cl) AS pack_last,
+        |        MAX(dd) AS maxdd
+        |      FROM u GROUP BY symbol)
+        |SELECT symbol, n_days,
+        |  round(CAST(pack_last % 8589934592 - first_cl AS DOUBLE)
+        |        / CAST(first_cl AS DOUBLE), 6) AS total_return,
+        |  round(maxdd, 6) AS max_drawdown,
+        |  round((CAST(pack_last % 8589934592 - first_cl AS DOUBLE)
+        |         / CAST(first_cl AS DOUBLE)) / maxdd, 6) AS calmar
+        |FROM g WHERE n_days >= 2 AND maxdd > 0 ORDER BY symbol""".stripMargin),
+
+    // Lo–MacKinlay VR(5) — all-integer variance numerators, one formula
+    "x_variance_ratio" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol,
+        |        CAST(round(price * 100) AS BIGINT) AS m,
+        |        ROW_NUMBER() OVER (PARTITION BY symbol
+        |          ORDER BY ts_epoch ASC, id ASC) AS rn
+        |      FROM q),
+        |d AS (SELECT symbol,
+        |        m - lag(m, 1) OVER w AS d1,
+        |        m - lag(m, 5) OVER w AS dk
+        |      FROM e WINDOW w AS (PARTITION BY symbol ORDER BY rn)),
+        |g AS (SELECT symbol,
+        |        COUNT(d1)::BIGINT AS n1, SUM(d1)::BIGINT AS s1,
+        |        SUM(d1 * d1)::BIGINT AS q1,
+        |        COUNT(dk)::BIGINT AS nk, SUM(dk)::BIGINT AS sk,
+        |        SUM(dk * dk)::BIGINT AS qk
+        |      FROM d GROUP BY symbol)
+        |SELECT symbol, n1 AS n_moves,
+        |  round((CAST(nk * qk - sk * sk AS DOUBLE)
+        |         / CAST(nk * (nk - 1) AS DOUBLE))
+        |        / (5.0 * CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+        |           / CAST(n1 * (n1 - 1) AS DOUBLE)), 6) AS vr_5
+        |FROM g WHERE nk >= 2 AND n1 * q1 - s1 * s1 > 0
+        |ORDER BY symbol""".stripMargin),
+
     // Donchian(20) breakout census — prev-frame max/min, integer cents
     "x_donchian" ->
       (finQuoteCte + """,
@@ -4695,6 +4866,29 @@ object SparkEntry {
         |FROM c JOIN cs USING (source) JOIN cl USING (lang), t
         |GROUP BY source ORDER BY source""".stripMargin,
 
+    // Jensen–Shannon divergence per source pair over language mixes —
+    // bounded sources² × languages grid, exact-integer probabilities
+    "x_js_sources" ->
+      """WITH c AS (
+        |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+        |cs AS (SELECT source, SUM(c)::BIGINT AS n FROM c GROUP BY 1),
+        |langs AS (SELECT DISTINCT lang FROM c),
+        |pairs AS (SELECT a.source AS source_a, a.n AS na,
+        |            b.source AS source_b, b.n AS nb
+        |          FROM cs a JOIN cs b ON a.source < b.source),
+        |t AS (SELECT source_a, source_b,
+        |        COALESCE(ca.c, 0) / na AS pa, COALESCE(cb.c, 0) / nb AS pb
+        |      FROM pairs CROSS JOIN langs l
+        |      LEFT JOIN c ca ON ca.source = source_a AND ca.lang = l.lang
+        |      LEFT JOIN c cb ON cb.source = source_b AND cb.lang = l.lang)
+        |SELECT source_a, source_b, COUNT(*) AS n_langs_union,
+        |  ROUND(SUM(
+        |    CASE WHEN pa > 0 THEN pa * ln(2.0 * pa / (pa + pb)) ELSE 0 END / 2 +
+        |    CASE WHEN pb > 0 THEN pb * ln(2.0 * pb / (pa + pb)) ELSE 0 END / 2),
+        |    6) AS js_divergence
+        |FROM t WHERE pa + pb > 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // per-dimension embedding stats in exact integer micro-units;
     // variance via n*S2 - S1^2 (bounded corpus contract documented)
     "x_emb_dim_stats" ->
@@ -4770,6 +4964,31 @@ object SparkEntry {
         |SELECT ROW_NUMBER() OVER (ORDER BY rank DESC, node)::BIGINT AS rk,
         |  node, d AS degree, rank
         |FROM top JOIN degu ON degu.u = top.node
+        |ORDER BY rk""".stripMargin),
+
+    // Personalized PageRank — sparse walk-with-restart from the
+    // top-3-degree seed set, 5 unrolled rounds, full-join teleport
+    "x_ppr" ->
+      (graphCoCte + """,
+        |seeds AS (SELECT u AS node, 1.0::DOUBLE/3 AS e FROM degu
+        |          ORDER BY d DESC, u LIMIT 3),
+        |p0 AS (SELECT node, e AS r FROM seeds)""".stripMargin + ",\n" +
+        (1 to 5).map(i =>
+          s"""p$i AS (
+             |  SELECT COALESCE(c.node, s.node) AS node,
+             |    ROUND(0.85::DOUBLE * COALESCE(c.sm, 0) +
+             |          (1.0::DOUBLE - 0.85::DOUBLE) * COALESCE(s.e, 0), 12) AS r
+             |  FROM (SELECT adj.v AS node, SUM(p${i - 1}.r / degu.d) AS sm
+             |        FROM adj JOIN p${i - 1} ON p${i - 1}.node = adj.u
+             |        JOIN degu ON degu.u = adj.u GROUP BY adj.v) c
+             |  FULL JOIN seeds s ON s.node = c.node)""".stripMargin)
+          .mkString(",\n") + """,
+        |top AS (SELECT node, ROUND(r, 6) AS rank FROM p5
+        |        ORDER BY rank DESC, node LIMIT 20)
+        |SELECT ROW_NUMBER() OVER (ORDER BY rank DESC, top.node)::BIGINT AS rk,
+        |  top.node AS node, d AS degree, rank, (s.node IS NOT NULL) AS is_seed
+        |FROM top JOIN degu ON degu.u = top.node
+        |LEFT JOIN seeds s ON s.node = top.node
         |ORDER BY rk""".stripMargin),
 
     // LPA communities (3 sync rounds, packed-argmax ties) + exact modularity

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -799,6 +799,46 @@ object CorpusOps {
              log((col("c_ls") * col("c")).cast("double") /
                  (col("c_s") * col("c_l")))), 6).as("kl_from_corpus"))
       .orderBy("source")
+  }
+
+  /** Jensen–Shannon divergence between every PAIR of sources'
+    * language distributions — the symmetric, bounded ([0, ln 2])
+    * companion of [[klBySources]] for "which two feeds differ most".
+    * Pair terms live on the bounded sources² × languages cell grid
+    * (sources and languages are both tiny dimensions at any corpus
+    * scale): the lang list cross-joins the source pairs so langs
+    * missing from one side enter as exact zeros, and each side's
+    * contribution is p·ln(2p/(p+q)) with the 0·ln0 = 0 convention.
+    * Every probability is an exact integer ratio pushed through
+    * identical double arithmetic; the per-pair sum runs over ≤|langs|
+    * terms, then round-6.
+    */
+  def jsBetweenSources(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // bounded: |sources| x |languages|
+    val cs = cells.groupBy("source").agg(sum("c").as("n"))
+    val pairs = cs.select(col("source").as("source_a"), col("n").as("na"))
+      .crossJoin(cs.select(col("source").as("source_b"), col("n").as("nb")))
+      .filter(col("source_a") < col("source_b"))
+    val langs = cells.select("lang").distinct()
+    val ca = cells.select(col("source").as("source_a"), col("lang"),
+      col("c").as("c_a"))
+    val cb = cells.select(col("source").as("source_b"), col("lang"),
+      col("c").as("c_b"))
+    def side(p: Column, q: Column): Column =
+      when(p > 0, p * log(lit(2.0) * p / (p + q))).otherwise(lit(0.0))
+    broadcast(pairs).crossJoin(broadcast(langs))
+      .join(broadcast(ca), Seq("source_a", "lang"), "left_outer")
+      .join(broadcast(cb), Seq("source_b", "lang"), "left_outer")
+      .withColumn("pa", coalesce(col("c_a"), lit(0L)) / col("na"))
+      .withColumn("pb", coalesce(col("c_b"), lit(0L)) / col("nb"))
+      .filter(col("pa") + col("pb") > 0)
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_langs_union"),
+           round(sum(side(col("pa"), col("pb")) / 2 +
+                     side(col("pb"), col("pa")) / 2), 6).as("js_divergence"))
+      .orderBy("source_a", "source_b")
   }
 
   def contaminationSweep(spark: SparkSession, dir: String,

@@ -1078,4 +1078,182 @@ object Finance {
            sum(col("len")).as("total_ticks"))
       .orderBy("symbol", "dir")
   }
+
+  /** Keltner channels in Chester Keltner's ORIGINAL formulation:
+    * center = SMA(typical price, p), band = SMA(hi−lo, p),
+    * upper/lower = center ± band. Chosen over the later EMA±ATR
+    * variant precisely because it is frame-sum-only — no recursive
+    * state, so the whole indicator is exact integer cents until one
+    * divide per line: with s = hi+lo+cl (3·typical) and r = hi−lo,
+    * center = Σs/(300p), upper = (Σs+3Σr)/(300p), lower symmetric —
+    * all-integer numerators. Emitted once the frame fills. One
+    * (symbol) exchange serves both frame sums.
+    */
+  def keltner(spark: SparkSession, dir: String, period: Int = 10): DataFrame = {
+    val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
+    val frame = byDay.rowsBetween(-(period - 1), 0)
+    val d = 300.0 * period
+    centBars(spark, dir)
+      .withColumn("ssum", sum(col("hi") + col("lo") + col("cl")).over(frame))
+      .withColumn("rsum", sum(col("hi") - col("lo")).over(frame))
+      .withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") >= period)
+      .select(col("symbol"), col("day"),
+        round(col("ssum").cast("double") / d, 6).as("center"),
+        round((col("ssum") + lit(3L) * col("rsum")).cast("double") / d, 6)
+          .as("upper_band"),
+        round((col("ssum") - lit(3L) * col("rsum")).cast("double") / d, 6)
+          .as("lower_band"))
+      .orderBy("symbol", "day")
+  }
+
+  /** Vortex indicator over daily bars: VI+ = Σ|hi−prevLo| / ΣTR,
+    * VI− = Σ|lo−prevHi| / ΣTR on the `period`-bar frame, TR as in
+    * [[atr]]. First bar (no previous close) is excluded so every
+    * term has a real predecessor. All-integer frame sums, two final
+    * divides, round-6; zero-range frames (ΣTR = 0) drop on both
+    * engines. One (symbol) exchange serves the lags and all three
+    * frame sums.
+    */
+  def vortex(spark: SparkSession, dir: String, period: Int = 14): DataFrame = {
+    val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
+    val frame = byDay.rowsBetween(-(period - 1), 0)
+    centBars(spark, dir)
+      .withColumn("prev_cl", lag(col("cl"), 1).over(byDay))
+      .withColumn("prev_hi", lag(col("hi"), 1).over(byDay))
+      .withColumn("prev_lo", lag(col("lo"), 1).over(byDay))
+      .filter(col("prev_cl").isNotNull)
+      .withColumn("tr", greatest(col("hi") - col("lo"),
+        abs(col("hi") - col("prev_cl")), abs(col("lo") - col("prev_cl"))))
+      .withColumn("vmp", abs(col("hi") - col("prev_lo")))
+      .withColumn("vmm", abs(col("lo") - col("prev_hi")))
+      .withColumn("tr_sum", sum(col("tr")).over(frame))
+      .withColumn("vmp_sum", sum(col("vmp")).over(frame))
+      .withColumn("vmm_sum", sum(col("vmm")).over(frame))
+      .withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") >= period && col("tr_sum") > 0)
+      .select(col("symbol"), col("day"),
+        round(col("vmp_sum").cast("double") / col("tr_sum").cast("double"), 6)
+          .as("vi_plus"),
+        round(col("vmm_sum").cast("double") / col("tr_sum").cast("double"), 6)
+          .as("vi_minus"))
+      .orderBy("symbol", "day")
+  }
+
+  /** Chande Momentum Oscillator over daily closes:
+    * 100·(Σup − Σdown)/(Σup + Σdown) on the `period`-move frame — the
+    * unsmoothed, symmetric cousin of RSI (reads ±100 at one-way
+    * runs). Close-to-close moves are exact integer cents; one divide
+    * at the end. Frames with no movement (denominator 0) drop on
+    * both engines. One (symbol) exchange.
+    */
+  def chandeMomentum(spark: SparkSession, dir: String,
+                     period: Int = 14): DataFrame = {
+    val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
+    val frame = byDay.rowsBetween(-(period - 1), 0)
+    centBars(spark, dir)
+      .withColumn("d", col("cl") - lag(col("cl"), 1).over(byDay))
+      .filter(col("d").isNotNull)
+      .withColumn("up", sum(when(col("d") > 0, col("d")).otherwise(lit(0L)))
+        .over(frame))
+      .withColumn("dn", sum(when(col("d") < 0, -col("d")).otherwise(lit(0L)))
+        .over(frame))
+      .withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") >= period && col("up") + col("dn") > 0)
+      .select(col("symbol"), col("day"),
+        round(lit(100.0) * (col("up") - col("dn")).cast("double") /
+              (col("up") + col("dn")).cast("double"), 6).as("cmo"))
+      .orderBy("symbol", "day")
+  }
+
+  /** Elder's Force Index, SMA-smoothed: per-bar force = (cl −
+    * prevCl)·volume (integer cents × exact BIGINT volume), the
+    * reported index its `period`-bar mean in dollar·share units —
+    * one divide by 100p at the end. The SMA form (not Elder's EMA)
+    * keeps it a single window frame, per the [[atr]] rationale.
+    * Emitted once the frame fills; first bar excluded (no previous
+    * close). One (symbol) exchange.
+    */
+  def forceIndex(spark: SparkSession, dir: String, period: Int = 13): DataFrame = {
+    val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
+    val frame = byDay.rowsBetween(-(period - 1), 0)
+    centBars(spark, dir)
+      .withColumn("prev_cl", lag(col("cl"), 1).over(byDay))
+      .filter(col("prev_cl").isNotNull)
+      .withColumn("f", (col("cl") - col("prev_cl")) * col("vol"))
+      .withColumn("fsum", sum(col("f")).over(frame))
+      .withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") >= period)
+      .select(col("symbol"), col("day"), col("f").as("force_raw_centshares"),
+        round(col("fsum").cast("double") / (100.0 * period), 6)
+          .as("force_index"))
+      .orderBy("symbol", "day")
+  }
+
+  /** Per-symbol Calmar-style ratio on daily closes: total return over
+    * maximum drawdown. Both components are IEEE divides of EXACT
+    * integer cents — (clN−cl1)/cl1 and max over bars of
+    * (peak−cl)/peak — so MAX over deterministic doubles and the final
+    * ratio are engine-identical (the same discipline as
+    * [[maxDrawdown]]). Symbols that never draw down (maxdd = 0) or
+    * with a single bar drop on both engines.
+    */
+  def calmar(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
+    centBars(spark, dir)
+      .withColumn("peak", max(col("cl")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("peak") > 0) // drop an all-zero-close prefix (sf0.1 has 0.00 ticks)
+      .withColumn("dd", (col("peak") - col("cl")).cast("double") /
+        col("peak").cast("double"))
+      .withColumn("rn", row_number().over(byDay))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"),
+           max(when(col("rn") === 1, col("cl"))).as("first_cl"),
+           max(col("rn") * lit(1L << 33) + col("cl")).as("pack_last"),
+           max(col("dd")).as("maxdd"))
+      .filter(col("n_days") >= 2 && col("maxdd") > 0)
+      .withColumn("last_cl", col("pack_last") % lit(1L << 33))
+      .select(col("symbol"), col("n_days"),
+        round((col("last_cl") - col("first_cl")).cast("double") /
+              col("first_cl").cast("double"), 6).as("total_return"),
+        round(col("maxdd"), 6).as("max_drawdown"),
+        round(((col("last_cl") - col("first_cl")).cast("double") /
+               col("first_cl").cast("double")) / col("maxdd"), 6).as("calmar"))
+      .orderBy("symbol")
+  }
+
+  /** Lo–MacKinlay variance-ratio diagnostic on tick-level cent
+    * moves: VR(k) = Var(m_t − m_{t−k}) / (k · Var(m_t − m_{t−1}))
+    * with overlapping k-differences — 1 for a random walk, <1 mean
+    * reversion, >1 trending. Sample variances expand to the
+    * all-integer form (nΣd² − (Σd)²)/(n(n−1)): Σd and Σd² are EXACT
+    * longs (cents < 2³⁰ per [[moments]], so d² < 2⁶⁰/n headroom
+    * holds to ~10⁸ ticks per symbol), and the final expression is
+    * one deterministic double formula of exact integer terms.
+    * Degenerate symbols (zero 1-tick variance or fewer than k+2
+    * ticks) drop on both engines. One (symbol) exchange serves both
+    * lags and the rollup.
+    */
+  def varianceRatio(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    quotes(spark, dir)
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+      .withColumn("d1", col("m") - lag(col("m"), 1).over(ord))
+      .withColumn("dk", col("m") - lag(col("m"), k).over(ord))
+      .groupBy("symbol")
+      .agg(count(col("d1")).as("n1"), sum(col("d1")).as("s1"),
+           sum(col("d1") * col("d1")).as("q1"),
+           count(col("dk")).as("nk"), sum(col("dk")).as("sk"),
+           sum(col("dk") * col("dk")).as("qk"))
+      .filter(col("nk") >= 2 && col("n1") * col("q1") - col("s1") * col("s1") > 0)
+      .select(col("symbol"), col("n1").as("n_moves"),
+        round(((col("nk") * col("qk") - col("sk") * col("sk")).cast("double") /
+               (col("nk") * (col("nk") - 1)).cast("double")) /
+              (lit(k.toDouble) *
+               (col("n1") * col("q1") - col("s1") * col("s1")).cast("double") /
+               (col("n1") * (col("n1") - 1)).cast("double")), 6)
+          .as(s"vr_$k"))
+      .orderBy("symbol")
+  }
 }

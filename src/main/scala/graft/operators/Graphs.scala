@@ -197,6 +197,58 @@ object Graphs {
       .orderBy("rk")
   }
 
+  /** Personalized PageRank from the top-degree seed set — the
+    * "related items" random walk with restart: teleport mass lands
+    * only on the seeds (1/|S| each), so rank measures proximity TO
+    * the seeds rather than global importance. The state stays
+    * SPARSE: a node enters the rank table only once the walk reaches
+    * it (contrib groupBy emits only touched nodes; the seed teleport
+    * re-enters through one full-outer join against the |S|-row seed
+    * table per round) — at 100 TB a few rounds from a small seed set
+    * touch a neighborhood, never the whole graph. Seeds are the
+    * deterministic top-`nSeeds` by (degree desc, node), a TakeOrdered
+    * cut broadcast into every round. Same per-round round-12
+    * quantization, localCheckpointed state, and unrolled-CTE oracle
+    * as [[pageRank]].
+    */
+  def personalizedPageRank(spark: SparkSession, dir: String, iters: Int = 5,
+                           damping: Double = 0.85, topK: Int = 20,
+                           nSeeds: Int = 3, minSupport: Int = 2): DataFrame = {
+    val e0 = coEdges(spark, dir, minSupport)
+    val adj = e0.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e0.select(col("pb").as("u"), col("pa").as("v")))
+      .localCheckpoint()
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint()
+    val seeds = deg.orderBy(col("d").desc, col("u")).limit(nSeeds)
+      .select(col("u").as("node"), lit(1.0 / nSeeds).as("e"))
+      .localCheckpoint() // nSeeds rows, broadcast into every round
+    var ranks = seeds.select(col("node"), col("e").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = adj
+        .join(ranks.withColumnRenamed("node", "u"), "u")
+        .join(deg, "u")
+        .select(col("v").as("node"), (col("r") / col("d")).as("c"))
+      ranks = contrib.groupBy("node").agg(sum(col("c")).as("s"))
+        .join(broadcast(seeds), Seq("node"), "full_outer")
+        .select(col("node"),
+          round(lit(damping) * coalesce(col("s"), lit(0.0)) +
+                lit(1.0 - damping) * coalesce(col("e"), lit(0.0)), 12).as("r"))
+        .localCheckpoint()
+    }
+    val top = ranks
+      .select(col("node"), round(col("r"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("node")).limit(topK)
+    broadcast(top)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("rank").desc, col("node"))).cast("bigint"))
+      .join(deg.select(col("u").as("node"), col("d").as("degree")), "node")
+      .join(broadcast(seeds.select(col("node"), lit(true).as("is_seed"))),
+        Seq("node"), "left_outer")
+      .select(col("rk"), col("node"), col("degree"), col("rank"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .orderBy("rk")
+  }
+
   /** Power-iteration eigenvector centrality (Bonacich) over the
     * co-purchase graph — the influence measure PageRank approximates
     * with damping removed: r ← A·r, max-normalized per round, fixed

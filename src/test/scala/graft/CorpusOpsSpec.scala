@@ -170,6 +170,35 @@ class CorpusOpsSpec extends SparkSuite {
     assert(counts.last < nRaw, "funnel must actually cut")
   }
 
+  test("js divergence: all source pairs, bounded by ln 2, matches the in-Scala recompute") {
+    val rows = CorpusOps.jsBetweenSources(spark, sfDir).collect()
+    val sources = graft.Tables.documents(spark, sfDir)
+      .select("source").distinct().count().toInt
+    assert(rows.length === sources * (sources - 1) / 2)
+    val ln2 = math.log(2.0)
+    rows.foreach { r =>
+      val js = r.getAs[Double]("js_divergence")
+      assert(js >= -1e-9 && js <= ln2 + 1e-9, s"$r")
+    }
+    // exact recompute of one pair from collected (source, lang) counts
+    val cells = graft.Tables.documents(spark, sfDir)
+      .groupBy("source", "lang").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val (sa, sb) = (rows.head.getAs[String]("source_a"),
+                    rows.head.getAs[String]("source_b"))
+    val na = cells.collect { case ((s, _), c) if s == sa => c }.sum.toDouble
+    val nb = cells.collect { case ((s, _), c) if s == sb => c }.sum.toDouble
+    val langs = cells.keysIterator.map(_._2).toSet
+    def side(p: Double, q: Double) =
+      if (p > 0) p * math.log(2.0 * p / (p + q)) else 0.0
+    val expected = langs.toSeq.map { l =>
+      val pa = cells.getOrElse((sa, l), 0L) / na
+      val pb = cells.getOrElse((sb, l), 0L) / nb
+      side(pa, pb) / 2 + side(pb, pa) / 2
+    }.sum
+    assert(math.abs(rows.head.getAs[Double]("js_divergence") - expected) < 1e-6)
+  }
+
   test("shard skew recomputes locally; load factors average to balance") {
     val rows = CorpusOps.shardSkew(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))

@@ -300,4 +300,116 @@ class FinanceSpec extends SparkSuite {
     val c = Finance.cusum(spark, dir2).head()
     assert(c.getAs[Long]("cp_tick") === 100L)
   }
+
+  /** One tick per day per the given price path — the daily-bar
+    * indicator fixtures below all derive from this degenerate
+    * (hi = lo = cl) shape so each indicator's value is hand-computable. */
+  private def dailySeries(prices: Seq[Double], vol: Long = 10L): String = {
+    import spark.implicits._
+    val df = prices.zipWithIndex.map { case (p, i) => ((i + 1).toLong, p) }
+      .toDF("event_id", "value")
+      .withColumn("user_id", lit(1L))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("event_id") * 86400L))
+      .withColumn("event_type", lit("tick"))
+      .withColumn("props", lit(s"""{"k": $vol}"""))
+    val dir = java.nio.file.Files.createTempDirectory("fin").toString
+    df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("keltner: degenerate bars collapse the channel onto the SMA; corpus bands ordered") {
+    // monotone ramp, single-tick days: hi=lo=cl -> band width 0,
+    // center = 10-day SMA = price - 0.045 (cents ramp of +1/day)
+    val dir = dailySeries((1 to 30).map(i => 1.0 + 0.01 * i))
+    val k = Finance.keltner(spark, dir).orderBy("day").collect()
+    assert(k.length === 21)
+    k.zipWithIndex.foreach { case (r, i) =>
+      val m = 1.0 + 0.01 * (i + 10) // close on the emitting day
+      assert(math.abs(r.getAs[Double]("center") - (m - 0.045)) < 1e-9)
+      assert(r.getAs[Double]("upper_band") === r.getAs[Double]("center"))
+      assert(r.getAs[Double]("lower_band") === r.getAs[Double]("center"))
+    }
+    val corpus = Finance.keltner(spark, sfDir)
+      .filter(col("lower_band") > col("center") ||
+              col("center") > col("upper_band")).count()
+    assert(corpus === 0)
+  }
+
+  test("vortex: monotone single-tick days read VI+ = VI- = 1; corpus VIs non-negative") {
+    val dir = dailySeries((1 to 30).map(i => 1.0 + 0.01 * i))
+    val v = Finance.vortex(spark, dir).collect()
+    assert(v.nonEmpty)
+    v.foreach { r =>
+      assert(r.getAs[Double]("vi_plus") === 1.0)
+      assert(r.getAs[Double]("vi_minus") === 1.0)
+    }
+    val neg = Finance.vortex(spark, sfDir)
+      .filter(col("vi_plus") < 0 || col("vi_minus") < 0).count()
+    assert(neg === 0)
+  }
+
+  test("cmo: one-way runs read ±100; corpus bounded in [-100, 100]") {
+    val up = dailySeries((1 to 20).map(i => 1.0 + 0.01 * i))
+    Finance.chandeMomentum(spark, up).collect()
+      .foreach(r => assert(r.getAs[Double]("cmo") === 100.0))
+    val down = dailySeries((1 to 20).map(i => 2.0 - 0.01 * i))
+    Finance.chandeMomentum(spark, down).collect()
+      .foreach(r => assert(r.getAs[Double]("cmo") === -100.0))
+    val out = Finance.chandeMomentum(spark, sfDir)
+      .filter(abs(col("cmo")) > 100.0).count()
+    assert(out === 0)
+  }
+
+  test("force index: constant +1-cent drift at volume 10 reads exactly 0.1") {
+    val dir = dailySeries((1 to 20).map(i => 1.0 + 0.01 * i), vol = 10L)
+    val f = Finance.forceIndex(spark, dir).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      assert(r.getAs[Long]("force_raw_centshares") === 10L)
+      assert(r.getAs[Double]("force_index") === 0.1)
+    }
+  }
+
+  test("calmar: dip-and-recover path gives return 3.0 over maxdd 0.5 = 6.0") {
+    val dir = dailySeries(Seq(1.0, 2.0, 1.0, 4.0))
+    val c = Finance.calmar(spark, dir).head()
+    assert(c.getAs[Long]("n_days") === 4L)
+    assert(c.getAs[Double]("total_return") === 3.0)
+    assert(c.getAs[Double]("max_drawdown") === 0.5)
+    assert(c.getAs[Double]("calmar") === 6.0)
+    // monotone series never draws down -> dropped on both engines
+    val up = dailySeries((1 to 10).map(i => 1.0 + 0.01 * i))
+    assert(Finance.calmar(spark, up).count() === 0)
+  }
+
+  test("variance ratio: alternating two-point ticks match the closed-form VR(5)") {
+    import spark.implicits._
+    // tick-level (not daily): m alternates 100/300 cents
+    val alt = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) 1.0 else 3.0))
+      .toDF("event_id", "value")
+      .withColumn("user_id", lit(1L))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("event_id")))
+      .withColumn("event_type", lit("tick"))
+      .withColumn("props", lit("""{"k": 10}"""))
+    val dir = java.nio.file.Files.createTempDirectory("vr").toString
+    alt.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // closed form from the same integer sums the operator uses
+    val m = (1 to 40).map(i => if (i % 2 == 0) 100L else 300L)
+    def stats(k: Int) = {
+      val d = (k until 40).map(i => m(i) - m(i - k))
+      (d.size.toLong, d.sum, d.map(x => x * x).sum)
+    }
+    val (n1, s1, q1) = stats(1); val (nk, sk, qk) = stats(5)
+    val expected = ((nk * qk - sk * sk).toDouble / (nk * (nk - 1))) /
+      (5.0 * (n1 * q1 - s1 * s1).toDouble / (n1 * (n1 - 1)))
+    val vr = Finance.varianceRatio(spark, dir).head()
+    assert(vr.getAs[Long]("n_moves") === n1)
+    assert(math.abs(vr.getAs[Double]("vr_5") -
+      math.rint(expected * 1e6) / 1e6) < 1e-12)
+    // constant price: zero 1-tick variance -> dropped
+    val const = dailySeries(Seq.fill(10)(2.0))
+    assert(Finance.varianceRatio(spark, const).count() === 0)
+  }
 }

@@ -95,6 +95,27 @@ class GraphsSpec extends SparkSuite {
     assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b }, ranks.mkString(","))
   }
 
+  test("personalized pagerank: mass stays on seeds' side, sparse state, seeds flagged") {
+    // with restart, total mass is ~1 but concentrated: the seed rows
+    // themselves must rank strictly above the global-uniform level 1/n
+    val all = Graphs.personalizedPageRank(spark, sfDir, topK = Int.MaxValue).cache()
+    try {
+      val mass = all.agg(sum("rank")).head.getDouble(0)
+      assert(math.abs(mass - 1.0) < 0.01, s"rank mass $mass")
+      // sparse state: the walk need not touch every node with degree>=1
+      val n = Graphs.personalizedPageRank(spark, sfDir, topK = Int.MaxValue,
+        iters = 1).count()
+      assert(n <= all.count(), "one round must touch no more nodes than five")
+      val seeds = all.filter(col("is_seed")).count()
+      assert(seeds === 3L)
+    } finally all.unpersist()
+    val top = Graphs.personalizedPageRank(spark, sfDir).collect()
+    assert(top.length === 20)
+    assert(top.map(_.getAs[Long]("rk")).toSeq === (1L to 20L))
+    val ranks = top.map(_.getAs[Double]("rank"))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b }, ranks.mkString(","))
+  }
+
   test("k-core peeling: monotone shrinking graph, survivors meet the degree bar") {
     val rounds = Graphs.kCorePeel(spark, sfDir).collect()
     assert(rounds.length === 5)

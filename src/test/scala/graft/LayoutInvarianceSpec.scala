@@ -64,7 +64,16 @@ class LayoutInvarianceSpec extends SparkSuite {
     ("x_parkinson",      () => graft.operators.Finance.parkinson(spark, sfDir)),
     // HITS: per-round two-stage round-12 quantization over a DIRECTED
     // graph — the eigencentrality claim on the new edge set
-    ("x_hits",           () => graft.operators.Graphs.hits(spark, sfDir)))
+    ("x_hits",           () => graft.operators.Graphs.hits(spark, sfDir)),
+    // r10c: PPR's sparse rank state is rebuilt per round from a
+    // round-12-quantized sum — the pageRank layout claim with the
+    // full-outer teleport join added
+    ("x_ppr",            () => graft.operators.Graphs.personalizedPageRank(spark, sfDir)),
+    // Calmar: packed last-close argmax + deterministic IEEE ratios of
+    // exact integer cents
+    ("x_calmar",         () => graft.operators.Finance.calmar(spark, sfDir)),
+    // VR: all-integer variance numerators through one double formula
+    ("x_variance_ratio", () => graft.operators.Finance.varianceRatio(spark, sfDir)))
 
   test("order-sensitive operators return identical rows under different shuffle layouts") {
     val key = "spark.sql.shuffle.partitions"

@@ -202,7 +202,34 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_bpe_fertility"     -> 1,
     // the per-image SUM(gray) OVER window is consumed only inside the
     // exact integer bit comparison gray*16 > tot
-    "x_media_ahash"       -> 1
+    "x_media_ahash"       -> 1,
+    // pos/neg window flow sums: emitted through ::BIGINT projections,
+    // otherwise only CAST(... AS DOUBLE) and the >0 gate
+    "x_mfi"               -> 2,
+    // mfv DECIMAL window sum exits via the VARCHAR bridge; the volume
+    // window sum via its ::BIGINT projection
+    "x_cmf"               -> 2,
+    // ssum/adev feed only integer arithmetic inside CAST(... AS DOUBLE)
+    // and the adev>0 gate
+    "x_cci"               -> 2,
+    // the quantity sum inside HAVING is a comparison operand only (the
+    // projected copy is ::BIGINT-cast)
+    "x_large_orders"      -> 1,
+    // both DECIMAL value sums exit via the VARCHAR bridge or the
+    // all-integer dominance gate vald*1000 > totd
+    "x_important_stock"   -> 2,
+    // ssum/rsum window sums are consumed only inside CAST(... AS DOUBLE)
+    "x_keltner"           -> 2,
+    // tr/vm window sums: CAST(... AS DOUBLE) ratios + the tr_sum>0 gate
+    "x_vortex"            -> 3,
+    // up/dn window sums: CAST ratios + the up+dn>0 gate
+    "x_cmo"               -> 2,
+    // the force window sum is consumed only inside CAST(... AS DOUBLE)
+    "x_force_index"       -> 1,
+    // five unrolled rounds of SUM(r/d), the x_pagerank escape shape
+    "x_ppr"               -> 5,
+    // the per-pair JS term sum is a DOUBLE sum consumed inside ROUND
+    "x_js_sources"        -> 1
   )
 
   /** Count SUM( occurrences whose result is not immediately cast. */
