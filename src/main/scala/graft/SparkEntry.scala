@@ -135,6 +135,13 @@ object SparkEntry {
     "x_variance_ratio"     -> ((s, dir) => Finance.varianceRatio(s, dir)),
     "x_ppr"                -> ((s, dir) => Graphs.personalizedPageRank(s, dir)),
     "x_js_sources"         -> ((s, dir) => CorpusOps.jsBetweenSources(s, dir)),
+    "x_trix"               -> ((s, dir) => Finance.trix(s, dir)),
+    "x_readability"        -> ((s, dir) => TextAnalysis.readability(s, dir)),
+    "x_emb_anisotropy"     -> ((s, dir) => Similarity.embAnisotropy(s, dir)),
+    "x_theil_sen"          -> ((s, dir) => Finance.theilSen(s, dir)),
+    "x_roll_spread"        -> ((s, dir) => Finance.rollSpread(s, dir)),
+    "x_dow_effect"         -> ((s, dir) => Finance.dowEffect(s, dir)),
+    "x_ks_lengths"         -> ((s, dir) => CorpusOps.ksLengths(s, dir)),
     "x_ols_pricing"        -> ((s, dir) => Analytics.olsPricing(s, dir)),
     "x_communities"        -> ((s, dir) => Graphs.communities(s, dir)),
     "x_jaccard_link"       -> ((s, dir) => Graphs.jaccardLink(s, dir)),
@@ -3625,6 +3632,112 @@ object SparkEntry {
         |  round((macd_raw - signal_raw) / 100, 6) AS histogram
         |FROM g ORDER BY symbol, id""".stripMargin),
 
+    // Theil–Sen: lower-median of exact pairwise slope fractions over
+    // calendar-bounded daily bars; IEEE-ratio sort, full integer tie-break
+    "x_theil_sen" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, day,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cb AS (SELECT symbol, day,
+        |         MAX(CASE WHEN rn_d = 1 THEN m END) AS cl
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol, day
+        |                        ORDER BY ts_epoch DESC, id DESC) AS rn_d FROM e)
+        |       GROUP BY symbol, day),
+        |b AS (SELECT symbol, ROW_NUMBER() OVER (PARTITION BY symbol
+        |        ORDER BY day) AS rn, cl FROM cb),
+        |p AS (SELECT i.symbol, j.cl - i.cl AS d, j.rn - i.rn AS g,
+        |        i.rn AS i, j.rn AS jj
+        |      FROM b i JOIN b j ON i.symbol = j.symbol AND j.rn > i.rn),
+        |r AS (SELECT *,
+        |        ROW_NUMBER() OVER (PARTITION BY symbol
+        |          ORDER BY CAST(d AS DOUBLE)/g ASC, d ASC, g ASC,
+        |                   i ASC, jj ASC) AS rk,
+        |        COUNT(*) OVER (PARTITION BY symbol) AS np
+        |      FROM p)
+        |SELECT symbol, np AS n_pairs,
+        |  round(CAST(d AS DOUBLE) / g / 100.0, 6) AS theil_sen_slope
+        |FROM r WHERE rk = (np + 1) // 2 ORDER BY symbol""".stripMargin),
+
+    // Roll (1984) implied spread — all-integer serial covariance,
+    // defined only on negative covariance
+    "x_roll_spread" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol,
+        |        CAST(round(price * 100) AS BIGINT) AS m,
+        |        ROW_NUMBER() OVER (PARTITION BY symbol
+        |          ORDER BY ts_epoch ASC, id ASC) AS rn
+        |      FROM q),
+        |dx AS (SELECT symbol, rn,
+        |        m - lag(m, 1) OVER (PARTITION BY symbol ORDER BY rn) AS x
+        |      FROM e),
+        |dy AS (SELECT symbol, x,
+        |        lag(x, 1) OVER (PARTITION BY symbol ORDER BY rn) AS y
+        |      FROM dx),
+        |g AS (SELECT symbol, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+        |        SUM(y)::BIGINT AS sy, SUM(x * y)::BIGINT AS sxy
+        |      FROM dy WHERE y IS NOT NULL GROUP BY symbol)
+        |SELECT symbol, n AS n_move_pairs,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n * (n - 1) AS DOUBLE), 6) AS serial_cov,
+        |  round(2.0 * sqrt(-(CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n * (n - 1) AS DOUBLE))) / 100.0, 6) AS roll_spread
+        |FROM g WHERE n >= 2 AND n * sxy - sx * sy < 0
+        |ORDER BY symbol""".stripMargin),
+
+    // Day-of-week move census — 7-row rollup of exact integer moves
+    "x_dow_effect" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, day,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cb AS (SELECT symbol, day,
+        |         MAX(CASE WHEN rn_d = 1 THEN m END) AS cl
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol, day
+        |                        ORDER BY ts_epoch DESC, id DESC) AS rn_d FROM e)
+        |       GROUP BY symbol, day),
+        |t AS (SELECT day,
+        |        cl - lag(cl, 1) OVER (PARTITION BY symbol ORDER BY day) AS d
+        |      FROM cb),
+        |g AS (SELECT (dayofweek(day) + 1)::BIGINT AS dow,
+        |        COUNT(*)::BIGINT AS n_moves, SUM(d)::BIGINT AS sd,
+        |        SUM(d * d)::BIGINT AS sdd,
+        |        SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS n_up
+        |      FROM t WHERE d IS NOT NULL GROUP BY 1)
+        |SELECT dow, n_moves,
+        |  round(CAST(sd AS DOUBLE) / n_moves / 100.0, 6) AS mean_move,
+        |  round(CAST(n_up AS DOUBLE) / n_moves, 6) AS up_share,
+        |  round(sqrt(CAST(n_moves * sdd - sd * sd AS DOUBLE)
+        |        / CAST(n_moves * (n_moves - 1) AS DOUBLE)) / 100.0, 6)
+        |    AS move_std
+        |FROM g WHERE n_moves >= 2 ORDER BY dow""".stripMargin),
+
+    // TRIX(15) — triple truncated-EMA rate of change in basis points;
+    // three nested weight-chain layers share the MACD Double contract
+    "x_trix" ->
+      (finQuoteCte + s""",
+        |e AS (SELECT symbol, id, price, ts_epoch,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |f1 AS (SELECT symbol, id, price, ts_epoch,
+        |        (${wsumNumSql("m", graft.operators.Finance.TrixW)})
+        |          / (${wsumDenSql("m", graft.operators.Finance.TrixW)}) AS e1
+        |      FROM e WINDOW w AS (PARTITION BY symbol ORDER BY ts_epoch, id)),
+        |f2 AS (SELECT symbol, id, price, ts_epoch,
+        |        (${wsumNumSql("e1", graft.operators.Finance.TrixW)})
+        |          / (${wsumDenSql("e1", graft.operators.Finance.TrixW)}) AS e2
+        |      FROM f1 WINDOW w AS (PARTITION BY symbol ORDER BY ts_epoch, id)),
+        |f3 AS (SELECT symbol, id, price, ts_epoch,
+        |        (${wsumNumSql("e2", graft.operators.Finance.TrixW)})
+        |          / (${wsumDenSql("e2", graft.operators.Finance.TrixW)}) AS e3
+        |      FROM f2 WINDOW w AS (PARTITION BY symbol ORDER BY ts_epoch, id)),
+        |g AS (SELECT symbol, id, price, e3,
+        |        lag(e3, 1) OVER (PARTITION BY symbol ORDER BY ts_epoch, id)
+        |          AS e3_prev
+        |      FROM f3)
+        |SELECT symbol, id, price,
+        |  round(e3 / 100, 6) AS triple_ema,
+        |  round(10000.0 * (e3 - e3_prev) / e3_prev, 6) AS trix_bp
+        |FROM g WHERE e3_prev IS NOT NULL AND e3_prev <> 0
+        |ORDER BY symbol, id""".stripMargin),
+
     "x_stochastic" ->
       (finQuoteCte + """,
         |e AS (SELECT symbol, id, price, ts_epoch,
@@ -4865,6 +4978,87 @@ object SparkEntry {
         |  ROUND(SUM(c_ls / c_s * ln((c_ls * n)::DOUBLE / (c_s * c_l))), 6) AS kl_from_corpus
         |FROM c JOIN cs USING (source) JOIN cl USING (lang), t
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // exact K-S statistic per source vs rest-of-corpus on the integer
+    // lattice — sup of |cum_s·n_r − cum_r·n_s| over the length grid
+    "x_ks_lengths" ->
+      """WITH c AS (
+        |  SELECT source, n_chars, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |s AS (SELECT source, SUM(c)::BIGINT AS n_s FROM c GROUP BY 1),
+        |l AS (SELECT DISTINCT n_chars FROM c),
+        |tt AS (SELECT SUM(c)::BIGINT AS n_tot FROM c),
+        |grid AS (SELECT s.source, s.n_s, l.n_chars, COALESCE(cc.c, 0) AS c
+        |         FROM s CROSS JOIN l
+        |         LEFT JOIN c cc ON cc.source = s.source
+        |                       AND cc.n_chars = l.n_chars),
+        |g2 AS (SELECT source, n_s, n_chars,
+        |        SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
+        |       FROM grid),
+        |ct AS (SELECT n_chars,
+        |        SUM(ctotal) OVER (ORDER BY n_chars
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_t
+        |       FROM (SELECT n_chars, SUM(c)::BIGINT AS ctotal
+        |             FROM c GROUP BY 1)),
+        |v AS (SELECT g2.source, n_s, g2.n_chars, n_tot - n_s AS n_r,
+        |        ABS(cum_s * (n_tot - n_s) - (cum_t - cum_s) * n_s) AS dev
+        |      FROM g2 JOIN ct ON g2.n_chars = ct.n_chars, tt),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY dev DESC, n_chars ASC) AS rk FROM v)
+        |SELECT source, n_s AS n_docs, n_chars AS split_length,
+        |  round(CAST(dev AS DOUBLE) / CAST(n_s * n_r AS DOUBLE), 6) AS ks_stat
+        |FROM r WHERE rk = 1 AND n_r > 0 ORDER BY source""".stripMargin,
+
+    // Flesch / Flesch–Kincaid per (lang, source) — exact integer
+    // word/sentence/vowel-run counts, two deterministic formulas
+    "x_readability" ->
+      """WITH d AS (
+        |  SELECT lang, source,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> len(t) > 0))::BIGINT AS w,
+        |    (len(regexp_extract_all(lower(text), '[aeiouy]+')) +
+        |     len(list_filter(string_split(lower(text), ' '),
+        |         t -> len(t) > 0 AND NOT regexp_matches(t, '[aeiouy]'))))::BIGINT
+        |      AS y,
+        |    GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT AS s
+        |  FROM documents),
+        |g AS (SELECT lang, source, COUNT(*) AS n_docs, SUM(w)::BIGINT AS n_words,
+        |        SUM(s)::BIGINT AS n_sentences, SUM(y)::BIGINT AS n_syllables
+        |      FROM d GROUP BY 1, 2)
+        |SELECT lang, source, n_docs, n_words, n_sentences, n_syllables,
+        |  round(206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences
+        |        - 84.6 * CAST(n_syllables AS DOUBLE) / n_words, 6) AS flesch,
+        |  round(0.39 * CAST(n_words AS DOUBLE) / n_sentences
+        |        + 11.8 * CAST(n_syllables AS DOUBLE) / n_words - 15.59, 6)
+        |    AS fk_grade
+        |FROM g WHERE n_words > 0 ORDER BY lang, source""".stripMargin,
+
+    // corpus anisotropy — ||Σu||² − Σ||u||² over round-12 decimal
+    // unit components; every decimal exits via the VARCHAR bridge
+    "x_emb_anisotropy" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE),
+        |         (a,b)->a+b)) AS nrm
+        |  FROM embeddings),
+        |u AS (SELECT (i-1)::BIGINT AS pos,
+        |        CAST(round(embedding[i]::DOUBLE / nrm, 12) AS DECIMAL(16,12)) AS u
+        |      FROM e, range(1, 65) t(i) WHERE nrm > 0),
+        |d AS (SELECT pos, COUNT(*) AS n, SUM(u) AS s, SUM(u*u) AS qq
+        |      FROM u GROUP BY pos),
+        |g AS (SELECT MAX(n)::BIGINT AS n_vectors,
+        |        SUM(CAST(round(CAST(CAST(s AS VARCHAR) AS DOUBLE)
+        |                     * CAST(CAST(s AS VARCHAR) AS DOUBLE), 6)
+        |            AS DECIMAL(28,6))) AS s2,
+        |        SUM(qq) AS q
+        |      FROM d)
+        |SELECT n_vectors,
+        |  round((CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+        |         - CAST(CAST(q AS VARCHAR) AS DOUBLE))
+        |        / (CAST(n_vectors AS DOUBLE)
+        |           * (CAST(n_vectors AS DOUBLE) - 1.0)), 6) AS avg_pair_cos
+        |FROM g""".stripMargin,
 
     // Jensen–Shannon divergence per source pair over language mixes —
     // bounded sources² × languages grid, exact-integer probabilities

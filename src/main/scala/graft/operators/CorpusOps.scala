@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -839,6 +840,53 @@ object CorpusOps {
            round(sum(side(col("pa"), col("pb")) / 2 +
                      side(col("pb"), col("pa")) / 2), 6).as("js_divergence"))
       .orderBy("source_a", "source_b")
+  }
+
+  /** Exact Kolmogorov–Smirnov statistic of each source's document-
+    * length distribution against the REST of the corpus — the
+    * distribution-drift alarm for a feed whose scrape changed shape
+    * (truncation, boilerplate, chunk-size drift all move the length
+    * ECDF long before the mean moves). The sup over the full ECDF
+    * difference is computed EXACTLY on the integer lattice:
+    * D = max_x |cum_s(x)·n_r − cum_r(x)·n_s| / (n_s·n_r), one divide
+    * at the end; the argmax length reports WHERE the distributions
+    * split (ties → smallest length). The grid is sources × distinct
+    * lengths — lengths are value-bounded (a length dimension, not a
+    * row dimension), so cumulative windows run over a dim-sized
+    * table at any corpus scale.
+    */
+  def ksLengths(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // bounded: |sources| x |distinct lengths|
+    val lengths = cells.select("n_chars").distinct()
+    val sources = cells.groupBy("source").agg(sum("c").as("n_s"))
+    val totals  = cells.agg(sum("c").as("n_tot"))
+    val byLen = Window.partitionBy("source").orderBy(col("n_chars").asc)
+    val grid = broadcast(sources).crossJoin(broadcast(lengths))
+      .join(cells, Seq("source", "n_chars"), "left_outer")
+      .withColumn("cum_s", sum(coalesce(col("c"), lit(0L))).over(
+        byLen.rowsBetween(Window.unboundedPreceding, 0)))
+    val corpusCum = cells.groupBy("n_chars").agg(sum("c").as("ct"))
+      .withColumn("cum_t", sum(col("ct")).over(
+        Window.orderBy(col("n_chars").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select("n_chars", "cum_t") // dim-sized global window (lengths, not rows)
+    val byDev = Window.partitionBy("source")
+      .orderBy(col("dev").desc, col("n_chars").asc)
+    grid.join(broadcast(corpusCum), "n_chars")
+      .crossJoin(broadcast(totals))
+      .withColumn("n_r", col("n_tot") - col("n_s"))
+      .withColumn("cum_r", col("cum_t") - col("cum_s"))
+      .withColumn("dev",
+        abs(col("cum_s") * col("n_r") - col("cum_r") * col("n_s")))
+      .withColumn("rk", row_number().over(byDev))
+      .filter(col("rk") === 1 && col("n_r") > 0)
+      .select(col("source"), col("n_s").as("n_docs"),
+        col("n_chars").as("split_length"),
+        round(col("dev").cast("double") /
+              (col("n_s") * col("n_r")).cast("double"), 6).as("ks_stat"))
+      .orderBy("source")
   }
 
   def contaminationSweep(spark: SparkSession, dir: String,

@@ -378,6 +378,45 @@ object Finance {
       .orderBy("symbol", "id")
   }
 
+  /** TRIX(15) weight ladder, alpha = 2/16 — shared Double contract
+    * with the oracle exactly as [[MacdFastW]]. */
+  private[graft] val TrixW: Seq[Double] =
+    (0 until MacdLags).map(j => (2.0 / 16) * math.pow(14.0 / 16, j))
+
+  /** TRIX(15) per symbol per tick: the 1-lag rate of change of a
+    * TRIPLE-smoothed EMA of price, in basis points — the
+    * momentum-of-trend indicator whose triple smoothing filters
+    * single-tick noise MACD still passes. Each smoothing layer is the
+    * [[MacdLags]]-truncated explicit-weight EMA over the PREVIOUS
+    * layer's output (the [[macd]] discipline, one layer deeper), so
+    * the whole three-deep composition is deterministic double
+    * arithmetic shared bit-for-bit with the oracle's nested CTEs.
+    * Rows whose previous triple-EMA is 0 or absent drop on both
+    * engines.
+    *
+    * Scale shape: one (symbol) exchange serves all three lag-chain
+    * layers and the final lag — Catalyst sorts once; each layer is a
+    * flat codegen'd projection over [[MacdLags]] window lags.
+    */
+  def trix(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    val base = quotes(spark, dir)
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+    val (w1, l1) = withLagCols(base, col("m"), "t1", ord)
+    val e1 = w1.withColumn("e1", truncEma(l1, TrixW))
+    val (w2, l2) = withLagCols(e1, col("e1"), "t2", ord)
+    val e2 = w2.withColumn("e2", truncEma(l2, TrixW))
+    val (w3, l3) = withLagCols(e2, col("e2"), "t3", ord)
+    w3.withColumn("e3", truncEma(l3, TrixW))
+      .withColumn("e3_prev", lag(col("e3"), 1).over(ord))
+      .filter(col("e3_prev").isNotNull && col("e3_prev") =!= 0.0)
+      .select(col("symbol"), col("id"), col("price"),
+        round(col("e3") / 100, 6).as("triple_ema"),
+        round(lit(10000.0) * (col("e3") - col("e3_prev")) / col("e3_prev"), 6)
+          .as("trix_bp"))
+      .orderBy("symbol", "id")
+  }
+
   /** Stochastic oscillator %K(14) / %D(3) per symbol per tick. %K is
     * exact integer arithmetic until one divide (cents vs the rolling
     * 14-tick min/max); a flat window (max = min) is the conventional
@@ -1221,6 +1260,107 @@ object Finance {
         round(((col("last_cl") - col("first_cl")).cast("double") /
                col("first_cl").cast("double")) / col("maxdd"), 6).as("calmar"))
       .orderBy("symbol")
+  }
+
+  /** Theil–Sen robust trend per symbol over daily closes: the median
+    * of all pairwise slopes (cl_j − cl_i)/(j − i) — the estimator a
+    * single flash-crash bar cannot drag, beside the least-squares
+    * [[regrTrend]]. Slopes are exact integer fractions; their sort
+    * key is the IEEE ratio of small ints (deterministic in both
+    * engines) with the full (d, g, i, j) integer tie-break, and the
+    * reported median is the LOWER median (rank ⌈n/2⌉ — no averaging,
+    * so the output is one of the exact slopes). The pair join is
+    * bars × bars WITHIN a symbol — days are calendar-bounded, so the
+    * fan-out is dim-sized at any corpus scale (the [[cci]]
+    * rationale); one (symbol) exchange serves bars, pairs, and the
+    * rank cut.
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
+    val bars = centBars(spark, dir)
+      .withColumn("rn", row_number().over(byDay).cast("long"))
+      .select(col("symbol"), col("rn"), col("cl"))
+      .localCheckpoint() // one bar pass serves both join sides
+    val j = bars.select(col("symbol").as("j_symbol"), col("rn").as("j_rn"),
+      col("cl").as("j_cl"))
+    val pairs = bars.join(j, col("symbol") === col("j_symbol") &&
+        col("j_rn") > col("rn"))
+      .select(col("symbol"), (col("j_cl") - col("cl")).as("d"),
+        (col("j_rn") - col("rn")).as("g"), col("rn").as("i"), col("j_rn").as("jj"))
+    val bySlope = Window.partitionBy("symbol")
+      .orderBy((col("d").cast("double") / col("g")).asc,
+        col("d").asc, col("g").asc, col("i").asc, col("jj").asc)
+    val cnt = Window.partitionBy("symbol")
+    pairs
+      .withColumn("rk", row_number().over(bySlope).cast("long"))
+      .withColumn("np", count(lit(1)).over(cnt))
+      // floor((np+1)/2): Column./ is DOUBLE division, so the raw form
+      // only matches rk on odd pair counts
+      .filter(col("rk") === floor((col("np") + 1) / 2))
+      .select(col("symbol"), col("np").as("n_pairs"),
+        round(col("d").cast("double") / col("g") / 100.0, 6)
+          .as("theil_sen_slope"))
+      .orderBy("symbol")
+  }
+
+  /** Roll's implied bid–ask spread per symbol: 2·√(−cov(Δp_t,
+    * Δp_{t−1})) — the microstructure estimator that reads the
+    * bounce between bid and ask out of the serial covariance of tick
+    * moves (Roll 1984). Moves and their lag-1 products are exact
+    * integer cents; the sample covariance expands to the all-integer
+    * form (nΣxy − ΣxΣy)/(n(n−1)) ([[varianceRatio]] discipline,
+    * same ~2⁶⁰ headroom), and the estimator is defined only where
+    * the covariance is NEGATIVE (positive serial covariance carries
+    * no bounce — those symbols drop on both engines, the standard
+    * convention). One (symbol) exchange.
+    */
+  def rollSpread(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    quotes(spark, dir)
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+      .withColumn("x", col("m") - lag(col("m"), 1).over(ord))
+      .withColumn("y", lag(col("x"), 1).over(ord))
+      .filter(col("y").isNotNull)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+           sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
+      .filter(col("n") >= 2 &&
+        col("n") * col("sxy") - col("sx") * col("sy") < 0)
+      .select(col("symbol"), col("n").as("n_move_pairs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * (col("n") - 1)).cast("double"), 6).as("serial_cov"),
+        round(lit(2.0) * sqrt(-((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") / (col("n") * (col("n") - 1)).cast("double"))) /
+          100.0, 6).as("roll_spread"))
+      .orderBy("symbol")
+  }
+
+  /** Day-of-week seasonality: the close-to-close move census pooled
+    * across symbols per ISO weekday — mean move, up-share, and the
+    * move dispersion, all from exact integer cents with one divide
+    * per output column. A 7-row result off one (symbol) window pass
+    * and one bounded rollup.
+    */
+  def dowEffect(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
+    centBars(spark, dir)
+      .withColumn("d", col("cl") - lag(col("cl"), 1).over(byDay))
+      .filter(col("d").isNotNull)
+      .withColumn("dow", dayofweek(col("day")).cast("bigint"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_moves"),
+           sum(col("d")).as("sd"), sum(col("d") * col("d")).as("sdd"),
+           sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_up"))
+      .filter(col("n_moves") >= 2)
+      .select(col("dow"), col("n_moves"),
+        round(col("sd").cast("double") / col("n_moves") / 100.0, 6)
+          .as("mean_move"),
+        round(col("n_up").cast("double") / col("n_moves"), 6).as("up_share"),
+        round(sqrt((col("n_moves") * col("sdd") - col("sd") * col("sd"))
+            .cast("double") /
+          (col("n_moves") * (col("n_moves") - 1)).cast("double")) / 100.0, 6)
+          .as("move_std"))
+      .orderBy("dow")
   }
 
   /** Lo–MacKinlay variance-ratio diagnostic on tick-level cent

@@ -1592,4 +1592,52 @@ object Similarity {
         round(col("mn") / lit(1000000.0), 6).as("min_v"),
         round(col("mx") / lit(1000000.0), 6).as("max_v"))
       .orderBy("pos")
+
+  /** Corpus anisotropy: the exact average pairwise cosine between all
+    * unit-normalized embeddings — the Ethayarajh/Mu-Viswanath
+    * "embeddings cluster in a cone" diagnostic an encoder drop is
+    * screened with (isotropic ≈ 0; a high value says one dominant
+    * direction carries everything, so cosine similarity loses
+    * contrast). The O(n²) pair sum collapses algebraically to
+    * ‖Σu‖² − Σ‖u‖² over per-DIMENSION sums: each u component is the
+    * per-row IEEE divide rounded to 12 and locked into decimal, so
+    * both the dimension sums and the squared-norm total are EXACT
+    * decimal arithmetic; the only cross-engine float ops left are 64
+    * squares of already-agreed doubles, themselves round-6-locked
+    * before the final 64-term sum (exact again). Zero-norm vectors
+    * drop on both engines.
+    *
+    * Scale shape: one narrow posexplode then a 64-group hash
+    * aggregate (map-side partials carry the mass) and a 64-row final
+    * fold — no pair join ever materializes at any corpus size.
+    */
+  def embAnisotropy(spark: SparkSession, dir: String): DataFrame = {
+    val nrm = sqrt(aggregate(col("embedding"), lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double")))
+    val dims = Tables.embeddings(spark, dir)
+      .withColumn("nrm", nrm)
+      .filter(col("nrm") > 0)
+      .select(col("nrm"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos"),
+        round(col("v").cast("double") / col("nrm"), 12)
+          .cast("decimal(16,12)").as("u"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum(col("u")).as("s"),
+           sum(col("u") * col("u")).as("qq"))
+    // every decimal exits through the VARCHAR bridge (the x_cmf
+    // discipline): decimal->string is exact and string->double parses
+    // correctly-rounded in both engines, where a direct decimal->double
+    // cast can differ by an ulp
+    val sD = col("s").cast("string").cast("double")
+    dims
+      .agg(max(col("n")).as("n_vectors"),
+           sum(round(sD * sD, 6).cast("decimal(28,6)")).as("s2"),
+           sum(col("qq")).as("q"))
+      .select(col("n_vectors"),
+        round((col("s2").cast("string").cast("double") -
+               col("q").cast("string").cast("double")) /
+              (col("n_vectors").cast("double") *
+               (col("n_vectors").cast("double") - lit(1.0))), 6)
+          .as("avg_pair_cos"))
+  }
 }

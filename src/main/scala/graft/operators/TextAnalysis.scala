@@ -1376,6 +1376,50 @@ object TextAnalysis {
     * integers (chars/syllables multiply per-type, never per-token),
     * with four final round-6 divides.
     */
+  /** Flesch reading-ease / Flesch–Kincaid grade per (lang, source) —
+    * the classic readability screen a curation pipeline runs beside
+    * the [[qualityByLang]] heuristics. Per document, all three
+    * Flesch inputs are exact integer counts from narrow regex
+    * expressions (no explode, no UDF): words = non-empty tokens,
+    * sentences = terminator groups ([.!?]+, min 1 — "a document is
+    * at least one sentence"), syllables = vowel runs plus one for
+    * each vowel-less word (the [[lexicalProfile]] min-1-per-token
+    * convention, computed without exploding). Corpus sums are exact
+    * longs; the two published formulas are one deterministic double
+    * expression each, round-6.
+    *
+    * Scale shape: a narrow per-row projection then a tiny
+    * (lang × source) hash-agg — map-side partials do all the work.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val lowered = lower(col("text"))
+    val words = size(filter(split(col("text"), " "),
+      t => length(t) > 0)).cast("bigint")
+    val vowelRuns = size(regexp_extract_all(lowered, lit("[aeiouy]+"), lit(0)))
+      .cast("bigint")
+    val noVowelWords = size(filter(split(lowered, " "),
+      t => length(t) > 0 && !t.rlike("[aeiouy]"))).cast("bigint")
+    val sentences = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("bigint"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), words.as("w"),
+        (vowelRuns + noVowelWords).as("y"), sentences.as("s"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+           sum("s").as("n_sentences"), sum("y").as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .select(col("lang"), col("source"), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        round(lit(206.835) -
+          lit(1.015) * col("n_words").cast("double") / col("n_sentences") -
+          lit(84.6) * col("n_syllables").cast("double") / col("n_words"), 6)
+          .as("flesch"),
+        round(lit(0.39) * col("n_words").cast("double") / col("n_sentences") +
+          lit(11.8) * col("n_syllables").cast("double") / col("n_words") -
+          lit(15.59), 6).as("fk_grade"))
+      .orderBy("lang", "source")
+  }
+
   def lexicalProfile(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("lang"), col("text"))
     val perTok = docs

@@ -199,6 +199,103 @@ object StreamingIndicators {
       }
   }
 
+  /** rings of the last ≤MacdLags cents, e1 and e2 values, oldest-first. */
+  final case class TrixState(ms: List[Double], e1s: List[Double],
+                             e2s: List[Double], prevE3: Double,
+                             hasPrev: Boolean)
+
+  final case class TrixOut(symbol: String, id: Long, price: Double,
+                           triple_ema: Double, trix_bp: Double)
+
+  /** Streaming twin of [[graft.operators.Finance.trix]]: three chained
+    * [[truncEma]] rings (cents → e1 → e2 → e3) with the identical
+    * left-associated double arithmetic, then the 1-lag basis-point
+    * rate of change off the remembered previous e3. Rows with no
+    * previous or a zero previous e3 are skipped exactly as batch
+    * drops them.
+    */
+  def withTrix(ticks: Dataset[Tick]): Dataset[TrixOut] = {
+    import ticks.sparkSession.implicits._
+    val lags = graft.operators.Finance.MacdLags
+    val w = graft.operators.Finance.TrixW
+    ticks
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[TrixState, TrixOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Tick], state: GroupState[TrixState]) =>
+          val ordered = rows.toSeq.sortBy(t => (t.ts.getTime, t.id))
+          var st = state.getOption.getOrElse(TrixState(Nil, Nil, Nil, 0.0, false))
+          val out = Seq.newBuilder[TrixOut]
+          ordered.foreach { t =>
+            val ms  = (st.ms :+ cents(t.price).toDouble).takeRight(lags)
+            val e1  = truncEma(ms.toIndexedSeq, w)
+            val e1s = (st.e1s :+ e1).takeRight(lags)
+            val e2  = truncEma(e1s.toIndexedSeq, w)
+            val e2s = (st.e2s :+ e2).takeRight(lags)
+            val e3  = truncEma(e2s.toIndexedSeq, w)
+            if (st.hasPrev && st.prevE3 != 0.0)
+              out += TrixOut(t.symbol, t.id, t.price, round6(e3 / 100),
+                round6(10000.0 * (e3 - st.prevE3) / st.prevE3))
+            st = TrixState(ms, e1s, e2s, e3, hasPrev = true)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Open bar (epoch day, close cents), previous close, signed-move
+    * ring oldest-first, closed-move count. */
+  final case class CmoState(day: Long, cl: Long, prevCl: Long,
+                            hasPrev: Boolean, ds: List[Long], nMoves: Long)
+
+  final case class CmoOut(symbol: String, day: java.sql.Date, cmo: Double)
+
+  /** Streaming twin of [[graft.operators.Finance.chandeMomentum]]: the
+    * per-symbol open-bar state of [[withAtr]] reduced to closes; each
+    * closed bar appends its signed close-to-close move to the ≤period
+    * ring and, once `period` moves have closed, emits the all-integer
+    * up/down ratio with the batch's single divide (zero-movement
+    * frames skipped on both sides). The last open bar never closes —
+    * the [[withAtr]] Append-mode contract.
+    */
+  def withCmo(ticks: Dataset[Tick], period: Int = 14): Dataset[CmoOut] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[CmoState, CmoOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sym: String, rows: Iterator[Tick], state: GroupState[CmoState]) =>
+          val ordered = rows.toSeq.sortBy(t => (t.ts.getTime, t.id))
+          var st = state.getOption.getOrElse(
+            CmoState(Long.MinValue, 0L, 0L, false, Nil, 0L))
+          val out = Seq.newBuilder[CmoOut]
+          def closeBar(): Unit = if (st.day != Long.MinValue) {
+            if (st.hasPrev) {
+              val ds = (st.ds :+ (st.cl - st.prevCl)).takeRight(period)
+              val nMoves = st.nMoves + 1
+              val up = ds.collect { case d if d > 0 => d }.sum
+              val dn = ds.collect { case d if d < 0 => -d }.sum
+              if (nMoves >= period && up + dn > 0)
+                out += CmoOut(sym,
+                  java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(st.day)),
+                  round6(100.0 * (up - dn).toDouble / (up + dn).toDouble))
+              st = st.copy(prevCl = st.cl, ds = ds, nMoves = nMoves)
+            } else st = st.copy(prevCl = st.cl, hasPrev = true)
+          }
+          ordered.foreach { t =>
+            val m = cents(t.price)
+            val day = t.ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+              .toLocalDate.toEpochDay
+            if (day != st.day) {
+              closeBar()
+              st = st.copy(day = day, cl = m)
+            } else st = st.copy(cl = m)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** ring of the last ≤14 cents and the last ≤3 %K values (both
     * oldest-first), ticks seen. */
   final case class StochState(ms: List[Long], ks: List[Double], n: Long)

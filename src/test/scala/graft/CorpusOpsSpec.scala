@@ -199,6 +199,38 @@ class CorpusOpsSpec extends SparkSuite {
     assert(math.abs(rows.head.getAs[Double]("js_divergence") - expected) < 1e-6)
   }
 
+  test("ks lengths: disjoint length distributions read D = 1 at the split point") {
+    import spark.implicits._
+    val d = (1 to 6).map(i => (i.toLong, "x", "en",
+      if (i <= 3) "web" else "chat", if (i <= 3) 10L else 20L))
+    val dir = java.nio.file.Files.createTempDirectory("ks").toString
+    d.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = CorpusOps.ksLengths(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.size === 2)
+    Seq("web", "chat").foreach { s =>
+      assert(rows(s).getAs[Double]("ks_stat") === 1.0, s)
+      assert(rows(s).getAs[Long]("split_length") === 10L,
+        "sup is reached first at the shorter mass")
+      assert(rows(s).getAs[Long]("n_docs") === 3L)
+    }
+    // identical distributions -> D = 0 (argmax tie -> smallest length)
+    val same = (1 to 6).map(i => (i.toLong, "x", "en",
+      if (i % 2 == 0) "a" else "b", (i % 3).toLong * 5))
+    val dir2 = java.nio.file.Files.createTempDirectory("ks2").toString
+    same.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    CorpusOps.ksLengths(spark, dir2).collect().foreach { r =>
+      assert(r.getAs[Double]("ks_stat") === 0.0, r.toString)
+    }
+    // corpus: the statistic is a probability-scale sup in [0, 1]
+    CorpusOps.ksLengths(spark, sfDir).collect().foreach { r =>
+      val k = r.getAs[Double]("ks_stat")
+      assert(k >= 0.0 && k <= 1.0, r.toString)
+    }
+  }
+
   test("shard skew recomputes locally; load factors average to balance") {
     val rows = CorpusOps.shardSkew(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))

@@ -383,6 +383,82 @@ class FinanceSpec extends SparkSuite {
     assert(Finance.calmar(spark, up).count() === 0)
   }
 
+  test("theil-sen: exact line recovers the slope; one outlier bar cannot drag the median") {
+    val clean = dailySeries((1 to 20).map(i => 1.0 + 0.01 * i))
+    val t1 = Finance.theilSen(spark, clean).head()
+    assert(t1.getAs[Long]("n_pairs") === 190L)
+    assert(t1.getAs[Double]("theil_sen_slope") === 0.01)
+    // same line with one 10x spike: most pairwise slopes still 0.01
+    val spiked = dailySeries((1 to 20).map(i =>
+      if (i == 10) 5.0 else 1.0 + 0.01 * i))
+    val t2 = Finance.theilSen(spark, spiked).head()
+    assert(t2.getAs[Double]("theil_sen_slope") === 0.01,
+      "median slope must shrug off a single outlier bar")
+  }
+
+  test("roll spread: a pure bid-ask bounce matches the closed-form estimator") {
+    import spark.implicits._
+    // price alternates 1.00 / 1.02: moves are +-2 cents, serial
+    // covariance is negative by construction
+    val alt = (1 to 60).map(i => (i.toLong, if (i % 2 == 0) 1.02 else 1.0))
+      .toDF("event_id", "value")
+      .withColumn("user_id", lit(1L))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("event_id")))
+      .withColumn("event_type", lit("tick"))
+      .withColumn("props", lit("""{"k": 10}"""))
+    val dir = java.nio.file.Files.createTempDirectory("roll").toString
+    alt.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // exact integer recompute of the operator's own formula
+    val m = (1 to 60).map(i => if (i % 2 == 0) 102L else 100L)
+    val x = (1 until 60).map(i => m(i) - m(i - 1))
+    val pairs = x.tail.zip(x.init) // (x_t, y = x_{t-1})
+    val n = pairs.size.toLong
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val cov = (n * sxy - sx * sy).toDouble / (n * (n - 1))
+    assert(cov < 0)
+    val r = Finance.rollSpread(spark, dir).head()
+    assert(r.getAs[Long]("n_move_pairs") === n)
+    assert(r.getAs[Double]("serial_cov") === math.rint(cov * 1e6) / 1e6)
+    assert(r.getAs[Double]("roll_spread") ===
+      math.rint(2.0 * math.sqrt(-cov) / 100.0 * 1e6) / 1e6)
+  }
+
+  test("dow effect: monotone +1-cent days read mean 0.01, up-share 1, std 0") {
+    val dir = dailySeries((1 to 20).map(i => 1.0 + 0.01 * i))
+    val rows = Finance.dowEffect(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_move") === 0.01)
+      assert(r.getAs[Double]("up_share") === 1.0)
+      assert(r.getAs[Double]("move_std") === 0.0)
+      assert(r.getAs[Long]("dow") >= 1L && r.getAs[Long]("dow") <= 7L)
+    }
+  }
+
+  test("trix: constant price reads exactly 0 once all three layers stabilize") {
+    import spark.implicits._
+    val flat = (1 to 160).map(i => (i.toLong, 2.0))
+      .toDF("event_id", "value")
+      .withColumn("user_id", lit(1L))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("event_id")))
+      .withColumn("event_type", lit("tick"))
+      .withColumn("props", lit("""{"k": 10}"""))
+    val dir = java.nio.file.Files.createTempDirectory("trix").toString
+    flat.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Finance.trix(spark, dir).filter(col("id") >= 125).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // all 40 lags present in every layer -> e3 constant -> ROC 0
+      assert(r.getAs[Double]("trix_bp") === 0.0, r.toString)
+      assert(math.abs(r.getAs[Double]("triple_ema") - 2.0) < 1e-9)
+    }
+    // warm-up rows exist and are emitted (truncated-weight convention)
+    assert(Finance.trix(spark, dir).count() === 159)
+  }
+
   test("variance ratio: alternating two-point ticks match the closed-form VR(5)") {
     import spark.implicits._
     // tick-level (not daily): m alternates 100/300 cents

@@ -93,4 +93,31 @@ class KmeansSpec extends SparkSuite {
     assert(rows(Long.MaxValue).forall { case (_, m, p, d, k) =>
       p == m * (m - 1) / 2 && k == 1 && d == m - 1 })
   }
+
+  test("anisotropy: identical vectors read 1, an orthogonal pair reads 0, corpus bounded") {
+    import spark.implicits._
+    def write(vecs: Seq[Array[Float]]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("aniso").toString
+      vecs.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) }
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    val same = write(Seq.fill(5)(Array(1f, 2f, 3f, 4f)))
+    val a1 = Similarity.embAnisotropy(spark, same).head()
+    assert(a1.getAs[Long]("n_vectors") === 5L)
+    assert(math.abs(a1.getAs[Double]("avg_pair_cos") - 1.0) < 1e-4)
+    val ortho = write(Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f)))
+    val a2 = Similarity.embAnisotropy(spark, ortho).head()
+    assert(math.abs(a2.getAs[Double]("avg_pair_cos")) < 1e-6)
+    // zero vectors drop rather than poison the norm divide
+    val withZero = write(Seq(Array(1f, 0f, 0f, 0f), Array(0f, 0f, 0f, 0f),
+      Array(1f, 0f, 0f, 0f)))
+    val a3 = Similarity.embAnisotropy(spark, withZero).head()
+    assert(a3.getAs[Long]("n_vectors") === 2L)
+    assert(math.abs(a3.getAs[Double]("avg_pair_cos") - 1.0) < 1e-4)
+    val corpus = Similarity.embAnisotropy(spark, sfDir).head()
+    val c = corpus.getAs[Double]("avg_pair_cos")
+    assert(c >= -1.0 - 1e-6 && c <= 1.0 + 1e-6, c.toString)
+  }
 }

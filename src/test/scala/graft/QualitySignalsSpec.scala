@@ -133,4 +133,32 @@ class QualitySignalsSpec extends SparkSuite {
     val ex = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("exact"))
     assert(ex.zip(ex.tail).forall { case (a, b) => a >= b })
   }
+
+  test("readability: hand-computed Flesch on crafted docs; terminator-less doc is one sentence") {
+    // "the cat sat. the dog ran!": 6 words, 2 sentences, 6 vowel runs
+    // flesch = 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19
+    // fk     = 0.39*3 + 11.8*1 - 15.59            = -2.62
+    val d = Seq(
+      (1L, "the cat sat. the dog ran!", "en", "web", 25L),
+      // no terminator -> min-1 sentence; "xyz zz" has no vowels (y IS
+      // a vowel here, so use words without aeiouy): "tsk tsk" -> 2
+      // vowel-less words charge 1 syllable each
+      (2L, "tsk tsk", "en", "chat", 7L))
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("read").toString
+    d.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.readability(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r)).toMap
+    val web = rows("web")
+    assert(web.getAs[Long]("n_words") === 6L)
+    assert(web.getAs[Long]("n_sentences") === 2L)
+    assert(web.getAs[Long]("n_syllables") === 6L)
+    assert(web.getAs[Double]("flesch") === 119.19)
+    assert(web.getAs[Double]("fk_grade") === -2.62)
+    val chat = rows("chat")
+    assert(chat.getAs[Long]("n_words") === 2L)
+    assert(chat.getAs[Long]("n_sentences") === 1L)
+    assert(chat.getAs[Long]("n_syllables") === 2L)
+  }
 }

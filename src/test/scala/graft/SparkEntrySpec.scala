@@ -229,7 +229,13 @@ class SparkEntrySpec extends AnyFunSuite {
     // five unrolled rounds of SUM(r/d), the x_pagerank escape shape
     "x_ppr"               -> 5,
     // the per-pair JS term sum is a DOUBLE sum consumed inside ROUND
-    "x_js_sources"        -> 1
+    "x_js_sources"        -> 1,
+    // all four decimal sums (per-dim s/qq, folded s2/q) exit ONLY via
+    // the VARCHAR bridge
+    "x_emb_anisotropy"    -> 4,
+    // the two cumulative window sums feed only the all-integer dev
+    // product (emitted through a CAST) and its comparisons
+    "x_ks_lengths"        -> 2
   )
 
   /** Count SUM( occurrences whose result is not immediately cast. */

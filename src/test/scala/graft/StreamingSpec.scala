@@ -653,6 +653,76 @@ class StreamingSpec extends SparkSuite {
       "stream==batch MACD drift (the weight chains must be bit-identical)")
   }
 
+  test("streaming TRIX triple-ring state equals the batch three-layer chain (in-order splits)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ms = MemoryStream[graft.streaming.StreamingIndicators.Tick]
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Double, Double, Double)]
+    val q = graft.streaming.StreamingIndicators.withTrix(ms.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingIndicators.TrixOut], _: Long) =>
+        collected.synchronized {
+          collected ++= b.collect().map(o =>
+            (o.symbol, o.id, o.price, o.triple_ema, o.trix_bp))
+        }
+        ()
+      }
+      .start()
+    val ev = orderedTicks
+    val chunks = ev.grouped(math.max(1, ev.length / 4 + 1)).toSeq
+    try {
+      chunks.foreach { c =>
+        ms.addData(scala.util.Random.shuffle(c.toSeq)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val want = graft.operators.Finance.trix(spark, sfDir)
+      .select(col("symbol"), col("id"), col("price"),
+        col("triple_ema"), col("trix_bp"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(want.nonEmpty, "batch TRIX must emit at sf0.001")
+    assert(collected.toSet == want,
+      "stream==batch TRIX drift (three chained rings must be bit-identical)")
+  }
+
+  test("streaming CMO bar state equals batch on closed days (order-spanning splits)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ms = MemoryStream[graft.streaming.StreamingIndicators.Tick]
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Double)]
+    val q = graft.streaming.StreamingIndicators.withCmo(ms.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingIndicators.CmoOut], _: Long) =>
+        collected.synchronized {
+          collected ++= b.collect().map(o => (o.symbol, o.day.toString, o.cmo))
+        }
+        ()
+      }
+      .start()
+    val ev = orderedTicks
+    val chunks = ev.grouped(math.max(1, ev.length / 4 + 1)).toSeq
+    try {
+      chunks.foreach { c =>
+        ms.addData(scala.util.Random.shuffle(c.toSeq)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the stream never closes the final open bar — compare batch rows
+    // with each symbol's LAST day dropped
+    val batch = graft.operators.Finance.chandeMomentum(spark, sfDir)
+      .select(col("symbol"), col("day"), col("cmo"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+    val lastDay = graft.operators.Finance.ohlcBars(spark, sfDir)
+      .select(col("symbol"), col("day")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString))
+      .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2).max }
+    val want = batch.filterNot(r => lastDay(r._1) == r._2).toSet
+    assert(want.nonEmpty, "batch CMO must emit closed days at sf0.001")
+    assert(collected.toSet == want, "stream==batch CMO drift on closed days")
+  }
+
   test("streaming stochastic ring state equals the batch %K/%D (in-order splits)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.functions.col
