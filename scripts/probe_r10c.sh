@@ -1,7 +1,8 @@
 #!/bin/bash
-# Round-10 third-wave probe: the 8 queries added in the r10c wave
-# (Keltner/Vortex/CMO/force/Calmar/VR indicators, personalized
-# PageRank, JS source divergence), measured under the r9 protocol (envelope MIN
+# Round-10 third-wave probe: the 15 queries added in the r10c wave
+# (Keltner/Vortex/CMO/force/Calmar/VR/TRIX/Theil-Sen/Roll/DOW
+# indicators, personalized PageRank, JS divergence, readability,
+# K-S lengths, embedding anisotropy), measured under the r9 protocol (envelope MIN
 # over shuffle-partition configs; discarded warm-up; fit with
 # scripts/fit_scaling.py -> SCALING_r10c.json).
 #
@@ -10,8 +11,8 @@
 # (constant-dominated at probe sizes) go to N=100.
 set -e -o pipefail
 cd "$(dirname "$0")/.."
-HEAVY=${PROBE_HEAVY:-x_variance_ratio,x_ppr}
-CHEAP=${PROBE_CHEAP:-x_keltner,x_vortex,x_cmo,x_force_index,x_calmar,x_js_sources}
+HEAVY=${PROBE_HEAVY:-x_variance_ratio,x_ppr,x_trix,x_theil_sen,x_roll_spread}
+CHEAP=${PROBE_CHEAP:-x_keltner,x_vortex,x_cmo,x_force_index,x_calmar,x_js_sources,x_readability,x_emb_anisotropy,x_dow_effect,x_ks_lengths}
 RUNS=${PROBE_RUNS:-1}
 OUT=${PROBE_OUT:-SCALING_r10c.json}
 ARGS=""
