@@ -383,6 +383,21 @@ class FinanceSpec extends SparkSuite {
     assert(Finance.calmar(spark, up).count() === 0)
   }
 
+  test("r10c plans: tick-level queries one (symbol) exchange, bar indicators two") {
+    assert(hashExchanges(Finance.trix(spark, sfDir)) === 1)
+    assert(hashExchanges(Finance.varianceRatio(spark, sfDir)) === 1)
+    assert(hashExchanges(Finance.rollSpread(spark, sfDir)) === 1)
+    // the pair join's probe side reuses the checkpointed bars'
+    // (symbol) clustering — no extra exchange for the self-join
+    assert(hashExchanges(Finance.theilSen(spark, sfDir)) === 1)
+    // (symbol, day) bar build + (symbol) window
+    assert(hashExchanges(Finance.keltner(spark, sfDir)) === 2)
+    assert(hashExchanges(Finance.vortex(spark, sfDir)) === 2)
+    assert(hashExchanges(Finance.chandeMomentum(spark, sfDir)) === 2)
+    assert(hashExchanges(Finance.forceIndex(spark, sfDir)) === 2)
+    assert(hashExchanges(Finance.calmar(spark, sfDir)) === 2)
+  }
+
   test("theil-sen: exact line recovers the slope; one outlier bar cannot drag the median") {
     val clean = dailySeries((1 to 20).map(i => 1.0 + 0.01 * i))
     val t1 = Finance.theilSen(spark, clean).head()
