@@ -142,6 +142,12 @@ object SparkEntry {
     "x_roll_spread"        -> ((s, dir) => Finance.rollSpread(s, dir)),
     "x_dow_effect"         -> ((s, dir) => Finance.dowEffect(s, dir)),
     "x_ks_lengths"         -> ((s, dir) => CorpusOps.ksLengths(s, dir)),
+    "x_hurst"              -> ((s, dir) => Finance.hurst(s, dir)),
+    "x_rich_club"          -> ((s, dir) => Graphs.richClub(s, dir)),
+    "x_burstiness"         -> ((s, dir) => TextAnalysis.burstiness(s, dir)),
+    "x_abc_classes"        -> ((s, dir) => Analytics.abcClasses(s, dir)),
+    "x_ldiversity"         -> ((s, dir) => Analytics.lDiversity(s, dir)),
+    "x_centroid_sim"       -> ((s, dir) => Similarity.centroidSim(s, dir)),
     "x_ols_pricing"        -> ((s, dir) => Analytics.olsPricing(s, dir)),
     "x_communities"        -> ((s, dir) => Graphs.communities(s, dir)),
     "x_jaccard_link"       -> ((s, dir) => Graphs.jaccardLink(s, dir)),
@@ -3631,6 +3637,160 @@ object SparkEntry {
         |  round(signal_raw / 100, 6) AS signal_line,
         |  round((macd_raw - signal_raw) / 100, 6) AS histogram
         |FROM g ORDER BY symbol, id""".stripMargin),
+
+    // Aggregated-variance Hurst — 5 pivoted lag variances, one
+    // literal-ordered OLS expression, hardcoded ln 2
+    "x_hurst" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, CAST(round(price * 100) AS BIGINT) AS m,
+        |        ROW_NUMBER() OVER (PARTITION BY symbol
+        |          ORDER BY ts_epoch ASC, id ASC) AS rn
+        |      FROM q),
+        |d AS (SELECT symbol,
+        |        m - lag(m, 1) OVER w AS d1, m - lag(m, 2) OVER w AS d2,
+        |        m - lag(m, 4) OVER w AS d4, m - lag(m, 8) OVER w AS d8,
+        |        m - lag(m, 16) OVER w AS d16
+        |      FROM e WINDOW w AS (PARTITION BY symbol ORDER BY rn)),
+        |g AS (SELECT symbol,
+        |        COUNT(d1)::BIGINT AS n1, SUM(d1)::BIGINT AS s1,
+        |        SUM(d1*d1)::BIGINT AS q1,
+        |        COUNT(d2)::BIGINT AS n2, SUM(d2)::BIGINT AS s2,
+        |        SUM(d2*d2)::BIGINT AS q2,
+        |        COUNT(d4)::BIGINT AS n4, SUM(d4)::BIGINT AS s4,
+        |        SUM(d4*d4)::BIGINT AS q4,
+        |        COUNT(d8)::BIGINT AS n8, SUM(d8)::BIGINT AS s8,
+        |        SUM(d8*d8)::BIGINT AS q8,
+        |        COUNT(d16)::BIGINT AS n16, SUM(d16)::BIGINT AS s16,
+        |        SUM(d16*d16)::BIGINT AS q16
+        |      FROM d GROUP BY symbol),
+        |v AS (SELECT symbol, n1,
+        |        CAST(n1*q1 - s1*s1 AS DOUBLE)/CAST(n1*(n1-1) AS DOUBLE) AS v1,
+        |        CAST(n2*q2 - s2*s2 AS DOUBLE)/CAST(n2*(n2-1) AS DOUBLE) AS v2,
+        |        CAST(n4*q4 - s4*s4 AS DOUBLE)/CAST(n4*(n4-1) AS DOUBLE) AS v4,
+        |        CAST(n8*q8 - s8*s8 AS DOUBLE)/CAST(n8*(n8-1) AS DOUBLE) AS v8,
+        |        CAST(n16*q16 - s16*s16 AS DOUBLE)/CAST(n16*(n16-1) AS DOUBLE)
+        |          AS v16
+        |      FROM g
+        |      WHERE n16 >= 2 AND n1*q1 - s1*s1 > 0 AND n2*q2 - s2*s2 > 0
+        |        AND n4*q4 - s4*s4 > 0 AND n8*q8 - s8*s8 > 0
+        |        AND n16*q16 - s16*s16 > 0)
+        |SELECT symbol, n1 AS n_moves,
+        |  round((5.0 * (ln(v1) * 0.0 + ln(v2) * 1.0 + ln(v4) * 2.0
+        |                + ln(v8) * 3.0 + ln(v16) * 4.0)
+        |         - 10.0 * (ln(v1) + ln(v2) + ln(v4) + ln(v8) + ln(v16)))
+        |        / 50.0 / (2.0 * 0.6931471805599453), 6) AS hurst
+        |FROM v ORDER BY symbol""".stripMargin),
+
+    // Rich-club sweep — top-k hub density in exact integers
+    "x_rich_club" ->
+      (graphCoCte + """,
+        |c10 AS (SELECT u FROM degu ORDER BY d DESC, u LIMIT 10),
+        |c20 AS (SELECT u FROM degu ORDER BY d DESC, u LIMIT 20),
+        |c40 AS (SELECT u FROM degu ORDER BY d DESC, u LIMIT 40),
+        |e10 AS (SELECT 10::BIGINT AS club_k, COUNT(*)::BIGINT AS e_club
+        |        FROM co WHERE pa IN (SELECT u FROM c10)
+        |                  AND pb IN (SELECT u FROM c10)),
+        |e20 AS (SELECT 20::BIGINT, COUNT(*)::BIGINT
+        |        FROM co WHERE pa IN (SELECT u FROM c20)
+        |                  AND pb IN (SELECT u FROM c20)),
+        |e40 AS (SELECT 40::BIGINT, COUNT(*)::BIGINT
+        |        FROM co WHERE pa IN (SELECT u FROM c40)
+        |                  AND pb IN (SELECT u FROM c40)),
+        |uu AS (SELECT * FROM e10 UNION ALL SELECT * FROM e20
+        |       UNION ALL SELECT * FROM e40)
+        |SELECT club_k, e_club,
+        |  round(2.0 * e_club / CAST(club_k * (club_k - 1) AS DOUBLE), 6) AS phi
+        |FROM uu ORDER BY club_k""".stripMargin),
+
+    // Token burstiness — dispersion index with implicit zero docs:
+    // (N·Σc² − (Σc)²)/((N−1)·Σc), all-integer
+    "x_burstiness" ->
+      """WITH nd AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+        |pd AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS c
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents)
+        |       WHERE len(tok) > 0 GROUP BY 1, 2),
+        |st AS (SELECT tok, COUNT(*)::BIGINT AS n_docs_with,
+        |         SUM(c)::BIGINT AS sc, SUM(c*c)::BIGINT AS scc
+        |       FROM pd GROUP BY 1),
+        |top AS (SELECT * FROM st ORDER BY sc DESC, tok LIMIT 20)
+        |SELECT tok, n_docs_with, sc AS occurrences,
+        |  round(CAST(n * scc - sc * sc AS DOUBLE)
+        |        / CAST((n - 1) * sc AS DOUBLE), 6) AS vmr
+        |FROM top, nd ORDER BY occurrences DESC, tok""".stripMargin,
+
+    // ABC Pareto classes — exact global prefix sum of revenue micros,
+    // integer 80/95 gates
+    "x_abc_classes" ->
+      """WITH pp AS (
+        |  SELECT l_partkey AS part,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |             (CAST(1 AS DECIMAL(18,6)) -
+        |              CAST(l_discount AS DECIMAL(18,6)))) * 1000000 AS BIGINT)
+        |      AS micro
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT part, micro,
+        |        SUM(micro) OVER (ORDER BY micro DESC, part
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        SUM(micro) OVER () AS tot
+        |      FROM pp),
+        |cl AS (SELECT CASE WHEN cum * 10 <= tot * 8 THEN 'A'
+        |                   WHEN cum * 100 <= tot * 95 THEN 'B'
+        |                   ELSE 'C' END AS abc_class, micro, tot
+        |       FROM c)
+        |SELECT abc_class, COUNT(*)::BIGINT AS n_parts,
+        |  round(CAST(SUM(micro) AS DOUBLE) / 1000000.0, 6) AS revenue,
+        |  round(CAST(SUM(micro) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 6)
+        |    AS revenue_share
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // l-diversity per nation over the (nation, segment) QI grid
+    "x_ldiversity" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    COUNT(DISTINCT o_orderpriority)::BIGINT AS l_div,
+        |    COUNT(*)::BIGINT AS n_orders
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |g AS (SELECT c_nationkey, COUNT(*)::BIGINT AS n_groups,
+        |        MIN(l_div) AS min_l,
+        |        SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END)::BIGINT
+        |          AS n_low_diversity,
+        |        SUM(n_orders)::BIGINT AS n_tot,
+        |        SUM(CASE WHEN l_div < 3 THEN n_orders ELSE 0 END)::BIGINT
+        |          AS n_exp
+        |      FROM cells GROUP BY 1)
+        |SELECT n_name, n_groups, min_l, n_low_diversity,
+        |  round(CAST(n_exp AS DOUBLE) / n_tot, 6) AS exposed_share
+        |FROM g JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin,
+
+    // label-centroid pairwise cosine — round-6 decimal-locked means,
+    // exact decimal dot/norm sums, VARCHAR-bridged exits
+    "x_centroid_sim" ->
+      """WITH m AS (
+        |  SELECT label::BIGINT AS label, (i-1)::BIGINT AS pos,
+        |    CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS micro
+        |  FROM embeddings, range(1, 9) t(i)),
+        |cent AS (SELECT label, pos,
+        |    CAST(round(CAST(SUM(micro) AS DOUBLE) / (COUNT(*) * 1000000.0), 6)
+        |      AS DECIMAL(12,6)) AS m6
+        |  FROM m GROUP BY 1, 2),
+        |norms AS (SELECT label, SUM(m6*m6) AS q FROM cent GROUP BY 1
+        |          HAVING SUM(m6*m6) > 0),
+        |dots AS (SELECT a.label AS label_a, b.label AS label_b,
+        |           SUM(a.m6 * b.m6) AS dot
+        |         FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+        |         GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |  round(CAST(CAST(dot AS VARCHAR) AS DOUBLE)
+        |        / (sqrt(CAST(CAST(na.q AS VARCHAR) AS DOUBLE))
+        |           * sqrt(CAST(CAST(nb.q AS VARCHAR) AS DOUBLE))), 6)
+        |    AS centroid_cos
+        |FROM dots
+        |JOIN norms na ON na.label = label_a
+        |JOIN norms nb ON nb.label = label_b
+        |ORDER BY label_a, label_b""".stripMargin,
 
     // Theil–Sen: lower-median of exact pairwise slope fractions over
     // calendar-bounded daily bars; IEEE-ratio sort, full integer tie-break

@@ -2780,4 +2780,90 @@ object Analytics {
         col("n_parts_dominated"), col("qty_shipped"))
       .orderBy("s_suppkey")
   }
+
+  /** ABC (Pareto) inventory classification: parts ranked by revenue,
+    * class A = the prefix holding ≤80% of cumulative revenue, B the
+    * next ≤95%, C the tail. The EXACT global prefix sum is the
+    * [[graft.operators.CorpusOps]] global-rank move applied to a
+    * running total: range-repartition on the (revenue desc, part)
+    * total order, per-partition sums collected once (one bounded
+    * driver row per partition) and broadcast back as offsets, the
+    * intra-partition cumulative window riding the SAME partitioning
+    * — no single-reducer ORDER BY anywhere. Revenue is exact integer
+    * revenue-micros (the 4-dp decimal × 10⁶; Σmicro < 2⁶³ holds to a
+    * ~$9T corpus — past that, widen the offsets to decimal, same
+    * shape); the 80/95 gates are integer cross-multiplications
+    * evaluated in DECIMAL(38,0) so cum·100 can never overflow.
+    */
+  def abcClasses(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
+    val perPart = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("part"), rev.as("revd"))
+      .groupBy("part")
+      .agg((sum(col("revd")) * lit(1000000)).cast("long").as("micro"))
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sortCols = Seq(col("micro").desc, col("part").asc)
+    val parted = perPart.repartitionByRange(n, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val partSums = parted.groupBy("_pid").agg(sum(col("micro")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = partSums.map(_._1).zip(partSums.scanLeft(0L)(_ + _._2).init)
+    val total = partSums.map(_._2).sum
+    val offsetDf = spark.createDataFrame(offsets.toSeq).toDF("_pid", "_soff")
+    val w = Window.partitionBy("_pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    parted
+      .withColumn("_run", sum(col("micro")).over(w))
+      .join(broadcast(offsetDf), "_pid")
+      .withColumn("cum", col("_soff") + col("_run"))
+      .withColumn("abc_class",
+        when(big(col("cum")) * 10 <= big(lit(total)) * 8, "A")
+          .when(big(col("cum")) * 100 <= big(lit(total)) * 95, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+           round(sum(col("micro")).cast("double") / 1e6, 6).as("revenue"),
+           round(sum(col("micro")).cast("double") / total.toDouble, 6)
+             .as("revenue_share"))
+      .orderBy("abc_class")
+  }
+
+  /** l-diversity audit over the customer quasi-identifier
+    * (nation, market segment): within each QI group, how many
+    * DISTINCT order priorities (the stand-in sensitive attribute)
+    * does an attacker face — the re-identification companion of
+    * [[kAnonSuppression]]: k-anonymity bounds WHO, l-diversity bounds
+    * WHAT. Per nation: group count, worst-group l, and the share of
+    * orders sitting in groups below the diversity bar. All exact
+    * integer counts off one (QI) aggregate; the QI grid is
+    * dims-bounded at any scale.
+    */
+  def lDiversity(spark: SparkSession, dir: String, l: Int = 3): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderpriority"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(countDistinct(col("o_orderpriority")).as("l_div"),
+           count(lit(1)).as("n_orders"))
+    cells.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_groups"),
+           min(col("l_div")).as("min_l"),
+           sum(when(col("l_div") < l, 1L).otherwise(0L)).as("n_low_diversity"),
+           sum(col("n_orders")).as("n_orders_total"),
+           sum(when(col("l_div") < l, col("n_orders")).otherwise(0L))
+             .as("n_orders_exposed"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_groups"), col("min_l"),
+        col("n_low_diversity"),
+        round(col("n_orders_exposed").cast("double") / col("n_orders_total"), 6)
+          .as("exposed_share"))
+      .orderBy("n_name")
+  }
 }

@@ -1363,6 +1363,50 @@ object Finance {
       .orderBy("dow")
   }
 
+  /** Aggregated-variance Hurst exponent per symbol: the OLS slope of
+    * ln Var(m_t − m_{t−k}) against ln k over k ∈ {1,2,4,8,16},
+    * halved — H ≈ 0.5 random walk, > 0.5 trending, < 0.5 mean-
+    * reverting; the long-memory companion of [[varianceRatio]]'s
+    * two-point test. Each variance is the all-integer
+    * (nΣd² − (Σd)²)/(n(n−1)) form; the ks are PIVOTED into fixed
+    * columns of ONE hash aggregate, so the 5-point OLS is a single
+    * literal-ordered double expression (no 5-row sub-aggregation
+    * whose float summation order could drift): with x_i = i = log₂k,
+    * slope = (5Σxy − 10Σy)/50 and H = slope/(2·ln 2) with a
+    * hardcoded ln 2 (the [[parkinson]] literal discipline). Symbols
+    * missing any operating point (any var ≤ 0 or n_16 < 2) drop on
+    * both engines. One (symbol) exchange.
+    */
+  def hurst(spark: SparkSession, dir: String): DataFrame = {
+    val ln2 = 0.6931471805599453 // shared literal in both engines
+    val ks = Seq(1, 2, 4, 8, 16)
+    val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    val withDiffs = ks.foldLeft(
+      quotes(spark, dir).withColumn("m", round(col("price") * 100).cast("bigint"))) {
+      case (df, k) => df.withColumn(s"d$k", col("m") - lag(col("m"), k).over(ord))
+    }
+    val aggs = ks.flatMap { k =>
+      Seq(count(col(s"d$k")).as(s"n$k"), sum(col(s"d$k")).as(s"s$k"),
+        sum(col(s"d$k") * col(s"d$k")).as(s"q$k"))
+    }
+    def varOf(k: Int): Column =
+      (col(s"n$k") * col(s"q$k") - col(s"s$k") * col(s"s$k")).cast("double") /
+        (col(s"n$k") * (col(s"n$k") - 1)).cast("double")
+    val g = withDiffs.groupBy("symbol").agg(aggs.head, aggs.tail: _*)
+      .filter(col("n16") >= 2 &&
+        ks.map(k => col(s"n$k") * col(s"q$k") - col(s"s$k") * col(s"s$k") > 0)
+          .reduce(_ && _))
+    // literal-ordered 5-term sums: ((((y0+y1)+y2)+y3)+y4)
+    val ys  = ks.map(k => log(varOf(k)))
+    val sy  = ys.reduce(_ + _)
+    val sxy = ys.zipWithIndex.map { case (y, i) => y * lit(i.toDouble) }
+      .reduce(_ + _)
+    g.select(col("symbol"), col("n1").as("n_moves"),
+        round((lit(5.0) * sxy - lit(10.0) * sy) / lit(50.0) / (2.0 * ln2), 6)
+          .as("hurst"))
+      .orderBy("symbol")
+  }
+
   /** Lo–MacKinlay variance-ratio diagnostic on tick-level cent
     * moves: VR(k) = Var(m_t − m_{t−k}) / (k · Var(m_t − m_{t−1}))
     * with overlapping k-differences — 1 for a random walk, <1 mean

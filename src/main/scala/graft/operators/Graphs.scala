@@ -249,6 +249,43 @@ object Graphs {
       .orderBy("rk")
   }
 
+  /** Rich-club coefficient sweep: for each club size k, the density
+    * φ(k) = 2·E_club / (k·(k−1)) among the top-k nodes by (degree
+    * desc, node) — "do the hubs trade with each other?" (Colizza et
+    * al. 2006, the UNNORMALIZED φ; the null-model normalization
+    * needs degree-preserving rewiring, out of oracle scope and
+    * documented as such). The club is a TakeOrdered cut broadcast
+    * into two semi-joins on the edge list — k² never materializes;
+    * counts and the density divide are exact integers → one IEEE
+    * divide, round-6.
+    */
+  def richClub(spark: SparkSession, dir: String,
+               clubSizes: Seq[Int] = Seq(10, 20, 40),
+               minSupport: Int = 2): DataFrame = {
+    val e0 = coEdges(spark, dir, minSupport).localCheckpoint()
+    val adj = e0.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e0.select(col("pb").as("u"), col("pa").as("v")))
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("d"))
+    val ranked = deg.orderBy(col("d").desc, col("u")).limit(clubSizes.max)
+      .localCheckpoint() // clubSizes.max rows, broadcast everywhere below
+    val rows = clubSizes.map { k =>
+      val club = ranked.orderBy(col("d").desc, col("u")).limit(k)
+        .select(col("u").as("member"))
+      val eClub = e0
+        .join(broadcast(club.withColumnRenamed("member", "pa")), Seq("pa"))
+        .join(broadcast(club.withColumnRenamed("member", "pb")), Seq("pb"))
+        .agg(count(lit(1)).as("e_club"))
+        .select(lit(k.toLong).as("club_k"), col("e_club"))
+      eClub
+    }
+    rows.reduce(_ unionAll _)
+      .select(col("club_k"), col("e_club"),
+        round(lit(2.0) * col("e_club") /
+              (col("club_k") * (col("club_k") - 1)).cast("double"), 6)
+          .as("phi"))
+      .orderBy("club_k")
+  }
+
   /** Power-iteration eigenvector centrality (Bonacich) over the
     * co-purchase graph — the influence measure PageRank approximates
     * with damping removed: r ← A·r, max-normalized per round, fixed

@@ -1593,6 +1593,48 @@ object Similarity {
         round(col("mx") / lit(1000000.0), 6).as("max_v"))
       .orderBy("pos")
 
+  /** Pairwise cosine between per-label centroid vectors — the
+    * label-confusability screen run after [[labelCentroids]] (two
+    * labels whose centroids nearly coincide will not separate under
+    * any cosine retrieval). Centroid coordinates are the integer-
+    * micro-unit means ROUNDED to 6 and locked into DECIMAL(12,6), so
+    * the per-pair dot products and squared norms are EXACT decimal
+    * sums over the labels × dims grid (both label count and dims are
+    * bounded); the cosine is one double expression of VARCHAR-bridged
+    * decimal exits. Zero-norm centroids drop on both engines.
+    */
+  def centroidSim(spark: SparkSession, dir: String, nDims: Int = 8): DataFrame = {
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val cent = Tables.embeddings(spark, dir)
+      .repartition(n, col("vec_id"))
+      .select(col("label").cast("bigint").as("label"), posexplode(col("embedding")))
+      .filter(col("pos") < nDims)
+      .select(col("label"), col("pos").cast("bigint").as("pos"),
+        round(col("col").cast("double") * 1e6).cast("bigint").as("micro"))
+      .groupBy("label", "pos")
+      .agg(round(sum(col("micro")).cast("double") /
+        (count(lit(1)) * 1e6), 6).cast("decimal(12,6)").as("m6"))
+      .localCheckpoint() // bounded: labels x dims
+    val norms = cent.groupBy("label")
+      .agg(sum(col("m6") * col("m6")).as("q")) // exact decimal(·,12) sum
+      .filter(col("q") > 0)
+    val a = cent.select(col("label").as("label_a"), col("pos"), col("m6").as("a6"))
+    val b = cent.select(col("label").as("label_b"), col("pos"), col("m6").as("b6"))
+    val dots = a.join(b, Seq("pos")).filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("a6") * col("b6")).as("dot")) // exact decimal sum
+    val bridge = (c: Column) => c.cast("string").cast("double")
+    dots
+      .join(broadcast(norms.select(col("label").as("label_a"), col("q").as("qa"))),
+        "label_a")
+      .join(broadcast(norms.select(col("label").as("label_b"), col("q").as("qb"))),
+        "label_b")
+      .select(col("label_a"), col("label_b"),
+        round(bridge(col("dot")) / (sqrt(bridge(col("qa"))) * sqrt(bridge(col("qb")))), 6)
+          .as("centroid_cos"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Corpus anisotropy: the exact average pairwise cosine between all
     * unit-normalized embeddings — the Ethayarajh/Mu-Viswanath
     * "embeddings cluster in a cone" diagnostic an encoder drop is

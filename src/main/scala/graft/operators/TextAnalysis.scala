@@ -1420,6 +1420,37 @@ object TextAnalysis {
       .orderBy("lang", "source")
   }
 
+  /** Token burstiness: the variance-to-mean ratio (dispersion index)
+    * of per-document counts for the corpus's top tokens — bursty
+    * content words (VMR ≫ 1, Church/Gale) vs evenly-spread function
+    * words (VMR ≈ 1, the Poisson level); a dedup/boilerplate smell
+    * when a "function-word-frequency" token turns out maximally
+    * bursty. Zero-count documents enter the moments without
+    * materializing: over all N docs, var·(N−1) = Σc² − N·mean², so
+    * VMR = (N·Σc² − (Σc)²)/((N−1)·Σc) — all-integer numerator and
+    * denominator from the containing docs only, one divide. Top-k cut
+    * by (corpus count desc, token) via TakeOrdered; per-(doc, token)
+    * counts are a map-side-partial hash agg.
+    */
+  def burstiness(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count() // 1 driver scalar, the kmeans discipline
+    val perDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+    val stats = perDoc.groupBy("tok")
+      .agg(count(lit(1)).as("n_docs_with"), sum(col("c")).as("sc"),
+           sum(col("c") * col("c")).as("scc"))
+    stats
+      .orderBy(col("sc").desc, col("tok")).limit(topK)
+      .select(col("tok"), col("n_docs_with"), col("sc").as("occurrences"),
+        round((lit(nDocs) * col("scc") - col("sc") * col("sc")).cast("double") /
+              ((lit(nDocs) - 1) * col("sc")).cast("double"), 6).as("vmr"))
+      .orderBy(col("occurrences").desc, col("tok"))
+  }
+
   def lexicalProfile(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("lang"), col("text"))
     val perTok = docs

@@ -383,6 +383,39 @@ class FinanceSpec extends SparkSuite {
     assert(Finance.calmar(spark, up).count() === 0)
   }
 
+  test("hurst: matches the in-Scala pivoted-OLS recompute on a seeded walk") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val prices = Iterator.iterate(5.0)(p =>
+      math.max(0.02, p + (if (rnd.nextBoolean()) 0.01 else -0.01)))
+      .take(200).toSeq
+    val walk = prices.zipWithIndex.map { case (p, i) => ((i + 1).toLong, p) }
+      .toDF("event_id", "value")
+      .withColumn("user_id", lit(1L))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("event_id")))
+      .withColumn("event_type", lit("tick"))
+      .withColumn("props", lit("""{"k": 10}"""))
+    val dir = java.nio.file.Files.createTempDirectory("hurst").toString
+    walk.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val m = prices.map(p => math.rint(p * 100).toLong)
+    def varOf(k: Int): Double = {
+      val d = (k until m.length).map(i => m(i) - m(i - k))
+      val (n, s, q) = (d.size.toLong, d.sum, d.map(x => x * x).sum)
+      (n * q - s * s).toDouble / (n * (n - 1))
+    }
+    val ys = Seq(1, 2, 4, 8, 16).map(k => math.log(varOf(k)))
+    val sy = ys.sum; val sxy = ys.zipWithIndex.map { case (y, i) => y * i }.sum
+    val expected = (5.0 * sxy - 10.0 * sy) / 50.0 / (2.0 * 0.6931471805599453)
+    val h = Finance.hurst(spark, dir).head()
+    assert(h.getAs[Long]("n_moves") === 199L)
+    assert(math.abs(h.getAs[Double]("hurst") -
+      math.rint(expected * 1e6) / 1e6) < 1e-9)
+    // constant price: all variances zero -> dropped
+    val const = dailySeries(Seq.fill(20)(2.0))
+    assert(Finance.hurst(spark, const).count() === 0)
+  }
+
   test("r10c plans: tick-level queries one (symbol) exchange, bar indicators two") {
     assert(hashExchanges(Finance.trix(spark, sfDir)) === 1)
     assert(hashExchanges(Finance.varianceRatio(spark, sfDir)) === 1)

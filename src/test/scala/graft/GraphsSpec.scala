@@ -129,6 +129,20 @@ class GraphsSpec extends SparkSuite {
     assert(edges.head <= e0 && nodes.head > 0, s"round 1: ${edges.head} vs $e0")
   }
 
+  test("rich club: nested clubs give monotone edge counts, phi bounded by density 1") {
+    val rows = Graphs.richClub(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("club_k"), r.getAs[Long]("e_club"),
+        r.getAs[Double]("phi"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(10L, 20L, 40L))
+    rows.foreach { case (k, e, phi) =>
+      assert(e >= 0 && e <= k * (k - 1) / 2, s"k=$k e=$e")
+      assert(phi >= 0.0 && phi <= 1.0, s"k=$k phi=$phi")
+    }
+    // top-10 members are inside top-20 inside top-40: club edges nest
+    val es = rows.map(_._2)
+    assert(es.zip(es.tail).forall { case (a, b) => a <= b }, es.mkString(","))
+  }
+
   test("assortativity is a correlation in [-1, 1] over the directed edge count") {
     val r = Graphs.assortativity(spark, sfDir).head()
     val a = r.getAs[Double]("assortativity")

@@ -94,6 +94,28 @@ class KmeansSpec extends SparkSuite {
       p == m * (m - 1) / 2 && k == 1 && d == m - 1 })
   }
 
+  test("centroid cosine: full pair coverage, bounded by 1, agrees with a local recompute") {
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("label").distinct().count().toInt
+    val rows = Similarity.centroidSim(spark, sfDir).collect()
+    assert(rows.length === labels * (labels - 1) / 2,
+      "every nonzero-norm label pair exactly once")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("centroid_cos")
+      assert(c >= -1.000001 && c <= 1.000001, r.toString)
+    }
+    // local recompute of one pair from the round-6 centroid table
+    val cent = Similarity.labelCentroids(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("mean_val")).toMap
+    val (la, lb) = (rows.head.getAs[Long]("label_a"), rows.head.getAs[Long]("label_b"))
+    def vec(l: Long) = (0L until 8L).map(p => cent((l, p)))
+    val (va, vb) = (vec(la), vec(lb))
+    val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+    val expected = dot / (math.sqrt(va.map(x => x * x).sum) *
+      math.sqrt(vb.map(x => x * x).sum))
+    assert(math.abs(rows.head.getAs[Double]("centroid_cos") - expected) < 1e-6)
+  }
+
   test("anisotropy: identical vectors read 1, an orthogonal pair reads 0, corpus bounded") {
     import spark.implicits._
     def write(vecs: Seq[Array[Float]]): String = {

@@ -73,7 +73,15 @@ class LayoutInvarianceSpec extends SparkSuite {
     // exact integer cents
     ("x_calmar",         () => graft.operators.Finance.calmar(spark, sfDir)),
     // VR: all-integer variance numerators through one double formula
-    ("x_variance_ratio", () => graft.operators.Finance.varianceRatio(spark, sfDir)))
+    ("x_variance_ratio", () => graft.operators.Finance.varianceRatio(spark, sfDir)),
+    // ABC: the distributed global prefix sum — layout independence IS
+    // the backbone's correctness claim (the withGlobalRank argument)
+    ("x_abc_classes",    () => graft.operators.Analytics.abcClasses(spark, sfDir)),
+    // Theil-Sen: IEEE slope-ratio sort with full integer tie-break
+    ("x_theil_sen",      () => graft.operators.Finance.theilSen(spark, sfDir)),
+    // Hurst: 5 pivoted integer variances through one literal-ordered
+    // OLS expression — no cross-row float sums anywhere
+    ("x_hurst",          () => graft.operators.Finance.hurst(spark, sfDir)))
 
   test("order-sensitive operators return identical rows under different shuffle layouts") {
     val key = "spark.sql.shuffle.partitions"

@@ -307,4 +307,37 @@ class ProfilingSpec extends SparkSuite {
     val s0 = km.head.getAs[Double]("km_survival")
     assert(s0 > 0.0 && s0 <= 1.0)
   }
+
+  test("ABC classes: parts partitioned, A-prefix bounded by 80%, shares sum to 1") {
+    val rows = Analytics.abcClasses(spark, sfDir).collect()
+      .map(r => r.getAs[String]("abc_class") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Double]("revenue"),
+         r.getAs[Double]("revenue_share"))).toMap
+    assert(rows.keySet.subsetOf(Set("A", "B", "C")) && rows.contains("C"))
+    val totalParts = rows.values.map(_._1).sum
+    val distinctParts = Tables.lineitem(spark, sfDir)
+      .select("l_partkey").distinct().count()
+    assert(totalParts === distinctParts, "classes must partition the parts")
+    // class A is the cum<=80% PREFIX, so its share cannot exceed 0.8;
+    // A+B cannot exceed 0.95 (same gate at 95)
+    val sA = rows.get("A").map(_._3).getOrElse(0.0)
+    val sB = rows.get("B").map(_._3).getOrElse(0.0)
+    assert(sA <= 0.800001, s"A share $sA")
+    assert(sA + sB <= 0.950001, s"A+B share ${sA + sB}")
+    assert(math.abs(rows.values.map(_._3).sum - 1.0) < 1e-4)
+  }
+
+  test("l-diversity: worst-group l within [1, 5], exposure a probability, groups bounded") {
+    val rows = Analytics.lDiversity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val minL = r.getAs[Long]("min_l")
+      assert(minL >= 1L && minL <= 5L, r.toString) // 5 order priorities exist
+      val share = r.getAs[Double]("exposed_share")
+      assert(share >= 0.0 && share <= 1.0, r.toString)
+      assert(r.getAs[Long]("n_low_diversity") <= r.getAs[Long]("n_groups"))
+      // QI grid is bounded by |segments| per nation
+      assert(r.getAs[Long]("n_groups") <= 5L, r.toString)
+    }
+  }
 }

@@ -134,6 +134,26 @@ class QualitySignalsSpec extends SparkSuite {
     assert(ex.zip(ex.tail).forall { case (a, b) => a >= b })
   }
 
+  test("burstiness: uniform token reads VMR 0, one-doc burst reads the closed form") {
+    import spark.implicits._
+    // "a" once in each of 5 docs (VMR 0); "b" 10 times in one doc:
+    // VMR = (5*100 - 100)/((5-1)*10) = 10
+    val d = Seq(
+      (1L, "a " + Seq.fill(10)("b").mkString(" "), "en", "web", 20L),
+      (2L, "a x", "en", "web", 3L), (3L, "a y", "en", "web", 3L),
+      (4L, "a z", "en", "web", 3L), (5L, "a w", "en", "web", 3L))
+    val dir = java.nio.file.Files.createTempDirectory("burst").toString
+    d.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextAnalysis.burstiness(spark, dir).collect()
+      .map(r => r.getAs[String]("tok") -> r).toMap
+    assert(rows("a").getAs[Long]("n_docs_with") === 5L)
+    assert(rows("a").getAs[Double]("vmr") === 0.0)
+    assert(rows("b").getAs[Long]("n_docs_with") === 1L)
+    assert(rows("b").getAs[Long]("occurrences") === 10L)
+    assert(rows("b").getAs[Double]("vmr") === 10.0)
+  }
+
   test("readability: hand-computed Flesch on crafted docs; terminator-less doc is one sentence") {
     // "the cat sat. the dog ran!": 6 words, 2 sentences, 6 vowel runs
     // flesch = 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19

@@ -235,7 +235,13 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_emb_anisotropy"    -> 4,
     // the two cumulative window sums feed only the all-integer dev
     // product (emitted through a CAST) and its comparisons
-    "x_ks_lengths"        -> 2
+    "x_ks_lengths"        -> 2,
+    // prefix/total window sums: integer class-gate comparisons only;
+    // the projected copies are CAST(... AS DOUBLE)
+    "x_abc_classes"       -> 2,
+    // decimal dot/norm sums (incl. the HAVING copy) exit ONLY via the
+    // VARCHAR bridge or the >0 gate
+    "x_centroid_sim"      -> 3
   )
 
   /** Count SUM( occurrences whose result is not immediately cast. */
