@@ -148,6 +148,9 @@ object SparkEntry {
     "x_abc_classes"        -> ((s, dir) => Analytics.abcClasses(s, dir)),
     "x_ldiversity"         -> ((s, dir) => Analytics.lDiversity(s, dir)),
     "x_centroid_sim"       -> ((s, dir) => Similarity.centroidSim(s, dir)),
+    "x_dow_anova"          -> ((s, dir) => Finance.dowAnova(s, dir)),
+    "x_markov_entropy"     -> ((s, dir) => Analytics.markovEntropy(s, dir)),
+    "x_hill_diversity"     -> ((s, dir) => CorpusOps.hillDiversity(s, dir)),
     "x_ols_pricing"        -> ((s, dir) => Analytics.olsPricing(s, dir)),
     "x_communities"        -> ((s, dir) => Graphs.communities(s, dir)),
     "x_jaccard_link"       -> ((s, dir) => Graphs.jaccardLink(s, dir)),
@@ -3637,6 +3640,86 @@ object SparkEntry {
         |  round(signal_raw / 100, 6) AS signal_line,
         |  round((macd_raw - signal_raw) / 100, 6) AS histogram
         |FROM g ORDER BY symbol, id""".stripMargin),
+
+    // one-way DOW ANOVA — 7 pivoted weekday triples, literal-ordered
+    // sums of squares, all-integer inputs
+    "x_dow_anova" ->
+      (finQuoteCte + s""",
+        |e AS (SELECT symbol, id, ts_epoch, day,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cb AS (SELECT symbol, day,
+        |         MAX(CASE WHEN rn_d = 1 THEN m END) AS cl
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol, day
+        |                        ORDER BY ts_epoch DESC, id DESC) AS rn_d FROM e)
+        |       GROUP BY symbol, day),
+        |t AS (SELECT day,
+        |        cl - lag(cl, 1) OVER (PARTITION BY symbol ORDER BY day) AS d
+        |      FROM cb),
+        |u AS (SELECT (dayofweek(day) + 1) AS dow, d FROM t WHERE d IS NOT NULL),
+        |g AS (SELECT COUNT(*)::BIGINT AS n, SUM(d)::BIGINT AS s,
+        |        SUM(d*d)::BIGINT AS q,
+        |${(1 to 7).map(i =>
+             s"        SUM(CASE WHEN dow = $i THEN 1 ELSE 0 END)::BIGINT AS n$i,\n" +
+             s"        SUM(CASE WHEN dow = $i THEN d ELSE 0 END)::BIGINT AS s$i")
+             .mkString(",\n")}
+        |      FROM u),
+        |v AS (SELECT n, q,
+        |${(1 to 7).map(i =>
+             s"        CASE WHEN n$i > 0 THEN CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE) ELSE 0 END")
+             .mkString(" +\n")} AS gt,
+        |        (${(1 to 7).map(i => s"CASE WHEN n$i > 0 THEN 1 ELSE 0 END")
+             .mkString(" + ")})::BIGINT AS k,
+        |        CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |          AS grand
+        |      FROM g)
+        |SELECT n AS n_moves, k AS k_groups,
+        |  round((gt - grand) / (CAST(q AS DOUBLE) - grand), 6) AS eta_sq,
+        |  round(((gt - grand) / CAST(k - 1 AS DOUBLE))
+        |        / ((CAST(q AS DOUBLE) - gt) / CAST(n - k AS DOUBLE)), 6)
+        |    AS f_stat
+        |FROM v WHERE k >= 2 AND n > k AND CAST(q AS DOUBLE) - grand > 0
+        |  AND CAST(q AS DOUBLE) - gt > 0""".stripMargin),
+
+    // Markov conditional entropy per source event type — round-12
+    // decimal-locked terms over the bounded transition cells
+    "x_markov_entropy" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts)//1000000, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS c
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT SUM(c)::BIGINT AS n_total FROM c),
+        |u AS (SELECT from_type, c,
+        |        SUM(c) OVER (PARTITION BY from_type) AS cx FROM c),
+        |v AS (SELECT from_type, c,
+        |        CAST(round((CAST(c AS DOUBLE) / cx)
+        |                   * ln(CAST(cx AS DOUBLE) / c), 12)
+        |          AS DECIMAL(16,12)) AS term
+        |      FROM u)
+        |SELECT from_type, SUM(c)::BIGINT AS n_out, COUNT(*)::BIGINT AS n_targets,
+        |  round(CAST(SUM(c) AS DOUBLE) / n_total, 6) AS marginal_share,
+        |  round(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE), 6) AS cond_entropy
+        |FROM v, t GROUP BY from_type, n_total ORDER BY from_type""".stripMargin,
+
+    // Hill diversity profile per source — exact inverse Simpson,
+    // round-12-locked Shannon terms
+    "x_hill_diversity" ->
+      """WITH c AS (
+        |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+        |u AS (SELECT source, c,
+        |        SUM(c) OVER (PARTITION BY source) AS n FROM c),
+        |v AS (SELECT source, n, c,
+        |        CAST(round((CAST(c AS DOUBLE) / n)
+        |                   * ln(CAST(n AS DOUBLE) / c), 12)
+        |          AS DECIMAL(16,12)) AS term
+        |      FROM u)
+        |SELECT source, MAX(n)::BIGINT AS n_docs, COUNT(*)::BIGINT AS richness,
+        |  round(exp(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)), 6) AS hill_1,
+        |  round(CAST(MAX(n) * MAX(n) AS DOUBLE) / CAST(SUM(c*c) AS DOUBLE), 6)
+        |    AS inv_simpson
+        |FROM v GROUP BY source ORDER BY source""".stripMargin,
 
     // Aggregated-variance Hurst — 5 pivoted lag variances, one
     // literal-ordered OLS expression, hardcoded ln 2

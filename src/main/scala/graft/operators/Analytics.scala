@@ -2831,6 +2831,45 @@ object Analytics {
       .orderBy("abc_class")
   }
 
+  /** Markov conditional entropy of the user event stream: per source
+    * event type, H(next | this) = −Σ_y p(y|x)·ln p(y|x) over the
+    * SAME transition cells [[transitionMatrix]] normalizes — the
+    * predictability reading of that matrix (0 bits = the next event
+    * is determined). Each term is one deterministic double from exact
+    * integer counts, ROUNDED to 12 and locked into DECIMAL(16,12)
+    * before the per-row sum over the bounded cell table (the
+    * bigram-ppl discipline — no float summation order anywhere);
+    * exits round-6. The marginal share divides exact integers.
+    */
+  def markovEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_timestamp(col("ts")).asc, col("event_id").asc)
+    val cells = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // bounded: |event types|²
+    val tot = cells.agg(sum("c").as("n_total"))
+    cells
+      .withColumn("cx", sum(col("c")).over(Window.partitionBy("from_type")))
+      .withColumn("term",
+        round((col("c").cast("double") / col("cx")) *
+              log(col("cx").cast("double") / col("c")), 12)
+          .cast("decimal(16,12)"))
+      .groupBy("from_type")
+      .agg(sum(col("c")).as("n_out"),
+           count(lit(1)).as("n_targets"),
+           sum(col("term")).as("h")) // exact decimal sum
+      .crossJoin(broadcast(tot))
+      .select(col("from_type"), col("n_out"), col("n_targets"),
+        round(col("n_out").cast("double") / col("n_total"), 6)
+          .as("marginal_share"),
+        round(col("h").cast("string").cast("double"), 6).as("cond_entropy"))
+      .orderBy("from_type")
+  }
+
   /** l-diversity audit over the customer quasi-identifier
     * (nation, market segment): within each QI group, how many
     * DISTINCT order priorities (the stand-in sensitive attribute)

@@ -842,6 +842,38 @@ object CorpusOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** Hill-number diversity profile of each source's language mix —
+    * the ecologist's triple every mixture report should carry: q=0
+    * richness (languages present), q=1 exp(Shannon) (the "effective
+    * language count" weighting by share), q=2 inverse Simpson
+    * (weighting dominant shares harder). q=2 is an EXACT integer
+    * ratio ((Σc)²/Σc², one divide); q=1's entropy terms are
+    * deterministic doubles from integer counts round-12-locked into
+    * decimals before the per-source sum (the bigram-ppl discipline).
+    * All on the bounded (source × lang) cell table.
+    */
+  def hillDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // bounded: |sources| x |languages|
+    cells
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
+      .withColumn("term",
+        round((col("c").cast("double") / col("n")) *
+              log(col("n").cast("double") / col("c")), 12)
+          .cast("decimal(16,12)"))
+      .groupBy("source")
+      .agg(max(col("n")).as("n_docs"),
+           count(lit(1)).as("richness"),
+           sum(col("term")).as("h"), // exact decimal sum
+           sum(col("c") * col("c")).as("c2"))
+      .select(col("source"), col("n_docs"), col("richness"),
+        round(exp(col("h").cast("string").cast("double")), 6).as("hill_1"),
+        round((col("n_docs") * col("n_docs")).cast("double") /
+              col("c2").cast("double"), 6).as("inv_simpson"))
+      .orderBy("source")
+  }
+
   /** Exact Kolmogorov–Smirnov statistic of each source's document-
     * length distribution against the REST of the corpus — the
     * distribution-drift alarm for a feed whose scrape changed shape

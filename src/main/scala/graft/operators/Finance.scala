@@ -1407,6 +1407,53 @@ object Finance {
       .orderBy("symbol")
   }
 
+  /** One-way ANOVA of daily close-to-close moves by ISO weekday — the
+    * significance companion of [[dowEffect]]'s means: η² (variance
+    * explained by weekday) and the F statistic. The seven groups are
+    * PIVOTED into fixed columns of ONE corpus aggregate (the [[hurst]]
+    * move), so every between/within sum of squares is a
+    * literal-ordered double expression over exact integer
+    * (n_g, Σd, Σd²) triples — empty weekdays contribute exact zeros,
+    * no cross-row float summation exists. Output is one row.
+    */
+  def dowAnova(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
+    val moves = centBars(spark, dir)
+      .withColumn("d", col("cl") - lag(col("cl"), 1).over(byDay))
+      .filter(col("d").isNotNull)
+      .withColumn("dow", dayofweek(col("day")))
+    val dows = 1 to 7
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("d")).as("s"),
+      sum(col("d") * col("d")).as("q")) ++
+      dows.flatMap { i =>
+        Seq(sum(when(col("dow") === i, 1L).otherwise(0L)).as(s"n$i"),
+          sum(when(col("dow") === i, col("d")).otherwise(lit(0L))).as(s"s$i"))
+      }
+    val g = moves.agg(aggs.head, aggs.tail: _*)
+    // Σ_g S_g²/n_g, literal-ordered over the 7 fixed weekday columns
+    val groupTerm = dows.map { i =>
+      when(col(s"n$i") > 0,
+        col(s"s$i").cast("double") * col(s"s$i").cast("double") /
+          col(s"n$i").cast("double")).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val kGroups = dows.map(i =>
+      when(col(s"n$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    g.withColumn("gt", groupTerm)
+      .withColumn("k", kGroups)
+      .withColumn("grand", col("s").cast("double") * col("s").cast("double") /
+        col("n").cast("double"))
+      .withColumn("ssb", col("gt") - col("grand"))
+      .withColumn("ssw", col("q").cast("double") - col("gt"))
+      .withColumn("sst", col("q").cast("double") - col("grand"))
+      .filter(col("k") >= 2 && col("n") > col("k") && col("sst") > 0 &&
+        col("ssw") > 0)
+      .select(col("n").as("n_moves"), col("k").as("k_groups"),
+        round(col("ssb") / col("sst"), 6).as("eta_sq"),
+        round((col("ssb") / (col("k") - 1).cast("double")) /
+              (col("ssw") / (col("n") - col("k")).cast("double")), 6)
+          .as("f_stat"))
+  }
+
   /** Lo–MacKinlay variance-ratio diagnostic on tick-level cent
     * moves: VR(k) = Var(m_t − m_{t−k}) / (k · Var(m_t − m_{t−1}))
     * with overlapping k-differences — 1 for a random walk, <1 mean

@@ -243,6 +243,110 @@ object StreamingIndicators {
       }
   }
 
+  /** ring of the last ≤16 cents (oldest-first) plus running
+    * (n, Σd, Σd²) triples for lags 1/2/4/8/16, in that order. */
+  final case class HurstState(ring: List[Long], ns: List[Long],
+                              ss: List[Long], qs: List[Long])
+
+  final case class HurstOut(symbol: String, id: Long, n_moves: Long,
+                            hurst: Double)
+
+  /** Streaming twin of [[graft.operators.Finance.hurst]]: the five
+    * per-lag (n, Σd, Σd²) triples accumulate incrementally off a
+    * 16-deep cent ring, and each tick re-evaluates the SAME
+    * literal-ordered 5-point OLS the batch aggregate computes — so
+    * the emission at a symbol's final tick is bit-identical to the
+    * batch row (parity compares exactly those). Ticks where any lag
+    * variance is ≤ 0 or n₁₆ < 2 emit nothing, the batch drop rule.
+    */
+  def withHurst(ticks: Dataset[Tick]): Dataset[HurstOut] = {
+    import ticks.sparkSession.implicits._
+    val ks = List(1, 2, 4, 8, 16)
+    val ln2 = 0.6931471805599453
+    ticks
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[HurstState, HurstOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sym: String, rows: Iterator[Tick], state: GroupState[HurstState]) =>
+          val ordered = rows.toSeq.sortBy(t => (t.ts.getTime, t.id))
+          var st = state.getOption.getOrElse(
+            HurstState(Nil, List.fill(5)(0L), List.fill(5)(0L), List.fill(5)(0L)))
+          val out = Seq.newBuilder[HurstOut]
+          ordered.foreach { t =>
+            val m = cents(t.price)
+            val (ns, ss, qs) = (st.ns.toArray, st.ss.toArray, st.qs.toArray)
+            ks.zipWithIndex.foreach { case (k, i) =>
+              if (st.ring.length >= k) {
+                val d = m - st.ring(st.ring.length - k)
+                ns(i) += 1; ss(i) += d; qs(i) += d * d
+              }
+            }
+            st = HurstState((st.ring :+ m).takeRight(16),
+              ns.toList, ss.toList, qs.toList)
+            val varNums = (0 until 5).map(i => ns(i) * qs(i) - ss(i) * ss(i))
+            if (ns(4) >= 2 && varNums.forall(_ > 0)) {
+              val ys = (0 until 5).map(i =>
+                math.log(varNums(i).toDouble / (ns(i) * (ns(i) - 1)).toDouble))
+              val sy  = ys.reduce(_ + _)
+              val sxy = ys.zipWithIndex.map { case (y, i) => y * i.toDouble }
+                .reduce(_ + _)
+              out += HurstOut(sym, t.id, ns(0),
+                round6((5.0 * sxy - 10.0 * sy) / 50.0 / (2.0 * ln2)))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** prev cents + prev move (for the lagged product) and the running
+    * (n, Σx, Σy, Σxy) serial-covariance sums. */
+  final case class RollState(prevM: Long, hasM: Boolean, prevX: Long,
+                             hasX: Boolean, n: Long, sx: Long, sy: Long,
+                             sxy: Long)
+
+  final case class RollOut(symbol: String, id: Long, n_move_pairs: Long,
+                           serial_cov: Double, roll_spread: Double)
+
+  /** Streaming twin of [[graft.operators.Finance.rollSpread]]:
+    * running all-integer covariance sums, emitting (only) while the
+    * serial covariance is negative — the batch definedness rule, so
+    * a symbol's final-tick emission equals the batch row exactly.
+    */
+  def withRollSpread(ticks: Dataset[Tick]): Dataset[RollOut] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[RollState, RollOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sym: String, rows: Iterator[Tick], state: GroupState[RollState]) =>
+          val ordered = rows.toSeq.sortBy(t => (t.ts.getTime, t.id))
+          var st = state.getOption.getOrElse(
+            RollState(0L, false, 0L, false, 0L, 0L, 0L, 0L))
+          val out = Seq.newBuilder[RollOut]
+          ordered.foreach { t =>
+            val m = cents(t.price)
+            if (st.hasM) {
+              val x = m - st.prevM
+              if (st.hasX) {
+                st = st.copy(n = st.n + 1, sx = st.sx + x, sy = st.sy + st.prevX,
+                  sxy = st.sxy + x * st.prevX)
+              }
+              st = st.copy(prevX = x, hasX = true)
+            }
+            st = st.copy(prevM = m, hasM = true)
+            val num = st.n * st.sxy - st.sx * st.sy
+            if (st.n >= 2 && num < 0) {
+              val cov = num.toDouble / (st.n * (st.n - 1)).toDouble
+              out += RollOut(sym, t.id, st.n, round6(cov),
+                round6(2.0 * math.sqrt(-cov) / 100.0))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Open bar (epoch day, close cents), previous close, signed-move
     * ring oldest-first, closed-move count. */
   final case class CmoState(day: Long, cl: Long, prevCl: Long,

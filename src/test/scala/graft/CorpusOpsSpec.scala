@@ -199,6 +199,25 @@ class CorpusOpsSpec extends SparkSuite {
     assert(math.abs(rows.head.getAs[Double]("js_divergence") - expected) < 1e-6)
   }
 
+  test("hill diversity: uniform mix reads every order equal to richness; orders nest") {
+    import spark.implicits._
+    // 4 languages x 3 docs each: hill_1 = inv_simpson = richness = 4
+    val d = (1 to 12).map(i => (i.toLong, "x", s"l${i % 4}", "web", 1L))
+    val dir = java.nio.file.Files.createTempDirectory("hill").toString
+    d.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = CorpusOps.hillDiversity(spark, dir).head()
+    assert(r.getAs[Long]("richness") === 4L)
+    assert(math.abs(r.getAs[Double]("hill_1") - 4.0) < 1e-4)
+    assert(r.getAs[Double]("inv_simpson") === 4.0)
+    // corpus: the Hill order inequality 1 <= invSimpson <= hill_1 <= richness
+    CorpusOps.hillDiversity(spark, sfDir).collect().foreach { row =>
+      val (rich, h1, is) = (row.getAs[Long]("richness").toDouble,
+        row.getAs[Double]("hill_1"), row.getAs[Double]("inv_simpson"))
+      assert(is >= 1.0 - 1e-6 && is <= h1 + 1e-4 && h1 <= rich + 1e-4, row.toString)
+    }
+  }
+
   test("ks lengths: disjoint length distributions read D = 1 at the split point") {
     import spark.implicits._
     val d = (1 to 6).map(i => (i.toLong, "x", "en",

@@ -416,6 +416,40 @@ class FinanceSpec extends SparkSuite {
     assert(Finance.hurst(spark, const).count() === 0)
   }
 
+  test("dow anova: matches the in-Scala pivoted recompute; eta-squared a fraction") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val prices = Iterator.iterate(5.0)(p =>
+      math.max(0.02, p + (if (rnd.nextBoolean()) 0.02 else -0.01)))
+      .take(60).toSeq
+    val dir = dailySeries(prices)
+    // mirror the operator's integer pivots exactly
+    val m = prices.map(p => math.rint(p * 100).toLong)
+    val moves = (1 until m.length).map { i =>
+      val epochDay = (1700000000L + (i + 1) * 86400L) / 86400L
+      val dow = ((epochDay + 4) % 7 + 1).toInt // 1970-01-01 was a Thursday
+      (dow, m(i) - m(i - 1))
+    }
+    val n = moves.size.toLong; val s = moves.map(_._2).sum
+    val q = moves.map(x => x._2 * x._2).sum
+    val gt = (1 to 7).map { i =>
+      val g = moves.filter(_._1 == i).map(_._2)
+      if (g.nonEmpty) g.sum.toDouble * g.sum / g.size else 0.0
+    }.sum
+    val k = (1 to 7).count(i => moves.exists(_._1 == i)).toLong
+    val grand = s.toDouble * s / n
+    val (ssb, ssw, sst) = (gt - grand, q - gt, q - grand)
+    val r = Finance.dowAnova(spark, dir).head()
+    assert(r.getAs[Long]("n_moves") === n)
+    assert(r.getAs[Long]("k_groups") === k)
+    assert(math.abs(r.getAs[Double]("eta_sq") -
+      math.rint(ssb / sst * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(r.getAs[Double]("f_stat") -
+      math.rint((ssb / (k - 1)) / (ssw / (n - k)) * 1e6) / 1e6) < 1e-9)
+    val eta = r.getAs[Double]("eta_sq")
+    assert(eta >= 0.0 && eta <= 1.0)
+  }
+
   test("r10c plans: tick-level queries one (symbol) exchange, bar indicators two") {
     assert(hashExchanges(Finance.trix(spark, sfDir)) === 1)
     assert(hashExchanges(Finance.varianceRatio(spark, sfDir)) === 1)

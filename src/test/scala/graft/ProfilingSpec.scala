@@ -308,6 +308,33 @@ class ProfilingSpec extends SparkSuite {
     assert(s0 > 0.0 && s0 <= 1.0)
   }
 
+  test("markov entropy: deterministic sequences read 0; corpus bounded by ln(targets)") {
+    import spark.implicits._
+    // one user alternating a,b,a,b,... -> every transition is forced
+    val d = (1 to 10).map(i => (i.toLong, if (i % 2 == 0) "b" else "a"))
+      .toDF("event_id", "event_type")
+      .withColumn("user_id", lit(1L))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("event_id")))
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("markov").toString
+    d.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Analytics.markovEntropy(spark, dir).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cond_entropy") === 0.0, r.toString)
+      assert(r.getAs[Long]("n_targets") === 1L)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("marginal_share")).sum - 1.0) < 1e-5)
+    // corpus: entropy within [0, ln n_targets]
+    Analytics.markovEntropy(spark, sfDir).collect().foreach { r =>
+      val h = r.getAs[Double]("cond_entropy")
+      assert(h >= -1e-9 && h <= math.log(r.getAs[Long]("n_targets").toDouble) + 1e-6,
+        r.toString)
+    }
+  }
+
   test("ABC classes: parts partitioned, A-prefix bounded by 80%, shares sum to 1") {
     val rows = Analytics.abcClasses(spark, sfDir).collect()
       .map(r => r.getAs[String]("abc_class") ->

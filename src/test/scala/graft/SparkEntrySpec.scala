@@ -241,7 +241,12 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_abc_classes"       -> 2,
     // decimal dot/norm sums (incl. the HAVING copy) exit ONLY via the
     // VARCHAR bridge or the >0 gate
-    "x_centroid_sim"      -> 3
+    "x_centroid_sim"      -> 3,
+    // the per-from-type window sum feeds only CAST ratios inside the
+    // locked term
+    "x_markov_entropy"    -> 1,
+    // same shape: the per-source window sum exits via CAST/MAX copies
+    "x_hill_diversity"    -> 1
   )
 
   /** Count SUM( occurrences whose result is not immediately cast. */

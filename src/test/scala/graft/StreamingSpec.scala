@@ -723,6 +723,78 @@ class StreamingSpec extends SparkSuite {
     assert(collected.toSet == want, "stream==batch CMO drift on closed days")
   }
 
+  test("streaming Hurst running sums equal the batch aggregate at each symbol's final tick") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ms = MemoryStream[graft.streaming.StreamingIndicators.Tick]
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Double)]
+    val q = graft.streaming.StreamingIndicators.withHurst(ms.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingIndicators.HurstOut], _: Long) =>
+        collected.synchronized {
+          collected ++= b.collect().map(o => (o.symbol, o.id, o.n_moves, o.hurst))
+        }
+        ()
+      }
+      .start()
+    val ev = orderedTicks
+    val chunks = ev.grouped(math.max(1, ev.length / 4 + 1)).toSeq
+    try {
+      chunks.foreach { c =>
+        ms.addData(scala.util.Random.shuffle(c.toSeq)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val want = graft.operators.Finance.hurst(spark, sfDir)
+      .select(col("symbol"), col("n_moves"), col("hurst"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(want.nonEmpty, "batch Hurst must emit at sf0.001")
+    // the stream's LAST emission per symbol covers the full series
+    val last = collected.groupBy(_._1).map { case (s, rs) =>
+      s -> rs.maxBy(_._2) }
+    want.foreach { case (s, (n, h)) =>
+      val (_, _, gn, gh) = last(s)
+      assert(gn === n && gh === h, s"symbol $s: stream ($gn,$gh) vs batch ($n,$h)")
+    }
+  }
+
+  test("streaming Roll spread running covariance equals batch at each symbol's final tick") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ms = MemoryStream[graft.streaming.StreamingIndicators.Tick]
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Double, Double)]
+    val q = graft.streaming.StreamingIndicators.withRollSpread(ms.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingIndicators.RollOut], _: Long) =>
+        collected.synchronized {
+          collected ++= b.collect().map(o =>
+            (o.symbol, o.id, o.n_move_pairs, o.serial_cov, o.roll_spread))
+        }
+        ()
+      }
+      .start()
+    val ev = orderedTicks
+    val chunks = ev.grouped(math.max(1, ev.length / 4 + 1)).toSeq
+    try {
+      chunks.foreach { c =>
+        ms.addData(scala.util.Random.shuffle(c.toSeq)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val want = graft.operators.Finance.rollSpread(spark, sfDir)
+      .select(col("symbol"), col("n_move_pairs"), col("serial_cov"),
+        col("roll_spread"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(want.nonEmpty, "batch Roll spread must emit at sf0.001")
+    val last = collected.groupBy(_._1).map { case (s, rs) => s -> rs.maxBy(_._2) }
+    want.foreach { case (s, (n, cov, spread)) =>
+      val (_, _, gn, gc, gs) = last(s)
+      assert(gn === n && gc === cov && gs === spread,
+        s"symbol $s: stream ($gn,$gc,$gs) vs batch ($n,$cov,$spread)")
+    }
+  }
+
   test("streaming stochastic ring state equals the batch %K/%D (in-order splits)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.functions.col
