@@ -151,6 +151,7 @@ object SparkEntry {
     "x_dow_anova"          -> ((s, dir) => Finance.dowAnova(s, dir)),
     "x_markov_entropy"     -> ((s, dir) => Analytics.markovEntropy(s, dir)),
     "x_hill_diversity"     -> ((s, dir) => CorpusOps.hillDiversity(s, dir)),
+    "x_novelty_curve"      -> ((s, dir) => CorpusOps.noveltyCurve(s, dir)),
     "x_ols_pricing"        -> ((s, dir) => Analytics.olsPricing(s, dir)),
     "x_communities"        -> ((s, dir) => Graphs.communities(s, dir)),
     "x_jaccard_link"       -> ((s, dir) => Graphs.jaccardLink(s, dir)),
@@ -3702,6 +3703,43 @@ object SparkEntry {
         |  round(CAST(SUM(c) AS DOUBLE) / n_total, 6) AS marginal_share,
         |  round(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE), 6) AS cond_entropy
         |FROM v, t GROUP BY from_type, n_total ORDER BY from_type""".stripMargin,
+
+    // training-order novelty curve — first-exposure rank per gram
+    // hash, per-decile already-seen gram share, all exact integers
+    "x_novelty_curve" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(range(1, len(CAST(doc_id AS VARCHAR))+1),
+        |      i -> ascii(substr(CAST(doc_id AS VARCHAR),i,1))::BIGINT),
+        |      (acc,c)->(acc*31+c)%1000000007) AS oh
+        |  FROM documents),
+        |rk AS (SELECT doc_id,
+        |         ROW_NUMBER() OVER (ORDER BY oh, doc_id)::BIGINT AS trank
+        |       FROM o),
+        |n AS (SELECT COUNT(*)::BIGINT AS total FROM documents),
+        |tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |h AS (SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      list_transform(range(1, len(toks)-1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+        |      g -> list_reduce(list_transform(range(1,len(g)+1),
+        |             i -> ascii(substr(g,i,1))::BIGINT),
+        |             (acc,c)->(acc*31+c)%1000000007))) AS ghs
+        |  FROM tk WHERE len(toks) >= 3),
+        |r AS (SELECT h.doc_id, trank, unnest(ghs) AS gh
+        |      FROM h JOIN rk ON h.doc_id = rk.doc_id),
+        |f AS (SELECT gh, MIN(trank) AS first_rank FROM r GROUP BY gh),
+        |pd AS (SELECT r.doc_id, r.trank, COUNT(*)::BIGINT AS n_grams,
+        |        SUM(CASE WHEN f.first_rank < r.trank THEN 1 ELSE 0 END)::BIGINT
+        |          AS n_seen
+        |      FROM r JOIN f USING (gh) GROUP BY 1, 2),
+        |b AS (SELECT ((trank - 1) * 10) // total + 1 AS band, n_grams, n_seen
+        |      FROM pd, n)
+        |SELECT band, COUNT(*)::BIGINT AS n_docs, SUM(n_grams)::BIGINT AS grams,
+        |  SUM(n_seen)::BIGINT AS seen_before,
+        |  round(CAST(SUM(n_seen) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE), 6)
+        |    AS dup_share
+        |FROM b GROUP BY band ORDER BY band""".stripMargin,
 
     // Hill diversity profile per source — exact inverse Simpson,
     // round-12-locked Shannon terms

@@ -842,6 +842,48 @@ object CorpusOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** Training-order novelty curve: walk the corpus in its
+    * deterministic training order and measure, per order decile, how
+    * much of each document's word-3-gram mass was ALREADY SEEN in
+    * earlier documents — the "is my curriculum front-loading
+    * duplicates" audit (a healthy shuffled corpus shows a smooth
+    * rise; a spike says a duplicated shard landed together). The
+    * order is the [[trainingOrder]] hash key (polyhash(doc_id),
+    * doc_id) ranked by [[withGlobalRank]]; a gram's first exposure is
+    * one min-aggregate over the 8-byte gram-hash table
+    * ([[graft.operators.Dedup.shingleHashRows]] — hashes shuffle,
+    * text never does); "seen before" is first_rank < doc_rank, exact
+    * integers end to end. Scale shape: gram hash-agg + one AQE-sized
+    * equi-join on the hash + the rank backbone — nothing quadratic,
+    * no single-reducer sort.
+    */
+  def noveltyCurve(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    graft.functions.PolyHash.register(spark)
+    val ordered = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("oh", call_function(graft.functions.PolyHash.Name,
+        col("doc_id").cast("string")))
+    val (ranked, total) =
+      withGlobalRank(ordered, Seq(col("oh").asc, col("doc_id").asc), "trank")
+    val grams = graft.operators.Dedup.shingleHashRows(spark, dir)
+      .join(ranked.select("doc_id", "trank"), "doc_id")
+      .localCheckpoint() // one tokenize pass serves first-rank AND per-doc
+    val first = grams.groupBy("h").agg(min(col("trank")).as("first_rank"))
+    grams.join(first, "h")
+      .groupBy(col("doc_id"), col("trank"))
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("first_rank") < col("trank"), 1L).otherwise(0L))
+             .as("n_seen"))
+      .withColumn("band", expr(s"((trank - 1) * $k) div $total") + 1)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_grams")).as("grams"),
+           sum(col("n_seen")).as("seen_before"))
+      .select(col("band"), col("n_docs"), col("grams"), col("seen_before"),
+        round(col("seen_before").cast("double") / col("grams"), 6)
+          .as("dup_share"))
+      .orderBy("band")
+  }
+
   /** Hill-number diversity profile of each source's language mix —
     * the ecologist's triple every mixture report should carry: q=0
     * richness (languages present), q=1 exp(Shannon) (the "effective

@@ -199,6 +199,32 @@ class CorpusOpsSpec extends SparkSuite {
     assert(math.abs(rows.head.getAs[Double]("js_divergence") - expected) < 1e-6)
   }
 
+  test("novelty curve: first-in-order copy is novel, replicas fully seen; corpus conserves") {
+    import spark.implicits._
+    // four identical docs: exactly one band (the training-order first)
+    // reads dup_share 0, the other three read 1.0
+    val text = "w1 w2 w3 w4 w5 w6"
+    val d = (1 to 4).map(i => (i.toLong, text, "en", "web", 17L))
+    val dir = java.nio.file.Files.createTempDirectory("novel").toString
+    d.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = CorpusOps.noveltyCurve(spark, dir).collect()
+    assert(rows.length === 4)
+    val shares = rows.map(_.getAs[Double]("dup_share")).sorted.toSeq
+    assert(shares === Seq(0.0, 1.0, 1.0, 1.0))
+    assert(rows.map(_.getAs[Long]("grams")).sum === 16L) // 4 grams x 4 docs
+    // corpus: bands in [1, 10]; every gram's first exposure is unseen
+    val corpus = CorpusOps.noveltyCurve(spark, sfDir).collect()
+    assert(corpus.nonEmpty && corpus.length <= 10)
+    corpus.foreach { r =>
+      val b = r.getAs[Long]("band")
+      assert(b >= 1L && b <= 10L)
+      assert(r.getAs[Long]("seen_before") <= r.getAs[Long]("grams"))
+    }
+    assert(corpus.map(_.getAs[Long]("seen_before")).sum <
+      corpus.map(_.getAs[Long]("grams")).sum)
+  }
+
   test("hill diversity: uniform mix reads every order equal to richness; orders nest") {
     import spark.implicits._
     // 4 languages x 3 docs each: hill_1 = inv_simpson = richness = 4
