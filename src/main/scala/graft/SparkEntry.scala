@@ -152,6 +152,8 @@ object SparkEntry {
     "x_markov_entropy"     -> ((s, dir) => Analytics.markovEntropy(s, dir)),
     "x_hill_diversity"     -> ((s, dir) => CorpusOps.hillDiversity(s, dir)),
     "x_novelty_curve"      -> ((s, dir) => CorpusOps.noveltyCurve(s, dir)),
+    "x_kyle_lambda"        -> ((s, dir) => Finance.kyleLambda(s, dir)),
+    "x_acf_profile"        -> ((s, dir) => Finance.acfProfile(s, dir)),
     "x_ols_pricing"        -> ((s, dir) => Analytics.olsPricing(s, dir)),
     "x_communities"        -> ((s, dir) => Graphs.communities(s, dir)),
     "x_jaccard_link"       -> ((s, dir) => Graphs.jaccardLink(s, dir)),
@@ -3641,6 +3643,66 @@ object SparkEntry {
         |  round(signal_raw / 100, 6) AS signal_line,
         |  round((macd_raw - signal_raw) / 100, 6) AS histogram
         |FROM g ORDER BY symbol, id""".stripMargin),
+
+    // Kyle's lambda — all-integer OLS slope of tick moves on signed
+    // volume, reported per 1000 shares
+    "x_kyle_lambda" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, volume,
+        |        CAST(round(price * 100) AS BIGINT) AS m,
+        |        ROW_NUMBER() OVER (PARTITION BY symbol
+        |          ORDER BY ts_epoch ASC, id ASC) AS rn
+        |      FROM q),
+        |t AS (SELECT symbol, volume,
+        |        m - lag(m, 1) OVER (PARTITION BY symbol ORDER BY rn) AS d
+        |      FROM e),
+        |u AS (SELECT symbol, d,
+        |        (CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 ELSE 0 END)
+        |          * COALESCE(volume, 0) AS v
+        |      FROM t WHERE d IS NOT NULL),
+        |g AS (SELECT symbol, COUNT(*)::BIGINT AS n, SUM(d)::BIGINT AS sd,
+        |        SUM(v)::BIGINT AS sv, SUM(d * v) AS sdv, SUM(v * v) AS svv
+        |      FROM u GROUP BY symbol)
+        |SELECT symbol, n AS n_moves,
+        |  round(1000.0 * CAST(n * sdv - sd * sv AS DOUBLE)
+        |        / CAST(n * svv - sv * sv AS DOUBLE), 6)
+        |    AS kyle_lambda_per_kshare
+        |FROM g WHERE n >= 3 AND n * svv - sv * sv > 0
+        |ORDER BY symbol""".stripMargin),
+
+    // ACF profile at lags 1/2/4/8 — pivoted all-integer Pearson
+    // expansions, HUGEINT/DECIMAL(38,0) power sums
+    "x_acf_profile" ->
+      (finQuoteCte + s""",
+        |e AS (SELECT symbol,
+        |        CAST(round(price * 100) AS BIGINT) AS m,
+        |        ROW_NUMBER() OVER (PARTITION BY symbol
+        |          ORDER BY ts_epoch ASC, id ASC) AS rn
+        |      FROM q),
+        |t AS (SELECT symbol, m,
+        |${Seq(1, 2, 4, 8).map(k => s"        lag(m, $k) OVER w AS y$k")
+           .mkString(",\n")}
+        |      FROM e WINDOW w AS (PARTITION BY symbol ORDER BY rn)),
+        |g AS (SELECT symbol,
+        |${Seq(1, 2, 4, 8).map(k =>
+            s"        COUNT(y$k)::BIGINT AS n$k,\n" +
+            s"        SUM(CASE WHEN y$k IS NOT NULL THEN m END)::BIGINT AS sx$k,\n" +
+            s"        SUM(y$k)::BIGINT AS sy$k,\n" +
+            s"        SUM(CASE WHEN y$k IS NOT NULL THEN m * m END) AS qx$k,\n" +
+            s"        SUM(y$k * y$k) AS qy$k,\n" +
+            s"        SUM(m * y$k) AS xy$k").mkString(",\n")}
+        |      FROM t GROUP BY symbol)
+        |SELECT symbol, n1 AS n_pairs_1,
+        |${Seq(1, 2, 4, 8).map(k =>
+            s"  round(CAST(n$k * xy$k - sx$k * sy$k AS DOUBLE)\n" +
+            s"        / sqrt(CAST(n$k * qx$k - sx$k * sx$k AS DOUBLE)\n" +
+            s"               * CAST(n$k * qy$k - sy$k * sy$k AS DOUBLE)), 6) AS acf_$k")
+            .mkString(",\n")}
+        |FROM g WHERE n8 >= 2
+        |${Seq(1, 2, 4, 8).map(k =>
+            s"  AND n$k * qx$k - sx$k * sx$k > 0 AND n$k * qy$k - sy$k * sy$k > 0")
+            .mkString("\n")}
+        |ORDER BY symbol""".stripMargin),
 
     // one-way DOW ANOVA — 7 pivoted weekday triples, literal-ordered
     // sums of squares, all-integer inputs

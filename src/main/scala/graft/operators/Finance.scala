@@ -1407,6 +1407,83 @@ object Finance {
       .orderBy("symbol")
   }
 
+  /** Kyle's lambda per symbol: the OLS slope of the tick price move
+    * on the signed trade volume (order flow) — the price-impact
+    * coefficient that prices "how many cents does a thousand shares
+    * move this symbol" (Kyle 1985), beside [[rollSpread]] and
+    * [[amihudIlliquidity]]. Moves are exact cents, signed volume an
+    * exact BIGINT (sign(move)·volume — the tick-rule flow proxy);
+    * the slope is the all-integer (nΣdv − ΣdΣv)/(nΣv² − (Σv)²) form
+    * reported in cents per 1000 shares (·1000 before the round-6 so
+    * small impacts survive the rounding). Flow-less symbols
+    * (zero flow variance) drop on both engines. One (symbol)
+    * exchange.
+    */
+  def kyleLambda(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    quotes(spark, dir)
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+      .withColumn("d", col("m") - lag(col("m"), 1).over(ord))
+      .filter(col("d").isNotNull)
+      .withColumn("v", signum(col("d").cast("double")).cast("bigint") *
+        coalesce(col("volume"), lit(0L)))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+           sum(col("v")).as("sv"),
+           sum((col("d") * col("v")).cast("decimal(38,0)")).as("sdv"),
+           sum((col("v") * col("v")).cast("decimal(38,0)")).as("svv"))
+      .filter(col("n") >= 3 &&
+        col("n") * col("svv") - col("sv").cast("decimal(38,0)") * col("sv") > 0)
+      .select(col("symbol"), col("n").as("n_moves"),
+        round(lit(1000.0) *
+          (col("n") * col("sdv") - col("sd").cast("decimal(38,0)") * col("sv"))
+            .cast("double") /
+          (col("n") * col("svv") - col("sv").cast("decimal(38,0)") * col("sv"))
+            .cast("double"), 6).as("kyle_lambda_per_kshare"))
+      .orderBy("symbol")
+  }
+
+  /** Autocorrelation profile per symbol: the ACF of cent prices at
+    * lags 1/2/4/8 — the memory-structure fingerprint one number
+    * ([[autocorr]]'s lag-1 on returns) cannot show. Each lag's
+    * Pearson correlation is computed over the PAIRED window (x = m_t
+    * for t > k, y = m_{t−k}) in the all-integer expansion
+    * (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) with the big power
+    * sums accumulated as DECIMAL(38,0) (the emb_dim_stats overflow
+    * discipline — matching DuckDB's HUGEINT promotion); the four
+    * lags are PIVOTED into one hash aggregate ([[hurst]]). Symbols
+    * with a degenerate window (either variance 0) at any lag drop on
+    * both engines. One (symbol) exchange.
+    */
+  def acfProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ks = Seq(1, 2, 4, 8)
+    val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    val withLags = ks.foldLeft(
+      quotes(spark, dir).withColumn("m", round(col("price") * 100).cast("bigint"))) {
+      case (df, k) => df.withColumn(s"y$k", lag(col("m"), k).over(ord))
+    }
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    val aggs = ks.flatMap { k =>
+      val x = when(col(s"y$k").isNotNull, col("m"))
+      val y = col(s"y$k")
+      Seq(count(y).as(s"n$k"), sum(x).as(s"sx$k"), sum(y).as(s"sy$k"),
+        sum(big(x * x)).as(s"qx$k"), sum(big(y * y)).as(s"qy$k"),
+        sum(big(x * y)).as(s"xy$k"))
+    }
+    def varX(k: Int) = col(s"n$k") * col(s"qx$k") - big(col(s"sx$k")) * col(s"sx$k")
+    def varY(k: Int) = col(s"n$k") * col(s"qy$k") - big(col(s"sy$k")) * col(s"sy$k")
+    def acf(k: Int) =
+      round((col(s"n$k") * col(s"xy$k") - big(col(s"sx$k")) * col(s"sy$k"))
+          .cast("double") /
+        sqrt(varX(k).cast("double") * varY(k).cast("double")), 6)
+    withLags.groupBy("symbol").agg(aggs.head, aggs.tail: _*)
+      .filter(col("n8") >= 2 &&
+        ks.map(k => varX(k) > 0 && varY(k) > 0).reduce(_ && _))
+      .select(col("symbol") +: col("n1").as("n_pairs_1") +:
+        ks.map(k => acf(k).as(s"acf_$k")): _*)
+      .orderBy("symbol")
+  }
+
   /** One-way ANOVA of daily close-to-close moves by ISO weekday — the
     * significance companion of [[dowEffect]]'s means: η² (variance
     * explained by weekday) and the F statistic. The seven groups are

@@ -416,6 +416,52 @@ class FinanceSpec extends SparkSuite {
     assert(Finance.hurst(spark, const).count() === 0)
   }
 
+  test("kyle lambda: exact impact line recovers 0.1 cents/share = 100 per kshare") {
+    import spark.implicits._
+    // alternating +-1 cent moves at constant volume 10: every point
+    // lies on d = 0.1*v, so the OLS slope is exactly 0.1 cents/share
+    val alt = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) 1.01 else 1.0))
+      .toDF("event_id", "value")
+      .withColumn("user_id", lit(1L))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("event_id")))
+      .withColumn("event_type", lit("tick"))
+      .withColumn("props", lit("""{"k": 10}"""))
+    val dir = java.nio.file.Files.createTempDirectory("kyle").toString
+    alt.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Finance.kyleLambda(spark, dir).head()
+    assert(r.getAs[Long]("n_moves") === 39L)
+    assert(r.getAs[Double]("kyle_lambda_per_kshare") === 100.0)
+    // constant price: zero flow variance -> dropped
+    val const = dailySeries(Seq.fill(10)(2.0))
+    assert(Finance.kyleLambda(spark, const).count() === 0)
+  }
+
+  test("acf profile: a period-2 series reads exactly -1/+1/+1/+1 at lags 1/2/4/8") {
+    import spark.implicits._
+    val alt = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) 1.0 else 3.0))
+      .toDF("event_id", "value")
+      .withColumn("user_id", lit(1L))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("event_id")))
+      .withColumn("event_type", lit("tick"))
+      .withColumn("props", lit("""{"k": 10}"""))
+    val dir = java.nio.file.Files.createTempDirectory("acf").toString
+    alt.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Finance.acfProfile(spark, dir).head()
+    assert(r.getAs[Double]("acf_1") === -1.0)
+    assert(r.getAs[Double]("acf_2") === 1.0)
+    assert(r.getAs[Double]("acf_4") === 1.0)
+    assert(r.getAs[Double]("acf_8") === 1.0)
+    // corpus: every reported coefficient is a correlation
+    Finance.acfProfile(spark, sfDir).collect().foreach { row =>
+      Seq("acf_1", "acf_2", "acf_4", "acf_8").foreach { c =>
+        val a = row.getAs[Double](c)
+        assert(a >= -1.000001 && a <= 1.000001, s"$c=$a")
+      }
+    }
+  }
+
   test("dow anova: matches the in-Scala pivoted recompute; eta-squared a fraction") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

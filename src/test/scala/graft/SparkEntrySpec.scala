@@ -246,7 +246,13 @@ class SparkEntrySpec extends AnyFunSuite {
     // locked term
     "x_markov_entropy"    -> 1,
     // same shape: the per-source window sum exits via CAST/MAX copies
-    "x_hill_diversity"    -> 1
+    "x_hill_diversity"    -> 1,
+    // the flow power sums feed only the all-integer slope inside CASTs
+    // and the variance gate
+    "x_kyle_lambda"       -> 2,
+    // the 12 per-lag power sums (qx/qy/xy x 4 lags) feed only the
+    // CAST-wrapped Pearson expansions and their >0 gates
+    "x_acf_profile"       -> 12
   )
 
   /** Count SUM( occurrences whose result is not immediately cast. */
