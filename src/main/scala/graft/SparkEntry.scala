@@ -154,6 +154,11 @@ object SparkEntry {
     "x_novelty_curve"      -> ((s, dir) => CorpusOps.noveltyCurve(s, dir)),
     "x_kyle_lambda"        -> ((s, dir) => Finance.kyleLambda(s, dir)),
     "x_acf_profile"        -> ((s, dir) => Finance.acfProfile(s, dir)),
+    "x_spearman"           -> ((s, dir) => Stats.spearman(s, dir)),
+    "x_mann_whitney"       -> ((s, dir) => Stats.mannWhitney(s, dir)),
+    "x_welch_t"            -> ((s, dir) => Stats.welchT(s, dir)),
+    "x_chi_square"         -> ((s, dir) => Stats.chiSquare(s, dir)),
+    "x_tcloseness"         -> ((s, dir) => Stats.tCloseness(s, dir)),
     "x_ols_pricing"        -> ((s, dir) => Analytics.olsPricing(s, dir)),
     "x_communities"        -> ((s, dir) => Graphs.communities(s, dir)),
     "x_jaccard_link"       -> ((s, dir) => Graphs.jaccardLink(s, dir)),
@@ -3703,6 +3708,156 @@ object SparkEntry {
             s"  AND n$k * qx$k - sx$k * sx$k > 0 AND n$k * qy$k - sy$k * sy$k > 0")
             .mkString("\n")}
         |ORDER BY symbol""".stripMargin),
+
+    // Spearman rho on integer doubled average ranks — Pearson's
+    // formula over BIGINT rank moments, one divide+sqrt at the end
+    "x_spearman" ->
+      (finQuoteCte + """,
+        |b AS (SELECT symbol, CAST(round(price * 100) AS BIGINT) AS m, volume
+        |      FROM q WHERE volume IS NOT NULL),
+        |r AS (SELECT symbol,
+        |        2*RANK() OVER (PARTITION BY symbol ORDER BY m)
+        |          + COUNT(*) OVER (PARTITION BY symbol ORDER BY m
+        |              RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1 AS dx,
+        |        2*RANK() OVER (PARTITION BY symbol ORDER BY volume)
+        |          + COUNT(*) OVER (PARTITION BY symbol ORDER BY volume
+        |              RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1 AS dy
+        |      FROM b),
+        |g AS (SELECT symbol, COUNT(*) AS n,
+        |        SUM(dx)::BIGINT AS sx, SUM(dy)::BIGINT AS sy,
+        |        SUM(dx*dx)::BIGINT AS sxx, SUM(dy*dy)::BIGINT AS syy,
+        |        SUM(dx*dy)::BIGINT AS sxy
+        |      FROM r GROUP BY symbol)
+        |SELECT symbol, n,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |        sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+        |             CAST(n*syy - sy*sy AS DOUBLE)), 6) AS rho
+        |FROM g
+        |WHERE n >= 3 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        |ORDER BY symbol""".stripMargin),
+
+    // per-user Mann-Whitney U, tie-corrected z — doubled ranks and
+    // the sum(peer^2-1) = sum(t^3-t) identity keep everything BIGINT
+    "x_mann_whitney" ->
+      """WITH b AS (SELECT user_id, event_type,
+        |        CAST(round(value * 100) AS BIGINT) AS m
+        |      FROM events WHERE event_type IN ('purchase', 'view')),
+        |r AS (SELECT user_id, event_type,
+        |        2*RANK() OVER (PARTITION BY user_id ORDER BY m)
+        |          + COUNT(*) OVER (PARTITION BY user_id ORDER BY m
+        |              RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1 AS dr,
+        |        COUNT(*) OVER (PARTITION BY user_id ORDER BY m
+        |            RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS peer
+        |      FROM b),
+        |g AS (SELECT user_id,
+        |        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |        SUM(CASE WHEN event_type = 'purchase' THEN dr ELSE 0 END)::BIGINT AS r1x2,
+        |        SUM(peer*peer - 1)::BIGINT AS tsum
+        |      FROM r GROUP BY user_id),
+        |h AS (SELECT user_id, n1, n2, r1x2 - n1*(n1+1) AS u2x, n1+n2 AS nn, tsum
+        |      FROM g WHERE n1 >= 5 AND n2 >= 5),
+        |i AS (SELECT *,
+        |        CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)/12.0 *
+        |          (CAST(nn+1 AS DOUBLE) - CAST(tsum AS DOUBLE) /
+        |            (CAST(nn AS DOUBLE)*CAST(nn-1 AS DOUBLE))) AS sig2
+        |      FROM h)
+        |SELECT user_id, n1, n2,
+        |  round(CAST(u2x AS DOUBLE)/2, 6) AS u_stat,
+        |  round((CAST(u2x AS DOUBLE)/2 -
+        |         CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)/2) / sqrt(sig2), 6) AS z_score
+        |FROM i WHERE sig2 > 0 ORDER BY user_id""".stripMargin,
+
+    // Welch's t over every event-type pair — DECIMAL cent sums, one
+    // fixed double expression for t and the Welch-Satterthwaite df
+    "x_welch_t" ->
+      """WITH s AS (SELECT event_type, COUNT(*) AS n,
+        |        CAST(CAST(SUM(CAST(CAST(round(value*100) AS BIGINT)
+        |          AS DECIMAL(28,0))) AS VARCHAR) AS DOUBLE) AS s1,
+        |        CAST(CAST(SUM(CAST(CAST(round(value*100) AS BIGINT) *
+        |          CAST(round(value*100) AS BIGINT) AS DECIMAL(28,0)))
+        |          AS VARCHAR) AS DOUBLE) AS s2
+        |      FROM events GROUP BY event_type HAVING COUNT(*) >= 2),
+        |t AS (SELECT event_type, n,
+        |        s1 / CAST(n AS DOUBLE) / 100 AS mean,
+        |        (s2 - s1*s1/CAST(n AS DOUBLE)) / CAST(n-1 AS DOUBLE) / 10000 AS v
+        |      FROM s),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        a.n AS na, b.n AS nb, a.mean AS ma, b.mean AS mb,
+        |        a.v AS va, b.v AS vb
+        |      FROM t a, t b WHERE a.event_type < b.event_type),
+        |w AS (SELECT *, va/CAST(na AS DOUBLE) AS sea,
+        |        vb/CAST(nb AS DOUBLE) AS seb FROM p)
+        |SELECT type_a, type_b, na, nb,
+        |  round((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
+        |  round((sea + seb)*(sea + seb) /
+        |        (sea*sea/CAST(na-1 AS DOUBLE) + seb*seb/CAST(nb-1 AS DOUBLE)), 6)
+        |    AS df
+        |FROM w WHERE sea + seb > 0 ORDER BY type_a, type_b""".stripMargin,
+
+    // chi-square + Cramér's V — micro-unit rounded cell terms summed
+    // as BIGINT; marginals from the bounded contingency table
+    "x_chi_square" ->
+      """WITH cells AS (SELECT o_orderpriority AS pri, o_orderstatus AS st,
+        |        COUNT(*) AS o
+        |      FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT pri, SUM(o)::BIGINT AS rt FROM cells GROUP BY pri),
+        |ct AS (SELECT st, SUM(o)::BIGINT AS ct FROM cells GROUP BY st),
+        |tot AS (SELECT SUM(o)::BIGINT AS n_total,
+        |          COUNT(DISTINCT pri)::BIGINT AS r,
+        |          COUNT(DISTINCT st)::BIGINT AS c FROM cells),
+        |term AS (SELECT n_total, r, c,
+        |        CAST(round((CAST(o AS DOUBLE) - e)*(CAST(o AS DOUBLE) - e)
+        |          / e * 1e6) AS BIGINT) AS term_u
+        |      FROM (SELECT cells.o, tot.n_total, tot.r, tot.c,
+        |              CAST(rt.rt AS DOUBLE)*CAST(ct.ct AS DOUBLE) /
+        |                CAST(tot.n_total AS DOUBLE) AS e
+        |            FROM cells JOIN rt USING(pri) JOIN ct USING(st)
+        |              CROSS JOIN tot)),
+        |g AS (SELECT n_total, r, c, SUM(term_u)::BIGINT AS chi_u
+        |      FROM term GROUP BY 1, 2, 3)
+        |SELECT n_total,
+        |  round(CAST(chi_u AS DOUBLE)/1e6, 6) AS chi2,
+        |  (r-1)*(c-1) AS df,
+        |  round(sqrt(CAST(chi_u AS DOUBLE)/1e6 /
+        |        (CAST(n_total AS DOUBLE)*CAST(least(r-1, c-1) AS DOUBLE))), 6)
+        |    AS cramers_v
+        |FROM g""".stripMargin,
+
+    // t-closeness EMD over a fixed 10-band grid — cumulative count
+    // ratios, micro-unit positions, integer rollup per event type
+    "x_tcloseness" ->
+      """WITH e AS (SELECT event_type,
+        |        epoch_us(date_trunc('hour', ts))//1000000 AS hour_s,
+        |        least(CAST(round(value*100) AS BIGINT)//5000, 9) AS band
+        |      FROM events),
+        |cb AS (SELECT event_type, hour_s, band, COUNT(*) AS cb
+        |      FROM e GROUP BY 1, 2, 3),
+        |nc AS (SELECT event_type, hour_s, SUM(cb)::BIGINT AS n_cell
+        |      FROM cb GROUP BY 1, 2),
+        |grid AS (SELECT nc.event_type, nc.hour_s, nc.n_cell, b.band
+        |      FROM nc CROSS JOIN (SELECT unnest(range(0, 10)) AS band) b),
+        |gl AS (SELECT band, COUNT(*) AS g FROM e GROUP BY band),
+        |nt AS (SELECT COUNT(*) AS n_total FROM e),
+        |cum AS (SELECT grid.event_type, grid.hour_s, grid.n_cell, grid.band,
+        |          SUM(COALESCE(cb.cb, 0)) OVER w AS cum_c,
+        |          SUM(COALESCE(gl.g, 0)) OVER w AS cum_g,
+        |          nt.n_total
+        |        FROM grid LEFT JOIN cb USING(event_type, hour_s, band)
+        |          LEFT JOIN gl USING(band) CROSS JOIN nt
+        |        WINDOW w AS (PARTITION BY grid.event_type, grid.hour_s
+        |                     ORDER BY grid.band)),
+        |d AS (SELECT event_type, hour_s,
+        |        SUM(CAST(round(abs(CAST(cum_c AS DOUBLE)/CAST(n_cell AS DOUBLE)
+        |          - CAST(cum_g AS DOUBLE)/CAST(n_total AS DOUBLE))*1e9)
+        |          AS BIGINT))::BIGINT AS emd_u
+        |      FROM cum WHERE band <= 8 GROUP BY 1, 2)
+        |SELECT event_type, COUNT(*) AS n_cells,
+        |  round(CAST(MAX(emd_u) AS DOUBLE)/9e9, 6) AS max_emd,
+        |  round(SUM(emd_u)::DOUBLE/9e9/CAST(COUNT(*) AS DOUBLE), 6) AS mean_emd,
+        |  SUM(CASE WHEN CAST(emd_u AS DOUBLE)/9e9 > 0.2 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_violations
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // one-way DOW ANOVA — 7 pivoted weekday triples, literal-ordered
     // sums of squares, all-integer inputs

