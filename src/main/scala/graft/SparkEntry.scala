@@ -159,6 +159,13 @@ object SparkEntry {
     "x_welch_t"            -> ((s, dir) => Stats.welchT(s, dir)),
     "x_chi_square"         -> ((s, dir) => Stats.chiSquare(s, dir)),
     "x_tcloseness"         -> ((s, dir) => Stats.tCloseness(s, dir)),
+    "x_adx"                -> ((s, dir) => Finance.adxDmi(s, dir)),
+    "x_dpo"                -> ((s, dir) => Finance.dpo(s, dir)),
+    "x_elder_ray"          -> ((s, dir) => Finance.elderRay(s, dir)),
+    "x_omega"              -> ((s, dir) => Finance.omegaRatio(s, dir)),
+    "x_pain_index"         -> ((s, dir) => Finance.painIndex(s, dir)),
+    "x_coppock"            -> ((s, dir) => Finance.coppock(s, dir)),
+    "x_treynor"            -> ((s, dir) => Finance.treynor(s, dir)),
     "x_ols_pricing"        -> ((s, dir) => Analytics.olsPricing(s, dir)),
     "x_communities"        -> ((s, dir) => Graphs.communities(s, dir)),
     "x_jaccard_link"       -> ((s, dir) => Graphs.jaccardLink(s, dir)),
@@ -3858,6 +3865,203 @@ object SparkEntry {
         |  SUM(CASE WHEN CAST(emd_u AS DOUBLE)/9e9 > 0.2 THEN 1 ELSE 0 END)::BIGINT
         |    AS n_violations
         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // DMI/ADX — frame-sum directional movement; DX micro-unit rounded
+    // and integer-summed into the ADX mean
+    "x_adx" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, day,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cb AS (SELECT symbol, day, MAX(m) AS hi, MIN(m) AS lo,
+        |         MAX(CASE WHEN rn_d = 1 THEN m END) AS cl
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol, day
+        |                        ORDER BY ts_epoch DESC, id DESC) AS rn_d FROM e)
+        |       GROUP BY symbol, day),
+        |t AS (SELECT symbol, day, hi, lo, cl,
+        |        lag(hi, 1) OVER w AS prev_hi, lag(lo, 1) OVER w AS prev_lo,
+        |        lag(cl, 1) OVER w AS prev_cl
+        |      FROM cb WINDOW w AS (PARTITION BY symbol ORDER BY day)),
+        |u AS (SELECT symbol, day,
+        |        CASE WHEN hi-prev_hi > prev_lo-lo AND hi-prev_hi > 0
+        |             THEN hi-prev_hi ELSE 0 END AS pdm,
+        |        CASE WHEN prev_lo-lo > hi-prev_hi AND prev_lo-lo > 0
+        |             THEN prev_lo-lo ELSE 0 END AS mdm,
+        |        greatest(hi-lo, abs(hi-prev_cl), abs(lo-prev_cl)) AS tr
+        |      FROM t WHERE prev_cl IS NOT NULL),
+        |v AS (SELECT symbol, day,
+        |        SUM(pdm) OVER fr AS sp, SUM(mdm) OVER fr AS sm,
+        |        SUM(tr) OVER fr AS st, ROW_NUMBER() OVER w AS rn
+        |      FROM u WINDOW w AS (PARTITION BY symbol ORDER BY day),
+        |        fr AS (PARTITION BY symbol ORDER BY day
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |x AS (SELECT symbol, day, sp, sm, st, rn,
+        |        CASE WHEN sp+sm > 0 THEN
+        |          CAST(round(100.0*CAST(abs(sp-sm) AS DOUBLE)
+        |            / CAST(sp+sm AS DOUBLE)*1e6) AS BIGINT)
+        |        ELSE 0 END AS dx_u
+        |      FROM v),
+        |y AS (SELECT symbol, day, sp, sm, st, rn, dx_u,
+        |        SUM(dx_u) OVER (PARTITION BY symbol ORDER BY day
+        |          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS adx_u
+        |      FROM x)
+        |SELECT symbol, day,
+        |  round(100.0*CAST(sp AS DOUBLE)/CAST(st AS DOUBLE), 6) AS di_plus,
+        |  round(100.0*CAST(sm AS DOUBLE)/CAST(st AS DOUBLE), 6) AS di_minus,
+        |  round(CAST(dx_u AS DOUBLE)/1e6, 6) AS dx,
+        |  round(CAST(adx_u AS DOUBLE)/(14.0*1e6), 6) AS adx
+        |FROM y WHERE rn >= 27 AND st > 0 ORDER BY symbol, day""".stripMargin),
+
+    // detrended price oscillator — integer 20*cl minus the displaced
+    // frame sum, one divide
+    "x_dpo" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, day,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cb AS (SELECT symbol, day,
+        |         MAX(CASE WHEN rn_d = 1 THEN m END) AS cl
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol, day
+        |                        ORDER BY ts_epoch DESC, id DESC) AS rn_d FROM e)
+        |       GROUP BY symbol, day),
+        |v AS (SELECT symbol, day, cl,
+        |        SUM(cl) OVER (PARTITION BY symbol ORDER BY day
+        |          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS s,
+        |        ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+        |      FROM cb),
+        |w2 AS (SELECT symbol, day, cl, rn,
+        |        lag(s, 6) OVER (PARTITION BY symbol ORDER BY day) AS s_shift
+        |      FROM v)
+        |SELECT symbol, day,
+        |  round(CAST(10*cl - s_shift AS DOUBLE)/(100.0*10), 6) AS dpo
+        |FROM w2 WHERE rn >= 16 ORDER BY symbol, day""".stripMargin),
+
+    // Elder Ray — EMA13 of close via the shared explicit-weight
+    // ladder, bull/bear power in dollars
+    "x_elder_ray" ->
+      (finQuoteCte + s""",
+        |e AS (SELECT symbol, id, ts_epoch, day,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cb AS (SELECT symbol, day, MAX(m) AS hi, MIN(m) AS lo,
+        |         MAX(CASE WHEN rn_d = 1 THEN m END) AS cl
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol, day
+        |                        ORDER BY ts_epoch DESC, id DESC) AS rn_d FROM e)
+        |       GROUP BY symbol, day),
+        |f AS (SELECT symbol, day, hi, lo,
+        |        (${wsumNumSql("cl", graft.operators.Finance.ElderW)})
+        |          / (${wsumDenSql("cl", graft.operators.Finance.ElderW)}) AS ema
+        |      FROM cb WINDOW w AS (PARTITION BY symbol ORDER BY day))
+        |SELECT symbol, day,
+        |  round((CAST(hi AS DOUBLE) - ema)/100, 6) AS bull_power,
+        |  round((CAST(lo AS DOUBLE) - ema)/100, 6) AS bear_power
+        |FROM f ORDER BY symbol, day""".stripMargin),
+
+    // Omega ratio at threshold 0 — integer gain/loss sums, one divide
+    "x_omega" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, day,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cb AS (SELECT symbol, day,
+        |         MAX(CASE WHEN rn_d = 1 THEN m END) AS cl
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol, day
+        |                        ORDER BY ts_epoch DESC, id DESC) AS rn_d FROM e)
+        |       GROUP BY symbol, day),
+        |t AS (SELECT symbol, day,
+        |        cl - lag(cl, 1) OVER (PARTITION BY symbol ORDER BY day) AS d
+        |      FROM cb),
+        |g AS (SELECT symbol, COUNT(*) AS n_days,
+        |        SUM(CASE WHEN d > 0 THEN d ELSE 0 END)::BIGINT AS gains,
+        |        SUM(CASE WHEN d < 0 THEN -d ELSE 0 END)::BIGINT AS losses
+        |      FROM t WHERE d IS NOT NULL GROUP BY symbol)
+        |SELECT symbol, n_days,
+        |  round(CAST(gains AS DOUBLE)/CAST(losses AS DOUBLE), 6) AS omega,
+        |  round(CAST(gains AS DOUBLE)/CAST(gains+losses AS DOUBLE), 6)
+        |    AS upside_share
+        |FROM g WHERE n_days >= 10 AND losses > 0 ORDER BY symbol""".stripMargin),
+
+    // pain index — micro-unit drawdowns from the integer running
+    // peak, exact integer mean
+    "x_pain_index" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, day,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cb AS (SELECT symbol, day,
+        |         MAX(CASE WHEN rn_d = 1 THEN m END) AS cl
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol, day
+        |                        ORDER BY ts_epoch DESC, id DESC) AS rn_d FROM e)
+        |       GROUP BY symbol, day),
+        |t AS (SELECT symbol, day, cl,
+        |        MAX(cl) OVER (PARTITION BY symbol ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |      FROM cb),
+        |u AS (SELECT symbol,
+        |        CAST(round(CAST(peak-cl AS DOUBLE)/CAST(peak AS DOUBLE)*1e6)
+        |          AS BIGINT) AS dd_u
+        |      FROM t),
+        |g AS (SELECT symbol, COUNT(*) AS n_days, SUM(dd_u)::BIGINT AS pain_u,
+        |        MAX(dd_u) AS max_u
+        |      FROM u GROUP BY symbol)
+        |SELECT symbol, n_days,
+        |  round(CAST(pain_u AS DOUBLE)/CAST(n_days AS DOUBLE)/1e6, 6)
+        |    AS pain_index,
+        |  round(CAST(max_u AS DOUBLE)/1e6, 6) AS max_drawdown
+        |FROM g WHERE n_days >= 5 ORDER BY symbol""".stripMargin),
+
+    // Coppock curve — micro-percent ROCs, integer-weighted WMA(10),
+    // one divide by 55e6
+    "x_coppock" ->
+      (finQuoteCte + s""",
+        |e AS (SELECT symbol, id, ts_epoch, day,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cb AS (SELECT symbol, day,
+        |         MAX(CASE WHEN rn_d = 1 THEN m END) AS cl
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol, day
+        |                        ORDER BY ts_epoch DESC, id DESC) AS rn_d FROM e)
+        |       GROUP BY symbol, day),
+        |r AS (SELECT symbol, day,
+        |        CAST(round(CAST(cl - lag(cl, 14) OVER w AS DOUBLE)
+        |          / CAST(lag(cl, 14) OVER w AS DOUBLE)*1e8) AS BIGINT)
+        |        + CAST(round(CAST(cl - lag(cl, 11) OVER w AS DOUBLE)
+        |          / CAST(lag(cl, 11) OVER w AS DOUBLE)*1e8) AS BIGINT) AS s_u,
+        |        ROW_NUMBER() OVER w AS rn
+        |      FROM cb WINDOW w AS (PARTITION BY symbol ORDER BY day)),
+        |l AS (SELECT symbol, day, rn,
+        |${(0 until 10).map(j =>
+           s"        lag(s_u, $j) OVER w AS s_$j").mkString(",\n")}
+        |      FROM r WINDOW w AS (PARTITION BY symbol ORDER BY day))
+        |SELECT symbol, day,
+        |  round(CAST(${(0 until 10).map(j => s"s_$j*${10 - j}").mkString(" + ")}
+        |    AS DOUBLE)/(55.0*1e6), 6) AS coppock
+        |FROM l WHERE rn >= 24 ORDER BY symbol, day""".stripMargin),
+
+    // Treynor — micro-unit returns make beta an all-integer ratio;
+    // mean return over beta in one fixed double expression
+    "x_treynor" ->
+      (finQuoteCte + """,
+        |dm AS (SELECT symbol, day,
+        |         CAST(CAST(SUM(CAST(price AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |           / COUNT(*) AS mean_price
+        |       FROM q GROUP BY 1, 2),
+        |r AS (SELECT symbol, day, mean_price,
+        |        lag(mean_price, 1) OVER (PARTITION BY symbol ORDER BY day) AS prev
+        |      FROM dm),
+        |rr AS (SELECT symbol, day,
+        |        CAST(round(round(ln(mean_price / prev), 6) * 1e6) AS BIGINT) AS r_u
+        |       FROM r WHERE prev IS NOT NULL AND prev > 0 AND mean_price > 0),
+        |mkt AS (SELECT day,
+        |          CAST(round(CAST(SUM(r_u) AS DOUBLE) / COUNT(*)) AS BIGINT) AS y_u
+        |        FROM rr GROUP BY day),
+        |g AS (SELECT symbol, COUNT(*)::BIGINT AS n_days,
+        |        SUM(r_u)::BIGINT AS sx, SUM(y_u)::BIGINT AS sy,
+        |        SUM(r_u*y_u)::BIGINT AS sxy, SUM(y_u*y_u)::BIGINT AS syy
+        |      FROM rr JOIN mkt USING (day) GROUP BY symbol),
+        |h AS (SELECT symbol, n_days, sx,
+        |        n_days*sxy - sx*sy AS bnum, n_days*syy - sy*sy AS bden
+        |      FROM g)
+        |SELECT symbol, n_days,
+        |  round(CAST(bnum AS DOUBLE)/CAST(bden AS DOUBLE), 6) AS beta,
+        |  round(CAST(sx AS DOUBLE)/(CAST(n_days AS DOUBLE)*1e6)
+        |        *(CAST(bden AS DOUBLE)/CAST(bnum AS DOUBLE)), 6) AS treynor
+        |FROM h WHERE n_days >= 10 AND bden > 0 AND bnum <> 0
+        |ORDER BY symbol""".stripMargin),
 
     // one-way DOW ANOVA — 7 pivoted weekday triples, literal-ordered
     // sums of squares, all-integer inputs

@@ -1564,4 +1564,229 @@ object Finance {
           .as(s"vr_$k"))
       .orderBy("symbol")
   }
+
+  /** Directional movement system (Wilder 1978, frame-sum variant)
+    * over daily bars: +DM/-DM pick the larger of the two directional
+    * moves (zero when inside days), TR as in [[atr]]; DI+/- are
+    * 100 * frame-sum ratios, DX = 100*|DI+ - DI-|/(DI+ + DI-)
+    * collapses to a pure integer ratio of the SAME frame sums, and
+    * ADX is the `period`-bar mean of micro-unit-rounded DX — an exact
+    * BIGINT sum (the [[Stats]] micro-unit discipline), so the nested
+    * smoothing never sums raw doubles. The frame-sum (SMA) smoothing
+    * replaces Wilder's recursive smoothing — the standard
+    * non-recursive variant, chosen because it keeps every term
+    * integer; the recursion lives in the streaming twins' state shape
+    * if ever needed. Rows emit once BOTH windows are warm
+    * (rn >= 2*period - 1). A frame with zero directional movement
+    * contributes DX = 0 (documented; both engines agree by
+    * construction). One (symbol) exchange serves the lags, the frame
+    * sums, and the ADX window.
+    */
+  def adxDmi(spark: SparkSession, dir: String, period: Int = 14): DataFrame = {
+    val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
+    val frame = byDay.rowsBetween(-(period - 1), 0)
+    centBars(spark, dir)
+      .withColumn("prev_hi", lag(col("hi"), 1).over(byDay))
+      .withColumn("prev_lo", lag(col("lo"), 1).over(byDay))
+      .withColumn("prev_cl", lag(col("cl"), 1).over(byDay))
+      .filter(col("prev_cl").isNotNull)
+      .withColumn("up", col("hi") - col("prev_hi"))
+      .withColumn("dn", col("prev_lo") - col("lo"))
+      .withColumn("pdm", when(col("up") > col("dn") && col("up") > 0, col("up"))
+        .otherwise(lit(0L)))
+      .withColumn("mdm", when(col("dn") > col("up") && col("dn") > 0, col("dn"))
+        .otherwise(lit(0L)))
+      .withColumn("tr", greatest(col("hi") - col("lo"),
+        abs(col("hi") - col("prev_cl")), abs(col("lo") - col("prev_cl"))))
+      .withColumn("sp", sum(col("pdm")).over(frame))
+      .withColumn("sm", sum(col("mdm")).over(frame))
+      .withColumn("st", sum(col("tr")).over(frame))
+      .withColumn("dx_u", when(col("sp") + col("sm") > 0,
+        round(lit(100.0) * abs(col("sp") - col("sm")).cast("double") /
+              (col("sp") + col("sm")).cast("double") * 1e6).cast("bigint"))
+        .otherwise(lit(0L)))
+      .withColumn("adx_u", sum(col("dx_u")).over(frame))
+      .withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") >= 2 * period - 1 && col("st") > 0)
+      .select(col("symbol"), col("day"),
+        round(lit(100.0) * col("sp").cast("double") / col("st").cast("double"), 6)
+          .as("di_plus"),
+        round(lit(100.0) * col("sm").cast("double") / col("st").cast("double"), 6)
+          .as("di_minus"),
+        round(col("dx_u").cast("double") / 1e6, 6).as("dx"),
+        round(col("adx_u").cast("double") / (lit(period.toDouble) * 1e6), 6)
+          .as("adx"))
+      .orderBy("symbol", "day")
+  }
+
+  /** Detrended price oscillator: close minus the `period`-bar SMA
+    * displaced `period/2 + 1` bars back — the classic cycle isolator.
+    * The displaced SMA is a lag of the frame sum, so the whole
+    * indicator is the exact integer `period*cl - lagged_sum` with one
+    * divide by 100*period at the end. Emits once the displaced frame
+    * exists (rn >= period + period/2 + 1). One (symbol) exchange.
+    */
+  def dpo(spark: SparkSession, dir: String, period: Int = 10): DataFrame = {
+    val shift = period / 2 + 1
+    val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
+    val frame = byDay.rowsBetween(-(period - 1), 0)
+    centBars(spark, dir)
+      .withColumn("s", sum(col("cl")).over(frame))
+      .withColumn("s_shift", lag(col("s"), shift).over(byDay))
+      .withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") >= period + shift)
+      .select(col("symbol"), col("day"),
+        round((lit(period.toLong) * col("cl") - col("s_shift")).cast("double") /
+              (lit(100.0) * period), 6).as("dpo"))
+      .orderBy("symbol", "day")
+  }
+
+  /** Elder Ray (Elder 1993): bull power = high - EMA13(close), bear
+    * power = low - EMA13(close), over daily bars. The EMA rides the
+    * [[truncEma]] explicit-weight ladder ([[ElderW]], published
+    * alpha = 2/14) over pre-projected integer-cent lag columns — the
+    * [[macd]] discipline, warm-up-adaptive, engine-exact because both
+    * engines multiply the same Double literals in the same order.
+    */
+  def elderRay(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
+    val (withLags, lags) = withLagCols(centBars(spark, dir), col("cl"), "c", byDay)
+    withLags
+      .withColumn("ema", truncEma(lags, ElderW))
+      .select(col("symbol"), col("day"),
+        round((col("hi").cast("double") - col("ema")) / 100, 6).as("bull_power"),
+        round((col("lo").cast("double") - col("ema")) / 100, 6).as("bear_power"))
+      .orderBy("symbol", "day")
+  }
+
+  /** Omega ratio at threshold 0 over daily close-to-close moves:
+    * sum of gains over sum of losses — the whole-distribution
+    * risk-reward ratio (Keating & Shadwick 2002). Moves are exact
+    * integer cents; two integer frame-free sums, one divide. Symbols
+    * that never lose (zero denominator) drop on both engines.
+    */
+  def omegaRatio(spark: SparkSession, dir: String, minDays: Int = 10): DataFrame = {
+    val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
+    centBars(spark, dir)
+      .withColumn("d", col("cl") - lag(col("cl"), 1).over(byDay))
+      .filter(col("d").isNotNull)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"),
+           sum(when(col("d") > 0, col("d")).otherwise(lit(0L))).as("gains"),
+           sum(when(col("d") < 0, -col("d")).otherwise(lit(0L))).as("losses"))
+      .filter(col("n_days") >= minDays && col("losses") > 0)
+      .select(col("symbol"), col("n_days"),
+        round(col("gains").cast("double") / col("losses").cast("double"), 6)
+          .as("omega"),
+        round(col("gains").cast("double") /
+              (col("gains") + col("losses")).cast("double"), 6)
+          .as("upside_share"))
+      .orderBy("symbol")
+  }
+
+  /** Pain index (mean drawdown ratio) per symbol over daily closes:
+    * per day the drawdown from the running peak as a micro-unit
+    * BIGINT, then the exact integer mean — the "average suffering"
+    * companion to [[drawdown]]'s worst case. The running peak is an
+    * integer running max; one divide per day, integer sums after.
+    */
+  def painIndex(spark: SparkSession, dir: String, minDays: Int = 5): DataFrame = {
+    val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
+    val run = byDay.rowsBetween(Window.unboundedPreceding, 0)
+    centBars(spark, dir)
+      .withColumn("peak", max(col("cl")).over(run))
+      .withColumn("dd_u", round((col("peak") - col("cl")).cast("double") /
+        col("peak").cast("double") * 1e6).cast("bigint"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"),
+           sum(col("dd_u")).as("pain_u"),
+           max(col("dd_u")).as("max_u"))
+      .filter(col("n_days") >= minDays)
+      .select(col("symbol"), col("n_days"),
+        round(col("pain_u").cast("double") / col("n_days").cast("double") / 1e6, 6)
+          .as("pain_index"),
+        round(col("max_u").cast("double") / 1e6, 6).as("max_drawdown"))
+      .orderBy("symbol")
+  }
+
+  /** Coppock curve (Coppock 1962), daily adaptation: the 10-bar
+    * front-weighted WMA of ROC(14) + ROC(11) on daily closes. Each
+    * ROC is rounded to micro-percent BIGINT (one divide), their sum
+    * stays BIGINT, and the WMA's integer weights (10..1, total 55)
+    * make the weighted sum EXACT — the only remaining double is the
+    * final divide by 55e6. Emits when the slowest ROC lag chain is
+    * full (rn >= 24). One (symbol) exchange serves every lag.
+    */
+  def coppock(spark: SparkSession, dir: String,
+              roc1: Int = 14, roc2: Int = 11, wma: Int = 10): DataFrame = {
+    val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
+    val rocU = (k: Int) => {
+      val prev = lag(col("cl"), k).over(byDay)
+      round((col("cl") - prev).cast("double") / prev.cast("double") * 1e8)
+        .cast("bigint")
+    }
+    val base = centBars(spark, dir)
+      .withColumn("s_u", rocU(roc1) + rocU(roc2))
+      .withColumn("rn", row_number().over(byDay))
+    val withLags = (0 until wma).foldLeft(base) { (d, j) =>
+      d.withColumn(s"s_$j", lag(col("s_u"), j).over(byDay)) }
+    val num = (0 until wma).map(j => col(s"s_$j") * lit((wma - j).toLong))
+      .reduce(_ + _)
+    withLags
+      .filter(col("rn") >= roc1 + wma)
+      .withColumn("num", num)
+      .select(col("symbol"), col("day"),
+        round(col("num").cast("double") /
+              (lit((wma * (wma + 1) / 2).toDouble) * 1e6), 6).as("coppock"))
+      .orderBy("symbol", "day")
+  }
+
+  /** Treynor ratio per symbol: mean daily log-return over [[beta]],
+    * risk-free rate 0 — systematic-risk-adjusted performance. Daily
+    * and market returns are micro-unit BIGINTs (round-6 log returns
+    * x 1e6, the market's equal-weight mean re-rounded to micro),
+    * so beta collapses to the all-integer ratio
+    * `(n*Sxy - Sx*Sy) / (n*Syy - Sy^2)` — the (n-1)s cancel — and
+    * Treynor is one fixed double expression over four exact BIGINTs.
+    * The market table is day-count-bounded and broadcast.
+    */
+  def treynor(spark: SparkSession, dir: String, minDays: Int = 10): DataFrame = {
+    val byDay = Window.partitionBy("symbol").orderBy("day")
+    val daily = quotes(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("symbol", "day")
+      .agg((sum(col("price").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("mean_price"))
+      .withColumn("prev", lag(col("mean_price"), 1).over(byDay))
+      .filter(col("prev").isNotNull && col("prev") > 0 && col("mean_price") > 0)
+      .withColumn("r_u", round(round(log(col("mean_price") / col("prev")), 6) * 1e6)
+        .cast("bigint"))
+      .select("symbol", "day", "r_u")
+      .localCheckpoint()
+    val market = daily.groupBy("day")
+      .agg(round(sum(col("r_u")).cast("double") / count(lit(1))).cast("bigint")
+        .as("y_u"))
+    daily.join(broadcast(market), "day")
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"),
+           sum(col("r_u")).as("sx"), sum(col("y_u")).as("sy"),
+           sum(col("r_u") * col("y_u")).as("sxy"),
+           sum(col("y_u") * col("y_u")).as("syy"))
+      .withColumn("bnum", col("n_days") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("bden", col("n_days") * col("syy") - col("sy") * col("sy"))
+      .filter(col("n_days") >= minDays && col("bden") > 0 && col("bnum") =!= 0)
+      .select(col("symbol"), col("n_days"),
+        round(col("bnum").cast("double") / col("bden").cast("double"), 6)
+          .as("beta"),
+        round(col("sx").cast("double") /
+              (col("n_days").cast("double") * 1e6) *
+              (col("bden").cast("double") / col("bnum").cast("double")), 6)
+          .as("treynor"))
+      .orderBy("symbol")
+  }
+
+  /** EMA13 weight ladder for [[elderRay]] — alpha = 2/(13+1). Same
+    * shared-Double-literal contract as [[MacdFastW]]. */
+  private[graft] val ElderW: Seq[Double] =
+    (0 until MacdLags).map(j => (2.0 / 14) * math.pow(12.0 / 14, j))
 }

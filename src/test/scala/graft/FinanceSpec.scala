@@ -616,4 +616,77 @@ class FinanceSpec extends SparkSuite {
     val const = dailySeries(Seq.fill(10)(2.0))
     assert(Finance.varianceRatio(spark, const).count() === 0)
   }
+
+  test("adx: a one-way ramp pins DI+ = DX = ADX = 100, DI- = 0") {
+    // +1 cent/day, single-tick days: pdm = 1, mdm = 0, tr = 1
+    val dir = dailySeries((1 to 40).map(i => 1.0 + 0.01 * i))
+    val rows = Finance.adxDmi(spark, dir).collect()
+    assert(rows.length === 40 - 1 - 26) // 39 moves, warm-up rn >= 27
+    rows.foreach { r =>
+      assert(r.getAs[Double]("di_plus") === 100.0, r.toString)
+      assert(r.getAs[Double]("di_minus") === 0.0)
+      assert(r.getAs[Double]("dx") === 100.0)
+      assert(r.getAs[Double]("adx") === 100.0)
+    }
+  }
+
+  test("dpo: linear ramp gives the closed-form constant detrend offset") {
+    // +1 cent/day: 10*cl - sum(cl[t-15..t-6]) = 105 cents-of-10 ->
+    // dpo = 105/1000 dollars
+    val dir = dailySeries((1 to 30).map(i => 1.0 + 0.01 * i))
+    val rows = Finance.dpo(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("dpo") === 0.105, r.toString))
+    // constant price: close equals every SMA -> dpo 0
+    Finance.dpo(spark, dailySeries(Seq.fill(20)(2.0))).collect()
+      .foreach(r => assert(r.getAs[Double]("dpo") === 0.0))
+  }
+
+  test("elder ray: constant price collapses bull and bear power to 0") {
+    val rows = Finance.elderRay(spark, dailySeries(Seq.fill(15)(2.0))).collect()
+    assert(rows.length === 15)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("bull_power") === 0.0)
+      assert(r.getAs[Double]("bear_power") === 0.0)
+    }
+  }
+
+  test("omega: symmetric alternation gives omega = 1, upside share 0.5") {
+    val dir = dailySeries((1 to 21).map(i => if (i % 2 == 0) 3.0 else 1.0))
+    val r = Finance.omegaRatio(spark, dir).head()
+    assert(r.getAs[Double]("omega") === 1.0)
+    assert(r.getAs[Double]("upside_share") === 0.5)
+    // monotone up: no losses -> dropped
+    assert(Finance.omegaRatio(spark,
+      dailySeries((1 to 15).map(i => 1.0 + 0.01 * i))).count() === 0)
+  }
+
+  test("pain index: uptrend pins 0; straight decline matches hand mean") {
+    Finance.painIndex(spark, dailySeries((1 to 10).map(i => 1.0 + 0.01 * i)))
+      .collect().foreach { r =>
+        assert(r.getAs[Double]("pain_index") === 0.0)
+        assert(r.getAs[Double]("max_drawdown") === 0.0)
+      }
+    // 200,199,...,191 cents: dd ratios j/200, mean = sum(0..9)/10/200
+    val dir = dailySeries((0 until 10).map(i => 2.0 - 0.01 * i))
+    val r = Finance.painIndex(spark, dir).head()
+    val exp = (0 until 10).map(j => math.rint(j / 200.0 * 1e6)).sum / 10 / 1e6
+    assert(math.abs(r.getAs[Double]("pain_index") - exp) < 1e-9)
+    assert(r.getAs[Double]("max_drawdown") === 0.045)
+  }
+
+  test("coppock: constant price pins 0 once the lag chain fills") {
+    val rows = Finance.coppock(spark, dailySeries(Seq.fill(30)(2.0))).collect()
+    assert(rows.length === 30 - 23)
+    rows.foreach(r => assert(r.getAs[Double]("coppock") === 0.0))
+  }
+
+  test("treynor: a lone symbol IS the market -> beta 1, treynor = mean return") {
+    val dir = dailySeries((1 to 15).map(i => 1.0 + 0.1 * i))
+    val r = Finance.treynor(spark, dir).head()
+    assert(r.getAs[Double]("beta") === 1.0)
+    // treynor = mean micro-return / 1e6 (beta = 1)
+    assert(math.abs(r.getAs[Double]("treynor")) > 0)
+    assert(r.getAs[Long]("n_days") === 14L)
+  }
 }
