@@ -166,6 +166,11 @@ object SparkEntry {
     "x_pain_index"         -> ((s, dir) => Finance.painIndex(s, dir)),
     "x_coppock"            -> ((s, dir) => Finance.coppock(s, dir)),
     "x_treynor"            -> ((s, dir) => Finance.treynor(s, dir)),
+    "x_adamic_adar"        -> ((s, dir) => Graphs.adamicAdar(s, dir)),
+    "x_ndcg"               -> ((s, dir) => Similarity.knnIvfNdcg(s, dir)),
+    "x_gopher_rules"       -> ((s, dir) => TextAnalysis.gopherRules(s, dir)),
+    "x_ams_f2"             -> ((s, dir) => Analytics.amsF2(s, dir)),
+    "x_forecast_revenue"   -> ((s, dir) => Analytics.forecastRevenue(s, dir)),
     "x_ols_pricing"        -> ((s, dir) => Analytics.olsPricing(s, dir)),
     "x_communities"        -> ((s, dir) => Graphs.communities(s, dir)),
     "x_jaccard_link"       -> ((s, dir) => Graphs.jaccardLink(s, dir)),
@@ -3865,6 +3870,166 @@ object SparkEntry {
         |  SUM(CASE WHEN CAST(emd_u AS DOUBLE)/9e9 > 0.2 THEN 1 ELSE 0 END)::BIGINT
         |    AS n_violations
         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Adamic-Adar — micro-unit 1/ln(deg) center weights, exact
+    // integer pair sums, degree-capped wedges, edge anti-join
+    "x_adamic_adar" ->
+      (graphCoCte + """,
+        |wz AS (SELECT u AS z, CAST(round(1e6/ln(CAST(d AS DOUBLE))) AS BIGINT)
+        |         AS w_u
+        |       FROM degu WHERE d >= 2 AND d <= 200),
+        |c AS (SELECT wz.z, adj.v AS x, wz.w_u
+        |      FROM adj JOIN wz ON wz.z = adj.u),
+        |p AS (SELECT l.x AS a, r.x AS b, COUNT(*)::BIGINT AS n_common,
+        |        SUM(l.w_u)::BIGINT AS aa_u
+        |      FROM c l JOIN c r ON l.z = r.z AND l.x < r.x GROUP BY 1, 2),
+        |cand AS (SELECT a, b, n_common, aa_u FROM p
+        |         WHERE NOT EXISTS (SELECT 1 FROM co
+        |                           WHERE co.pa = p.a AND co.pb = p.b)),
+        |top AS (SELECT * FROM cand ORDER BY aa_u DESC, a, b LIMIT 50)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY aa_u DESC, a, b) AS BIGINT)
+        |    AS rk,
+        |  a AS node_a, b AS node_b, n_common,
+        |  round(CAST(aa_u AS DOUBLE)/1e6, 6) AS adamic_adar
+        |FROM top ORDER BY rk""".stripMargin),
+
+    // NDCG@5 + reciprocal rank of the IVF shortlist vs brute truth —
+    // frozen integer DCG weights, exact BIGINT gain sums
+    "x_ndcg" ->
+      (s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE), (a,b)->a+b)) AS nrm
+        |  FROM embeddings
+        |), cents AS (
+        |  SELECT vec_id AS centroid_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < 16
+        |), ranked AS (
+        |  SELECT e.vec_id, e.embedding, e.nrm, c.centroid_id,
+        |    round(list_reduce(list_transform(range(1,65),
+        |      i -> e.embedding[i]::DOUBLE * c.c_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*c.c_nrm), 6) AS c_sim
+        |  FROM e, cents c
+        |), cells AS (
+        |  SELECT vec_id, embedding, nrm, centroid_id AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rk
+        |    FROM ranked
+        |  ) WHERE rk = 1
+        |), qcells AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, centroid_id AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rk
+        |    FROM ranked WHERE vec_id < 10
+        |  ) WHERE rk <= 2
+        |), scored_i AS (
+        |  SELECT DISTINCT q.query_id, c2.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(range(1,65),
+        |      i -> c2.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (a,b)->a+b)/(c2.nrm*q.q_nrm), 6) AS cos
+        |  FROM cells c2 JOIN qcells q ON c2.cell = q.cell AND c2.vec_id <> q.query_id
+        |), top_i AS (
+        |  SELECT query_id, neighbor_id, rk AS pos FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        |    FROM scored_i
+        |  ) WHERE rk <= 5
+        |), q2 AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 10
+        |), scored_b AS (
+        |  SELECT q2.query_id, e.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(range(1,65),
+        |      i -> e.embedding[i]::DOUBLE * q2.q_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*q2.q_nrm), 6) AS cos
+        |  FROM e, q2 WHERE e.vec_id <> q2.query_id
+        |), top_b AS (
+        |  SELECT query_id, neighbor_id, rk FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        |    FROM scored_b
+        |  ) WHERE rk <= 5
+        |), dcg AS (
+        |  SELECT i.query_id,
+        |    SUM(COALESCE(6 - b.rk, 0) *
+        |      CASE i.pos ${graft.operators.Similarity.ndcgWeightsU(5)
+                .zipWithIndex.map { case (w, j) => s"WHEN ${j + 1} THEN $w" }
+                .mkString(" ")} END)::BIGINT AS dcg_u
+        |  FROM top_i i LEFT JOIN top_b b
+        |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+        |  GROUP BY i.query_id
+        |), rr AS (
+        |  SELECT b.query_id,
+        |    CASE WHEN i.pos IS NOT NULL
+        |         THEN CAST(round(1e6 / CAST(i.pos AS DOUBLE)) AS BIGINT)
+        |         ELSE 0 END AS rr_u
+        |  FROM top_b b LEFT JOIN top_i i
+        |    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+        |  WHERE b.rk = 1
+        |)
+        |SELECT qq.query_id,
+        |  round(COALESCE(d.dcg_u, 0)::DOUBLE / ${graft.operators.Similarity
+                .ndcgWeightsU(5).zipWithIndex
+                .map { case (w, j) => (5 - j).toLong * w }.sum}.0, 6) AS ndcg,
+        |  round(COALESCE(r.rr_u, 0)::DOUBLE / 1e6, 6) AS reciprocal_rank
+        |FROM (SELECT DISTINCT query_id FROM top_b) qq
+        |  LEFT JOIN dcg d USING (query_id) LEFT JOIN rr r USING (query_id)
+        |ORDER BY query_id""".stripMargin),
+
+    // Gopher rule census — integer inequalities only (3w <= chars <=
+    // 10w replaces the mean-word-length divide)
+    "x_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT source, string_split(text, ' ') AS t,
+        |    length(replace(text, ' ', '')) AS nchars
+        |  FROM documents),
+        |f AS (SELECT source,
+        |    len(t)::BIGINT AS nw, nchars::BIGINT AS nc,
+        |    len(list_filter(t, x -> x IN ('the','a','of','and','to','in')))::BIGINT AS nstop,
+        |    list_max(list_transform(t, x -> length(x)))::BIGINT AS maxlen
+        |  FROM d),
+        |r AS (SELECT source,
+        |    (nw >= 50 AND nw <= 100000) AS r1,
+        |    (3*nw <= nc AND nc <= 10*nw) AS r2,
+        |    (nstop >= 2) AS r3, (maxlen <= 15) AS r4
+        |  FROM f)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  SUM(CASE WHEN r1 THEN 1 ELSE 0 END)::BIGINT AS n_wordcount_ok,
+        |  SUM(CASE WHEN r2 THEN 1 ELSE 0 END)::BIGINT AS n_meanlen_ok,
+        |  SUM(CASE WHEN r3 THEN 1 ELSE 0 END)::BIGINT AS n_stopword_ok,
+        |  SUM(CASE WHEN r4 THEN 1 ELSE 0 END)::BIGINT AS n_maxlen_ok,
+        |  SUM(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+        |  round(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END)::DOUBLE
+        |        / CAST(COUNT(*) AS DOUBLE), 6) AS pass_rate
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // AMS F2 sketch audit — 9 sign estimators, exact BIGINT sums,
+    // median = row 5 of 9
+    "x_ams_f2" ->
+      """WITH counts AS (SELECT user_id, COUNT(*) AS c FROM events
+        |      GROUP BY user_id),
+        |sd AS (SELECT * FROM (VALUES (0,31,7),(1,131,911),(2,8191,131071),
+        |        (3,37,101),(4,61,509),(5,127,8191),(6,211,1009),(7,331,77),
+        |        (8,523,13)) v(seed, a, b)),
+        |signed AS (SELECT sd.seed,
+        |        ((counts.user_id*sd.a + sd.b) % 1000000007 % 2 * 2 - 1)
+        |          * counts.c AS sc
+        |      FROM counts CROSS JOIN sd),
+        |ests AS (SELECT seed, SUM(sc)::BIGINT AS s FROM signed GROUP BY seed),
+        |med AS (SELECT est AS f2_est FROM (
+        |        SELECT s*s AS est, seed,
+        |          ROW_NUMBER() OVER (ORDER BY s*s ASC, seed ASC) AS rn
+        |        FROM ests) WHERE rn = 5),
+        |ex AS (SELECT SUM(c*c)::BIGINT AS f2_exact, COUNT(*) AS n_keys
+        |       FROM counts)
+        |SELECT n_keys, f2_exact, f2_est,
+        |  round(CAST(abs(f2_est - f2_exact) AS DOUBLE)
+        |        / CAST(f2_exact AS DOUBLE), 6) AS rel_err
+        |FROM ex CROSS JOIN med""".stripMargin,
+
+    // TPC-H Q6-class pushdown scan — one decimal sum behind four
+    // pushed range predicates
+    "x_forecast_revenue" ->
+      """SELECT
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |       CAST(l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     // DMI/ADX — frame-sum directional movement; DX micro-unit rounded
     // and integer-summed into the ADX mean

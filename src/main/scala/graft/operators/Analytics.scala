@@ -2905,4 +2905,63 @@ object Analytics {
           .as("exposed_share"))
       .orderBy("n_name")
   }
+
+  /** AMS sign-sketch audit of the second frequency moment (Alon,
+    * Matias & Szegedy 1996): nine independent {-1,+1} hash estimators
+    * of F2 = sum(c_u^2) over the user-id frequency vector, the median
+    * reported against the exact value with its relative error — the
+    * self-join-size sketch graded with the same measure-don't-claim
+    * discipline as [[bloomAudit]]/[[hllErrorAudit]]. Signs come from
+    * the parity of the same multiply-mod family the Bloom audit uses;
+    * every estimator is an exact BIGINT sum, the median picks row 5
+    * of a NINE-row window (bounded — documented single-partition
+    * sort of 9 rows).
+    *
+    * Scale shape: one (user_id) count aggregate, a 9x fan-out of the
+    * BOUNDED count table, 9-row rollup. Overflow bound: |S| <= total
+    * event count, S^2 < 2^63 through ~3e9 events per run.
+    */
+  def amsF2(spark: SparkSession, dir: String): DataFrame = {
+    val P = 1000000007L
+    val seeds = Seq((31L, 7L), (131L, 911L), (8191L, 131071L), (37L, 101L),
+      (61L, 509L), (127L, 8191L), (211L, 1009L), (331L, 77L), (523L, 13L))
+    val counts = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val signed = counts.select(col("c"), explode(array(
+        seeds.zipWithIndex.map { case ((a, b), i) =>
+          struct(lit(i.toLong).as("seed"),
+            ((col("user_id") * a + b) % P % 2 * 2 - 1).as("sgn")) }: _*)).as("e"))
+      .select(col("e.seed").as("seed"), (col("e.sgn") * col("c")).as("sc"))
+    val med = signed.groupBy("seed").agg(sum(col("sc")).as("s"))
+      .select(col("seed"), (col("s") * col("s")).as("est"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("est").asc, col("seed").asc)))
+      .filter(col("rn") === 5)
+      .select(col("est").as("f2_est"))
+    counts.agg(sum(col("c") * col("c")).as("f2_exact"),
+        count(lit(1)).as("n_keys"))
+      .crossJoin(broadcast(med))
+      .select(col("n_keys"), col("f2_exact"), col("f2_est"),
+        round(abs(col("f2_est") - col("f2_exact")).cast("double") /
+              col("f2_exact").cast("double"), 6).as("rel_err"))
+  }
+
+  /** TPC-H Q6-class forecast-revenue filter scan: the pure
+    * predicate-pushdown query — every filter reaches the parquet
+    * scan, the aggregate is one decimal sum. The query that proves
+    * the scan layer prunes (3 of 11 columns read) and pushes (4
+    * range predicates) — at 100 TB this is the difference between
+    * reading 3 TB and reading 100.
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+              col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")) &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast("decimal(18,6)") *
+               col("l_discount").cast("decimal(18,6)"))
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
 }

@@ -1682,4 +1682,60 @@ object Similarity {
                (col("n_vectors").cast("double") - lit(1.0))), 6)
           .as("avg_pair_cos"))
   }
+
+  /** Micro-unit NDCG position weights, 1e6/log2(pos+1) for pos 1..k —
+    * computed ONCE here and embedded as literals in BOTH engines (the
+    * published DCG discount, frozen to integers so no engine ever
+    * evaluates a transcendental in the hot comparison). */
+  private[graft] def ndcgWeightsU(k: Int): Seq[Long] =
+    (1 to k).map(p => math.rint(1e6 / (math.log(p + 1.0) / math.log(2.0))).toLong)
+
+  /** Ranking-quality audit of the IVF shortlist beyond recall:
+    * NDCG@k and reciprocal rank per query against brute-force truth.
+    * Recall counts set overlap; NDCG grades the ORDER the serving
+    * tier actually returns — graded relevance = k+1-brute_rank, DCG
+    * discount = the frozen [[ndcgWeightsU]] integer weights, so
+    * DCG/IDCG is a ratio of exact BIGINT sums. The reciprocal rank of
+    * brute #1 in the approximate ranking is one divide of exact
+    * integers. Missing neighbors contribute 0 on both engines.
+    *
+    * Same plan shape as [[knnIvfRecall]]: one checkpointed corpus
+    * feeds both paths, candidate generation is a cell equi-join, the
+    * eval joins run on (nQueries x k)-bounded shortlists.
+    */
+  def knnIvfNdcg(spark: SparkSession, dir: String,
+                 k: Int = 5, nQueries: Int = 10): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val c = corpus(spark, dir)
+    val brute = knnBruteFrom(c, k, nQueries).localCheckpoint()
+    val approx = knnIvfFrom(c, k, nQueries, nCells = 16, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rk").as("pos"))
+      .localCheckpoint()
+    val w = ndcgWeightsU(k)
+    val wCol = w.zipWithIndex.foldLeft(lit(0L)) { case (acc, (wu, i)) =>
+      when(col("pos") === (i + 1), lit(wu)).otherwise(acc) }
+    val idcgU = w.zipWithIndex.map { case (wu, i) => (k - i).toLong * wu }.sum
+    val rel = brute.select(col("query_id"), col("neighbor_id"),
+      (lit((k + 1).toLong) - col("rk")).as("rel"))
+    val dcg = approx
+      .join(rel, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("term_u", coalesce(col("rel"), lit(0L)) * wCol)
+      .groupBy("query_id").agg(sum(col("term_u")).as("dcg_u"))
+    val rr = brute.filter(col("rk") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(approx, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"),
+        when(col("pos").isNotNull,
+          round(lit(1e6) / col("pos").cast("double")).cast("bigint"))
+          .otherwise(lit(0L)).as("rr_u"))
+    brute.select("query_id").distinct()
+      .join(dcg, Seq("query_id"), "left")
+      .join(rr, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("dcg_u"), lit(0L)).cast("double") /
+              lit(idcgU.toDouble), 6).as("ndcg"),
+        round(coalesce(col("rr_u"), lit(0L)).cast("double") / 1e6, 6)
+          .as("reciprocal_rank"))
+      .orderBy("query_id")
+  }
 }

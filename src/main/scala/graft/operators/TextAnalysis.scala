@@ -1479,4 +1479,44 @@ object TextAnalysis {
           .as("avg_syllables"))
       .orderBy("lang")
   }
+
+  /** Gopher-style quality rule census per source (Rae et al. 2021,
+    * "Scaling Language Models" — the published pretraining filter
+    * suite, adapted to this corpus's punctuation-free synthetic
+    * prose): word count in [50, 100000], mean word length in [3, 10]
+    * (tested as the INTEGER inequality 3w <= chars <= 10w — no
+    * division, engine-exact), at least 2 stopwords ([[Stopwords]]),
+    * and no token longer than 15 chars. Reports per-source pass
+    * counts per rule and the all-rules pass rate — the filter-design
+    * view that tells a curator WHICH rule is binding before anything
+    * is dropped ([[qualityFilter]] then enforces a score).
+    *
+    * Scale shape: one narrow map per document (token ops fused into
+    * the scan projection), one source-bounded rollup. No shuffle of
+    * text bodies.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks
+    val nWords = size(t).cast("bigint")
+    val nCharsNoSp = length(regexp_replace(col("text"), " ", "")).cast("bigint")
+    val nStop = size(filter(t, x => x.isInCollection(Stopwords))).cast("bigint")
+    val maxLen = array_max(transform(t, x => length(x))).cast("bigint")
+    val r1 = nWords >= 50 && nWords <= 100000
+    val r2 = lit(3L) * nWords <= nCharsNoSp && nCharsNoSp <= lit(10L) * nWords
+    val r3 = nStop >= 2
+    val r4 = maxLen <= 15
+    Tables.documents(spark, dir)
+      .select(col("source"), r1.as("r1"), r2.as("r2"), r3.as("r3"), r4.as("r4"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("r1"), 1L).otherwise(0L)).as("n_wordcount_ok"),
+           sum(when(col("r2"), 1L).otherwise(0L)).as("n_meanlen_ok"),
+           sum(when(col("r3"), 1L).otherwise(0L)).as("n_stopword_ok"),
+           sum(when(col("r4"), 1L).otherwise(0L)).as("n_maxlen_ok"),
+           sum(when(col("r1") && col("r2") && col("r3") && col("r4"), 1L)
+             .otherwise(0L)).as("n_pass"))
+      .withColumn("pass_rate",
+        round(col("n_pass").cast("double") / col("n_docs").cast("double"), 6))
+      .orderBy("source")
+  }
 }

@@ -181,4 +181,26 @@ class QualitySignalsSpec extends SparkSuite {
     assert(chat.getAs[Long]("n_sentences") === 1L)
     assert(chat.getAs[Long]("n_syllables") === 2L)
   }
+
+  test("gopher rules: each rule flips on the crafted violating document") {
+    import spark.implicits._
+    // good: 50 words, stopwords >= 2, mean word length in [3,10], max <= 15
+    val goodDoc = (("the fox and dog ran fast " * 9).trim + " to den gone now")
+    val shortDoc = "the a"                                   // violates word count
+    val longWordDoc = ("the a " + Seq.fill(60)("supercalifragilistic").mkString(" "))
+    val noStopDoc = Seq.fill(60)("fox").mkString(" ")        // no stopwords
+    val thinDoc = ("the a " + Seq.fill(60)("xy").mkString(" ")) // mean len < 3
+    val df = Seq(goodDoc, shortDoc, longWordDoc, noStopDoc, thinDoc).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", s"src$i", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("gopher").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextAnalysis.gopherRules(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("src0").getAs[Long]("n_pass") == 1L, out("src0").toString)
+    assert(out("src1").getAs[Long]("n_wordcount_ok") == 0L)
+    assert(out("src2").getAs[Long]("n_maxlen_ok") == 0L)
+    assert(out("src3").getAs[Long]("n_stopword_ok") == 0L)
+    assert(out("src4").getAs[Long]("n_meanlen_ok") == 0L)
+  }
 }

@@ -93,6 +93,41 @@ class StatsSpec extends SparkSuite {
       s"global single-reducer window leaked into spearman:\n$plan")
   }
 
+  test("ndcg/mrr: both within [0,1]; mrr positive only when brute #1 retrieved") {
+    val out = graft.operators.Similarity.knnIvfNdcg(spark, sfDir).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val n = r.getAs[Double]("ndcg"); val rr = r.getAs[Double]("reciprocal_rank")
+      assert(n >= 0 && n <= 1 + 1e-9, r.toString)
+      assert(rr >= 0 && rr <= 1 + 1e-9, r.toString)
+      // rr is 1/pos for pos in 1..5 or 0
+      val valid = (1 to 5).map(p => math.rint(1e6 / p) / 1e6) :+ 0.0
+      assert(valid.exists(v => math.abs(v - rr) < 1e-9), r.toString)
+    }
+  }
+
+  test("ams f2: nine-estimator median lands within 5x of exact on the test corpus") {
+    val r = graft.operators.Analytics.amsF2(spark, sfDir).head()
+    assert(r.getAs[Long]("f2_exact") > 0)
+    assert(r.getAs[Long]("f2_est") >= 0)
+    // AMS guarantees E[est] = F2 with bounded variance; a 9-way median
+    // on 15 keys is loose, so pin only a sanity envelope
+    assert(r.getAs[Double]("rel_err") < 5.0, r.toString)
+  }
+
+  test("forecast revenue (Q6): matches a manual recount of the filter") {
+    val spark2 = spark
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark2, sfDir)
+    val n = li.filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24).count()
+    val r = graft.operators.Analytics.forecastRevenue(spark2, sfDir).head()
+    assert(r.getAs[Long]("n_items") == n)
+    assert(r.getAs[Double]("revenue") > 0 || n == 0)
+  }
+
   test("plan: welch pair join broadcasts the 5-row aggregate") {
     val plan = Stats.welchT(spark, sfDir)
       .queryExecution.executedPlan.toString()
