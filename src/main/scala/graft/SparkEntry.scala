@@ -166,7 +166,7 @@ object SparkEntry {
     "x_pain_index"         -> ((s, dir) => Finance.painIndex(s, dir)),
     "x_coppock"            -> ((s, dir) => Finance.coppock(s, dir)),
     "x_treynor"            -> ((s, dir) => Finance.treynor(s, dir)),
-    "x_adamic_adar"        -> ((s, dir) => Graphs.adamicAdar(s, dir)),
+    "x_ra_link"            -> ((s, dir) => Graphs.resourceAllocation(s, dir)),
     "x_ndcg"               -> ((s, dir) => Similarity.knnIvfNdcg(s, dir)),
     "x_gopher_rules"       -> ((s, dir) => TextAnalysis.gopherRules(s, dir)),
     "x_ams_f2"             -> ((s, dir) => Analytics.amsF2(s, dir)),
@@ -3871,11 +3871,11 @@ object SparkEntry {
         |    AS n_violations
         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    // Adamic-Adar — micro-unit 1/ln(deg) center weights, exact
-    // integer pair sums, degree-capped wedges, edge anti-join
-    "x_adamic_adar" ->
+    // resource-allocation index — micro-unit 1/deg center weights,
+    // exact integer pair sums, degree-capped wedges, edge anti-join
+    "x_ra_link" ->
       (graphCoCte + """,
-        |wz AS (SELECT u AS z, CAST(round(1e6/ln(CAST(d AS DOUBLE))) AS BIGINT)
+        |wz AS (SELECT u AS z, CAST(round(1e6/CAST(d AS DOUBLE)) AS BIGINT)
         |         AS w_u
         |       FROM degu WHERE d >= 2 AND d <= 200),
         |c AS (SELECT wz.z, adj.v AS x, wz.w_u
@@ -3890,7 +3890,7 @@ object SparkEntry {
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY aa_u DESC, a, b) AS BIGINT)
         |    AS rk,
         |  a AS node_a, b AS node_b, n_common,
-        |  round(CAST(aa_u AS DOUBLE)/1e6, 6) AS adamic_adar
+        |  round(CAST(aa_u AS DOUBLE)/1e6, 6) AS ra_score
         |FROM top ORDER BY rk""".stripMargin),
 
     // NDCG@5 + reciprocal rank of the IVF shortlist vs brute truth —

@@ -645,29 +645,31 @@ object Graphs {
       .orderBy(col("n_nodes").desc, col("community").asc)
   }
 
-  /** Adamic-Adar link prediction over the co-purchase graph — the
-    * degree-discounted cousin of [[jaccardLink]]: candidate pairs
-    * score `sum_z 1/ln(deg(z))` over common neighbors z, so a hub
-    * that everyone shares contributes almost nothing while a rare
-    * mutual part is strong evidence (Adamic & Adar 2003). Each
-    * center's weight is micro-unit rounded ONCE from its degree
-    * (1e6/ln d as BIGINT — engine-exact, ln agreement verified to
-    * micro precision across the [2, degCap] range), so the per-pair
-    * score is an exact integer sum regardless of join order.
+  /** Resource-allocation link prediction (Zhou, Lü & Zhang 2009)
+    * over the co-purchase graph — the third predictor beside
+    * [[jaccardLink]] (set overlap) and [[linkPrediction]]
+    * (Adamic-Adar 1/ln deg): RA scores `sum_z 1/deg(z)` over common
+    * neighbors, the HARSHEST hub discount of the family (a resource
+    * unit split evenly among a hub's neighbors), which the link-
+    * prediction literature measures as the strongest common-neighbor
+    * predictor on dense co-occurrence graphs. Each center's weight is
+    * micro-unit rounded ONCE from its degree (1e6/d as BIGINT — one
+    * exact divide, no transcendental), so the per-pair score is an
+    * exact integer sum regardless of join order.
     *
     * Same scale shape as jaccardLink: wedge pairs only through
     * degree-capped centers (<= degCap^2 per center, never
     * corpus-quadratic), existing edges anti-joined out, TakeOrdered
     * cut, degree table bounded.
     */
-  def adamicAdar(spark: SparkSession, dir: String, minSupport: Int = 2,
-                 degCap: Int = 200, topK: Int = 50): DataFrame = {
+  def resourceAllocation(spark: SparkSession, dir: String, minSupport: Int = 2,
+                         degCap: Int = 200, topK: Int = 50): DataFrame = {
     val e = coEdges(spark, dir, minSupport).localCheckpoint()
     val adj = e.select(col("pa").as("z"), col("pb").as("x"))
       .unionAll(e.select(col("pb").as("z"), col("pa").as("x")))
     val deg = adj.groupBy("z").agg(count(lit(1)).as("d"))
     val wz = deg.filter(col("d") >= 2 && col("d") <= degCap)
-      .withColumn("w_u", round(lit(1e6) / log(col("d").cast("double")))
+      .withColumn("w_u", round(lit(1e6) / col("d").cast("double"))
         .cast("bigint"))
     val centers = adj.join(wz.select("z", "w_u"), "z")
     val pairs = centers.as("l").join(centers.as("r"),
@@ -682,7 +684,7 @@ object Graphs {
         Window.orderBy(col("aa_u").desc, col("a"), col("b"))).cast("bigint"))
       .select(col("rk"), col("a").as("node_a"), col("b").as("node_b"),
         col("n_common"), round(col("aa_u").cast("double") / 1e6, 6)
-          .as("adamic_adar"))
+          .as("ra_score"))
       .orderBy("rk")
   }
 }

@@ -168,19 +168,19 @@ class GraphsSpec extends SparkSuite {
     assert(!ePlan.contains("CartesianProduct") && !ePlan.contains("BroadcastNestedLoop"), ePlan)
   }
 
-  test("adamic-adar: positive degree-discounted scores on non-edges, sorted") {
-    val rows = Graphs.adamicAdar(spark, sfDir).collect()
+  test("resource allocation: positive hub-discounted scores on non-edges, sorted") {
+    val rows = Graphs.resourceAllocation(spark, sfDir).collect()
     assert(rows.nonEmpty)
-    val scores = rows.map(_.getAs[Double]("adamic_adar"))
+    val scores = rows.map(_.getAs[Double]("ra_score"))
     assert(scores.forall(_ > 0))
     assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
-    // each common neighbor contributes at least 1/ln(degCap=200) and
-    // at most 1/ln(2) -- the published weight envelope
+    // each common neighbor contributes between 1/degCap and 1/2 --
+    // the RA weight envelope (deg in [2, 200])
     rows.foreach { r =>
       val nc = r.getAs[Long]("n_common").toDouble
-      val aa = r.getAs[Double]("adamic_adar")
-      assert(aa >= nc / math.log(200.0) - 1e-6, r.toString)
-      assert(aa <= nc / math.log(2.0) + 1e-6, r.toString)
+      val ra = r.getAs[Double]("ra_score")
+      assert(ra >= nc / 200.0 - 1e-6, r.toString)
+      assert(ra <= nc / 2.0 + 1e-6, r.toString)
     }
   }
 }

@@ -252,7 +252,17 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_kyle_lambda"       -> 2,
     // the 12 per-lag power sums (qx/qy/xy x 4 lags) feed only the
     // CAST-wrapped Pearson expansions and their >0 gates
-    "x_acf_profile"       -> 12
+    "x_acf_profile"       -> 12,
+    // the sp/sm/st directional frame sums and the adx_u window sum
+    // exit only via CAST ratios, the micro-unit CAST round, and the
+    // st > 0 / rn gates
+    "x_adx"               -> 4,
+    // the displaced frame sum feeds only the CAST-wrapped integer
+    // detrend expression
+    "x_dpo"               -> 1,
+    // the two cumulative band window sums feed only the CAST ratio
+    // inside the micro-unit round
+    "x_tcloseness"        -> 2
   )
 
   /** Count SUM( occurrences whose result is not immediately cast. */
