@@ -171,6 +171,10 @@ object SparkEntry {
     "x_gopher_rules"       -> ((s, dir) => TextAnalysis.gopherRules(s, dir)),
     "x_ams_f2"             -> ((s, dir) => Analytics.amsF2(s, dir)),
     "x_forecast_revenue"   -> ((s, dir) => Analytics.forecastRevenue(s, dir)),
+    "x_kruskal_wallis"     -> ((s, dir) => Stats.kruskalWallis(s, dir)),
+    "x_jarque_bera"        -> ((s, dir) => Finance.jarqueBera(s, dir)),
+    "x_page_hinkley"       -> ((s, dir) => Finance.pageHinkley(s, dir)),
+    "x_media_dhash"        -> ((s, dir) => Multimodal.dhashNearDup(s, dir)),
     "x_ols_pricing"        -> ((s, dir) => Analytics.olsPricing(s, dir)),
     "x_communities"        -> ((s, dir) => Graphs.communities(s, dir)),
     "x_jaccard_link"       -> ((s, dir) => Graphs.jaccardLink(s, dir)),
@@ -3871,6 +3875,151 @@ object SparkEntry {
         |    AS n_violations
         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // Kruskal-Wallis H — domain-bounded distinct-value rank table,
+    // literal-pivoted per-type rank sums, tie-corrected denominator
+    "x_kruskal_wallis" ->
+      ("""WITH ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS m
+        |      FROM events),
+        |bv AS (SELECT m, COUNT(*) AS c FROM ev GROUP BY m),
+        |rk AS (SELECT m, c,
+        |        (SUM(c) OVER (ORDER BY m ASC ROWS UNBOUNDED PRECEDING))::BIGINT
+        |          AS cum
+        |      FROM bv),
+        |dr AS (SELECT m, 2*(cum - c) + c + 1 AS dr FROM rk),
+        |pt AS (SELECT event_type, m, COUNT(*) AS cj FROM ev GROUP BY 1, 2),
+        |j AS (SELECT pt.event_type, pt.cj, dr.dr FROM pt JOIN dr USING (m)),
+        |pv AS (SELECT SUM(cj)::BIGINT AS n_total,
+        |""".stripMargin +
+        Seq("click", "error", "purchase", "signup", "view").map { t =>
+          s"        SUM(CASE WHEN event_type = '$t' THEN cj ELSE 0 END)::BIGINT AS n_$t,\n" +
+          s"        CAST(SUM(CASE WHEN event_type = '$t' THEN cj*dr ELSE 0 END) AS DECIMAL(19,0)) AS r2_$t"
+        }.mkString(",\n") + """
+        |      FROM j),
+        |tt AS (SELECT CAST(SUM(CAST(CAST(c*c AS DECIMAL(19,0)) *
+        |          CAST(c AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |          AS c3,
+        |        CAST(SUM(c) AS DECIMAL(19,0)) AS csum FROM bv),
+        |w AS (SELECT *, CAST(n_total AS DOUBLE) AS nd,
+        |        CAST(CAST(c3 AS VARCHAR) AS DOUBLE) -
+        |          CAST(CAST(csum AS VARCHAR) AS DOUBLE) AS tiet
+        |      FROM pv CROSS JOIN tt)
+        |SELECT n_total,
+        |  CAST(""".stripMargin +
+        Seq("click", "error", "purchase", "signup", "view").map(t =>
+          s"(CASE WHEN n_$t > 0 THEN 1 ELSE 0 END)").mkString(" + ") +
+        """ - 1 AS BIGINT) AS df,
+        |  round((12.0/(nd*(nd+1)) * (""".stripMargin +
+        Seq("click", "error", "purchase", "signup", "view").map(t =>
+          s"CASE WHEN n_$t > 0 THEN CAST(CAST(r2_$t AS VARCHAR) AS DOUBLE)*" +
+          s"CAST(CAST(r2_$t AS VARCHAR) AS DOUBLE)/(4.0*CAST(n_$t AS DOUBLE)) " +
+          s"ELSE 0.0 END").mkString(" + ") + """)
+        |    - 3.0*(nd+1)) / (1.0 - tiet/(nd*nd*nd - nd)), 6) AS h_stat
+        |FROM w WHERE n_total >= 2 AND tiet < nd*nd*nd - nd""".stripMargin),
+
+    // Jarque-Bera on daily micro-returns — moments power sums with
+    // DECIMAL promotion, one fixed expression for S, K, JB
+    "x_jarque_bera" ->
+      (finQuoteCte + """,
+        |dm AS (SELECT symbol, day,
+        |         CAST(CAST(SUM(CAST(price AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |           / COUNT(*) AS mean_price
+        |       FROM q GROUP BY 1, 2),
+        |r AS (SELECT symbol, day, mean_price,
+        |        lag(mean_price, 1) OVER (PARTITION BY symbol ORDER BY day) AS prev
+        |      FROM dm),
+        |rr AS (SELECT symbol,
+        |        CAST(round(round(ln(mean_price / prev), 6) * 1e6) AS BIGINT) AS rv
+        |       FROM r WHERE prev IS NOT NULL AND prev > 0 AND mean_price > 0),
+        |p AS (SELECT symbol, rv, rv*rv AS r2,
+        |        CAST(CAST(rv*rv AS DECIMAL(19,0)) * CAST(rv AS DECIMAL(19,0))
+        |          AS DECIMAL(38,0)) AS r3d,
+        |        CAST(CAST(rv*rv AS DECIMAL(19,0)) * CAST(rv*rv AS DECIMAL(19,0))
+        |          AS DECIMAL(38,0)) AS r4d
+        |      FROM rr),
+        |g AS (SELECT symbol, COUNT(*)::BIGINT AS n_days,
+        |        CAST(SUM(rv) AS DECIMAL(19,0)) AS s1,
+        |        CAST(SUM(r2) AS DECIMAL(19,0)) AS s2,
+        |        CAST(SUM(r3d) AS DECIMAL(38,0)) AS s3,
+        |        CAST(SUM(r4d) AS DECIMAL(38,0)) AS s4
+        |      FROM p GROUP BY symbol),
+        |d AS (SELECT symbol, n_days, CAST(n_days AS DOUBLE) AS dn,
+        |        CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS ds1,
+        |        CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS ds2,
+        |        CAST(CAST(s3 AS VARCHAR) AS DOUBLE) AS ds3,
+        |        CAST(CAST(s4 AS VARCHAR) AS DOUBLE) AS ds4
+        |      FROM g),
+        |mm AS (SELECT symbol, n_days, dn, ds2, ds3, ds4, ds1 / dn AS mean FROM d),
+        |mom AS (SELECT symbol, n_days, dn,
+        |          ds2 / dn - mean * mean AS m2,
+        |          ds3 / dn - 3.0 * mean * (ds2 / dn) + 2.0 * mean * mean * mean AS m3,
+        |          ds4 / dn - 4.0 * mean * (ds3 / dn) + 6.0 * mean * mean * (ds2 / dn)
+        |            - 3.0 * mean * mean * mean * mean AS m4
+        |        FROM mm),
+        |sk AS (SELECT symbol, n_days, dn, m2,
+        |         m3 / (m2 * sqrt(m2)) AS skew, m4 / (m2 * m2) - 3 AS exk
+        |       FROM mom)
+        |SELECT symbol, n_days,
+        |  round(skew, 6) AS skewness, round(exk, 6) AS excess_kurtosis,
+        |  round(dn / 6 * (skew * skew + exk * exk / 4), 6) AS jb_stat
+        |FROM sk WHERE n_days >= 10 AND m2 > 0 ORDER BY symbol""".stripMargin),
+
+    // Page-Hinkley drift — integer cusum dev minus its running min,
+    // max gap per symbol, one normalizing divide
+    "x_page_hinkley" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cw AS (SELECT symbol, id,
+        |         CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+        |         (SUM(m) OVER (PARTITION BY symbol ORDER BY ts_epoch, id
+        |                       ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
+        |         (COUNT(*) OVER (PARTITION BY symbol))::BIGINT AS n,
+        |         (SUM(m) OVER (PARTITION BY symbol))::BIGINT AS total
+        |       FROM e WINDOW w AS (PARTITION BY symbol ORDER BY ts_epoch, id)),
+        |d AS (SELECT symbol, t, n, n * cum - t * total AS dev FROM cw),
+        |rm AS (SELECT symbol, n, dev,
+        |         MIN(dev) OVER (PARTITION BY symbol ORDER BY t
+        |                        ROWS UNBOUNDED PRECEDING) AS runmin
+        |       FROM d),
+        |g AS (SELECT symbol, MAX(n)::BIGINT AS n_ticks,
+        |        MAX(dev - runmin)::BIGINT AS ph_raw
+        |      FROM rm GROUP BY symbol)
+        |SELECT symbol, n_ticks,
+        |  round(CAST(ph_raw AS DOUBLE) /
+        |        (CAST(n_ticks AS DOUBLE) * CAST(n_ticks AS DOUBLE)) / 100, 6)
+        |    AS ph_stat
+        |FROM g WHERE n_ticks >= 3 ORDER BY symbol""".stripMargin),
+
+    // dHash near-dup census — adjacent-pixel gradient bits predicted
+    // from the BMP text payload, pigeonhole bands, exact hamming
+    "x_media_dhash" ->
+      """WITH px AS (SELECT doc_id, rpad(text, 48, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, 16),
+        |    p -> {'p': p, 'gray': ascii(substr(t, 3*p+1, 1)) + ascii(substr(t, 3*p+2, 1))
+        |                          + ascii(substr(t, 3*p+3, 1))})) AS pg
+        |  FROM px),
+        |g2 AS (SELECT doc_id, pg.p AS p, pg.gray AS gray FROM g),
+        |h AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN nxt > gray THEN (1::BIGINT)<<p ELSE 0 END)::BIGINT AS dhash
+        |  FROM (SELECT doc_id, p, gray,
+        |          lead(gray) OVER (PARTITION BY doc_id ORDER BY p) AS nxt FROM g2)
+        |  WHERE p < 15
+        |  GROUP BY doc_id),
+        |b AS (SELECT doc_id, dhash, 0 AS band, dhash % 256 AS key FROM h
+        |      UNION ALL SELECT doc_id, dhash, 1, dhash // 256 FROM h),
+        |pr AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b2,
+        |    bit_count(xor(x.dhash, y.dhash))::BIGINT AS hamming
+        |  FROM b x JOIN b y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+        |f AS (SELECT * FROM pr WHERE hamming <= 1),
+        |np AS (SELECT hamming, COUNT(*) AS n_pairs FROM f GROUP BY hamming),
+        |nd AS (SELECT hamming, COUNT(DISTINCT d) AS n_docs FROM (
+        |        SELECT hamming, a AS d FROM f
+        |        UNION ALL SELECT hamming, b2 FROM f) GROUP BY hamming)
+        |SELECT hamming, n_pairs, n_docs FROM np JOIN nd USING (hamming)
+        |ORDER BY hamming""".stripMargin,
+
     // resource-allocation index — micro-unit 1/deg center weights,
     // exact integer pair sums, degree-capped wedges, edge anti-join
     "x_ra_link" ->
@@ -4158,8 +4307,9 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
         |      FROM cb),
         |u AS (SELECT symbol,
-        |        CAST(round(CAST(peak-cl AS DOUBLE)/CAST(peak AS DOUBLE)*1e6)
-        |          AS BIGINT) AS dd_u
+        |        CASE WHEN peak > 0 THEN
+        |          CAST(round(CAST(peak-cl AS DOUBLE)/CAST(peak AS DOUBLE)*1e6)
+        |            AS BIGINT) ELSE 0 END AS dd_u
         |      FROM t),
         |g AS (SELECT symbol, COUNT(*) AS n_days, SUM(dd_u)::BIGINT AS pain_u,
         |        MAX(dd_u) AS max_u
@@ -4182,10 +4332,14 @@ object SparkEntry {
         |                        ORDER BY ts_epoch DESC, id DESC) AS rn_d FROM e)
         |       GROUP BY symbol, day),
         |r AS (SELECT symbol, day,
-        |        CAST(round(CAST(cl - lag(cl, 14) OVER w AS DOUBLE)
-        |          / CAST(lag(cl, 14) OVER w AS DOUBLE)*1e8) AS BIGINT)
-        |        + CAST(round(CAST(cl - lag(cl, 11) OVER w AS DOUBLE)
-        |          / CAST(lag(cl, 11) OVER w AS DOUBLE)*1e8) AS BIGINT) AS s_u,
+        |        (CASE WHEN lag(cl, 14) OVER w > 0 THEN
+        |          CAST(round(CAST(cl - lag(cl, 14) OVER w AS DOUBLE)
+        |            / CAST(lag(cl, 14) OVER w AS DOUBLE)*1e8) AS BIGINT)
+        |         ELSE NULL END)
+        |        + (CASE WHEN lag(cl, 11) OVER w > 0 THEN
+        |          CAST(round(CAST(cl - lag(cl, 11) OVER w AS DOUBLE)
+        |            / CAST(lag(cl, 11) OVER w AS DOUBLE)*1e8) AS BIGINT)
+        |         ELSE NULL END) AS s_u,
         |        ROW_NUMBER() OVER w AS rn
         |      FROM cb WINDOW w AS (PARTITION BY symbol ORDER BY day)),
         |l AS (SELECT symbol, day, rn,

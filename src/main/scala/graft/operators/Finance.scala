@@ -1695,8 +1695,11 @@ object Finance {
     val run = byDay.rowsBetween(Window.unboundedPreceding, 0)
     centBars(spark, dir)
       .withColumn("peak", max(col("cl")).over(run))
-      .withColumn("dd_u", round((col("peak") - col("cl")).cast("double") /
-        col("peak").cast("double") * 1e6).cast("bigint"))
+      // an all-zero-price prefix gives peak = 0: define its drawdown 0
+      // (guard keeps ANSI division alive on both engines)
+      .withColumn("dd_u", when(col("peak") > 0,
+        round((col("peak") - col("cl")).cast("double") /
+          col("peak").cast("double") * 1e6).cast("bigint")).otherwise(lit(0L)))
       .groupBy("symbol")
       .agg(count(lit(1)).as("n_days"),
            sum(col("dd_u")).as("pain_u"),
@@ -1722,8 +1725,12 @@ object Finance {
     val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
     val rocU = (k: Int) => {
       val prev = lag(col("cl"), k).over(byDay)
-      round((col("cl") - prev).cast("double") / prev.cast("double") * 1e8)
-        .cast("bigint")
+      // prev = 0 is a real corpus state (sub-cent prices round to 0);
+      // the guard keeps ANSI mode from faulting and drops the row's
+      // ROC to NULL on both engines
+      when(prev > 0,
+        round((col("cl") - prev).cast("double") / prev.cast("double") * 1e8)
+          .cast("bigint")).otherwise(lit(null).cast("bigint"))
     }
     val base = centBars(spark, dir)
       .withColumn("s_u", rocU(roc1) + rocU(roc2))
@@ -1782,6 +1789,94 @@ object Finance {
               (col("n_days").cast("double") * 1e6) *
               (col("bden").cast("double") / col("bnum").cast("double")), 6)
           .as("treynor"))
+      .orderBy("symbol")
+  }
+
+  /** Jarque-Bera normality test per symbol on daily micro-unit
+    * log-returns: JB = n/6 * (S^2 + K^2/4) from skewness S and excess
+    * kurtosis K — the screen that says whether a Gaussian risk model
+    * ([[logReturnVolatility]], VaR) is even admissible for this
+    * symbol. Micro-returns ride the [[treynor]] derivation (round-6
+    * log returns x 1e6 as BIGINT); power sums promote through
+    * DECIMAL(19/38) exactly like [[moments]] (r^4 of a +/-1e6-micro
+    * return needs 25 digits); each moment and the final statistic is
+    * ONE fixed double expression. m2^1.5 spelled m2*sqrt(m2).
+    */
+  def jarqueBera(spark: SparkSession, dir: String, minDays: Int = 10): DataFrame = {
+    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
+    val byDay = Window.partitionBy("symbol").orderBy("day")
+    val daily = quotes(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("symbol", "day")
+      .agg((sum(col("price").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("mean_price"))
+      .withColumn("prev", lag(col("mean_price"), 1).over(byDay))
+      .filter(col("prev").isNotNull && col("prev") > 0 && col("mean_price") > 0)
+      .withColumn("r", round(round(log(col("mean_price") / col("prev")), 6) * 1e6)
+        .cast("bigint"))
+    val q = daily
+      .withColumn("r2", col("r") * col("r"))
+      .withColumn("r3d", (col("r2").cast(d19) * col("r").cast(d19)).cast(d38))
+      .withColumn("r4d", (col("r2").cast(d19) * col("r2").cast(d19)).cast(d38))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"),
+           sum(col("r")).cast(d19).as("s1"),
+           sum(col("r2")).cast(d19).as("s2"),
+           sum(col("r3d")).cast(d38).as("s3"),
+           sum(col("r4d")).cast(d38).as("s4"))
+    val n  = col("n_days").cast("double")
+    val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
+    val s3 = col("s3").cast("double"); val s4 = col("s4").cast("double")
+    val mean = s1 / n
+    val m2 = s2 / n - mean * mean
+    val m3 = s3 / n - lit(3.0) * mean * (s2 / n) + lit(2.0) * mean * mean * mean
+    val m4 = s4 / n - lit(4.0) * mean * (s3 / n) +
+             lit(6.0) * mean * mean * (s2 / n) -
+             lit(3.0) * mean * mean * mean * mean
+    val skew = m3 / (m2 * sqrt(m2))
+    val exk  = m4 / (m2 * m2) - 3
+    q.withColumn("v", m2)
+      .filter(col("n_days") >= minDays && col("v") > 0)
+      .select(col("symbol"), col("n_days"),
+        round(skew, 6).as("skewness"),
+        round(exk, 6).as("excess_kurtosis"),
+        round(n / 6 * (skew * skew + exk * exk / 4), 6).as("jb_stat"))
+      .orderBy("symbol")
+  }
+
+  /** Page-Hinkley drift statistic per symbol (Page 1954; the
+    * streaming-drift detector of the MOA/river libraries, delta = 0):
+    * PH = max_t (m_t - min_{s<=t} m_s) where m_t is the cumulative
+    * deviation from the series mean. Scaling every term by n keeps it
+    * in INTEGER cents — n*m_t = n*S_t - t*S_n, the [[cusum]] dev —
+    * so the running min, the gap, and the max are exact BIGINT; one
+    * final divide normalizes by n^2 (mirroring cusum_stat's units).
+    * Where [[cusum]] reports the argmax |deviation| (the changepoint
+    * LOCATION), PH reports the largest sustained upward drift (the
+    * alarm MAGNITUDE a monitor thresholds). One (symbol) exchange
+    * serves the cumulative sum, the totals, the running min, and the
+    * final aggregate.
+    */
+  def pageHinkley(spark: SparkSession, dir: String): DataFrame = {
+    val ord  = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val run  = ord.rowsBetween(Window.unboundedPreceding, 0)
+    quotes(spark, dir)
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+      .withColumn("t", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum(col("m")).over(run))
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("total", sum(col("m")).over(full))
+      .withColumn("dev", col("n") * col("cum") - col("t") * col("total"))
+      .withColumn("runmin", min(col("dev")).over(run))
+      .groupBy("symbol")
+      .agg(max(col("n")).as("n_ticks"),
+           max(col("dev") - col("runmin")).as("ph_raw"))
+      .filter(col("n_ticks") >= 3)
+      .select(col("symbol"), col("n_ticks"),
+        round(col("ph_raw").cast("double") /
+              (col("n_ticks").cast("double") * col("n_ticks").cast("double")) / 100, 6)
+          .as("ph_stat"))
       .orderBy("symbol")
   }
 

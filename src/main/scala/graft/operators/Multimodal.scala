@@ -252,6 +252,68 @@ object Multimodal {
       .toDF("doc_id", "ahash")
   }
 
+  /** Per-image 15-bit DIFFERENCE HASH from REAL decoded pixels — the
+    * gradient sibling of [[ahashFrom]] (dHash): bit p is set iff
+    * pixel p+1's luminance exceeds pixel p's — pure integer
+    * comparisons of adjacent gray sums, no mean, no division. dHash
+    * survives global brightness shifts that flip aHash bits (the
+    * published reason production image-dedup runs both). Same
+    * genuine `javax.imageio` decode through the mapPartitions seam.
+    */
+  def dhashFrom(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"payload is not a decodable image (${bytes.length} bytes)")
+          val n = img.getWidth * img.getHeight
+          val grays = Array.tabulate(n) { p =>
+            val rgb = img.getRGB(p % img.getWidth, p / img.getWidth)
+            ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          }
+          val h = (0 until n - 1)
+            .map(p => if (grays(p + 1) > grays(p)) 1L << p else 0L).sum
+          (id, h)
+        }
+      }
+      .toDF("doc_id", "dhash")
+  }
+
+  /** Gradient-hash near-dup audit — [[ahashNearDup]]'s shape over
+    * [[dhashFrom]] fingerprints: 15-bit dHash per really-decoded
+    * image, pigeonhole band join (8+7 bit bands — hamming <= 1 agrees
+    * on >= 1 band), exact `bit_count(xor)` verify, bounded
+    * per-distance audit. Payloads never cross an exchange.
+    */
+  def dhashNearDup(spark: SparkSession, dir: String,
+                   maxHamming: Int = 1): DataFrame = {
+    val hashed = dhashFrom(
+      withBmpPayload(Tables.documents(spark, dir), AhashWidth))
+      .localCheckpoint() // consumers: both self-join sides
+    val banded = hashed.select(col("doc_id"), col("dhash"),
+        explode(array(
+          struct(lit(0L).as("band"), (col("dhash") % 256).as("key")),
+          struct(lit(1L).as("band"), (col("dhash") / 256).cast("bigint").as("key"))))
+          .as("b"))
+      .select(col("doc_id"), col("dhash"), col("b.band").as("band"), col("b.key").as("key"))
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("bit_count(x.dhash ^ y.dhash)").cast("bigint").as("hamming"))
+      .distinct() // a pair agreeing on both bands matches twice
+      .filter(col("hamming") <= maxHamming)
+      .localCheckpoint() // consumers: pair count + doc count
+    val np = pairs.groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+    val nd = pairs.select(col("hamming"), explode(array(col("a"), col("b"))).as("d"))
+      .groupBy("hamming").agg(countDistinct(col("d")).as("n_docs"))
+    np.join(nd, Seq("hamming")).orderBy("hamming")
+  }
+
   /** Perceptual near-dup audit over REAL decoded images — the
     * multimodal twin of the SimHash near-dup: every document carries a
     * [[AhashWidth]]x1 BMP ([[withBmpPayload]]), its 16-bit

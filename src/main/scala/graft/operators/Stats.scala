@@ -217,6 +217,68 @@ object Stats {
           .as("cramers_v"))
   }
 
+  /** Literal event-type universe for the pivoted rank tests — the
+    * bounded-category contract the corpus generator publishes (the
+    * [[Finance.dowAnova]] weekday-pivot move: folding a bounded
+    * category into literal-ordered expression terms is what keeps a
+    * multi-group statistic free of cross-row double summation). */
+  private[graft] val EventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** Kruskal-Wallis H test: do the five event types draw their values
+    * from the same distribution? GLOBAL doubled average ranks are
+    * derived per DISTINCT cent value — the cent domain is bounded
+    * (~49k values at any corpus scale), so the prefix-sum window runs
+    * over a domain-bounded table, never the raw rows (documented
+    * single-partition window over <= |cent domain| rows; the raw-row
+    * global window this replaces is the 100 TB anti-pattern). Ranks
+    * join back BROADCAST; per-type rank sums pivot into ONE row of
+    * literal-ordered terms ([[EventTypes]]), so H — including the
+    * tie-corrected denominator `1 - sum(t^3-t)/(N^3-N)` — is a single
+    * fixed double expression over exact BIGINT/DECIMAL sums.
+    */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("bigint").as("m"))
+    val byVal = ev.groupBy("m").agg(count(lit(1)).as("c")).localCheckpoint()
+    val wOrd = Window.orderBy(col("m").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = byVal
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("dr", lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L))
+    val perType = ev.groupBy("event_type", "m").agg(count(lit(1)).as("cj"))
+    val joined = perType.join(broadcast(ranked.select("m", "dr")), "m")
+    val aggCols = sum(col("cj")).as("n_total") +:
+      EventTypes.flatMap { t =>
+        Seq(sum(when(col("event_type") === t, col("cj")).otherwise(lit(0L)))
+              .as(s"n_$t"),
+            sum(when(col("event_type") === t, col("cj") * col("dr"))
+              .otherwise(lit(0L))).cast(d19).as(s"r2_$t"))
+      }
+    val pivoted = joined.agg(aggCols.head, aggCols.tail: _*)
+    val ties = byVal.agg(
+      sum(((col("c") * col("c")).cast(d19) * col("c").cast(d19)).cast(d38))
+        .cast(d38).as("c3"),
+      sum(col("c")).cast(d19).as("csum"))
+    val nD = col("n_total").cast("double")
+    // sum R_j^2/n_j with doubled ranks: (r2/2)^2/n = r2^2/(4n),
+    // literal-ordered over the bounded type universe
+    val rterm = EventTypes.map { t =>
+      when(col(s"n_$t") > 0,
+        col(s"r2_$t").cast("double") * col(s"r2_$t").cast("double") /
+          (lit(4.0) * col(s"n_$t").cast("double")))
+        .otherwise(lit(0.0)) }.reduce(_ + _)
+    val k = EventTypes.map(t => when(col(s"n_$t") > 0, lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val tieT = col("c3").cast("double") - col("csum").cast("double")
+    val h0 = lit(12.0) / (nD * (nD + 1)) * rterm - lit(3.0) * (nD + 1)
+    pivoted.crossJoin(broadcast(ties))
+      .filter(col("n_total") >= 2 && tieT < nD * nD * nD - nD)
+      .select(col("n_total"), (k - lit(1L)).as("df"),
+        round(h0 / (lit(1.0) - tieT / (nD * nD * nD - nD)), 6).as("h_stat"))
+  }
+
   /** t-closeness audit (Li et al. 2007) of the [[Analytics
     * .kAnonSuppression]] quasi-identifier cells (event_type, hour):
     * for each cell, the Earth Mover's Distance between the cell's

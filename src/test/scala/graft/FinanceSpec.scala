@@ -681,6 +681,25 @@ class FinanceSpec extends SparkSuite {
     rows.foreach(r => assert(r.getAs[Double]("coppock") === 0.0))
   }
 
+  test("jarque-bera: symmetric two-point returns read skew 0, kurtosis -2, JB = n/6") {
+    // alternating 1.0/3.0 daily closes: 30 log returns of +/-ln 3 in
+    // equal counts -> mean 0, m3 = 0, m4/m2^2 = 1 -> JB = 30/6*(0+1)
+    val dir = dailySeries((1 to 31).map(i => if (i % 2 == 0) 3.0 else 1.0))
+    val r = Finance.jarqueBera(spark, dir).head()
+    assert(r.getAs[Long]("n_days") === 30L)
+    assert(r.getAs[Double]("skewness") === 0.0)
+    assert(r.getAs[Double]("excess_kurtosis") === -2.0)
+    assert(r.getAs[Double]("jb_stat") === 5.0)
+  }
+
+  test("page-hinkley: constant price pins 0; any drift reads positive") {
+    val r0 = Finance.pageHinkley(spark, dailySeries(Seq.fill(10)(2.0))).head()
+    assert(r0.getAs[Double]("ph_stat") === 0.0)
+    val r1 = Finance.pageHinkley(spark,
+      dailySeries((1 to 20).map(i => 1.0 + 0.05 * i))).head()
+    assert(r1.getAs[Double]("ph_stat") > 0, r1.toString)
+  }
+
   test("treynor: a lone symbol IS the market -> beta 1, treynor = mean return") {
     val dir = dailySeries((1 to 15).map(i => 1.0 + 0.1 * i))
     val r = Finance.treynor(spark, dir).head()

@@ -93,6 +93,40 @@ class StatsSpec extends SparkSuite {
       s"global single-reducer window leaked into spearman:\n$plan")
   }
 
+  test("kruskal-wallis: textbook two-group hand value, tie-free") {
+    // click={1,2,3}, view={4,5,6} cents: ranks 1..6, R1=6, R2=15
+    // H = 12/(6*7)*(36/3 + 225/3) - 3*7 = 3.857143 (no tie correction)
+    val df = Seq(("click", 0.01), ("click", 0.02), ("click", 0.03),
+      ("view", 0.04), ("view", 0.05), ("view", 0.06)).zipWithIndex
+      .map { case ((t, v), i) => (i.toLong, t, v) }
+      .toDF("event_id", "event_type", "value")
+      .withColumn("user_id", lit(1L))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("event_id")))
+      .withColumn("props", lit("""{"k": 1}"""))
+    val dir = java.nio.file.Files.createTempDirectory("kw").toString
+    df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Stats.kruskalWallis(spark, dir).head()
+    assert(r.getAs[Long]("n_total") == 6L)
+    assert(r.getAs[Long]("df") == 1L)
+    assert(math.abs(r.getAs[Double]("h_stat") - 3.857143) < 1e-6, r.toString)
+  }
+
+  test("kruskal-wallis on the corpus: H nonnegative, df = 4") {
+    val r = Stats.kruskalWallis(spark, sfDir).head()
+    assert(r.getAs[Double]("h_stat") >= 0)
+    assert(r.getAs[Long]("df") == 4L)
+  }
+
+  test("media dhash census: hamming bounded, counts consistent") {
+    val rows = graft.operators.Multimodal.dhashNearDup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hamming") <= 1)
+      assert(r.getAs[Long]("n_docs") <= 2 * r.getAs[Long]("n_pairs"))
+    }
+  }
+
   test("ndcg/mrr: both within [0,1]; mrr positive only when brute #1 retrieved") {
     val out = graft.operators.Similarity.knnIvfNdcg(spark, sfDir).collect()
     assert(out.length == 10)
