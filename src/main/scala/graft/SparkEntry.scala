@@ -175,6 +175,10 @@ object SparkEntry {
     "x_jarque_bera"        -> ((s, dir) => Finance.jarqueBera(s, dir)),
     "x_page_hinkley"       -> ((s, dir) => Finance.pageHinkley(s, dir)),
     "x_media_dhash"        -> ((s, dir) => Multimodal.dhashNearDup(s, dir)),
+    "x_ljung_box"          -> ((s, dir) => Finance.ljungBox(s, dir)),
+    "x_tick_imbalance"     -> ((s, dir) => Finance.tickImbalance(s, dir)),
+    "x_dp_release"         -> ((s, dir) => Analytics.dpRelease(s, dir)),
+    "x_sax_motifs"         -> ((s, dir) => Finance.saxMotifs(s, dir)),
     "x_ols_pricing"        -> ((s, dir) => Analytics.olsPricing(s, dir)),
     "x_communities"        -> ((s, dir) => Graphs.communities(s, dir)),
     "x_jaccard_link"       -> ((s, dir) => Graphs.jaccardLink(s, dir)),
@@ -3874,6 +3878,138 @@ object SparkEntry {
         |  SUM(CASE WHEN CAST(emd_u AS DOUBLE)/9e9 > 0.2 THEN 1 ELSE 0 END)::BIGINT
         |    AS n_violations
         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Ljung-Box Q — five pivoted lag covariances cleared of the
+    // rational mean by n^2, DECIMAL(38,0) products, literal-ordered Q
+    "x_ljung_box" ->
+      (finQuoteCte + s""",
+        |e AS (SELECT symbol, id, ts_epoch,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |l AS (SELECT symbol, m,
+        |${(1 to 5).map(k => s"        lag(m, $k) OVER w AS y$k").mkString(",\n")}
+        |      FROM e WINDOW w AS (PARTITION BY symbol ORDER BY ts_epoch, id)),
+        |g AS (SELECT symbol, COUNT(*)::BIGINT AS n, SUM(m)::BIGINT AS s,
+        |        CAST(SUM(CAST(m*m AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS q2,
+        |${(1 to 5).map(k =>
+           s"        CAST(SUM(CASE WHEN y$k IS NOT NULL THEN CAST(m*y$k AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS xy$k,\n" +
+           s"        SUM(CASE WHEN y$k IS NOT NULL THEN m END)::BIGINT AS sa$k,\n" +
+           s"        SUM(y$k)::BIGINT AS sb$k").mkString(",\n")}
+        |      FROM l GROUP BY symbol),
+        |r AS (SELECT symbol, n, CAST(n AS DOUBLE) AS nd,
+        |        n * (n * q2 - CAST(s AS DECIMAL(38,0)) * s) AS bden,
+        |${(1 to 5).map(k =>
+           s"        CAST(n * (n * xy$k) - n * (CAST(s AS DECIMAL(38,0)) * (sa$k + sb$k))\n" +
+           s"          + (n - $k) * (CAST(s AS DECIMAL(38,0)) * s) AS DOUBLE) AS num$k").mkString(",\n")}
+        |      FROM g
+        |      WHERE n > 5 AND n * q2 - CAST(s AS DECIMAL(38,0)) * s > 0),
+        |r2 AS (SELECT symbol, n, nd,
+        |${(1 to 5).map(k =>
+           s"        num$k / CAST(bden AS DOUBLE) AS rho$k").mkString(",\n")}
+        |       FROM r)
+        |SELECT symbol, n AS n_ticks,
+        |  round(nd * (nd + 2) * (${(1 to 5).map(k =>
+             s"rho$k * rho$k / (nd - $k)").mkString(" + ")}), 6) AS q_lb,
+        |  CAST(5 AS BIGINT) AS df
+        |FROM r2 ORDER BY symbol""".stripMargin),
+
+    // tick-rule order-flow imbalance — integer signed volume sums
+    "x_tick_imbalance" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, day, volume,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |t AS (SELECT symbol, day, volume,
+        |        m - lag(m, 1) OVER (PARTITION BY symbol ORDER BY ts_epoch, id) AS d
+        |      FROM e),
+        |u AS (SELECT symbol, day,
+        |        CASE WHEN d > 0 THEN COALESCE(volume, 0)
+        |             WHEN d < 0 THEN -COALESCE(volume, 0) ELSE 0 END AS sv,
+        |        CASE WHEN d <> 0 THEN COALESCE(volume, 0) ELSE 0 END AS av
+        |      FROM t WHERE d IS NOT NULL),
+        |g AS (SELECT symbol, day, COUNT(*) AS n_moves, SUM(sv)::BIGINT AS net_vol,
+        |        SUM(av)::BIGINT AS classified_vol
+        |      FROM u GROUP BY 1, 2)
+        |SELECT symbol, day, n_moves, net_vol,
+        |  round(CAST(net_vol AS DOUBLE)/CAST(classified_vol AS DOUBLE), 6)
+        |    AS imbalance
+        |FROM g WHERE classified_vol > 0 ORDER BY symbol, day""".stripMargin),
+
+    // DP Laplace release audit — deterministic per-cell hash uniform,
+    // inverse-CDF noise micro-unit rounded before every sum
+    "x_dp_release" ->
+      """WITH cells AS (SELECT event_type,
+        |        epoch_us(date_trunc('day', ts))//1000000 AS day_s, COUNT(*) AS c
+        |      FROM events GROUP BY 1, 2),
+        |k AS (SELECT event_type, c,
+        |        day_s + (CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+        |          WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 WHEN 'view' THEN 4
+        |          ELSE -1 END) AS key
+        |      FROM cells),
+        |n AS (SELECT event_type, c,
+        |        ((key*8191 + 131071) % 1000000007 % 1048576 + 1) AS t
+        |      FROM k),
+        |v AS (SELECT event_type, c, CAST(t AS DOUBLE)/1048577 AS u FROM n),
+        |w AS (SELECT event_type, c,
+        |        CAST(round(-(CASE WHEN u - 0.5 > 0 THEN CAST(1.0 AS DOUBLE)
+        |            WHEN u - 0.5 < 0 THEN CAST(-1.0 AS DOUBLE)
+        |            ELSE CAST(0.0 AS DOUBLE) END)
+        |          * ln(1.0 - 2.0*abs(u - 0.5)) / 1.0 * 1e6) AS BIGINT) AS noise_u
+        |      FROM v)
+        |SELECT event_type, COUNT(*) AS n_cells, SUM(c)::BIGINT AS true_total,
+        |  round(CAST(SUM(c) AS DOUBLE) + CAST(SUM(noise_u) AS DOUBLE)/1e6, 6)
+        |    AS released_total,
+        |  round(CAST(SUM(abs(noise_u)) AS DOUBLE)/1e6, 6) AS l1_error,
+        |  round(CAST(MAX(abs(noise_u)) AS DOUBLE)/1e6, 6) AS max_abs_error,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // SAX motif census — exact z-normalized PAA, published Gaussian
+    // breakpoints as shared literals, word-keyed census
+    "x_sax_motifs" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, day,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |cb AS (SELECT symbol, day,
+        |         MAX(CASE WHEN rn_d = 1 THEN m END) AS cl
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol, day
+        |                        ORDER BY ts_epoch DESC, id DESC) AS rn_d FROM e)
+        |       GROUP BY symbol, day),
+        |b2 AS (SELECT symbol, day, cl,
+        |        CAST((ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) - 1) // 4
+        |          AS BIGINT) AS seg
+        |      FROM cb),
+        |st AS (SELECT symbol, COUNT(*)::BIGINT AS n,
+        |         CAST(SUM(cl) AS DECIMAL(19,0)) AS s,
+        |         CAST(SUM(CAST(cl*cl AS DECIMAL(28,0))) AS DECIMAL(28,0)) AS q2
+        |       FROM b2 GROUP BY symbol),
+        |st2 AS (SELECT symbol,
+        |          CAST(CAST(s AS VARCHAR) AS DOUBLE)/CAST(n AS DOUBLE) AS mu,
+        |          sqrt((CAST(CAST(q2 AS VARCHAR) AS DOUBLE)
+        |            - CAST(CAST(s AS VARCHAR) AS DOUBLE)*CAST(CAST(s AS VARCHAR) AS DOUBLE)
+        |              /CAST(n AS DOUBLE))/CAST(n-1 AS DOUBLE)) AS sig
+        |        FROM st WHERE n >= 16),
+        |st3 AS (SELECT * FROM st2 WHERE sig > 0),
+        |sg AS (SELECT symbol, seg, COUNT(*) AS cnt, SUM(cl)::BIGINT AS segsum
+        |       FROM b2 GROUP BY 1, 2),
+        |z AS (SELECT sg.symbol, sg.seg,
+        |        (CAST(segsum AS DOUBLE)/4.0 - mu)/sig AS z
+        |      FROM sg JOIN st3 USING (symbol) WHERE cnt = 4),
+        |lt AS (SELECT symbol, seg,
+        |        CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+        |             WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS letter
+        |      FROM z),
+        |wd AS (SELECT symbol, letter AS w0,
+        |        lead(letter, 1) OVER w AS w1, lead(letter, 2) OVER w AS w2,
+        |        lead(letter, 3) OVER w AS w3
+        |      FROM lt WINDOW w AS (PARTITION BY symbol ORDER BY seg)),
+        |wf AS (SELECT symbol, w0 || w1 || w2 || w3 AS word FROM wd
+        |       WHERE w1 IS NOT NULL AND w2 IS NOT NULL AND w3 IS NOT NULL),
+        |cs AS (SELECT word, COUNT(*) AS n_occurrences,
+        |         COUNT(DISTINCT symbol)::BIGINT AS n_symbols FROM wf GROUP BY word),
+        |top AS (SELECT * FROM cs ORDER BY n_occurrences DESC, word ASC LIMIT 10)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, word ASC)
+        |    AS BIGINT) AS rk,
+        |  word, n_occurrences, n_symbols
+        |FROM top ORDER BY rk""".stripMargin),
 
     // Kruskal-Wallis H — domain-bounded distinct-value rank table,
     // literal-pivoted per-type rank sums, tie-corrected denominator

@@ -2947,6 +2947,58 @@ object Analytics {
               col("f2_exact").cast("double"), 6).as("rel_err"))
   }
 
+  /** Differentially-private histogram release + utility audit
+    * (Dwork et al. 2006 Laplace mechanism, epsilon = 1): per
+    * (event_type, day) cell, a Laplace(1/eps) noise draw is added to
+    * the true count; the audit reports, per event type, the released
+    * total beside the truth and the realized L1 error — the
+    * privacy/utility trade a data-governance plane publishes beside
+    * [[kAnonSuppression]]/[[lDiversity]]/[[Stats.tCloseness]] (those
+    * bound re-identification; this bounds what a RELEASED aggregate
+    * leaks). Noise is the inverse-CDF transform of a deterministic
+    * per-cell hash uniform (seeded release — reproducible in any
+    * engine): u in (0,1) from `(key*8191+131071) mod P mod 2^20`,
+    * noise = -sgn(u-1/2) * ln(1-2|u-1/2|)/eps, micro-unit rounded
+    * BEFORE aggregation so every error sum is exact BIGINT. The `+1`
+    * offset keeps u strictly inside (0,1) — ln never sees 0.
+    *
+    * Scale shape: one (type, day) aggregate, a narrow noise
+    * projection, one bounded rollup. Nothing but cell statistics
+    * ever shuffles.
+    */
+  def dpRelease(spark: SparkSession, dir: String, eps: Double = 1.0): DataFrame = {
+    val P = 1000000007L
+    val typeIdx = Stats.EventTypes.zipWithIndex
+      .foldLeft(lit(-1L)) { case (acc, (t, i)) =>
+        when(col("event_type") === t, lit(i.toLong)).otherwise(acc) }
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_s"))
+      .groupBy("event_type", "day_s")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("key", col("day_s") + typeIdx)
+      .withColumn("t",
+        (col("key") * 8191 + 131071) % P % 1048576 + 1)
+      .withColumn("u", col("t").cast("double") / 1048577)
+      .withColumn("r", lit(1.0) - lit(2.0) * abs(col("u") - lit(0.5)))
+      .withColumn("noise_u",
+        round(-signum(col("u") - lit(0.5)) * log(col("r")) / eps * 1e6)
+          .cast("bigint"))
+    cells.groupBy("event_type")
+      .agg(count(lit(1)).as("n_cells"),
+           sum(col("c")).as("true_total"),
+           sum(col("noise_u")).as("net_noise_u"),
+           sum(abs(col("noise_u"))).as("l1_u"),
+           max(abs(col("noise_u"))).as("max_u"))
+      .select(col("event_type"), col("n_cells"), col("true_total"),
+        round(col("true_total").cast("double") +
+              col("net_noise_u").cast("double") / 1e6, 6).as("released_total"),
+        round(col("l1_u").cast("double") / 1e6, 6).as("l1_error"),
+        round(col("max_u").cast("double") / 1e6, 6).as("max_abs_error"),
+        lit(eps).as("epsilon"))
+      .orderBy("event_type")
+  }
+
   /** TPC-H Q6-class forecast-revenue filter scan: the pure
     * predicate-pushdown query — every filter reaches the parquet
     * scan, the aggregate is one decimal sum. The query that proves

@@ -1880,6 +1880,147 @@ object Finance {
       .orderBy("symbol")
   }
 
+  /** Ljung-Box portmanteau whiteness test per symbol over tick
+    * prices, lags 1..5: Q = n(n+2) * sum_k rho_k^2/(n-k) — the
+    * significance statistic on top of [[acfProfile]]'s raw ACF curve
+    * (is this series distinguishable from white noise at all?). Each
+    * rho_k is the textbook mean-centered autocovariance ratio,
+    * cleared of the rational mean by multiplying through by n^2:
+    * `rho_k = (n^2*Sxy_k - n*s*(Sa_k+Sb_k) + (n-k)*s^2) / (n*(n*q - s^2))`
+    * — every term an exact DECIMAL(38,0) product of BIGINT sums (the
+    * [[acfProfile]] promotion discipline), so the five lag pivots and
+    * the literal-ordered Q expression are engine-exact. One (symbol)
+    * exchange serves all five lag columns and the aggregate.
+    */
+  def ljungBox(spark: SparkSession, dir: String, maxLag: Int = 5): DataFrame = {
+    val ks = 1 to maxLag
+    val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    val withLags = ks.foldLeft(
+      quotes(spark, dir).withColumn("m", round(col("price") * 100).cast("bigint"))) {
+      case (df, k) => df.withColumn(s"y$k", lag(col("m"), k).over(ord))
+    }
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("m")).as("s"),
+        sum(big(col("m") * col("m"))).as("q")) ++
+      ks.flatMap { k =>
+        val x = when(col(s"y$k").isNotNull, col("m"))
+        Seq(sum(big(x * col(s"y$k"))).as(s"xy$k"),
+            sum(x).as(s"sa$k"), sum(col(s"y$k")).as(s"sb$k"))
+      }
+    val g = withLags.groupBy("symbol").agg(aggs.head, aggs.tail: _*)
+    val bden = col("n") * (col("n") * col("q") - big(col("s")) * col("s"))
+    def rho(k: Int) =
+      (col("n") * (col("n") * col(s"xy$k")) -
+        col("n") * (big(col("s")) * (col(s"sa$k") + col(s"sb$k"))) +
+        (col("n") - lit(k.toLong)) * (big(col("s")) * col("s"))).cast("double") /
+      bden.cast("double")
+    val nD = col("n").cast("double")
+    val qTerm = ks.map(k => rho(k) * rho(k) / (nD - lit(k.toDouble)))
+      .reduce(_ + _)
+    g.filter(col("n") > maxLag &&
+        col("n") * col("q") - big(col("s")) * col("s") > 0)
+      .select(col("symbol"), col("n").as("n_ticks"),
+        round(nD * (nD + 2) * qTerm, 6).as("q_lb"),
+        lit(maxLag.toLong).as("df"))
+      .orderBy("symbol")
+  }
+
+  /** Tick-rule order-flow imbalance per (symbol, day): buy volume
+    * minus sell volume over total, with ticks signed by the price
+    * move (Lee-Ready without quotes — the tick rule [[kyleLambda]]
+    * already uses). All integer cent moves and BIGINT volumes; one
+    * divide per day. The microstructure pressure gauge beside Kyle's
+    * lambda (impact per share) and [[rollSpread]] (cost per trade).
+    */
+  def tickImbalance(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    quotes(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+      .withColumn("d", col("m") - lag(col("m"), 1).over(ord))
+      .filter(col("d").isNotNull)
+      .withColumn("sv",
+        when(col("d") > 0, coalesce(col("volume"), lit(0L)))
+          .when(col("d") < 0, -coalesce(col("volume"), lit(0L)))
+          .otherwise(lit(0L)))
+      .withColumn("av", when(col("d") =!= 0, coalesce(col("volume"), lit(0L)))
+        .otherwise(lit(0L)))
+      .groupBy("symbol", "day")
+      .agg(count(lit(1)).as("n_moves"),
+           sum(col("sv")).as("net_vol"),
+           sum(col("av")).as("classified_vol"))
+      .filter(col("classified_vol") > 0)
+      .select(col("symbol"), col("day"), col("n_moves"),
+        col("net_vol"),
+        round(col("net_vol").cast("double") /
+              col("classified_vol").cast("double"), 6).as("imbalance"))
+      .orderBy("symbol", "day")
+  }
+
+  /** SAX motif census (Lin, Keogh et al. 2003 — Symbolic Aggregate
+    * approXimation): per symbol, daily closes are z-normalized (mean
+    * and std from exact DECIMAL power sums — one fixed expression),
+    * PAA-compressed over tumbling 4-day segments (integer sums, one
+    * dyadic /4.0), mapped to a 4-letter alphabet at the published
+    * Gaussian breakpoints (-0.6745, 0, 0.6745 as shared literals),
+    * and slid into 4-segment SAX words; the census reports the top
+    * motifs corpus-wide — the discretized-shape index that turns
+    * "find recurring price patterns" into an equi-groupBy instead of
+    * a subsequence scan. Breakpoint comparisons run on identical
+    * doubles in both engines; everything before them is exact.
+    *
+    * Scale shape: one (symbol) exchange for rn + segments + the word
+    * window, per-symbol stats join back BROADCAST (symbol-bounded),
+    * the census is a word-keyed aggregate with a TakeOrdered cut.
+    */
+  def saxMotifs(spark: SparkSession, dir: String,
+                segLen: Int = 4, wordLen: Int = 4, topK: Int = 10): DataFrame = {
+    val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
+    val bySeg = Window.partitionBy("symbol").orderBy(col("seg").asc)
+    val bars = centBars(spark, dir)
+      .withColumn("rn", row_number().over(byDay))
+      .withColumn("seg", ((col("rn") - 1) / segLen).cast("bigint"))
+      .localCheckpoint() // consumers: stats aggregate + segment means
+    val stats = bars.groupBy("symbol")
+      .agg(count(lit(1)).as("n"),
+           sum(col("cl")).cast("decimal(19,0)").as("s"),
+           sum((col("cl") * col("cl")).cast("decimal(28,0)")).cast("decimal(28,0)")
+             .as("q"))
+      .filter(col("n") >= segLen * wordLen)
+      .withColumn("mu", col("s").cast("double") / col("n").cast("double"))
+      .withColumn("sig", sqrt((col("q").cast("double") -
+        col("s").cast("double") * col("s").cast("double") / col("n").cast("double")) /
+        (col("n") - lit(1L)).cast("double")))
+      .filter(col("sig") > 0)
+      .select("symbol", "mu", "sig")
+    val segs = bars.groupBy("symbol", "seg")
+      .agg(count(lit(1)).as("cnt"), sum(col("cl")).as("segsum"))
+      .filter(col("cnt") === segLen)
+      .join(broadcast(stats), "symbol")
+      .withColumn("z", (col("segsum").cast("double") / segLen.toDouble - col("mu")) /
+        col("sig"))
+      .withColumn("letter",
+        when(col("z") < -0.6745, lit("a"))
+          .when(col("z") < 0.0, lit("b"))
+          .when(col("z") < 0.6745, lit("c"))
+          .otherwise(lit("d")))
+    val words = (1 until wordLen).foldLeft(
+        segs.withColumn("w0", col("letter"))) { (d, j) =>
+        d.withColumn(s"w$j", lead(col("letter"), j).over(bySeg))
+      }
+      .filter((1 until wordLen).map(j => col(s"w$j").isNotNull).reduce(_ && _))
+      .withColumn("word", concat((0 until wordLen).map(j => col(s"w$j")): _*))
+    val census = words.groupBy("word")
+      .agg(count(lit(1)).as("n_occurrences"),
+           countDistinct(col("symbol")).as("n_symbols"))
+    val top = census.orderBy(col("n_occurrences").desc, col("word").asc).limit(topK)
+    broadcast(top)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("word").asc)).cast("bigint"))
+      .select("rk", "word", "n_occurrences", "n_symbols")
+      .orderBy("rk")
+  }
+
   /** EMA13 weight ladder for [[elderRay]] — alpha = 2/(13+1). Same
     * shared-Double-literal contract as [[MacdFastW]]. */
   private[graft] val ElderW: Seq[Double] =

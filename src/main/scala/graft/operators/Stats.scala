@@ -147,13 +147,25 @@ object Stats {
     * category-count-bounded aggregate (5 rows here) — broadcast by
     * size, never a shuffle of the raw table.
     */
-  def welchT(spark: SparkSession, dir: String): DataFrame = {
-    val stats = Tables.events(spark, dir)
-      .withColumn("m", round(col("value") * 100).cast("bigint"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"),
-           sum(col("m").cast("decimal(28,0)")).cast("double").as("s1"),
-           sum((col("m") * col("m")).cast("decimal(28,0)")).cast("double").as("s2"))
+  def welchT(spark: SparkSession, dir: String): DataFrame =
+    welchFromStats(
+      Tables.events(spark, dir)
+        .withColumn("m", round(col("value") * 100).cast("bigint"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(col("m").cast("decimal(28,0)")).as("s1"),
+             sum((col("m") * col("m")).cast("decimal(28,0)")).as("s2")))
+
+  /** The Welch pair table from per-type sufficient statistics
+    * `(event_type, n, s1 DECIMAL, s2 DECIMAL)` — shared verbatim by
+    * the batch query and the streamed-store fold
+    * ([[graft.streaming.StreamingStats]]), so stream==batch is
+    * algebra (decimal sums are split- and order-independent), not
+    * luck. */
+  private[graft] def welchFromStats(raw: DataFrame): DataFrame = {
+    val stats = raw
+      .select(col("event_type"), col("n"),
+        col("s1").cast("double").as("s1"), col("s2").cast("double").as("s2"))
       .filter(col("n") >= 2)
       .withColumn("mean", col("s1") / col("n").cast("double") / 100)
       .withColumn("v",
@@ -186,10 +198,17 @@ object Stats {
     * join broadcast (category-count-bounded). Output: one row — chi2,
     * degrees of freedom, Cramér's V, N.
     */
-  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.orders(spark, dir)
-      .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
-      .agg(count(lit(1)).as("o"))
+  def chiSquare(spark: SparkSession, dir: String): DataFrame =
+    chiFromCells(
+      Tables.orders(spark, dir)
+        .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("o")))
+
+  /** Chi-square + Cramér's V from a contingency table
+    * `(pri, st, o)` — shared by the batch query and the streamed
+    * cell-count store ([[graft.streaming.StreamingStats]]); integer
+    * cell counts merge exactly across micro-batches. */
+  private[graft] def chiFromCells(cells: DataFrame): DataFrame = {
     val cellsC = cells.localCheckpoint()
     val rowT = cellsC.groupBy("pri").agg(sum(col("o")).as("rt"))
     val colT = cellsC.groupBy("st").agg(sum(col("o")).as("ct"))

@@ -700,6 +700,44 @@ class FinanceSpec extends SparkSuite {
     assert(r1.getAs[Double]("ph_stat") > 0, r1.toString)
   }
 
+  test("ljung-box: Q nonnegative with df 5; constant price drops") {
+    val rows = Finance.ljungBox(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("q_lb") >= 0, r.toString)
+      assert(r.getAs[Long]("df") === 5L)
+    }
+    assert(Finance.ljungBox(spark, dailySeries(Seq.fill(10)(2.0))).count() === 0)
+    // a strongly autocorrelated ramp must light the statistic up
+    val ramp = Finance.ljungBox(spark,
+      dailySeries((1 to 40).map(i => 1.0 + 0.01 * i))).head()
+    assert(ramp.getAs[Double]("q_lb") > 20, ramp.toString)
+  }
+
+  test("tick imbalance: monotone up pins +1; bounds hold corpus-wide") {
+    val up = Finance.tickImbalance(spark,
+      dailySeries((1 to 10).map(i => 1.0 + 0.01 * i))).collect()
+    assert(up.nonEmpty)
+    up.foreach(r => assert(r.getAs[Double]("imbalance") === 1.0))
+    Finance.tickImbalance(spark, sfDir).collect().foreach { r =>
+      val im = r.getAs[Double]("imbalance")
+      assert(im >= -1.0 - 1e-9 && im <= 1.0 + 1e-9, r.toString)
+    }
+  }
+
+  test("sax motifs: 4-letter alphabet words, ranked census") {
+    val rows = Finance.saxMotifs(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_.getAs[Long]("rk")).toSeq == (1L to rows.length))
+    val occ = rows.map(_.getAs[Long]("n_occurrences"))
+    assert(occ.zip(occ.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val w = r.getAs[String]("word")
+      assert(w.length == 4 && w.forall(c => c >= 'a' && c <= 'd'), w)
+      assert(r.getAs[Long]("n_symbols") <= r.getAs[Long]("n_occurrences"))
+    }
+  }
+
   test("treynor: a lone symbol IS the market -> beta 1, treynor = mean return") {
     val dir = dailySeries((1 to 15).map(i => 1.0 + 0.1 * i))
     val r = Finance.treynor(spark, dir).head()

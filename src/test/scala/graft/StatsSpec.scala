@@ -162,6 +162,20 @@ class StatsSpec extends SparkSuite {
     assert(r.getAs[Double]("revenue") > 0 || n == 0)
   }
 
+  test("dp release: deterministic, epsilon recorded, error accounting consistent") {
+    val a = graft.operators.Analytics.dpRelease(spark, sfDir).collect()
+    val b = graft.operators.Analytics.dpRelease(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "seeded release must be reproducible")
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getAs[Double]("epsilon") == 1.0)
+      assert(r.getAs[Double]("l1_error") >= r.getAs[Double]("max_abs_error") ||
+        r.getAs[Long]("n_cells") == 1L)
+      assert(math.abs(r.getAs[Double]("released_total") -
+        r.getAs[Long]("true_total")) <= r.getAs[Double]("l1_error") + 1e-6)
+    }
+  }
+
   test("plan: welch pair join broadcasts the 5-row aggregate") {
     val plan = Stats.welchT(spark, sfDir)
       .queryExecution.executedPlan.toString()

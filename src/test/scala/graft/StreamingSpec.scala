@@ -2030,4 +2030,47 @@ class StreamingSpec extends SparkSuite {
         norm(graft.streaming.StreamingOhlc.vwapBars(all.toDF(cols: _*))).toSeq)
     } finally q.stop()
   }
+
+  test("streamed Welch partials and chi-square cells reproduce the batch tests") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "stats-").toString
+    // Welch: out-of-order event splits — decimal partials are
+    // split-independent by algebra
+    val ms = MemoryStream[(Long, String, Double)]
+    val q = ms.toDF().toDF("event_id", "event_type", "value").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(graft.streaming.StreamingStats.welchSink(s"$base/welch"))
+      .start()
+    val ev = Tables.events(spark, sfDir).select("event_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val (hi, lo) = ev.partition(_._1 % 3 == 0)
+    try {
+      Seq(hi, lo.take(200), lo.drop(200)).foreach { c =>
+        ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val want = rows(graft.operators.Stats.welchT(spark, sfDir))
+    assert(want.nonEmpty)
+    assert(rows(graft.streaming.StreamingStats.welchPairs(spark, s"$base/welch")) == want)
+    // replayed micro-batch is idempotent
+    graft.streaming.StreamingStats.welchSink(s"$base/welch")(
+      lo.drop(200).toDF("event_id", "event_type", "value"), 2L)
+    assert(rows(graft.streaming.StreamingStats.welchPairs(spark, s"$base/welch")) == want)
+    // chi-square: order rows in two shuffled splits
+    val ms2 = MemoryStream[(String, String)]
+    val q2 = ms2.toDF().toDF("o_orderpriority", "o_orderstatus").writeStream
+      .option("checkpointLocation", s"$base/ckpt2")
+      .foreachBatch(graft.streaming.StreamingStats.chiSink(s"$base/cells"))
+      .start()
+    val ords = Tables.orders(spark, sfDir).select("o_orderpriority", "o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val (a, b) = ords.splitAt(ords.length / 3)
+    try {
+      Seq(b, a).foreach { c => ms2.addData(c); q2.processAllAvailable() }
+    } finally q2.stop()
+    assert(rows(graft.streaming.StreamingStats.chiSquare(spark, s"$base/cells")) ==
+      rows(graft.operators.Stats.chiSquare(spark, sfDir)))
+  }
 }
