@@ -290,28 +290,58 @@ object Multimodal {
     * per-distance audit. Payloads never cross an exchange.
     */
   def dhashNearDup(spark: SparkSession, dir: String,
-                   maxHamming: Int = 1): DataFrame = {
-    val hashed = dhashFrom(
-      withBmpPayload(Tables.documents(spark, dir), AhashWidth))
-      .localCheckpoint() // consumers: both self-join sides
-    val banded = hashed.select(col("doc_id"), col("dhash"),
+                   maxHamming: Int = 1): DataFrame =
+    nearDupCensus(dhashFrom(
+      withBmpPayload(Tables.documents(spark, dir), AhashWidth)),
+      "dhash", maxHamming)
+
+  /** Shared near-dup census over a (doc_id, hash) table — the
+    * HASH-SPACE-bounded formulation: identical-hash pairs come from
+    * `C(cnt, 2)` per hash GROUP (no pair ever materializes), and
+    * cross-hash candidates band-join the DISTINCT-VALUE table (at
+    * most 2^15 rows however large the corpus; a band bucket holds at
+    * most 2^7/2^8 VALUES by construction, so the join is bounded by
+    * the fingerprint space, not the corpus). The doc-level band join
+    * this replaces OOM'd at 30x amplification: replicated corpora
+    * collapse onto few hash values, one 8-bit bucket held 17k docs,
+    * and the self-join materialized 10^8 pairs — the textbook
+    * duplicate-blowup that pair-free group counting sidesteps.
+    * Pair/doc counts are identical to the pairwise definition by
+    * construction; the oracle keeps the independent pairwise SQL.
+    */
+  private def nearDupCensus(hashed: DataFrame, hashCol: String,
+                            maxHamming: Int): DataFrame = {
+    val groups = hashed.groupBy(col(hashCol).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // consumers: h0 aggregate + both join sides
+    val h0 = groups.filter(col("cnt") >= 2)
+      .agg(sum(expr("cnt * (cnt - 1) DIV 2")).as("n_pairs"),
+           sum(col("cnt")).as("n_docs"))
+      .select(lit(0L).as("hamming"), col("n_pairs"), col("n_docs"))
+    val banded = groups.select(col("h"), col("cnt"),
         explode(array(
-          struct(lit(0L).as("band"), (col("dhash") % 256).as("key")),
-          struct(lit(1L).as("band"), (col("dhash") / 256).cast("bigint").as("key"))))
+          struct(lit(0L).as("band"), (col("h") % 256).as("key")),
+          struct(lit(1L).as("band"), (col("h") / 256).cast("bigint").as("key"))))
           .as("b"))
-      .select(col("doc_id"), col("dhash"), col("b.band").as("band"), col("b.key").as("key"))
-    val pairs = banded.as("x").join(banded.as("y"),
+      .select(col("h"), col("cnt"), col("b.band").as("band"), col("b.key").as("key"))
+    val vp = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        expr("bit_count(x.dhash ^ y.dhash)").cast("bigint").as("hamming"))
-      .distinct() // a pair agreeing on both bands matches twice
-      .filter(col("hamming") <= maxHamming)
-      .localCheckpoint() // consumers: pair count + doc count
-    val np = pairs.groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
-    val nd = pairs.select(col("hamming"), explode(array(col("a"), col("b"))).as("d"))
-      .groupBy("hamming").agg(countDistinct(col("d")).as("n_docs"))
-    np.join(nd, Seq("hamming")).orderBy("hamming")
+        col("x.h") < col("y.h"))
+      .select(col("x.h").as("ha"), col("y.h").as("hb"),
+        col("x.cnt").as("ca"), col("y.cnt").as("cb"),
+        expr("bit_count(x.h ^ y.h)").cast("bigint").as("hamming"))
+      .distinct() // a value pair can collide in both bands
+      .filter(col("hamming") >= 1 && col("hamming") <= maxHamming)
+      .localCheckpoint() // consumers: pair products + doc rollup
+    val h1p = vp.groupBy("hamming").agg(sum(col("ca") * col("cb")).as("n_pairs"))
+    val h1d = vp.select(col("hamming"), col("ha").as("h"), col("ca").as("cnt"))
+      .unionAll(vp.select(col("hamming"), col("hb").as("h"), col("cb").as("cnt")))
+      .distinct()
+      .groupBy("hamming").agg(sum(col("cnt")).as("n_docs"))
+    h0.unionAll(h1p.join(h1d, Seq("hamming"))
+        .select(col("hamming"), col("n_pairs"), col("n_docs")))
+      .filter(col("n_pairs").isNotNull && col("n_pairs") > 0)
+      .orderBy("hamming")
   }
 
   /** Perceptual near-dup audit over REAL decoded images — the
@@ -331,29 +361,10 @@ object Multimodal {
     * exchange after the narrow hash projection.
     */
   def ahashNearDup(spark: SparkSession, dir: String,
-                   maxHamming: Int = 1): DataFrame = {
-    val hashed = ahashFrom(
-      withBmpPayload(Tables.documents(spark, dir), AhashWidth))
-      .localCheckpoint() // consumers: both self-join sides
-    val banded = hashed.select(col("doc_id"), col("ahash"),
-        explode(array(
-          struct(lit(0L).as("band"), (col("ahash") % 256).as("key")),
-          struct(lit(1L).as("band"), (col("ahash") / 256).cast("bigint").as("key"))))
-          .as("b"))
-      .select(col("doc_id"), col("ahash"), col("b.band").as("band"), col("b.key").as("key"))
-    val pairs = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        expr("bit_count(x.ahash ^ y.ahash)").cast("bigint").as("hamming"))
-      .distinct() // a pair agreeing on both bands matches twice
-      .filter(col("hamming") <= maxHamming)
-      .localCheckpoint() // consumers: pair count + doc count
-    val np = pairs.groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
-    val nd = pairs.select(col("hamming"), explode(array(col("a"), col("b"))).as("d"))
-      .groupBy("hamming").agg(countDistinct(col("d")).as("n_docs"))
-    np.join(nd, Seq("hamming")).orderBy("hamming")
-  }
+                   maxHamming: Int = 1): DataFrame =
+    nearDupCensus(ahashFrom(
+      withBmpPayload(Tables.documents(spark, dir), AhashWidth)),
+      "ahash", maxHamming)
 
   /** Oracle-checkable projection of [[sampleFrames]]: per sampled
     * frame, its byte length and a 4-byte header sniff — the metadata a
