@@ -10,8 +10,8 @@
 # fixed-query-set evals go to N=100.
 set -e -o pipefail
 cd "$(dirname "$0")/.."
-HEAVY=${PROBE_HEAVY:-x_spearman,x_mann_whitney,x_tcloseness,x_ra_link,x_adx,x_coppock,x_elder_ray,x_page_hinkley,x_media_dhash}
-CHEAP=${PROBE_CHEAP:-x_welch_t,x_chi_square,x_dpo,x_omega,x_pain_index,x_treynor,x_ndcg,x_gopher_rules,x_ams_f2,x_forecast_revenue,x_kruskal_wallis,x_jarque_bera}
+HEAVY=${PROBE_HEAVY:-x_spearman,x_mann_whitney,x_tcloseness,x_ra_link,x_adx,x_coppock,x_elder_ray,x_page_hinkley,x_media_dhash,x_ljung_box,x_tick_imbalance}
+CHEAP=${PROBE_CHEAP:-x_welch_t,x_chi_square,x_dpo,x_omega,x_pain_index,x_treynor,x_ndcg,x_gopher_rules,x_ams_f2,x_forecast_revenue,x_kruskal_wallis,x_jarque_bera,x_dp_release,x_sax_motifs}
 RUNS=${PROBE_RUNS:-1}
 OUT=${PROBE_OUT:-SCALING_r11.json}
 ARGS=""

@@ -2073,4 +2073,56 @@ class StreamingSpec extends SparkSuite {
     assert(rows(graft.streaming.StreamingStats.chiSquare(spark, s"$base/cells")) ==
       rows(graft.operators.Stats.chiSquare(spark, sfDir)))
   }
+
+  test("streamed risk state equals batch omega and pain sums at each symbol's last bar") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // closed daily bars from the batch OHLC stage, cl in cents
+    val bars = graft.operators.Finance.ohlcBars(spark, sfDir)
+      .select(col("symbol"), col("day"),
+        round(col("close_price") * 100).cast("long").as("cl"))
+      .collect().map(r => graft.streaming.StreamingRisk.Bar(
+        r.getString(0), r.getDate(1), r.getLong(2))).toSeq
+      .sortBy(b => (b.symbol, b.day.getTime))
+    val ms = MemoryStream[graft.streaming.StreamingRisk.Bar]
+    val q = graft.streaming.StreamingRisk.withRisk(ms.toDS())
+      .writeStream.format("memory").queryName("risk_stream")
+      .outputMode("append").start()
+    // day-ordered feeding split mid-stream (the documented contract)
+    val (a, b) = bars.splitAt(bars.length / 2)
+    try {
+      ms.addData(a); q.processAllAvailable()
+      ms.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("risk_stream")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("symbol")
+          .orderBy(col("day").desc)))
+      .filter(col("rn") === 1)
+    // omega parity (batch filters n_days >= 10 and losses > 0)
+    val omega = graft.operators.Finance.omegaRatio(spark, sfDir).collect()
+      .map(r => r.getAs[String]("symbol") -> r.getAs[Double]("omega")).toMap
+    assert(omega.nonEmpty)
+    val got = last.collect().map(r => r.getAs[String]("symbol") ->
+      (r.getAs[Long]("n_moves"), r.getAs[Long]("gains"), r.getAs[Long]("losses"),
+       r.getAs[Long]("n_bars"), r.getAs[Long]("pain_u_sum"))).toMap
+    omega.foreach { case (sym, om) =>
+      val (_, g, l, _, _) = got(sym)
+      assert(l > 0)
+      assert(math.rint(g.toDouble / l.toDouble * 1e6) / 1e6 == om,
+        s"$sym omega: stream $g/$l vs batch $om")
+    }
+    // pain parity (batch filters n_days >= 5)
+    val pain = graft.operators.Finance.painIndex(spark, sfDir).collect()
+      .map(r => r.getAs[String]("symbol") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("pain_index"))).toMap
+    assert(pain.nonEmpty)
+    pain.foreach { case (sym, (nd, pi)) =>
+      val (_, _, _, nBars, ddSum) = got(sym)
+      assert(nBars == nd, s"$sym bars: $nBars vs $nd")
+      val streamed = BigDecimal(ddSum.toDouble / nd.toDouble / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(streamed == pi, s"$sym pain: $streamed vs $pi")
+    }
+  }
 }
