@@ -179,6 +179,9 @@ object SparkEntry {
     "x_tick_imbalance"     -> ((s, dir) => Finance.tickImbalance(s, dir)),
     "x_dp_release"         -> ((s, dir) => Analytics.dpRelease(s, dir)),
     "x_sax_motifs"         -> ((s, dir) => Finance.saxMotifs(s, dir)),
+    "x_xi_correlation"     -> ((s, dir) => Stats.xiCorrelation(s, dir)),
+    "x_cohens_kappa"       -> ((s, dir) => TextAnalysis.cohensKappa(s, dir)),
+    "x_emb_mmd"            -> ((s, dir) => Similarity.embMmd(s, dir)),
     "x_ols_pricing"        -> ((s, dir) => Analytics.olsPricing(s, dir)),
     "x_communities"        -> ((s, dir) => Graphs.communities(s, dir)),
     "x_jaccard_link"       -> ((s, dir) => Graphs.jaccardLink(s, dir)),
@@ -3878,6 +3881,76 @@ object SparkEntry {
         |  SUM(CASE WHEN CAST(emd_u AS DOUBLE)/9e9 > 0.2 THEN 1 ELSE 0 END)::BIGINT
         |    AS n_violations
         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Chatterjee's xi — max-tie and min-tie ranks, consecutive rank
+    // gaps under the x order, tie-robust denominator, all BIGINT
+    "x_xi_correlation" ->
+      (finQuoteCte + """,
+        |b AS (SELECT symbol, id, CAST(round(price * 100) AS BIGINT) AS m,
+        |        volume AS v
+        |      FROM q WHERE volume IS NOT NULL),
+        |r AS (SELECT symbol, id, m, v,
+        |        COUNT(*) OVER (PARTITION BY symbol) AS nn,
+        |        RANK() OVER wv
+        |          + COUNT(*) OVER (PARTITION BY symbol ORDER BY v
+        |              RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1 AS r,
+        |        nn - RANK() OVER wv + 1 AS l
+        |      FROM b WINDOW wv AS (PARTITION BY symbol ORDER BY v)),
+        |d AS (SELECT symbol, nn, l,
+        |        abs(r - lag(r, 1) OVER (PARTITION BY symbol ORDER BY m, id)) AS dr
+        |      FROM r),
+        |g AS (SELECT symbol, MAX(nn)::BIGINT AS n, SUM(dr)::BIGINT AS sdr,
+        |        SUM(l * (nn - l))::BIGINT AS sl
+        |      FROM d GROUP BY symbol)
+        |SELECT symbol, n,
+        |  round(1.0 - CAST(n * sdr AS DOUBLE) / (2.0 * CAST(sl AS DOUBLE)), 6)
+        |    AS xi
+        |FROM g WHERE n >= 3 AND sl > 0 ORDER BY symbol""".stripMargin),
+
+    // Cohen's kappa — 2x2 all-integer chance correction
+    "x_cohens_kappa" ->
+      """WITH f AS (
+        |  SELECT (CAST(len(list_filter(string_split(text, ' '),
+        |            x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |          / len(string_split(text, ' ')) > 0.05) AS g,
+        |    (lang = 'en') AS t
+        |  FROM documents),
+        |c AS (SELECT
+        |    SUM(CASE WHEN g AND t THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    SUM(CASE WHEN g AND NOT t THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    SUM(CASE WHEN NOT g AND t THEN 1 ELSE 0 END)::BIGINT AS c2,
+        |    SUM(CASE WHEN NOT g AND NOT t THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM f),
+        |k AS (SELECT a, b, c2, d, a + b + c2 + d AS n_docs,
+        |        (a + b)*(a + c2) + (c2 + d)*(b + d) AS e
+        |      FROM c)
+        |SELECT n_docs, a AS true_pos, d AS true_neg,
+        |  round(CAST(a + d AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS accuracy,
+        |  round(CAST(n_docs*(a + d) - e AS DOUBLE) /
+        |        CAST(n_docs*n_docs - e AS DOUBLE), 6) AS kappa
+        |FROM k WHERE n_docs*n_docs - e > 0""".stripMargin,
+
+    // linear-kernel MMD^2 between label means — micro-unit dim sums,
+    // nano-unit squared gaps, integer dim rollup
+    "x_emb_mmd" ->
+      """WITH s AS (
+        |  SELECT CAST(label AS BIGINT) AS label, (i-1)::BIGINT AS pos,
+        |    COUNT(*) AS n,
+        |    SUM(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT))::BIGINT AS sm
+        |  FROM embeddings, range(1, 65) t(i)
+        |  GROUP BY 1, 2),
+        |p AS (SELECT a.label AS label_a, b.label AS label_b, a.pos,
+        |        a.n AS na, a.sm AS sa, b.n AS nb, b.sm AS sb
+        |      FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label),
+        |t AS (SELECT label_a, label_b, na, nb,
+        |        CAST(sa AS DOUBLE)/(CAST(na AS DOUBLE)*1e6)
+        |          - CAST(sb AS DOUBLE)/(CAST(nb AS DOUBLE)*1e6) AS diff
+        |      FROM p),
+        |u AS (SELECT label_a, label_b, na, nb,
+        |        CAST(round(diff*diff*1e9) AS BIGINT) AS t_u FROM t)
+        |SELECT label_a, label_b, MAX(na)::BIGINT AS n_a, MAX(nb)::BIGINT AS n_b,
+        |  round(CAST(SUM(t_u) AS DOUBLE)/1e9, 6) AS mmd_sq
+        |FROM u GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin,
 
     // Ljung-Box Q — five pivoted lag covariances cleared of the
     // rational mean by n^2, DECIMAL(38,0) products, literal-ordered Q

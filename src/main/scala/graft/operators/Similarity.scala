@@ -1593,6 +1593,48 @@ object Similarity {
         round(col("mx") / lit(1000000.0), 6).as("max_v"))
       .orderBy("pos")
 
+  /** Linear-kernel MMD^2 between label populations (Gretton et al.
+    * 2012): `MMD^2 = ||mu_a - mu_b||^2` over the embedding means —
+    * the distribution-shift distance a training pipeline watches
+    * between data slices (here: labels; sources/shards at
+    * production). Per-(label, dim) micro-unit sums are exact BIGINTs
+    * (the [[embDimStats]] convention); each dimension's squared mean
+    * gap is computed in one fixed double expression, nano-unit
+    * rounded, and integer-summed over the 64 dims — engine-exact, no
+    * pair of VECTORS is ever joined (the ||.||^2 collapse makes the
+    * O(na*nb) kernel sum a function of the two mean vectors).
+    *
+    * Scale shape: one (label, pos) aggregate (labels x dims rows),
+    * a broadcast self-join on pos over that bounded table, a pair
+    * rollup. Corpus size only enters through the sums.
+    */
+  def embMmd(spark: SparkSession, dir: String): DataFrame = {
+    val sums = Tables.embeddings(spark, dir)
+      .select(col("label").cast("bigint").as("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"),
+        round(col("v").cast("double") * 1000000).cast("bigint").as("vq"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum(col("vq")).as("s"))
+      .localCheckpoint() // consumers: both pair sides
+    val a = sums.select(col("label").as("label_a"), col("pos"),
+      col("n").as("na"), col("s").as("sa"))
+    val b = sums.select(col("label").as("label_b"), col("pos").as("pos_b"),
+      col("n").as("nb"), col("s").as("sb"))
+    a.join(broadcast(b), col("pos") === col("pos_b") && col("label_a") < col("label_b"))
+      .drop("pos_b")
+      .withColumn("diff",
+        col("sa").cast("double") / (col("na").cast("double") * 1e6) -
+        col("sb").cast("double") / (col("nb").cast("double") * 1e6))
+      .withColumn("t_u", round(col("diff") * col("diff") * 1e9).cast("bigint"))
+      .groupBy("label_a", "label_b")
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+           sum(col("t_u")).as("mmd_u"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(col("mmd_u").cast("double") / 1e9, 6).as("mmd_sq"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Pairwise cosine between per-label centroid vectors — the
     * label-confusability screen run after [[labelCentroids]] (two
     * labels whose centroids nearly coincide will not separate under

@@ -236,6 +236,46 @@ object Stats {
           .as("cramers_v"))
   }
 
+  /** Chatterjee's xi rank correlation (Chatterjee 2020, JASA) per
+    * symbol — price vs volume: does volume move as a FUNCTION of
+    * price level, monotone or not? xi is the modern dependence
+    * coefficient that detects ANY functional relationship where
+    * Spearman ([[spearman]]) sees only monotone ones; it converges to
+    * 0 under independence and 1 when volume is a measurable function
+    * of price. The tie-robust form:
+    * `xi = 1 - n * sum|r_{i+1} - r_i| / (2 * sum l_i*(n - l_i))`
+    * over rows ordered by (price, id), with r_i = #{v_j <= v_i}
+    * (max-tie rank = rank + peers - 1) and l_i = #{v_j >= v_i}
+    * (n - min_rank + 1) — every term exact BIGINT from the same
+    * one-(symbol)-exchange rank windows as Spearman. Constant-volume
+    * symbols (zero denominator) drop on both engines.
+    */
+  def xiCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val rnkV = Window.partitionBy("symbol").orderBy(col("v").asc)
+    val peers = Window.partitionBy("symbol").orderBy(col("v").asc).rangeBetween(0, 0)
+    val byX = Window.partitionBy("symbol").orderBy(col("m").asc, col("id").asc)
+    val full = Window.partitionBy("symbol")
+    Finance.quotes(spark, dir)
+      .filter(col("volume").isNotNull)
+      .select(col("symbol"), col("id"),
+        round(col("price") * 100).cast("bigint").as("m"),
+        col("volume").as("v"))
+      .withColumn("nn", count(lit(1)).over(full))
+      .withColumn("r", rank().over(rnkV).cast("long") +
+        count(lit(1)).over(peers) - lit(1L))
+      .withColumn("l", col("nn") - rank().over(rnkV).cast("long") + lit(1L))
+      .withColumn("dr", abs(col("r") - lag(col("r"), 1).over(byX)))
+      .groupBy("symbol")
+      .agg(max(col("nn")).as("n"),
+           sum(col("dr")).as("sdr"),
+           sum(col("l") * (col("nn") - col("l"))).as("sl"))
+      .filter(col("n") >= 3 && col("sl") > 0)
+      .select(col("symbol"), col("n"),
+        round(lit(1.0) - (col("n") * col("sdr")).cast("double") /
+              (lit(2.0) * col("sl").cast("double")), 6).as("xi"))
+      .orderBy("symbol")
+  }
+
   /** Literal event-type universe for the pivoted rank tests — the
     * bounded-category contract the corpus generator publishes (the
     * [[Finance.dowAnova]] weekday-pivot move: folding a bounded

@@ -296,6 +296,38 @@ object TextAnalysis {
       .orderBy("lang", "lang_guess")
   }
 
+  /** Cohen's kappa for the stopword language guesser against the
+    * corpus labels — chance-corrected agreement on the binary
+    * en-vs-other task (Cohen 1960): with 2x2 counts a,b,c,d and
+    * N = a+b+c+d, kappa collapses to the ALL-INTEGER ratio
+    * `(N*(a+d) - E) / (N*N - E)` with
+    * `E = (a+b)*(a+c) + (c+d)*(b+d)` — one aggregate, one fixed
+    * expression, no floats until the final divide. The honest
+    * classifier-quality number [[langConfusion]]'s raw cells imply
+    * (accuracy alone flatters a guesser on an imbalanced corpus).
+    */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val nStop = size(filter(toks, t => t.isInCollection(Stopwords)))
+    val guessEn = nStop.cast("double") / size(toks) > 0.05
+    val truthEn = col("lang") === "en"
+    val g = Tables.documents(spark, dir)
+      .select(guessEn.as("g"), truthEn.as("t"))
+      .agg(sum(when(col("g") && col("t"), 1L).otherwise(0L)).as("a"),
+           sum(when(col("g") && !col("t"), 1L).otherwise(0L)).as("b"),
+           sum(when(!col("g") && col("t"), 1L).otherwise(0L)).as("c"),
+           sum(when(!col("g") && !col("t"), 1L).otherwise(0L)).as("d"))
+      .withColumn("n_docs", col("a") + col("b") + col("c") + col("d"))
+      .withColumn("e", (col("a") + col("b")) * (col("a") + col("c")) +
+        (col("c") + col("d")) * (col("b") + col("d")))
+    g.filter(col("n_docs") * col("n_docs") - col("e") > 0)
+      .select(col("n_docs"), col("a").as("true_pos"), col("d").as("true_neg"),
+        round((col("a") + col("d")).cast("double") / col("n_docs").cast("double"), 6)
+          .as("accuracy"),
+        round((col("n_docs") * (col("a") + col("d")) - col("e")).cast("double") /
+              (col("n_docs") * col("n_docs") - col("e")).cast("double"), 6)
+          .as("kappa"))
+  }
+
   /** Character-trigram language-ID — the real n-gram profile model
     * the [[textStats]] `lang_guess` scaladoc promises behind the
     * stopword heuristic (and what production language-ID actually is:

@@ -176,6 +176,46 @@ class StatsSpec extends SparkSuite {
     }
   }
 
+  test("xi correlation: closed form 1 - 3/(n+1) on a perfect monotone map") {
+    import spark.implicits._
+    // volume = price rank exactly -> y is a function of x
+    val n = 9
+    val df = (1 to n).map(i => (i.toLong, 1.0 + 0.01 * i)).toDF("event_id", "value")
+      .withColumn("user_id", lit(1L))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("event_id")))
+      .withColumn("event_type", lit("tick"))
+      .withColumn("props", concat(lit("{\"k\": "), col("event_id"), lit("}")))
+    val dir = java.nio.file.Files.createTempDirectory("xi").toString
+    df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Stats.xiCorrelation(spark, dir).head()
+    assert(r.getAs[Long]("n") == n.toLong)
+    val expect = math.rint((1.0 - 3.0 / (n + 1)) * 1e6) / 1e6
+    assert(r.getAs[Double]("xi") == expect, r.toString)
+    // corpus-wide: xi <= 1 always
+    Stats.xiCorrelation(spark, sfDir).collect()
+      .foreach(r2 => assert(r2.getAs[Double]("xi") <= 1.0 + 1e-9))
+  }
+
+  test("cohen's kappa: bounded by accuracy's chance correction, one row") {
+    val r = graft.operators.TextAnalysis.cohensKappa(spark, sfDir).head()
+    val acc = r.getAs[Double]("accuracy"); val k = r.getAs[Double]("kappa")
+    assert(acc >= 0 && acc <= 1)
+    assert(k <= acc + 1e-9, s"kappa $k cannot exceed accuracy $acc with nonneg chance")
+    assert(k >= -1 - 1e-9 && k <= 1 + 1e-9)
+  }
+
+  test("embedding MMD: nonnegative, complete label-pair grid") {
+    val rows = graft.operators.Similarity.embMmd(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mmd_sq") >= 0)
+      assert(r.getAs[Long]("label_a") < r.getAs[Long]("label_b"))
+    }
+    val k = rows.flatMap(r => Seq(r.getAs[Long]("label_a"), r.getAs[Long]("label_b"))).distinct.length
+    assert(rows.length == k * (k - 1) / 2, s"expected full pair grid for $k labels")
+  }
+
   test("plan: welch pair join broadcasts the 5-row aggregate") {
     val plan = Stats.welchT(spark, sfDir)
       .queryExecution.executedPlan.toString()
