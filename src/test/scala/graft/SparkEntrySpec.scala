@@ -262,7 +262,14 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_dpo"               -> 1,
     // the two cumulative band window sums feed only the CAST ratio
     // inside the micro-unit round
-    "x_tcloseness"        -> 2
+    "x_tcloseness"        -> 2,
+    // the cumulative and per-symbol m window sums feed only the
+    // all-integer dev expression (their ::BIGINT copies are the ones
+    // that escape)
+    "x_page_hinkley"      -> 2,
+    // the distinct-value prefix sum feeds only the integer doubled
+    // average rank
+    "x_kruskal_wallis"    -> 1
   )
 
   /** Count SUM( occurrences whose result is not immediately cast. */
