@@ -182,6 +182,8 @@ object SparkEntry {
     "x_xi_correlation"     -> ((s, dir) => Stats.xiCorrelation(s, dir)),
     "x_cohens_kappa"       -> ((s, dir) => TextAnalysis.cohensKappa(s, dir)),
     "x_emb_mmd"            -> ((s, dir) => Similarity.embMmd(s, dir)),
+    "x_theil_index"        -> ((s, dir) => Analytics.theilIndex(s, dir)),
+    "x_brown_forsythe"     -> ((s, dir) => Analytics.brownForsythe(s, dir)),
     "x_ols_pricing"        -> ((s, dir) => Analytics.olsPricing(s, dir)),
     "x_communities"        -> ((s, dir) => Graphs.communities(s, dir)),
     "x_jaccard_link"       -> ((s, dir) => Graphs.jaccardLink(s, dir)),
@@ -3881,6 +3883,72 @@ object SparkEntry {
         |  SUM(CASE WHEN CAST(emd_u AS DOUBLE)/9e9 > 0.2 THEN 1 ELSE 0 END)::BIGINT
         |    AS n_violations
         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Theil T/L inequality per segment — micro-unit ln terms, exact
+    // integer sums, one divide each
+    "x_theil_index" ->
+      """WITH spend AS (SELECT o_custkey,
+        |        SUM(CAST(round(o_totalprice*100) AS BIGINT))::BIGINT AS cents
+        |      FROM orders GROUP BY o_custkey),
+        |sp2 AS (SELECT c_mktsegment AS segment, cents
+        |        FROM spend JOIN customer ON o_custkey = c_custkey),
+        |tot AS (SELECT segment, COUNT(*) AS n,
+        |          CAST(CAST(SUM(CAST(cents AS DECIMAL(28,0))) AS VARCHAR) AS DOUBLE)
+        |            AS s
+        |        FROM sp2 GROUP BY segment),
+        |tot2 AS (SELECT segment, n, s / CAST(n AS DOUBLE) AS mu FROM tot),
+        |t AS (SELECT sp2.segment, CAST(cents AS DOUBLE)/mu AS ratio, n
+        |      FROM sp2 JOIN tot2 USING (segment)),
+        |u AS (SELECT segment, n,
+        |        CAST(round(ratio*ln(ratio)*1e6) AS BIGINT) AS t_u,
+        |        CAST(round(-ln(ratio)*1e6) AS BIGINT) AS l_u FROM t)
+        |SELECT segment, MAX(n)::BIGINT AS n_customers,
+        |  round(CAST(SUM(t_u) AS DOUBLE)/(CAST(MAX(n) AS DOUBLE)*1e6), 6)
+        |    AS theil_t,
+        |  round(CAST(SUM(l_u) AS DOUBLE)/(CAST(MAX(n) AS DOUBLE)*1e6), 6)
+        |    AS theil_l
+        |FROM u GROUP BY segment ORDER BY segment""".stripMargin,
+
+    // Brown-Forsythe — exact lower-median centers off the bounded
+    // distinct-cent table, literal-pivoted ANOVA
+    "x_brown_forsythe" ->
+      """WITH ev AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS m
+        |      FROM events),
+        |bv AS (SELECT event_type, m, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |cw AS (SELECT event_type, m, c,
+        |         (SUM(c) OVER (PARTITION BY event_type ORDER BY m ASC
+        |            ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
+        |         (SUM(c) OVER (PARTITION BY event_type))::BIGINT AS tot
+        |       FROM bv),
+        |med AS (SELECT event_type, m AS med FROM cw
+        |        WHERE cum - c < (tot+1)//2 AND (tot+1)//2 <= cum),
+        |dev AS (SELECT ev.event_type, abs(ev.m - med.med) AS d
+        |        FROM ev JOIN med USING (event_type)),
+        |g AS (SELECT COUNT(*)::BIGINT AS n, SUM(d)::BIGINT AS s,
+        |        CAST(CAST(SUM(CAST(d*d AS DECIMAL(28,0))) AS VARCHAR) AS DOUBLE)
+        |          AS q,
+        |        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+        |        SUM(CASE WHEN event_type = 'click' THEN d ELSE 0 END)::BIGINT AS s_click,
+        |        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+        |        SUM(CASE WHEN event_type = 'error' THEN d ELSE 0 END)::BIGINT AS s_error,
+        |        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+        |        SUM(CASE WHEN event_type = 'purchase' THEN d ELSE 0 END)::BIGINT AS s_purchase,
+        |        SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+        |        SUM(CASE WHEN event_type = 'signup' THEN d ELSE 0 END)::BIGINT AS s_signup,
+        |        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+        |        SUM(CASE WHEN event_type = 'view' THEN d ELSE 0 END)::BIGINT AS s_view
+        |      FROM dev),
+        |w AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+        |        CASE WHEN n_click > 0 THEN CAST(s_click AS DOUBLE)*CAST(s_click AS DOUBLE)/CAST(n_click AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END + CASE WHEN n_error > 0 THEN CAST(s_error AS DOUBLE)*CAST(s_error AS DOUBLE)/CAST(n_error AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END + CASE WHEN n_purchase > 0 THEN CAST(s_purchase AS DOUBLE)*CAST(s_purchase AS DOUBLE)/CAST(n_purchase AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END + CASE WHEN n_signup > 0 THEN CAST(s_signup AS DOUBLE)*CAST(s_signup AS DOUBLE)/CAST(n_signup AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END + CASE WHEN n_view > 0 THEN CAST(s_view AS DOUBLE)*CAST(s_view AS DOUBLE)/CAST(n_view AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS gt,
+        |        (CASE WHEN n_click > 0 THEN 1 ELSE 0 END) + (CASE WHEN n_error > 0 THEN 1 ELSE 0 END) + (CASE WHEN n_purchase > 0 THEN 1 ELSE 0 END) + (CASE WHEN n_signup > 0 THEN 1 ELSE 0 END) + (CASE WHEN n_view > 0 THEN 1 ELSE 0 END) AS k
+        |      FROM g),
+        |w2 AS (SELECT *, gt - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/nd AS ssb,
+        |        q - gt AS ssw FROM w)
+        |SELECT n AS n_events, CAST(k - 1 AS BIGINT) AS df_between,
+        |  CAST(n - k AS BIGINT) AS df_within,
+        |  round(ssb/CAST(k-1 AS DOUBLE)/(ssw/CAST(n-k AS DOUBLE)), 6) AS f_stat,
+        |  round(ssb/(ssb + ssw), 6) AS eta_sq
+        |FROM w2 WHERE n > k AND ssw > 0""".stripMargin,
 
     // Chatterjee's xi — max-tie and min-tie ranks, consecutive rank
     // gaps under the x order, tie-robust denominator, all BIGINT

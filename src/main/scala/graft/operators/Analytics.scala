@@ -2947,6 +2947,110 @@ object Analytics {
               col("f2_exact").cast("double"), 6).as("rel_err"))
   }
 
+  /** Theil inequality indices per market segment over customer spend
+    * (Theil 1967) — the decomposable complements of [[giniSpend]]:
+    * `T = (1/n) * sum (x/mu) * ln(x/mu)` (top-sensitive) and
+    * `L = (1/n) * sum ln(mu/x)` (bottom-sensitive). Each customer's
+    * ln term is micro-unit rounded ONCE (the only transcendental per
+    * row — same ln-at-micro discipline as the RA weights), so both
+    * indices are exact BIGINT sums with one divide; mu enters each
+    * term as the same exact decimal-summed double. Zero-spend
+    * customers cannot occur (an order has positive totalprice).
+    *
+    * Scale shape: one (custkey) aggregate, a broadcast of the
+    * segment-bounded totals, one bounded rollup — no global sort,
+    * which is exactly why production inequality monitoring prefers
+    * Theil over Gini (Gini needs the global rank; Theil is a plain
+    * mean of independent per-row terms).
+    */
+  def theilIndex(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("cents"))
+      .localCheckpoint() // consumers: totals + term projection
+    val totals = spend.groupBy("segment")
+      .agg(count(lit(1)).as("n"),
+           sum(col("cents").cast("decimal(28,0)")).cast("double").as("s"))
+      .withColumn("mu", col("s") / col("n").cast("double"))
+      .select("segment", "n", "mu")
+    spend.join(broadcast(totals), "segment")
+      .withColumn("ratio", col("cents").cast("double") / col("mu"))
+      .withColumn("t_u", round(col("ratio") * log(col("ratio")) * 1e6)
+        .cast("bigint"))
+      .withColumn("l_u", round(-log(col("ratio")) * 1e6).cast("bigint"))
+      .groupBy("segment")
+      .agg(max(col("n")).as("n_customers"),
+           sum(col("t_u")).as("st"), sum(col("l_u")).as("sl"))
+      .select(col("segment"), col("n_customers"),
+        round(col("st").cast("double") / (col("n_customers").cast("double") * 1e6), 6)
+          .as("theil_t"),
+        round(col("sl").cast("double") / (col("n_customers").cast("double") * 1e6), 6)
+          .as("theil_l"))
+      .orderBy("segment")
+  }
+
+  /** Brown-Forsythe variance-homogeneity test across event types
+    * (Brown & Forsythe 1974 — Levene's test with the median center,
+    * the robust default): each value's absolute deviation from its
+    * GROUP MEDIAN feeds a one-way ANOVA; the F statistic says whether
+    * [[Stats.welchT]]'s unequal-variance correction was warranted at
+    * all. Group medians are exact order statistics read off the
+    * domain-bounded distinct-cent table ([[Stats.kruskalWallis]]'s
+    * move — the per-type cumulative window runs over <= |cent
+    * domain| rows, never the raw events); the lower median
+    * (ceil(n/2)-th value) is the documented convention so the median
+    * is always an integer cent and every |x - med| is exact BIGINT.
+    * The ANOVA pivots the bounded type universe into literal-ordered
+    * terms over exact (n, sum d, sum d^2) triples — the
+    * [[Finance.dowAnova]] shape.
+    */
+  def brownForsythe(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("bigint").as("m"))
+    val byVal = ev.groupBy("event_type", "m").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("event_type").orderBy(col("m").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("event_type")
+    val med = byVal
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wAll))
+      .withColumn("kth", expr("(tot + 1) DIV 2"))
+      .filter(col("cum") - col("c") < col("kth") && col("kth") <= col("cum"))
+      .select(col("event_type"), col("m").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("m") - col("med")).as("d"))
+    val types = Stats.EventTypes
+    val aggs = Seq(count(lit(1)).as("n"),
+        sum(col("d")).as("s"),
+        sum((col("d") * col("d")).cast("decimal(28,0)")).cast("double").as("q")) ++
+      types.flatMap { t =>
+        Seq(sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"),
+            sum(when(col("event_type") === t, col("d")).otherwise(lit(0L)))
+              .as(s"s_$t"))
+      }
+    val g = dev.agg(aggs.head, aggs.tail: _*)
+    val groupTerm = types.map { t =>
+      when(col(s"n_$t") > 0,
+        col(s"s_$t").cast("double") * col(s"s_$t").cast("double") /
+          col(s"n_$t").cast("double")).otherwise(lit(0.0)) }.reduce(_ + _)
+    val k = types.map(t => when(col(s"n_$t") > 0, lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val nD = col("n").cast("double")
+    val ssb = groupTerm - col("s").cast("double") * col("s").cast("double") / nD
+    val ssw = col("q") - groupTerm
+    g.filter(col("n") > k && ssw > 0)
+      .select(col("n").as("n_events"), (k - lit(1L)).as("df_between"),
+        (col("n") - k).as("df_within"),
+        round(ssb / (k - lit(1L)).cast("double") /
+              (ssw / (col("n") - k).cast("double")), 6).as("f_stat"),
+        round(ssb / (ssb + ssw), 6).as("eta_sq"))
+  }
+
   /** Differentially-private histogram release + utility audit
     * (Dwork et al. 2006 Laplace mechanism, epsilon = 1): per
     * (event_type, day) cell, a Laplace(1/eps) noise draw is added to

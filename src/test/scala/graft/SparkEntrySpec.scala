@@ -269,7 +269,10 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_page_hinkley"      -> 2,
     // the distinct-value prefix sum feeds only the integer doubled
     // average rank
-    "x_kruskal_wallis"    -> 1
+    "x_kruskal_wallis"    -> 1,
+    // the per-type cumulative/total window sums feed only the
+    // integer lower-median selection (their ::BIGINT copies escape)
+    "x_brown_forsythe"    -> 2
   )
 
   /** Count SUM( occurrences whose result is not immediately cast. */

@@ -216,6 +216,26 @@ class StatsSpec extends SparkSuite {
     assert(rows.length == k * (k - 1) / 2, s"expected full pair grid for $k labels")
   }
 
+  test("theil indices: nonnegative, zero iff segment spend is flat") {
+    val rows = graft.operators.Analytics.theilIndex(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // micro rounding can dip a hair below zero on near-equal spends
+      assert(r.getAs[Double]("theil_t") >= -1e-5, r.toString)
+      assert(r.getAs[Double]("theil_l") >= -1e-5, r.toString)
+    }
+  }
+
+  test("brown-forsythe: F nonnegative, dfs consistent with 5 types") {
+    val r = graft.operators.Analytics.brownForsythe(spark, sfDir).head()
+    assert(r.getAs[Double]("f_stat") >= 0)
+    assert(r.getAs[Long]("df_between") == 4L)
+    assert(r.getAs[Long]("df_within") ==
+      r.getAs[Long]("n_events") - 5L)
+    val eta = r.getAs[Double]("eta_sq")
+    assert(eta >= 0 && eta <= 1 + 1e-9)
+  }
+
   test("plan: welch pair join broadcasts the 5-row aggregate") {
     val plan = Stats.welchT(spark, sfDir)
       .queryExecution.executedPlan.toString()
