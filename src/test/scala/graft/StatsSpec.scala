@@ -243,4 +243,48 @@ class StatsSpec extends SparkSuite {
       plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("plan pins: r11 operators keep their scale shapes") {
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // RA link prediction: wedge equi-join only — never a cross product
+    val ra = plan(graft.operators.Graphs.resourceAllocation(spark, sfDir))
+    assert(!ra.contains("CartesianProduct") &&
+           !ra.contains("BroadcastNestedLoopJoin"), ra)
+    // MMD: the label-pair join is BROADCAST over the bounded dim table
+    val mmd = plan(graft.operators.Similarity.embMmd(spark, sfDir))
+    assert(mmd.contains("BroadcastHashJoin"), mmd)
+    assert(!mmd.contains("CartesianProduct"), mmd)
+    // t-closeness: no single-reducer window over fact rows — the only
+    // windows partition by (event_type, hour) cells
+    val tc = plan(graft.operators.Stats.tCloseness(spark, sfDir))
+    assert(!tc.contains("Window [") ||
+      !tc.contains("SinglePartition, ENSURE_REQUIREMENTS"), tc)
+    // kruskal: the global prefix window runs over the DISTINCT-cent
+    // aggregate (an Aggregate feeds the single-partition window), and
+    // the rank join back is broadcast
+    val kw = plan(graft.operators.Stats.kruskalWallis(spark, sfDir))
+    assert(kw.contains("BroadcastHashJoin"), kw)
+    // media dhash census: everything joined is the distinct-hash
+    // table; payloads never reach a join (no binary in join keys)
+    val dh = plan(graft.operators.Multimodal.dhashNearDup(spark, sfDir))
+    assert(!dh.contains("CartesianProduct") &&
+           !dh.contains("BroadcastNestedLoopJoin"), dh)
+  }
+
+  test("plan pins: adx and coppock share one (symbol[, day]) exchange chain") {
+    def hashEx(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    // daily-bar indicators: (symbol, day) bar build + (symbol) windows
+    assert(hashEx(graft.operators.Finance.adxDmi(spark, sfDir)) <= 2)
+    assert(hashEx(graft.operators.Finance.coppock(spark, sfDir)) <= 2)
+    assert(hashEx(graft.operators.Finance.dpo(spark, sfDir)) <= 2)
+    assert(hashEx(graft.operators.Finance.elderRay(spark, sfDir)) <= 2)
+    // tick-level: one (symbol) exchange
+    assert(hashEx(graft.operators.Finance.ljungBox(spark, sfDir)) <= 1)
+    assert(hashEx(graft.operators.Finance.pageHinkley(spark, sfDir)) <= 1)
+  }
 }
