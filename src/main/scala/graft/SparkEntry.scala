@@ -184,6 +184,7 @@ object SparkEntry {
     "x_emb_mmd"            -> ((s, dir) => Similarity.embMmd(s, dir)),
     "x_theil_index"        -> ((s, dir) => Analytics.theilIndex(s, dir)),
     "x_brown_forsythe"     -> ((s, dir) => Analytics.brownForsythe(s, dir)),
+    "x_runs_test"          -> ((s, dir) => Stats.runsTest(s, dir)),
     "x_ols_pricing"        -> ((s, dir) => Analytics.olsPricing(s, dir)),
     "x_communities"        -> ((s, dir) => Graphs.communities(s, dir)),
     "x_jaccard_link"       -> ((s, dir) => Graphs.jaccardLink(s, dir)),
@@ -3949,6 +3950,39 @@ object SparkEntry {
         |  round(ssb/CAST(k-1 AS DOUBLE)/(ssw/CAST(n-k AS DOUBLE)), 6) AS f_stat,
         |  round(ssb/(ssb + ssw), 6) AS eta_sq
         |FROM w2 WHERE n > k AND ssw > 0""".stripMargin,
+
+    // Wald-Wolfowitz runs test — sign-change counting, exact
+    // randomization moments from three BIGINTs
+    "x_runs_test" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |t AS (SELECT symbol, id, ts_epoch,
+        |        m - lag(m, 1) OVER (PARTITION BY symbol ORDER BY ts_epoch, id)
+        |          AS d
+        |      FROM e),
+        |sg AS (SELECT symbol, id, ts_epoch,
+        |        CASE WHEN d > 0 THEN 1 ELSE -1 END AS sgn
+        |      FROM t WHERE d IS NOT NULL AND d <> 0),
+        |ch AS (SELECT symbol, sgn,
+        |        CASE WHEN lag(sgn, 1) OVER w IS NULL THEN 0
+        |             WHEN sgn <> lag(sgn, 1) OVER w THEN 1 ELSE 0 END AS chg
+        |      FROM sg WINDOW w AS (PARTITION BY symbol ORDER BY ts_epoch, id)),
+        |g AS (SELECT symbol,
+        |        SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)::BIGINT AS np,
+        |        SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)::BIGINT AS nm,
+        |        (SUM(chg) + 1)::BIGINT AS r_runs
+        |      FROM ch GROUP BY symbol),
+        |h AS (SELECT symbol, np, nm, r_runs, np + nm AS n FROM g
+        |      WHERE np > 0 AND nm > 0 AND np + nm >= 3),
+        |w2 AS (SELECT symbol, n, r_runs, CAST(n AS DOUBLE) AS nd,
+        |        2.0 * CAST(np AS DOUBLE) * CAST(nm AS DOUBLE) AS p2
+        |      FROM h)
+        |SELECT symbol, n AS n_moves, r_runs,
+        |  round(p2 / nd + 1, 6) AS expected_runs,
+        |  round((CAST(r_runs AS DOUBLE) - (p2 / nd + 1)) /
+        |        sqrt(p2 * (p2 - nd) / (nd * nd * (nd - 1))), 6) AS z_score
+        |FROM w2 WHERE p2 * (p2 - nd) > 0 ORDER BY symbol""".stripMargin),
 
     // Chatterjee's xi — max-tie and min-tie ranks, consecutive rank
     // gaps under the x order, tie-robust denominator, all BIGINT

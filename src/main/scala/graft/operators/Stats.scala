@@ -276,6 +276,47 @@ object Stats {
       .orderBy("symbol")
   }
 
+  /** Wald-Wolfowitz runs test per symbol on tick move signs: is the
+    * up/down direction sequence random, or does it trend/mean-revert
+    * (Wald & Wolfowitz 1940)? Zero moves drop (the tick-rule
+    * convention); R = observed runs via the gaps-and-islands sign
+    * change count ([[Finance.directionStreaks]]'s primitive), and z
+    * compares R against the exact randomization moments
+    * `mu = 2*np*nm/n + 1`,
+    * `sigma^2 = 2*np*nm*(2*np*nm - n)/(n^2*(n-1))` — all from three
+    * BIGINTs (np, nm, R) in one fixed double expression. Negative z
+    * = fewer runs than chance (trending); positive = more
+    * (mean-reverting) — the nonparametric cousin of
+    * [[Finance.acfProfile]]'s lag-1 sign.
+    */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    val signs = Finance.quotes(spark, dir)
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+      .withColumn("d", col("m") - lag(col("m"), 1).over(ord))
+      .filter(col("d").isNotNull && col("d") =!= 0)
+      .withColumn("sgn", when(col("d") > 0, lit(1L)).otherwise(lit(-1L)))
+      .withColumn("chg",
+        when(lag(col("sgn"), 1).over(ord).isNull, lit(0L))
+          .when(col("sgn") =!= lag(col("sgn"), 1).over(ord), lit(1L))
+          .otherwise(lit(0L)))
+    val g = signs.groupBy("symbol")
+      .agg(sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("np"),
+           sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("nm"),
+           (sum(col("chg")) + lit(1L)).as("r_runs"))
+      .withColumn("n", col("np") + col("nm"))
+      .filter(col("np") > 0 && col("nm") > 0 && col("n") >= 3)
+    val nD = col("n").cast("double")
+    val p2 = lit(2.0) * col("np").cast("double") * col("nm").cast("double")
+    val mu = p2 / nD + 1
+    val sig2 = p2 * (p2 - nD) / (nD * nD * (nD - 1))
+    g.filter(p2 * (p2 - nD) > 0)
+      .select(col("symbol"), col("n").as("n_moves"), col("r_runs"),
+        round(mu, 6).as("expected_runs"),
+        round((col("r_runs").cast("double") - mu) / sqrt(sig2), 6).as("z_score"))
+      .orderBy("symbol")
+  }
+
   /** Literal event-type universe for the pivoted rank tests — the
     * bounded-category contract the corpus generator publishes (the
     * [[Finance.dowAnova]] weekday-pivot move: folding a bounded

@@ -244,6 +244,33 @@ class StatsSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("runs test: alternating series maxes runs (z > 0), monotone pins R = 1") {
+    import spark.implicits._
+    def mk(vals: Seq[Double]): String = {
+      val df = vals.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }
+        .toDF("event_id", "value")
+        .withColumn("user_id", lit(1L))
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("event_id")))
+        .withColumn("event_type", lit("tick"))
+        .withColumn("props", lit("""{"k": 1}"""))
+      val dir = java.nio.file.Files.createTempDirectory("runs").toString
+      df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // perfect alternation: 20 moves, 20 runs, z positive (mean-reverting)
+    val alt = Stats.runsTest(spark, mk((1 to 21).map(i =>
+      if (i % 2 == 0) 2.0 else 1.0))).head()
+    assert(alt.getAs[Long]("r_runs") == 20L)
+    assert(alt.getAs[Double]("z_score") > 3, alt.toString)
+    // monotone up: all-up signs -> np > 0, nm = 0 -> dropped
+    assert(Stats.runsTest(spark, mk((1 to 15).map(i => 1.0 + 0.01 * i)))
+      .count() == 0)
+    // one down step inside an up series: ++ | - | ++ = 3 runs
+    val three = Stats.runsTest(spark, mk(Seq(1.0, 1.1, 1.2, 1.0, 1.3, 1.4))).head()
+    assert(three.getAs[Long]("r_runs") == 3L, three.toString)
+  }
+
   test("plan pins: r11 operators keep their scale shapes") {
     def plan(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.explainString(
