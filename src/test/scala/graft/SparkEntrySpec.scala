@@ -272,7 +272,10 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_kruskal_wallis"    -> 1,
     // the per-type cumulative/total window sums feed only the
     // integer lower-median selection (their ::BIGINT copies escape)
-    "x_brown_forsythe"    -> 2
+    "x_brown_forsythe"    -> 2,
+    // (SUM(chg) + 1)::BIGINT — cast outside the paren, scanner
+    // misses it, nothing escapes uncast
+    "x_runs_test"         -> 1
   )
 
   /** Count SUM( occurrences whose result is not immediately cast. */
