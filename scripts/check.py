@@ -80,15 +80,29 @@ for name in names:
         print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails += 1; continue
     got = got.reindex(sorted(got.columns), axis=1)
     exp = exp.reindex(sorted(exp.columns), axis=1)
-    g = got.sort_values(list(got.columns)).reset_index(drop=True)
-    e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
-    # exact compare (queries are built to be bit-deterministic); dtypes
-    # already gated strictly above at the Arrow level
+    # BITWISE float compare (r12): the driver's typed hash is bitwise, so
+    # -0.0 vs +0.0 (value-equal under pandas check_exact) must FAIL here
+    # too — r11 shipped exactly that gap (x_macd/x_elder_ray/x_williams_r).
+    # View float columns as their integer bit patterns BEFORE sorting so
+    # tie-breaking is bit-deterministic as well.
+    import numpy as np
+    def as_bits(df):
+        df = df.copy()
+        for c in df.columns:
+            if df[c].dtype == np.float64:
+                df[c] = df[c].to_numpy(dtype=np.float64).view(np.int64)
+            elif df[c].dtype == np.float32:
+                df[c] = df[c].to_numpy(dtype=np.float32).view(np.int32)
+        return df
+    g = as_bits(got); e = as_bits(exp)
+    g = g.sort_values(list(g.columns)).reset_index(drop=True)
+    e = e.sort_values(list(e.columns)).reset_index(drop=True)
     try:
         import pandas as pd
         pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
         print(f"OK   {name}: {len(got)} rows")
     except AssertionError as ae:
-        print(f"FAIL {name}: value mismatch\n{str(ae)[:500]}"); fails += 1
+        print(f"FAIL {name}: value mismatch (bitwise)\n{str(ae)[:500]}")
+        fails += 1
 print(f"\n{total-fails}/{total} pass")
 sys.exit(1 if fails else 0)

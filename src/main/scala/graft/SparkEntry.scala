@@ -1250,7 +1250,7 @@ object SparkEntry {
     "x_assortativity" ->
       (graphCoCte + """
         |SELECT COUNT(*) AS n_directed_edges,
-        |  ROUND(corr(du.d, dv.d), 6) AS assortativity
+        |  ROUND(corr(du.d, dv.d), 6) + 0 AS assortativity
         |FROM adj JOIN degu du ON du.u = adj.u
         |JOIN degu dv ON dv.u = adj.v""".stripMargin),
 
@@ -1341,7 +1341,7 @@ object SparkEntry {
         |        ORDER BY total DESC, symbol LIMIT 10),
         |u AS (SELECT dm.symbol, day, mean_price FROM dm JOIN top USING (symbol))
         |SELECT a.symbol AS sym_a, b.symbol AS sym_b, COUNT(*) AS n_days,
-        |  ROUND(corr(a.mean_price, b.mean_price), 6) AS price_corr
+        |  ROUND(corr(a.mean_price, b.mean_price), 6) + 0 AS price_corr
         |FROM u a JOIN u b ON a.day = b.day AND a.symbol < b.symbol
         |GROUP BY 1, 2 HAVING COUNT(*) >= 10 ORDER BY 1, 2""".stripMargin),
 
@@ -1739,8 +1739,8 @@ object SparkEntry {
 
     "x_stats_corr" ->
       """SELECT l_returnflag,
-        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-        |  ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) + 0 AS corr_qty_price,
+        |  ROUND(covar_samp(l_quantity, l_extendedprice), 4) + 0 AS covar_qty_price,
         |  ROUND(stddev_samp(l_quantity), 6) AS stddev_qty,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
@@ -1754,7 +1754,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "x_explode" ->
-      """SELECT vec_id, (i-1)::BIGINT AS pos, ROUND(embedding[i]::DOUBLE, 6) AS val
+      """SELECT vec_id, (i-1)::BIGINT AS pos, ROUND(embedding[i]::DOUBLE, 6) + 0 AS val
         |FROM embeddings, range(1, 4) t(i)
         |ORDER BY vec_id, pos""".stripMargin,
 
@@ -1767,10 +1767,10 @@ object SparkEntry {
     "x_array_funcs" ->
       """SELECT vec_id,
         |  ROUND(list_max(embedding)::DOUBLE, 6) AS max_val,
-        |  ROUND(list_min(embedding)::DOUBLE, 6) AS min_val,
+        |  ROUND(list_min(embedding)::DOUBLE, 6) + 0 AS min_val,
         |  list_position(embedding, list_max(embedding))::BIGINT AS argmax_1based,
         |  len(embedding)::BIGINT AS dim,
-        |  ROUND(embedding[1]::DOUBLE, 6) AS first_val
+        |  ROUND(embedding[1]::DOUBLE, 6) + 0 AS first_val
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "x_sessionize" ->
@@ -2179,7 +2179,7 @@ object SparkEntry {
     "x_centroids" ->
       """SELECT label::BIGINT AS label, (i-1)::BIGINT AS pos, COUNT(*) AS n_vecs,
         |  round(SUM(round(embedding[i]::DOUBLE * 1000000)::BIGINT)::DOUBLE
-        |        / (COUNT(*) * 1000000.0), 6) AS mean_val
+        |        / (COUNT(*) * 1000000.0), 6) + 0 AS mean_val
         |FROM embeddings, range(1, 9) t(i)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
@@ -2191,7 +2191,7 @@ object SparkEntry {
       s"""WITH $kmeansCtes,
         |cnt AS (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY cid)
         |SELECT c2.cid AS centroid_id, c2.pos, cnt.n_members,
-        |  round(c2.cq::DOUBLE / 1000000.0, 6) AS mean_val
+        |  round(c2.cq::DOUBLE / 1000000.0, 6) + 0 AS mean_val
         |FROM c2 JOIN cnt USING (cid)
         |ORDER BY centroid_id, pos""".stripMargin,
 
@@ -3310,7 +3310,7 @@ object SparkEntry {
         |), scored AS (
         |  SELECT c.query_id, c.neighbor_id,
         |    round(list_reduce(list_transform(range(1,65),
-        |      i -> en.embedding[i]::DOUBLE * eq.embedding[i]::DOUBLE), (a,b)->a+b)/(en.nrm*eq.nrm), 6) AS cos
+        |      i -> en.embedding[i]::DOUBLE * eq.embedding[i]::DOUBLE), (a,b)->a+b)/(en.nrm*eq.nrm), 6) + 0 AS cos
         |  FROM cand c JOIN e en ON c.neighbor_id = en.vec_id JOIN e eq ON c.query_id = eq.vec_id
         |)
         |SELECT query_id, neighbor_id, rk, cos FROM (
@@ -3632,7 +3632,7 @@ object SparkEntry {
         |  FROM q WHERE price > 0)
         |SELECT symbol, COUNT(ret) AS n_returns,
         |  ROUND(stddev_samp(ret), 6) AS vol,
-        |  ROUND(AVG(ret), 6) AS mean_ret
+        |  ROUND(AVG(ret), 6) + 0 AS mean_ret
         |FROM r GROUP BY symbol HAVING COUNT(ret) >= 2 ORDER BY symbol""".stripMargin),
 
     "x_autocorr" ->
@@ -3646,7 +3646,7 @@ object SparkEntry {
         |    LAG(ret) OVER (PARTITION BY symbol ORDER BY ts_epoch, id) AS ret_lag
         |  FROM r)
         |SELECT symbol, COUNT(*)::BIGINT AS n_pairs,
-        |  ROUND(corr(ret, ret_lag), 6) AS acf1
+        |  ROUND(corr(ret, ret_lag), 6) + 0 AS acf1
         |FROM p WHERE ret IS NOT NULL AND ret_lag IS NOT NULL
         |GROUP BY symbol
         |HAVING COUNT(*) >= 3 AND stddev_samp(ret) > 0 AND stddev_samp(ret_lag) > 0
@@ -3670,9 +3670,9 @@ object SparkEntry {
         |          / (${wsumDenSql("macd_raw", graft.operators.Finance.MacdSignalW)}) AS signal_raw
         |      FROM f WINDOW w AS (PARTITION BY symbol ORDER BY ts_epoch, id))
         |SELECT symbol, id, price,
-        |  round(macd_raw / 100, 6) AS macd,
-        |  round(signal_raw / 100, 6) AS signal_line,
-        |  round((macd_raw - signal_raw) / 100, 6) AS histogram
+        |  round(macd_raw / 100, 6) + 0 AS macd,
+        |  round(signal_raw / 100, 6) + 0 AS signal_line,
+        |  round((macd_raw - signal_raw) / 100, 6) + 0 AS histogram
         |FROM g ORDER BY symbol, id""".stripMargin),
 
     // Kyle's lambda — all-integer OLS slope of tick moves on signed
@@ -3727,7 +3727,7 @@ object SparkEntry {
         |${Seq(1, 2, 4, 8).map(k =>
             s"  round(CAST(n$k * xy$k - sx$k * sy$k AS DOUBLE)\n" +
             s"        / sqrt(CAST(n$k * qx$k - sx$k * sx$k AS DOUBLE)\n" +
-            s"               * CAST(n$k * qy$k - sy$k * sy$k AS DOUBLE)), 6) AS acf_$k")
+            s"               * CAST(n$k * qy$k - sy$k * sy$k AS DOUBLE)), 6) + 0 AS acf_$k")
             .mkString(",\n")}
         |FROM g WHERE n8 >= 2
         |${Seq(1, 2, 4, 8).map(k =>
@@ -3757,7 +3757,7 @@ object SparkEntry {
         |SELECT symbol, n,
         |  round(CAST(n*sxy - sx*sy AS DOUBLE) /
         |        sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
-        |             CAST(n*syy - sy*sy AS DOUBLE)), 6) AS rho
+        |             CAST(n*syy - sy*sy AS DOUBLE)), 6) + 0 AS rho
         |FROM g
         |WHERE n >= 3 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
         |ORDER BY symbol""".stripMargin),
@@ -3791,7 +3791,7 @@ object SparkEntry {
         |SELECT user_id, n1, n2,
         |  round(CAST(u2x AS DOUBLE)/2, 6) AS u_stat,
         |  round((CAST(u2x AS DOUBLE)/2 -
-        |         CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)/2) / sqrt(sig2), 6) AS z_score
+        |         CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)/2) / sqrt(sig2), 6) + 0 AS z_score
         |FROM i WHERE sig2 > 0 ORDER BY user_id""".stripMargin,
 
     // Welch's t over every event-type pair — DECIMAL cent sums, one
@@ -3815,7 +3815,7 @@ object SparkEntry {
         |w AS (SELECT *, va/CAST(na AS DOUBLE) AS sea,
         |        vb/CAST(nb AS DOUBLE) AS seb FROM p)
         |SELECT type_a, type_b, na, nb,
-        |  round((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
+        |  round((ma - mb) / sqrt(sea + seb), 6) + 0 AS t_stat,
         |  round((sea + seb)*(sea + seb) /
         |        (sea*sea/CAST(na-1 AS DOUBLE) + seb*seb/CAST(nb-1 AS DOUBLE)), 6)
         |    AS df
@@ -3981,7 +3981,7 @@ object SparkEntry {
         |SELECT symbol, n AS n_moves, r_runs,
         |  round(p2 / nd + 1, 6) AS expected_runs,
         |  round((CAST(r_runs AS DOUBLE) - (p2 / nd + 1)) /
-        |        sqrt(p2 * (p2 - nd) / (nd * nd * (nd - 1))), 6) AS z_score
+        |        sqrt(p2 * (p2 - nd) / (nd * nd * (nd - 1))), 6) + 0 AS z_score
         |FROM w2 WHERE p2 * (p2 - nd) > 0 ORDER BY symbol""".stripMargin),
 
     // Chatterjee's xi — max-tie and min-tie ranks, consecutive rank
@@ -4006,7 +4006,7 @@ object SparkEntry {
         |      FROM d GROUP BY symbol)
         |SELECT symbol, n,
         |  round(1.0 - CAST(n * sdr AS DOUBLE) / (2.0 * CAST(sl AS DOUBLE)), 6)
-        |    AS xi
+        | + 0    AS xi
         |FROM g WHERE n >= 3 AND sl > 0 ORDER BY symbol""".stripMargin),
 
     // Cohen's kappa — 2x2 all-integer chance correction
@@ -4105,7 +4105,7 @@ object SparkEntry {
         |      FROM u GROUP BY 1, 2)
         |SELECT symbol, day, n_moves, net_vol,
         |  round(CAST(net_vol AS DOUBLE)/CAST(classified_vol AS DOUBLE), 6)
-        |    AS imbalance
+        | + 0    AS imbalance
         |FROM g WHERE classified_vol > 0 ORDER BY symbol, day""".stripMargin),
 
     // DP Laplace release audit — deterministic per-cell hash uniform,
@@ -4270,7 +4270,7 @@ object SparkEntry {
         |         m3 / (m2 * sqrt(m2)) AS skew, m4 / (m2 * m2) - 3 AS exk
         |       FROM mom)
         |SELECT symbol, n_days,
-        |  round(skew, 6) AS skewness, round(exk, 6) AS excess_kurtosis,
+        |  round(skew, 6) + 0 AS skewness, round(exk, 6) + 0 AS excess_kurtosis,
         |  round(dn / 6 * (skew * skew + exk * exk / 4), 6) AS jb_stat
         |FROM sk WHERE n_days >= 10 AND m2 > 0 ORDER BY symbol""".stripMargin),
 
@@ -4556,7 +4556,7 @@ object SparkEntry {
         |        lag(s, 6) OVER (PARTITION BY symbol ORDER BY day) AS s_shift
         |      FROM v)
         |SELECT symbol, day,
-        |  round(CAST(10*cl - s_shift AS DOUBLE)/(100.0*10), 6) AS dpo
+        |  round(CAST(10*cl - s_shift AS DOUBLE)/(100.0*10), 6) + 0 AS dpo
         |FROM w2 WHERE rn >= 16 ORDER BY symbol, day""".stripMargin),
 
     // Elder Ray — EMA13 of close via the shared explicit-weight
@@ -4575,8 +4575,8 @@ object SparkEntry {
         |          / (${wsumDenSql("cl", graft.operators.Finance.ElderW)}) AS ema
         |      FROM cb WINDOW w AS (PARTITION BY symbol ORDER BY day))
         |SELECT symbol, day,
-        |  round((CAST(hi AS DOUBLE) - ema)/100, 6) AS bull_power,
-        |  round((CAST(lo AS DOUBLE) - ema)/100, 6) AS bear_power
+        |  round((CAST(hi AS DOUBLE) - ema)/100, 6) + 0 AS bull_power,
+        |  round((CAST(lo AS DOUBLE) - ema)/100, 6) + 0 AS bear_power
         |FROM f ORDER BY symbol, day""".stripMargin),
 
     // Omega ratio at threshold 0 — integer gain/loss sums, one divide
@@ -4659,7 +4659,7 @@ object SparkEntry {
         |      FROM r WINDOW w AS (PARTITION BY symbol ORDER BY day))
         |SELECT symbol, day,
         |  round(CAST(${(0 until 10).map(j => s"s_$j*${10 - j}").mkString(" + ")}
-        |    AS DOUBLE)/(55.0*1e6), 6) AS coppock
+        |    AS DOUBLE)/(55.0*1e6), 6) + 0 AS coppock
         |FROM l WHERE rn >= 24 ORDER BY symbol, day""".stripMargin),
 
     // Treynor — micro-unit returns make beta an all-integer ratio;
@@ -4687,9 +4687,9 @@ object SparkEntry {
         |        n_days*sxy - sx*sy AS bnum, n_days*syy - sy*sy AS bden
         |      FROM g)
         |SELECT symbol, n_days,
-        |  round(CAST(bnum AS DOUBLE)/CAST(bden AS DOUBLE), 6) AS beta,
+        |  round(CAST(bnum AS DOUBLE)/CAST(bden AS DOUBLE), 6) + 0 AS beta,
         |  round(CAST(sx AS DOUBLE)/(CAST(n_days AS DOUBLE)*1e6)
-        |        *(CAST(bden AS DOUBLE)/CAST(bnum AS DOUBLE)), 6) AS treynor
+        |        *(CAST(bden AS DOUBLE)/CAST(bnum AS DOUBLE)), 6) + 0 AS treynor
         |FROM h WHERE n_days >= 10 AND bden > 0 AND bnum <> 0
         |ORDER BY symbol""".stripMargin),
 
@@ -4850,7 +4850,7 @@ object SparkEntry {
         |  round((5.0 * (ln(v1) * 0.0 + ln(v2) * 1.0 + ln(v4) * 2.0
         |                + ln(v8) * 3.0 + ln(v16) * 4.0)
         |         - 10.0 * (ln(v1) + ln(v2) + ln(v4) + ln(v8) + ln(v16)))
-        |        / 50.0 / (2.0 * 0.6931471805599453), 6) AS hurst
+        |        / 50.0 / (2.0 * 0.6931471805599453), 6) + 0 AS hurst
         |FROM v ORDER BY symbol""".stripMargin),
 
     // Rich-club sweep — top-k hub density in exact integers
@@ -4958,7 +4958,7 @@ object SparkEntry {
         |  round(CAST(CAST(dot AS VARCHAR) AS DOUBLE)
         |        / (sqrt(CAST(CAST(na.q AS VARCHAR) AS DOUBLE))
         |           * sqrt(CAST(CAST(nb.q AS VARCHAR) AS DOUBLE))), 6)
-        |    AS centroid_cos
+        | + 0    AS centroid_cos
         |FROM dots
         |JOIN norms na ON na.label = label_a
         |JOIN norms nb ON nb.label = label_b
@@ -4987,7 +4987,7 @@ object SparkEntry {
         |        COUNT(*) OVER (PARTITION BY symbol) AS np
         |      FROM p)
         |SELECT symbol, np AS n_pairs,
-        |  round(CAST(d AS DOUBLE) / g / 100.0, 6) AS theil_sen_slope
+        |  round(CAST(d AS DOUBLE) / g / 100.0, 6) + 0 AS theil_sen_slope
         |FROM r WHERE rk = (np + 1) // 2 ORDER BY symbol""".stripMargin),
 
     // Roll (1984) implied spread — all-integer serial covariance,
@@ -5010,7 +5010,7 @@ object SparkEntry {
         |      FROM dy WHERE y IS NOT NULL GROUP BY symbol)
         |SELECT symbol, n AS n_move_pairs,
         |  round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |        / CAST(n * (n - 1) AS DOUBLE), 6) AS serial_cov,
+        |        / CAST(n * (n - 1) AS DOUBLE), 6) + 0 AS serial_cov,
         |  round(2.0 * sqrt(-(CAST(n * sxy - sx * sy AS DOUBLE)
         |        / CAST(n * (n - 1) AS DOUBLE))) / 100.0, 6) AS roll_spread
         |FROM g WHERE n >= 2 AND n * sxy - sx * sy < 0
@@ -5035,7 +5035,7 @@ object SparkEntry {
         |        SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS n_up
         |      FROM t WHERE d IS NOT NULL GROUP BY 1)
         |SELECT dow, n_moves,
-        |  round(CAST(sd AS DOUBLE) / n_moves / 100.0, 6) AS mean_move,
+        |  round(CAST(sd AS DOUBLE) / n_moves / 100.0, 6) + 0 AS mean_move,
         |  round(CAST(n_up AS DOUBLE) / n_moves, 6) AS up_share,
         |  round(sqrt(CAST(n_moves * sdd - sd * sd AS DOUBLE)
         |        / CAST(n_moves * (n_moves - 1) AS DOUBLE)) / 100.0, 6)
@@ -5066,7 +5066,7 @@ object SparkEntry {
         |      FROM f3)
         |SELECT symbol, id, price,
         |  round(e3 / 100, 6) AS triple_ema,
-        |  round(10000.0 * (e3 - e3_prev) / e3_prev, 6) AS trix_bp
+        |  round(10000.0 * (e3 - e3_prev) / e3_prev, 6) + 0 AS trix_bp
         |FROM g WHERE e3_prev IS NOT NULL AND e3_prev <> 0
         |ORDER BY symbol, id""".stripMargin),
 
@@ -5096,7 +5096,7 @@ object SparkEntry {
         |        ln(price / LAG(price) OVER (PARTITION BY symbol ORDER BY ts_epoch, id)) AS ret
         |      FROM q WHERE price > 0)
         |SELECT symbol, COUNT(*)::BIGINT AS n_returns,
-        |  round(avg(ret) / stddev_samp(ret), 6) AS sharpe
+        |  round(avg(ret) / stddev_samp(ret), 6) + 0 AS sharpe
         |FROM r WHERE ret IS NOT NULL
         |GROUP BY symbol
         |HAVING COUNT(*) >= 3 AND stddev_samp(ret) > 0
@@ -5118,7 +5118,7 @@ object SparkEntry {
         |            / COUNT(*) AS mkt_ret
         |        FROM rr GROUP BY day)
         |SELECT symbol, COUNT(*)::BIGINT AS n_days,
-        |  round(covar_samp(ret, mkt_ret) / var_samp(mkt_ret), 6) AS beta
+        |  round(covar_samp(ret, mkt_ret) / var_samp(mkt_ret), 6) + 0 AS beta
         |FROM rr JOIN mkt USING (day)
         |GROUP BY symbol
         |HAVING COUNT(*) >= 10 AND var_samp(mkt_ret) > 0
@@ -5152,7 +5152,7 @@ object SparkEntry {
         |      FROM s)
         |SELECT symbol, n_ticks,
         |  round(CAST(CAST(CAST(n_ticks AS DECIMAL(19,0)) * sxy - sx * sy AS VARCHAR) AS DOUBLE)
-        |        / CAST(CAST(den AS VARCHAR) AS DOUBLE) / 100, 6) AS slope_per_tick,
+        |        / CAST(CAST(den AS VARCHAR) AS DOUBLE) / 100, 6) + 0 AS slope_per_tick,
         |  round((CAST(CAST(sy AS VARCHAR) AS DOUBLE)
         |         - CAST(CAST(CAST(n_ticks AS DECIMAL(19,0)) * sxy - sx * sy AS VARCHAR) AS DOUBLE)
         |           / CAST(CAST(den AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
@@ -5237,7 +5237,7 @@ object SparkEntry {
         |k2 AS (SELECT symbol, ret, n, rn,
         |         GREATEST((n + 19) // 20, 1)::BIGINT AS kk FROM kt),
         |g AS (SELECT symbol, MAX(n) AS n_returns, MAX(kk) AS k_tail,
-        |        round(MAX(CASE WHEN rn = kk THEN ret END), 6) AS var95,
+        |        round(MAX(CASE WHEN rn = kk THEN ret END), 6) + 0 AS var95,
         |        CAST(SUM(CAST(round(ret, 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS num
         |      FROM k2 WHERE rn <= kk AND n >= 20 GROUP BY symbol),
         |e AS (SELECT symbol, n_returns, k_tail, var95,
@@ -5322,8 +5322,8 @@ object SparkEntry {
         |            - 3.0 * mean * mean * mean * mean AS m4
         |        FROM mm)
         |SELECT symbol, n_ticks, round(mean / 100, 6) AS mean_price,
-        |  round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
-        |  round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
+        |  round(m3 / (m2 * sqrt(m2)), 6) + 0 AS skewness,
+        |  round(m4 / (m2 * m2) - 3, 6) + 0 AS excess_kurtosis
         |FROM mom WHERE n_ticks >= 3 AND m2 > 0 ORDER BY symbol""".stripMargin),
 
     // power-iteration eigenvector centrality, PageRank's unrolled-CTE
@@ -5573,7 +5573,7 @@ object SparkEntry {
         |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
         |SELECT symbol, day, vol_sum::BIGINT AS frame_volume,
         |  round(CAST(CAST(mfv_sum AS VARCHAR) AS DOUBLE)
-        |        / CAST(vol_sum AS DOUBLE), 6) AS cmf
+        |        / CAST(vol_sum AS DOUBLE), 6) + 0 AS cmf
         |FROM v WHERE rn >= 20 AND vol_sum > 0
         |ORDER BY symbol, day""".stripMargin),
 
@@ -5600,7 +5600,7 @@ object SparkEntry {
         |      GROUP BY 1, 2, 3, 4)
         |SELECT symbol, day,
         |  round(CAST((20 * s - ssum) * 4000 AS DOUBLE)
-        |        / CAST(3 * adev AS DOUBLE), 6) AS cci
+        |        / CAST(3 * adev AS DOUBLE), 6) + 0 AS cci
         |FROM a WHERE adev > 0 ORDER BY symbol, day""".stripMargin),
 
     // Williams %R(14) — integer cents ratio over the daily-bar frame
@@ -5621,7 +5621,7 @@ object SparkEntry {
         |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
         |SELECT symbol, day,
         |  round(-100.0 * CAST(fh - cl AS DOUBLE) / CAST(fh - fl AS DOUBLE), 6)
-        |    AS williams_r
+        | + 0    AS williams_r
         |FROM v WHERE rn >= 14 AND fh > fl ORDER BY symbol, day""".stripMargin),
 
     // Ichimoku (5/10/20) — Donchian midpoints in exact half-cents
@@ -5670,7 +5670,7 @@ object SparkEntry {
         |SELECT symbol, day,
         |  round(CAST(ssum AS DOUBLE) / 3000.0, 6) AS center,
         |  round(CAST(ssum + 3 * rsum AS DOUBLE) / 3000.0, 6) AS upper_band,
-        |  round(CAST(ssum - 3 * rsum AS DOUBLE) / 3000.0, 6) AS lower_band
+        |  round(CAST(ssum - 3 * rsum AS DOUBLE) / 3000.0, 6) + 0 AS lower_band
         |FROM v WHERE rn >= 10 ORDER BY symbol, day""".stripMargin),
 
     // Vortex(14) — integer VM/TR frame sums, two divides
@@ -5728,7 +5728,7 @@ object SparkEntry {
         |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
         |SELECT symbol, day,
         |  round(100.0 * CAST(up - dn AS DOUBLE) / CAST(up + dn AS DOUBLE), 6)
-        |    AS cmo
+        | + 0    AS cmo
         |FROM v WHERE rn >= 14 AND up + dn > 0 ORDER BY symbol, day""".stripMargin),
 
     // Force index(13) — SMA of (Δclose·volume), integer cent·share sums
@@ -5753,7 +5753,7 @@ object SparkEntry {
         |        fr AS (PARTITION BY symbol ORDER BY day
         |               ROWS BETWEEN 12 PRECEDING AND CURRENT ROW))
         |SELECT symbol, day, f::BIGINT AS force_raw_centshares,
-        |  round(CAST(fsum AS DOUBLE) / 1300.0, 6) AS force_index
+        |  round(CAST(fsum AS DOUBLE) / 1300.0, 6) + 0 AS force_index
         |FROM v WHERE rn >= 13 ORDER BY symbol, day""".stripMargin),
 
     // Calmar-style ratio — total return / max drawdown, exact-int divides
@@ -5781,10 +5781,10 @@ object SparkEntry {
         |      FROM u GROUP BY symbol)
         |SELECT symbol, n_days,
         |  round(CAST(pack_last % 8589934592 - first_cl AS DOUBLE)
-        |        / CAST(first_cl AS DOUBLE), 6) AS total_return,
+        |        / CAST(first_cl AS DOUBLE), 6) + 0 AS total_return,
         |  round(maxdd, 6) AS max_drawdown,
         |  round((CAST(pack_last % 8589934592 - first_cl AS DOUBLE)
-        |         / CAST(first_cl AS DOUBLE)) / maxdd, 6) AS calmar
+        |         / CAST(first_cl AS DOUBLE)) / maxdd, 6) + 0 AS calmar
         |FROM g WHERE n_days >= 2 AND maxdd > 0 ORDER BY symbol""".stripMargin),
 
     // Lo–MacKinlay VR(5) — all-integer variance numerators, one formula
@@ -5861,7 +5861,7 @@ object SparkEntry {
         |      FROM q WHERE price > 0)
         |SELECT symbol, COUNT(*)::BIGINT AS n_returns,
         |  round(avg(ret) / sqrt(avg(CASE WHEN ret < 0 THEN ret * ret ELSE 0.0 END)), 6)
-        |    AS sortino
+        | + 0    AS sortino
         |FROM r WHERE ret IS NOT NULL
         |GROUP BY symbol
         |HAVING COUNT(*) >= 3
@@ -6118,8 +6118,8 @@ object SparkEntry {
         |      FROM c WHERE det <> 0.0)
         |SELECT p_brand, n AS n_lines,
         |  round(b0, 6) AS b0_cents,
-        |  round(b1, 6) AS b1_cents_per_qty,
-        |  round(b2, 6) AS b2_cents_per_bp,
+        |  round(b1, 6) + 0 AS b1_cents_per_qty,
+        |  round(b2, 6) + 0 AS b2_cents_per_bp,
         |  round(1.0 - (syy - b0 * dy - b1 * d1y - b2 * d2y)
         |            / (syy - dy * dy / dn), 6) AS r2
         |FROM s ORDER BY p_brand""".stripMargin,
@@ -6225,11 +6225,19 @@ object SparkEntry {
         |FROM degv LEFT JOIN tri ON tri.v = degv.v
         |WHERE degv.d >= 2 ORDER BY node""".stripMargin),
 
+    // the 1/ln(d) weights are the SAME frozen Scala-computed literals
+    // the Spark side joins against (Graphs.aaWeights) — no engine-side
+    // ln() can perturb the tie-heavy top-50 tail (r11 driver failure)
     "x_link_predict" ->
-      (graphCoCte + """,
-        |c AS (SELECT u AS z, v AS x,
-        |        CAST(round(1.0 / ln(CAST(d AS DOUBLE)), 12) AS DECIMAL(18,12)) AS wgt
-        |      FROM adj JOIN degu USING (u) WHERE d >= 2 AND d <= 200),
+      (graphCoCte + s""",
+        |wtab(wd, wgt) AS (VALUES
+        |${graft.operators.Graphs.aaWeights(200)
+            .map { case (d, w) =>
+              s"  ($d, CAST('${w.toPlainString}' AS DECIMAL(18,12)))" }
+            .grouped(4).map(_.mkString(", ")).mkString(",\n        |")}),
+        |c AS (SELECT u AS z, v AS x, wgt
+        |      FROM adj JOIN degu USING (u) JOIN wtab ON wd = d
+        |      WHERE d >= 2 AND d <= 200),
         |p AS (SELECT l.x AS a, r.x AS b, COUNT(*)::BIGINT AS n_common,
         |        CAST(SUM(l.wgt) AS DECIMAL(20,12)) AS aa_score
         |      FROM c l JOIN c r ON l.z = r.z AND l.x < r.x
@@ -6291,7 +6299,7 @@ object SparkEntry {
         |g AS (
         |  SELECT symbol, id, price, sma20,
         |    ROUND(sma20 + 2 * sd20, 6) AS upper_band,
-        |    ROUND(sma20 - 2 * sd20, 6) AS lower_band
+        |    ROUND(sma20 - 2 * sd20, 6) + 0 AS lower_band
         |  FROM d WHERE rn >= 20)
         |SELECT symbol, id, price, sma20, upper_band, lower_band,
         |  price > upper_band AS breach_up,
@@ -6360,7 +6368,7 @@ object SparkEntry {
         |      FROM d GROUP BY 1, 2)
         |SELECT lang, source, n_docs, n_words, n_sentences, n_syllables,
         |  round(206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences
-        |        - 84.6 * CAST(n_syllables AS DOUBLE) / n_words, 6) AS flesch,
+        |        - 84.6 * CAST(n_syllables AS DOUBLE) / n_words, 6) + 0 AS flesch,
         |  round(0.39 * CAST(n_words AS DOUBLE) / n_sentences
         |        + 11.8 * CAST(n_syllables AS DOUBLE) / n_words - 15.59, 6)
         |    AS fk_grade
@@ -6427,9 +6435,9 @@ object SparkEntry {
         |    SUM(m*m)::BIGINT AS s2, MIN(m) AS mn, MAX(m) AS mx
         |  FROM m GROUP BY pos)
         |SELECT pos, n,
-        |  ROUND(s1::DOUBLE / (n * 1000000.0), 6) AS mean_v,
+        |  ROUND(s1::DOUBLE / (n * 1000000.0), 6) + 0 AS mean_v,
         |  ROUND(sqrt((n*s2 - s1*s1)::DOUBLE / (n*(n-1))) / 1000000.0, 6) AS std_v,
-        |  ROUND(mn / 1000000.0, 6) AS min_v,
+        |  ROUND(mn / 1000000.0, 6) + 0 AS min_v,
         |  ROUND(mx / 1000000.0, 6) AS max_v
         |FROM g ORDER BY pos""".stripMargin,
 
@@ -6934,7 +6942,7 @@ object SparkEntry {
         |fit AS (SELECT COUNT(*) AS r_used, SUM(x) AS sx, SUM(y) AS sy,
         |               SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM t)
         |SELECT n_tokens, vocab, r_used,
-        |  round((r_used*sxy - sx*sy)::DOUBLE / (r_used*sxx - sx*sx)::DOUBLE, 6) AS zipf_slope
+        |  round((r_used*sxy - sx*sy)::DOUBLE / (r_used*sxx - sx*sx)::DOUBLE, 6) + 0 AS zipf_slope
         |FROM st, fit""".stripMargin,
 
     // the trained tokenizer's serve-side artifact: each vocabulary
@@ -6982,7 +6990,7 @@ object SparkEntry {
         |               (SELECT SUM(c_ab) FROM big) AS n_big)
         |SELECT big.a, big.b, c_ab,
         |  ROUND(ln(c_ab::DOUBLE * n_uni * n_uni /
-        |           (n_big::DOUBLE * ua.c * ub.c)), 6) AS pmi
+        |           (n_big::DOUBLE * ua.c * ub.c)), 6) + 0 AS pmi
         |FROM big
         |CROSS JOIN tot
         |JOIN unic ua ON ua.tok = big.a
@@ -7658,7 +7666,7 @@ object SparkEntry {
         |), scored AS (
         |  SELECT q.query_id, e.vec_id AS neighbor_id,
         |    round(list_reduce(list_transform(range(1,65),
-        |      i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*q.q_nrm), 6) AS cos
+        |      i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*q.q_nrm), 6) + 0 AS cos
         |  FROM e JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.query_id
         |)
         |SELECT query_id, neighbor_id, rk, cos FROM (

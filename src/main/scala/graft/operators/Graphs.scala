@@ -384,6 +384,19 @@ object Graphs {
       .orderBy("node")
   }
 
+  /** Frozen Adamic-Adar weights 1/ln(d) for d in 2..degCap, rounded
+    * HALF_UP to 12 dp ONCE here in Scala and embedded as literals in
+    * BOTH dialects (the x_ndcg frozen-micro-weight move) — removes
+    * the last host-libm transcendental from an oracle-compared column.
+    * The r11 driver failure was a 1-ulp ln() difference flipping a
+    * 12th decimal and reordering the tie-heavy top-50 tail.
+    */
+  private[graft] def aaWeights(degCap: Int): Seq[(Long, java.math.BigDecimal)] =
+    (2 to degCap).map { d =>
+      (d.toLong, new java.math.BigDecimal(1.0 / math.log(d.toDouble))
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+    }
+
   /** Adamic-Adar link prediction over the co-purchase graph: for each
     * non-adjacent pair sharing >= 1 neighbor, score = sum over common
     * neighbors z of 1/ln(deg z), top-k candidates — the classic
@@ -409,10 +422,15 @@ object Graphs {
       .unionAll(e.select(col("pb").as("z"), col("pa").as("x")))
     val deg = adj.groupBy("z").agg(count(lit(1)).as("d"))
     // d >= 2: a degree-1 center can never be a COMMON neighbor, and
-    // ln(1) = 0 would poison the weight projection under ANSI mode
+    // ln(1) = 0 would poison the weight projection under ANSI mode.
+    // The 1/ln(d) weight comes from the FROZEN table (aaWeights), not
+    // a runtime log() call — both dialects consume the same literals,
+    // so no host libm can perturb the tie-heavy top-k tail (r11).
+    import spark.implicits._
+    val wtab = broadcast(aaWeights(degCap).toDF("d", "wgt")
+      .select(col("d"), col("wgt").cast("decimal(18,12)").as("w")))
     val centers = adj.join(deg.filter(col("d") >= 2 && col("d") <= degCap), "z")
-      .withColumn("w", round(lit(1.0) / log(col("d").cast("double")), 12)
-        .cast("decimal(18,12)"))
+      .join(wtab, "d")
     val pairs = centers.as("l").join(centers.as("r"),
         col("l.z") === col("r.z") && col("l.x") < col("r.x"))
       .groupBy(col("l.x").as("a"), col("r.x").as("b"))
