@@ -2931,7 +2931,10 @@ object Analytics {
     val signed = counts.select(col("c"), explode(array(
         seeds.zipWithIndex.map { case ((a, b), i) =>
           struct(lit(i.toLong).as("seed"),
-            ((col("user_id") * a + b) % P % 2 * 2 - 1).as("sgn")) }: _*)).as("e"))
+            // pmod, not %: Spark's % returns negative remainders for
+            // negative ids, which would corrupt the ±1 sign to -3/-1
+            (pmod(pmod(col("user_id") * a + b, lit(P)), lit(2L)) * 2 - 1)
+              .as("sgn")) }: _*)).as("e"))
       .select(col("e.seed").as("seed"), (col("e.sgn") * col("c")).as("sc"))
     val med = signed.groupBy("seed").agg(sum(col("sc")).as("s"))
       .select(col("seed"), (col("s") * col("s")).as("est"))
@@ -3051,20 +3054,23 @@ object Analytics {
         round(ssb / (ssb + ssw), 6).as("eta_sq"))
   }
 
-  /** Differentially-private histogram release + utility audit
-    * (Dwork et al. 2006 Laplace mechanism, epsilon = 1): per
-    * (event_type, day) cell, a Laplace(1/eps) noise draw is added to
-    * the true count; the audit reports, per event type, the released
-    * total beside the truth and the realized L1 error — the
-    * privacy/utility trade a data-governance plane publishes beside
-    * [[kAnonSuppression]]/[[lDiversity]]/[[Stats.tCloseness]] (those
-    * bound re-identification; this bounds what a RELEASED aggregate
-    * leaks). Noise is the inverse-CDF transform of a deterministic
-    * per-cell hash uniform (seeded release — reproducible in any
-    * engine): u in (0,1) from `(key*8191+131071) mod P mod 2^20`,
-    * noise = -sgn(u-1/2) * ln(1-2|u-1/2|)/eps, micro-unit rounded
-    * BEFORE aggregation so every error sum is exact BIGINT. The `+1`
-    * offset keeps u strictly inside (0,1) — ln never sees 0.
+  /** Laplace-mechanism UTILITY SIMULATION / accuracy audit (Dwork et
+    * al. 2006), NOT a differentially-private release: per
+    * (event_type, day) cell, a Laplace(1/eps)-distributed perturbation
+    * is added to the true count; the audit reports, per event type,
+    * the perturbed total beside the truth and the realized L1 error —
+    * what a governance plane uses to SIZE the privacy/utility trade
+    * of a real release before making one. It provides zero actual DP:
+    * the noise is the inverse-CDF transform of a deterministic PUBLIC
+    * per-cell hash uniform (u in (0,1) from
+    * `(key*8191+131071) mod P mod 2^20`,
+    * noise = -sgn(u-1/2) * ln(1-2|u-1/2|)/eps), so anyone can
+    * recompute and subtract it. That determinism is deliberate — it
+    * is what makes the error distribution oracle-checkable in two
+    * engines; a production release would draw the noise from a
+    * secret-seeded CSPRNG and publish only the epsilon. Micro-unit
+    * rounded BEFORE aggregation so every error sum is exact BIGINT;
+    * the `+1` offset keeps u strictly inside (0,1) — ln never sees 0.
     *
     * Scale shape: one (type, day) aggregate, a narrow noise
     * projection, one bounded rollup. Nothing but cell statistics

@@ -243,6 +243,9 @@ object Multimodal {
             val rgb = img.getRGB(p % img.getWidth, p / img.getWidth)
             ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
           }
+          // 1L << p wraps mod 64 — bits past pixel 63 would silently
+          // alias onto earlier positions; callers pass 16x1 BMPs
+          require(n <= 64, s"ahash needs <= 64 pixels, got $n")
           val tot = grays.map(_.toLong).sum
           val h = grays.zipWithIndex
             .map { case (g, p) => if (g.toLong * n > tot) 1L << p else 0L }.sum
@@ -275,6 +278,10 @@ object Multimodal {
             val rgb = img.getRGB(p % img.getWidth, p / img.getWidth)
             ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
           }
+          // 1L << p wraps mod 64 — gradient bits past pixel 64 would
+          // silently alias onto earlier positions; callers pass 16x1
+          // BMPs (15 gradient bits)
+          require(n <= 65, s"dhash needs <= 65 pixels, got $n")
           val h = (0 until n - 1)
             .map(p => if (grays(p + 1) > grays(p)) 1L << p else 0L).sum
           (id, h)

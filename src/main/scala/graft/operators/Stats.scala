@@ -353,8 +353,12 @@ object Stats {
       EventTypes.flatMap { t =>
         Seq(sum(when(col("event_type") === t, col("cj")).otherwise(lit(0L)))
               .as(s"n_$t"),
-            sum(when(col("event_type") === t, col("cj") * col("dr"))
-              .otherwise(lit(0L))).cast(d19).as(s"r2_$t"))
+            // cast INSIDE the sum so the ~2N^2 accumulation runs in
+            // decimal, not BIGINT (overflows ~N=2.1e9 events); the
+            // outer d19 keeps the pivoted column type unchanged
+            sum(when(col("event_type") === t,
+                  (col("cj").cast(d19) * col("dr").cast(d19)).cast(d38))
+              .otherwise(lit(0L).cast(d38))).cast(d19).as(s"r2_$t"))
       }
     val pivoted = joined.agg(aggCols.head, aggCols.tail: _*)
     val ties = byVal.agg(

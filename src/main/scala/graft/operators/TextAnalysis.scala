@@ -308,7 +308,11 @@ object TextAnalysis {
     */
   def cohensKappa(spark: SparkSession, dir: String): DataFrame = {
     val nStop = size(filter(toks, t => t.isInCollection(Stopwords)))
-    val guessEn = nStop.cast("double") / size(toks) > 0.05
+    // empty-doc guard: 0/0 = NaN orders ABOVE 0.05 in Spark (guess=en)
+    // while DuckDB's NULL propagates — guard so both engines agree by
+    // construction (a zero-token doc guesses not-en)
+    val guessEn = when(size(toks) > 0,
+      nStop.cast("double") / size(toks)).otherwise(lit(0.0)) > 0.05
     val truthEn = col("lang") === "en"
     val g = Tables.documents(spark, dir)
       .select(guessEn.as("g"), truthEn.as("t"))
