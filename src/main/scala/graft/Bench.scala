@@ -32,6 +32,57 @@ import org.apache.spark.sql.SparkSession
   * faster.
   */
 object Bench {
+
+  /** Per-run runtime telemetry (r11 verdict: without GC/shuffle/memory
+    * per query, driver-side anomalies — x_unpivot at 9.7 s for a
+    * trivial melt, x_ndcg at 14–54 s — can only be adjudicated by
+    * narrative). Collected by [[TeleListener]] + the JVM GC beans;
+    * local[n] runs driver==executor, so the beans see all GC.
+    */
+  case class Tele(gcMs: Long, shufReadB: Long, shufWriteB: Long,
+                  spillB: Long, peakMemB: Long)
+
+  /** Task-metrics accumulator: shuffle read/write bytes, spill bytes,
+    * and the max per-task peak execution memory across the run.
+    */
+  private final class TeleListener extends org.apache.spark.scheduler.SparkListener {
+    private val sr = new java.util.concurrent.atomic.AtomicLong
+    private val sw = new java.util.concurrent.atomic.AtomicLong
+    private val sp = new java.util.concurrent.atomic.AtomicLong
+    private val pk = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        sp.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        pk.accumulateAndGet(m.peakExecutionMemory, math.max(_: Long, _: Long))
+      }
+    }
+    def reset(): Unit = { sr.set(0); sw.set(0); sp.set(0); pk.set(0) }
+    def snap: (Long, Long, Long, Long) = (sr.get, sw.get, sp.get, pk.get)
+  }
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+  }
+
+  /** Drain the async listener bus so a run's task-end events land in
+    * ITS snapshot, not the next query's. `listenerBus` is
+    * private[spark] (public in bytecode) — reflection, with a small
+    * sleep fallback; attribution slop of a few late events is noise
+    * against per-query medians.
+    */
+  private def drainListenerBus(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    } catch { case _: Throwable => Thread.sleep(30) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -79,7 +130,9 @@ object Bench {
     val ordered0 = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val ordered = if (reverse) ordered0.reverse else ordered0
-    val results: Seq[(String, Seq[Double], Boolean)] = ordered.map { case (name, fn) =>
+    val tele = new TeleListener
+    spark.sparkContext.addSparkListener(tele)
+    val results: Seq[(String, Seq[Double], Boolean, Seq[Tele])] = ordered.map { case (name, fn) =>
       // noop sink, NOT count(): count() lets Catalyst prune every
       // unused projection, so a narrow query's expensive columns
       // (simhash votes, text stats) were never computed — r2's
@@ -93,9 +146,12 @@ object Bench {
       // and a slow failure (broadcast timeout, OOM) must not be paid
       // nRuns times.
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val teles = scala.collection.mutable.ArrayBuffer.empty[Tele]
       var i = -nWarm // negative indices are discarded warm-up runs
       while (i < nRuns && !times.lastOption.exists(_ < 0)) {
         Caches.releaseAll(spark) // cached Datasets AND checkpoint blocks
+        drainListenerBus(spark); tele.reset()
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         val t = try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -104,16 +160,27 @@ object Bench {
           diagnostics += s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}"
           -1.0
         }
-        if (i >= 0 || t < 0) times += t // warm-up times dropped; failures kept
+        if (i >= 0 || t < 0) { // warm-up runs dropped; failures kept
+          times += t
+          if (t >= 0) {
+            drainListenerBus(spark)
+            val (sr, sw, sp, pk) = tele.snap
+            teles += Tele(gcMillis() - gc0, sr, sw, sp, pk)
+          }
+        }
         i += 1
       }
       val ok = times.forall(_ >= 0)
-      (name, times.toSeq, ok)
+      (name, times.toSeq, ok, teles.toSeq)
     }
-    val medians = results.map { case (n, ts, ok) =>
+    val medians = results.map { case (n, ts, ok, _) =>
       (n, if (ok) median(ts) else -1.0, ok) }
+    val results3 = results.map { case (n, ts, ok, _) => (n, ts, ok) }
+    val teleMap: Map[String, Tele] = results.flatMap { case (n, _, _, tl) =>
+      aggTele(tl).map(n -> _) }.toMap
+    val gcSec = ms(teleMap.valuesIterator.map(_.gcMs).sum / 1000.0)
     val fullLine = renderJson(medians, nRuns, sfDir)
-    val tinyLine = renderSummaryJson(results, nRuns, sfDir, detailPath)
+    val tinyLine = renderSummaryJson(results3, nRuns, sfDir, detailPath, gcSec)
     // print order: full line FIRST (head capture), detail to file,
     // diagnostics, then the tiny line LAST on both streams (tail
     // capture) — whichever window the driver keeps, a complete
@@ -122,7 +189,7 @@ object Bench {
     System.err.println(fullLine)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-        renderDetailJson(results, nRuns, sfDir).getBytes("UTF-8"))
+        renderDetailJson(results3, nRuns, sfDir, teleMap).getBytes("UTF-8"))
     } catch { case e: Throwable =>
       diagnostics += s"[bench] detail write FAILED: ${e.getMessage}"
     }
@@ -141,6 +208,23 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2)
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
+
+  private def medLong(xs: Seq[Long]): Long = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** Per-query telemetry aggregate: median across the timed runs for
+    * the flow metrics (GC, shuffle, spill — same center statistic as
+    * the time), MAX for peak execution memory (the spill/OOM bound is
+    * a worst-case property, not a typical one).
+    */
+  private[graft] def aggTele(tl: Seq[Tele]): Option[Tele] =
+    if (tl.isEmpty) None
+    else Some(Tele(medLong(tl.map(_.gcMs)), medLong(tl.map(_.shufReadB)),
+      medLong(tl.map(_.shufWriteB)), medLong(tl.map(_.spillB)),
+      tl.map(_.peakMemB).max))
 
   /** Millisecond precision: full double digits tripled the line's
     * length for noise below timer jitter, and line length is budget
@@ -182,7 +266,8 @@ object Bench {
     */
   def renderSummaryJson(results: Seq[(String, Seq[Double], Boolean)],
                         nRuns: Int, sfDir: String,
-                        detailPath: String): String = {
+                        detailPath: String,
+                        gcSec: Double = -1.0): String = {
     val failures = results.filterNot(_._3).map(_._1)
     val meds = results.filter(_._3).map { case (n, ts, _) => (n, ts) }
     val total = ms(meds.map(t => median(t._2)).sum + 3600.0 * failures.size)
@@ -191,7 +276,8 @@ object Bench {
         s"\"" + n + s"\":[${ms(ts.min)},${ms(median(ts))},${ms(ts.max)}]" }
       .mkString("{", ",", "}")
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,"n_queries":${results.size},"failures":$failJson,"sf":${jstr(sfDir)},"detail":${jstr(detailPath)},"slowest":$slow}"""
+    val gcField = if (gcSec >= 0) s""","gc_sec":${ms(gcSec)}""" else ""
+    s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,"n_queries":${results.size},"failures":$failJson$gcField,"sf":${jstr(sfDir)},"detail":${jstr(detailPath)},"slowest":$slow}"""
   }
 
   /** The full detail artifact (written to a file, never printed):
@@ -200,10 +286,14 @@ object Bench {
     * regression without re-running anything.
     */
   def renderDetailJson(results: Seq[(String, Seq[Double], Boolean)],
-                       nRuns: Int, sfDir: String): String = {
+                       nRuns: Int, sfDir: String,
+                       tele: Map[String, Tele] = Map.empty): String = {
     val qs = results.map { case (n, ts, ok) =>
+      val tl = tele.get(n).map(t =>
+        s""","gc_ms":${t.gcMs},"shuffle_read_b":${t.shufReadB},"shuffle_write_b":${t.shufWriteB},"spill_b":${t.spillB},"peak_exec_mem_b":${t.peakMemB}""")
+        .getOrElse("")
       if (ok && ts.nonEmpty)
-        s"\"" + n + s"\":{\"min\":${ms(ts.min)},\"median\":${ms(median(ts))},\"max\":${ms(ts.max)},\"runs\":[${ts.map(ms).mkString(",")}]}"
+        s"\"" + n + s"\":{\"min\":${ms(ts.min)},\"median\":${ms(median(ts))},\"max\":${ms(ts.max)},\"runs\":[${ts.map(ms).mkString(",")}]$tl}"
       else s"\"" + n + "\":{\"min\":-1.0,\"median\":-1.0,\"max\":-1.0,\"runs\":[]}"
     }.mkString("{", ",", "}")
     val failures = results.filterNot(_._3).map(_._1)

@@ -73,6 +73,36 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(mapper.readTree(full).get("sf").asText() == nasty)
   }
 
+  test("detail JSON carries per-query telemetry when collected") {
+    val line = Bench.renderDetailJson(
+      Seq(("a", Seq(1.0), true)), 1, "sf",
+      Map("a" -> Bench.Tele(120L, 1048576L, 2097152L, 0L, 33554432L)))
+    val a = mapper.readTree(line).get("queries").get("a")
+    assert(a.get("gc_ms").asLong() == 120L)
+    assert(a.get("shuffle_read_b").asLong() == 1048576L)
+    assert(a.get("shuffle_write_b").asLong() == 2097152L)
+    assert(a.get("spill_b").asLong() == 0L)
+    assert(a.get("peak_exec_mem_b").asLong() == 33554432L)
+  }
+
+  test("tele aggregate takes medians for flow metrics, max for peak") {
+    val agg = Bench.aggTele(Seq(
+      Bench.Tele(10, 100, 200, 0, 1000),
+      Bench.Tele(30, 300, 600, 6, 3000),
+      Bench.Tele(20, 200, 400, 2, 2000))).get
+    assert(agg == Bench.Tele(20, 200, 400, 2, 3000))
+    assert(Bench.aggTele(Nil).isEmpty)
+  }
+
+  test("tiny summary line reports total gc_sec when provided") {
+    val line = Bench.renderSummaryJson(
+      Seq(("a", Seq(1.0), true)), 1, "sf", "d.json", 4.25)
+    assert(mapper.readTree(line).get("gc_sec").asDouble() == 4.25)
+    val without = Bench.renderSummaryJson(
+      Seq(("a", Seq(1.0), true)), 1, "sf", "d.json")
+    assert(mapper.readTree(without).get("gc_sec") == null)
+  }
+
   test("detail JSON records min/median/max and raw runs per query") {
     val line = Bench.renderDetailJson(
       Seq(("a", Seq(1.0, 3.0, 2.0), true), ("bad", Seq(-1.0), false)), 3, "sf")
