@@ -64,6 +64,29 @@ object Caches {
     (ck, sc.getPersistentRDDs.keySet.toSet -- before)
   }
 
+  /** Shared driver-paced loop harness: each generation is an EAGER
+    * localCheckpoint; once generation i+1 has materialized, generation
+    * i's blocks are FREED, so a loop exits holding only the final
+    * state's blocks instead of one block set per round. The iterative
+    * families (PageRank / PPR / eigencentrality / LPA communities —
+    * plus the hand-rolled multi-state loops in HITS / BFS / k-core)
+    * were the repeatedly-implicated envelope-pressure set in the
+    * r10-r11 bench drift; a 5-round loop used to hold 5 generations
+    * until the caller's releaseAll.
+    */
+  private[graft] def iterate(state0: org.apache.spark.sql.DataFrame,
+                             rounds: Int)(
+      step: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    var (state, ids) = trackedCheckpoint(state0)
+    for (i <- 1 to rounds) {
+      val (next, nextIds) = trackedCheckpoint(step(state, i))
+      release(state.sparkSession, ids)
+      state = next; ids = nextIds
+    }
+    state
+  }
+
   /** Free exactly the given persistent-RDD ids (no-op for ids already
     * gone). */
   private[graft] def release(spark: SparkSession, ids: Set[Int]): Unit =

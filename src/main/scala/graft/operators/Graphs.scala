@@ -109,18 +109,23 @@ object Graphs {
                 rounds: Int = 5, minSupport: Int = 2): DataFrame = {
     val spk = spark
     import spk.implicits._
-    var edges = coEdges(spark, dir, minSupport)
-      .select(col("pa").as("u"), col("pb").as("v")).localCheckpoint()
+    var (edges, edgeIds) = graft.Caches.trackedCheckpoint(
+      coEdges(spark, dir, minSupport)
+        .select(col("pa").as("u"), col("pb").as("v")))
     val out = Seq.newBuilder[(Long, Long, Long)]
     for (r <- 1 to rounds) {
       val deg = edges.select(col("u").as("x")).unionAll(edges.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("d"))
-      val keep = deg.filter(col("d") >= k).select("x").localCheckpoint()
-      edges = edges
+      val (keep, keepIds) = graft.Caches.trackedCheckpoint(
+        deg.filter(col("d") >= k).select("x"))
+      val (eNext, eNextIds) = graft.Caches.trackedCheckpoint(edges
         .join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
-        .localCheckpoint()
-      out += ((r.toLong, keep.count(), edges.count()))
+        .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi"))
+      graft.Caches.release(spark, edgeIds)
+      out += ((r.toLong, keep.count(), eNext.count()))
+      // keep's last consumer is the count above — free it per round
+      graft.Caches.release(spark, keepIds)
+      edges = eNext; edgeIds = eNextIds
     }
     out.result().toDF("round", "n_nodes", "n_edges").orderBy("round")
   }
@@ -168,20 +173,18 @@ object Graphs {
     val deg = adj.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint()
     val n = deg.count()
     val base = lit(1.0 - damping) / lit(n.toDouble)
-    var ranks = deg.select(col("u").as("node"),
-      (lit(1.0) / lit(n.toDouble)).as("r"))
     // per-round ranks quantize to 12 decimals (both engines): sum(r/d)
     // is an order-dependent double summation, and without the per-round
     // clamp the last-ulp drift between Spark's partial-agg order and
     // the oracle's compounds over the iterations
-    for (_ <- 1 to iters) {
-      val contrib = adj
-        .join(ranks.withColumnRenamed("node", "u"), "u")
+    val ranks = graft.Caches.iterate(
+      deg.select(col("u").as("node"),
+        (lit(1.0) / lit(n.toDouble)).as("r")), iters) { (st, _) =>
+      adj.join(st.withColumnRenamed("node", "u"), "u")
         .join(deg, "u")
         .select(col("v").as("node"), (col("r") / col("d")).as("c"))
-      ranks = contrib.groupBy("node")
+        .groupBy("node")
         .agg(round(base + lit(damping) * sum(col("c")), 12).as("r"))
-        .localCheckpoint()
     }
     // top-k via TakeOrdered (never a global single-partition window
     // over the corpus-growing node set); the k-row result re-ranks and
@@ -222,18 +225,16 @@ object Graphs {
     val seeds = deg.orderBy(col("d").desc, col("u")).limit(nSeeds)
       .select(col("u").as("node"), lit(1.0 / nSeeds).as("e"))
       .localCheckpoint() // nSeeds rows, broadcast into every round
-    var ranks = seeds.select(col("node"), col("e").as("r"))
-    for (_ <- 1 to iters) {
-      val contrib = adj
-        .join(ranks.withColumnRenamed("node", "u"), "u")
+    val ranks = graft.Caches.iterate(
+      seeds.select(col("node"), col("e").as("r")), iters) { (st, _) =>
+      adj.join(st.withColumnRenamed("node", "u"), "u")
         .join(deg, "u")
         .select(col("v").as("node"), (col("r") / col("d")).as("c"))
-      ranks = contrib.groupBy("node").agg(sum(col("c")).as("s"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
         .join(broadcast(seeds), Seq("node"), "full_outer")
         .select(col("node"),
           round(lit(damping) * coalesce(col("s"), lit(0.0)) +
                 lit(1.0 - damping) * coalesce(col("e"), lit(0.0)), 12).as("r"))
-        .localCheckpoint()
     }
     val top = ranks
       .select(col("node"), round(col("r"), 6).as("rank"))
@@ -307,16 +308,15 @@ object Graphs {
       .unionAll(e0.select(col("pb").as("u"), col("pa").as("v")))
       .localCheckpoint()
     val deg = adj.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint()
-    var ranks = deg.select(col("u").as("node"), lit(1.0).as("r"))
-    for (_ <- 1 to iters) {
+    val ranks = graft.Caches.iterate(
+      deg.select(col("u").as("node"), lit(1.0).as("r")), iters) { (st, _) =>
       val s = adj
-        .join(ranks.withColumnRenamed("node", "u"), "u")
+        .join(st.withColumnRenamed("node", "u"), "u")
         .groupBy(col("v").as("node"))
         .agg(round(sum(col("r")), 12).as("s"))
       val mx = s.agg(max(col("s")).as("mx"))
-      ranks = s.crossJoin(broadcast(mx))
+      s.crossJoin(broadcast(mx))
         .select(col("node"), round(col("s") / col("mx"), 12).as("r"))
-        .localCheckpoint()
     }
     val top = ranks
       .select(col("node"), round(col("r"), 6).as("centrality"))
@@ -531,24 +531,33 @@ object Graphs {
     val e = seqEdges(spark, dir).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    var h = nodes.withColumn("h", lit(1.0)).localCheckpoint()
+    // alternating two-state loop: a_i is built from h_i, h_{i+1} from
+    // a_i — each generation's blocks are freed the moment its sole
+    // consumer has materialized (the Caches.iterate discipline,
+    // hand-rolled for the two interleaved states)
+    var (h, hIds) = graft.Caches.trackedCheckpoint(
+      nodes.withColumn("h", lit(1.0)))
     var a: DataFrame = null
+    var aIds = Set.empty[Int]
     for (i <- 1 to iters) {
       val ar = e.join(h.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(round(sum(col("h")), 12).as("s"))
       val amx = ar.agg(max(col("s")).as("mx")) // 1-row bound
-      a = ar.crossJoin(broadcast(amx))
-        .select(col("node"), round(col("s") / col("mx"), 12).as("a"))
-        .localCheckpoint()
+      val (aNext, aNextIds) = graft.Caches.trackedCheckpoint(
+        ar.crossJoin(broadcast(amx))
+          .select(col("node"), round(col("s") / col("mx"), 12).as("a")))
+      graft.Caches.release(spark, hIds ++ aIds); hIds = Set.empty
+      a = aNext; aIds = aNextIds
       if (i < iters) {
         val hr = e.join(a.withColumnRenamed("node", "dst"), "dst")
           .groupBy(col("src").as("node"))
           .agg(round(sum(col("a")), 12).as("s"))
         val hmx = hr.agg(max(col("s")).as("mx"))
-        h = hr.crossJoin(broadcast(hmx))
-          .select(col("node"), round(col("s") / col("mx"), 12).as("h"))
-          .localCheckpoint()
+        val (hNext, hNextIds) = graft.Caches.trackedCheckpoint(
+          hr.crossJoin(broadcast(hmx))
+            .select(col("node"), round(col("s") / col("mx"), 12).as("h")))
+        h = hNext; hIds = hNextIds
       }
     }
     val ind = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_degree"))
@@ -580,17 +589,23 @@ object Graphs {
     val deg = adj.groupBy("u").agg(count(lit(1)).as("d"))
     val src = deg.orderBy(col("d").desc, col("u").asc).limit(1)
       .select(col("u").as("node"), lit(0L).as("lvl"))
-    var visited = src.localCheckpoint()
+    // two-state frontier loop: next_i reads frontier+visited; the new
+    // visited reads the old; each superseded generation is freed once
+    // its successor has materialized (the Caches.iterate discipline)
+    var (visited, visIds) = graft.Caches.trackedCheckpoint(src)
     var frontier = visited
+    var frontIds = Set.empty[Int] // src's blocks are visited's — freed via visIds
     for (i <- 1 to depth) {
-      val next = adj
+      val (next, nextIds) = graft.Caches.trackedCheckpoint(adj
         .join(frontier.select(col("node").as("u")), "u")
         .select(col("v").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
-        .withColumn("lvl", lit(i.toLong))
-        .localCheckpoint()
-      visited = visited.union(next).localCheckpoint()
-      frontier = next
+        .withColumn("lvl", lit(i.toLong)))
+      graft.Caches.release(spark, frontIds)
+      val (vNext, vNextIds) = graft.Caches.trackedCheckpoint(visited.union(next))
+      graft.Caches.release(spark, visIds)
+      visited = vNext; visIds = vNextIds
+      frontier = next; frontIds = nextIds
     }
     visited.groupBy("lvl").agg(count(lit(1)).as("n_nodes")).orderBy("lvl")
   }
@@ -624,18 +639,15 @@ object Graphs {
     val adj = e.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
       .localCheckpoint()
-    var lab = adj.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("lab"))
-      .localCheckpoint()
-    for (_ <- 1 to rounds) {
-      lab = adj
-        .join(lab.select(col("node").as("u"), col("lab")), "u")
+    val lab = graft.Caches.iterate(
+      adj.select(col("u").as("node")).distinct()
+        .select(col("node"), col("node").as("lab")), rounds) { (lb, _) =>
+      adj.join(lb.select(col("node").as("u"), col("lab")), "u")
         .groupBy(col("v"), col("lab"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("v").as("node"))
         .agg(max(col("cnt") * B + (lit(B - 1) - col("lab"))).as("pack"))
         .select(col("node"), (lit(B - 1) - col("pack") % B).as("lab"))
-        .localCheckpoint()
     }
     val m = e.count() // scalar: undirected edge count
     val deg = adj.groupBy("u").agg(count(lit(1)).as("d"))

@@ -59,6 +59,33 @@ class CacheDisciplineSpec extends SparkSuite {
     }
   }
 
+  test("graph loops exit holding O(1) generations, not one per round") {
+    // r12: pageRank/HITS/BFS/k-core/communities share the
+    // Caches.iterate discipline — after the query's action completes,
+    // only the edge/degree base tables + the FINAL generation may
+    // remain, regardless of round count (a 5-round loop used to hold
+    // 5 superseded rank generations until releaseAll).
+    import graft.operators.Graphs
+    val loops = Seq[(String, Int, () => org.apache.spark.sql.DataFrame)](
+      // bounds: base checkpoints (edges/adj/deg/seeds) + final state
+      ("pageRank", 4, () => Graphs.pageRank(spark, sfDir, iters = 5)),
+      ("hits", 3, () => Graphs.hits(spark, sfDir, iters = 3)),
+      ("bfsLevels", 5, () => Graphs.bfsLevels(spark, sfDir, depth = 4)),
+      ("kCorePeel", 3, () => Graphs.kCorePeel(spark, sfDir, rounds = 5)),
+      ("communities", 4, () => Graphs.communities(spark, sfDir, rounds = 3)))
+    loops.foreach { case (name, bound, mk) =>
+      withClue(s"$name: ") {
+        Caches.releaseAll(spark)
+        consume(mk())
+        val live = spark.sparkContext.getPersistentRDDs.size
+        assert(live <= bound,
+          s"loop leaked generations: $live persistent RDDs (bound $bound)")
+        Caches.releaseAll(spark)
+        assert(Caches.isEmpty(spark))
+      }
+    }
+  }
+
   test("labelPropagation frees its loop generations before returning") {
     // After construction (which runs the iterative loop eagerly), only
     // the RESULT's blocks may remain — not one generation per round,
