@@ -176,6 +176,7 @@ object SparkEntry {
     "x_page_hinkley"       -> ((s, dir) => Finance.pageHinkley(s, dir)),
     "x_media_dhash"        -> ((s, dir) => Multimodal.dhashNearDup(s, dir)),
     "x_ljung_box"          -> ((s, dir) => Finance.ljungBox(s, dir)),
+    "x_ljung_box_daily"    -> ((s, dir) => Finance.ljungBoxDaily(s, dir)),
     "x_tick_imbalance"     -> ((s, dir) => Finance.tickImbalance(s, dir)),
     "x_dp_release"         -> ((s, dir) => Analytics.dpRelease(s, dir)),
     "x_sax_motifs"         -> ((s, dir) => Finance.saxMotifs(s, dir)),
@@ -4082,6 +4083,42 @@ object SparkEntry {
            s"        num$k / CAST(bden AS DOUBLE) AS rho$k").mkString(",\n")}
         |       FROM r)
         |SELECT symbol, n AS n_ticks,
+        |  round(nd * (nd + 2) * (${(1 to 5).map(k =>
+             s"rho$k * rho$k / (nd - $k)").mkString(" + ")}), 6) AS q_lb,
+        |  CAST(5 AS BIGINT) AS df
+        |FROM r2 ORDER BY symbol""".stripMargin),
+
+    // daily-bar Ljung-Box — same portmanteau pivots over the
+    // per-(symbol, day) mean-price cents (the streaming monitor's
+    // granularity; VARCHAR bridge = Spark's decimal->double cast)
+    "x_ljung_box_daily" ->
+      (finQuoteCte + s""",
+        |e AS (SELECT symbol, day,
+        |        CAST(round((CAST(CAST(SUM(CAST(price AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |          / COUNT(*)) * 100) AS BIGINT) AS m
+        |      FROM q GROUP BY symbol, day),
+        |l AS (SELECT symbol, m,
+        |${(1 to 5).map(k => s"        lag(m, $k) OVER w AS y$k").mkString(",\n")}
+        |      FROM e WINDOW w AS (PARTITION BY symbol ORDER BY day)),
+        |g AS (SELECT symbol, COUNT(*)::BIGINT AS n, SUM(m)::BIGINT AS s,
+        |        CAST(SUM(CAST(m*m AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS q2,
+        |${(1 to 5).map(k =>
+           s"        CAST(SUM(CASE WHEN y$k IS NOT NULL THEN CAST(m*y$k AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS xy$k,\n" +
+           s"        SUM(CASE WHEN y$k IS NOT NULL THEN m END)::BIGINT AS sa$k,\n" +
+           s"        SUM(y$k)::BIGINT AS sb$k").mkString(",\n")}
+        |      FROM l GROUP BY symbol),
+        |r AS (SELECT symbol, n, CAST(n AS DOUBLE) AS nd,
+        |        n * (n * q2 - CAST(s AS DECIMAL(38,0)) * s) AS bden,
+        |${(1 to 5).map(k =>
+           s"        CAST(n * (n * xy$k) - n * (CAST(s AS DECIMAL(38,0)) * (sa$k + sb$k))\n" +
+           s"          + (n - $k) * (CAST(s AS DECIMAL(38,0)) * s) AS DOUBLE) AS num$k").mkString(",\n")}
+        |      FROM g
+        |      WHERE n > 5 AND n * q2 - CAST(s AS DECIMAL(38,0)) * s > 0),
+        |r2 AS (SELECT symbol, n, nd,
+        |${(1 to 5).map(k =>
+           s"        num$k / CAST(bden AS DOUBLE) AS rho$k").mkString(",\n")}
+        |       FROM r)
+        |SELECT symbol, n AS n_days,
         |  round(nd * (nd + 2) * (${(1 to 5).map(k =>
              s"rho$k * rho$k / (nd - $k)").mkString(" + ")}), 6) AS q_lb,
         |  CAST(5 AS BIGINT) AS df

@@ -1802,14 +1802,34 @@ object Finance {
     * return needs 25 digits); each moment and the final statistic is
     * ONE fixed double expression. m2^1.5 spelled m2*sqrt(m2).
     */
-  def jarqueBera(spark: SparkSession, dir: String, minDays: Int = 10): DataFrame = {
-    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
-    val byDay = Window.partitionBy("symbol").orderBy("day")
-    val daily = quotes(spark, dir)
+  def jarqueBera(spark: SparkSession, dir: String, minDays: Int = 10): DataFrame =
+    jarqueBeraFromDaily(dailyPriceSums(spark, dir), minDays)
+
+  /** Per-(symbol, day) additive price partials — the shared
+    * sufficient statistic of [[jarqueBera]] and [[ljungBoxDaily]]:
+    * psum (exact DECIMAL) and pcnt are additive across arbitrary
+    * splits, so the streaming twins store per-batch partials of
+    * exactly this shape and fold by summation.
+    */
+  private[graft] def dailyPriceSums(spark: SparkSession, dir: String): DataFrame =
+    quotes(spark, dir)
       .withColumn("day", to_date(col("ts")))
       .groupBy("symbol", "day")
-      .agg((sum(col("price").cast("decimal(18,6)")).cast("double") /
-            count(lit(1))).as("mean_price"))
+      .agg(sum(col("price").cast("decimal(18,6)")).as("psum"),
+           count(lit(1)).as("pcnt"))
+
+  /** [[jarqueBera]] from the (symbol, day, psum, pcnt) sufficient
+    * statistic. mean_price = psum/pcnt reproduces the batch daily
+    * mean bit-for-bit (decimal sum, one double divide); everything
+    * downstream is the identical moment expression.
+    */
+  private[graft] def jarqueBeraFromDaily(dailySums: DataFrame,
+                                         minDays: Int = 10): DataFrame = {
+    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
+    val byDay = Window.partitionBy("symbol").orderBy("day")
+    val daily = dailySums
+      .select(col("symbol"), col("day"),
+        (col("psum").cast("double") / col("pcnt")).as("mean_price"))
       .withColumn("prev", lag(col("mean_price"), 1).over(byDay))
       .filter(col("prev").isNotNull && col("prev") > 0 && col("mean_price") > 0)
       .withColumn("r", round(round(log(col("mean_price") / col("prev")), 6) * 1e6)
@@ -1892,11 +1912,43 @@ object Finance {
     * the literal-ordered Q expression are engine-exact. One (symbol)
     * exchange serves all five lag columns and the aggregate.
     */
-  def ljungBox(spark: SparkSession, dir: String, maxLag: Int = 5): DataFrame = {
+  def ljungBox(spark: SparkSession, dir: String, maxLag: Int = 5): DataFrame =
+    lbOver(quotes(spark, dir)
+        .withColumn("m", round(col("price") * 100).cast("bigint")),
+      Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc),
+      maxLag, "n_ticks")
+
+  /** [[ljungBox]]'s daily-bar variant: the same portmanteau Q over
+    * the per-(symbol, day) mean-price series in cents, lags
+    * 1..maxLag — the granularity a streaming whiteness monitor can
+    * maintain EXACTLY, because the daily series derives from the
+    * additive [[dailyPriceSums]] store (the tick-ordered variant's
+    * lag products are not a bounded fold under out-of-order
+    * arrival; the day-keyed series is).
+    */
+  def ljungBoxDaily(spark: SparkSession, dir: String, maxLag: Int = 5): DataFrame =
+    ljungBoxFromDaily(dailyPriceSums(spark, dir), maxLag)
+
+  /** [[ljungBoxDaily]] from the (symbol, day, psum, pcnt) sufficient
+    * statistic — shared verbatim with the streaming twin
+    * ([[graft.streaming.StreamingStats.ljungBoxDaily]]). */
+  private[graft] def ljungBoxFromDaily(dailySums: DataFrame,
+                                       maxLag: Int = 5): DataFrame =
+    lbOver(dailySums.select(col("symbol"), col("day"),
+        round((col("psum").cast("double") / col("pcnt")) * 100)
+          .cast("bigint").as("m")),
+      Window.partitionBy("symbol").orderBy(col("day").asc),
+      maxLag, "n_days")
+
+  /** The shared Ljung-Box tail: lag columns 1..maxLag over `ord`,
+    * exact DECIMAL(38,0) pivot sums, the mean-cleared rho_k ratios,
+    * and the literal-ordered Q — identical expressions whichever
+    * series granularity feeds it. */
+  private def lbOver(withM: DataFrame,
+                     ord: org.apache.spark.sql.expressions.WindowSpec,
+                     maxLag: Int, nName: String): DataFrame = {
     val ks = 1 to maxLag
-    val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
-    val withLags = ks.foldLeft(
-      quotes(spark, dir).withColumn("m", round(col("price") * 100).cast("bigint"))) {
+    val withLags = ks.foldLeft(withM) {
       case (df, k) => df.withColumn(s"y$k", lag(col("m"), k).over(ord))
     }
     val big = (c: Column) => c.cast("decimal(38,0)")
@@ -1919,7 +1971,7 @@ object Finance {
       .reduce(_ + _)
     g.filter(col("n") > maxLag &&
         col("n") * col("q") - big(col("s")) * col("s") > 0)
-      .select(col("symbol"), col("n").as("n_ticks"),
+      .select(col("symbol"), col("n").as(nName),
         round(nD * (nD + 2) * qTerm, 6).as("q_lb"),
         lit(maxLag.toLong).as("df"))
       .orderBy("symbol")

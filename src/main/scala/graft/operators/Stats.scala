@@ -88,6 +88,46 @@ object Stats {
       .orderBy("symbol")
   }
 
+  /** [[spearman]] from its sufficient statistic — the per-symbol
+    * joint (cent, volume) histogram. Doubled average ranks are
+    * rebuilt from the count-weighted marginals (dr = 2*(cum−c) + c + 1
+    * over the domain-bounded distinct-value table — identical
+    * integers to the per-row ranks: positions cum−c+1..cum average to
+    * that), and the rank moments are count-weighted BIGINT sums, so
+    * rho matches the batch operator bit-for-bit. Counts are additive
+    * across splits: the streaming twin
+    * ([[graft.streaming.StreamingStats.spearman]]) folds stored
+    * per-batch cell counts through this same function.
+    */
+  private[graft] def spearmanFromCells(cells: DataFrame): DataFrame = {
+    def drTab(src: String): DataFrame = {
+      val w = Window.partitionBy("symbol").orderBy(col(src).asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      cells.groupBy("symbol", src).agg(sum(col("cnt")).as("c"))
+        .withColumn("cum", sum(col("c")).over(w))
+        .select(col("symbol"), col(src),
+          (lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L)).as(s"dr_$src"))
+    }
+    cells
+      .join(drTab("m"), Seq("symbol", "m"))
+      .join(drTab("v"), Seq("symbol", "v"))
+      .groupBy("symbol")
+      .agg(sum(col("cnt")).as("n"),
+           sum(col("cnt") * col("dr_m")).as("sx"),
+           sum(col("cnt") * col("dr_v")).as("sy"),
+           sum(col("cnt") * col("dr_m") * col("dr_m")).as("sxx"),
+           sum(col("cnt") * col("dr_v") * col("dr_v")).as("syy"),
+           sum(col("cnt") * col("dr_m") * col("dr_v")).as("sxy"))
+      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .filter(col("n") >= 3 && col("vx") > 0 && col("vy") > 0)
+      .select(col("symbol"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt(col("vx").cast("double") * col("vy").cast("double")), 6)
+          .as("rho"))
+      .orderBy("symbol")
+  }
+
   /** Per-user Mann-Whitney U test: do `purchase` event values
     * stochastically dominate `view` values for this user? Ranks both
     * samples jointly per user with doubled average ranks; U comes
@@ -337,17 +377,26 @@ object Stats {
     * tie-corrected denominator `1 - sum(t^3-t)/(N^3-N)` — is a single
     * fixed double expression over exact BIGINT/DECIMAL sums.
     */
-  def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
-    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
-    val ev = Tables.events(spark, dir)
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame =
+    kruskalFromCounts(Tables.events(spark, dir)
       .select(col("event_type"), round(col("value") * 100).cast("bigint").as("m"))
-    val byVal = ev.groupBy("m").agg(count(lit(1)).as("c")).localCheckpoint()
+      .groupBy("event_type", "m").agg(count(lit(1)).as("cj")))
+
+  /** [[kruskalWallis]] from its sufficient statistic — the
+    * (event_type, cent) count table. The counts are additive across
+    * splits, so the streaming twin
+    * ([[graft.streaming.StreamingStats.kruskalWallis]]) folds stored
+    * per-batch partials through this same function and reproduces the
+    * batch H exactly.
+    */
+  private[graft] def kruskalFromCounts(perType: DataFrame): DataFrame = {
+    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
+    val byVal = perType.groupBy("m").agg(sum(col("cj")).as("c")).localCheckpoint()
     val wOrd = Window.orderBy(col("m").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val ranked = byVal
       .withColumn("cum", sum(col("c")).over(wOrd))
       .withColumn("dr", lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L))
-    val perType = ev.groupBy("event_type", "m").agg(count(lit(1)).as("cj"))
     val joined = perType.join(broadcast(ranked.select("m", "dr")), "m")
     val aggCols = sum(col("cj")).as("n_total") +:
       EventTypes.flatMap { t =>

@@ -4,15 +4,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental hypothesis-test statistics — the inferential member of
-  * the streaming-twin family: the Welch-t pair table and the
-  * chi-square independence test are both functions of BOUNDED
-  * sufficient statistics (per-category count/sum/sum-of-squares;
-  * contingency cell counts), so each arriving micro-batch appends its
-  * partial statistics to a durable store and the fold reproduces the
-  * batch test EXACTLY — integer/decimal sums are split- and
-  * order-independent, and the final expression is shared verbatim
-  * with the batch operator ([[graft.operators.Stats.welchFromStats]]
-  * / [[graft.operators.Stats.chiFromCells]]).
+  * the streaming-twin family: Welch-t, chi-square, Spearman,
+  * Kruskal-Wallis, Jarque-Bera, and daily Ljung-Box are all functions
+  * of BOUNDED sufficient statistics (per-category count/sum/
+  * sum-of-squares; contingency cells; value-domain-bounded rank
+  * histograms; calendar-bounded daily price partials), so each
+  * arriving micro-batch appends its partial statistics to a durable
+  * store and the fold reproduces the batch test EXACTLY —
+  * integer/decimal sums are split- and order-independent, and the
+  * final expression is shared verbatim with the batch operator
+  * ([[graft.operators.Stats.welchFromStats]] /
+  * [[graft.operators.Stats.chiFromCells]] /
+  * [[graft.operators.Stats.spearmanFromCells]] /
+  * [[graft.operators.Stats.kruskalFromCounts]] /
+  * [[graft.operators.Finance.jarqueBeraFromDaily]] /
+  * [[graft.operators.Finance.ljungBoxFromDaily]]).
   *
   * This is how a monitoring plane actually runs an A/B significance
   * test over an unbounded stream: never re-scan history, keep
@@ -81,4 +87,103 @@ object StreamingStats {
       StoreIO.readOrEmpty(spark, cellPath, CellSchema)
         .groupBy("pri", "st")
         .agg(sum(col("o")).as("o")))
+
+  private val SpearmanSchema =
+    "symbol STRING, m BIGINT, v BIGINT, cnt BIGINT, batch_id BIGINT"
+  private val KruskalSchema =
+    "event_type STRING, m BIGINT, cj BIGINT, batch_id BIGINT"
+  private val DailyBarSchema =
+    "symbol STRING, day DATE, psum DECIMAL(38,6), pcnt BIGINT, batch_id BIGINT"
+
+  /** foreachBatch body: fold one micro-batch of quote ticks into the
+    * per-symbol joint (cent, volume) histogram — Spearman's bounded
+    * sufficient statistic (rank moments rebuild exactly from the
+    * count-weighted domain table; the domain is value-bounded, never
+    * stream-length-bounded). */
+  def spearmanSink(cellPath: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      batch
+        .filter(col("volume").isNotNull)
+        .withColumn("m", round(col("price") * 100).cast("bigint"))
+        .groupBy(col("symbol"), col("m"), col("volume").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(cellPath)
+      ()
+  }
+
+  /** Per-symbol Spearman rho over everything streamed — identical to
+    * [[graft.operators.Stats.spearman]] over the same ticks. */
+  def spearman(spark: SparkSession, cellPath: String): DataFrame =
+    graft.operators.Stats.spearmanFromCells(
+      StoreIO.readOrEmpty(spark, cellPath, SpearmanSchema)
+        .groupBy("symbol", "m", "v")
+        .agg(sum(col("cnt")).as("cnt")))
+
+  /** foreachBatch body: fold one micro-batch of
+    * `(event_type, value, ...)` events into the (type, cent) count
+    * store — Kruskal-Wallis's sufficient statistic. */
+  def kruskalSink(countPath: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      batch
+        .withColumn("m", round(col("value") * 100).cast("bigint"))
+        .groupBy("event_type", "m")
+        .agg(count(lit(1)).as("cj"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(countPath)
+      ()
+  }
+
+  /** Kruskal-Wallis H over everything streamed — identical to
+    * [[graft.operators.Stats.kruskalWallis]] over the same events. */
+  def kruskalWallis(spark: SparkSession, countPath: String): DataFrame =
+    graft.operators.Stats.kruskalFromCounts(
+      StoreIO.readOrEmpty(spark, countPath, KruskalSchema)
+        .groupBy("event_type", "m")
+        .agg(sum(col("cj")).as("cj")))
+
+  /** foreachBatch body: fold one micro-batch of quote ticks into the
+    * per-(symbol, day) additive price-partial store — the SHARED
+    * sufficient statistic of the Jarque-Bera and daily Ljung-Box
+    * monitors (psum/pcnt are split- and order-independent decimal/
+    * integer sums; the store is calendar-bounded, never
+    * event-bounded). */
+  def dailyBarSink(barPath: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      batch
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("symbol", "day")
+        .agg(sum(col("price").cast("decimal(18,6)")).cast("decimal(38,6)")
+               .as("psum"),
+             count(lit(1)).as("pcnt"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(barPath)
+      ()
+  }
+
+  private def dailyFold(spark: SparkSession, barPath: String): DataFrame =
+    StoreIO.readOrEmpty(spark, barPath, DailyBarSchema)
+      .groupBy("symbol", "day")
+      .agg(sum(col("psum")).as("psum"), sum(col("pcnt")).as("pcnt"))
+
+  /** Per-symbol Jarque-Bera over everything streamed — identical to
+    * [[graft.operators.Finance.jarqueBera]] over the same ticks. */
+  def jarqueBera(spark: SparkSession, barPath: String,
+                 minDays: Int = 10): DataFrame =
+    graft.operators.Finance.jarqueBeraFromDaily(
+      dailyFold(spark, barPath), minDays)
+
+  /** Per-symbol daily-bar Ljung-Box over everything streamed —
+    * identical to [[graft.operators.Finance.ljungBoxDaily]] over the
+    * same ticks. */
+  def ljungBoxDaily(spark: SparkSession, barPath: String,
+                    maxLag: Int = 5): DataFrame =
+    graft.operators.Finance.ljungBoxFromDaily(
+      dailyFold(spark, barPath), maxLag)
 }

@@ -2074,6 +2074,71 @@ class StreamingSpec extends SparkSuite {
       rows(graft.operators.Stats.chiSquare(spark, sfDir)))
   }
 
+  test("streamed Spearman/Kruskal/Jarque-Bera/Ljung-Box folds reproduce the batch tests") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "stats4-").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val S = graft.streaming.StreamingStats
+
+    // ticks feed Spearman (joint cell store) and the shared daily-bar
+    // store (Jarque-Bera + daily Ljung-Box) — OUT-OF-ORDER splits
+    val ticks = graft.operators.Finance.quotes(spark, sfDir)
+      .select("symbol", "price", "volume", "ts")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) Option.empty[Long] else Some(r.getLong(2)),
+        r.getTimestamp(3))).toSeq
+    val (tHi, tLo) = ticks.zipWithIndex.partition(_._2 % 3 == 0)
+    val tickSplits = Seq(tLo.map(_._1), tHi.map(_._1).take(100),
+      tHi.map(_._1).drop(100))
+    val ms = MemoryStream[(String, Double, Option[Long], Timestamp)]
+    val q = ms.toDF().toDF("symbol", "price", "volume", "ts").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        S.spearmanSink(s"$base/cells")(b, id)
+        S.dailyBarSink(s"$base/bars")(b, id)
+      }.start()
+    try {
+      tickSplits.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val wantRho = rows(graft.operators.Stats.spearman(spark, sfDir))
+    assert(wantRho.nonEmpty)
+    assert(rows(S.spearman(spark, s"$base/cells")) == wantRho)
+    val wantJb = rows(graft.operators.Finance.jarqueBera(spark, sfDir))
+    assert(wantJb.nonEmpty)
+    assert(rows(S.jarqueBera(spark, s"$base/bars")) == wantJb)
+    val wantLb = rows(graft.operators.Finance.ljungBoxDaily(spark, sfDir))
+    assert(wantLb.nonEmpty)
+    assert(rows(S.ljungBoxDaily(spark, s"$base/bars")) == wantLb)
+    // replayed micro-batch is idempotent for both stores
+    S.spearmanSink(s"$base/cells")(
+      tickSplits.last.toDF("symbol", "price", "volume", "ts"), 2L)
+    S.dailyBarSink(s"$base/bars")(
+      tickSplits.last.toDF("symbol", "price", "volume", "ts"), 2L)
+    assert(rows(S.spearman(spark, s"$base/cells")) == wantRho)
+    assert(rows(S.jarqueBera(spark, s"$base/bars")) == wantJb)
+    assert(rows(S.ljungBoxDaily(spark, s"$base/bars")) == wantLb)
+
+    // events feed Kruskal-Wallis — shuffled splits + replay
+    val ev = Tables.events(spark, sfDir).select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val (eA, eB) = ev.partition(_.hashCode() % 2 == 0)
+    val ms2 = MemoryStream[(String, Double)]
+    val q2 = ms2.toDF().toDF("event_type", "value").writeStream
+      .option("checkpointLocation", s"$base/ckpt2")
+      .foreachBatch(S.kruskalSink(s"$base/kw"))
+      .start()
+    try {
+      Seq(eB, eA).foreach { c => ms2.addData(c); q2.processAllAvailable() }
+    } finally q2.stop()
+    val wantH = rows(graft.operators.Stats.kruskalWallis(spark, sfDir))
+    assert(wantH.nonEmpty)
+    assert(rows(S.kruskalWallis(spark, s"$base/kw")) == wantH)
+    S.kruskalSink(s"$base/kw")(eA.toDF("event_type", "value"), 1L)
+    assert(rows(S.kruskalWallis(spark, s"$base/kw")) == wantH)
+  }
+
   test("streamed risk state equals batch omega and pain sums at each symbol's last bar") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
