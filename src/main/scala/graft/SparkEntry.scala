@@ -343,6 +343,13 @@ object SparkEntry {
     "x_token_pmi"          -> ((s, dir) => TextAnalysis.tokenPmi(s, dir)),
     "x_bpe_tokens"         -> ((s, dir) => TextAnalysis.bpeTokenCounts(s, dir)),
     "x_bpe_fertility"      -> ((s, dir) => TextAnalysis.bpeFertility(s, dir)),
+    // production-sized vocabulary, one row set: 1024 batched merges
+    // over the vocabulary-widened corpus (raw synthetic text has 31
+    // distinct words — capacity ~113), plus the fertility audit AT
+    // that vocabulary and n_merges/n_rounds evidence columns. No SQL
+    // oracle (a 1k-merge greedy unroll is not CTE-expressible) —
+    // rows-only gate; the 8-merge oracles pin the trainer semantics.
+    "x_bpe_1k"             -> ((s, dir) => TextAnalysis.bpe1k(s, dir)),
     "x_bm25"               -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     "x_bigram_ppl"         -> ((s, dir) => TextAnalysis.bigramPerplexity(s, dir)),
     "x_ppl_holdout"        -> ((s, dir) => TextAnalysis.pplHoldout(s, dir)),

@@ -699,8 +699,77 @@ object TextAnalysis {
     */
   def bpeFertility(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val fit = bpeFit(docs, rounds)
+    fertilityUnder(docs, bpeFit(docs, rounds).state)
+  }
+
+  /** The PRODUCTION-SIZED trainer demo, one bench row: a full
+    * `totalMerges` >= 1k batched training run plus the per-language
+    * fertility audit at that vocabulary (fertility falls as the merge
+    * budget grows; THIS vocabulary size is the one per-language
+    * merge-budget decisions are made at — at the raw corpus's
+    * exhausted ~113-merge vocabulary the audit is vacuous: every word
+    * fully merges, fertility exactly 1.0). The raw synthetic corpus
+    * has only 31 distinct whitespace words, so the word vocabulary is
+    * first widened with the repo's standard scale emulation
+    * ([[graft.Amplify.amplifyDocuments]], per-copy token suffixes:
+    * `amp` copies make `31*amp` distinct words, merge capacity ~2.7k
+    * at amp=8). The trainer state stays DISTINCT-WORD-sized, so round
+    * cost is corpus-row-independent; keeps-per-round are bounded by
+    * the symbol alphabet (~20 measured), so 1024 merges land in ~46
+    * rounds. Output carries n_merges / n_rounds beside fertility so
+    * the bench row itself evidences the vocabulary size. No SQL
+    * oracle (a 1k-merge greedy unroll is not CTE-expressible) —
+    * rows-only gate; the 8-merge oracles pin the trainer semantics.
+    */
+  def bpe1k(spark: SparkSession, dir: String, amp: Int = 40,
+            totalMerges: Int = 1024, batchM: Int = 64,
+            topK: Int = 512): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // ONE raw-corpus pass: per-(lang, word) counts. The widened
+    // vocabulary is then synthesized from this table exactly as
+    // amplifyDocuments would produce it (copy 0 unsuffixed, copy c
+    // suffixes _c<c>; every copy replicates the full corpus, so each
+    // copy's word keeps the base frequency) — identical word/
+    // frequency content, zero amplified-corpus materialization.
+    // two consumers (trainer vocabulary + fertility rollup) — blocks
+    // freed by the caller's releaseAll, per the Caches contract
+    val (langWords, _) = graft.Caches.trackedCheckpoint(docs
+      .repartition(n, col("doc_id"))
+      .select(col("lang"), explode(toks).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt")))
+    def widen(df: DataFrame): DataFrame = df
+      .crossJoin(broadcast(spark.range(amp).toDF("amp_copy")))
+      .withColumn("word", when(col("amp_copy") === 0, col("word"))
+        .otherwise(concat(col("word"), lit("_c"), col("amp_copy"))))
+      .drop("amp_copy")
+    val words = widen(langWords)
+      .groupBy("word").agg(sum(col("cnt")).as("wfreq"))
+    val fit = bpeFitBatchedWords(words, totalMerges, batchM, topK)
+    val nMerges = fit.merges.size.toLong
+    val nRounds = if (fit.merges.isEmpty) 0L else fit.merges.map(_._1).max.toLong
     val wl = fit.state.groupBy("word").agg(count(lit(1)).as("n_syms"))
+    val out = widen(langWords)
+      .join(wl, Seq("word"))
+      .groupBy("lang")
+      .agg(sum(col("cnt")).as("n_words"),
+           sum(col("cnt") * col("n_syms")).as("n_bpe_tokens"),
+           sum(col("cnt") * length(col("word")).cast("bigint")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)
+          .as("chars_per_token"),
+        lit(nMerges).as("n_merges"), lit(nRounds).as("n_rounds"))
+      .orderBy("lang")
+    out
+  }
+
+  /** The shared fertility tail: corpus words equi-joined to the
+    * trained symbol-count table, rolled up per language. */
+  private def fertilityUnder(docs: DataFrame, state: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val wl = state.groupBy("word").agg(count(lit(1)).as("n_syms"))
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     docs
       .repartition(n, col("doc_id"))
@@ -830,16 +899,26 @@ object TextAnalysis {
     */
   private def bpeFitBatched(docs: DataFrame, totalMerges: Int, batchM: Int,
                             topK: Int, maxRounds: Int = Int.MaxValue): BpeBatchFit = {
+    val spark = docs.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    bpeFitBatchedWords(docs
+      .repartition(n, col("doc_id"))
+      .select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wfreq")),
+      totalMerges, batchM, topK, maxRounds)
+  }
+
+  /** [[bpeFitBatched]] from an already-built `(word, wfreq)`
+    * frequency table — the seam [[bpe1k]] uses to feed a synthesized
+    * widened vocabulary without paying an amplified corpus pass. */
+  private def bpeFitBatchedWords(words: DataFrame, totalMerges: Int, batchM: Int,
+                                 topK: Int,
+                                 maxRounds: Int = Int.MaxValue): BpeBatchFit = {
     import org.apache.spark.sql.expressions.Window
     require(totalMerges >= 1 && batchM >= 1 && topK >= batchM,
       "need totalMerges >= 1 and topK >= batchM >= 1")
-    val spark = docs.sparkSession
+    val spark = words.sparkSession
     import spark.implicits._
-    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val words = docs
-      .repartition(n, col("doc_id"))
-      .select(explode(toks).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("wfreq"))
     val s0 = words
       .select(col("word"), col("wfreq"),
         explode(sequence(lit(1L), length(col("word")).cast("bigint") + 1L)).as("pos"))

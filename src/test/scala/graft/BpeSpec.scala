@@ -161,6 +161,22 @@ class BpeSpec extends SparkSuite {
     assert(m.map(x => (x._3, x._4)).distinct.size == 256)
   }
 
+  test("1k-merge production demo: full vocabulary selected, fertility > 1") {
+    // r12: the step from production-shaped to production-sized —
+    // 1024 merges over the synthesized widened vocabulary, with the
+    // fertility audit meaningful (merges < capacity, so words remain
+    // multi-token; the exhausted raw-corpus vocabulary gives exactly
+    // 1.0 and proves nothing)
+    val out = TextAnalysis.bpe1k(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_merges") == 1024L,
+        s"must select the full 1k vocabulary, got ${r.getAs[Long]("n_merges")}")
+      assert(r.getAs[Double]("fertility") > 1.0,
+        "fertility must be meaningful (vocabulary not exhausted)")
+    }
+  }
+
   test("batched trainer leaves no persisted blocks behind after release") {
     Caches.releaseAll(spark)
     TextAnalysis.bpeTrainBatchedFrom(docs("abc abd abc"), totalMerges = 4,
