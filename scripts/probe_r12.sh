@@ -15,6 +15,13 @@ N1000Q=${PROBE_Q1000:-x_dedup_unified,x_unified_survivors,x_ivfpq,x_bpe_train,x_
 OUT=${PROBE_OUT:-SCALING_r12.json}
 ARGS=""
 
+# Probe heap: the bench's 8g default is the canonical-suite setting;
+# an N=1000 composite shuffles ~10x the N=100 state through the same
+# JVM, and the spill-aware rule sizes MEMORY with the data exactly
+# like partitions (x_semantic_dedup at N=100 OOMs an 8g heap from the
+# GCLocker edge — measured this round). 48g on the 125g box.
+MEM=${PROBE_MEM:-48g}
+
 run_bench() { # N dir shuffle queries tag
   local n=$1 dir=$2 shuf=$3 queries=$4 tag=$5
   local detail="/tmp/probe_r12_n${n}_s${shuf}_${tag}.json"
@@ -22,14 +29,19 @@ run_bench() { # N dir shuffle queries tag
   SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_BENCH_ONLY="$queries" \
     SPARK_GRAFT_BENCH_RUNS=1 SPARK_GRAFT_BENCH_WARMUP=0 \
     SPARK_GRAFT_BENCH_SHUFFLE=$shuf SPARK_GRAFT_BENCH_DETAIL="$detail" \
-    SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric":"total"' | tail -1
+    SPARK_DRIVER_MEM=$MEM \
+    SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" \
+      > "/tmp/probe_r12_n${n}_${tag}.log" 2>&1 || true
+  grep '"metric":"total"' "/tmp/probe_r12_n${n}_${tag}.log" | tail -1
+  grep 'FAILED' "/tmp/probe_r12_n${n}_${tag}.log" | head -5 || true
   ARGS="$ARGS $n:$detail"
 }
 
 amp() { # N dir
   local n=$1 dir=$2
   if [ ! -d "$dir" ]; then
-    SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Amplify /root/testdata/sf0.1 $dir $n" 2>&1 | tail -1
+    SPARK_DRIVER_MEM=$MEM SPARK_GRAFT_CPUS=32 \
+      sbt -batch "runMain graft.Amplify /root/testdata/sf0.1 $dir $n" 2>&1 | tail -1
   fi
 }
 

@@ -673,14 +673,14 @@ object Dedup {
     * magnitude smaller than the corpus at any scale.
     */
   def dupComponents(spark: SparkSession, dir: String,
-                    threshold: Double = 0.7, maxIters: Int = 15): DataFrame =
+                    threshold: Double = 0.7, maxIters: Int = 30): DataFrame =
     componentsFromPairs(nearDupMinhash(spark, dir, threshold), maxIters)
 
   /** Connected components of an undirected (doc_a, doc_b) pair graph —
     * the rollup of [[labelPropagation]], exposed so deep chains
     * (diameter > the corpus's) are unit-testable directly.
     */
-  def componentsFromPairs(pairs0: DataFrame, maxIters: Int = 15): DataFrame =
+  def componentsFromPairs(pairs0: DataFrame, maxIters: Int = 30): DataFrame =
     labelPropagation(pairs0, maxIters)
       .groupBy(col("lbl").as("component_root"))
       .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
@@ -704,7 +704,7 @@ object Dedup {
     * same driver-paced checkpointed label propagation.
     */
   def deleteCascade(spark: SparkSession, dir: String,
-                    threshold: Double = 0.7, maxIters: Int = 15): DataFrame =
+                    threshold: Double = 0.7, maxIters: Int = 30): DataFrame =
     componentsFromPairs(
       nearDupMinhash(spark, dir, threshold)
         .filter(col("doc_a") % 7 =!= 0 && col("doc_b") % 7 =!= 0)
@@ -729,7 +729,17 @@ object Dedup {
     * maxIters covers diameters past 2^13) — the primitive behind
     * [[componentsFromPairs]] and [[dedupSurvivors]].
     */
-  def labelPropagation(pairs0: DataFrame, maxIters: Int = 15): DataFrame = {
+  /** maxIters is a SAFETY NET, not a work bound: the loop exits on
+    * the label-sum fixpoint, and pointer jumping doubles label reach
+    * per round, so rounds ~ log2(diameter) + 2 — the cap only fires
+    * on a genuinely pathological graph. 30 covers diameter ~2^28.
+    * (r12 measured finding: the unified pair graph at 300x
+    * amplification crossed the old 15-round cap — component diameter
+    * GROWS with corpus scale through band-bucket bridges, so a
+    * log-diameter cap must be sized for the target corpus, not the
+    * test corpus.)
+    */
+  def labelPropagation(pairs0: DataFrame, maxIters: Int = 30): DataFrame = {
     // localCheckpoint (eager): materializes the whole upstream pair
     // pipeline in ONE sequential job AND truncates the logical plan to
     // the materialized blocks. Both halves are load-bearing for an
