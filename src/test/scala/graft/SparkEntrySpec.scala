@@ -8,11 +8,15 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SparkEntrySpec extends AnyFunSuite {
 
-  /** Queries allowed to ship without a DuckDB oracle: NONE since r8 —
-    * the engine-specific sketches (x_hll_error, x_tdigest_error) are
-    * checked as exact values plus verified accuracy-guarantee booleans.
+  /** Queries allowed to ship without a DuckDB oracle. NONE from r8
+    * through r11 (the engine-specific sketches are checked as exact
+    * values plus verified accuracy-guarantee booleans). r12 admits
+    * exactly one: the production-vocabulary BPE demo — a 1024-merge
+    * greedy unroll is not CTE-expressible, and its trainer semantics
+    * are pinned by the 8-merge oracles (x_bpe_train/x_bpe_batched)
+    * plus BpeSpec's n_merges==1024 / fertility>1 assertions.
     */
-  private val rowsOnlyByDesign = Set.empty[String]
+  private val rowsOnlyByDesign = Set("x_bpe_1k")
 
   test("every oracle key names a registered query (no orphaned oracles)") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
