@@ -632,13 +632,18 @@ object Similarity {
       .orderBy("centroid_id", "pos")
   }
 
-  /** A completed Lloyd fit: the checkpointed exploded corpus (`vq`),
-    * final per-vector `assignment`, final `cents`, and the block-id
-    * sets the caller owns ([[graft.Caches.release]] `vqIds` once the
-    * corpus is no longer referenced; `lastGenIds` back the returned
-    * frames and normally live until session cache cleanup).
+  /** A completed Lloyd fit: the PACKED checkpointed corpus (`vqp` —
+    * `(vec_id, vqa ARRAY<BIGINT>)`, the assignment kernel's shape),
+    * the exploded view `vq` (`(vec_id, pos, vq)` — a narrow
+    * posexplode over the same checkpoint blocks, recomputed per use,
+    * for the PQ sub-quantizer paths that genuinely need per-position
+    * rows), final per-vector `assignment`, final `cents`, and the
+    * block-id sets the caller owns ([[graft.Caches.release]] `vqIds`
+    * once the corpus is no longer referenced; `lastGenIds` back the
+    * returned frames and normally live until session cache cleanup).
     */
-  private[graft] case class KmeansFit(vq: DataFrame, assignment: DataFrame,
+  private[graft] case class KmeansFit(vq: DataFrame, vqp: DataFrame,
+                                      assignment: DataFrame,
                                       cents: DataFrame, vqIds: Set[Int], lastGenIds: Set[Int])
 
   /** The Lloyd loop shared by [[kmeansCentroids]] (which reports the
@@ -661,12 +666,19 @@ object Similarity {
     require(iters >= 1, "kmeans needs at least one assign/update round")
     val spark = embs.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val (vq, vqIds) = graft.Caches.trackedCheckpoint(
+    // ONE packed-corpus checkpoint: (vec_id, vqa) with the same
+    // round(x*1e6) element quantization the exploded rows carried.
+    // The exploded view below reads the same blocks through a narrow
+    // posexplode — identical rows, no second materialization.
+    val (vqp, vqIds) = graft.Caches.trackedCheckpoint(
       embs
-        .repartition(n, col("vec_id")) // parallelize the explode — see corpus()
-        .select(col("vec_id"), posexplode(col("embedding")))
-        .select(col("vec_id"), col("pos").cast("bigint").as("pos"),
-          round(col("col").cast("double") * 1e6).cast("bigint").as("vq")))
+        .repartition(n, col("vec_id")) // parallelize the transform — see corpus()
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1e6).cast("bigint")).as("vqa")))
+    val vq = vqp.select(col("vec_id"), posexplode(col("vqa")))
+      .select(col("vec_id"), col("pos").cast("bigint").as("pos"),
+        col("col").as("vq"))
     var cents = vq.filter(col("vec_id") < k)
       .select(col("vec_id").cast("bigint").as("cid"), col("pos"), col("vq").as("cq"))
     var assignment: DataFrame = null
@@ -675,9 +687,15 @@ object Similarity {
     // round must not accumulate iters copies in block storage)
     var prevGenIds: Set[Int] = Set.empty
     for (_ <- 1 to iters) {
-      val (asg, asgIds) = graft.Caches.trackedCheckpoint(coarseAssign(vq, cents))
+      val (asg, asgIds) = graft.Caches.trackedCheckpoint(coarseAssignPacked(vqp, cents))
+      // centroid update: join the n-row assignment to the PACKED
+      // corpus (d× less join traffic than the exploded join), THEN
+      // posexplode for the per-position integer mean — the explode is
+      // narrow, so only (vec_id, cid) rows ever cross the join
       val (cts, ctsIds) = graft.Caches.trackedCheckpoint(
-        asg.join(vq, Seq("vec_id"))
+        asg.join(vqp, Seq("vec_id"))
+          .select(col("cid"), posexplode(col("vqa")))
+          .select(col("cid"), col("pos").cast("bigint").as("pos"), col("col").as("vq"))
           .groupBy("cid", "pos")
           .agg(round(sum(col("vq")).cast("double") / count(lit(1))).cast("bigint").as("cq")))
       graft.Caches.release(spark, prevGenIds)
@@ -685,7 +703,7 @@ object Similarity {
       assignment = asg
       cents = cts
     }
-    KmeansFit(vq, assignment, cents, vqIds, prevGenIds)
+    KmeansFit(vq, vqp, assignment, cents, vqIds, prevGenIds)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -732,9 +750,17 @@ object Similarity {
     // streaming ingest can reproduce — the in-loop assignment is vs
     // the previous round's centroids, a training artifact)
     val (routing, _) = graft.Caches.trackedCheckpoint(
-      coarseAssign(fit.vq, fit.cents))
-    val rows = fit.vq.join(routing, Seq("vec_id"))
-    semanticYield(rows, fit.cents, semanticPairs(rows, maxD2))
+      coarseAssignPacked(fit.vqp, fit.cents))
+    // packed rows throughout: the pair join carries ONE array column
+    // per side instead of d exploded rows, and centrality is one
+    // broadcast join + fused distance per vector
+    val rows = fit.vqp.join(routing, Seq("vec_id"))
+    graft.functions.SqDistLong.register(embs.sparkSession)
+    val cent = rows.join(broadcast(packCentroids(fit.cents)), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        call_function(graft.functions.SqDistLong.Name,
+          col("vqa"), col("cqa")).as("cent_d2"))
+    semanticYieldFromCent(cent, semanticPairsPacked(rows, maxD2))
   }
 
   /** SemDeDup cluster granularity: k = round(sqrt(n)) over the corpus
@@ -765,25 +791,32 @@ object Similarity {
   def coarseCells(spark: SparkSession, dir: String): DataFrame =
     kmeansFit(spark, dir, k = semanticK(spark, dir), iters = 2).cents
 
-  /** Cell-scoped candidate pairs `(cid, u, v)` of `rows`
-    * `(vec_id, cid, pos, vq)` under the `maxD2` squared-distance
+  /** Cell-scoped candidate pairs `(cid, u, v)` of PACKED routed rows
+    * `(vec_id, cid, vqa)` under the `maxD2` squared-distance
     * threshold, `u < v` — the quadratic term is (n/k)^2 per cell,
-    * never corpus-wide.
+    * never corpus-wide, and each candidate pair is ONE row with a
+    * fused codegen'd distance ([[graft.functions.SqDistLong]])
+    * instead of d exploded rows through a hash aggregate.
     */
-  private[graft] def semanticPairs(rows: DataFrame, maxD2: Long): DataFrame =
+  private[graft] def semanticPairsPacked(rows: DataFrame, maxD2: Long): DataFrame = {
+    graft.functions.SqDistLong.register(rows.sparkSession)
     rows.alias("a").join(rows.alias("b"),
-        col("a.cid") === col("b.cid") && col("a.pos") === col("b.pos") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .groupBy(col("a.cid").as("cid"), col("a.vec_id").as("u"),
-        col("b.vec_id").as("v"))
-      .agg(sum((col("a.vq") - col("b.vq")) * (col("a.vq") - col("b.vq"))).as("d2"))
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cid").as("cid"), col("a.vec_id").as("u"),
+        col("b.vec_id").as("v"),
+        call_function(graft.functions.SqDistLong.Name,
+          col("a.vqa"), col("b.vqa")).as("d2"))
       .filter(col("d2") < lit(maxD2))
       .select("cid", "u", "v")
+  }
 
-  /** The SemDeDup keep rule + per-cell yield table over routed rows
-    * `(vec_id, cid, pos, vq)`, final centroids, and the duplicate
-    * pair set `(cid, u, v)`. Shared by the batch operator and the
-    * streaming twin's read side, so stream==batch is shared code.
+  /** The SemDeDup keep rule + per-cell yield table over EXPLODED
+    * routed rows `(vec_id, cid, pos, vq)`, final centroids, and the
+    * duplicate pair set `(cid, u, v)` — the streaming twin's read
+    * side (its vector store persists exploded rows), so stream==batch
+    * stays shared code: this computes the same exact centrality the
+    * batch path computes packed, then applies the same
+    * [[semanticYieldFromCent]] keep rule.
     */
   private[graft] def semanticYield(rows: DataFrame, cents: DataFrame,
                                    pairs: DataFrame): DataFrame = {
@@ -791,6 +824,16 @@ object Similarity {
     val cent = rows.join(broadcast(cents), Seq("cid", "pos"))
       .groupBy("vec_id", "cid")
       .agg(sum((col("vq") - col("cq")) * (col("vq") - col("cq"))).as("cent_d2"))
+    semanticYieldFromCent(cent, pairs)
+  }
+
+  /** The SemDeDup keep rule + per-cell yield table over per-vector
+    * centrality `(vec_id, cid, cent_d2)` and the duplicate pair set
+    * `(cid, u, v)` — the shared tail of the batch (packed) and
+    * streaming (exploded-store) paths.
+    */
+  private[graft] def semanticYieldFromCent(cent: DataFrame,
+                                           pairs: DataFrame): DataFrame = {
     // symmetric neighbor view; drop the lower-ranked side of each pair
     val nbrs = pairs.select(col("cid"), col("u").as("vec_id"), col("v").as("other"))
       .union(pairs.select(col("cid"), col("v").as("vec_id"), col("u").as("other")))
@@ -814,19 +857,73 @@ object Similarity {
 
   /** Nearest coarse centroid per vector `(vec_id, cid)` over
     * micro-unit rows `(vec_id, pos, vq, ...)` vs centroids
-    * `(cid, pos, cq)`. min(struct(d2, cid)) — lexicographic struct
-    * ordering IS the (d2, cid) tie-break — as a map-side-partial hash
-    * aggregate instead of a rank-1 window (no per-vector sort, same
-    * x_minmax_by pattern). Shared by the Lloyd loop and the streaming
+    * `(cid, pos, cq)`. Shared by the Lloyd loop and the streaming
     * vector-store router, so batch and streamed routing cannot drift.
+    *
+    * This exploded-row seam packs its input and delegates to
+    * [[coarseAssignPacked]]: the original pos-equi-join formulation
+    * pushed n·d·k rows through a hash aggregate (at the SemDeDup
+    * k = √n operating point, ~30 BILLION probes per pass on a
+    * 600k-vector corpus — measured as x_semantic_dedup's dominant
+    * cost); the packed kernel computes the identical BIGINT
+    * arithmetic in one fused k×d loop per vector.
     */
   private[graft] def coarseAssign(rows: DataFrame, cents: DataFrame): DataFrame =
-    rows.join(broadcast(cents), Seq("pos"))
-      .groupBy("vec_id", "cid")
-      .agg(sum((col("vq") - col("cq")) * (col("vq") - col("cq"))).as("d2"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("d2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"))
+    coarseAssignPacked(packVectors(rows), cents)
+
+  /** [[coarseAssign]] over an already-PACKED corpus `(vec_id, vqa)` —
+    * the shape the k-means loop and every final-cells router use
+    * directly (the corpus packs once per fit, not once per pass).
+    *
+    * Kernel shape: the centroid table collapses to ONE broadcast
+    * model row (`cids`, `cqas` index-aligned arrays — k ≤ √n by the
+    * [[semanticK]] rule, a few MB at any probe scale and bounded by
+    * the trainer's granularity choice in production), nested-loop
+    * joined against the corpus (the one-row broadcast the plan pins
+    * explicitly allow), and the codegen'd
+    * [[graft.functions.NearestCid]] argmin — `min(struct(d2, cid))`
+    * semantics exactly — picks the cell inline. n rows in, n rows
+    * out, zero exploded intermediates.
+    */
+  private[graft] def coarseAssignPacked(packed: DataFrame, cents: DataFrame): DataFrame = {
+    graft.functions.NearestCid.register(packed.sparkSession)
+    packed.crossJoin(broadcast(centModel(cents)))
+      .select(col("vec_id"),
+        call_function(graft.functions.NearestCid.Name,
+          col("vqa"), col("cids"), col("cqas")).as("cid"))
+  }
+
+  /** Position-ordered packed micro-unit vector per id: `(vec_id, vqa
+    * ARRAY<BIGINT>)` from exploded `(vec_id, pos, vq)` rows. The
+    * struct sort makes the array order deterministic regardless of
+    * collect order.
+    */
+  private[graft] def packVectors(rows: DataFrame): DataFrame =
+    rows.groupBy("vec_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("vq").as("v")))),
+        s => s.getField("v")).as("vqa"))
+
+  /** Packed centroids `(cid, cqa ARRAY<BIGINT>)` from exploded
+    * `(cid, pos, cq)` rows. */
+  private[graft] def packCentroids(cents: DataFrame): DataFrame =
+    cents.groupBy("cid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cq").as("v")))),
+        s => s.getField("v")).as("cqa"))
+
+  /** The ONE-ROW routing model `(cids ARRAY<BIGINT>, cqas
+    * ARRAY<ARRAY<BIGINT>>)` — the whole centroid table as two
+    * index-aligned arrays, cid-sorted for determinism (the argmin
+    * itself is order-independent: full (d2, cid) lexicographic
+    * tie-break in [[graft.functions.NearestCid]]).
+    */
+  private def centModel(cents: DataFrame): DataFrame =
+    packCentroids(cents)
+      .agg(sort_array(collect_list(struct(col("cid"), col("cqa")))).as("cs"))
+      .select(
+        transform(col("cs"), s => s.getField("cid")).as("cids"),
+        transform(col("cs"), s => s.getField("cqa")).as("cqas"))
 
   /** Cluster-quality audit of the trained fit: per final centroid, the
     * member count and the inertia (sum of squared distances of members
@@ -962,7 +1059,7 @@ object Similarity {
   def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
     val fit = kmeansFit(spark, dir, k = 8, iters = 2)
     val (routing, _) = graft.Caches.trackedCheckpoint(
-      coarseAssign(fit.vq, fit.cents))
+      coarseAssignPacked(fit.vqp, fit.cents))
     graft.Caches.release(spark, fit.vqIds)
     val labels = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label").cast("bigint").as("label"))
@@ -1334,7 +1431,7 @@ object Similarity {
     // a router computes — and using it here would make the batch
     // composite disagree with any router that ships `cells`.
     val (routing, _) = graft.Caches.trackedCheckpoint(
-      coarseAssign(fit.vq, fit.cents))
+      coarseAssignPacked(fit.vqp, fit.cents))
     IvfPqModel(fit.cents, routing, a.books, a.codes, a.qd, sq)
   }
 
@@ -1412,7 +1509,7 @@ object Similarity {
     // route against the FINAL cells (the ivfPqModel deployment
     // convention) — residuals are vs the cell the vector is STORED in
     val (routing, _) = graft.Caches.trackedCheckpoint(
-      coarseAssign(fit.vq, fit.cents))
+      coarseAssignPacked(fit.vqp, fit.cents))
     // residual rows: vector minus its routed cell's centroid
     val (rsq, _) = graft.Caches.trackedCheckpoint(
       fit.vq.join(routing, Seq("vec_id"))
