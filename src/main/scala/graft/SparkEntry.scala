@@ -155,6 +155,7 @@ object SparkEntry {
     "x_kyle_lambda"        -> ((s, dir) => Finance.kyleLambda(s, dir)),
     "x_acf_profile"        -> ((s, dir) => Finance.acfProfile(s, dir)),
     "x_spearman"           -> ((s, dir) => Stats.spearman(s, dir)),
+    "x_kendall_tau"        -> ((s, dir) => Stats.kendallTau(s, dir)),
     "x_mann_whitney"       -> ((s, dir) => Stats.mannWhitney(s, dir)),
     "x_welch_t"            -> ((s, dir) => Stats.welchT(s, dir)),
     "x_chi_square"         -> ((s, dir) => Stats.chiSquare(s, dir)),
@@ -300,6 +301,7 @@ object SparkEntry {
     "x_kmeans"             -> ((s, dir) => Similarity.kmeansCentroids(s, dir)),
     "x_cluster_quality"    -> ((s, dir) => Similarity.kmeansInertia(s, dir)),
     "x_semantic_dedup"     -> ((s, dir) => Similarity.semanticDedup(s, dir)),
+    "x_mmr_rerank"         -> ((s, dir) => Similarity.mmrRerank(s, dir)),
     "x_semantic_decontam"  -> ((s, dir) => Similarity.semanticDecontam(s, dir)),
     "x_cluster_purity"     -> ((s, dir) => Similarity.clusterPurity(s, dir)),
     "x_hard_negatives"     -> ((s, dir) => Similarity.hardNegatives(s, dir)),
@@ -564,6 +566,60 @@ object SparkEntry {
        |               SUM(n_shared)::BIGINT AS total_shared,
        |               SUM(n_grams)::BIGINT AS total_grams
        |        FROM b$n GROUP BY band)""".stripMargin
+  }
+
+  /** Unrolled greedy MMR for the x_mmr_rerank oracle — round 1 is the
+    * plain per-query argmin(d2q); each later round scores the
+    * remaining shortlist against the accumulated pick set with the
+    * integer (7, 3) weights, mirroring `Similarity.mmrRerank`'s
+    * driver-paced rounds. Everything stays BIGINT micro-units; ties
+    * break (mmr_scaled, cand_id) in both dialects.
+    */
+  private def mmrOracle(k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      s"""s$r AS (SELECT query_id, cand_id, $r::BIGINT AS rk, d2q, mmr_scaled FROM (
+         |  SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY mmr_scaled, cand_id) AS r
+         |  FROM (SELECT sl.query_id, sl.cand_id, sl.d2q,
+         |          (7*sl.d2q - 3*MIN(pd.d2c))::BIGINT AS mmr_scaled
+         |        FROM sl
+         |        JOIN pd ON pd.query_id = sl.query_id AND pd.cand_id = sl.cand_id
+         |        JOIN a${r - 1} s ON s.query_id = pd.query_id AND s.cand_id = pd.other_id
+         |        WHERE NOT EXISTS (SELECT 1 FROM a${r - 1} x
+         |                          WHERE x.query_id = sl.query_id
+         |                            AND x.cand_id = sl.cand_id)
+         |        GROUP BY 1, 2, 3) sc) WHERE r = 1),
+         |a$r AS (SELECT query_id, cand_id FROM a${r - 1}
+         |        UNION ALL SELECT query_id, cand_id FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to k).map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")
+    s"""WITH vq AS (
+       |  SELECT e.vec_id, (i-1)::BIGINT AS pos,
+       |         round(e.embedding[i]::DOUBLE * 1000000)::BIGINT AS vq
+       |  FROM embeddings e, range(1, 65) t(i)),
+       |q AS (SELECT vec_id AS query_id, pos, vq AS qq FROM vq WHERE vec_id < 10),
+       |d0 AS (SELECT q.query_id, v.vec_id AS cand_id,
+       |         SUM((v.vq-q.qq)*(v.vq-q.qq))::BIGINT AS d2q
+       |       FROM vq v JOIN q ON v.pos = q.pos AND v.vec_id <> q.query_id
+       |       GROUP BY 1, 2),
+       |sl AS (SELECT query_id, cand_id, d2q FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY d2q, cand_id) AS rk0 FROM d0) WHERE rk0 <= 20),
+       |pd AS (SELECT a.query_id, a.cand_id, b.cand_id AS other_id,
+       |         SUM((va.vq - vb.vq)*(va.vq - vb.vq))::BIGINT AS d2c
+       |       FROM sl a JOIN sl b ON a.query_id = b.query_id
+       |                          AND a.cand_id <> b.cand_id
+       |       JOIN vq va ON va.vec_id = a.cand_id
+       |       JOIN vq vb ON vb.vec_id = b.cand_id AND vb.pos = va.pos
+       |       GROUP BY 1, 2, 3),
+       |s1 AS (SELECT query_id, cand_id, 1::BIGINT AS rk, d2q,
+       |         (7*d2q)::BIGINT AS mmr_scaled FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY d2q, cand_id) AS r FROM sl) WHERE r = 1),
+       |a1 AS (SELECT query_id, cand_id FROM s1),
+       |$rounds
+       |SELECT query_id, rk, cand_id, d2q, mmr_scaled FROM ($sel)
+       |ORDER BY query_id, rk""".stripMargin
   }
 
   /** Shared co-purchase graph CTEs (mirrors Graphs.coEdges at
@@ -2309,6 +2365,10 @@ object SparkEntry {
         |FROM p JOIN ng USING (query_id)
         |ORDER BY query_id""".stripMargin,
 
+    // greedy MMR re-rank, unrolled to 5 rounds: integer (7,3)-weighted
+    // micro-unit objective, (mmr_scaled, cand_id) tie-breaks
+    "x_mmr_rerank" -> mmrOracle(5),
+
     "x_knn_ivf_trained" ->
       s"""WITH $kmeansCtes,
         |$trainedIvfCtes
@@ -3768,6 +3828,42 @@ object SparkEntry {
         |             CAST(n*syy - sy*sy AS DOUBLE)), 6) + 0 AS rho
         |FROM g
         |WHERE n >= 3 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        |ORDER BY symbol""".stripMargin),
+
+    // per-symbol Kendall tau-b over daily (close, volume): explicit
+    // day-pair concordance sum (per-symbol day counts are bounded),
+    // integer tie corrections, ONE final divide+sqrt
+    "x_kendall_tau" ->
+      (finQuoteCte + """,
+        |t AS (SELECT symbol, day, price, volume,
+        |        ROW_NUMBER() OVER (PARTITION BY symbol, day
+        |          ORDER BY ts_epoch DESC, id DESC) AS rn_d
+        |      FROM q WHERE volume IS NOT NULL),
+        |b AS (SELECT symbol, day,
+        |        CAST(round(MAX(CASE WHEN rn_d = 1 THEN price END) * 100)
+        |          AS BIGINT) AS m,
+        |        SUM(volume)::BIGINT AS v
+        |      FROM t GROUP BY symbol, day),
+        |p AS (SELECT x.symbol,
+        |        (CASE WHEN y.m > x.m THEN 1 WHEN y.m < x.m THEN -1 ELSE 0 END *
+        |         CASE WHEN y.v > x.v THEN 1 WHEN y.v < x.v THEN -1 ELSE 0 END)::BIGINT AS s
+        |      FROM b x JOIN b y ON x.symbol = y.symbol AND x.day < y.day),
+        |sa AS (SELECT symbol, SUM(s)::BIGINT AS s_stat FROM p GROUP BY symbol),
+        |nt AS (SELECT symbol, COUNT(*)::BIGINT AS n_days FROM b GROUP BY symbol),
+        |t1 AS (SELECT symbol, SUM(c*(c-1)//2)::BIGINT AS n1 FROM
+        |        (SELECT symbol, m, COUNT(*)::BIGINT AS c FROM b GROUP BY 1,2)
+        |       GROUP BY symbol),
+        |t2 AS (SELECT symbol, SUM(c*(c-1)//2)::BIGINT AS n2 FROM
+        |        (SELECT symbol, v, COUNT(*)::BIGINT AS c FROM b GROUP BY 1,2)
+        |       GROUP BY symbol),
+        |g AS (SELECT nt.symbol, n_days, s_stat,
+        |        n_days*(n_days-1)//2 AS n0, n1, n2
+        |      FROM nt JOIN sa USING (symbol) JOIN t1 USING (symbol)
+        |        JOIN t2 USING (symbol))
+        |SELECT symbol, n_days, s_stat,
+        |  round(CAST(s_stat AS DOUBLE) /
+        |        sqrt(CAST((n0-n1)*(n0-n2) AS DOUBLE)), 6) + 0 AS tau_b
+        |FROM g WHERE n_days >= 2 AND (n0-n1)*(n0-n2) > 0
         |ORDER BY symbol""".stripMargin),
 
     // per-user Mann-Whitney U, tie-corrected z — doubled ranks and

@@ -946,14 +946,17 @@ object Similarity {
   def kmeansInertia(spark: SparkSession, dir: String,
                     k: Int = 8, iters: Int = 2): DataFrame = {
     val fit = kmeansFit(spark, dir, k, iters)
-    // assignment first, THEN the assigned centroid on (cid, pos): the
+    // assignment first, THEN the assigned centroid on cid: the
     // training loop needs all k distances per vector, the audit needs
     // exactly one — fanning out to all k and filtering would do k× the
-    // arithmetic for nothing
-    val d2 = fit.vq.join(fit.assignment.hint("broadcast"), Seq("vec_id"))
-      .join(broadcast(fit.cents), Seq("cid", "pos"))
-      .groupBy("vec_id", "cid")
-      .agg(sum((col("vq") - col("cq")) * (col("vq") - col("cq"))).as("d2"))
+    // arithmetic for nothing. Packed corpus + fused distance: one row
+    // per vector end to end, no exploded hash aggregate.
+    graft.functions.SqDistLong.register(spark)
+    val d2 = fit.vqp.join(fit.assignment.hint("broadcast"), Seq("vec_id"))
+      .join(broadcast(packCentroids(fit.cents)), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        call_function(graft.functions.SqDistLong.Name,
+          col("vqa"), col("cqa")).as("d2"))
     d2.groupBy("cid")
       .agg(count(lit(1)).as("n_members"),
            sum(col("d2").cast("decimal(38,0)")).cast("string").cast("double")
@@ -1121,6 +1124,84 @@ object Similarity {
         col("ng.vec_id").as("neg_id"), col("ng.d2").as("neg_d2"),
         (col("ng.d2") - col("p.d2")).as("margin"))
       .orderBy("query_id")
+  }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * 1998, distance form) — the diversified top-k a retrieval-based
+    * curation pipeline serves instead of raw nearest neighbors: from
+    * each query's `shortlistN` exact-L2 shortlist, greedily pick `k`
+    * items minimizing `lam*d2(query, cand) − (1−lam)*min_{s∈S}
+    * d2(cand, s)` — relevance traded against redundancy with what is
+    * already selected. Round 1 is the plain nearest (empty S);
+    * `lam = 7/10` enters as INTEGER weights (7, 3) over micro-unit
+    * distances, so every score is exact BIGINT (`mmr_scaled` = the
+    * deci-unit objective) and ties break on (score, cand_id) — fully
+    * engine-exact, which is why a greedy re-ranker can be
+    * oracle-checked at all.
+    *
+    * Scale shape: the shortlist is the [[knnBruteForce]] broadcast
+    * scan (corpus never shuffles; swap in the IVF shortlist to prune
+    * reads at scale — the re-rank below is shortlist-scoped either
+    * way); candidate-pair distances materialize once
+    * (nQueries × shortlistN² rows, bounded by the serving
+    * configuration, never corpus-sized); each greedy round is a
+    * bounded anti-join + argmin over those frames — k driver-paced
+    * rounds over query-set-sized state, no collect.
+    */
+  def mmrRerank(spark: SparkSession, dir: String, k: Int = 5,
+                shortlistN: Int = 20, nQueries: Int = 10): DataFrame = {
+    graft.functions.SqDistLong.register(spark)
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val (pk, _) = graft.Caches.trackedCheckpoint(
+      Tables.embeddings(spark, dir)
+        .repartition(n, col("vec_id")) // parallelize the transform — see corpus()
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1e6).cast("bigint")).as("vqa")))
+    val q = pk.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vqa").as("qva"))
+    val w = Window.partitionBy("query_id").orderBy(col("d2q"), col("cand_id"))
+    val (sl, _) = graft.Caches.trackedCheckpoint(
+      pk.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          call_function(graft.functions.SqDistLong.Name,
+            col("vqa"), col("qva")).as("d2q"), col("vqa"))
+        .withColumn("rk0", row_number().over(w))
+        .filter(col("rk0") <= shortlistN)
+        .drop("rk0"))
+    val (pd, _) = graft.Caches.trackedCheckpoint(
+      sl.alias("a").join(sl.alias("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.cand_id") =!= col("b.cand_id"))
+        .select(col("a.query_id").as("query_id"), col("a.cand_id").as("cand_id"),
+          col("b.cand_id").as("other_id"),
+          call_function(graft.functions.SqDistLong.Name,
+            col("a.vqa"), col("b.vqa")).as("d2c")))
+    val slim = sl.select("query_id", "cand_id", "d2q")
+    var picks = slim
+      .groupBy("query_id").agg(min(struct(col("d2q"), col("cand_id"))).as("m"))
+      .select(col("query_id"), col("m.cand_id").as("cand_id"), lit(1L).as("rk"),
+        col("m.d2q").as("d2q"), (lit(7L) * col("m.d2q")).as("mmr_scaled"))
+    for (r <- 2 to k) {
+      val selIds = picks.select(col("query_id"), col("cand_id"))
+      val minSel = pd
+        .join(selIds.withColumnRenamed("cand_id", "other_id"),
+          Seq("query_id", "other_id"))
+        .groupBy("query_id", "cand_id").agg(min(col("d2c")).as("min_d2_sel"))
+      val pick = slim
+        .join(selIds, Seq("query_id", "cand_id"), "left_anti")
+        .join(minSel, Seq("query_id", "cand_id"))
+        .select(col("query_id"), col("cand_id"), col("d2q"),
+          (lit(7L) * col("d2q") - lit(3L) * col("min_d2_sel")).as("mmr_scaled"))
+        .groupBy("query_id")
+        .agg(min(struct(col("mmr_scaled"), col("cand_id"), col("d2q"))).as("m"))
+        .select(col("query_id"), col("m.cand_id").as("cand_id"),
+          lit(r.toLong).as("rk"), col("m.d2q").as("d2q"),
+          col("m.mmr_scaled").as("mmr_scaled"))
+      picks = picks.union(pick).localCheckpoint()
+    }
+    picks.select("query_id", "rk", "cand_id", "d2q", "mmr_scaled")
+      .orderBy("query_id", "rk")
   }
 
   /** Product-quantization (PQ) ADC recall audit — the memory-bound
@@ -1421,7 +1502,14 @@ object Similarity {
   def ivfPqModel(spark: SparkSession, dir: String,
                  nQueries: Int = 10): IvfPqModel = {
     val fit = kmeansFit(spark, dir, k = 8, iters = 2)
-    val sq = fit.vq.withColumn("sub", expr(s"pos div ${Dim / 8}"))
+    // fit.vq is a derived VIEW over the packed checkpoint; the PQ
+    // trainer and the audits read these subvector rows many times
+    // (two assignment passes, codebook update, query table, brute
+    // truth), so materialize the exploded+sub projection ONCE —
+    // without this the explode recomputes per consumer (measured
+    // +45% on x_ivfpq at the N=100 probe point)
+    val (sq, _) = graft.Caches.trackedCheckpoint(
+      fit.vq.withColumn("sub", expr(s"pos div ${Dim / 8}")))
     val a = pqArtifactsFrom(sq, nCodes = 16, nQueries)
     // route the corpus against the FINAL cells — the deployment
     // convention (a FAISS index add() assigns against the trained
@@ -1504,15 +1592,19 @@ object Similarity {
                           nQueries: Int = 10): DataFrame = {
     val fit = kmeansFit(spark, dir, k = 8, iters = 2)
     val subDim = Dim / 8
-    // raw subvector rows (exact re-rank + truth) — shared checkpoint
-    val sq = fit.vq.withColumn("sub", expr(s"pos div $subDim"))
+    // raw subvector rows (exact re-rank + truth): fit.vq is a derived
+    // view over the packed checkpoint — materialize the exploded+sub
+    // projection ONCE for this composite's many readers (the
+    // ivfPqModel lesson)
+    val (sq, _) = graft.Caches.trackedCheckpoint(
+      fit.vq.withColumn("sub", expr(s"pos div $subDim")))
     // route against the FINAL cells (the ivfPqModel deployment
     // convention) — residuals are vs the cell the vector is STORED in
     val (routing, _) = graft.Caches.trackedCheckpoint(
       coarseAssignPacked(fit.vqp, fit.cents))
     // residual rows: vector minus its routed cell's centroid
     val (rsq, _) = graft.Caches.trackedCheckpoint(
-      fit.vq.join(routing, Seq("vec_id"))
+      sq.drop("sub").join(routing, Seq("vec_id"))
         .join(broadcast(fit.cents), Seq("cid", "pos"))
         .select(col("vec_id"), col("pos"),
           expr(s"pos div $subDim").as("sub"),
