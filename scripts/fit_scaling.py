@@ -27,12 +27,16 @@ import json, math, sys
 EXPECTED = {
     "x_semantic_dedup": (1.7, "SemDeDup with k = round(sqrt(n)) derived "
         "granularity: assign cost n*k and cell-pair cost n^2/k are both "
-        "Theta(n^1.5) by construction (Similarity.scala semanticDedup); "
-        "the largest probe decade measures 1.6-1.7 — the excess over the "
-        "1.5 algorithmic floor is shuffle-volume growth (n^1.5 rows "
-        "through the exchange) at fixed heap, measured and discussed in "
-        "BASELINE.md r9; production pins the exponent by capping cell "
-        "granularity at the pair-density trade-off it chooses"),
+        "Theta(n^1.5) by construction (Similarity.scala semanticDedup) — "
+        "the bound is the algorithmic ceiling. Measured history: the "
+        "exploded distance kernel read 1.6-1.7 in the largest decade "
+        "(r9-r12, dominated by the n*d*k assignment hash-aggregate); the "
+        "r12 PACKED kernel (graft_nearest_cid / graft_sqdist) removed "
+        "that term (N=100: 762 s -> 23 s) and the probe range now "
+        "measures ~0.9-1.3 — the n^1.5 pair-join term still owns the "
+        "asymptote, it just no longer dominates at probe N; production "
+        "pins the exponent by capping cell granularity at the "
+        "pair-density trade-off it chooses"),
     "x_emb_neardup": (2.8, "fixed-precision banded sign-LSH baseline: the "
         "2 x 4096-bucket band space is a constant, so random collisions "
         "floor the candidate count at ~n^2 * bands * 2^-12 (quadratic by "

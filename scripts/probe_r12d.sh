@@ -70,7 +70,9 @@ for n, qs in byn.items():
     print(f"recorded n={n}: {sorted(qs)}")
 EOF
 for f in /tmp/probe_r12_recorded_n*.json; do
-  n=$(basename "$f" | sed 's/[^0-9]*//g')
+  # strip the full prefix, not just non-digits — the filename contains
+  # "r12" and a global digit-squash would read n100 as 12100
+  n=$(basename "$f" .json | sed 's/^probe_r12_recorded_n//')
   ARGS="$ARGS $n:$f"
 done
 
