@@ -1287,17 +1287,55 @@ object Similarity {
       .withColumn("sub", expr(s"pos div $subDim"))
   }
 
-  /** Nearest codebook entry per (vector, subspace) — the trainer's
-    * min(struct(d2, cid)) hash-agg tie-break, per subspace; shared
-    * with the streaming encoder.
+  /** Nearest codebook entry per (vector, subspace) — min(struct(d2,
+    * cid)) semantics per subspace; shared with the streaming encoder.
+    * Exploded-row seam: packs and delegates (the [[coarseAssign]]
+    * pattern — the old (sub, pos) equi-join pushed n·d·nCodes rows
+    * through a hash aggregate per assignment pass, and the PQ
+    * composites make three passes each).
     */
   private[graft] def pqAssign(rows: DataFrame, cents: DataFrame): DataFrame =
-    rows.join(broadcast(cents), Seq("sub", "pos"))
-      .groupBy("vec_id", "sub", "cid")
-      .agg(sum((col("vq") - col("cq")) * (col("vq") - col("cq"))).as("d2"))
-      .groupBy("vec_id", "sub")
-      .agg(min(struct(col("d2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
+    pqAssignPacked(packSubVectors(rows), cents)
+
+  /** [[pqAssign]] over already-PACKED subvector rows `(vec_id, sub,
+    * sva)` — a broadcast equi-join on the 8-row per-subspace codebook
+    * model, then the codegen'd [[graft.functions.NearestCid]] argmin
+    * inline: n·nSubs rows in and out, zero exploded intermediates.
+    */
+  private[graft] def pqAssignPacked(spacked: DataFrame, cents: DataFrame): DataFrame = {
+    graft.functions.NearestCid.register(spacked.sparkSession)
+    spacked.join(broadcast(subCentModel(cents)), Seq("sub"))
+      .select(col("vec_id"), col("sub"),
+        call_function(graft.functions.NearestCid.Name,
+          col("sva"), col("cids"), col("cqas")).as("cid"))
+  }
+
+  /** Position-ordered packed subvectors `(vec_id, sub, sva)` from
+    * exploded `(vec_id, sub, pos, vq)` rows. Grouping includes the
+    * corpus partitioning key (vec_id), so a vec_id-partitioned
+    * checkpoint packs without a new exchange.
+    */
+  private[graft] def packSubVectors(rows: DataFrame): DataFrame =
+    rows.groupBy("vec_id", "sub")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("vq").as("v")))),
+        s => s.getField("v")).as("sva"))
+
+  /** The per-subspace routing model `(sub, cids, cqas)` — nSubs rows,
+    * each carrying that subspace's whole codebook as index-aligned
+    * arrays (cid-sorted for determinism; the argmin tie-break is
+    * order-independent).
+    */
+  private def subCentModel(cents: DataFrame): DataFrame =
+    cents.groupBy("sub", "cid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cq").as("v")))),
+        s => s.getField("v")).as("cqa"))
+      .groupBy("sub")
+      .agg(sort_array(collect_list(struct(col("cid"), col("cqa")))).as("cs"))
+      .select(col("sub"),
+        transform(col("cs"), s => s.getField("cid")).as("cids"),
+        transform(col("cs"), s => s.getField("cqa")).as("cqas"))
 
   private def pqArtifacts(spark: SparkSession, dir: String, nSubs: Int,
                           nCodes: Int, nQueries: Int): PqArtifacts = {
@@ -1350,6 +1388,10 @@ object Similarity {
         .groupBy("cid", "sub", "pos")
         .agg(round(sum(col("vq")).cast("double") / count(lit(1)))
           .cast("bigint").as("cq"))
+    // the three assignment passes below (two Lloyd rounds + the final
+    // encoding) read the packed subvector view — pack it ONCE off the
+    // already-partitioned checkpoint
+    val (sqp, _) = graft.Caches.trackedCheckpoint(packSubVectors(sq))
     // two Lloyd rounds: at sf0.01 with 50 queries the second round
     // lifts raw ADC 0.248 -> 0.256, rerank 0.716 -> 0.748, IVF-PQ
     // 0.408 -> 0.420 (a third round is not worth a bench-visible
@@ -1359,9 +1401,9 @@ object Similarity {
     // discipline is for UNBOUNDED loops (label propagation, the
     // k-means trainer's `iters`), not a fixed two-round chain whose
     // every downstream consumer reads only the final books.
-    val c1 = update(pqAssign(sq, c0))
-    val (books, _) = graft.Caches.trackedCheckpoint(update(pqAssign(sq, c1)))
-    val codes = pqAssign(sq, books) // the encoding against the trained books
+    val c1 = update(pqAssignPacked(sqp, c0))
+    val (books, _) = graft.Caches.trackedCheckpoint(update(pqAssignPacked(sqp, c1)))
+    val codes = pqAssignPacked(sqp, books) // encoding against the trained books
     // per-query exact distance to every (subspace, code) centroid —
     // the ADC table, nQueries x nSubs x nCodes rows
     val qd = sq.filter(col("vec_id") < nQueries)

@@ -186,4 +186,49 @@ object StreamingStats {
                     maxLag: Int = 5): DataFrame =
     graft.operators.Finance.ljungBoxFromDaily(
       dailyFold(spark, barPath), maxLag)
+
+  private val KendallBarSchema =
+    "symbol STRING, day DATE, lts BIGINT, lid BIGINT, " +
+      "lm BIGINT, vsum BIGINT, batch_id BIGINT"
+
+  /** foreachBatch body: fold one micro-batch of quote ticks into the
+    * per-(symbol, day) Kendall bar store — the daily close is a MAX
+    * over the (ts_epoch, id, cents) struct (the tick total order, so
+    * out-of-order and split deliveries fold to the same last tick;
+    * cents pre-round PER TICK, so the fold carries the exact integer
+    * the batch operator derives from the same closing tick) and the
+    * daily volume an additive sum; both are calendar-bounded, never
+    * event-bounded. Null-volume ticks are excluded up front, matching
+    * [[graft.operators.Stats.kendallTau]]'s filter (they contribute
+    * to neither the close nor the volume there). */
+  def kendallDailySink(barPath: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      batch
+        .filter(col("volume").isNotNull)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("symbol", "day")
+        .agg(max(struct(col("ts_epoch").as("lts"), col("id").as("lid"),
+               round(col("price") * 100).cast("bigint").as("lm"))).as("lb"),
+             sum(col("volume")).as("vsum"))
+        .select(col("symbol"), col("day"), col("lb.lts").as("lts"),
+          col("lb.lid").as("lid"), col("lb.lm").as("lm"), col("vsum"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(barPath)
+      ()
+  }
+
+  /** Per-symbol Kendall tau-b over everything streamed — identical to
+    * [[graft.operators.Stats.kendallTau]] over the same ticks: the
+    * store folds to the exact per-symbol daily (m, v) table and the
+    * batch keep rule ([[graft.operators.Stats.kendallFromDaily]])
+    * finishes it, so stream==batch is shared code. */
+  def kendallTau(spark: SparkSession, barPath: String): DataFrame =
+    graft.operators.Stats.kendallFromDaily(
+      StoreIO.readOrEmpty(spark, barPath, KendallBarSchema)
+        .groupBy("symbol", "day")
+        .agg(max(struct(col("lts"), col("lid"), col("lm"))).as("lb"),
+             sum(col("vsum")).as("v"))
+        .select(col("symbol"), col("day"), col("lb.lm").as("m"), col("v")))
 }

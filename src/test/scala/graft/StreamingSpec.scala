@@ -2139,6 +2139,41 @@ class StreamingSpec extends SparkSuite {
     assert(rows(S.kruskalWallis(spark, s"$base/kw")) == wantH)
   }
 
+  test("streamed Kendall daily-bar fold reproduces the batch tau-b under out-of-order splits + replay") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "kendall-").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val S = graft.streaming.StreamingStats
+    // full quote shape: the sink needs the tick total order (ts_epoch,
+    // id) to fold the daily close exactly
+    val ticks = graft.operators.Finance.quotes(spark, sfDir)
+      .select("id", "symbol", "price", "volume", "ts_epoch", "ts")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) Option.empty[Long] else Some(r.getLong(3)),
+        r.getLong(4), r.getTimestamp(5))).toSeq
+    // out-of-order: later ticks (including closes) arrive FIRST
+    val (tHi, tLo) = ticks.partition(_._1 % 2 == 0)
+    val splits = Seq(tHi.reverse, tLo.take(50), tLo.drop(50))
+    val ms = MemoryStream[(Long, String, Double, Option[Long], Long, Timestamp)]
+    val q = ms.toDF().toDF("id", "symbol", "price", "volume", "ts_epoch", "ts")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(S.kendallDailySink(s"$base/bars"))
+      .start()
+    try {
+      splits.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val want = rows(graft.operators.Stats.kendallTau(spark, sfDir))
+    assert(want.nonEmpty)
+    assert(rows(S.kendallTau(spark, s"$base/bars")) == want)
+    // replaying a micro-batch into its own partition is idempotent
+    S.kendallDailySink(s"$base/bars")(
+      splits.last.toDF("id", "symbol", "price", "volume", "ts_epoch", "ts"), 2L)
+    assert(rows(S.kendallTau(spark, s"$base/bars")) == want)
+  }
+
   test("streamed risk state equals batch omega and pain sums at each symbol's last bar") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
