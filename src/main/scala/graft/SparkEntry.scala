@@ -302,6 +302,7 @@ object SparkEntry {
     "x_cluster_quality"    -> ((s, dir) => Similarity.kmeansInertia(s, dir)),
     "x_semantic_dedup"     -> ((s, dir) => Similarity.semanticDedup(s, dir)),
     "x_mmr_rerank"         -> ((s, dir) => Similarity.mmrRerank(s, dir)),
+    "x_rbo"                -> ((s, dir) => Similarity.knnIvfRbo(s, dir)),
     "x_semantic_decontam"  -> ((s, dir) => Similarity.semanticDecontam(s, dir)),
     "x_cluster_purity"     -> ((s, dir) => Similarity.clusterPurity(s, dir)),
     "x_hard_negatives"     -> ((s, dir) => Similarity.hardNegatives(s, dir)),
@@ -567,6 +568,57 @@ object SparkEntry {
        |               SUM(n_grams)::BIGINT AS total_grams
        |        FROM b$n GROUP BY band)""".stripMargin
   }
+
+  /** Shared IVF-vs-brute ranking CTEs (mirrors `Similarity.knnIvfFrom`
+    * at nCells=16/nProbe=2 and `knnBruteFrom` at k=5/nQueries=10):
+    * `top_i` is the IVF shortlist, `top_b` the brute truth — the
+    * x_ndcg and x_rbo serving-quality oracles grade the same pair of
+    * rankings. */
+  private val ivfBruteTopCtes: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE), (a,b)->a+b)) AS nrm
+      |  FROM embeddings
+      |), cents AS (
+      |  SELECT vec_id AS centroid_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < 16
+      |), ranked AS (
+      |  SELECT e.vec_id, e.embedding, e.nrm, c.centroid_id,
+      |    round(list_reduce(list_transform(range(1,65),
+      |      i -> e.embedding[i]::DOUBLE * c.c_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*c.c_nrm), 6) AS c_sim
+      |  FROM e, cents c
+      |), cells AS (
+      |  SELECT vec_id, embedding, nrm, centroid_id AS cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rk
+      |    FROM ranked
+      |  ) WHERE rk = 1
+      |), qcells AS (
+      |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, centroid_id AS cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rk
+      |    FROM ranked WHERE vec_id < 10
+      |  ) WHERE rk <= 2
+      |), scored_i AS (
+      |  SELECT DISTINCT q.query_id, c2.vec_id AS neighbor_id,
+      |    round(list_reduce(list_transform(range(1,65),
+      |      i -> c2.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (a,b)->a+b)/(c2.nrm*q.q_nrm), 6) AS cos
+      |  FROM cells c2 JOIN qcells q ON c2.cell = q.cell AND c2.vec_id <> q.query_id
+      |), top_i AS (
+      |  SELECT query_id, neighbor_id, rk AS pos FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      |    FROM scored_i
+      |  ) WHERE rk <= 5
+      |), q2 AS (
+      |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 10
+      |), scored_b AS (
+      |  SELECT q2.query_id, e.vec_id AS neighbor_id,
+      |    round(list_reduce(list_transform(range(1,65),
+      |      i -> e.embedding[i]::DOUBLE * q2.q_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*q2.q_nrm), 6) AS cos
+      |  FROM e, q2 WHERE e.vec_id <> q2.query_id
+      |), top_b AS (
+      |  SELECT query_id, neighbor_id, rk FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      |    FROM scored_b
+      |  ) WHERE rk <= 5
+      |)""".stripMargin
 
   /** Unrolled greedy MMR for the x_mmr_rerank oracle — round 1 is the
     * plain per-query argmin(d2q); each later round scores the
@@ -4496,50 +4548,7 @@ object SparkEntry {
     // NDCG@5 + reciprocal rank of the IVF shortlist vs brute truth —
     // frozen integer DCG weights, exact BIGINT gain sums
     "x_ndcg" ->
-      (s"""WITH e AS (
-        |  SELECT vec_id, embedding,
-        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE), (a,b)->a+b)) AS nrm
-        |  FROM embeddings
-        |), cents AS (
-        |  SELECT vec_id AS centroid_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < 16
-        |), ranked AS (
-        |  SELECT e.vec_id, e.embedding, e.nrm, c.centroid_id,
-        |    round(list_reduce(list_transform(range(1,65),
-        |      i -> e.embedding[i]::DOUBLE * c.c_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*c.c_nrm), 6) AS c_sim
-        |  FROM e, cents c
-        |), cells AS (
-        |  SELECT vec_id, embedding, nrm, centroid_id AS cell FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rk
-        |    FROM ranked
-        |  ) WHERE rk = 1
-        |), qcells AS (
-        |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, centroid_id AS cell FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rk
-        |    FROM ranked WHERE vec_id < 10
-        |  ) WHERE rk <= 2
-        |), scored_i AS (
-        |  SELECT DISTINCT q.query_id, c2.vec_id AS neighbor_id,
-        |    round(list_reduce(list_transform(range(1,65),
-        |      i -> c2.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (a,b)->a+b)/(c2.nrm*q.q_nrm), 6) AS cos
-        |  FROM cells c2 JOIN qcells q ON c2.cell = q.cell AND c2.vec_id <> q.query_id
-        |), top_i AS (
-        |  SELECT query_id, neighbor_id, rk AS pos FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
-        |    FROM scored_i
-        |  ) WHERE rk <= 5
-        |), q2 AS (
-        |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 10
-        |), scored_b AS (
-        |  SELECT q2.query_id, e.vec_id AS neighbor_id,
-        |    round(list_reduce(list_transform(range(1,65),
-        |      i -> e.embedding[i]::DOUBLE * q2.q_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*q2.q_nrm), 6) AS cos
-        |  FROM e, q2 WHERE e.vec_id <> q2.query_id
-        |), top_b AS (
-        |  SELECT query_id, neighbor_id, rk FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
-        |    FROM scored_b
-        |  ) WHERE rk <= 5
-        |), dcg AS (
+      (ivfBruteTopCtes + s""", dcg AS (
         |  SELECT i.query_id,
         |    SUM(COALESCE(6 - b.rk, 0) *
         |      CASE i.pos ${graft.operators.Similarity.ndcgWeightsU(5)
@@ -4564,6 +4573,28 @@ object SparkEntry {
         |  round(COALESCE(r.rr_u, 0)::DOUBLE / 1e6, 6) AS reciprocal_rank
         |FROM (SELECT DISTINCT query_id FROM top_b) qq
         |  LEFT JOIN dcg d USING (query_id) LEFT JOIN rr r USING (query_id)
+        |ORDER BY query_id""".stripMargin),
+
+    // truncated RBO@5 between the same two rankings: a shared neighbor
+    // first co-present at depth m contributes the frozen integer
+    // C(m) = sum_{d=m..5} w_d*(60/d); one join, one sum, one divide
+    "x_rbo" ->
+      (ivfBruteTopCtes + s""", ov AS (
+        |  SELECT b.query_id, GREATEST(b.rk, i.pos) AS m
+        |  FROM top_b b JOIN top_i i
+        |    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+        |), num AS (
+        |  SELECT query_id,
+        |    SUM(CASE m ${graft.operators.Similarity.rboContribU(5)
+              .map { case (m, cm) => s"WHEN $m THEN $cm" }.mkString(" ")}
+        |      END)::BIGINT AS num_u
+        |  FROM ov GROUP BY query_id
+        |)
+        |SELECT qq.query_id,
+        |  round(COALESCE(n.num_u, 0)::DOUBLE /
+        |        ${60L * graft.operators.Similarity.rboWeightsU(5).sum}.0, 6) AS rbo
+        |FROM (SELECT DISTINCT query_id FROM top_b) qq
+        |  LEFT JOIN num n USING (query_id)
         |ORDER BY query_id""".stripMargin),
 
     // Gopher rule census — integer inequalities only (3w <= chars <=

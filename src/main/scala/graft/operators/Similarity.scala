@@ -1963,6 +1963,63 @@ object Similarity {
   private[graft] def ndcgWeightsU(k: Int): Seq[Long] =
     (1 to k).map(p => math.rint(1e6 / (math.log(p + 1.0) / math.log(2.0))).toLong)
 
+  /** Micro-unit RBO rank weights p^(d-1) (p = 9/10) for d = 1..k —
+    * the [[ndcgWeightsU]] frozen-literal discipline applied to
+    * Webber's persistence parameter. */
+  private[graft] def rboWeightsU(k: Int): Seq[Long] =
+    (1 to k).map(d => math.rint(1e6 * math.pow(0.9, d - 1)).toLong)
+
+  /** Per-depth RBO contribution of a shared neighbor FIRST co-present
+    * at depth m: `C(m) = Σ_{d=m..k} w_d · (60/d)` — 60 = lcm(1..5)
+    * multiplies the 1/d agreement denominators away, so every term is
+    * an exact integer; the final ratio divides by `60 · Σ w_d` once.
+    */
+  private[graft] def rboContribU(k: Int): Seq[(Int, Long)] = {
+    val w = rboWeightsU(k)
+    (1 to k).map(m => (m, (m to k).map(d => w(d - 1) * (60L / d)).sum))
+  }
+
+  /** Truncated rank-biased overlap (Webber, Moffat & Zobel 2010,
+    * RBO@k) between the IVF shortlist and brute-force truth — the
+    * third member of the serving-quality triad: recall counts set
+    * overlap, NDCG grades the order of what was returned, RBO grades
+    * TOP-WEIGHTED agreement between the two rankings themselves
+    * (disagreement at rank 1 costs more than at rank k, controlled by
+    * the persistence p = 0.9).
+    *
+    * Exactness: a shared neighbor at ranks (rk, pos) contributes to
+    * every depth d ≥ max(rk, pos), so RBO@k collapses to ONE
+    * inner join + a frozen integer lookup C(max(rk, pos))
+    * ([[rboContribU]] — weights and agreement denominators both
+    * pre-multiplied into exact BIGINT literals shared by both
+    * engines), one sum, one final divide.
+    *
+    * Scale shape: both rankings are (nQueries × k)-bounded
+    * shortlists; the eval join and aggregate never touch corpus rows
+    * beyond the shared checkpointed corpus the two rankers read.
+    */
+  def knnIvfRbo(spark: SparkSession, dir: String,
+                k: Int = 5, nQueries: Int = 10): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val c = corpus(spark, dir)
+    val brute = knnBruteFrom(c, k, nQueries).localCheckpoint()
+    val approx = knnIvfFrom(c, k, nQueries, nCells = 16, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rk").as("pos"))
+    val mCol = greatest(col("rk"), col("pos"))
+    val cCol = rboContribU(k).foldLeft(lit(0L)) { case (acc, (m, cm)) =>
+      when(mCol === m, lit(cm)).otherwise(acc) }
+    val den = 60L * rboWeightsU(k).sum
+    val num = brute.join(approx, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), cCol.as("c_u"))
+      .groupBy("query_id").agg(sum(col("c_u")).as("num_u"))
+    brute.select("query_id").distinct()
+      .join(num, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("num_u"), lit(0L)).cast("double") /
+              lit(den.toDouble), 6).as("rbo"))
+      .orderBy("query_id")
+  }
+
   /** Ranking-quality audit of the IVF shortlist beyond recall:
     * NDCG@k and reciprocal rank per query against brute-force truth.
     * Recall counts set overlap; NDCG grades the ORDER the serving

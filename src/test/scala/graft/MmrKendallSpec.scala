@@ -79,4 +79,21 @@ class MmrKendallSpec extends SparkSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0))
   }
+
+  test("RBO contributions: identical rankings score exactly 1, weights decay") {
+    // sum over m of C(m) telescopes to 60 * sum(w_d) — an identical
+    // ranking pair (every shared neighbor at m = its own rank) divides
+    // to exactly 1.0
+    val den = 60L * Similarity.rboWeightsU(5).sum
+    assert(Similarity.rboContribU(5).map(_._2).sum == den)
+    // top-weightedness: losing agreement at rank 1 costs more than at 5
+    val c = Similarity.rboContribU(5).toMap
+    assert(c(1) > c(5) && Similarity.rboWeightsU(5) == Similarity.rboWeightsU(5).sorted.reverse)
+  }
+
+  test("knnIvfRbo on the corpus: bounded in [0, 1], one row per query") {
+    val rows = Similarity.knnIvfRbo(spark, sfDir).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
 }
