@@ -179,6 +179,7 @@ object SparkEntry {
     "x_ljung_box"          -> ((s, dir) => Finance.ljungBox(s, dir)),
     "x_ljung_box_daily"    -> ((s, dir) => Finance.ljungBoxDaily(s, dir)),
     "x_tick_imbalance"     -> ((s, dir) => Finance.tickImbalance(s, dir)),
+    "x_vpin"               -> ((s, dir) => Finance.vpin(s, dir)),
     "x_dp_release"         -> ((s, dir) => Analytics.dpRelease(s, dir)),
     "x_sax_motifs"         -> ((s, dir) => Finance.saxMotifs(s, dir)),
     "x_xi_correlation"     -> ((s, dir) => Stats.xiCorrelation(s, dir)),
@@ -4299,6 +4300,32 @@ object SparkEntry {
         |  round(CAST(net_vol AS DOUBLE)/CAST(classified_vol AS DOUBLE), 6)
         | + 0    AS imbalance
         |FROM g WHERE classified_vol > 0 ORDER BY symbol, day""".stripMargin),
+
+    // VPIN: tick-rule classified volume in equal-volume buckets
+    // (whole-tick assignment, cum div 500), |net|/vol per bucket
+    "x_vpin" ->
+      (finQuoteCte + """,
+        |e AS (SELECT symbol, id, ts_epoch, volume,
+        |        CAST(round(price * 100) AS BIGINT) AS m FROM q),
+        |t AS (SELECT symbol, id, ts_epoch, volume,
+        |        m - lag(m, 1) OVER (PARTITION BY symbol ORDER BY ts_epoch, id) AS d
+        |      FROM e),
+        |u AS (SELECT symbol, id, ts_epoch,
+        |        CASE WHEN d > 0 THEN COALESCE(volume, 0)
+        |             WHEN d < 0 THEN -COALESCE(volume, 0) ELSE 0 END AS sv,
+        |        CASE WHEN d <> 0 THEN COALESCE(volume, 0) ELSE 0 END AS av
+        |      FROM t WHERE d IS NOT NULL),
+        |c AS (SELECT symbol, sv, av,
+        |        COALESCE(SUM(av) OVER (PARTITION BY symbol ORDER BY ts_epoch, id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_av
+        |      FROM u),
+        |b AS (SELECT symbol, cum_av // 500 AS bucket,
+        |        SUM(sv)::BIGINT AS net, SUM(av)::BIGINT AS vol
+        |      FROM c GROUP BY 1, 2)
+        |SELECT symbol, COUNT(*)::BIGINT AS n_buckets, SUM(vol)::BIGINT AS classified_vol,
+        |  round(SUM(ABS(net))::DOUBLE / SUM(vol), 6) AS vpin,
+        |  MAX(round(ABS(net)::DOUBLE / vol, 6)) AS worst_bucket
+        |FROM b WHERE vol > 0 GROUP BY symbol ORDER BY symbol""".stripMargin),
 
     // DP Laplace release audit — deterministic per-cell hash uniform,
     // inverse-CDF noise micro-unit rounded before every sum

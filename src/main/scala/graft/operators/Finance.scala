@@ -2009,6 +2009,57 @@ object Finance {
       .orderBy("symbol", "day")
   }
 
+  /** VPIN — volume-synchronized probability of informed trading
+    * (Easley, López de Prado & O'Hara 2012): classify each tick's
+    * volume by the tick rule (the [[tickImbalance]] convention —
+    * zero-tick volume stays unclassified, a documented simplification
+    * of the paper's carry-forward that both engines replicate
+    * trivially), slice the per-symbol CLASSIFIED-volume stream into
+    * equal-volume buckets (`bucket = cum_av div bucketVol`, whole-tick
+    * assignment), and report per symbol the volume-weighted mean and
+    * the worst per-bucket order-flow imbalance `|net| / vol` — the
+    * flow-toxicity gauge a market-making desk monitors next to Kyle's
+    * lambda and the Roll spread.
+    *
+    * Exactness: signed/absolute volumes and the bucket cumsum are
+    * BIGINT; the per-bucket ratio rounds once and the rollup is one
+    * fixed expression — engine-exact throughout.
+    *
+    * Scale shape: two (symbol)-partitioned windows (lag + exclusive
+    * cumsum) and a (symbol, bucket) hash-agg — embarrassingly
+    * parallel across symbols, per-symbol depth corpus-bounded (the
+    * amplifier re-keys symbols, matching production sharding).
+    */
+  def vpin(spark: SparkSession, dir: String, bucketVol: Long = 500L): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+    val ticks = quotes(spark, dir)
+      .withColumn("m", round(col("price") * 100).cast("bigint"))
+      .withColumn("d", col("m") - lag(col("m"), 1).over(ord))
+      .filter(col("d").isNotNull)
+      .withColumn("sv",
+        when(col("d") > 0, coalesce(col("volume"), lit(0L)))
+          .when(col("d") < 0, -coalesce(col("volume"), lit(0L)))
+          .otherwise(lit(0L)))
+      .withColumn("av", when(col("d") =!= 0, coalesce(col("volume"), lit(0L)))
+        .otherwise(lit(0L)))
+    val cum = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ticks
+      .withColumn("cum_av", coalesce(sum(col("av")).over(cum), lit(0L)))
+      .withColumn("bucket", expr(s"cum_av div $bucketVol"))
+      .groupBy("symbol", "bucket")
+      .agg(sum(col("sv")).as("net"), sum(col("av")).as("vol"))
+      .filter(col("vol") > 0)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_buckets"),
+           sum(col("vol")).as("classified_vol"),
+           round(sum(abs(col("net"))).cast("double") /
+                 sum(col("vol")).cast("double"), 6).as("vpin"),
+           max(round(abs(col("net")).cast("double") /
+                     col("vol").cast("double"), 6)).as("worst_bucket"))
+      .orderBy("symbol")
+  }
+
   /** SAX motif census (Lin, Keogh et al. 2003 — Symbolic Aggregate
     * approXimation): per symbol, daily closes are z-normalized (mean
     * and std from exact DECIMAL power sums — one fixed expression),

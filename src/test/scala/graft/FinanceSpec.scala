@@ -746,4 +746,20 @@ class FinanceSpec extends SparkSuite {
     assert(math.abs(r.getAs[Double]("treynor")) > 0)
     assert(r.getAs[Long]("n_days") === 14L)
   }
+
+  test("vpin: ratios bounded, weighted mean never exceeds the worst bucket") {
+    val rows = Finance.vpin(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, w) = (r.getAs[Double]("vpin"), r.getAs[Double]("worst_bucket"))
+      assert(v >= 0.0 && w <= 1.0 && v <= w + 1e-6, s"$r")
+      assert(r.getAs[Long]("n_buckets") >= 1L &&
+        r.getAs[Long]("classified_vol") > 0L)
+    }
+    // monotone uptrend: every classified tick is a buy -> vpin = 1
+    val up = Finance.vpin(spark,
+      dailySeries((1 to 12).map(i => 1.0 + 0.5 * i))).head()
+    assert(up.getAs[Double]("vpin") === 1.0 &&
+      up.getAs[Double]("worst_bucket") === 1.0)
+  }
 }
