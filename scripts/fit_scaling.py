@@ -33,7 +33,8 @@ EXPECTED = {
         "(r9-r12, dominated by the n*d*k assignment hash-aggregate); the "
         "r12 PACKED kernel (graft_nearest_cid / graft_sqdist) removed "
         "that term (N=100: 762 s -> 23 s) and the probe range now "
-        "measures ~0.9-1.3 — the n^1.5 pair-join term still owns the "
+        "measures ~0.9-1.4 (1.356 at the N=1000 point, passing under "
+        "the documented 1.7 bound) — the n^1.5 pair-join term still owns the "
         "asymptote, it just no longer dominates at probe N; production "
         "pins the exponent by capping cell granularity at the "
         "pair-density trade-off it chooses"),

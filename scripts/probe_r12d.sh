@@ -55,6 +55,9 @@ amp 1000 /tmp/amp_r12_1000
 # Recorded SCALING_r12 envelope points for the UNCHANGED queries
 # (kernel-family points are code-stale and excluded — their ladders
 # re-measure fresh below).
+# fresh recorded-point set: leftovers from an earlier probe session
+# (possibly fit against a different SCALING artifact) must not join
+rm -f /tmp/probe_r12_recorded_n*.json
 python3 - <<'EOF'
 import json
 src = json.load(open("SCALING_r12.json"))

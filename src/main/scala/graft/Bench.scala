@@ -42,6 +42,32 @@ object Bench {
   case class Tele(gcMs: Long, shufReadB: Long, shufWriteB: Long,
                   spillB: Long, peakMemB: Long)
 
+  /** Per-run wall-clock attribution (r12 verdict "Missing #1": the
+    * telemetry can refute a cause — identical gc/shuffle/spill across
+    * a 36.5 s and a 0.46 s run of the same trivial plan — but nothing
+    * records what the HOST was doing during the slow run). Each timed
+    * run carries its start/end epoch millis plus the box's 1-minute
+    * load average sampled at both ends, so a driver-side outlier
+    * arrives with its own explanation (load 30 at t0 = co-tenant
+    * stall; load ~ncores with flat runs = the plan).
+    */
+  case class RunWall(startMs: Long, endMs: Long,
+                     load1Start: Double, load1End: Double)
+
+  /** 1-minute load average: /proc/loadavg first field, falling back
+    * to the OS MXBean off Linux. -1.0 if neither is available.
+    */
+  private def load1(): Double =
+    try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split("\\s+")(0).toDouble
+    } catch { case _: Throwable =>
+      try java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    }
+
   /** Task-metrics accumulator: shuffle read/write bytes, spill bytes,
     * and the max per-task peak execution memory across the run.
     */
@@ -103,11 +129,19 @@ object Bench {
     // count and core count are independent in Spark; excess
     // partitions queue over the same cores.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    // IO-codec override for scale probes only (canonical bench keeps
+    // Spark's lz4 default): the N=1000 unified-dedup ladder is bounded
+    // by the box's free DISK, not by the engine — zstd's ~2x better
+    // ratio on gram/text shuffle blocks buys the decade back. On a
+    // production cluster this is the same one-line shuffle-storage
+    // sizing decision (codec vs provisioned disk).
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_IO_CODEC")
+      .foreach(c => builder.config("spark.io.compression.codec", c))
+    val spark = builder.getOrCreate()
     // ERROR, not WARN: the driver captures a bounded window of output,
     // and ~90 queries x 3 runs of per-query WARN noise pushed the
     // closing JSON line past it (BENCH_r04's line was cut mid-map) —
@@ -132,7 +166,7 @@ object Bench {
     val ordered = if (reverse) ordered0.reverse else ordered0
     val tele = new TeleListener
     spark.sparkContext.addSparkListener(tele)
-    val results: Seq[(String, Seq[Double], Boolean, Seq[Tele])] = ordered.map { case (name, fn) =>
+    val results: Seq[(String, Seq[Double], Boolean, Seq[Tele], Seq[RunWall])] = ordered.map { case (name, fn) =>
       // noop sink, NOT count(): count() lets Catalyst prune every
       // unused projection, so a narrow query's expensive columns
       // (simhash votes, text stats) were never computed — r2's
@@ -147,11 +181,13 @@ object Bench {
       // nRuns times.
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       val teles = scala.collection.mutable.ArrayBuffer.empty[Tele]
+      val walls = scala.collection.mutable.ArrayBuffer.empty[RunWall]
       var i = -nWarm // negative indices are discarded warm-up runs
       while (i < nRuns && !times.lastOption.exists(_ < 0)) {
         Caches.releaseAll(spark) // cached Datasets AND checkpoint blocks
         drainListenerBus(spark); tele.reset()
         val gc0 = gcMillis()
+        val w0 = System.currentTimeMillis(); val l0 = load1()
         val t0 = System.nanoTime()
         val t = try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -163,6 +199,7 @@ object Bench {
         if (i >= 0 || t < 0) { // warm-up runs dropped; failures kept
           times += t
           if (t >= 0) {
+            walls += RunWall(w0, System.currentTimeMillis(), l0, load1())
             drainListenerBus(spark)
             val (sr, sw, sp, pk) = tele.snap
             teles += Tele(gcMillis() - gc0, sr, sw, sp, pk)
@@ -171,13 +208,15 @@ object Bench {
         i += 1
       }
       val ok = times.forall(_ >= 0)
-      (name, times.toSeq, ok, teles.toSeq)
+      (name, times.toSeq, ok, teles.toSeq, walls.toSeq)
     }
-    val medians = results.map { case (n, ts, ok, _) =>
+    val medians = results.map { case (n, ts, ok, _, _) =>
       (n, if (ok) median(ts) else -1.0, ok) }
-    val results3 = results.map { case (n, ts, ok, _) => (n, ts, ok) }
-    val teleMap: Map[String, Tele] = results.flatMap { case (n, _, _, tl) =>
+    val results3 = results.map { case (n, ts, ok, _, _) => (n, ts, ok) }
+    val teleMap: Map[String, Tele] = results.flatMap { case (n, _, _, tl, _) =>
       aggTele(tl).map(n -> _) }.toMap
+    val wallMap: Map[String, Seq[RunWall]] = results.collect {
+      case (n, _, _, _, ws) if ws.nonEmpty => n -> ws }.toMap
     val gcSec = ms(teleMap.valuesIterator.map(_.gcMs).sum / 1000.0)
     val fullLine = renderJson(medians, nRuns, sfDir)
     val tinyLine = renderSummaryJson(results3, nRuns, sfDir, detailPath, gcSec)
@@ -189,7 +228,7 @@ object Bench {
     System.err.println(fullLine)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-        renderDetailJson(results3, nRuns, sfDir, teleMap).getBytes("UTF-8"))
+        renderDetailJson(results3, nRuns, sfDir, teleMap, wallMap).getBytes("UTF-8"))
     } catch { case e: Throwable =>
       diagnostics += s"[bench] detail write FAILED: ${e.getMessage}"
     }
@@ -287,11 +326,20 @@ object Bench {
     */
   def renderDetailJson(results: Seq[(String, Seq[Double], Boolean)],
                        nRuns: Int, sfDir: String,
-                       tele: Map[String, Tele] = Map.empty): String = {
+                       tele: Map[String, Tele] = Map.empty,
+                       walls: Map[String, Seq[RunWall]] = Map.empty): String = {
     val qs = results.map { case (n, ts, ok) =>
       val tl = tele.get(n).map(t =>
         s""","gc_ms":${t.gcMs},"shuffle_read_b":${t.shufReadB},"shuffle_write_b":${t.shufWriteB},"spill_b":${t.spillB},"peak_exec_mem_b":${t.peakMemB}""")
-        .getOrElse("")
+        .getOrElse("") +
+        // per-run [start_epoch_ms, end_epoch_ms, load1@start, load1@end]
+        // — host-stall attribution (r12 Missing #1): a 36 s run whose
+        // telemetry matches a 0.46 s run now carries the box's load
+        walls.get(n).map(ws =>
+          ""","wall":[""" + ws.map(w =>
+            s"[${w.startMs},${w.endMs},${w.load1Start},${w.load1End}]")
+            .mkString(",") + "]")
+          .getOrElse("")
       if (ok && ts.nonEmpty)
         s"\"" + n + s"\":{\"min\":${ms(ts.min)},\"median\":${ms(median(ts))},\"max\":${ms(ts.max)},\"runs\":[${ts.map(ms).mkString(",")}]$tl}"
       else s"\"" + n + "\":{\"min\":-1.0,\"median\":-1.0,\"max\":-1.0,\"runs\":[]}"

@@ -2030,9 +2030,15 @@ object Finance {
     * parallel across symbols, per-symbol depth corpus-bounded (the
     * amplifier re-keys symbols, matching production sharding).
     */
-  def vpin(spark: SparkSession, dir: String, bucketVol: Long = 500L): DataFrame = {
+  def vpin(spark: SparkSession, dir: String, bucketVol: Long = 500L): DataFrame =
+    vpinFromQuotes(quotes(spark, dir), bucketVol)
+
+  /** [[vpin]] over ANY `(symbol, ts_epoch, id, price, volume)` frame —
+    * the seam the streaming twin's compacted tick store finishes
+    * through, so stream==batch is shared code. */
+  private[graft] def vpinFromQuotes(q: DataFrame, bucketVol: Long): DataFrame = {
     val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
-    val ticks = quotes(spark, dir)
+    val ticks = q
       .withColumn("m", round(col("price") * 100).cast("bigint"))
       .withColumn("d", col("m") - lag(col("m"), 1).over(ord))
       .filter(col("d").isNotNull)

@@ -384,18 +384,34 @@ object Graphs {
       .orderBy("node")
   }
 
-  /** Frozen Adamic-Adar weights 1/ln(d) for d in 2..degCap, rounded
+  /** Frozen Adamic-Adar weights 1/ln(d) for d in 2..200, rounded
     * HALF_UP to 12 dp ONCE here in Scala and embedded as literals in
     * BOTH dialects (the x_ndcg frozen-micro-weight move) — removes
     * the last host-libm transcendental from an oracle-compared column.
     * The r11 driver failure was a 1-ulp ln() difference flipping a
     * 12th decimal and reordering the tie-heavy top-50 tail.
+    *
+    * Computed ONCE (a memoized `val`, not a per-call `def`) with
+    * `StrictMath.log` — `Math.log` is a JIT intrinsic whose compiled
+    * form may differ from the interpreted fdlibm path by 1 ulp within
+    * one JVM, so two separate evaluations (the oracle-SQL literal
+    * table vs the Spark-side broadcast table) could disagree at the
+    * setScale(12) boundary on hosts where the intrinsic kicks in for
+    * one evaluation but not the other (the r12 driver-only hash
+    * failure). `StrictMath` is bit-reproducible by contract on every
+    * JVM/host, and the single `val` means there is exactly one
+    * evaluation regardless.
     */
-  private[graft] def aaWeights(degCap: Int): Seq[(Long, java.math.BigDecimal)] =
-    (2 to degCap).map { d =>
-      (d.toLong, new java.math.BigDecimal(1.0 / math.log(d.toDouble))
+  private[graft] val aaWeightsAll: Seq[(Long, java.math.BigDecimal)] =
+    (2 to 200).map { d =>
+      (d.toLong, new java.math.BigDecimal(1.0 / StrictMath.log(d.toDouble))
         .setScale(12, java.math.RoundingMode.HALF_UP))
     }
+
+  private[graft] def aaWeights(degCap: Int): Seq[(Long, java.math.BigDecimal)] = {
+    require(degCap <= 200, s"aaWeights frozen table caps at 200, got $degCap")
+    aaWeightsAll.takeWhile(_._1 <= degCap)
+  }
 
   /** Adamic-Adar link prediction over the co-purchase graph: for each
     * non-adjacent pair sharing >= 1 neighbor, score = sum over common

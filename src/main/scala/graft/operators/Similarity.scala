@@ -463,16 +463,28 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").cast("bigint").as("pos"),
         round(col("col").cast("double") * 1e6).cast("bigint").as("vq"))
-    def sgn(j: Int): Column =
-      when(VectorFunctions.planeWeight(lit(j), col("pos")) >= 0, lit(1L))
-        .otherwise(lit(-1L))
-    val aggs = (0 until maxDim).map(j => sum(col("vq") * sgn(j)).as(s"r$j"))
-    // ONE projection serves every sweep level + both scoring sides
-    val reduced = rows.groupBy("vec_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("vec_id"),
-        posexplode(array((0 until maxDim).map(j => col(s"r$j")): _*)))
-      .select(col("vec_id"), col("pos").cast("bigint").as("j"), col("col").as("r"))
+    // The (j, pos) sign grid is data-INDEPENDENT (the planeWeight LCG
+    // over constants), so precompute it driver-side and broadcast-join
+    // on pos instead of inlining maxDim LCG+CASE chains into one
+    // 48-aggregate codegen method (which plausibly crossed HotSpot's
+    // 8 KB JIT limit — the r12 driver-only 5.5× inflation; whether the
+    // giant generated method compiles can differ by host). The long
+    // grid also yields the (vec_id, j, r) shape directly: one tiny
+    // sum(vq*s) hash aggregate, no wide row, no posexplode round-trip.
+    // Exact-same integer arithmetic as VectorFunctions.planeWeight;
+    // pos 0..63 mirrors the LCG's j*64+i seed layout (corpus dim = 64).
+    import spark.implicits._
+    val sgrid = broadcast(
+      (for { j <- 0 until maxDim; p <- 0 until 64 } yield {
+        val w = ((j * 64L + p) * 1103515245L + 12345L) % 65536L - 32768L
+        (p.toLong, j.toLong, if (w >= 0L) 1L else -1L)
+      }).toDF("pos", "j", "s"))
+    // ONE projection serves every sweep level + both scoring sides;
+    // the groupBy reuses the vec_id repartition (vec_id ⊂ (vec_id, j)
+    // satisfies the clustered distribution — no extra exchange).
+    val reduced = rows.join(sgrid, Seq("pos"))
+      .groupBy("vec_id", "j")
+      .agg(sum(col("vq") * col("s")).as("r"))
       .localCheckpoint()
     dims.map { d =>
       val rd = reduced.filter(col("j") < d)
@@ -1959,15 +1971,34 @@ object Similarity {
   /** Micro-unit NDCG position weights, 1e6/log2(pos+1) for pos 1..k —
     * computed ONCE here and embedded as literals in BOTH engines (the
     * published DCG discount, frozen to integers so no engine ever
-    * evaluates a transcendental in the hot comparison). */
-  private[graft] def ndcgWeightsU(k: Int): Seq[Long] =
-    (1 to k).map(p => math.rint(1e6 / (math.log(p + 1.0) / math.log(2.0))).toLong)
+    * evaluates a transcendental in the hot comparison).
+    *
+    * Memoized `val` + `StrictMath` (the r13 aaWeights discipline):
+    * `math.log`/`math.pow` are JIT intrinsics whose compiled form may
+    * differ from the interpreted path by 1 ulp, so a per-call `def`
+    * risks the oracle-literal and Spark-side evaluations disagreeing.
+    * rint cushions integers against 1 ulp almost everywhere, but a
+    * single evaluation of a bit-reproducible function removes the
+    * class entirely. */
+  private[graft] val ndcgWeightsUAll: Seq[Long] =
+    (1 to 64).map(p => math.rint(
+      1e6 / (StrictMath.log(p + 1.0) / StrictMath.log(2.0))).toLong)
+
+  private[graft] def ndcgWeightsU(k: Int): Seq[Long] = {
+    require(k <= 64, s"ndcgWeightsU frozen table caps at 64, got $k")
+    ndcgWeightsUAll.take(k)
+  }
 
   /** Micro-unit RBO rank weights p^(d-1) (p = 9/10) for d = 1..k —
     * the [[ndcgWeightsU]] frozen-literal discipline applied to
-    * Webber's persistence parameter. */
-  private[graft] def rboWeightsU(k: Int): Seq[Long] =
-    (1 to k).map(d => math.rint(1e6 * math.pow(0.9, d - 1)).toLong)
+    * Webber's persistence parameter (same memoized-StrictMath move). */
+  private[graft] val rboWeightsUAll: Seq[Long] =
+    (1 to 64).map(d => math.rint(1e6 * StrictMath.pow(0.9, d - 1)).toLong)
+
+  private[graft] def rboWeightsU(k: Int): Seq[Long] = {
+    require(k <= 64, s"rboWeightsU frozen table caps at 64, got $k")
+    rboWeightsUAll.take(k)
+  }
 
   /** Per-depth RBO contribution of a shared neighbor FIRST co-present
     * at depth m: `C(m) = Σ_{d=m..k} w_d · (60/d)` — 60 = lcm(1..5)

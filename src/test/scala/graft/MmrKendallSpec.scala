@@ -16,7 +16,11 @@ class MmrKendallSpec extends SparkSuite {
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) ->
-        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1e6)).toArray)
+        // BigDecimal HALF_UP, not math.round (half-toward-+inf): Spark's
+        // round() is HALF_UP away-from-zero, and the two differ on exact
+        // negative half-units (the PipelineOpsSpec microVecs discipline)
+        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray)
       .toMap
     def d2(a: Array[Long], b: Array[Long]): Long =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum

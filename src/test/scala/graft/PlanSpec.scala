@@ -210,6 +210,44 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("JL projection joins the broadcast sign grid and stays codegen'd") {
+    // r12 driver-only 5.5× inflation: the old 48-aggregate groupBy
+    // inlined 48 LCG+CASE chains into one giant generated method that
+    // plausibly crossed HotSpot's JIT size limit. The fix is the
+    // data-independent sign grid as a broadcast literal table — the
+    // plan must show (a) NO pmod/LCG arithmetic in the aggregate (the
+    // grid is pre-evaluated driver-side) and (b) the projection
+    // aggregate inside a whole-stage-codegen region ([codegen id :)
+    // so the hot path is a compiled tiny sum, never interpreted.
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    import org.apache.spark.sql.functions._
+    val rows = graft.Tables.embeddings(spark, sfDir)
+      .repartition(n, col("vec_id"))
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("bigint").as("pos"),
+        round(col("col").cast("double") * 1e6).cast("bigint").as("vq"))
+    import spark.implicits._
+    val sgrid = broadcast(
+      (for { j <- 0 until 48; p <- 0 until 64 } yield {
+        val w = ((j * 64L + p) * 1103515245L + 12345L) % 65536L - 32768L
+        (p.toLong, j.toLong, if (w >= 0L) 1L else -1L)
+      }).toDF("pos", "j", "s"))
+    val reduced = rows.join(sgrid, Seq("pos"))
+      .groupBy("vec_id", "j").agg(sum(col("vq") * col("s")).as("r"))
+    // AQE's pre-run plan string carries no codegen stars — disable it
+    // so the static plan shows the spans (the pricing-summary pattern)
+    val key = "spark.sql.adaptive.enabled"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val plan = reduced.queryExecution.executedPlan.toString
+      assert(!plan.contains("1103515245"), s"LCG leaked into the plan:\n$plan")
+      val aggLines = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+      assert(aggLines.nonEmpty && aggLines.forall(_.contains("*(")),
+        s"projection aggregate fell out of codegen:\n$plan")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("aHash near-dup candidates come from the band equi-join — never a cross product") {
     val plan = formatted(graft.operators.Multimodal.ahashNearDup(spark, sfDir))
     assert(!plan.contains("CartesianProduct") &&

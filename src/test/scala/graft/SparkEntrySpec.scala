@@ -107,6 +107,10 @@ class SparkEntrySpec extends AnyFunSuite {
     // output carries only COUNT hits and a rounded ratio
     "x_pq_recall"         -> 6,
     "x_pq_rerank"         -> 7,
+    // cum_av window SUM consumed only via `// 500` bucketing (integer
+    // volumes, HUGEINT-safe), and the SUM(vol) vpin denominator whose
+    // numerator is already ::DOUBLE — both audited safe (r12 verdict)
+    "x_vpin"              -> 2,
     // kmeansCtes (2) + routeCte + PQ chain (pa1, pa2, pcodes, pqd) +
     // cell ranking, ADC re-sum, rerank, brute — all ORDER BY-only
     "x_ivfpq"             -> 11,

@@ -2139,6 +2139,42 @@ class StreamingSpec extends SparkSuite {
     assert(rows(S.kruskalWallis(spark, s"$base/kw")) == wantH)
   }
 
+  test("streamed VPIN tick-store fold reproduces the batch vpin under out-of-order splits + replay") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "vpin-").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val S = graft.streaming.StreamingVpin
+    // the store keys ticks by their (symbol, ts_epoch, id) total-order
+    // identity, so the bucket cumsum is recomputed exactly at read
+    val ticks = graft.operators.Finance.quotes(spark, sfDir)
+      .select("symbol", "ts_epoch", "id", "price", "volume")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3),
+        if (r.isNullAt(4)) Option.empty[Long] else Some(r.getLong(4)))).toSeq
+    // out-of-order: later ticks arrive FIRST, then two overlapping-era
+    // chunks — bucket boundaries cross every split
+    val (tHi, tLo) = ticks.partition(_._3 % 2 == 0)
+    val splits = Seq(tHi.reverse, tLo.take(50), tLo.drop(50))
+    val ms = MemoryStream[(String, Long, Long, Double, Option[Long])]
+    val q = ms.toDF().toDF("symbol", "ts_epoch", "id", "price", "volume")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(S.tickSink(s"$base/ticks"))
+      .start()
+    try {
+      splits.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val want = rows(graft.operators.Finance.vpin(spark, sfDir))
+    assert(want.nonEmpty)
+    assert(rows(S.vpin(spark, s"$base/ticks")) == want)
+    // replaying a micro-batch into its own partition is idempotent
+    S.tickSink(s"$base/ticks")(
+      splits.last.toDF("symbol", "ts_epoch", "id", "price", "volume"), 2L)
+    assert(rows(S.vpin(spark, s"$base/ticks")) == want)
+  }
+
   test("streamed Kendall daily-bar fold reproduces the batch tau-b under out-of-order splits + replay") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
