@@ -141,6 +141,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_IO_CODEC")
       .foreach(c => builder.config("spark.io.compression.codec", c))
+    // probe-only generic conf passthrough ("k=v;k2=v2") — e.g. event
+    // logging for per-stage spill attribution on a scale ladder; the
+    // canonical bench never sets it
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) builder.config(kv.take(i).trim, kv.drop(i + 1).trim)
+    })
     val spark = builder.getOrCreate()
     // ERROR, not WARN: the driver captures a bounded window of output,
     // and ~90 queries x 3 runs of per-query WARN noise pushed the
