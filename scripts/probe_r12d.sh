@@ -73,6 +73,9 @@ for n, qs in byn.items():
     print(f"recorded n={n}: {sorted(qs)}")
 EOF
 for f in /tmp/probe_r12_recorded_n*.json; do
+  # unmatched glob passes the literal pattern through (nullglob is
+  # off) — skip it instead of handing the fit a bogus "n*:file" arg
+  [ -e "$f" ] || continue
   # strip the full prefix, not just non-digits — the filename contains
   # "r12" and a global digit-squash would read n100 as 12100
   n=$(basename "$f" .json | sed 's/^probe_r12_recorded_n//')

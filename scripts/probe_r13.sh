@@ -27,7 +27,10 @@ run_bench() { # N dir shuffle queries tag extra_env...
     SPARK_DRIVER_MEM=$MEM \
     SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" \
       > "/tmp/probe_r13_n${n}_${tag}.log" 2>&1 || true
-  grep '"metric":"total"' "/tmp/probe_r13_n${n}_${tag}.log" | tail -1
+  # || true: under pipefail a missing total line (bench died — the
+  # case the sbt || true anticipates) would abort the probe before the
+  # FAILED lines and closing df it exists to capture (ADVICE r13)
+  grep '"metric":"total"' "/tmp/probe_r13_n${n}_${tag}.log" | tail -1 || true
   grep 'FAILED' "/tmp/probe_r13_n${n}_${tag}.log" | head -5 || true
   df -h / | tail -1
 }

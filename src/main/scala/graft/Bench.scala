@@ -50,9 +50,19 @@ object Bench {
     * load average sampled at both ends, so a driver-side outlier
     * arrives with its own explanation (load 30 at t0 = co-tenant
     * stall; load ~ncores with flat runs = the plan).
+    *
+    * r13 proved loadavg insufficient (x_substring_strip's load was
+    * HIGHEST during its fastest run), so each run also carries DISK
+    * attribution: free bytes on the Spark local dir at both ends and
+    * the box-wide bytes written to whole-disk devices during the run
+    * (/proc/diskstats sectors-written delta x 512). A zero-gc
+    * zero-spill stall now names its resource in the artifact. -1 =
+    * not measurable on this host.
     */
   case class RunWall(startMs: Long, endMs: Long,
-                     load1Start: Double, load1End: Double)
+                     load1Start: Double, load1End: Double,
+                     diskFreeStartB: Long = -1L, diskFreeEndB: Long = -1L,
+                     diskWrittenB: Long = -1L)
 
   /** 1-minute load average: /proc/loadavg first field, falling back
     * to the OS MXBean off Linux. -1.0 if neither is available.
@@ -67,6 +77,32 @@ object Bench {
         .getOperatingSystemMXBean.getSystemLoadAverage
       catch { case _: Throwable => -1.0 }
     }
+
+  /** Usable bytes on the filesystem holding `dir` (the Spark local
+    * dir — where shuffle files and localCheckpoint blocks land).
+    */
+  private def diskFreeB(dir: String): Long =
+    try new java.io.File(dir).getUsableSpace
+    catch { case _: Throwable => -1L }
+
+  // whole-disk device names only (sda, nvme0n1, ...) — partitions
+  // (sda1) and dm-/md/loop stacks re-count the same physical writes
+  private val wholeDisk =
+    "^(sd[a-z]+|hd[a-z]+|vd[a-z]+|xvd[a-z]+|nvme\\d+n\\d+|mmcblk\\d+)$".r.pattern
+
+  /** Box-wide sectors written across physical disks (/proc/diskstats
+    * field 10). -1 off Linux or on unreadable /proc.
+    */
+  private def sectorsWritten(): Long =
+    try {
+      import scala.jdk.CollectionConverters._
+      val sums = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get("/proc/diskstats")).asScala
+        .map(_.trim.split("\\s+"))
+        .filter(f => f.length > 9 && wholeDisk.matcher(f(2)).matches())
+        .map(_(9).toLong)
+      if (sums.isEmpty) -1L else sums.sum
+    } catch { case _: Throwable => -1L }
 
   /** Task-metrics accumulator: shuffle read/write bytes, spill bytes,
     * and the max per-task peak execution memory across the run.
@@ -138,6 +174,16 @@ object Bench {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      // localCheckpoint/cache block compression (NOT on by default in
+      // Spark): the r13 N=1000 lever campaign measured 28 GB -> 2.2 GB
+      // of checkpoint blocks for the substring gram table under this
+      // one flag, and the r13 driver bench's only large regression
+      // (x_substring_strip 25.6 s median, zero gc/spill, runs
+      // [25.6, 34.3, 2.3]) stalled exactly while materializing those
+      // blocks on a disk-stressed box. Every trackedCheckpoint user
+      // (substring family, unified dedup, BPE, graph loops) benefits;
+      // the lz4 CPU cost is microseconds per block.
+      .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_IO_CODEC")
       .foreach(c => builder.config("spark.io.compression.codec", c))
@@ -173,6 +219,10 @@ object Bench {
     val ordered = if (reverse) ordered0.reverse else ordered0
     val tele = new TeleListener
     spark.sparkContext.addSparkListener(tele)
+    // disk attribution samples the Spark local dir (shuffle +
+    // localCheckpoint blocks live there), not the cwd
+    val localDir = spark.conf.getOption("spark.local.dir")
+      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp")).split(",")(0)
     val results: Seq[(String, Seq[Double], Boolean, Seq[Tele], Seq[RunWall])] = ordered.map { case (name, fn) =>
       // noop sink, NOT count(): count() lets Catalyst prune every
       // unused projection, so a narrow query's expensive columns
@@ -195,6 +245,7 @@ object Bench {
         drainListenerBus(spark); tele.reset()
         val gc0 = gcMillis()
         val w0 = System.currentTimeMillis(); val l0 = load1()
+        val df0 = diskFreeB(localDir); val sw0 = sectorsWritten()
         val t0 = System.nanoTime()
         val t = try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -206,7 +257,10 @@ object Bench {
         if (i >= 0 || t < 0) { // warm-up runs dropped; failures kept
           times += t
           if (t >= 0) {
-            walls += RunWall(w0, System.currentTimeMillis(), l0, load1())
+            val sw1 = sectorsWritten()
+            walls += RunWall(w0, System.currentTimeMillis(), l0, load1(),
+              df0, diskFreeB(localDir),
+              if (sw0 >= 0 && sw1 >= 0) (sw1 - sw0) * 512L else -1L)
             drainListenerBus(spark)
             val (sr, sw, sp, pk) = tele.snap
             teles += Tele(gcMillis() - gc0, sr, sw, sp, pk)
@@ -339,12 +393,15 @@ object Bench {
       val tl = tele.get(n).map(t =>
         s""","gc_ms":${t.gcMs},"shuffle_read_b":${t.shufReadB},"shuffle_write_b":${t.shufWriteB},"spill_b":${t.spillB},"peak_exec_mem_b":${t.peakMemB}""")
         .getOrElse("") +
-        // per-run [start_epoch_ms, end_epoch_ms, load1@start, load1@end]
-        // — host-stall attribution (r12 Missing #1): a 36 s run whose
-        // telemetry matches a 0.46 s run now carries the box's load
+        // per-run [start_epoch_ms, end_epoch_ms, load1@start, load1@end,
+        // disk_free_b@start, disk_free_b@end, disk_written_b] — host
+        // stall attribution (r12 Missing #1, disk added after r13's
+        // zero-gc zero-spill x_substring_strip stall that loadavg
+        // could not explain)
         walls.get(n).map(ws =>
           ""","wall":[""" + ws.map(w =>
-            s"[${w.startMs},${w.endMs},${w.load1Start},${w.load1End}]")
+            s"[${w.startMs},${w.endMs},${w.load1Start},${w.load1End}," +
+              s"${w.diskFreeStartB},${w.diskFreeEndB},${w.diskWrittenB}]")
             .mkString(",") + "]")
           .getOrElse("")
       if (ok && ts.nonEmpty)

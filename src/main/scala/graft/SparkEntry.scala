@@ -342,7 +342,10 @@ object SparkEntry {
     // mid-size trainer point: 32 merges, fully oracle-unrolled —
     // bounds trainer drift between the 8-merge pin and the 1024-merge
     // rows-only production demo (r12 verdict Missing #3)
-    "x_bpe_32"             -> ((s, dir) => TextAnalysis.bpeTrain(s, dir, rounds = 32)),
+    // rounds MUST be BpeMidRounds: the oracle's unrolled CTE chain is
+    // generated from the same constant, so a drift here desyncs the
+    // engine-vs-oracle comparison silently (ADVICE r13)
+    "x_bpe_32"             -> ((s, dir) => TextAnalysis.bpeTrain(s, dir, rounds = BpeMidRounds)),
     "x_bpe_batched"        -> ((s, dir) => TextAnalysis.bpeTrainBatched(s, dir,
                                  totalMerges = 12, batchM = 4, topK = 16,
                                  maxRounds = 3)),
@@ -6436,28 +6439,29 @@ object SparkEntry {
         |FROM degv LEFT JOIN tri ON tri.v = degv.v
         |WHERE degv.d >= 2 ORDER BY node""".stripMargin),
 
-    // the 1/ln(d) weights are the SAME frozen Scala-computed literals
-    // the Spark side joins against (Graphs.aaWeights) — no engine-side
-    // ln() can perturb the tie-heavy top-50 tail (r11 driver failure)
+    // the round(1e12/ln d) BIGINT micro-unit weights are the SAME
+    // frozen Scala-computed Longs the Spark side joins against
+    // (Graphs.aaWeightsE12) — a BIGINT SUM is bit-identical in every
+    // engine, unlike the r11-r13 DECIMAL SUM/CAST path that hash-failed
+    // on the driver host while passing the local bitwise gate
     "x_link_predict" ->
       (graphCoCte + s""",
         |wtab(wd, wgt) AS (VALUES
-        |${graft.operators.Graphs.aaWeights(200)
-            .map { case (d, w) =>
-              s"  ($d, CAST('${w.toPlainString}' AS DECIMAL(18,12)))" }
+        |${graft.operators.Graphs.aaWeightsE12(200)
+            .map { case (d, w) => s"  ($d, CAST($w AS BIGINT))" }
             .grouped(4).map(_.mkString(", ")).mkString(",\n        |")}),
         |c AS (SELECT u AS z, v AS x, wgt
         |      FROM adj JOIN degu USING (u) JOIN wtab ON wd = d
         |      WHERE d >= 2 AND d <= 200),
         |p AS (SELECT l.x AS a, r.x AS b, COUNT(*)::BIGINT AS n_common,
-        |        CAST(SUM(l.wgt) AS DECIMAL(20,12)) AS aa_score
+        |        CAST(SUM(l.wgt) AS BIGINT) AS aa_score_e12
         |      FROM c l JOIN c r ON l.z = r.z AND l.x < r.x
         |      GROUP BY 1, 2),
-        |cand AS (SELECT a, b, n_common, aa_score FROM p
+        |cand AS (SELECT a, b, n_common, aa_score_e12 FROM p
         |         WHERE NOT EXISTS (SELECT 1 FROM co WHERE co.pa = p.a AND co.pb = p.b)),
-        |top AS (SELECT * FROM cand ORDER BY aa_score DESC, a, b LIMIT 50)
-        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY aa_score DESC, a, b) AS BIGINT) AS rk,
-        |  a AS node_a, b AS node_b, n_common, aa_score
+        |top AS (SELECT * FROM cand ORDER BY aa_score_e12 DESC, a, b LIMIT 50)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY aa_score_e12 DESC, a, b) AS BIGINT) AS rk,
+        |  a AS node_a, b AS node_b, n_common, aa_score_e12
         |FROM top ORDER BY rk""".stripMargin),
 
     "x_drawdown" ->

@@ -15,6 +15,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // compress localCheckpoint/cache blocks (r13 lever: 28 GB ->
+      // 2.2 GB of gram-table checkpoint blocks; the trackedCheckpoint
+      // users would otherwise stall this run on a disk-tight box)
+      .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

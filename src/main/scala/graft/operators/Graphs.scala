@@ -384,33 +384,30 @@ object Graphs {
       .orderBy("node")
   }
 
-  /** Frozen Adamic-Adar weights 1/ln(d) for d in 2..200, rounded
-    * HALF_UP to 12 dp ONCE here in Scala and embedded as literals in
-    * BOTH dialects (the x_ndcg frozen-micro-weight move) — removes
-    * the last host-libm transcendental from an oracle-compared column.
-    * The r11 driver failure was a 1-ulp ln() difference flipping a
-    * 12th decimal and reordering the tie-heavy top-50 tail.
+  /** Frozen Adamic-Adar weights round(1e12/ln(d)) for d in 2..200 as
+    * BIGINT micro-units, computed ONCE here in Scala and embedded as
+    * literals in BOTH dialects (the x_ndcg/x_rbo micro-unit move).
+    * A BIGINT SUM is bit-identical in every engine version — unlike
+    * the r11-r13 DECIMAL(18,12)→SUM→CAST(DECIMAL(20,12)) pipeline,
+    * which passed the local bitwise gate at both SFs yet hash-failed
+    * on the driver host three rounds running (its DuckDB decimal
+    * SUM/CAST or decimal-hash path evidently differs).
     *
-    * Computed ONCE (a memoized `val`, not a per-call `def`) with
-    * `StrictMath.log` — `Math.log` is a JIT intrinsic whose compiled
-    * form may differ from the interpreted fdlibm path by 1 ulp within
-    * one JVM, so two separate evaluations (the oracle-SQL literal
-    * table vs the Spark-side broadcast table) could disagree at the
-    * setScale(12) boundary on hosts where the intrinsic kicks in for
-    * one evaluation but not the other (the r12 driver-only hash
-    * failure). `StrictMath` is bit-reproducible by contract on every
-    * JVM/host, and the single `val` means there is exactly one
-    * evaluation regardless.
+    * Memoized `val` + `StrictMath.log` (bit-reproducible by contract
+    * on every JVM/host, unlike the `Math.log` JIT intrinsic), so
+    * there is exactly one evaluation and both the oracle VALUES table
+    * and the Spark-side broadcast table consume the same Longs. IEEE
+    * double division and `Math.round` are deterministic given the
+    * StrictMath input, so the Longs themselves are host-invariant.
     */
-  private[graft] val aaWeightsAll: Seq[(Long, java.math.BigDecimal)] =
+  private[graft] val aaWeightsE12All: Seq[(Long, Long)] =
     (2 to 200).map { d =>
-      (d.toLong, new java.math.BigDecimal(1.0 / StrictMath.log(d.toDouble))
-        .setScale(12, java.math.RoundingMode.HALF_UP))
+      (d.toLong, Math.round(1e12 / StrictMath.log(d.toDouble)))
     }
 
-  private[graft] def aaWeights(degCap: Int): Seq[(Long, java.math.BigDecimal)] = {
-    require(degCap <= 200, s"aaWeights frozen table caps at 200, got $degCap")
-    aaWeightsAll.takeWhile(_._1 <= degCap)
+  private[graft] def aaWeightsE12(degCap: Int): Seq[(Long, Long)] = {
+    require(degCap <= 200, s"aaWeightsE12 frozen table caps at 200, got $degCap")
+    aaWeightsE12All.takeWhile(_._1 <= degCap)
   }
 
   /** Adamic-Adar link prediction over the co-purchase graph: for each
@@ -418,10 +415,11 @@ object Graphs {
     * neighbors z of 1/ln(deg z), top-k candidates — the classic
     * "parts bought together next" recommender signal.
     *
-    * Determinism: each 1/ln(d) term is round-12 then DECIMAL(18,12),
-    * so the per-pair sum is an exact decimal regardless of join
-    * order (the x_bigram_ppl discipline); deg >= 2 holds for every
-    * common neighbor by construction, so ln(d) > 0.
+    * Determinism: each 1/ln(d) term is the frozen BIGINT micro-unit
+    * round(1e12/ln d), so the per-pair score is an exact integer sum
+    * regardless of join order or engine decimal semantics (the
+    * x_ndcg/x_rbo discipline); deg >= 2 holds for every common
+    * neighbor by construction, so ln(d) > 0.
     *
     * Scale shape: the pair generation is the wedge join keyed by the
     * CENTER vertex, with hub centers capped at `degCap` (the GramDFCap
@@ -439,28 +437,29 @@ object Graphs {
     val deg = adj.groupBy("z").agg(count(lit(1)).as("d"))
     // d >= 2: a degree-1 center can never be a COMMON neighbor, and
     // ln(1) = 0 would poison the weight projection under ANSI mode.
-    // The 1/ln(d) weight comes from the FROZEN table (aaWeights), not
-    // a runtime log() call — both dialects consume the same literals,
-    // so no host libm can perturb the tie-heavy top-k tail (r11).
+    // The weight comes from the FROZEN BIGINT micro-unit table
+    // (aaWeightsE12), not a runtime log() call — both dialects consume
+    // the same Longs and the score is an exact integer SUM, so no host
+    // libm OR engine decimal path can perturb the tie-heavy top-k tail
+    // (r11: 1-ulp ln; r12-r13: driver-host decimal SUM/CAST).
     import spark.implicits._
-    val wtab = broadcast(aaWeights(degCap).toDF("d", "wgt")
-      .select(col("d"), col("wgt").cast("decimal(18,12)").as("w")))
+    val wtab = broadcast(aaWeightsE12(degCap).toDF("d", "w"))
     val centers = adj.join(deg.filter(col("d") >= 2 && col("d") <= degCap), "z")
       .join(wtab, "d")
     val pairs = centers.as("l").join(centers.as("r"),
         col("l.z") === col("r.z") && col("l.x") < col("r.x"))
       .groupBy(col("l.x").as("a"), col("r.x").as("b"))
       .agg(count(lit(1)).as("n_common"),
-           sum(col("l.w")).cast("decimal(20,12)").as("aa_score"))
+           sum(col("l.w")).as("aa_score_e12"))
     val candidates = pairs.join(e,
         col("a") === col("pa") && col("b") === col("pb"), "left_anti")
     val top = candidates
-      .orderBy(col("aa_score").desc, col("a"), col("b")).limit(topK)
+      .orderBy(col("aa_score_e12").desc, col("a"), col("b")).limit(topK)
     broadcast(top)
       .withColumn("rk", row_number().over(
-        Window.orderBy(col("aa_score").desc, col("a"), col("b"))).cast("bigint"))
+        Window.orderBy(col("aa_score_e12").desc, col("a"), col("b"))).cast("bigint"))
       .select(col("rk"), col("a").as("node_a"), col("b").as("node_b"),
-        col("n_common"), col("aa_score"))
+        col("n_common"), col("aa_score_e12"))
       .orderBy("rk")
   }
 

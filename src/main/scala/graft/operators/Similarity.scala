@@ -450,6 +450,13 @@ object Similarity {
     * carry (query, vector, dot) aggregates, never embedding
     * components.
     */
+  /** Corpus embedding dimensionality the JL sign grid is generated
+    * for. NOT the same 64 as the LCG's `j*64+i` seed stride (that one
+    * is the frozen [[graft.functions.VectorFunctions.planeWeight]]
+    * contract and must never change); this one must track the corpus.
+    */
+  private val JlGridDim = 64
+
   def knnJlSweep(spark: SparkSession, dir: String, k: Int = 5,
                  nQueries: Int = 10,
                  dims: Seq[Int] = Seq(8, 16, 32, 48)): DataFrame = {
@@ -458,8 +465,18 @@ object Similarity {
     val brute = knnBruteFrom(c, k, nQueries).localCheckpoint()
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val maxDim = dims.max
+    // the sign grid below enumerates pos 0 until JlGridDim; an
+    // embedding of any other length would silently DROP the
+    // out-of-range positions from every projection sum through the
+    // inner grid join (skewing recall with no error) — fail loudly
+    // instead, the lshBucket discipline (ADVICE r13)
     val rows = Tables.embeddings(spark, dir)
       .repartition(n, col("vec_id"))
+      .select(col("vec_id"),
+        when(size(col("embedding")) === JlGridDim, col("embedding"))
+          .otherwise(raise_error(concat(
+            lit(s"knnJlSweep: sign grid assumes $JlGridDim-dim embeddings, got "),
+            size(col("embedding")).cast("string")))).as("embedding"))
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").cast("bigint").as("pos"),
         round(col("col").cast("double") * 1e6).cast("bigint").as("vq"))
@@ -475,7 +492,7 @@ object Similarity {
     // pos 0..63 mirrors the LCG's j*64+i seed layout (corpus dim = 64).
     import spark.implicits._
     val sgrid = broadcast(
-      (for { j <- 0 until maxDim; p <- 0 until 64 } yield {
+      (for { j <- 0 until maxDim; p <- 0 until JlGridDim } yield {
         val w = ((j * 64L + p) * 1103515245L + 12345L) % 65536L - 32768L
         (p.toLong, j.toLong, if (w >= 0L) 1L else -1L)
       }).toDF("pos", "j", "s"))

@@ -85,6 +85,28 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(a.get("peak_exec_mem_b").asLong() == 33554432L)
   }
 
+  test("detail JSON wall entries carry load AND disk attribution per run") {
+    val line = Bench.renderDetailJson(
+      Seq(("a", Seq(1.0), true)), 1, "sf",
+      Map.empty,
+      Map("a" -> Seq(Bench.RunWall(1000L, 2000L, 3.5, 4.5,
+        50L * (1L << 30), 48L * (1L << 30), 2L * (1L << 30)))))
+    val w = mapper.readTree(line).get("queries").get("a").get("wall").get(0)
+    assert(w.size() == 7,
+      "wall = [t0, t1, load@t0, load@t1, free_b@t0, free_b@t1, written_b]")
+    assert(w.get(0).asLong() == 1000L && w.get(1).asLong() == 2000L)
+    assert(w.get(2).asDouble() == 3.5 && w.get(3).asDouble() == 4.5)
+    assert(w.get(4).asLong() == 50L * (1L << 30))
+    assert(w.get(5).asLong() == 48L * (1L << 30))
+    assert(w.get(6).asLong() == 2L * (1L << 30))
+    // unmeasurable host: the -1 sentinels must render as valid JSON
+    val none = Bench.renderDetailJson(
+      Seq(("a", Seq(1.0), true)), 1, "sf", Map.empty,
+      Map("a" -> Seq(Bench.RunWall(1L, 2L, -1.0, -1.0))))
+    val w2 = mapper.readTree(none).get("queries").get("a").get("wall").get(0)
+    assert(w2.get(4).asLong() == -1L && w2.get(6).asLong() == -1L)
+  }
+
   test("tele aggregate takes medians for flow metrics, max for peak") {
     val agg = Bench.aggTele(Seq(
       Bench.Tele(10, 100, 200, 0, 1000),

@@ -49,14 +49,21 @@ class GraphsSpec extends SparkSuite {
       val e = Graphs.coEdges(spark, sfDir, minSupport = 2)
       assert(lp.join(e, col("node_a") === col("pa") && col("node_b") === col("pb"))
         .count() === 0, "a predicted link must not already be an edge")
-      assert(lp.filter(col("aa_score") <= 0 || col("n_common") < 1).count() === 0)
+      assert(lp.filter(col("aa_score_e12") <= 0 || col("n_common") < 1).count() === 0)
       // rk order is (score desc, a, b): no later row outscores an earlier one
       val rows = lp.orderBy("rk").collect()
       rows.sliding(2).foreach { case Array(hi, lo) =>
-        val sHi = hi.getAs[java.math.BigDecimal]("aa_score")
-        val sLo = lo.getAs[java.math.BigDecimal]("aa_score")
-        assert(sHi.compareTo(sLo) >= 0)
+        assert(hi.getAs[Long]("aa_score_e12") >= lo.getAs[Long]("aa_score_e12"))
       case _ => ()
+      }
+      // the micro-unit score is the frozen-table sum: every score must be
+      // expressible as a sum of n_common weights from aaWeightsE12 — check
+      // bounds (n_common * minW <= score <= n_common * maxW)
+      val ws = Graphs.aaWeightsE12(200).map(_._2)
+      val (minW, maxW) = (ws.min, ws.max)
+      rows.foreach { r =>
+        val s = r.getAs[Long]("aa_score_e12"); val n = r.getAs[Long]("n_common")
+        assert(s >= n * minW && s <= n * maxW)
       }
     } finally lp.unpersist()
   }
