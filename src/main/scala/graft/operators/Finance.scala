@@ -331,21 +331,46 @@ object Finance {
     * each product, the left-associated sum order, the divide — is
     * unchanged, so the oracle needs no mirror edit.
     */
-  private def truncEma(lags: Seq[Column], coefs: Seq[Double]): Column = {
-    val num = coefs.zip(lags).map { case (w, c) =>
-      coalesce(c * lit(w), lit(0.0)) }.reduce(_ + _)
-    val den = coefs.zip(lags).map { case (w, c) =>
-      when(c.isNotNull, lit(w)).otherwise(lit(0.0)) }.reduce(_ + _)
-    num / den
-  }
+  /** The last [[MacdLags]] values of `src` (oldest first, current row
+    * last) as ONE sliding collect_list frame — the truncated-EMA
+    * input window.
+    *
+    * Why an array frame and not 40 `lag(src, j)` columns: Spark
+    * groups offset window functions by OFFSET, so 40 distinct lags
+    * are 40 separate window frames, each with its own iterator over
+    * the partition buffer — per layer, every row is touched 40 times
+    * and reassembled into a ~50-column output row. Three smoothing
+    * layers made x_trix a flat 8-9 s at EVERY corpus size (the
+    * scale ladder's 0.11-0.23 tails said constant; the telemetry
+    * said zero gc/spill/shuffle — it was all frame-pass CPU). The
+    * single aggregate frame touches each row once per layer and the
+    * dot product is a flat codegen'd projection.
+    *
+    * PRECONDITION: `src` is never null on the frame (collect_list
+    * drops nulls, which would silently shift the lag alignment).
+    * All three users guarantee it: cents `m` comes from non-null
+    * price, each EMA layer's output has a strictly positive weight
+    * denominator, and rsq is filtered non-null.
+    */
+  private def emaArr(src: Column,
+                     ord: org.apache.spark.sql.expressions.WindowSpec): Column =
+    collect_list(src).over(ord.rowsBetween(-(MacdLags - 1), 0))
 
-  /** Project lag(src, 0..MacdLags-1) once under `ord` as named columns. */
-  private def withLagCols(df: DataFrame, src: Column, prefix: String,
-                          ord: org.apache.spark.sql.expressions.WindowSpec): (DataFrame, Seq[Column]) = {
-    val names = (0 until MacdLags).map(j => s"${prefix}_$j")
-    val out = names.zipWithIndex.foldLeft(df) { case (d, (nm, j)) =>
-      d.withColumn(nm, lag(src, j).over(ord)) }
-    (out, names.map(col))
+  /** Truncated-EMA dot product over an [[emaArr]] window: value j
+    * lags behind the current row by j positions, i.e. sits at
+    * 1-based index size-j. Numerator and denominator accumulate in
+    * ascending-j LEFT-FOLD order — bit-identical to the oracle's
+    * unrolled `w0*lag0 + w1*lag1 + ...` chain (the shared-Double
+    * contract; summation order is part of it).
+    */
+  private def truncEma(arr: Column, coefs: Seq[Double]): Column = {
+    val s = size(arr)
+    val num = coefs.zipWithIndex.map { case (w, j) =>
+      when(lit(j) < s, element_at(arr, s - lit(j)) * lit(w))
+        .otherwise(lit(0.0)) }.reduce(_ + _)
+    val den = coefs.zipWithIndex.map { case (w, j) =>
+      when(lit(j) < s, lit(w)).otherwise(lit(0.0)) }.reduce(_ + _)
+    num / den
   }
 
   /** MACD(12, 26, 9) per symbol per tick: fast EMA minus slow EMA,
@@ -364,13 +389,16 @@ object Finance {
     val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
     val base = quotes(spark, dir)
       .withColumn("m", round(col("price") * 100).cast("bigint"))
-    val (withM, mLags) = withLagCols(base, col("m"), "lm", ord)
-    val layered = withM
+    // fast and slow EMAs share ONE window array; the signal EMA's
+    // array is the only second frame
+    val layered = base
+      .withColumn("am", emaArr(col("m"), ord))
       .withColumn("macd_raw",
-        truncEma(mLags, MacdFastW) - truncEma(mLags, MacdSlowW))
-    val (withSig, sLags) = withLagCols(layered, col("macd_raw"), "ls", ord)
-    withSig
-      .withColumn("signal_raw", truncEma(sLags, MacdSignalW))
+        truncEma(col("am"), MacdFastW) - truncEma(col("am"), MacdSlowW))
+      .drop("am")
+    layered
+      .withColumn("as", emaArr(col("macd_raw"), ord))
+      .withColumn("signal_raw", truncEma(col("as"), MacdSignalW))
       .select(col("symbol"), col("id"), col("price"),
         round(col("macd_raw") / 100, 6).as("macd"),
         round(col("signal_raw") / 100, 6).as("signal_line"),
@@ -402,12 +430,12 @@ object Finance {
     val ord = Window.partitionBy("symbol").orderBy(col("ts_epoch").asc, col("id").asc)
     val base = quotes(spark, dir)
       .withColumn("m", round(col("price") * 100).cast("bigint"))
-    val (w1, l1) = withLagCols(base, col("m"), "t1", ord)
-    val e1 = w1.withColumn("e1", truncEma(l1, TrixW))
-    val (w2, l2) = withLagCols(e1, col("e1"), "t2", ord)
-    val e2 = w2.withColumn("e2", truncEma(l2, TrixW))
-    val (w3, l3) = withLagCols(e2, col("e2"), "t3", ord)
-    w3.withColumn("e3", truncEma(l3, TrixW))
+    val e1 = base.withColumn("a1", emaArr(col("m"), ord))
+      .withColumn("e1", truncEma(col("a1"), TrixW)).drop("a1")
+    val e2 = e1.withColumn("a2", emaArr(col("e1"), ord))
+      .withColumn("e2", truncEma(col("a2"), TrixW)).drop("a2")
+    e2.withColumn("a3", emaArr(col("e2"), ord))
+      .withColumn("e3", truncEma(col("a3"), TrixW)).drop("a3")
       .withColumn("e3_prev", lag(col("e3"), 1).over(ord))
       .filter(col("e3_prev").isNotNull && col("e3_prev") =!= 0.0)
       .select(col("symbol"), col("id"), col("price"),
@@ -586,10 +614,10 @@ object Finance {
       .withColumn("ret", log(col("price") / lag(col("price"), 1).over(ord)))
       .filter(col("ret").isNotNull)
       .withColumn("rsq", col("ret") * col("ret"))
-    val (withR, rLags) = withLagCols(base, col("rsq"), "lr", ord)
-    withR
+    base
+      .withColumn("ar", emaArr(col("rsq"), ord))
       .select(col("symbol"), col("id"), col("price"),
-        round(sqrt(truncEma(rLags, EwmaVolW)), 6).as("ewma_vol"))
+        round(sqrt(truncEma(col("ar"), EwmaVolW)), 6).as("ewma_vol"))
       .orderBy("symbol", "id")
   }
 
@@ -1650,9 +1678,9 @@ object Finance {
     */
   def elderRay(spark: SparkSession, dir: String): DataFrame = {
     val byDay = Window.partitionBy("symbol").orderBy(col("day").asc)
-    val (withLags, lags) = withLagCols(centBars(spark, dir), col("cl"), "c", byDay)
-    withLags
-      .withColumn("ema", truncEma(lags, ElderW))
+    centBars(spark, dir)
+      .withColumn("ac", emaArr(col("cl"), byDay))
+      .withColumn("ema", truncEma(col("ac"), ElderW))
       .select(col("symbol"), col("day"),
         round((col("hi").cast("double") - col("ema")) / 100, 6).as("bull_power"),
         round((col("lo").cast("double") - col("ema")) / 100, 6).as("bear_power"))
