@@ -707,7 +707,14 @@ class PlanSpec extends SparkSuite {
   }
 
   test("MACD / EWMA-vol: lag projection keeps one window block per layer, one exchange") {
+    // window-node budgets pin the ONE-array-frame-per-layer shape: a
+    // regression to per-offset lag columns would re-introduce 40
+    // frames per layer (each its own pass over the partition buffer —
+    // the r14 x_trix finding) and blow these counts immediately.
+    // macd: price array + signal array; ewma-vol: ret lag + rsq array;
+    // trix: three smoothing arrays + the final e3 lag.
     Seq(graft.operators.Finance.macd(spark, sfDir) -> 2,
+        graft.operators.Finance.trix(spark, sfDir) -> 4,
         graft.operators.Finance.ewmaVolatility(spark, sfDir) -> 2).foreach {
       case (df, maxWindows) =>
         val plan = formatted(df)
