@@ -10,6 +10,7 @@
 #  B. x_dup_components: local 8.79 s vs r12 2.22 (3.96x — beyond even
 #     the 1.32x envelope p99) while the driver shows only 1.53x.
 set -e -o pipefail
+cd "$(dirname "$0")/.."   # sbt must run at the repo root, wherever invoked from
 MEM=${SPARK_DRIVER_MEM:-48g}
 
 run_solo() { # query tag runs
@@ -32,4 +33,5 @@ case "${1:-all}" in
   B)   run_solo x_dup_components dupcomp ;;
   all) run_solo x_ivf_probe_sweep ivfsweep
        run_solo x_dup_components dupcomp ;;
+  *)   echo "usage: $0 [A|B|all]" >&2; exit 1 ;;
 esac

@@ -251,7 +251,14 @@ object Bench {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
-          diagnostics += s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}"
+          // failures carry their own disk evidence: a disk-exhaustion
+          // abort is exactly the stall class the per-run telemetry
+          // exists to name, and a failed run writes no wall entry
+          val sw1 = sectorsWritten()
+          val wb = if (sw0 >= 0 && sw1 >= 0) (sw1 - sw0) * 512L else -1L
+          diagnostics += s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
+            s"${e.getMessage} [disk_free_b $df0 -> ${diskFreeB(localDir)}, " +
+            s"disk_written_b $wb]"
           -1.0
         }
         if (i >= 0 || t < 0) { // warm-up runs dropped; failures kept

@@ -319,18 +319,6 @@ object Finance {
   private[graft] val MacdSignalW: Seq[Double] =
     (0 until MacdLags).map(j => (2.0 / 10) * math.pow(8.0 / 10, j))
 
-  /** Warm-up-adaptive truncated EMA over PRE-PROJECTED lag columns:
-    * weighted sum over the available lags normalized by the weight
-    * actually present (the x_ema convention, so early rows are
-    * defined instead of NULL-poisoned). Taking columns instead of
-    * re-deriving `lag(src, j)` per use matters for the PLAN, not the
-    * values: inlining the lags put 4 x MacdLags window expressions
-    * into each EMA layer (measured 7.9 s at sf0.1); projecting the
-    * [[MacdLags]] lags once and folding plain projections over them
-    * leaves one window expression per lag. The double arithmetic —
-    * each product, the left-associated sum order, the divide — is
-    * unchanged, so the oracle needs no mirror edit.
-    */
   /** The last [[MacdLags]] values of `src` (oldest first, current row
     * last) as ONE sliding collect_list frame — the truncated-EMA
     * input window.
@@ -348,9 +336,11 @@ object Finance {
     *
     * PRECONDITION: `src` is never null on the frame (collect_list
     * drops nulls, which would silently shift the lag alignment).
-    * All three users guarantee it: cents `m` comes from non-null
-    * price, each EMA layer's output has a strictly positive weight
-    * denominator, and rsq is filtered non-null.
+    * All four users guarantee it: cents `m` comes from non-null
+    * price ([[macd]]/[[trix]]), each EMA layer's output has a
+    * strictly positive weight denominator, rsq is filtered non-null
+    * ([[ewmaVolatility]]), and [[elderRay]]'s daily close `cl` is the
+    * max over each day's rn=1 row of non-null cents.
     */
   private def emaArr(src: Column,
                      ord: org.apache.spark.sql.expressions.WindowSpec): Column =

@@ -454,8 +454,15 @@ object Similarity {
     * for. NOT the same 64 as the LCG's `j*64+i` seed stride (that one
     * is the frozen [[graft.functions.VectorFunctions.planeWeight]]
     * contract and must never change); this one must track the corpus.
+    * The require guards the coupling: with JlGridDim > 64 the fixed
+    * stride would alias seeds across adjacent planes ((j, p=64) ==
+    * (j+1, p=0)), correlating projection planes with no error on
+    * either engine — raising the stride alongside the dim is a
+    * CONTRACT change that needs new frozen oracle signs.
     */
   private val JlGridDim = 64
+  require(JlGridDim <= 64,
+    "JL sign grid: the frozen j*64+i LCG stride aliases seeds beyond 64 dims")
 
   def knnJlSweep(spark: SparkSession, dir: String, k: Int = 5,
                  nQueries: Int = 10,
