@@ -351,6 +351,7 @@ object SparkEntry {
                                  maxRounds = 3)),
     "x_bpe_segments"       -> ((s, dir) => TextAnalysis.bpeSegments(s, dir)),
     "x_zipf"               -> ((s, dir) => TextAnalysis.zipfFit(s, dir)),
+    "x_heaps"              -> ((s, dir) => TextAnalysis.heapsLaw(s, dir)),
     "x_token_pmi"          -> ((s, dir) => TextAnalysis.tokenPmi(s, dir)),
     "x_bpe_tokens"         -> ((s, dir) => TextAnalysis.bpeTokenCounts(s, dir)),
     "x_bpe_fertility"      -> ((s, dir) => TextAnalysis.bpeFertility(s, dir)),
@@ -7170,6 +7171,29 @@ object SparkEntry {
         |SELECT n_tokens, vocab, r_used,
         |  round((r_used*sxy - sx*sy)::DOUBLE / (r_used*sxx - sx*sx)::DOUBLE, 6) + 0 AS zipf_slope
         |FROM st, fit""".stripMargin,
+
+    // Heaps'-law growth table: checkpoint id is the decile-bin integer
+    // formula over a doc_id global rank (no NTILE), type arrivals are
+    // MIN(bucket) per token, cumulative sums are integer — the one
+    // double is the final round-6 ratio of identical integers
+    "x_heaps" ->
+      """WITH r AS (SELECT text, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+        |             COUNT(*) OVER () AS n FROM documents),
+        |tk AS (SELECT ((rn - 1) * 10) // n + 1 AS bkt,
+        |              unnest(string_split(text, ' ')) AS tok FROM r),
+        |tf AS (SELECT bkt, tok FROM tk WHERE length(tok) > 0),
+        |mass AS (SELECT bkt, COUNT(*)::BIGINT AS n_toks FROM tf GROUP BY bkt),
+        |arr AS (SELECT bkt, COUNT(*)::BIGINT AS n_new FROM
+        |          (SELECT tok, MIN(bkt) AS bkt FROM tf GROUP BY tok) GROUP BY bkt),
+        |c AS (SELECT mass.bkt AS bkt, n_toks, COALESCE(n_new, 0)::BIGINT AS n_new
+        |      FROM mass LEFT JOIN arr ON mass.bkt = arr.bkt),
+        |w AS (SELECT bkt,
+        |        SUM(n_toks) OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens,
+        |        SUM(n_new)  OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_types
+        |      FROM c)
+        |SELECT bkt, cum_tokens, cum_types,
+        |  round(cum_types::DOUBLE / cum_tokens, 6) + 0 AS type_token_ratio
+        |FROM w ORDER BY bkt""".stripMargin,
 
     // the trained tokenizer's serve-side artifact: each vocabulary
     // word's final segmentation under the 8-round merges

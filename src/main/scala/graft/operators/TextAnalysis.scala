@@ -1566,6 +1566,53 @@ object TextAnalysis {
       .orderBy(col("occurrences").desc, col("tok"))
   }
 
+  /** Heaps'-law vocabulary-growth table: cumulative token mass vs
+    * cumulative distinct vocabulary at `buckets` corpus checkpoints
+    * (docs in doc_id order) — the saturation diagnostic behind "is
+    * more of this source still buying new vocabulary, or only
+    * repeating itself" (Heaps 1978: V(n) ~ K·n^beta; a flattening
+    * curve is the data-side signal that dedup/mixing should down-
+    * weight the tail). Complements [[zipfFit]] (rank-frequency at one
+    * snapshot) with the GROWTH view.
+    *
+    * Engine-exactness: checkpoint id is integer arithmetic on the
+    * [[CorpusOps.withGlobalRank]] rank (`(rn-1)*k div N + 1`, the
+    * decile-bin convention — no NTILE); a type's arrival bucket is
+    * `min(bucket)` over its occurrences; cumulative sums are integer.
+    * The one double is the final type/token ratio (round-6 over
+    * identical integers on both engines).
+    *
+    * Scale shape: global rank via the range-partition backbone (no
+    * single-reducer window over the corpus); per-(bucket, token)
+    * dedup and the arrival-bucket min are vocabulary-sized hash
+    * aggregates; the cumulative window runs over <= `buckets` rows
+    * (bounded, like the top-k rank windows).
+    */
+  def heapsLaw(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val (ranked, total) = graft.operators.CorpusOps.withGlobalRank(
+      docs, Seq(col("doc_id")), "rn")
+    val toks = ranked
+      .withColumn("bkt", expr(s"((rn - 1) * $buckets) div ${total}L + 1"))
+      .select(col("bkt"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val mass = toks.groupBy("bkt").agg(count(lit(1)).as("n_toks"))
+    val arrivals = toks.groupBy("tok").agg(min(col("bkt")).as("bkt"))
+      .groupBy("bkt").agg(count(lit(1)).as("n_new"))
+    val wCum = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mass.join(arrivals, Seq("bkt"), "left")
+      .select(col("bkt"), col("n_toks"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_tokens", sum(col("n_toks")).over(wCum))
+      .withColumn("cum_types", sum(col("n_new")).over(wCum))
+      .select(col("bkt"), col("cum_tokens"), col("cum_types"),
+        round(col("cum_types").cast("double") / col("cum_tokens"), 6)
+          .as("type_token_ratio"))
+      .orderBy("bkt")
+  }
+
   def lexicalProfile(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("lang"), col("text"))
     val perTok = docs

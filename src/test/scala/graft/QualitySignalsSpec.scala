@@ -154,6 +154,41 @@ class QualitySignalsSpec extends SparkSuite {
     assert(rows("b").getAs[Double]("vmr") === 10.0)
   }
 
+  test("heapsLaw: crafted corpus yields exact per-bucket growth; corpus invariants hold") {
+    import spark.implicits._
+    // 10 docs, doc_id order = bucket order at buckets=10 (one per
+    // bucket): doc i introduces token t<i> and repeats the shared
+    // token "s" i times — cum_types = i+1 growth (s arrives once),
+    // cum_tokens = i new + triangular repeats
+    val d = (1L to 10L).map(i =>
+      (i, (s"t$i" +: Seq.fill(i.toInt)("s")).mkString(" "), "en", "web", 10L))
+    val dir = java.nio.file.Files.createTempDirectory("heaps").toString
+    d.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextAnalysis.heapsLaw(spark, dir).collect()
+    assert(rows.length === 10)
+    rows.zipWithIndex.foreach { case (r, idx) =>
+      val i = idx + 1
+      assert(r.getAs[Long]("bkt") === i.toLong)
+      // tokens so far: sum_{j<=i} (1 + j); types so far: i distinct
+      // t<j> plus the shared "s"
+      assert(r.getAs[Long]("cum_tokens") === (i + i * (i + 1) / 2).toLong)
+      assert(r.getAs[Long]("cum_types") === (i + 1).toLong)
+    }
+    // corpus invariants at sf: monotone growth, types never exceed
+    // tokens (ratio shape is data-dependent, so only the bounds are
+    // asserted, not Heaps-curve concavity)
+    val c = graft.operators.TextAnalysis.heapsLaw(spark, sfDir).collect()
+    assert(c.nonEmpty && c.length <= 10)
+    c.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("cum_tokens") > a.getAs[Long]("cum_tokens"))
+        assert(b.getAs[Long]("cum_types") >= a.getAs[Long]("cum_types"))
+      case _ => ()
+    }
+    c.foreach(r => assert(r.getAs[Long]("cum_types") <= r.getAs[Long]("cum_tokens")))
+  }
+
   test("readability: hand-computed Flesch on crafted docs; terminator-less doc is one sentence") {
     // "the cat sat. the dog ran!": 6 words, 2 sentences, 6 vowel runs
     // flesch = 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19
