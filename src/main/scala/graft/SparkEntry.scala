@@ -7188,8 +7188,8 @@ object SparkEntry {
         |c AS (SELECT mass.bkt AS bkt, n_toks, COALESCE(n_new, 0)::BIGINT AS n_new
         |      FROM mass LEFT JOIN arr ON mass.bkt = arr.bkt),
         |w AS (SELECT bkt,
-        |        SUM(n_toks) OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens,
-        |        SUM(n_new)  OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_types
+        |        CAST(SUM(n_toks) OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |        CAST(SUM(n_new)  OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
         |      FROM c)
         |SELECT bkt, cum_tokens, cum_types,
         |  round(cum_types::DOUBLE / cum_tokens, 6) + 0 AS type_token_ratio
