@@ -7177,9 +7177,9 @@ object SparkEntry {
     // MIN(bucket) per token, cumulative sums are integer — the one
     // double is the final round-6 ratio of identical integers
     "x_heaps" ->
-      """WITH r AS (SELECT text, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+      s"""WITH r AS (SELECT text, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
         |             COUNT(*) OVER () AS n FROM documents),
-        |tk AS (SELECT ((rn - 1) * 10) // n + 1 AS bkt,
+        |tk AS (SELECT ((rn - 1) * ${TextAnalysis.HeapsBuckets}) // n + 1 AS bkt,
         |              unnest(string_split(text, ' ')) AS tok FROM r),
         |tf AS (SELECT bkt, tok FROM tk WHERE length(tok) > 0),
         |mass AS (SELECT bkt, COUNT(*)::BIGINT AS n_toks FROM tf GROUP BY bkt),

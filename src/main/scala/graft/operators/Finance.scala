@@ -340,11 +340,18 @@ object Finance {
     * price ([[macd]]/[[trix]]), each EMA layer's output has a
     * strictly positive weight denominator, rsq is filtered non-null
     * ([[ewmaVolatility]]), and [[elderRay]]'s daily close `cl` is the
-    * max over each day's rn=1 row of non-null cents.
+    * max over each day's rn=1 row of non-null cents. The guard below
+    * enforces it LOUDLY: a null would otherwise produce
+    * wrong-but-plausible EMAs for every downstream indicator
+    * (ADVICE r14 — the knnJlSweep silent-skew class).
     */
   private def emaArr(src: Column,
                      ord: org.apache.spark.sql.expressions.WindowSpec): Column =
-    collect_list(src).over(ord.rowsBetween(-(MacdLags - 1), 0))
+    collect_list(
+      when(src.isNull, raise_error(lit(
+        "emaArr: null src on an EMA frame — collect_list would drop it and desync lag alignment")))
+        .otherwise(src))
+      .over(ord.rowsBetween(-(MacdLags - 1), 0))
 
   /** Truncated-EMA dot product over an [[emaArr]] window: value j
     * lags behind the current row by j positions, i.e. sits at

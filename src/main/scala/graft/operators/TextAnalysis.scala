@@ -1588,7 +1588,12 @@ object TextAnalysis {
     * aggregates; the cumulative window runs over <= `buckets` rows
     * (bounded, like the top-k rank windows).
     */
-  def heapsLaw(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+  /** Default checkpoint count for [[heapsLaw]] — shared with the
+    * `x_heaps` oracle SQL's interpolated bucket formula so the two
+    * sides cannot desync (ADVICE r14, the BpeMidRounds discipline). */
+  private[graft] val HeapsBuckets = 10
+
+  def heapsLaw(spark: SparkSession, dir: String, buckets: Int = HeapsBuckets): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val (ranked, total) = graft.operators.CorpusOps.withGlobalRank(

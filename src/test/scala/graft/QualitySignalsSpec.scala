@@ -162,18 +162,26 @@ class QualitySignalsSpec extends SparkSuite {
     // cum_tokens = i new + triangular repeats
     val d = (1L to 10L).map(i =>
       (i, (s"t$i" +: Seq.fill(i.toInt)("s")).mkString(" "), "en", "web", 10L))
-    val dir = java.nio.file.Files.createTempDirectory("heaps").toString
-    d.toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val rows = graft.operators.TextAnalysis.heapsLaw(spark, dir).collect()
-    assert(rows.length === 10)
-    rows.zipWithIndex.foreach { case (r, idx) =>
-      val i = idx + 1
-      assert(r.getAs[Long]("bkt") === i.toLong)
-      // tokens so far: sum_{j<=i} (1 + j); types so far: i distinct
-      // t<j> plus the shared "s"
-      assert(r.getAs[Long]("cum_tokens") === (i + i * (i + 1) / 2).toLong)
-      assert(r.getAs[Long]("cum_types") === (i + 1).toLong)
+    val dir = java.nio.file.Files.createTempDirectory("heaps")
+    try {
+      d.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = graft.operators.TextAnalysis.heapsLaw(spark, dir.toString).collect()
+      assert(rows.length === 10)
+      rows.zipWithIndex.foreach { case (r, idx) =>
+        val i = idx + 1
+        assert(r.getAs[Long]("bkt") === i.toLong)
+        // tokens so far: sum_{j<=i} (1 + j); types so far: i distinct
+        // t<j> plus the shared "s"
+        assert(r.getAs[Long]("cum_tokens") === (i + i * (i + 1) / 2).toLong)
+        assert(r.getAs[Long]("cum_types") === (i + 1).toLong)
+      }
+    } finally {
+      // the box's /tmp headroom is a documented constraint — don't
+      // leak a parquet dir per run (ADVICE r14)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
     // corpus invariants at sf: monotone growth, types never exceed
     // tokens (ratio shape is data-dependent, so only the bounds are

@@ -99,8 +99,6 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_langid_holdout"    -> 1,
     // window sums: escape via MAX(total)::BIGINT / ratio / comparison
     "x_vocab_coverage"    -> 2,
-    // running-token window, escapes via a cast bin expression
-    "x_doc_packing"       -> 1,
     // PQ distances (assignment d2 x3 — two Lloyd rounds + encoding,
     // query table d2q, ADC adist, brute d2 [, rerank rd2]) — all
     // consumed only by ROW_NUMBER ORDER BY or an inner re-sum; the
@@ -163,14 +161,9 @@ class SparkEntrySpec extends AnyFunSuite {
     "x_mutual_info"       -> 3,
     // the KL term sum inside ROUND; marginal CTEs are ::BIGINT-cast
     "x_kl_sources"        -> 1,
-    // (SUM(sv) OVER ...)::BIGINT — cast OUTSIDE the paren, scanner
-    // misses it, nothing escapes uncast
-    "x_obv"               -> 1,
     // 5 power-iteration rounds: each SUM(r) consumed only inside
     // ROUND(.,12) — the x_pagerank class
     "x_eigencentrality"   -> 5,
-    // cum + total: both (SUM(m) OVER ...)::BIGINT parenthesized-cast
-    "x_cusum"             -> 2,
     // the two n_at window sums escape through the outer (a - b)::BIGINT
     // risk-set cast; the DECIMAL factor sum `cum` is consumed only as
     // CAST(cum AS DOUBLE) inside exp() — the x_bigram_ppl class
@@ -271,41 +264,61 @@ class SparkEntrySpec extends AnyFunSuite {
     // the two cumulative band window sums feed only the CAST ratio
     // inside the micro-unit round
     "x_tcloseness"        -> 2,
-    // the cumulative and per-symbol m window sums feed only the
-    // all-integer dev expression (their ::BIGINT copies are the ones
-    // that escape)
-    "x_page_hinkley"      -> 2,
-    // the distinct-value prefix sum feeds only the integer doubled
-    // average rank
-    "x_kruskal_wallis"    -> 1,
-    // the per-type cumulative/total window sums feed only the
-    // integer lower-median selection (their ::BIGINT copies escape)
-    "x_brown_forsythe"    -> 2,
     // (SUM(chg) + 1)::BIGINT — cast outside the paren, scanner
     // misses it, nothing escapes uncast
     "x_runs_test"         -> 1
   )
 
-  /** Count SUM( occurrences whose result is not immediately cast. */
+  /** Count SUM( occurrences whose result is not immediately cast.
+    * "Immediately cast" covers all four DuckDB spellings, so oracle
+    * SQL never has to be styled around this scanner (r14 verdict):
+    * `SUM(x)::T`, `CAST(SUM(x) AS T)`, the window forms
+    * `SUM(x) OVER (...)::T` (the cast binds to the window function
+    * call), and `(SUM(x) [OVER ...])::T` (a bare wrapper paren whose
+    * cast applies to nothing but the sum).
+    */
   private def nakedSums(sql: String): Int = {
     val lower = sql.toLowerCase
+    def matchParen(from: Int): Int = { // `from` at '(' -> matching ')'
+      var depth = 0
+      var j = from
+      var end = -1
+      while (j < sql.length && end < 0) {
+        if (sql(j) == '(') depth += 1
+        else if (sql(j) == ')') { depth -= 1; if (depth == 0) end = j }
+        j += 1
+      }
+      end
+    }
     var count = 0
     var i = lower.indexOf("sum(")
     while (i >= 0) {
       val identChar = i > 0 && (lower(i - 1).isLetterOrDigit || lower(i - 1) == '_')
       if (!identChar) {
-        var depth = 0
-        var j = i + 3 // at '('
-        var end = -1
-        while (j < sql.length && end < 0) {
-          if (sql(j) == '(') depth += 1
-          else if (sql(j) == ')') { depth -= 1; if (depth == 0) end = j }
-          j += 1
+        val end = matchParen(i + 3)
+        // a window SUM's `::` cast sits after the OVER clause
+        var rest = end + 1
+        while (rest < sql.length && sql(rest).isWhitespace) rest += 1
+        if (lower.startsWith("over", rest)) {
+          var p = rest + 4
+          while (p < sql.length && sql(p).isWhitespace) p += 1
+          if (p < sql.length && sql(p) == '(') {
+            rest = matchParen(p) + 1
+            while (rest < sql.length && sql(rest).isWhitespace) rest += 1
+          }
         }
-        val after = sql.drop(end + 1).dropWhile(_.isWhitespace)
+        val after = sql.drop(rest)
         val before = sql.take(i).reverse.dropWhile(_.isWhitespace).reverse
         val castPrefix = before.toLowerCase.endsWith("cast(")
-        if (!castPrefix && !after.startsWith("::")) count += 1
+        // `(SUM(..) [OVER ..])::T`: the opening paren is a bare
+        // grouping paren (not a function call) and the char after the
+        // close is the cast — nothing else shares the paren
+        val wrapped = !castPrefix && before.endsWith("(") && {
+          val pre = before.dropRight(1).reverse.dropWhile(_.isWhitespace).reverse
+          pre.isEmpty || !(pre.last.isLetterOrDigit || pre.last == '_')
+        } && after.startsWith(")") &&
+          after.drop(1).dropWhile(_.isWhitespace).startsWith("::")
+        if (!castPrefix && !after.startsWith("::") && !wrapped) count += 1
       }
       i = lower.indexOf("sum(", i + 4)
     }
