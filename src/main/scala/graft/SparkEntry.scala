@@ -390,6 +390,7 @@ object SparkEntry {
     "x_unified_survivors"  -> ((s, dir) => Dedup.dedupSurvivorsUnified(s, dir)),
     "x_knn_recall"         -> ((s, dir) => Similarity.knnLshRecall(s, dir)),
     "x_quantized_recall"   -> ((s, dir) => Similarity.knnQuantizedRecall(s, dir)),
+    "x_rrf_fusion"         -> ((s, dir) => Similarity.rrfFusion(s, dir)),
     "x_jl_sweep"           -> ((s, dir) => Similarity.knnJlSweep(s, dir)),
     "x_pq_recall"          -> ((s, dir) => Similarity.pqRecall(s, dir)),
     "x_pq_rerank"          -> ((s, dir) => Similarity.pqRerankRecall(s, dir)),
@@ -862,6 +863,39 @@ object SparkEntry {
       |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
       |  FROM (SELECT v.vec_id, c.cid, SUM((v.vq-c.cq)*(v.vq-c.cq)) AS d2
       |        FROM vq v JOIN c2 c USING (pos) GROUP BY 1, 2)) WHERE rk = 1)""".stripMargin
+
+  /** One IVF retriever CTE chain for the x_rrf_fusion oracle, suffix
+    * `s`, coarse centroids = corpus vectors [lo, lo+16) — the proven
+    * x_knn_ivf fragment with a parameterized centroid seed range
+    * (mirrors `Similarity.rrfFusion`'s cents(lo)). Expects `e
+    * (vec_id, embedding, nrm)`; ends in `top$s (query_id,
+    * neighbor_id, rk)`.
+    */
+  private def rrfIvfCtes(s: String, lo: Int): String =
+    s"""ranked$s AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, c.centroid_id,
+       |    round(list_reduce(list_transform(range(1,65),
+       |      i -> e.embedding[i]::DOUBLE * c.c_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*c.c_nrm), 6) AS c_sim
+       |  FROM e, (SELECT vec_id AS centroid_id, embedding AS c_emb, nrm AS c_nrm
+       |           FROM e WHERE vec_id >= $lo AND vec_id < ${lo + 16}) c
+       |), cells$s AS (
+       |  SELECT vec_id, embedding, nrm, centroid_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS crk
+       |    FROM ranked$s) WHERE crk = 1
+       |), qcells$s AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, centroid_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS crk
+       |    FROM ranked$s WHERE vec_id < 10) WHERE crk <= 2
+       |), scored$s AS (
+       |  SELECT DISTINCT q.query_id, c2.vec_id AS neighbor_id,
+       |    round(list_reduce(list_transform(range(1,65),
+       |      i -> c2.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (a,b)->a+b)/(c2.nrm*q.q_nrm), 6) AS cos
+       |  FROM cells$s c2 JOIN qcells$s q ON c2.cell = q.cell AND c2.vec_id <> q.query_id
+       |), top$s AS (
+       |  SELECT query_id, neighbor_id, rk FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rk
+       |    FROM scored$s) WHERE rk <= 5
+       |)""".stripMargin
 
   /** Shared PQ trainer CTE chain with table-name prefix `p` — mirrors
     * the Spark trainer (Similarity.pqArtifactsFrom: hash-spread seed
@@ -7956,6 +7990,61 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rk
         |  FROM scored
         |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // reciprocal rank fusion over three equal-cost DECORRELATED IVF
+    // retrievers (disjoint centroid seed ranges — rrfIvfCtes mirrors
+    // Similarity.rrfFusion's cents(lo); see that scaladoc for the
+    // measured retriever-set rationale); fusion sums the frozen
+    // round(1e12/(60+rank)) BIGINT weights (Similarity.rrfWeightsU —
+    // interpolated below, so engine and oracle share ONE literal
+    // table); output is per-retriever recall vs brute truth, exact
+    // counts + one round-6 divide
+    "x_rrf_fusion" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE), (a,b)->a+b)) AS nrm
+        |  FROM embeddings
+        |), ${rrfIvfCtes("_a", 16)},
+        |${rrfIvfCtes("_b", 32)},
+        |${rrfIvfCtes("_c", 48)},
+        |scored_t AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(range(1,65),
+        |      i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (a,b)->a+b)/(e.nrm*q.q_nrm), 6) AS cos
+        |  FROM e, (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+        |           FROM e WHERE vec_id < 10) q
+        |  WHERE e.vec_id <> q.query_id
+        |), top_t AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        |    FROM scored_t) WHERE rk <= 5
+        |), lists AS (
+        |  SELECT 'ivf_a' AS retriever, query_id, neighbor_id, rk FROM top_a
+        |  UNION ALL SELECT 'ivf_b', query_id, neighbor_id, rk FROM top_b
+        |  UNION ALL SELECT 'ivf_c', query_id, neighbor_id, rk FROM top_c
+        |), wl AS (
+        |  SELECT retriever, query_id, neighbor_id,
+        |    CASE rk ${Similarity.rrfWeightsU(5).zipWithIndex.map {
+                 case (wu, i) => s"WHEN ${i + 1} THEN ${wu}::BIGINT" }
+                 .mkString(" ")} ELSE 0 END AS w_u
+        |  FROM lists
+        |), fused AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY SUM(w_u)::BIGINT DESC, neighbor_id) AS frk
+        |    FROM wl GROUP BY query_id, neighbor_id) WHERE frk <= 5
+        |), all_lists AS (
+        |  SELECT retriever, query_id, neighbor_id FROM lists
+        |  UNION ALL SELECT 'rrf_fused', query_id, neighbor_id FROM fused
+        |), hits AS (
+        |  SELECT retriever, COUNT(*)::BIGINT AS n_hits
+        |  FROM all_lists a JOIN top_t b USING (query_id, neighbor_id) GROUP BY retriever
+        |), den AS (SELECT COUNT(*)::BIGINT AS n_truth FROM top_t),
+        |names AS (SELECT unnest(['ivf_a','ivf_b','ivf_c','rrf_fused']) AS retriever)
+        |SELECT n.retriever AS retriever, d.n_truth, COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+        |  round(COALESCE(h.n_hits, 0)::DOUBLE / d.n_truth, 6) + 0 AS recall
+        |FROM names n CROSS JOIN den d LEFT JOIN hits h ON n.retriever = h.retriever
+        |ORDER BY 1""".stripMargin,
 
     "x_emb_neardup" ->
       """WITH e AS (

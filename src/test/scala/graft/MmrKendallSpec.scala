@@ -100,4 +100,35 @@ class MmrKendallSpec extends SparkSuite {
     assert(rows.length == 10)
     assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
   }
+
+  test("rrfWeightsU: frozen round(1e12/(60+r)) micro-units, decreasing, capped at 64") {
+    assert(Similarity.rrfWeightsU(5) === Seq(
+      16393442623L, 16129032258L, 15873015873L, 15625000000L, 15384615385L))
+    assert(Similarity.rrfWeightsUAll.size === 64)
+    assert(Similarity.rrfWeightsUAll.sliding(2).forall {
+      case Seq(a, b) => a > b
+      case _         => true
+    })
+    intercept[IllegalArgumentException](Similarity.rrfWeightsU(65))
+  }
+
+  test("rrfFusion on the corpus: the fused list beats every single retriever") {
+    val rows = Similarity.rrfFusion(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("retriever")).sorted ===
+      Array("ivf_a", "ivf_b", "ivf_c", "rrf_fused"))
+    val hits = rows.map(r =>
+      r.getAs[String]("retriever") -> r.getAs[Long]("n_hits")).toMap
+    // the headline the operator exists for: fusing three decorrelated
+    // equal-cost candidate generators strictly beats each one
+    assert(hits.filter(_._1 != "rrf_fused").values.forall(_ < hits("rrf_fused")),
+      hits.toString)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_truth") === 50L) // k=5 x 10 queries
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      // recall is exactly n_hits / n_truth rounded to 6
+      assert(rec === BigDecimal(r.getAs[Long]("n_hits").toDouble / 50.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
 }

@@ -201,6 +201,14 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("word IN") || plan.contains("word#"), plan)
   }
 
+  test("rrf fusion: cell equi-joins + bounded-shortlist fusion — no cartesian") {
+    // each retriever is the knnIvf shape (nCells-broadcast assign,
+    // cell-keyed hash join); the only nested loops are the bounded
+    // broadcast ones (centroid rows, the 1-row denominator aggregate)
+    val plan = formatted(Similarity.rrfFusion(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("JL sweep scores through a hash join on the reduced coordinate — no cartesian") {
     // brute truth deliberately broadcasts the 10-query side as a BNL
     // (the knnBruteForce shape); the reduced-space scoring itself must
