@@ -362,6 +362,8 @@ object SparkEntry {
     // oracle (a 1k-merge greedy unroll is not CTE-expressible) —
     // rows-only gate; the 8-merge oracles pin the trainer semantics.
     "x_bpe_1k"             -> ((s, dir) => TextAnalysis.bpe1k(s, dir)),
+    "x_unigram_train"      -> ((s, dir) => TextAnalysis.unigramTrain(s, dir)),
+    "x_unigram_tokens"     -> ((s, dir) => TextAnalysis.unigramTokenCounts(s, dir)),
     "x_bm25"               -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     "x_bigram_ppl"         -> ((s, dir) => TextAnalysis.bigramPerplexity(s, dir)),
     "x_ppl_holdout"        -> ((s, dir) => TextAnalysis.pplHoldout(s, dir)),
@@ -759,6 +761,85 @@ object SparkEntry {
        |  LEFT JOIN m$r m1 ON m1.word = s.word AND m1.pos = s.pos
        |  LEFT JOIN m$r m0 ON m0.word = s.word AND m0.pos = s.pos - 1
        |  WHERE m0.pos IS NULL)""".stripMargin
+  }
+
+  /** Unrolled hard-EM unigram-trainer CTE chain — mirrors
+    * `TextAnalysis.unigramFit` round for round (seed substrings ->
+    * per-round micro-unit log weights -> the UnigramMaxWordLen-step
+    * Viterbi DP unrolled as dp CTEs with the (score DESC, path DESC)
+    * argmax -> count re-estimation -> count prune with the single-char
+    * floor). All geometry constants read from TextAnalysis so the two
+    * sides cannot desync. Every CTE is MATERIALIZED: dp CTEs are
+    * referenced by up to UnigramMaxPiece successors and the seg union,
+    * so inlining would expand the chain exponentially (the bpeCtesN
+    * lesson). Ends in `vocab{R+1}` (trained vocabulary) and `seg{R}`
+    * (final Viterbi segmentations).
+    */
+  private def unigramCtes: String = {
+    val P = TextAnalysis.UnigramMaxPiece
+    val R = TextAnalysis.UnigramEmRounds
+    val L = TextAnalysis.UnigramMaxWordLen
+    val sb = new StringBuilder
+    sb ++= s"""WITH wt AS MATERIALIZED (
+       |  SELECT word, COUNT(*)::BIGINT AS wfreq, length(word)::INT AS len
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |sp AS MATERIALIZED (
+       |  SELECT word, wfreq, len, i::INT AS i, l::INT AS l,
+       |         substr(word, i::INT + 1, l::INT) AS piece
+       |  FROM wt, range(0, $L) t0(i), range(1, ${P + 1}) t1(l)
+       |  WHERE i < len AND l <= len - i),
+       |seed0 AS MATERIALIZED (
+       |  SELECT piece, SUM(wfreq)::BIGINT AS cnt FROM sp GROUP BY piece),
+       |chars AS MATERIALIZED (SELECT piece FROM seed0 WHERE length(piece) = 1),
+       |vocab1 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+       |    FROM seed0 WHERE length(piece) > 1) WHERE rk <= ${TextAnalysis.UnigramSeedKeep}
+       |  UNION ALL SELECT piece, cnt FROM seed0 WHERE length(piece) = 1)""".stripMargin
+    for (r <- 1 to R) {
+      sb ++= s""",
+       |w$r AS MATERIALIZED (
+       |  SELECT piece, round(ln(cnt) * 1e6)::BIGINT -
+       |    (SELECT round(ln(SUM(cnt)::BIGINT) * 1e6)::BIGINT FROM vocab$r) AS w_u
+       |  FROM vocab$r),
+       |dp${r}_0 AS MATERIALIZED (
+       |  SELECT word, len, 0::INT AS pos, 0::BIGINT AS s, '' AS p FROM wt)""".stripMargin
+      for (j <- 1 to L) {
+        val srcs = (math.max(0, j - P) until j)
+          .map(i => s"SELECT * FROM dp${r}_$i").mkString(" UNION ALL ")
+        sb ++= s""",
+       |dp${r}_$j AS MATERIALIZED (
+       |  SELECT word, len, $j::INT AS pos, s, p FROM (
+       |    SELECT d.word, d.len, d.s + v.w_u AS s,
+       |      CASE WHEN d.p = '' THEN substr(d.word, d.pos + 1, $j - d.pos)
+       |           ELSE d.p || ' ' || substr(d.word, d.pos + 1, $j - d.pos) END AS p,
+       |      ROW_NUMBER() OVER (PARTITION BY d.word ORDER BY d.s + v.w_u DESC,
+       |        CASE WHEN d.p = '' THEN substr(d.word, d.pos + 1, $j - d.pos)
+       |             ELSE d.p || ' ' || substr(d.word, d.pos + 1, $j - d.pos) END DESC) AS rk
+       |    FROM ($srcs) d
+       |    JOIN w$r v ON v.piece = substr(d.word, d.pos + 1, $j - d.pos)
+       |    WHERE d.len >= $j
+       |  ) WHERE rk = 1)""".stripMargin
+      }
+      val segSrcs = (1 to L).map(j => s"SELECT * FROM dp${r}_$j").mkString(" UNION ALL ")
+      sb ++= s""",
+       |seg$r AS MATERIALIZED (
+       |  SELECT wt.word, wt.wfreq, d.p AS path
+       |  FROM wt JOIN ($segSrcs) d ON d.word = wt.word AND d.pos = wt.len),
+       |cnts$r AS MATERIALIZED (
+       |  SELECT piece, SUM(wfreq)::BIGINT AS cnt FROM
+       |    (SELECT wfreq, unnest(string_split(path, ' ')) AS piece FROM seg$r)
+       |  GROUP BY piece),
+       |vocab${r + 1} AS MATERIALIZED (
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+       |    FROM cnts$r WHERE length(piece) > 1) WHERE rk <= ${TextAnalysis.UnigramPruneKeep}
+       |  UNION ALL
+       |  SELECT c.piece, greatest(COALESCE(n.cnt, 0), 1)::BIGINT AS cnt
+       |  FROM chars c LEFT JOIN cnts$r n ON c.piece = n.piece)""".stripMargin
+    }
+    sb.toString
   }
 
   private def bpeCtesN(rounds: Int): String =
@@ -7169,6 +7250,25 @@ object SparkEntry {
         |  est >= exact AS guarantee_ok,
         |  round((est - exact)::DOUBLE / n_total, 6) AS over_share
         |FROM est, tot ORDER BY rk""".stripMargin,
+
+    // unigram-LM trainer (Kudo 2018): the full hard-EM replay —
+    // unigramCtes unrolls seed/weights/Viterbi-DP/prune per round from
+    // the SAME TextAnalysis geometry constants the engine trains with
+    "x_unigram_train" ->
+      (unigramCtes + s"""
+       |SELECT piece, length(piece)::BIGINT AS piece_len, cnt,
+       |  ROW_NUMBER() OVER (ORDER BY cnt DESC, piece)::BIGINT AS vocab_rank
+       |FROM vocab${TextAnalysis.UnigramEmRounds + 1} ORDER BY vocab_rank""".stripMargin),
+
+    "x_unigram_tokens" ->
+      (unigramCtes + s"""
+       |SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+       |  SUM(s.n_pieces)::BIGINT AS n_unigram_tokens
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) d
+       |JOIN (SELECT word, len(string_split(path, ' '))::BIGINT AS n_pieces
+       |      FROM seg${TextAnalysis.UnigramEmRounds}) s USING (word)
+       |WHERE length(d.word) > 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     "x_bpe_train" ->
       (bpeCtes + "\n" +

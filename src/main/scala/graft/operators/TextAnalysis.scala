@@ -1618,6 +1618,205 @@ object TextAnalysis {
       .orderBy("bkt")
   }
 
+  // -----------------------------------------------------------------
+  // Unigram-LM tokenizer trainer (Kudo 2018, arXiv:1804.10959 — the
+  // SentencePiece default, the standard alternative next to BPE)
+
+  /** Frozen unigram-trainer geometry, shared with the `x_unigram_*`
+    * oracle CTE generators (the BpeMidRounds discipline — both sides
+    * read THESE constants, so they cannot desync). Raising
+    * [[UnigramMaxWordLen]] is an oracle-STRUCTURE change: it is the
+    * unrolled Viterbi chain length on both engines. The engine guards
+    * it loudly ([[unigramFit]] raise_error) instead of silently
+    * truncating a longer word's DP.
+    */
+  private[graft] val UnigramMaxPiece   = 6
+  private[graft] val UnigramEmRounds   = 3
+  private[graft] val UnigramSeedKeep   = 512
+  private[graft] val UnigramPruneKeep  = 256
+  private[graft] val UnigramMaxWordLen = 12
+
+  private[graft] case class UnigramFit(vocab: DataFrame, segs: DataFrame)
+
+  /** Shared trainer loop behind [[unigramTrain]] /
+    * [[unigramTokenCounts]] — a hard-EM (Viterbi) unigram-LM trainer:
+    *
+    *  1. SEED: every substring of length <= [[UnigramMaxPiece]] of the
+    *     corpus vocabulary, weighted by word frequency — capped at the
+    *     [[UnigramSeedKeep]] most frequent multi-char pieces plus ALL
+    *     single characters (so every word always has a segmentation).
+    *  2. E-step (x[[UnigramEmRounds]]): per word, the max-likelihood
+    *     segmentation under piece log-probabilities ln(cnt/T), by
+    *     Viterbi DP over character positions; piece counts are then
+    *     re-estimated from the chosen segmentations (the hard-EM
+    *     simplification of Kudo's forward-backward soft counts — the
+    *     deterministic, integer-checkable variant).
+    *  3. M/PRUNE: multi-char pieces keep the [[UnigramPruneKeep]] most
+    *     frequent (count-based pruning in place of Kudo's
+    *     loss-difference ranking — same monotone intent, exact
+    *     arithmetic); single chars are never pruned and floor at
+    *     count 1 (an add-one smoothing floor keeping ln defined and
+    *     every word segmentable).
+    *
+    * Exactness: scores are BIGINT micro-unit logs — w_u =
+    * round(ln(cnt)*1e6) - round(ln(T)*1e6), the x_zipf/x_char_entropy
+    * round-then-integer cushion for the one transcendental; the DP
+    * compares (score, path-string) structs, so ties break on the
+    * path's binary string order identically in both engines; all
+    * counts/sums are integers.
+    *
+    * Scale shape: the corpus is scanned ONCE for word frequencies
+    * (map-side partial aggregate on the doc-partitioned scan); all
+    * training state is VOCABULARY-sized. Each round is: a piece
+    * equi-join + per-word map collect (one exchange on `word`), the
+    * whole Viterbi DP as ONE codegen'd projection over word rows
+    * (the [[UnigramMaxWordLen]]-step recurrence unrolled into struct
+    * columns — no per-position driver pacing, no joins in the DP),
+    * a vocabulary-sized count aggregate, and a TakeOrdered prune.
+    * Driver traffic per round is ONE 1-row collect (the total count
+    * T, the bpeFit winning-pair discipline). Each generation is
+    * checkpointed and the superseded one released ([[graft.Caches]]).
+    */
+  private[graft] def unigramFit(docs: DataFrame): UnigramFit = {
+    val spark = docs.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val guarded = when(length(col("word")) <= UnigramMaxWordLen, col("word"))
+      .otherwise(raise_error(concat(
+        lit(s"unigramFit: word longer than the frozen $UnigramMaxWordLen-step " +
+          "Viterbi unroll (regenerate the oracle chain to raise it): "),
+        col("word"))))
+    val (wtab, wtabIds) = graft.Caches.trackedCheckpoint(docs
+      .repartition(n, col("doc_id"))
+      .select(explode(toks).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(guarded.as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wfreq"))
+      .withColumn("len", length(col("word")).cast("int")))
+    // every (start, len) substring occurrence, frequency-weighted
+    def piecesOf(src: DataFrame): DataFrame = src
+      .select(col("word"), col("wfreq"), col("len"),
+        explode(sequence(lit(0), col("len") - 1)).as("i"))
+      .select(col("word"), col("wfreq"), col("len"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(UnigramMaxPiece), col("len") - col("i")))).as("l"))
+      .withColumn("piece", col("word").substr(col("i") + 1, col("l")))
+    val seed0 = piecesOf(wtab)
+      .groupBy("piece").agg(sum(col("wfreq")).as("cnt"))
+    val (charTab, charIds) = graft.Caches.trackedCheckpoint(
+      seed0.filter(length(col("piece")) === 1).select("piece"))
+    var (vocab, vocabIds) = graft.Caches.trackedCheckpoint(
+      seed0.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece")).limit(UnigramSeedKeep)
+        .unionByName(seed0.filter(length(col("piece")) === 1)))
+    var segs: DataFrame = null
+    var segIds = Set.empty[Int]
+    for (_ <- 1 to UnigramEmRounds) {
+      // ONE row crosses the driver per round: the vocabulary mass T
+      val t = vocab.agg(sum(col("cnt")).as("t")).collect()(0).getLong(0)
+      val pen = lit(BigDecimal(math.log(t.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      val w = vocab.select(col("piece"),
+        (round(log(col("cnt")) * 1e6).cast("long") - pen).as("w_u"))
+      // per-word (start, end) -> net log-weight map; keys i*32+j are
+      // unique per word (one piece per span), so map_from_entries is
+      // collision-free
+      val pm = piecesOf(wtab)
+        .join(w, Seq("piece"))
+        .groupBy("word", "wfreq", "len")
+        .agg(map_from_entries(collect_list(struct(
+          (col("i") * 32 + col("i") + col("l")).as("k"),
+          col("w_u").as("v")))).as("pmap"))
+      // Viterbi DP unrolled into struct columns dp_j = (score, path):
+      // greatest() over (score, path) structs is argmax with the
+      // deterministic path tie-break; each dp_j materializes as a
+      // named column so the plan stays linear (CollapseProject keeps
+      // multi-referenced non-trivial aliases)
+      var df = pm.withColumn("dp_0", struct(lit(0L).as("s"), lit("").as("p")))
+      for (j <- 1 to UnigramMaxWordLen) {
+        val cands = (math.max(0, j - UnigramMaxPiece) until j).map { i =>
+          val wv = element_at(col("pmap"), lit(i * 32 + j))
+          val prev = col(s"dp_$i")
+          val piece = col("word").substr(i + 1, j - i)
+          when(wv.isNotNull && prev.isNotNull,
+            struct((prev.getField("s") + wv).as("s"),
+              when(length(prev.getField("p")) === 0, piece)
+                .otherwise(concat(prev.getField("p"), lit(" "), piece)).as("p")))
+        }
+        val best = if (cands.size > 1) greatest(cands: _*) else cands.head
+        df = df.withColumn(s"dp_$j", when(col("len") >= j, best))
+      }
+      val pathCol = (1 to UnigramMaxWordLen).foldLeft(lit(null).cast("string")) {
+        (acc, j) => when(col("len") === j, col(s"dp_$j").getField("p")).otherwise(acc)
+      }
+      val (segNext, segNextIds) = graft.Caches.trackedCheckpoint(
+        df.select(col("word"), col("wfreq"), pathCol.as("path"))
+          .withColumn("n_pieces", size(split(col("path"), " ")).cast("bigint")))
+      graft.Caches.release(spark, segIds)
+      segs = segNext
+      segIds = segNextIds
+      // E-step counts -> count-pruned next vocabulary
+      val cnts = segs
+        .select(col("wfreq"), explode(split(col("path"), " ")).as("piece"))
+        .groupBy("piece").agg(sum(col("wfreq")).as("cnt"))
+      val (vocabNext, vocabNextIds) = graft.Caches.trackedCheckpoint(
+        cnts.filter(length(col("piece")) > 1)
+          .orderBy(col("cnt").desc, col("piece")).limit(UnigramPruneKeep)
+          .unionByName(charTab
+            .join(cnts, Seq("piece"), "left")
+            .select(col("piece"),
+              greatest(coalesce(col("cnt"), lit(0L)), lit(1L)).as("cnt"))))
+      graft.Caches.release(spark, vocabIds)
+      vocab = vocabNext
+      vocabIds = vocabNextIds
+    }
+    graft.Caches.release(spark, wtabIds)
+    graft.Caches.release(spark, charIds)
+    UnigramFit(vocab, segs)
+  }
+
+  /** The trained unigram tokenizer VOCABULARY — (piece, piece_len,
+    * cnt, vocab_rank) after [[UnigramEmRounds]] hard-EM rounds, the
+    * artifact a SentencePiece-style deployment publishes next to
+    * [[bpeTrain]]'s merge table. The rank window runs over the
+    * bounded (<= [[UnigramPruneKeep]] + alphabet) vocabulary — the
+    * top-k rank-window class, never corpus-sized.
+    */
+  def unigramTrain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fit = unigramFit(Tables.documents(spark, dir))
+    val w = Window.orderBy(col("cnt").desc, col("piece"))
+    fit.vocab
+      .withColumn("vocab_rank", row_number().over(w).cast("bigint"))
+      .select(col("piece"), length(col("piece")).cast("bigint").as("piece_len"),
+        col("cnt"), col("vocab_rank"))
+      .orderBy("vocab_rank")
+  }
+
+  /** Per-document token counts under the [[unigramFit]]-trained
+    * vocabulary — the unigram sibling of [[bpeTokenCounts]] (a doc's
+    * count is the sum of its words' final Viterbi piece counts; every
+    * corpus word is in the training word table by construction, so
+    * the join is total). Same scale shape as bpeTokenCounts: one
+    * corpus explode equi-joined to the vocabulary-sized segmentation
+    * table, rolled up per doc with map-side partials.
+    */
+  def unigramTokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val spark2 = docs.sparkSession
+    val n = spark2.conf.get("spark.sql.shuffle.partitions").toInt
+    val fit = unigramFit(docs)
+    val wl = fit.segs.select(col("word"), col("n_pieces"))
+    docs
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"), explode(toks).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(wl, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(col("n_pieces")).as("n_unigram_tokens"))
+      .orderBy("doc_id")
+  }
+
   def lexicalProfile(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("lang"), col("text"))
     val perTok = docs

@@ -183,4 +183,93 @@ class BpeSpec extends SparkSuite {
       batchM = 2, topK = 8).collect()
     assert(Caches.isEmpty(spark))
   }
+
+  test("unigramFit matches a plain-Scala hard-EM simulation (crafted corpus)") {
+    val fit = TextAnalysis.unigramFit(docs("abab abx cd", "abab cd cd x", "ab ababx"))
+    // --- simulator: same frozen geometry, same micro-unit log weights,
+    // same (score, path) argmax tie-break (tuple max == struct greatest)
+    val P = 6
+    val words = Seq("abab", "abx", "cd", "abab", "cd", "cd", "x", "ab", "ababx")
+      .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val substrCounts = words.toSeq.flatMap { case (w, f) =>
+      for { i <- 0 until w.length; l <- 1 to math.min(P, w.length - i) }
+        yield (w.substring(i, i + l), f)
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val chars = substrCounts.keySet.filter(_.length == 1)
+    def prune(cnts: Map[String, Long], cap: Int): Map[String, Long] =
+      cnts.filter(_._1.length > 1).toSeq
+        .sortBy { case (p, c) => (-c, p) }.take(cap).toMap ++
+        chars.map(c => c -> math.max(cnts.getOrElse(c, 0L), 1L)).toMap
+    def micro(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    var vocab = prune(substrCounts, 512)
+    var segs: Map[String, Seq[String]] = Map.empty
+    for (_ <- 1 to 3) {
+      val pen = micro(math.log(vocab.values.sum.toDouble))
+      val w = vocab.map { case (p, c) => p -> (micro(math.log(c.toDouble)) - pen) }
+      segs = words.keys.map { word =>
+        val dp = Array.fill[Option[(Long, String)]](word.length + 1)(None)
+        dp(0) = Some((0L, ""))
+        for (j <- 1 to word.length) {
+          val cands = for {
+            i <- math.max(0, j - P) until j
+            if dp(i).isDefined
+            wu <- w.get(word.substring(i, j))
+          } yield {
+            val (s0, p0) = dp(i).get
+            (s0 + wu,
+              if (p0.isEmpty) word.substring(i, j) else p0 + " " + word.substring(i, j))
+          }
+          if (cands.nonEmpty) dp(j) = Some(cands.max)
+        }
+        word -> dp(word.length).get._2.split(" ").toSeq
+      }.toMap
+      val cnts = segs.toSeq.flatMap { case (wd, ps) => ps.map(p => (p, words(wd))) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      vocab = prune(cnts, 256)
+    }
+    val gotVocab = fit.vocab.collect()
+      .map(r => r.getAs[String]("piece") -> r.getAs[Long]("cnt")).toMap
+    assert(gotVocab === vocab)
+    val gotSegs = fit.segs.collect().map(r =>
+      r.getAs[String]("word") ->
+        ((r.getAs[String]("path"), r.getAs[Long]("n_pieces")))).toMap
+    assert(gotSegs.keySet === words.keySet)
+    words.keys.foreach { wd =>
+      assert(gotSegs(wd)._1 === segs(wd).mkString(" "), s"path for $wd")
+      assert(gotSegs(wd)._2 === segs(wd).size.toLong)
+    }
+  }
+
+  test("unigramFit fails loudly on a word beyond the frozen Viterbi unroll") {
+    val e = intercept[Exception] {
+      TextAnalysis.unigramFit(docs("thirteenchars-long normal words"))
+    }
+    assert(e.getMessage != null && e.getMessage.contains("Viterbi unroll") ||
+      (e.getCause != null && e.getCause.getMessage.contains("Viterbi unroll")),
+      s"unexpected: $e")
+  }
+
+  test("unigram corpus invariants: lossless segmentation, fertility >= 1, bounded pieces") {
+    val vocab = TextAnalysis.unigramTrain(spark, sfDir).collect()
+    assert(vocab.nonEmpty)
+    assert(vocab.map(_.getAs[Long]("vocab_rank")).toSeq ===
+      (1L to vocab.length.toLong))
+    vocab.foreach { r =>
+      assert(r.getAs[Long]("cnt") >= 1L)
+      assert(r.getAs[Long]("piece_len") >= 1L &&
+        r.getAs[Long]("piece_len") <= TextAnalysis.UnigramMaxPiece.toLong)
+    }
+    val tc = TextAnalysis.unigramTokenCounts(spark, sfDir).collect()
+    assert(tc.length === 500)
+    tc.foreach(r => assert(
+      r.getAs[Long]("n_unigram_tokens") >= r.getAs[Long]("n_tokens")))
+  }
+
+  test("unigram trainer leaves no persisted blocks behind after release") {
+    Caches.releaseAll(spark)
+    TextAnalysis.unigramFit(docs("abab abx cd")).vocab.collect()
+    Caches.releaseAll(spark)
+    assert(Caches.isEmpty(spark))
+  }
 }

@@ -201,6 +201,15 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("word IN") || plan.contains("word#"), plan)
   }
 
+  test("unigram token counts: vocabulary equi-join + doc rollup — no cartesian") {
+    // the trainer state never joins the corpus until the final
+    // explode->equi-join->rollup; nothing may cross-product and the
+    // corpus explode must hash-join the vocabulary-sized seg table
+    val plan = formatted(graft.operators.TextAnalysis.unigramTokenCounts(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("rrf fusion: cell equi-joins + bounded-shortlist fusion — no cartesian") {
     // each retriever is the knnIvf shape (nCells-broadcast assign,
     // cell-keyed hash join); the only nested loops are the bounded
