@@ -1594,7 +1594,6 @@ object TextAnalysis {
   private[graft] val HeapsBuckets = 10
 
   def heapsLaw(spark: SparkSession, dir: String, buckets: Int = HeapsBuckets): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val (ranked, total) = graft.operators.CorpusOps.withGlobalRank(
       docs, Seq(col("doc_id")), "rn")
@@ -1605,6 +1604,17 @@ object TextAnalysis {
     val mass = toks.groupBy("bkt").agg(count(lit(1)).as("n_toks"))
     val arrivals = toks.groupBy("tok").agg(min(col("bkt")).as("bkt"))
       .groupBy("bkt").agg(count(lit(1)).as("n_new"))
+    heapsAssemble(mass, arrivals)
+  }
+
+  /** Shared growth-table assembly behind [[heapsLaw]] and its
+    * streaming twin [[graft.streaming.StreamingHeaps]] — ONE
+    * construction (left join, cumulative windows over <= buckets
+    * rows, the round-6 ratio) so stream==batch is shared code, not a
+    * reimplementation.
+    */
+  private[graft] def heapsAssemble(mass: DataFrame, arrivals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wCum = Window.orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     mass.join(arrivals, Seq("bkt"), "left")

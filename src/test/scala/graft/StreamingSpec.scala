@@ -1276,6 +1276,42 @@ class StreamingSpec extends SparkSuite {
     assert(afterReplay == got, "batch replay must not inflate counts")
   }
 
+  test("incremental Heaps growth merges to the batch report (stream==batch, out of order)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "heaps-").toString
+    val (docStore, tokStore) = (s"$base/docs", s"$base/toks")
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(graft.streaming.StreamingHeaps.heapsSink(docStore, tokStore))
+      .start()
+    // OUT-OF-ORDER split: late-arriving LOW doc_ids must retroactively
+    // claim first-arrival buckets from tokens already seen high
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (high, low) = docs.partition(_._1 >= 250)
+    try {
+      Seq(high, low.take(120), low.drop(120)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val got = rows(graft.streaming.StreamingHeaps.growth(spark, docStore, tokStore))
+    val want = rows(graft.operators.TextAnalysis.heapsLaw(spark, sfDir))
+    assert(want.nonEmpty)
+    assert(got == want, s"stream==batch: $got vs $want")
+    // replayed micro-batch must be idempotent (overwrites its own
+    // partitions in BOTH stores instead of double-counting mass)
+    graft.streaming.StreamingHeaps.heapsSink(docStore, tokStore)(
+      low.drop(120).toDF("doc_id", "text"), 2L)
+    val afterReplay = rows(graft.streaming.StreamingHeaps.growth(spark, docStore, tokStore))
+    assert(afterReplay == got, "batch replay must not change the growth table")
+  }
+
   test("incremental PQ encoding equals the batch codes (stream==batch, out of order)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files
