@@ -1644,7 +1644,11 @@ object TextAnalysis {
   private[graft] val UnigramEmRounds   = 3
   private[graft] val UnigramSeedKeep   = 512
   private[graft] val UnigramPruneKeep  = 256
-  private[graft] val UnigramMaxWordLen = 12
+  // 16, not the corpus's max 8: the scale-probe ladder amplifies
+  // documents with per-copy token suffixes (`customer_c999` = 13
+  // chars, graft.Amplify) — the guard caught 12 as too tight before
+  // any silent truncation could
+  private[graft] val UnigramMaxWordLen = 16
 
   private[graft] case class UnigramFit(vocab: DataFrame, segs: DataFrame)
 
