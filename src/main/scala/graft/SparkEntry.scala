@@ -364,6 +364,7 @@ object SparkEntry {
     "x_bpe_1k"             -> ((s, dir) => TextAnalysis.bpe1k(s, dir)),
     "x_unigram_train"      -> ((s, dir) => TextAnalysis.unigramTrain(s, dir)),
     "x_unigram_tokens"     -> ((s, dir) => TextAnalysis.unigramTokenCounts(s, dir)),
+    "x_unigram_fertility"  -> ((s, dir) => TextAnalysis.unigramFertility(s, dir)),
     "x_bm25"               -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     "x_bigram_ppl"         -> ((s, dir) => TextAnalysis.bigramPerplexity(s, dir)),
     "x_ppl_holdout"        -> ((s, dir) => TextAnalysis.pplHoldout(s, dir)),
@@ -7269,6 +7270,18 @@ object SparkEntry {
        |      FROM seg${TextAnalysis.UnigramEmRounds}) s USING (word)
        |WHERE length(d.word) > 0
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "x_unigram_fertility" ->
+      (unigramCtes + s"""
+       |SELECT d.lang, COUNT(*)::BIGINT AS n_words,
+       |  SUM(s.n_pieces)::BIGINT AS n_unigram_tokens,
+       |  round(SUM(s.n_pieces)::DOUBLE / COUNT(*), 6) + 0 AS fertility,
+       |  round(SUM(length(d.word))::DOUBLE / SUM(s.n_pieces)::DOUBLE, 6) + 0 AS chars_per_token
+       |FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents) d
+       |JOIN (SELECT word, len(string_split(path, ' '))::BIGINT AS n_pieces
+       |      FROM seg${TextAnalysis.UnigramEmRounds}) s USING (word)
+       |WHERE length(d.word) > 0
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
 
     "x_bpe_train" ->
       (bpeCtes + "\n" +

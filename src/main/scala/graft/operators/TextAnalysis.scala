@@ -1816,10 +1816,23 @@ object TextAnalysis {
     */
   def unigramTokenCounts(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val spark2 = docs.sparkSession
-    val n = spark2.conf.get("spark.sql.shuffle.partitions").toInt
     val fit = unigramFit(docs)
-    val wl = fit.segs.select(col("word"), col("n_pieces"))
+    unigramCountsUnder(docs, fit.segs.select(col("word"), col("n_pieces")))
+  }
+
+  /** The serve-side per-doc rollup under a PUBLISHED `(word,
+    * n_pieces)` segmentation table — shared by [[unigramTokenCounts]]
+    * and the streaming ingest twin
+    * [[graft.streaming.StreamingUnigramCounts]], so "the stream
+    * serves what batch trained" is shared code, not a
+    * reimplementation (the StreamingPqEncode discipline). The join is
+    * total for any corpus whose words the model trained on; a
+    * production deployment handling out-of-vocabulary words would add
+    * the SentencePiece character fallback in the same join seam.
+    */
+  private[graft] def unigramCountsUnder(docs: DataFrame, wl: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     docs
       .repartition(n, col("doc_id"))
       .select(col("doc_id"), explode(toks).as("word"))
@@ -1829,6 +1842,38 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
            sum(col("n_pieces")).as("n_unigram_tokens"))
       .orderBy("doc_id")
+  }
+
+  /** Tokenizer fertility per language under the [[unigramFit]]-trained
+    * vocabulary — unigram pieces per whitespace word and characters
+    * per piece, the multilingual equity audit [[bpeFertility]] runs
+    * for BPE, now answerable for BOTH trainer algorithms side by side
+    * (the SentencePiece BPE-vs-unigram choice is exactly this
+    * comparison). Integer sums of per-word Viterbi piece counts; both
+    * ratios divide identical exact operands.
+    *
+    * Scale shape: [[bpeFertility]]'s — one corpus explode equi-joined
+    * to the vocabulary-sized segmentation table, langs-sized rollup.
+    */
+  def unigramFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fit = unigramFit(docs)
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    docs
+      .repartition(n, col("doc_id"))
+      .select(col("lang"), explode(toks).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(fit.segs.select(col("word"), col("n_pieces")), Seq("word"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+           sum(col("n_pieces")).as("n_unigram_tokens"),
+           sum(length(col("word")).cast("bigint")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_unigram_tokens"),
+        round(col("n_unigram_tokens").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_unigram_tokens"), 6)
+          .as("chars_per_token"))
+      .orderBy("lang")
   }
 
   def lexicalProfile(spark: SparkSession, dir: String): DataFrame = {

@@ -264,6 +264,15 @@ class BpeSpec extends SparkSuite {
     assert(tc.length === 500)
     tc.foreach(r => assert(
       r.getAs[Long]("n_unigram_tokens") >= r.getAs[Long]("n_tokens")))
+    // a word is at least one piece, so fertility >= 1; pieces cap at
+    // UnigramMaxPiece chars so chars_per_token is bounded by it too
+    val f = TextAnalysis.unigramFertility(spark, sfDir).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      assert(r.getAs[Double]("fertility") >= 1.0)
+      val cpt = r.getAs[Double]("chars_per_token")
+      assert(cpt > 0.0 && cpt <= TextAnalysis.UnigramMaxPiece.toDouble)
+    }
   }
 
   test("unigram trainer leaves no persisted blocks behind after release") {

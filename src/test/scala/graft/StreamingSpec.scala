@@ -1312,6 +1312,41 @@ class StreamingSpec extends SparkSuite {
     assert(afterReplay == got, "batch replay must not change the growth table")
   }
 
+  test("streamed unigram token counts equal the batch counts (serve-from-stream)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "unicnt-").toString
+    val (modelPath, store) = (s"$base/model", s"$base/store")
+    // ONE batch training run publishes the serve artifact
+    graft.streaming.StreamingUnigramCounts.publishModel(spark, sfDir, modelPath)
+    Caches.releaseAll(spark)
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(graft.streaming.StreamingUnigramCounts.countSink(modelPath, store))
+      .start()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (high, low) = docs.partition(_._1 >= 250)
+    try {
+      Seq(high, low.take(120), low.drop(120)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = rows(graft.streaming.StreamingUnigramCounts.readCounts(spark, store))
+    val want = rows(graft.operators.TextAnalysis.unigramTokenCounts(spark, sfDir))
+    assert(want.nonEmpty)
+    assert(got == want, "stream==batch: served counts differ from the batch rollup")
+    // replayed micro-batch must be idempotent
+    graft.streaming.StreamingUnigramCounts.countSink(modelPath, store)(
+      low.drop(120).toDF("doc_id", "text"), 2L)
+    val afterReplay = rows(graft.streaming.StreamingUnigramCounts.readCounts(spark, store))
+    assert(afterReplay == got, "batch replay must not change served counts")
+  }
+
   test("incremental PQ encoding equals the batch codes (stream==batch, out of order)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files
