@@ -365,6 +365,8 @@ object SparkEntry {
     "x_unigram_train"      -> ((s, dir) => TextAnalysis.unigramTrain(s, dir)),
     "x_unigram_tokens"     -> ((s, dir) => TextAnalysis.unigramTokenCounts(s, dir)),
     "x_unigram_fertility"  -> ((s, dir) => TextAnalysis.unigramFertility(s, dir)),
+    "x_unigram_segments"   -> ((s, dir) => TextAnalysis.unigramSegments(s, dir)),
+    "x_tokenizer_compare"  -> ((s, dir) => TextAnalysis.tokenizerCompare(s, dir)),
     "x_bm25"               -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     "x_bigram_ppl"         -> ((s, dir) => TextAnalysis.bigramPerplexity(s, dir)),
     "x_ppl_holdout"        -> ((s, dir) => TextAnalysis.pplHoldout(s, dir)),
@@ -7282,6 +7284,31 @@ object SparkEntry {
        |      FROM seg${TextAnalysis.UnigramEmRounds}) s USING (word)
        |WHERE length(d.word) > 0
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+
+    "x_unigram_segments" ->
+      (unigramCtes + s"""
+       |SELECT word, wfreq, path,
+       |  len(string_split(path, ' '))::BIGINT AS n_pieces
+       |FROM seg${TextAnalysis.UnigramEmRounds} ORDER BY word""".stripMargin),
+
+    // BPE vs unigram head-to-head: BOTH proven trainer chains in one
+    // WITH (no CTE-name overlap: bpe uses words/s0/b·m·s per round,
+    // unigram wt/sp/seed0/chars/vocab·w·dp·seg·cnts per round)
+    "x_tokenizer_compare" ->
+      (unigramCtes + ",\n" + bpeCtes.stripPrefix("WITH ") + "\n" +
+       s"""wl AS (SELECT word, COUNT(*)::BIGINT AS n_syms FROM s$BpeRounds GROUP BY 1)
+          |SELECT d.lang, COUNT(*)::BIGINT AS n_words,
+          |  SUM(wl.n_syms)::BIGINT AS n_bpe_tokens,
+          |  SUM(s.n_pieces)::BIGINT AS n_unigram_tokens,
+          |  round(SUM(wl.n_syms)::DOUBLE / COUNT(*), 6) + 0 AS bpe_fertility,
+          |  round(SUM(s.n_pieces)::DOUBLE / COUNT(*), 6) + 0 AS unigram_fertility,
+          |  round(SUM(s.n_pieces)::DOUBLE / SUM(wl.n_syms)::DOUBLE, 6) + 0 AS unigram_vs_bpe
+          |FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents) d
+          |JOIN wl USING (word)
+          |JOIN (SELECT word, len(string_split(path, ' '))::BIGINT AS n_pieces
+          |      FROM seg${TextAnalysis.UnigramEmRounds}) s USING (word)
+          |WHERE length(d.word) > 0
+          |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
 
     "x_bpe_train" ->
       (bpeCtes + "\n" +

@@ -1876,6 +1876,59 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** The trained unigram tokenizer's SERVE-side artifact: each
+    * vocabulary word's final Viterbi segmentation — the unigram
+    * sibling of [[bpeSegments]] (the O(1) word → pieces lookup
+    * inference ships; [[unigramTrain]]'s vocabulary says what was
+    * learned, this says how words decompose under it). One
+    * vocabulary-sized projection of the trainer's final state.
+    */
+  def unigramSegments(spark: SparkSession, dir: String): DataFrame =
+    unigramFit(Tables.documents(spark, dir)).segs
+      .select(col("word"), col("wfreq"), col("path"), col("n_pieces"))
+      .orderBy("word")
+
+  /** BPE vs unigram-LM head-to-head — the per-language decision table
+    * the SentencePiece algorithm choice actually reads: both trainers
+    * run on the SAME corpus (8-merge BPE, [[UnigramEmRounds]]-round
+    * unigram) and the table reports each language's token mass and
+    * fertility under each, plus the unigram/BPE token ratio (< 1
+    * means unigram spends less of the context window on that
+    * language at these budgets). Counts are integer sums of per-word
+    * symbol/piece counts; ratios divide identical exact operands.
+    *
+    * Scale shape: both trainer states are vocabulary-sized; the
+    * corpus explodes ONCE and equi-joins both per-word count tables;
+    * rollup is langs-sized.
+    */
+  def tokenizerCompare(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val uni = unigramFit(docs)
+    val bpe = bpeFit(docs, rounds = 8)
+    val wlB = bpe.state.groupBy("word").agg(count(lit(1)).as("n_syms"))
+    val wlU = uni.segs.select(col("word"), col("n_pieces"))
+    docs
+      .repartition(n, col("doc_id"))
+      .select(col("lang"), explode(toks).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(wlB, Seq("word"))
+      .join(wlU, Seq("word"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+           sum(col("n_syms")).as("n_bpe_tokens"),
+           sum(col("n_pieces")).as("n_unigram_tokens"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        col("n_unigram_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
+          .as("bpe_fertility"),
+        round(col("n_unigram_tokens").cast("double") / col("n_words"), 6)
+          .as("unigram_fertility"),
+        round(col("n_unigram_tokens").cast("double") /
+              col("n_bpe_tokens").cast("double"), 6).as("unigram_vs_bpe"))
+      .orderBy("lang")
+  }
+
   def lexicalProfile(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("lang"), col("text"))
     val perTok = docs

@@ -273,6 +273,23 @@ class BpeSpec extends SparkSuite {
       val cpt = r.getAs[Double]("chars_per_token")
       assert(cpt > 0.0 && cpt <= TextAnalysis.UnigramMaxPiece.toDouble)
     }
+    // the serve artifact is LOSSLESS: every word's pieces concatenate
+    // back to the word exactly
+    val segs = TextAnalysis.unigramSegments(spark, sfDir).collect()
+    assert(segs.length === 31) // the corpus's whitespace vocabulary
+    segs.foreach { r =>
+      assert(r.getAs[String]("path").replace(" ", "") === r.getAs[String]("word"))
+      assert(r.getAs[Long]("n_pieces") ===
+        r.getAs[String]("path").split(" ").length.toLong)
+    }
+    // head-to-head: both fertilities >= 1 and the ratio divides them
+    val cmp = TextAnalysis.tokenizerCompare(spark, sfDir).collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      assert(r.getAs[Double]("bpe_fertility") >= 1.0)
+      assert(r.getAs[Double]("unigram_fertility") >= 1.0)
+      assert(r.getAs[Double]("unigram_vs_bpe") > 0.0)
+    }
   }
 
   test("unigram trainer leaves no persisted blocks behind after release") {
