@@ -210,6 +210,12 @@ class PlanSpec extends SparkSuite {
       !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("tokenizer compare: one corpus explode, two vocab equi-joins — no cartesian") {
+    val plan = formatted(graft.operators.TextAnalysis.tokenizerCompare(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("rrf fusion: cell equi-joins + bounded-shortlist fusion — no cartesian") {
     // each retriever is the knnIvf shape (nCells-broadcast assign,
     // cell-keyed hash join); the only nested loops are the bounded
