@@ -44,24 +44,26 @@ object Caches {
     spark.sparkContext.getPersistentRDDs.isEmpty &&
       spark.sharedState.cacheManager.isEmpty
 
-  /** localCheckpoint + the persistent-RDD ids it registered, via a
-    * TIGHT diff window around the single checkpoint call (works for
-    * lazy checkpoints too: the RDD registers as persistent at the
-    * call, blocks arrive at first materialization). Iterative
-    * operators use the ids to free superseded generations instead of
-    * diffing the whole context registry, which would misattribute —
-    * and destroy — blocks a CONCURRENT query registered meanwhile
-    * (checkpointed blocks cannot recompute). The residual race is the
-    * single call's instant; the library's session contract (above)
-    * assumes one graft query materializes at a time.
+  /** localCheckpoint + the persistent-RDD id it registered, read
+    * DIRECTLY off the returned plan: a checkpointed Dataset's logical
+    * plan is the `LogicalRDD` wrapping the persisted internal RDD, so
+    * the id attribution is exact with NO registry diff window. (The
+    * pre-r15 implementation diffed `getPersistentRDDs` around the
+    * call, which misattributed — and on release destroyed — blocks a
+    * CONCURRENT materialization registered meanwhile; this version is
+    * race-free, which is what lets [[Par]] overlap independent
+    * checkpoint materializations per optimization-guide §2.6.)
+    * Iterative operators use the ids to free superseded generations.
     */
   private[graft] def trackedCheckpoint(df: org.apache.spark.sql.DataFrame,
                                        eager: Boolean = true):
       (org.apache.spark.sql.DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
     val ck = df.localCheckpoint(eager)
-    (ck, sc.getPersistentRDDs.keySet.toSet -- before)
+    val ids = ck.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Set(lr.rdd.id)
+      case _ => Set.empty[Int] // not reachable for a localCheckpoint result
+    }
+    (ck, ids)
   }
 
   /** Shared driver-paced loop harness: each generation is an EAGER

@@ -309,11 +309,17 @@ object CorpusOps {
     val s2 = docs.filter(qualityKeep)
     val s3 = s2.groupBy(md5(encode(col("text"), "UTF-8")).as("ch"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val nonRoots = Dedup.labelPropagation(
-        Dedup.nearDupMinhash(spark, dir).select("doc_a", "doc_b"))
-      .filter(col("doc_id") =!= col("lbl")).select("doc_id")
+    // the two heavy pipelines feeding stages 4 and 5 are INDEPENDENT
+    // (MinHash pair graph + label propagation vs the decontamination
+    // gram pass) — overlap their materializations (optimization guide
+    // §2.6); each pipeline's own plan/checkpoint discipline is
+    // unchanged, only the driver stops serializing them
+    val (nonRoots, contaminated) = graft.Par.run2(
+      Dedup.labelPropagation(
+          Dedup.nearDupMinhash(spark, dir).select("doc_a", "doc_b"))
+        .filter(col("doc_id") =!= col("lbl")).select("doc_id"),
+      decontaminate(spark, dir).select("doc_id"))
     val s4 = s3.join(nonRoots, Seq("doc_id"), "left_anti")
-    val contaminated = decontaminate(spark, dir).select("doc_id")
     val s5 = s4.join(contaminated, Seq("doc_id"), "left_anti")
     val raw = docs.agg(count(lit(1)).as("n_raw"))
     def stage(id: Long, name: String, df: DataFrame): DataFrame =

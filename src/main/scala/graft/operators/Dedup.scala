@@ -902,12 +902,22 @@ object Dedup {
                                minhashThreshold: Double,
                                maxHamming: Int,
                                ngramThreshold: Double): DataFrame = {
-    val grams = wordGramRowsFrom(docs).localCheckpoint()
-    val minhashRows = grams.select(col("doc_id"), col("gh").as("h"))
-    nearDupMinhashRows(minhashRows, minhashThreshold).select("doc_a", "doc_b")
-      .union(simhashNearDupFrom(docs, maxHamming).select("doc_a", "doc_b"))
-      .union(ngramJaccardRows(grams, ngramThreshold).select("doc_a", "doc_b"))
-      .distinct()
+    // Two INDEPENDENT tokenization pipelines read the checkpointed
+    // docs: the word-3-gram pass (feeding MinHash + n-gram Jaccard —
+    // including the minhash bucket/pair materializations inside
+    // nearDupMinhashRows) and SimHash's character-8-gram fingerprint
+    // pass. Overlap them (optimization guide §2.6) so the char-gram
+    // scan back-fills the word-gram pipeline's reduce tails; each
+    // family's own plan and materialization discipline is unchanged.
+    val ((mh, ng), sh) = graft.Par.run2(
+      {
+        val grams = wordGramRowsFrom(docs).localCheckpoint()
+        val minhashRows = grams.select(col("doc_id"), col("gh").as("h"))
+        (nearDupMinhashRows(minhashRows, minhashThreshold).select("doc_a", "doc_b"),
+         ngramJaccardRows(grams, ngramThreshold).select("doc_a", "doc_b"))
+      },
+      simhashNearDupFrom(docs, maxHamming).select("doc_a", "doc_b"))
+    mh.union(sh).union(ng).distinct()
   }
 
   /** Duplicate clusters over the [[unifiedPairs]] union graph — the
@@ -1262,8 +1272,13 @@ object Dedup {
   def substringSweepFrom(docs: DataFrame): DataFrame = {
     val corpus = docs.agg(
       sum(size(split(col("text"), " ")).cast("long")).as("corpus_tokens"))
-    val perSize = SpanSweepSizes.map { g =>
-      val (grams, _) = graft.Caches.trackedCheckpoint(spanGramRowsFrom(docs, g))
+    // The four per-size gram tables are INDEPENDENT corpus passes
+    // (hashes are not composable across sizes); materialize them
+    // concurrently so pass g+1 back-fills pass g's reduce tail
+    // (optimization guide §2.6) instead of idling 4x on the sequence.
+    val gramTabs = graft.Par.runAll(SpanSweepSizes.map(g =>
+      () => graft.Caches.trackedCheckpoint(spanGramRowsFrom(docs, g))._1))
+    val perSize = SpanSweepSizes.zip(gramTabs).map { case (g, grams) =>
       val dupGrams = grams.groupBy("gh")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2)

@@ -342,9 +342,12 @@ object Similarity {
                        probes: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
     graft.functions.DotProduct.register(spark)
     val c = corpus(spark, dir)
-    val ranked = cellAssign(c, trainedCents(spark, dir, kCents, iters))
-      .localCheckpoint()
-    val brute = knnBruteFrom(c, k, nQueries).localCheckpoint()
+    // index build (k-means training + cell routing) and brute-force
+    // ground truth are INDEPENDENT given the shared corpus checkpoint —
+    // overlap their materializations (optimization guide §2.6)
+    val (ranked, brute) = graft.Par.run2(
+      cellAssign(c, trainedCents(spark, dir, kCents, iters)).localCheckpoint(),
+      knnBruteFrom(c, k, nQueries).localCheckpoint())
     probes.map { p =>
       recallVsBrute(brute, ivfSearch(ranked, k, nQueries, p), k)
         .withColumn("n_probe", lit(p.toLong))
@@ -475,7 +478,6 @@ object Similarity {
                  dims: Seq[Int] = Seq(8, 16, 32, 48)): DataFrame = {
     graft.functions.DotProduct.register(spark)
     val c = corpus(spark, dir)
-    val brute = knnBruteFrom(c, k, nQueries).localCheckpoint()
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val maxDim = dims.max
     // the sign grid below enumerates pos 0 until JlGridDim; an
@@ -512,10 +514,14 @@ object Similarity {
     // ONE projection serves every sweep level + both scoring sides;
     // the groupBy reuses the vec_id repartition (vec_id ⊂ (vec_id, j)
     // satisfies the clustered distribution — no extra exchange).
-    val reduced = rows.join(sgrid, Seq("pos"))
-      .groupBy("vec_id", "j")
-      .agg(sum(col("vq") * col("s")).as("r"))
-      .localCheckpoint()
+    // Brute truth and the JL projection are independent given the
+    // shared corpus checkpoint — overlap them (opt guide §2.6).
+    val (brute, reduced) = graft.Par.run2(
+      knnBruteFrom(c, k, nQueries).localCheckpoint(),
+      rows.join(sgrid, Seq("pos"))
+        .groupBy("vec_id", "j")
+        .agg(sum(col("vq") * col("s")).as("r"))
+        .localCheckpoint())
     dims.map { d =>
       val rd = reduced.filter(col("j") < d)
       val norms = rd.groupBy("vec_id").agg(sum(col("r") * col("r")).as("n2"))
@@ -1592,9 +1598,6 @@ object Similarity {
     // truth), so materialize the exploded+sub projection ONCE —
     // without this the explode recomputes per consumer (measured
     // +45% on x_ivfpq at the N=100 probe point)
-    val (sq, _) = graft.Caches.trackedCheckpoint(
-      fit.vq.withColumn("sub", expr(s"pos div ${Dim / 8}")))
-    val a = pqArtifactsFrom(sq, nCodes = 16, nQueries)
     // route the corpus against the FINAL cells — the deployment
     // convention (a FAISS index add() assigns against the trained
     // coarse quantizer), matching the codes-vs-final-books convention
@@ -1602,8 +1605,17 @@ object Similarity {
     // the PREVIOUS round's centroids — a training artifact, not what
     // a router computes — and using it here would make the batch
     // composite disagree with any router that ships `cells`.
-    val (routing, _) = graft.Caches.trackedCheckpoint(
-      coarseAssignPacked(fit.vqp, fit.cents))
+    // PQ training (over sq) and coarse routing (over the packed
+    // checkpoint) are independent given the finished fit — overlap
+    // them (opt guide §2.6).
+    val ((sq, a), routing) = graft.Par.run2(
+      {
+        val (sq0, _) = graft.Caches.trackedCheckpoint(
+          fit.vq.withColumn("sub", expr(s"pos div ${Dim / 8}")))
+        (sq0, pqArtifactsFrom(sq0, nCodes = 16, nQueries))
+      },
+      graft.Caches.trackedCheckpoint(
+        coarseAssignPacked(fit.vqp, fit.cents))._1)
     IvfPqModel(fit.cents, routing, a.books, a.codes, a.qd, sq)
   }
 
@@ -1680,12 +1692,15 @@ object Similarity {
     // view over the packed checkpoint — materialize the exploded+sub
     // projection ONCE for this composite's many readers (the
     // ivfPqModel lesson)
-    val (sq, _) = graft.Caches.trackedCheckpoint(
-      fit.vq.withColumn("sub", expr(s"pos div $subDim")))
-    // route against the FINAL cells (the ivfPqModel deployment
-    // convention) — residuals are vs the cell the vector is STORED in
-    val (routing, _) = graft.Caches.trackedCheckpoint(
-      coarseAssignPacked(fit.vqp, fit.cents))
+    // the exploded+sub projection and the final-cell routing are
+    // independent given the finished fit — overlap (opt guide §2.6);
+    // residuals are vs the cell the vector is STORED in (the
+    // ivfPqModel deployment convention)
+    val (sq, routing) = graft.Par.run2(
+      graft.Caches.trackedCheckpoint(
+        fit.vq.withColumn("sub", expr(s"pos div $subDim")))._1,
+      graft.Caches.trackedCheckpoint(
+        coarseAssignPacked(fit.vqp, fit.cents))._1)
     // residual rows: vector minus its routed cell's centroid
     val (rsq, _) = graft.Caches.trackedCheckpoint(
       sq.drop("sub").join(routing, Seq("vec_id"))
@@ -2157,7 +2172,6 @@ object Similarity {
     graft.functions.DotProduct.register(spark)
     import spark.implicits._
     val c = corpus(spark, dir)
-    val brute = knnBruteFrom(c, k, nQueries).localCheckpoint()
     def cents(lo: Int): DataFrame = c
       .filter(col("vec_id") >= lo && col("vec_id") < lo + nCells)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"),
@@ -2170,11 +2184,15 @@ object Similarity {
     val wCol = w.zipWithIndex.foldLeft(lit(0L)) { case (acc, (wu, i)) =>
       when(col("rk") === (i + 1).toLong, lit(wu)).otherwise(acc) }
     // 3 × nQueries × k rows; checkpoint so the three retriever plans
-    // run once and feed both the fusion and the per-retriever audit
-    val ranked = lists.map { case (name, df) =>
-      df.select(lit(name).as("retriever"), col("query_id"),
-        col("neighbor_id"), wCol.as("w_u"))
-    }.reduce(_ unionByName _).localCheckpoint()
+    // run once and feed both the fusion and the per-retriever audit.
+    // Brute truth and the retriever shortlists are INDEPENDENT given
+    // the shared corpus checkpoint — overlap them (opt guide §2.6).
+    val (brute, ranked) = graft.Par.run2(
+      knnBruteFrom(c, k, nQueries).localCheckpoint(),
+      lists.map { case (name, df) =>
+        df.select(lit(name).as("retriever"), col("query_id"),
+          col("neighbor_id"), wCol.as("w_u"))
+      }.reduce(_ unionByName _).localCheckpoint())
     val fw = Window.partitionBy("query_id")
       .orderBy(col("rrf_u").desc, col("neighbor_id"))
     val fused = ranked.groupBy("query_id", "neighbor_id")
@@ -2203,10 +2221,13 @@ object Similarity {
                  k: Int = 5, nQueries: Int = 10): DataFrame = {
     graft.functions.DotProduct.register(spark)
     val c = corpus(spark, dir)
-    val brute = knnBruteFrom(c, k, nQueries).localCheckpoint()
-    val approx = knnIvfFrom(c, k, nQueries, nCells = 16, nProbe = 2)
-      .select(col("query_id"), col("neighbor_id"), col("rk").as("pos"))
-      .localCheckpoint()
+    // truth and approx shortlists are independent given the shared
+    // corpus checkpoint — overlap (opt guide §2.6)
+    val (brute, approx) = graft.Par.run2(
+      knnBruteFrom(c, k, nQueries).localCheckpoint(),
+      knnIvfFrom(c, k, nQueries, nCells = 16, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rk").as("pos"))
+        .localCheckpoint())
     val w = ndcgWeightsU(k)
     val wCol = w.zipWithIndex.foldLeft(lit(0L)) { case (acc, (wu, i)) =>
       when(col("pos") === (i + 1), lit(wu)).otherwise(acc) }

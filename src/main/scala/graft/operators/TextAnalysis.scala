@@ -964,14 +964,22 @@ object TextAnalysis {
         val mdf = broadcast(
           sel.map { case (sa, sb, _) => (sa, sb, sa + sb) }
             .toDF("msa", "msb", "mmerged"))
+        // run-start via running max over the existing (word, pos)
+        // ordering instead of a min() over the derived (word, grp)
+        // partitioning — saves two per-round sorts of the state; see
+        // the identical rewrite in bpeFit. Match runs here are runs of
+        // rows matching ANY kept pair; kept pairs are symbol-disjoint
+        // by construction, so within a run every row matched the SAME
+        // pair and the even-offset rule is unchanged.
         val flagged = withNext
           .join(mdf, col("sym") === col("msa") && col("nsym") === col("msb"), "left")
           .withColumn("mt", col("mmerged").isNotNull)
-          .withColumn("grp", when(col("mt"),
-            col("pos") - sum(when(col("mt"), 1L).otherwise(0L)).over(cum)))
-          .withColumn("off", when(col("mt"),
-            col("pos") - min(col("pos")).over(Window.partitionBy("word", "grp"))))
-          .withColumn("mok", col("mt") && pmod(col("off"), lit(2L)) === 0)
+          .withColumn("mst",
+            col("mt") && !coalesce(lag(col("mt"), 1).over(w), lit(false)))
+          .withColumn("island_start",
+            max(when(col("mst"), col("pos"))).over(cum))
+          .withColumn("mok",
+            col("mt") && pmod(col("pos") - col("island_start"), lit(2L)) === 0)
           .withColumn("gone", coalesce(lag(col("mok"), 1).over(w), lit(false)))
         val (next, nextIds) = graft.Caches.trackedCheckpoint(
           flagged.filter(!col("gone"))
@@ -1027,13 +1035,26 @@ object TextAnalysis {
         merges :+= ((r, sa, sb, cnt))
         // greedy left-to-right application: islands of consecutive
         // matches merge at even offsets (overlap needs sym_a == sym_b)
+        // Island offsets WITHOUT a second sort: the old form computed
+        // each match-run's start as min(pos) over (word, grp) — a
+        // Window partitioned by the DERIVED grp key, which re-sorted
+        // the whole state (word, pos) -> (word, grp) and back for the
+        // final row_number, i.e. two extra per-round sorts of the
+        // corpus-vocabulary state (optimization guide §2.4: operations
+        // keyed the same way should share one ordering). A run's start
+        // is equally the latest match-start position at or before this
+        // row — a running max over the SAME (word, pos) ordering every
+        // other window here already uses, so all per-round window ops
+        // now share one sort. Same values bitwise: for a matched row,
+        // max(start pos <= pos) IS its island's min(pos).
         val flagged = withNext
           .withColumn("mt", col("sym") === sa && col("nsym") === sb)
-          .withColumn("grp", when(col("mt"),
-            col("pos") - sum(when(col("mt"), 1L).otherwise(0L)).over(cum)))
-          .withColumn("off", when(col("mt"),
-            col("pos") - min(col("pos")).over(Window.partitionBy("word", "grp"))))
-          .withColumn("merged", col("mt") && pmod(col("off"), lit(2L)) === 0)
+          .withColumn("mst",
+            col("mt") && !coalesce(lag(col("mt"), 1).over(w), lit(false)))
+          .withColumn("island_start",
+            max(when(col("mst"), col("pos"))).over(cum))
+          .withColumn("merged",
+            col("mt") && pmod(col("pos") - col("island_start"), lit(2L)) === 0)
           .withColumn("gone", coalesce(lag(col("merged"), 1).over(w), lit(false)))
         val (next, nextIds) = graft.Caches.trackedCheckpoint(
           flagged.filter(!col("gone"))
@@ -1724,7 +1745,7 @@ object TextAnalysis {
         .unionByName(seed0.filter(length(col("piece")) === 1)))
     var segs: DataFrame = null
     var segIds = Set.empty[Int]
-    for (_ <- 1 to UnigramEmRounds) {
+    for (emRound <- 1 to UnigramEmRounds) {
       // ONE row crosses the driver per round: the vocabulary mass T
       val t = vocab.agg(sum(col("cnt")).as("t")).collect()(0).getLong(0)
       val pen = lit(BigDecimal(math.log(t.toDouble) * 1e6)
@@ -1762,6 +1783,15 @@ object TextAnalysis {
       val pathCol = (1 to UnigramMaxWordLen).foldLeft(lit(null).cast("string")) {
         (acc, j) => when(col("len") === j, col(s"dp_$j").getField("p")).otherwise(acc)
       }
+      // NOTE (r15 optimization round, measured and REVERTED): skipping
+      // the intermediate rounds' segs checkpoint (the E-step count is
+      // their only consumer) looked like a free action saved, but solo
+      // A/B measured the family 1.6-1.8x SLOWER (x_unigram_train solo
+      // median 2.83 -> 5.01 s) — evaluating the prune aggregate on top
+      // of the un-truncated 16-step Viterbi plan costs far more in
+      // Catalyst/codegen than the checkpoint's write+read saves. The
+      // per-round checkpoint stays: it is plan TRUNCATION, not just
+      // materialization (the nearDupMinhash lesson).
       val (segNext, segNextIds) = graft.Caches.trackedCheckpoint(
         df.select(col("word"), col("wfreq"), pathCol.as("path"))
           .withColumn("n_pieces", size(split(col("path"), " ")).cast("bigint")))
@@ -1904,8 +1934,12 @@ object TextAnalysis {
   def tokenizerCompare(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val uni = unigramFit(docs)
-    val bpe = bpeFit(docs, rounds = 8)
+    // The two trainers are INDEPENDENT driver-paced loops over
+    // vocabulary-sized state; run them from two driver threads
+    // (optimization guide §2.6) so each trainer's small per-round jobs
+    // back-fill the cores the other's round leaves idle — neither loop
+    // alone comes close to saturating the cluster.
+    val (uni, bpe) = graft.Par.run2(unigramFit(docs), bpeFit(docs, rounds = 8))
     val wlB = bpe.state.groupBy("word").agg(count(lit(1)).as("n_syms"))
     val wlU = uni.segs.select(col("word"), col("n_pieces"))
     docs

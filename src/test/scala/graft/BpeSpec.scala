@@ -40,6 +40,24 @@ class BpeSpec extends SparkSuite {
       Map(0L -> 3L))
   }
 
+  test("two match runs in one word keep independent island starts") {
+    // r15 optimization pins: the merge application computes each
+    // match-run's start as a running max of run-start positions over
+    // (word, pos) — the rewrite that replaced the per-round
+    // (word, grp)-partitioned min(pos) window (and its two extra
+    // sorts). The risk class is start LEAKAGE across a gap: a second
+    // run must restart its even-offset parity at its own first
+    // position, not the previous run's.
+    // "aabaaa" = [a,a,b,a,a,a,</w>]: (a,a) count 3 wins; run 1 = pos
+    // {1}, run 2 = pos {4,5} with its own start 4 → merge at 1 and 4
+    // → [aa,b,aa,a,</w>] = 5 symbols
+    val d = docs("aabaaa")
+    assert(merges(TextAnalysis.bpeTrainFrom(d, rounds = 1)) ==
+      Seq((1L, "a", "a", 3L)))
+    assert(bpeCounts(TextAnalysis.bpeTokenCountsFrom(d, rounds = 1)) ==
+      Map(0L -> 5L))
+  }
+
   test("count ties break to the lexically smallest pair") {
     // words ab, cd each twice: (a,b), (b,</w>), (c,d), (d,</w>) all
     // count 2 — (a,b) is the lexical minimum
