@@ -298,17 +298,20 @@ object CorpusOps {
     * rule, [[Dedup.labelPropagation]] non-roots, [[decontaminate]]'s
     * contaminated set) — one definition each, no drift.
     *
-    * Scale shape: each stage is a narrow filter or an anti-join
-    * against a bounded/duplicate-sized set over the previous stage;
-    * the five stage counts are five count aggregates unioned into a
-    * 5-row table, and the raw total attaches as a broadcast one-row
-    * cross join.
+    * Scale shape: ONE corpus scan yields the raw and quality counts
+    * (a count of a filter is a conditional count — the five separate
+    * union branches each re-scanned the corpus or re-derived the md5
+    * keep-set); one content-hash aggregate builds the exact-unique
+    * survivor set; stages 4 and 5 are flag left-joins of that
+    * survivor set against the non-root / contaminated doc sets (both
+    * one-row-per-doc by construction — labelPropagation emits one
+    * label row per doc, decontaminate one rollup row per doc — so the
+    * flag joins cannot multiply), folded into ONE conditional-count
+    * aggregate. The 5-row table pivots out of the combined one-row
+    * result with a single generate — no unioned re-scans.
     */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val s2 = docs.filter(qualityKeep)
-    val s3 = s2.groupBy(md5(encode(col("text"), "UTF-8")).as("ch"))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     // the two heavy pipelines feeding stages 4 and 5 are INDEPENDENT
     // (MinHash pair graph + label propagation vs the decontamination
     // gram pass) — overlap their materializations (optimization guide
@@ -319,20 +322,29 @@ object CorpusOps {
           Dedup.nearDupMinhash(spark, dir).select("doc_a", "doc_b"))
         .filter(col("doc_id") =!= col("lbl")).select("doc_id"),
       decontaminate(spark, dir).select("doc_id"))
-    val s4 = s3.join(nonRoots, Seq("doc_id"), "left_anti")
-    val s5 = s4.join(contaminated, Seq("doc_id"), "left_anti")
-    val raw = docs.agg(count(lit(1)).as("n_raw"))
-    def stage(id: Long, name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(id).as("stage_id"), lit(name).as("stage"), col("n_docs"))
-    stage(1L, "raw", docs)
-      .unionByName(stage(2L, "quality", s2))
-      .unionByName(stage(3L, "exact_unique", s3))
-      .unionByName(stage(4L, "neardup_root", s4))
-      .unionByName(stage(5L, "decontaminated", s5))
-      .crossJoin(broadcast(raw))
-      .withColumn("retained", round(col("n_docs").cast("double") / col("n_raw"), 6))
-      .select("stage_id", "stage", "n_docs", "retained")
+    val n12 = docs.agg(count(lit(1)).as("n_raw"),
+      count(when(qualityKeep, 1)).as("n_quality"))
+    val s3 = docs.filter(qualityKeep)
+      .groupBy(md5(encode(col("text"), "UTF-8")).as("ch"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val n345 = s3
+      .join(nonRoots.withColumn("nr", lit(true)), Seq("doc_id"), "left")
+      .join(contaminated.withColumn("ct", lit(true)), Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        count(when(col("nr").isNull, 1)).as("n_root"),
+        count(when(col("nr").isNull && col("ct").isNull, 1)).as("n_decon"))
+    def st(id: Long, name: String, c: String) =
+      struct(lit(id).as("stage_id"), lit(name).as("stage"),
+        col(c).as("n_docs"))
+    n12.crossJoin(broadcast(n345))
+      .select(col("n_raw"), explode(array(
+        st(1L, "raw", "n_raw"),
+        st(2L, "quality", "n_quality"),
+        st(3L, "exact_unique", "n_exact"),
+        st(4L, "neardup_root", "n_root"),
+        st(5L, "decontaminated", "n_decon"))).as("s"))
+      .select(col("s.stage_id"), col("s.stage"), col("s.n_docs"),
+        round(col("s.n_docs").cast("double") / col("n_raw"), 6).as("retained"))
       .orderBy("stage_id")
   }
 
