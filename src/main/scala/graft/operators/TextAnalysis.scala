@@ -928,7 +928,17 @@ object TextAnalysis {
         .otherwise(lit("</w>")))
     val w = Window.partitionBy("word").orderBy("pos")
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    var (state, stateIds) = graft.Caches.trackedCheckpoint(s0)
+    // LAZY checkpoint generations, ONE Spark action per round: each
+    // round's candidate TakeOrdered evaluates every partition of the
+    // state, so it both answers the candidate question AND persists
+    // the lazily-checkpointed state's blocks in the same job — the
+    // old eager checkpoint ran a separate count() job per round,
+    // doubling the driver-paced job count of a trainer whose state is
+    // vocabulary-sized (pure round latency, not data). The superseded
+    // generation is freed only AFTER the action that materializes its
+    // successor (`prevIds`), preserving the generation discipline.
+    var (state, stateIds) = graft.Caches.trackedCheckpoint(s0, eager = false)
+    var prevIds = Set.empty[Int]
     var merges = Vector.empty[(Int, Int, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -936,11 +946,14 @@ object TextAnalysis {
       val withNext = state.withColumn("nsym", lead(col("sym"), 1).over(w))
       // ONE bounded action per round: the topK candidate pairs in
       // (count DESC, sym, nsym) rank order — TakeOrdered, never a
-      // global sort
+      // global sort; it materializes `state`'s blocks as a side
+      // effect (every partition feeds the per-partition top-K)
       val cands = withNext.filter(col("nsym").isNotNull)
         .groupBy("sym", "nsym").agg(sum(col("wfreq")).as("cnt"))
         .orderBy(col("cnt").desc, col("sym"), col("nsym"))
         .limit(topK).collect()
+      graft.Caches.release(spark, prevIds)
+      prevIds = Set.empty
       if (cands.isEmpty) exhausted = true // every word fully merged
       else {
         val cap = math.min(batchM, totalMerges - merges.size)
@@ -985,12 +998,21 @@ object TextAnalysis {
           flagged.filter(!col("gone"))
             .select(col("word"), col("wfreq"),
               row_number().over(w).cast("bigint").as("pos"),
-              when(col("mok"), col("mmerged")).otherwise(col("sym")).as("sym")))
-        graft.Caches.release(spark, stateIds)
+              when(col("mok"), col("mmerged")).otherwise(col("sym")).as("sym")),
+          eager = false)
+        prevIds = stateIds
         state = next
         stateIds = nextIds
         r += 1
       }
+    }
+    if (prevIds.nonEmpty) {
+      // exited with a lazy final state no action has touched yet
+      // (merge budget filled on the last application): materialize it
+      // (count = exactly what the eager checkpoint would have run) so
+      // the superseded generation can be freed before returning
+      state.count()
+      graft.Caches.release(spark, prevIds)
     }
     BpeBatchFit(merges, state, stateIds)
   }
@@ -1017,7 +1039,11 @@ object TextAnalysis {
         .otherwise(lit("</w>")))
     val w = Window.partitionBy("word").orderBy("pos")
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    var (state, stateIds) = graft.Caches.trackedCheckpoint(s0)
+    // lazy generations, one action per round — see bpeFitBatchedWords
+    // (the same fusion: the argmax TakeOrdered materializes the
+    // lazily-checkpointed state's blocks in the same job)
+    var (state, stateIds) = graft.Caches.trackedCheckpoint(s0, eager = false)
+    var prevIds = Set.empty[Int]
     var merges = Vector.empty[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -1028,6 +1054,8 @@ object TextAnalysis {
         .groupBy("sym", "nsym").agg(sum(col("wfreq")).as("cnt"))
         .orderBy(col("cnt").desc, col("sym"), col("nsym"))
         .limit(1).collect()
+      graft.Caches.release(spark, prevIds)
+      prevIds = Set.empty
       if (best.isEmpty) exhausted = true // every word fully merged
       else {
         val (sa, sb, cnt) =
@@ -1060,12 +1088,17 @@ object TextAnalysis {
           flagged.filter(!col("gone"))
             .select(col("word"), col("wfreq"),
               row_number().over(w).cast("bigint").as("pos"),
-              when(col("merged"), lit(sa + sb)).otherwise(col("sym")).as("sym")))
-        graft.Caches.release(spark, stateIds)
+              when(col("merged"), lit(sa + sb)).otherwise(col("sym")).as("sym")),
+          eager = false)
+        prevIds = stateIds
         state = next
         stateIds = nextIds
         r += 1
       }
+    }
+    if (prevIds.nonEmpty) {
+      state.count() // materialize the lazy final state, then free its predecessor
+      graft.Caches.release(spark, prevIds)
     }
     BpeFit(merges, state, stateIds)
   }
@@ -1745,9 +1778,25 @@ object TextAnalysis {
         .unionByName(seed0.filter(length(col("piece")) === 1)))
     var segs: DataFrame = null
     var segIds = Set.empty[Int]
+    // Lazy checkpoint generations, ONE action per round (the bpeFit
+    // fusion): round r's 1-row T collect computes — and persists —
+    // the previous round's lazy segs+vocab checkpoints as part of the
+    // same job (the full-vocabulary aggregate evaluates every
+    // partition), so the two eager per-round checkpoint jobs
+    // disappear. This KEEPS each generation's plan truncation (the
+    // LogicalRDD wrap happens at checkpoint time regardless of
+    // eagerness) — it is NOT the measured-negative checkpoint SKIP
+    // reverted below. Superseded generations free one action later
+    // (`pending*`), preserving the generation discipline.
+    var pendingSegIds = Set.empty[Int]
+    var pendingVocabIds = Set.empty[Int]
     for (emRound <- 1 to UnigramEmRounds) {
       // ONE row crosses the driver per round: the vocabulary mass T
       val t = vocab.agg(sum(col("cnt")).as("t")).collect()(0).getLong(0)
+      graft.Caches.release(spark, pendingSegIds)
+      graft.Caches.release(spark, pendingVocabIds)
+      pendingSegIds = Set.empty
+      pendingVocabIds = Set.empty
       val pen = lit(BigDecimal(math.log(t.toDouble) * 1e6)
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
       val w = vocab.select(col("piece"),
@@ -1794,8 +1843,9 @@ object TextAnalysis {
       // materialization (the nearDupMinhash lesson).
       val (segNext, segNextIds) = graft.Caches.trackedCheckpoint(
         df.select(col("word"), col("wfreq"), pathCol.as("path"))
-          .withColumn("n_pieces", size(split(col("path"), " ")).cast("bigint")))
-      graft.Caches.release(spark, segIds)
+          .withColumn("n_pieces", size(split(col("path"), " ")).cast("bigint")),
+        eager = false)
+      pendingSegIds = segIds
       segs = segNext
       segIds = segNextIds
       // E-step counts -> count-pruned next vocabulary
@@ -1808,11 +1858,18 @@ object TextAnalysis {
           .unionByName(charTab
             .join(cnts, Seq("piece"), "left")
             .select(col("piece"),
-              greatest(coalesce(col("cnt"), lit(0L)), lit(1L)).as("cnt"))))
-      graft.Caches.release(spark, vocabIds)
+              greatest(coalesce(col("cnt"), lit(0L)), lit(1L)).as("cnt"))),
+        eager = false)
+      pendingVocabIds = vocabIds
       vocab = vocabNext
       vocabIds = vocabNextIds
     }
+    // the final generation's lazy checkpoints have no following T
+    // collect: materialize them (vocab sits on top of segs, so one
+    // count persists both), then free their predecessors
+    vocab.count()
+    graft.Caches.release(spark, pendingSegIds)
+    graft.Caches.release(spark, pendingVocabIds)
     graft.Caches.release(spark, wtabIds)
     graft.Caches.release(spark, charIds)
     UnigramFit(vocab, segs)
